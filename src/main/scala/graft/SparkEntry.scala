@@ -332,7 +332,7 @@ object SparkEntry {
 
     "q27_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 12)
+        maxHamming = 6)
         .orderBy("id_a", "id_b")),
 
     "q28_ann_topk" -> ((s, dir) => {

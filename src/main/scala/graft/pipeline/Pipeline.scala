@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.Meta
+import graft.sinks.FileSink
+import graft.sources.FileSource
+import graft.transform.{Jq, SqlScript}
+
+/** Pipeline spec + runner — the Spark shape of the reference CLI
+  * `any2any --from=SRC --to=SINK [--to=SINK2] [--env=K=V]`
+  * (main.go:11-40, any2any.go:22-103).
+  *
+  * Configuration keeps the reference's `<COMPONENT>__<KEY>` convention
+  * (internal/config/util.go:14-26): `FILE__SOURCE_URI`,
+  * `JQ__QUERY`, `FILE__DESTINATION_URI`, ... passed as a plain map.
+  *
+  * Execution model: construction builds ONE DataFrame plan
+  * (read → transform); `run` materializes it once (`persist`) and
+  * fans out to every sink (MultiSinkPipeline D5 — the reference
+  * duplicates the stream to all sink inlets, connector.go:137-139;
+  * Spark caches the transformed frame and runs one write job per
+  * sink). A reference-parity transfer is a narrow, shuffle-free plan.
+  */
+object Pipeline {
+
+  case class Spec(
+      from: String,
+      to: Seq[String],
+      env: Map[String, String] = Map.empty,
+      dryRun: Boolean = false)
+
+  case class Result(
+      rows: Option[Long], // populated when >1 sink (counted via persist)
+      sinkOutputs: Map[String, Seq[String]],
+      plans: Seq[String]) // explain output on dry-run
+
+  private def key(env: Map[String, String], component: String, k: String): Option[String] =
+    env.get(s"${component}__$k")
+
+  /** Build the source DataFrame (registry ≅ component.go:61-134). */
+  def source(spark: SparkSession, spec: Spec): DataFrame = spec.from.toUpperCase match {
+    case "FILE" | "OSS" | "S3" =>
+      val uri = key(spec.env, spec.from.toUpperCase, "SOURCE_URI")
+        .getOrElse(sys.error(s"${spec.from}__SOURCE_URI required"))
+      FileSource.read(spark, uri,
+        skipHeader = key(spec.env, spec.from.toUpperCase, "CSV_SKIP_HEADER")
+          .forall(_.toBoolean),
+        skipRows = key(spec.env, spec.from.toUpperCase, "CSV_SKIP_ROWS")
+          .map(_.toInt).getOrElse(0))
+    case "SQL" | "MC" =>
+      // SQL front door (reference MC source §3.2): run a (multi-statement)
+      // script through SqlScript; the last statement's result is the source
+      val q = key(spec.env, "MC", "QUERY").orElse(key(spec.env, "SQL", "QUERY"))
+        .getOrElse(sys.error("SQL__QUERY / MC__QUERY required"))
+      SqlScript.run(spark, q, dryRun = false)
+        .getOrElse(sys.error("query script produced no result"))
+    case "JDBC" | "PSQL" =>
+      val rdr = spark.read.format("jdbc")
+        .option("url", key(spec.env, "PSQL", "DSN")
+          .orElse(key(spec.env, "JDBC", "URL"))
+          .getOrElse(sys.error("PSQL__DSN / JDBC__URL required")))
+      key(spec.env, "PSQL", "QUERY").orElse(key(spec.env, "JDBC", "QUERY"))
+        .map(q => rdr.option("query", q))
+        .getOrElse(rdr.option("dbtable",
+          key(spec.env, "JDBC", "TABLE").getOrElse(sys.error("query or table required"))))
+        .load()
+    case other => sys.error(s"unknown source: $other")
+  }
+
+  /** Apply the processor chain (connector D8/D9): jq program, then
+    * optional record-index stamping.
+    */
+  def transform(df: DataFrame, spec: Spec): DataFrame = {
+    val jq = key(spec.env, "JQ", "QUERY").map(Jq.compile)
+      .getOrElse(identity[DataFrame] _)
+    val withIndex: DataFrame => DataFrame =
+      if (key(spec.env, "GRAFT", "RECORD_INDEX").exists(_.toBoolean))
+        d => Meta.withBatchIndex(
+          Meta.withRecordIndex(d, d.columns.headOption.map(col).toSeq),
+          key(spec.env, "GRAFT", "CONNECTOR_BATCH_SIZE")
+            .map(_.toInt).getOrElse(Meta.DefaultBatchSize))
+      else identity
+    withIndex(jq(df))
+  }
+
+  /** Write to one sink (registry ≅ component.go:138-224). Returns output
+    * locations (for FILE-family) or logical names.
+    */
+  def sink(df: DataFrame, sinkName: String, spec: Spec): Seq[String] =
+    sinkName.toUpperCase match {
+      case "FILE" | "OSS" | "S3" | "SFTP" =>
+        val uri = key(spec.env, sinkName.toUpperCase, "DESTINATION_URI")
+          .getOrElse(sys.error(s"${sinkName}__DESTINATION_URI required"))
+        FileSink.write(df, FileSink.Spec(
+          destinationUri = uri,
+          format = key(spec.env, sinkName.toUpperCase, "FORMAT"),
+          header = key(spec.env, sinkName.toUpperCase, "CSV_HEADER").forall(_.toBoolean),
+          compression = key(spec.env, sinkName.toUpperCase, "COMPRESSION_TYPE"),
+          maxRecordsPerFile = key(spec.env, sinkName.toUpperCase, "MAX_TEMP_FILE_RECORD_NUMBER")
+            .map(_.toLong).getOrElse(0L),
+          jsonPath = key(spec.env, sinkName.toUpperCase, "JSON_PATH_SELECTOR")))
+      case "TABLE" | "MC" =>
+        // warehouse table sink (K2): APPEND or REPLACE (truncate+insert)
+        val table = key(spec.env, "MC", "DESTINATION_TABLE_ID")
+          .orElse(key(spec.env, "TABLE", "NAME"))
+          .getOrElse(sys.error("TABLE__NAME / MC__DESTINATION_TABLE_ID required"))
+        val mode = key(spec.env, "MC", "LOAD_METHOD")
+          .orElse(key(spec.env, "TABLE", "MODE")).getOrElse("APPEND")
+        TableSink.write(df, table, mode)
+        Seq(table)
+      case "KAFKA" =>
+        val out = df.selectExpr("CAST(null AS STRING) AS key",
+          "to_json(struct(*)) AS value")
+        out.write.format("kafka")
+          .option("kafka.bootstrap.servers",
+            key(spec.env, "KAFKA", "BOOTSTRAP_SERVERS").getOrElse("localhost:9092"))
+          .option("topic", key(spec.env, "KAFKA", "TOPIC").getOrElse("graft"))
+          .save()
+        Seq("kafka")
+      case "IO" =>
+        // stdout sink (K11): NDJSON lines, like the reference
+        df.toJSON.collect().foreach(println)
+        Seq("stdout")
+      case other => sys.error(s"unknown sink: $other")
+    }
+
+  def run(spark: SparkSession, spec: Spec): Result = {
+    val plan = transform(source(spark, spec), spec)
+    if (spec.dryRun) {
+      // D15: explain-only; no side effects
+      return Result(None, Map.empty, Seq(plan.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)))
+    }
+    if (spec.to.size <= 1) {
+      val outs = spec.to.headOption.map(s => s -> sink(plan, s, spec)).toMap
+      Result(None, outs, Nil)
+    } else {
+      // MultiSinkPipeline (D5): materialize once, write N times
+      val cached = plan.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = cached.count()
+        val outs = spec.to.map(s => s -> sink(cached, s, spec)).toMap
+        Result(Some(n), outs, Nil)
+      } finally cached.unpersist()
+    }
+  }
+}
+
+/** Warehouse table sink (reference MC sink K2): APPEND adds rows;
+  * REPLACE reproduces the temp-table + INSERT OVERWRITE dance
+  * (ext/maxcompute/util.go:89-137) as a transactional overwrite.
+  * Schema-driven cast (util.go:436-663): incoming columns are cast to
+  * the target table's types, matched case-insensitively.
+  */
+object TableSink {
+  def write(df: DataFrame, table: String, mode: String): Unit = {
+    val spark = df.sparkSession
+    val exists = spark.catalog.tableExists(table)
+    val aligned = if (exists) {
+      val target = spark.table(table).schema
+      val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
+      df.select(target.fields.map { f =>
+        byLower.get(f.name.toLowerCase) match {
+          case Some(src) => col(s"`$src`").cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toIndexedSeq: _*)
+    } else df
+    mode.toUpperCase match {
+      case "REPLACE" | "OVERWRITE" =>
+        if (exists) aligned.write.mode(SaveMode.Overwrite).insertInto(table)
+        else aligned.write.saveAsTable(table)
+      case _ => // APPEND
+        if (exists) aligned.write.mode(SaveMode.Append).insertInto(table)
+        else aligned.write.saveAsTable(table)
+    }
+  }
+}

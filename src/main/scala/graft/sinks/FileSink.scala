@@ -1,0 +1,181 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+import graft.model.Meta
+import graft.transform.Template
+
+/** File-family sink (reference ext/file/sink.go:30-128 + the fs write
+  * handler internal/ext/fs/write_handler.go).
+  *
+  * Semantics reproduced Spark-first:
+  *  - destination URI may be a `[[ ]]` template over record fields
+  *    (D10); records route to their compiled destination (D17 grouped
+  *    write) via a computed partition column + `partitionBy` — fully
+  *    distributed, no per-key writer map needed;
+  *  - metadata columns are stripped before writing (D12) and
+  *    specialized metadata records are skipped (D13) — both handled by
+  *    column pruning / a null-guard filter;
+  *  - output formats json (NDJSON — Spark's native JSON shape), csv,
+  *    tsv, txt chosen by extension (D19/D21 dispatch); nested
+  *    values are inlined as JSON strings in CSV, matching
+  *    json2csv.go:104-148;
+  *  - gzip compression (D22) via the writer option; zip/tar.gz belong
+  *    to a driver-side post-pass (no distributed primitive exists);
+  *  - chunking (D18, 64 MiB flush) maps to `maxRecordsPerFile` /
+  *    `spark.sql.files.maxPartitionBytes` — Spark spills and rolls
+  *    files natively.
+  */
+object FileSink {
+
+  case class Spec(
+      destinationUri: String,
+      format: Option[String] = None, // json|csv|tsv|txt (default: by extension)
+      header: Boolean = true,
+      compression: Option[String] = None, // gzip|none
+      maxRecordsPerFile: Long = 0L,
+      jsonPath: Option[String] = None,
+      stripMetadata: Boolean = true,
+      mode: SaveMode = SaveMode.Overwrite)
+
+  private[sinks] def formatOf(spec: Spec): String =
+    spec.format.getOrElse {
+      val uri = spec.destinationUri.takeWhile(_ != '[')
+      val ext = uri.reverse.takeWhile(c => c != '.' && c != '/').reverse.toLowerCase
+      ext match {
+        case "csv" => "csv"
+        case "tsv" => "tsv"
+        case "txt" => "txt"
+        case _ => "json"
+      }
+    }
+
+  /** Stringify nested columns for CSV output (json2csv.go:104-148:
+    * arrays/objects re-serialized as JSON strings).
+    */
+  private def flattenForCsv(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Write `df` per the spec. Returns the list of destination group
+    * values when the URI was templated (for driver-side post-steps like
+    * archiving or SMTP attachment per group).
+    */
+  def write(df0: DataFrame, spec: Spec): Seq[String] = {
+    val (dataRecords, _) = Meta.splitSpecializedMetadata(df0)
+    val df1 = if (spec.stripMetadata) Meta.stripMetadata(dataRecords) else dataRecords
+    val fmt = formatOf(spec)
+    val df = if (fmt == "csv" || fmt == "tsv") flattenForCsv(df1) else df1
+
+    def writer(d: DataFrame) = {
+      val w = d.write.mode(spec.mode)
+      val w1 = spec.compression.filter(_ != "none")
+        .map(c => w.option("compression", c)).getOrElse(w)
+      if (spec.maxRecordsPerFile > 0)
+        w1.option("maxRecordsPerFile", spec.maxRecordsPerFile)
+      else w1
+    }
+
+    if (!Template.isDynamic(spec.destinationUri)) {
+      val out = spec.destinationUri
+      fmt match {
+        case "json" => writer(df).json(out)
+        case "csv" => writer(df).option("header", spec.header).csv(out)
+        case "tsv" =>
+          writer(df).option("header", spec.header).option("sep", "\t").csv(out)
+        case "txt" =>
+          // single string column expected, like the reference txt output
+          val single =
+            if (df.columns.length == 1) df
+            else df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+          writer(single.select(col(single.columns.head).cast("string"))).text(out)
+      }
+      Seq(out)
+    } else {
+      // Templated destination (D17): evaluate the template per record
+      // into a routing column, write with partitionBy — each distinct
+      // compiled destination becomes one directory, written in a single
+      // distributed pass (the reference keeps a writer map per key;
+      // partitionBy is the shuffle-free Spark equivalent).
+      val destCol: Column = Template.compile(spec.destinationUri)
+      val routed = df.withColumn("__graft_dest", destCol)
+      val base = spec.destinationUri.takeWhile(_ != '[').reverse
+        .dropWhile(c => c != '/').reverse + "__graft_grouped"
+      fmt match {
+        case "json" => writer(routed.repartition(col("__graft_dest")))
+          .partitionBy("__graft_dest").json(base)
+        case "csv" | "tsv" =>
+          val sep = if (fmt == "tsv") "\t" else ","
+          writer(routed.repartition(col("__graft_dest")))
+            .partitionBy("__graft_dest")
+            .option("header", spec.header).option("sep", sep).csv(base)
+        case "txt" => writer(routed.repartition(col("__graft_dest")))
+          .partitionBy("__graft_dest").text(base)
+      }
+      finalizeGroupedWrite(df.sparkSession, base)
+    }
+  }
+
+  /** Move each `__graft_dest=<escaped>` partition dir to its exact
+    * templated destination (reference write-handler keeps one file per
+    * compiled destination, write_handler.go:111-133). The heavy write
+    * above was distributed; this pass is per-group stream-concatenation
+    * on the driver — appropriate because grouped-file output is a
+    * many-small-groups shape (per-email attachments, per-entity
+    * exports), not a bulk-data path.
+    */
+  private def finalizeGroupedWrite(
+      spark: org.apache.spark.sql.SparkSession, base: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    if (!fs.exists(basePath)) return Nil
+    val outs = fs.listStatus(basePath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__graft_dest="))
+      .map { st =>
+        val dest = unescapePathName(st.getPath.getName.stripPrefix("__graft_dest="))
+        val destPath = new org.apache.hadoop.fs.Path(dest)
+        if (fs.exists(destPath)) fs.delete(destPath, true)
+        Option(destPath.getParent).foreach(fs.mkdirs(_))
+        val parts = fs.listStatus(st.getPath).toSeq
+          .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
+        if (parts.size == 1) fs.rename(parts.head.getPath, destPath)
+        else {
+          val out = fs.create(destPath, true)
+          try parts.foreach { p =>
+            val in = fs.open(p.getPath)
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
+            finally in.close()
+          } finally out.close()
+        }
+        dest
+      }.sorted
+    fs.delete(basePath, true)
+    outs
+  }
+
+  /** Inverse of Spark's partition-path escaping (%XX sequences). */
+  private[sinks] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        try {
+          sb += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+          i += 3
+        } catch {
+          case _: NumberFormatException => sb += s(i); i += 1
+        }
+      } else { sb += s(i); i += 1 }
+    }
+    sb.toString
+  }
+}

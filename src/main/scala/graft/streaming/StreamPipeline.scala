@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming shape of the engine (SURVEY §1.4, §2.5
+  * "Streaming"): the reference is batch-only (Kafka is sink-only, K10),
+  * so streaming here is the *extension* surface for continuous ingest —
+  * `readStream → transforms → writeStream`, watermarked event-time
+  * windows, and `foreachBatch` multi-sink fan-out (the streaming
+  * equivalent of the MultiSinkPipeline D5).
+  */
+object StreamPipeline {
+
+  /** File-drop continuous ingest: watch a directory for NDJSON/parquet
+    * files — the streaming version of the FILE source (S1).
+    */
+  def fileStream(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      format: String = "json"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+
+  /** Windowed event aggregation with late-data handling: tumbling
+    * window over event-time + watermark. At scale the state store is
+    * keyed by (window, keys) — bounded by the watermark horizon.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n"), col("total_value"))
+
+  /** Sessionization with session_window (gap-based), the streaming
+    * version of the batch q32 lag/cumsum approach.
+    */
+  def sessionWindows(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, gap)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"))
+
+  /** Multi-sink streaming write: one query, each micro-batch persisted
+    * once then written to every sink — `foreachBatch` is the streaming
+    * MultiSinkPipeline (D5).
+    */
+  def multiSinkWriter(
+      df: DataFrame,
+      sinks: Seq[DataFrame => Unit],
+      checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (sinks.size > 1) {
+          batch.persist()
+          try sinks.foreach(f => f(batch))
+          finally batch.unpersist()
+        } else sinks.foreach(f => f(batch))
+      }
+}

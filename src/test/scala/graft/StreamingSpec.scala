@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamPipeline
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamPipeline.windowedCounts(events, "ts", "event_type",
+      windowLen = "1 hour", watermark = "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "click", 1.5),
+        (ts("2024-01-01 00:20:00"), "click", 2.5),
+        (ts("2024-01-01 01:10:00"), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("event_type", "n", "total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("click", 2L, 4.0), ("view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("session windows group by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val sess = StreamPipeline.sessionWindows(events, "ts", "user_id", gap = "30 minutes")
+    val q = sess.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:10:00"), 1L), // same session
+        (ts("2024-01-01 02:00:00"), 1L)) // new session
+      q.processAllAvailable()
+      val n = spark.table("sess_out").count()
+      assert(n == 2)
+    } finally q.stop()
+  }
+
+  test("foreachBatch multi-sink fan-out writes each batch to all sinks") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val df = input.toDF().toDF("n")
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val q = StreamPipeline.multiSinkWriter(df,
+      Seq(
+        b => b.write.mode("append").json(s"$dir/sink1"),
+        b => b.write.mode("append").parquet(s"$dir/sink2")),
+      checkpoint = s"$dir/ckpt").start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      assert(spark.read.json(s"$dir/sink1").count() == 3)
+      assert(spark.read.parquet(s"$dir/sink2").count() == 3)
+    } finally q.stop()
+  }
+
+  test("file-drop ingest picks up new files (streaming FILE source S1)") {
+    val dir = Files.createTempDirectory("graft_drop").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      "{\"id\": 1}\n{\"id\": 2}\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val stream = StreamPipeline.fileStream(spark, dir, schema)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("drop_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("drop_out").count() == 2)
+      Files.writeString(java.nio.file.Paths.get(s"$dir/b.json"), "{\"id\": 3}\n")
+      q.processAllAvailable()
+      assert(spark.table("drop_out").count() == 3)
+    } finally q.stop()
+  }
+}
