@@ -42,12 +42,15 @@ object FileSink {
 
   private[sinks] def formatOf(spec: Spec): String =
     spec.format.getOrElse {
-      val uri = spec.destinationUri.takeWhile(_ != '[')
+      // drop [[ ]] template sections before reading the extension, so
+      // "out_[[ .g ]].xlsx" dispatches on .xlsx, not on the prefix
+      val uri = spec.destinationUri.replaceAll("\\[\\[.*?\\]\\]", "")
       val ext = uri.reverse.takeWhile(c => c != '.' && c != '/').reverse.toLowerCase
       ext match {
         case "csv" => "csv"
         case "tsv" => "tsv"
         case "txt" => "txt"
+        case "xlsx" => "xlsx"
         case _ => "json"
       }
     }
@@ -87,6 +90,9 @@ object FileSink {
     if (!Template.isDynamic(spec.destinationUri)) {
       val out = spec.destinationUri
       fmt match {
+        case "xlsx" =>
+          // D21: single-file OOXML export (no chunking, like the reference)
+          Xlsx.writeDataFrame(flattenForCsv(df), out)
         case "json" => writer(df).json(out)
         case "csv" => writer(df).option("header", spec.header).csv(out)
         case "tsv" =>
@@ -119,6 +125,8 @@ object FileSink {
             .option("header", spec.header).option("sep", sep).csv(base)
         case "txt" => writer(routed.repartition(col("__graft_dest")))
           .partitionBy("__graft_dest").text(base)
+        case "xlsx" =>
+          sys.error("templated xlsx destinations are not supported; use a static path")
       }
       finalizeGroupedWrite(df.sparkSession, base)
     }

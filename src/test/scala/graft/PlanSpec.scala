@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+
+import graft.transform.Jq
+
+/** Plan-shape assertions: at 100 TB these properties are the
+  * difference between a working engine and a broken one, so they are
+  * pinned as tests, not left to inspection.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("filters push into the parquet scan (q02)") {
+    val p = formatted(SparkEntry.queries("q02_filter_project")(spark, sfDir))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+  }
+
+  test("column pruning reaches the scan: projection reads only used columns") {
+    val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)
+    val p = formatted(df)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_shipdate"), readSchema)
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("small dimension joins broadcast (q03)") {
+    val p = plan(SparkEntry.queries("q03_top_revenue")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("jq transform compiles into the scan stage — no shuffle, no UDF") {
+    val df = Jq.compile("select(.l_quantity > 30) | {k: .l_orderkey}")(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p) // narrow plan, shuffle-free
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(formatted(df).contains("PushedFilters"), p)
+  }
+
+  test("top-k plans as TakeOrdered (no global sort materialization)") {
+    val p = plan(SparkEntry.queries("q03_top_revenue")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text-analysis stats are expression-only (no UDF in q22-q24)") {
+    Seq("q22_token_stats", "q23_quality_score", "q24_lang_id").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("ScalaUDF"), s"$q: $p")
+    }
+  }
+
+  test("ANN brute-force top-k is a single-pass TakeOrdered plan (q28)") {
+    val p = plan(SparkEntry.queries("q28_ann_topk")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p) // no shuffle: per-partition top-k + driver merge
+  }
+
+  test("partial aggregation before the shuffle (map-side combine in q01)") {
+    val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
+    // two HashAggregate stages around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}
