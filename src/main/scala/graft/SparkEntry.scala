@@ -435,6 +435,17 @@ object SparkEntry {
           col("n"))
         .orderBy("status", "priority")),
 
+    "q41_ann_ivf" -> ((s, dir) => {
+      // IVF scale path: coarse k-means cells, probe 2 of 8
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val idx = Similarity.IvfIndex.fit(e, "embedding", cells = 8)
+      Similarity.ivfTopK(idx, idx.assign(e, "embedding"),
+        "vec_id", "embedding", q, k = 20, nprobe = 2)
+    }),
+
     "q40_knn_join" -> ((s, dir) => {
       // k-NN join: top-3 corpus neighbours for 10 query vectors
       val e = t(s, dir, "embeddings")

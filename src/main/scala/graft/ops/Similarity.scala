@@ -97,6 +97,70 @@ object Similarity {
       .distinct()
   }
 
+  /** IVF (inverted-file) index: a coarse k-means quantizer assigns every
+    * vector to its nearest centroid's cell; queries probe only the
+    * `nprobe` nearest cells. The standard ANN scale path: search cost
+    * drops from O(N) to O(N * nprobe / cells).
+    *
+    * Centroids are fit on a driver-side sample (spark.ml KMeans),
+    * then assignment is a broadcast map-side computation — one narrow
+    * pass over the corpus, no shuffle.
+    */
+  case class IvfIndex(centroids: Array[Array[Double]]) {
+    /** cell id column for a vector column (argmin of L2 to centroids). */
+    def cellCol(vec: Column): Column = {
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        val cCol = array(c.map(lit).toIndexedSeq: _*)
+        val d2 = aggregate(
+          zip_with(vec, cCol, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v)
+        (d2, i)
+      }
+      val best = least(dists.map(_._1).toIndexedSeq: _*)
+      dists.foldLeft(lit(-1)) { case (acc, (d2, i)) =>
+        when(d2 === best, lit(i)).otherwise(acc)
+      }
+    }
+
+    def assign(df: DataFrame, vecCol: String): DataFrame =
+      df.withColumn("cell", cellCol(col(vecCol)))
+
+    /** nearest `nprobe` cells for a constant query vector (driver-side). */
+    def probeCells(query: Seq[Double], nprobe: Int): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+  }
+
+  object IvfIndex {
+    /** Fit centroids on (a sample of) the corpus with spark.ml KMeans. */
+    def fit(df: DataFrame, vecCol: String, cells: Int, seed: Long = 42L,
+        sampleFraction: Double = 1.0): IvfIndex = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val sampled = if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df
+      val feats = sampled.select(
+        array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(20).fit(feats)
+      IvfIndex(model.clusterCenters.map(_.toArray))
+    }
+  }
+
+  /** ANN top-k through an IVF index: restrict the brute-force pass to
+    * the query's `nprobe` cells.
+    */
+  def ivfTopK(
+      index: IvfIndex,
+      assigned: DataFrame, // corpus with a `cell` column
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val cells = index.probeCells(query, nprobe)
+    cosineTopK(assigned.filter(col("cell").isin(cells: _*)), idCol, vecCol, query, k)
+  }
+
   /** k-NN join: for EACH row of `queries`, the top-k neighbours from
     * `corpus` (brute-force within LSH bucket; exact when buckets
     * disabled). Uses a window per query id — shuffle keyed by query.

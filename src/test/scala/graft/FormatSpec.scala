@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.sinks.FileSink
+import graft.sources.FileSource
+
+/** Format-conversion semantics (reference D19/D20,
+  * internal/ext/fileconverter/csv2json.go + json2csv.go, whose tests
+  * are the only golden corpus the reference ships).
+  */
+class FormatSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_fmt").toString
+
+  test("CSV→JSON with header row (csv2json.go:56-68)") {
+    val dir = tmp()
+    Files.write(Paths.get(s"$dir/in.csv"),
+      Seq("name,age", "alice,34", "bob,28").asJava)
+    val df = FileSource.read(spark, s"$dir/in.csv", filenameColumn = None)
+    assert(df.columns.toSeq == Seq("name", "age"))
+    assert(df.count() == 2)
+    // CSV fields arrive as strings (SURVEY §1.3: every CSV field is a string)
+    assert(df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+  }
+
+  test("headerless CSV gets positional \"0\",\"1\" names (csv2json.go:69-78)") {
+    val dir = tmp()
+    Files.write(Paths.get(s"$dir/in.csv"), Seq("alice,34", "bob,28").asJava)
+    val df = FileSource.read(spark, s"$dir/in.csv",
+      skipHeader = false, filenameColumn = None)
+    assert(df.columns.toSeq == Seq("0", "1"))
+    assert(df.count() == 2)
+  }
+
+  test("skipRows drops leading rows per file (csv2json.go:40-54)") {
+    val dir = tmp()
+    Files.write(Paths.get(s"$dir/in.csv"),
+      Seq("garbage line 1", "name,age", "alice,34").asJava)
+    val df = FileSource.read(spark, s"$dir/in.csv",
+      skipHeader = false, skipRows = 2, filenameColumn = None)
+    assert(df.count() == 1)
+  }
+
+  test("CRLF input is normalized (normalized_reader.go)") {
+    val dir = tmp()
+    Files.write(Paths.get(s"$dir/in.csv"),
+      "name,age\r\nalice,34\r\nbob,28\r\n".getBytes)
+    val df = FileSource.read(spark, s"$dir/in.csv", filenameColumn = None)
+    assert(df.count() == 2)
+    assert(df.select("age").as[String].collect().toSet == Set("34", "28"))
+  }
+
+  test("TSV dispatch by extension (fs/util.go:13 format list)") {
+    val dir = tmp()
+    Files.write(Paths.get(s"$dir/in.tsv"), Seq("a\tb", "1\t2").asJava)
+    val df = FileSource.read(spark, s"$dir/in.tsv", filenameColumn = None)
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.head().getString(0) == "1")
+  }
+
+  test("JSON→CSV round trip: union-of-keys header (json2csv.go:33-48)") {
+    val dir = tmp()
+    // heterogeneous records: header must be the union of keys
+    Files.write(Paths.get(s"$dir/in.json"),
+      Seq("""{"a": 1, "b": "x"}""", """{"a": 2, "c": true}""").asJava)
+    val df = FileSource.read(spark, s"$dir/in.json", filenameColumn = None)
+    assert(df.columns.toSet == Set("a", "b", "c")) // union schema
+    FileSink.write(df, FileSink.Spec(s"$dir/out.csv"))
+    val back = spark.read.option("header", "true").csv(s"$dir/out.csv")
+    assert(back.columns.toSet == Set("a", "b", "c"))
+    assert(back.count() == 2)
+  }
+
+  test("directory source concatenates files with filename metadata (S1)") {
+    val dir = tmp()
+    val sub = s"$dir/data"
+    Files.createDirectories(Paths.get(sub))
+    Files.write(Paths.get(s"$sub/one.json"), Seq("""{"v": 1}""").asJava)
+    Files.write(Paths.get(s"$sub/two.json"), Seq("""{"v": 2}""").asJava)
+    val df = FileSource.read(spark, sub)
+    assert(df.count() == 2)
+    val names = df.select(graft.model.Meta.FilenameCol).as[String].collect()
+    assert(names.exists(_.endsWith("one.json")))
+    assert(names.exists(_.endsWith("two.json")))
+  }
+
+  test("gzip compression option produces .gz parts readable back (D22 gz)") {
+    val dir = tmp()
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    FileSink.write(df, FileSink.Spec(s"$dir/out",
+      compression = Some("gzip")))
+    val parts = Files.list(Paths.get(s"$dir/out")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(parts.exists(_.endsWith(".json.gz")), parts.toString)
+    assert(spark.read.json(s"$dir/out").count() == 2)
+  }
+}
