@@ -21,8 +21,19 @@ object Bench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen once on the smallest table
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // warm the JVM once with a representative mini-plan (vectorized
+    // parquet read, codegen, broadcast join, hash agg) so the first
+    // measured query doesn't pay one-time JIT/codegen costs
+    locally {
+      import org.apache.spark.sql.functions._
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1))).collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_quantity") > 49).agg(sum(col("l_extendedprice")
+          .cast("decimal(18,2)"))).collect()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
