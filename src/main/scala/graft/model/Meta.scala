@@ -91,4 +91,12 @@ object Meta {
     */
   def withBatchIndex(df: DataFrame, batchSize: Int = DefaultBatchSize): DataFrame =
     df.withColumn(BatchIndexCol, floor(col(RecordIndexCol) / batchSize).cast("long"))
+
+  /** `__METADATA__record_total_count` (reference MC reader
+    * client_reader.go:166): total result count stamped on every record.
+    * A cross-join with a 1-row count aggregate — Catalyst broadcasts it.
+    */
+  def withRecordTotalCount(df: DataFrame): DataFrame =
+    df.crossJoin(broadcast(df.groupBy().agg(
+      count(lit(1)).as(RecordTotalCountCol))))
 }

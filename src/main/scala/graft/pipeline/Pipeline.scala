@@ -74,8 +74,20 @@ object Pipeline {
     * optional record-index stamping.
     */
   def transform(df: DataFrame, spec: Spec): DataFrame = {
-    val jq = key(spec.env, "JQ", "QUERY").map(Jq.compile)
-      .getOrElse(identity[DataFrame] _)
+    // jq programs inside the compiled subset run as Catalyst columns;
+    // anything else falls back to the real-jq escape hatch (§7.3).
+    // Subset misses surface when the compiled transform is APPLIED to
+    // the frame (plan construction), so the fallback wraps application.
+    val jq: DataFrame => DataFrame = key(spec.env, "JQ", "QUERY") match {
+      case Some(q) =>
+        d =>
+          try Jq.compile(q)(d)
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              graft.transform.JqEscapeHatch(d, q)
+          }
+      case None => identity
+    }
     val withIndex: DataFrame => DataFrame =
       if (key(spec.env, "GRAFT", "RECORD_INDEX").exists(_.toBoolean))
         d => Meta.withBatchIndex(

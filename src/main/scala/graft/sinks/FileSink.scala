@@ -74,7 +74,12 @@ object FileSink {
     */
   def write(df0: DataFrame, spec: Spec): Seq[String] = {
     val (dataRecords, _) = Meta.splitSpecializedMetadata(df0)
-    val df1 = if (spec.stripMetadata) Meta.stripMetadata(dataRecords) else dataRecords
+    val stripped = if (spec.stripMetadata) Meta.stripMetadata(dataRecords) else dataRecords
+    // D11: project each outgoing record through a JSONPath before write
+    val df1 = spec.jsonPath match {
+      case Some(p) => graft.transform.JsonPath.select(stripped, p)
+      case None => stripped
+    }
     val fmt = formatOf(spec)
     val df = if (fmt == "csv" || fmt == "tsv") flattenForCsv(df1) else df1
 
