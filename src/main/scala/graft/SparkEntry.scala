@@ -435,6 +435,47 @@ object SparkEntry {
           col("n"))
         .orderBy("status", "priority")),
 
+    "q42_left_outer" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      l.join(o, l("l_orderkey") === o("o_orderkey"), "left_outer")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), count(col("o_orderkey")).as("n_matched"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q43_full_outer" -> ((s, dir) => {
+      val oc = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      val c = t(s, dir, "customer")
+      c.join(oc, c("c_custkey") === oc("o_custkey"), "full_outer")
+        .agg(count(lit(1)).as("total"),
+          count(when(col("n").isNull, 1)).as("cust_no_orders"),
+          count(when(col("c_custkey").isNull, 1)).as("orphan_orders"))
+    }),
+
+    "q44_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("y", "q")),
+
+    "q45_string_agg" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(
+          slice(array_sort(collect_list(col("c_name"))), 1, 3), ",")
+          .as("top_names"))
+        .orderBy("c_nationkey")),
+
+    "q46_regex" -> ((s, dir) =>
+      t(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(count(when(col("p_name").rlike("^(red|blue)"), 1)).as("n_colored"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")),
+
     "q41_ann_ivf" -> ((s, dir) => {
       // IVF scale path: coarse k-means cells, probe 2 of 8
       val e = t(s, dir, "embeddings")
@@ -712,6 +753,37 @@ object SparkEntry {
         |  CONCAT_WS('-', p_brand, p_type) AS brand_type,
         |  COALESCE(p_name, '?') AS name_nn
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q42_left_outer" ->
+      """SELECT l_returnflag, COUNT(*) AS n, COUNT(o_orderkey) AS n_matched
+        |FROM lineitem LEFT JOIN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') o
+        |  ON l_orderkey = o.o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q43_full_outer" ->
+      """WITH oc AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+        |SELECT COUNT(*) AS total,
+        |  COUNT(CASE WHEN n IS NULL THEN 1 END) AS cust_no_orders,
+        |  COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS orphan_orders
+        |FROM customer FULL OUTER JOIN oc ON c_custkey = o_custkey""".stripMargin,
+
+    "q44_date_parts" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+        |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY y, q""".stripMargin,
+
+    "q45_string_agg" ->
+      """SELECT c_nationkey,
+        |  array_to_string((list_sort(list(c_name)))[1:3], ',') AS top_names
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q46_regex" ->
+      """SELECT p_brand,
+        |  COUNT(CASE WHEN regexp_matches(p_name, '^(red|blue)') THEN 1 END) AS n_colored,
+        |  COUNT(*) AS n
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q39_rollup" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,

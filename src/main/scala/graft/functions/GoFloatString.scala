@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression reproducing the reference's CSV float
+  * formatting (internal/ext/fileconverter/json2csv.go:125-134): whole
+  * numbers render without a decimal part (`%.0f`), other floats in Go's
+  * shortest round-trip form (`strconv.FormatFloat(f, 'f', -1, 64)`).
+  *
+  * Implemented as a codegen'd `UnaryExpression` (not a Scala UDF): the
+  * generated code calls the static formatter, so the projection stays
+  * inside whole-stage codegen with no closure/serialization overhead —
+  * the preferred extension path when byte-compatible scalar behavior is
+  * required (SURVEY §7.3).
+  */
+case class GoFloatString(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "go_float_str"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(GoFloatString.format(input.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.GoFloatString.format($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): GoFloatString =
+    copy(child = newChild)
+}
+
+object GoFloatString {
+  /** Go-compatible rendering: `%.0f` for integral values, shortest
+    * round-trip decimal otherwise ('f' format, no exponent).
+    */
+  def format(d: Double): String = {
+    if (d == Math.floor(d) && !d.isInfinite && Math.abs(d) < 1e15) {
+      java.lang.String.format("%.0f", java.lang.Double.valueOf(d))
+    } else {
+      // Java shortest repr, but expand any exponent to plain 'f' form
+      val s = java.lang.Double.toString(d)
+      if (s.indexOf('E') < 0) s
+      else new java.math.BigDecimal(d).toPlainString match {
+        // BigDecimal(double) is exact binary expansion — trim to the
+        // shortest string that still round-trips
+        case exact =>
+          var cut = exact.length
+          while (cut > 1 && exact.charAt(cut - 1) != '.' &&
+            java.lang.Double.parseDouble(exact.substring(0, cut - 1)) == d) cut -= 1
+          exact.substring(0, cut)
+      }
+    }
+  }
+
+  /** Register as SQL function `go_float_str` for `expr()`/`spark.sql`.
+    * The argument is cast to double at registration (in place of an
+    * `ExpectsInputTypes` mixin, whose types are `private[sql]`).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "go_float_str",
+      exprs => GoFloatString(org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs.head, org.apache.spark.sql.types.DoubleType)),
+      "built-in")
+}

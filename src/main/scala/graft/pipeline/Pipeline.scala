@@ -113,7 +113,9 @@ object Pipeline {
           compression = key(spec.env, sinkName.toUpperCase, "COMPRESSION_TYPE"),
           maxRecordsPerFile = key(spec.env, sinkName.toUpperCase, "MAX_TEMP_FILE_RECORD_NUMBER")
             .map(_.toLong).getOrElse(0L),
-          jsonPath = key(spec.env, sinkName.toUpperCase, "JSON_PATH_SELECTOR")))
+          jsonPath = key(spec.env, sinkName.toUpperCase, "JSON_PATH_SELECTOR"),
+          goFloatFormat = key(spec.env, sinkName.toUpperCase, "GO_FLOAT_FORMAT")
+            .exists(_.toBoolean)))
       case "TABLE" | "MC" =>
         // warehouse table sink (K2): APPEND or REPLACE (truncate+insert)
         val table = key(spec.env, "MC", "DESTINATION_TABLE_ID")

@@ -38,6 +38,9 @@ object FileSink {
       maxRecordsPerFile: Long = 0L,
       jsonPath: Option[String] = None,
       stripMetadata: Boolean = true,
+      /** Byte-compatible float rendering in CSV/TSV (reference
+        * json2csv.go:125-134) via the codegen'd [[graft.functions.GoFloatString]]. */
+      goFloatFormat: Boolean = false,
       mode: SaveMode = SaveMode.Overwrite)
 
   private[sinks] def formatOf(spec: Spec): String =
@@ -58,10 +61,13 @@ object FileSink {
   /** Stringify nested columns for CSV output (json2csv.go:104-148:
     * arrays/objects re-serialized as JSON strings).
     */
-  private def flattenForCsv(df: DataFrame): DataFrame = {
+  private def flattenForCsv(df: DataFrame, goFloats: Boolean = false): DataFrame = {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
         case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType
+            if goFloats =>
+          expr(s"go_float_str(`${f.name}`)").as(f.name)
         case _ => col(f.name)
       }
     }
@@ -81,7 +87,10 @@ object FileSink {
       case None => stripped
     }
     val fmt = formatOf(spec)
-    val df = if (fmt == "csv" || fmt == "tsv") flattenForCsv(df1) else df1
+    if (spec.goFloatFormat) graft.functions.GoFloatString.register(df0.sparkSession)
+    val df = if (fmt == "csv" || fmt == "tsv")
+      flattenForCsv(df1, spec.goFloatFormat)
+    else df1
 
     def writer(d: DataFrame) = {
       val w = d.write.mode(spec.mode)

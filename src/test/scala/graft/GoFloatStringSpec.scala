@@ -1,0 +1,32 @@
+package graft
+
+import graft.functions.GoFloatString
+
+class GoFloatStringSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("formats like the reference CSV writer (json2csv.go:125-134)") {
+    GoFloatString.register(spark)
+    val df = Seq(34.0, 34.5, -2.0, 0.1, 1.0e7, 123.456).toDF("d")
+      .selectExpr("go_float_str(d) AS s")
+    val out = df.as[String].collect().toSeq
+    assert(out == Seq("34", "34.5", "-2", "0.1", "10000000", "123.456"))
+  }
+
+  test("runs inside whole-stage codegen (no fallback)") {
+    GoFloatString.register(spark)
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("go_float_str(l_quantity) AS q")
+    val plan = df.queryExecution.executedPlan.toString
+    // '*' marks a WholeStageCodegen stage in the executed-plan string
+    assert(plan.contains("*(1) Project [go_float_str"), plan)
+    assert(df.count() > 0)
+  }
+
+  test("null-safe") {
+    GoFloatString.register(spark)
+    val out = spark.sql("SELECT go_float_str(CAST(NULL AS DOUBLE)) AS s")
+      .collect().head
+    assert(out.isNullAt(0))
+  }
+}
