@@ -280,7 +280,9 @@ object SparkEntry {
     "q19_record_index" -> ((s, dir) => {
       // __METADATA__record_index + connector_batch_index stamping
       // (reference source.go:86-91, connector.go:90-91; batch size 64)
-      val df = Meta.withRecordIndex(t(s, dir, "documents"), Seq(col("doc_id")))
+      // scale form: range-partition + zipWithIndex (no global window)
+      val df = Meta.withRecordIndexDistributed(
+        t(s, dir, "documents"), Seq(col("doc_id")))
       Meta.withBatchIndex(df, 64)
         .select(col("doc_id"), col(Meta.RecordIndexCol), col(Meta.BatchIndexCol))
         .orderBy("doc_id")
@@ -434,6 +436,27 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"))
         .orderBy("status", "priority")),
+
+    "q47_quality_filter" -> ((s, dir) => {
+      // corpus quality gate: the cheap pre-filter a training pipeline
+      // runs before dedup/classification
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenCountArith(col("text")).as("n_tokens"))
+        .filter(col("quality") >= 0.75 &&
+          col("n_tokens").between(20, 2000) &&
+          col("lang").isin("en", "de", "fr"))
+        .orderBy("doc_id")
+    }),
+
+    "q48_token_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy((floor(TextOps.tokenCountArith(col("text")) / 25) * 25)
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCountArith(col("text"))).cast("long").as("n_tokens"))
+        .orderBy("bucket")),
 
     "q42_left_outer" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
@@ -753,6 +776,21 @@ object SparkEntry {
         |  CONCAT_WS('-', p_brand, p_type) AS brand_type,
         |  COALESCE(p_name, '?') AS name_nn
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q47_quality_filter" ->
+      s"""SELECT doc_id, lang, ${sqlQuality("text")} AS quality,
+         |  ${sqlTokenCount("text")} AS n_tokens
+         |FROM documents
+         |WHERE ${sqlQuality("text")} >= 0.75e0
+         |  AND ${sqlTokenCount("text")} BETWEEN 20 AND 2000
+         |  AND lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin,
+
+    "q48_token_histogram" ->
+      s"""SELECT CAST(FLOOR(${sqlTokenCount("text")} / 25) * 25 AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(${sqlTokenCount("text")}) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q42_left_outer" ->
       """SELECT l_returnflag, COUNT(*) AS n, COUNT(o_orderkey) AS n_matched

@@ -86,6 +86,30 @@ object Meta {
   def withMonotonicIndex(df: DataFrame): DataFrame =
     df.withColumn(RecordIndexCol, monotonically_increasing_id())
 
+  /** Exact sequential index WITHOUT the single-partition window funnel:
+    * range-partition + sort by the order keys, then `zipWithIndex`
+    * (which computes per-partition counts in one extra lightweight job
+    * and assigns offsets — the classic two-pass technique). Produces
+    * the same indices as [[withRecordIndex]]; use this form when the
+    * input doesn't fit one task.
+    */
+  def withRecordIndexDistributed(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        RecordIndexCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(indexed, schema)
+  }
+
   /** `__METADATA__connector_batch_index` = recordIndex / batchSize
     * (reference connector.go:90-91, default 512). Requires record index.
     */

@@ -28,6 +28,15 @@ class MetaSpec extends SparkSuite {
     assert(rows == Seq((0L, 0L), (1L, 0L), (2L, 1L)))
   }
 
+  test("distributed record index equals the window form exactly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val viaWindow = Meta.withRecordIndex(docs, Seq(col("doc_id")))
+      .select("doc_id", Meta.RecordIndexCol).as[(Long, Long)].collect().sorted
+    val viaZip = Meta.withRecordIndexDistributed(docs, Seq(col("doc_id")), 8)
+      .select("doc_id", Meta.RecordIndexCol).as[(Long, Long)].collect().sorted
+    assert(viaWindow.toSeq == viaZip.toSeq)
+  }
+
   test("specialized metadata record split (RFC 009)") {
     // a record where every data column is null is the row-shape of a
     // pure-metadata record
