@@ -53,6 +53,21 @@ class JqSpec extends SparkSuite {
     assert(out.filter($"n" === "ALICE").select("l").as[Int].head() == 5)
   }
 
+  test("array indexing .arr[i] with jq 0-based/negative/out-of-range semantics") {
+    val df = Seq((1L, Seq("a", "b", "c")), (2L, Seq("x"))).toDF("id", "tags")
+    val out = Jq.compile("{id, first: .tags[0], last: .tags[-1], oob: .tags[5]}")(df)
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "a" && out(0).getString(2) == "c" && out(0).isNullAt(3))
+    assert(out(1).getString(1) == "x" && out(1).getString(2) == "x")
+  }
+
+  test("// alternative operator coalesces") {
+    val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "v")
+    val out = Jq.compile("{id, v: (.v // \"fallback\")}")(df).orderBy("id").collect()
+    assert(out(0).getString(1) == "x")
+    assert(out(1).getString(1) == "fallback")
+  }
+
   test(".arr[] explodes scalars") {
     val df = Seq((1L, Seq("a", "b")), (2L, Seq("c"))).toDF("id", "items")
     val out = Jq.compile(".items[]")(df)
