@@ -437,6 +437,27 @@ object SparkEntry {
           col("n"))
         .orderBy("status", "priority")),
 
+    "q49_char_trigrams" -> ((s, dir) =>
+      // char-n-gram extraction (language-ID profile raw material):
+      // corpus-wide top trigrams, deterministic tie-break
+      t(s, dir, "documents")
+        .select(explode(TextOps.charNgrams(col("text"), 3)).as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram"))
+        .limit(20)),
+
+    "q50_dup_components" -> ((s, dir) => {
+      // connected components over near-dup candidate edges: complete
+      // duplicate clusters (A~B, B~C => one group). No SQL oracle
+      // (iterative fixpoint) — rows-only check.
+      val pairs = Dedup.minhashCandidates(t(s, dir, "documents"),
+        "doc_id", "text", numHashes = 64, bands = 32, shingleSize = 3)
+      Dedup.connectedComponents(pairs)
+        .groupBy("comp").agg(count(lit(1)).as("cluster_size"),
+          min(col("id")).as("representative"))
+        .orderBy("comp")
+    }),
+
     "q47_quality_filter" -> ((s, dir) => {
       // corpus quality gate: the cheap pre-filter a training pipeline
       // runs before dedup/classification
@@ -776,6 +797,12 @@ object SparkEntry {
         |  CONCAT_WS('-', p_brand, p_type) AS brand_type,
         |  COALESCE(p_name, '?') AS name_nn
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q49_char_trigrams" ->
+      """SELECT trigram, COUNT(*) AS n FROM (
+        |  SELECT substr(text, i, 3) AS trigram
+        |  FROM documents, UNNEST(range(1, len(text) - 1)) AS t(i))
+        |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20""".stripMargin,
 
     "q47_quality_filter" ->
       s"""SELECT doc_id, lang, ${sqlQuality("text")} AS quality,

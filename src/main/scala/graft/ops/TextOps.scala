@@ -120,6 +120,17 @@ object TextOps {
       (acc, tok) => (((acc * 31) % m) + pmod(xxhash64(tok), m)) % m)
   }
 
+  /** Character n-grams (the raw material of real language-ID profiles
+    * and char-level fingerprints): all n-char windows of the text.
+    * Built with `substr` over an index sequence — engine-portable
+    * (1-based, same semantics in DuckDB for the oracle).
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) < n, array(text))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => call_function("substr", text, i, lit(n))))
+
   /** All per-document stats in one pass (single projection). */
   def documentStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -47,6 +47,16 @@ class DedupSpec extends SparkSuite {
     assert(d13 < d14)
   }
 
+  test("connected components: chains merge, islands stay separate") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    // {1,2,3,9} all label 1; {5,6} label 5
+    assert(Set(1L, 2L, 3L, 9L).map(comps) == Set(1L))
+    assert(Set(5L, 6L).map(comps) == Set(5L))
+  }
+
   test("ngram jaccard: dup pair scores 1.0, near pair high, rest absent") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
       threshold = 0.3, maxDocFreq = 100)
