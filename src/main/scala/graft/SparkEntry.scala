@@ -451,7 +451,7 @@ object SparkEntry {
       // duplicate clusters (A~B, B~C => one group). No SQL oracle
       // (iterative fixpoint) — rows-only check.
       val pairs = Dedup.minhashCandidates(t(s, dir, "documents"),
-        "doc_id", "text", numHashes = 64, bands = 32, shingleSize = 3)
+        "doc_id", "text", numHashes = 64, bands = 16, shingleSize = 5)
       Dedup.connectedComponents(pairs)
         .groupBy("comp").agg(count(lit(1)).as("cluster_size"),
           min(col("id")).as("representative"))
