@@ -437,6 +437,21 @@ object SparkEntry {
           col("n"))
         .orderBy("status", "priority")),
 
+    "q51_asof_join" -> ((s, dir) => {
+      // as-of join: each click enriched with the user's latest prior
+      // view value (point-in-time correctness; AsOf composes built-ins)
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts") // unique (key, ts) for determinism
+        .agg(max(dec(col("value"))).cast("double").as("view_value"))
+      graft.ops.AsOf.asofJoin(clicks, views, "user_id", "ts",
+        Seq("view_value"))
+        .select(col("event_id"), col("user_id"), col("asof_view_value"))
+        .orderBy("event_id")
+    }),
+
     "q49_char_trigrams" -> ((s, dir) =>
       // char-n-gram extraction (language-ID profile raw material):
       // corpus-wide top trigrams, deterministic tie-break
@@ -797,6 +812,18 @@ object SparkEntry {
         |  CONCAT_WS('-', p_brand, p_type) AS brand_type,
         |  COALESCE(p_name, '?') AS name_nn
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q51_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts,
+        |    CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, v.view_value AS asof_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q49_char_trigrams" ->
       """SELECT trigram, COUNT(*) AS n FROM (
