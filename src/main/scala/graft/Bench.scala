@@ -21,6 +21,7 @@ object Bench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
     // warm the JVM once with a representative mini-plan (vectorized
     // parquet read, codegen, broadcast join, hash agg) so the first
     // measured query doesn't pay one-time JIT/codegen costs

@@ -24,8 +24,10 @@ import graft.transform.{Jq, Template}
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s) // idempotent, cheap
     s.read.parquet(s"$dir/$n.parquet")
+  }
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark reads as a
     * nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong=true,
@@ -53,7 +55,11 @@ object SparkEntry {
   // ------------------------------------------------------------------
 
   private def sqlWordHits(textExpr: String, w: String): String = {
-    val pad = s"(' ' || $textExpr || ' ')"
+    // Space-doubling makes the count EXACT: adjacent occurrences
+    // ("the the") cannot share a boundary space, so non-overlapping
+    // REPLACE matching counts every space-delimited token equal to w —
+    // the same value the compiled WordHits kernel produces Spark-side.
+    val pad = s"(' ' || REPLACE($textExpr, ' ', '  ') || ' ')"
     s"CAST((LENGTH($pad) - LENGTH(REPLACE($pad, ' $w ', ' '))) / ${w.length + 1} AS BIGINT)"
   }
 
@@ -347,7 +353,16 @@ object SparkEntry {
     }),
 
     "q29_cosine_neardup" -> ((s, dir) =>
+      // EXACT all-pairs cosine ≥ threshold (oracle-checked); the
+      // sub-quadratic LSH-bucketed path is q52
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    "q52_cosine_lsh" -> ((s, dir) =>
+      // LSH-bucketed near-dup scale path (recall < 1 by design — no
+      // SQL oracle; rows-only check + IvfSpec-style recall spec)
+      Similarity.cosineNearDupPairsLsh(t(s, dir, "embeddings"), "vec_id",
         "embedding", dim = 64, threshold = 0.4, planes = 4)
         .orderBy("id_a", "id_b")),
 
@@ -552,6 +567,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 10)
       Similarity.knnJoin(e.filter(col("vec_id") >= 10), queries,
         "vec_id", "embedding", 3)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }))
 
@@ -744,6 +760,36 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(i AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - i AS DOUBLE) >= 0.2e0
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q29_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_inner_product(a.v, b.v) /
+        |    (SQRT(list_inner_product(a.v, a.v)) *
+        |     SQRT(list_inner_product(b.v, b.v))), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_inner_product(a.v, b.v) /
+        |    (SQRT(list_inner_product(a.v, a.v)) *
+        |     SQRT(list_inner_product(b.v, b.v))), 6) >= 0.4e0
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q40_knn_join" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    ROUND(list_inner_product(q.v, c.v) /
+        |      (SQRT(list_inner_product(q.v, q.v)) *
+        |       SQRT(list_inner_product(c.v, c.v))), 6) AS cos_sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, corpus_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, corpus_id, cos_sim, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q28_ann_topk" ->
       """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

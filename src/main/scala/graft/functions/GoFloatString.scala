@@ -39,19 +39,20 @@ object GoFloatString {
     */
   def format(d: Double): String = {
     if (d == Math.floor(d) && !d.isInfinite && Math.abs(d) < 1e15) {
-      java.lang.String.format("%.0f", java.lang.Double.valueOf(d))
+      java.lang.String.format(java.util.Locale.ROOT, "%.0f",
+        java.lang.Double.valueOf(d))
     } else {
-      // Java shortest repr, but expand any exponent to plain 'f' form
+      // Double.toString already emits the same shortest round-trip digits
+      // Go's strconv.FormatFloat(f,'f',-1,64) picks; only the exponent
+      // notation differs. Expand scientific form to plain 'f' via
+      // BigDecimal(String), which is exact for decimal strings (unlike
+      // BigDecimal(double), whose binary expansion cannot round up).
       val s = java.lang.Double.toString(d)
       if (s.indexOf('E') < 0) s
-      else new java.math.BigDecimal(d).toPlainString match {
-        // BigDecimal(double) is exact binary expansion — trim to the
-        // shortest string that still round-trips
-        case exact =>
-          var cut = exact.length
-          while (cut > 1 && exact.charAt(cut - 1) != '.' &&
-            java.lang.Double.parseDouble(exact.substring(0, cut - 1)) == d) cut -= 1
-          exact.substring(0, cut)
+      else {
+        val plain = new java.math.BigDecimal(s).toPlainString
+        // strip a trailing ".0" Go would not print (e.g. 1.0E16 -> 10000000000000000)
+        if (plain.endsWith(".0")) plain.substring(0, plain.length - 2) else plain
       }
     }
   }

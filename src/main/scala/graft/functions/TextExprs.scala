@@ -1,0 +1,335 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, TernaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled text kernels for the dedup / text-analysis operators.
+  *
+  * Two interpreted hot paths motivated these (measured at sf0.1):
+  *   - `wordHits` built from `replace`/`length` rescans the text once
+  *     PER WORD (langId = 25 scans/doc) and undercounts adjacent
+  *     repeats ("the the") because `replace` matches non-overlapping;
+  *   - shingling/minhash/simhash via array higher-order functions run
+  *     interpreted (~µs per element), so a 64-family minhash walked
+  *     every token array 64 times through closure calls.
+  *
+  * Each kernel is one compiled pass over the text. Tokenization is
+  * byte-level on the space character 0x20 (a space byte never occurs
+  * inside a multi-byte UTF-8 sequence, so this is code-point safe),
+  * skipping empty runs — equivalent to `split(trim(text), " +")`.
+  *
+  * Hash parity: token/shingle hashes replicate Spark's `xxhash64`
+  * exactly — `XXH64.hashUnsafeBytes(bytes, 42)` for strings and
+  * `XXH64.hashLong(h, XXH64.hashInt(i, 42))` for the family remix of
+  * `xxhash64(lit(i), h)` — so signatures are bit-identical to the
+  * expression-built round-1 forms.
+  */
+object TextKernels {
+  private val SEED = 42L
+  private val wordCache = new ConcurrentHashMap[UTF8String, Array[Array[Byte]]]()
+  private val seedCache = new ConcurrentHashMap[Integer, Array[Long]]()
+
+  private def words(csv: UTF8String): Array[Array[Byte]] = {
+    var w = wordCache.get(csv)
+    if (w == null) {
+      w = csv.toString.split(',').filter(_.nonEmpty)
+        .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      wordCache.putIfAbsent(csv.clone(), w)
+    }
+    w
+  }
+
+  private def familySeeds(k: Int): Array[Long] = {
+    var s = seedCache.get(k)
+    if (s == null) {
+      s = Array.tabulate(k)(i => XXH64.hashInt(i, SEED))
+      seedCache.putIfAbsent(k, s)
+    }
+    s
+  }
+
+  /** Token [start, end) byte offsets; empty text yields one empty token
+    * (mirroring `split(trim(""), ...)` = `[""]`, which the HOF forms
+    * produced).
+    */
+  private def tokenize(bytes: Array[Byte]): (Array[Int], Int) = {
+    val n = bytes.length
+    val bounds = new Array[Int]((n + 2) * 2)
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        val s = i
+        while (i < n && bytes(i) != ' ') i += 1
+        bounds(cnt * 2) = s; bounds(cnt * 2 + 1) = i
+        cnt += 1
+      }
+    }
+    if (cnt == 0) { bounds(0) = 0; bounds(1) = 0; cnt = 1 }
+    (bounds, cnt)
+  }
+
+  private def utf8Bytes(t: UTF8String): Array[Byte] = t.getBytes
+
+  /** Exact count of space-delimited tokens equal to any word in the
+    * comma-separated list (each token counted once; adjacent repeats
+    * both count).
+    */
+  def wordHits(text: UTF8String, wordsCsv: UTF8String): Long = {
+    val ws = words(wordsCsv)
+    val bytes = utf8Bytes(text)
+    val (bounds, cnt) = tokenize(bytes)
+    var hits = 0L
+    var t = 0
+    while (t < cnt) {
+      val s = bounds(t * 2); val e = bounds(t * 2 + 1); val len = e - s
+      var wi = 0
+      var matched = false
+      while (wi < ws.length && !matched) {
+        val w = ws(wi)
+        if (w.length == len) {
+          var j = 0
+          while (j < len && bytes(s + j) == w(j)) j += 1
+          matched = j == len
+        }
+        wi += 1
+      }
+      if (matched) hits += 1
+      t += 1
+    }
+    hits
+  }
+
+  /** Join tokens [from, from+n) with single spaces into a fresh byte
+    * array (only needed when the source text isn't single-spaced).
+    */
+  private def joinGram(bytes: Array[Byte], bounds: Array[Int], from: Int, n: Int): Array[Byte] = {
+    var len = n - 1
+    var k = 0
+    while (k < n) { len += bounds((from + k) * 2 + 1) - bounds((from + k) * 2); k += 1 }
+    val out = new Array[Byte](math.max(len, 0))
+    var pos = 0
+    k = 0
+    while (k < n) {
+      if (k > 0) { out(pos) = ' '; pos += 1 }
+      val s = bounds((from + k) * 2); val e = bounds((from + k) * 2 + 1)
+      System.arraycopy(bytes, s, out, pos, e - s)
+      pos += e - s
+      k += 1
+    }
+    out
+  }
+
+  /** True iff tokens [from, from+n) are separated by exactly one space
+    * in the source bytes (gram == contiguous slice; zero-copy hash).
+    */
+  private def contiguous(bounds: Array[Int], from: Int, n: Int): Boolean = {
+    var k = 0
+    while (k < n - 1) {
+      if (bounds((from + k) * 2 + 1) + 1 != bounds((from + k + 1) * 2)) return false
+      k += 1
+    }
+    true
+  }
+
+  /** Distinct word n-grams (first-occurrence order); documents shorter
+    * than n tokens collapse to one whole-text gram.
+    */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val bytes = utf8Bytes(text)
+    val (bounds, cnt) = tokenize(bytes)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (cnt < n) {
+      seen.add(UTF8String.fromBytes(joinGram(bytes, bounds, 0, cnt)))
+    } else {
+      var i = 0
+      while (i <= cnt - n) {
+        val g =
+          if (contiguous(bounds, i, n))
+            UTF8String.fromBytes(bytes, bounds(i * 2), bounds((i + n - 1) * 2 + 1) - bounds(i * 2))
+          else UTF8String.fromBytes(joinGram(bytes, bounds, i, n))
+        seen.add(g)
+        i += 1
+      }
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  private def gramHash(bytes: Array[Byte], bounds: Array[Int], from: Int, n: Int): Long =
+    if (contiguous(bounds, from, n)) {
+      val s = bounds(from * 2); val e = bounds((from + n - 1) * 2 + 1)
+      XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s,
+        e - s, SEED)
+    } else {
+      val g = joinGram(bytes, bounds, from, n)
+      XXH64.hashUnsafeBytes(g, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        g.length, SEED)
+    }
+
+  /** MinHash signature over DISTINCT word n-gram hashes: one compiled
+    * pass (shingle → xxhash64 → k-family min), map-only per document.
+    */
+  def shingleMinhash(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val bytes = utf8Bytes(text)
+    val (bounds, cnt) = tokenize(bytes)
+    val seeds = familySeeds(numHashes)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val grams = if (cnt < n) 1 else cnt - n + 1
+    val width = if (cnt < n) cnt else n
+    var i = 0
+    while (i < grams) {
+      val h = gramHash(bytes, bounds, i, width)
+      if (seen.add(h)) {
+        var f = 0
+        while (f < numHashes) {
+          val m = XXH64.hashLong(h, seeds(f))
+          if (m < mins(f)) mins(f) = m
+          f += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over token xxhash64 values (duplicates counted),
+    * one compiled pass, map-only.
+    */
+  def simhash(text: UTF8String): Long = {
+    val bytes = utf8Bytes(text)
+    val (bounds, cnt) = tokenize(bytes)
+    val counters = new Array[Int](64)
+    var t = 0
+    while (t < cnt) {
+      val s = bounds(t * 2); val e = bounds(t * 2 + 1)
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s, e - s, SEED)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** All n-char windows (code-point based, 1:1 with `substr`); texts
+    * shorter than n collapse to a single whole-text element. NOT
+    * distinct — mirrors the expression form exactly for the oracle.
+    */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val chars = text.numChars()
+    if (chars < n) return new GenericArrayData(Array[Any](text))
+    val out = new Array[Any](chars - n + 1)
+    var i = 0
+    while (i <= chars - n) {
+      out(i) = text.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class WordHits(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_word_hits"
+  override def nullSafeEval(t: Any, w: Any): Any =
+    TextKernels.wordHits(t.asInstanceOf[UTF8String], w.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) => s"graft.functions.TextKernels.wordHits($t, $w)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordHits =
+    copy(left = l, right = r)
+}
+
+case class WordShingles(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override def nullSafeEval(t: Any, n: Any): Any =
+    TextKernels.shingles(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.TextKernels.shingles($t, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordShingles =
+    copy(left = l, right = r)
+}
+
+case class ShingleMinHash(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_minhash"
+  override def nullSafeEval(t: Any, n: Any, k: Any): Any =
+    TextKernels.shingleMinhash(t.asInstanceOf[UTF8String], n.asInstanceOf[Int],
+      k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n, k) => s"graft.functions.TextKernels.shingleMinhash($t, $n, $k)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ShingleMinHash =
+    copy(first = f, second = s, third = t)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.simhash(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.simhash($t)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+case class CharNgramsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_ngrams"
+  override def nullSafeEval(t: Any, n: Any): Any =
+    TextKernels.charNgrams(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.TextKernels.charNgrams($t, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CharNgramsExpr =
+    copy(left = l, right = r)
+}
+
+object TextExprs {
+  private def str(e: Expression): Expression = Cast(e, StringType)
+  private def int(e: Expression): Expression = Cast(e, IntegerType)
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_word_hits",
+      es => WordHits(str(es(0)), str(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      es => WordShingles(str(es(0)), int(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_minhash",
+      es => ShingleMinHash(str(es(0)), int(es(1)), int(es(2))), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      es => SimHash64(str(es(0))), "built-in")
+    reg.createOrReplaceTempFunction("graft_char_ngrams",
+      es => CharNgramsExpr(str(es(0)), int(es(1))), "built-in")
+  }
+}
+
+/** One-stop registration for every graft SQL function. Idempotent and
+  * cheap — called by Verify/Bench/Pipeline session setup and by the
+  * table readers in SparkEntry.
+  */
+object GraftFunctions {
+  def registerAll(spark: SparkSession): Unit = {
+    VectorExprs.register(spark)
+    TextExprs.register(spark)
+    GoFloatString.register(spark)
+  }
+}

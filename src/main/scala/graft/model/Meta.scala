@@ -65,12 +65,12 @@ object Meta {
     * monotonically increasing counter (source.go:86-91). Exact sequential
     * semantics need a total order; callers pass the ordering columns.
     *
-    * Scale note: a single global `row_number` window would funnel all data
-    * through ONE partition. We instead use the standard two-pass
-    * partition-offset technique: number rows within each partition, then
-    * add per-partition offsets computed from partition counts (tiny
-    * driver-side array, broadcast). This keeps the plan fully parallel and
-    * is how `zipWithIndex` works internally.
+    * Scale note: this variant uses a single global `row_number` window,
+    * which funnels all data through ONE partition — acceptable only for
+    * small/medium inputs. At scale use [[withRecordIndexDistributed]],
+    * which produces identical indices via the two-pass partition-offset
+    * technique (range-partition + per-partition numbering + offsets) with
+    * no single-task bottleneck.
     */
   def withRecordIndex(df: DataFrame, orderBy: Seq[Column]): DataFrame = {
     // For a deterministic, oracle-checkable index we sort by the given

@@ -20,15 +20,16 @@ object Similarity {
 
   /** Left-to-right dot product in double precision (deterministic
     * summation order — parity with sequential oracle implementations).
+    * Compiled kernel ([[graft.functions.VectorKernels]]): the HOF form
+    * `aggregate(zip_with(...))` ran its lambda interpreted per element
+    * and dominated every pairwise query. Bit-identical results.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def norm(a: Column): Column = sqrt(call_function("graft_dot", a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** One-pass compiled cosine (dot and both norms in a single loop). */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   /** Brute-force top-k nearest neighbours to a constant query vector.
     * Plan shape: Scan → Project(cosine) → TakeOrderedAndProject —
@@ -71,10 +72,33 @@ object Similarity {
   def lshBuckets(df: DataFrame, vecCol: String, dim: Int, planes: Int = 16): DataFrame =
     df.withColumn("bucket", hyperplaneSignature(col(vecCol), dim, planes))
 
-  /** All-pairs near-duplicates by embedding cosine ≥ threshold, LSH
-    * bucketed (same-bucket verification only). Returns id_a < id_b.
+  /** EXACT all-pairs near-duplicates by embedding cosine ≥ threshold.
+    * Plan shape: self broadcast-nested-loop join with an id_a < id_b
+    * guard — no shuffle when one side broadcasts; the compiled cosine
+    * kernel makes the O(N²/2) verification CPU-bound, not
+    * interpreter-bound. This is the exactness baseline; use
+    * [[cosineNearDupPairsLsh]] when N² is out of reach.
     */
   def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
+    val a = base.select(col("__id").as("id_a"), col("__vec").as("__va"))
+    val b = base.select(col("__id").as("id_b"), col("__vec").as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** LSH-bucketed near-duplicates: verification restricted to pairs
+    * sharing a hyperplane-signature bucket — the sub-quadratic scale
+    * path (recall < 1 by design; more planes = higher precision,
+    * smaller buckets). Returns id_a < id_b.
+    */
+  def cosineNearDupPairsLsh(
       df: DataFrame,
       idCol: String,
       vecCol: String,
@@ -82,7 +106,8 @@ object Similarity {
       threshold: Double,
       planes: Int = 8,
       maxBucket: Int = 10000): DataFrame = {
-    val b = lshBuckets(df.select(col(idCol).as("__id"), col(vecCol).as("__vec")),
+    val b = lshBuckets(
+      df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec")),
       "__vec", dim, planes)
     val buckets = b.groupBy("bucket")
       .agg(collect_list(struct(col("__id"), col("__vec"))).as("members"))
@@ -111,9 +136,7 @@ object Similarity {
     def cellCol(vec: Column): Column = {
       val dists = centroids.zipWithIndex.map { case (c, i) =>
         val cCol = array(c.map(lit).toIndexedSeq: _*)
-        val d2 = aggregate(
-          zip_with(vec, cCol, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, v) => acc + v)
+        val d2 = call_function("graft_l2sq", vec, cCol)
         (d2, i)
       }
       val best = least(dists.map(_._1).toIndexedSeq: _*)
@@ -133,16 +156,65 @@ object Similarity {
   }
 
   object IvfIndex {
-    /** Fit centroids on (a sample of) the corpus with spark.ml KMeans. */
+    /** Fit centroids on a bounded sample of the corpus, Lloyd-iterated
+      * on the driver. A coarse quantizer needs only a representative
+      * sample (standard IVF practice — FAISS trains on ~30-256 vectors
+      * per cell), so the driver-side fit is O(sample × cells × iters)
+      * with NO Spark jobs beyond the one sample-collect; the round-1
+      * spark.ml KMeans spent seconds scheduling distributed iterations
+      * over data that fits in memory by construction. `maxSample`
+      * bounds driver memory at any corpus size.
+      */
     def fit(df: DataFrame, vecCol: String, cells: Int, seed: Long = 42L,
-        sampleFraction: Double = 1.0): IvfIndex = {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val sampled = if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df
-      val feats = sampled.select(
-        array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-      val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(20).fit(feats)
-      IvfIndex(model.clusterCenters.map(_.toArray))
+        maxSample: Int = 65536): IvfIndex = {
+      val n = df.count()
+      val frac = math.min(1.0, maxSample.toDouble / math.max(n, 1L))
+      val sampled = if (frac < 1.0) df.sample(frac, seed) else df
+      val vecs = sampled.select(col(vecCol).cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(vecs.nonEmpty, "cannot fit IVF on an empty corpus")
+      val dim = vecs.head.length
+      // deterministic init: evenly strided sample points (k-means|| is
+      // overkill for a coarse quantizer; strided init on a shuffled-ish
+      // hash order is the usual cheap choice)
+      val init = (0 until cells).map(i => vecs((i.toLong * vecs.length / cells).toInt).clone())
+      val cents = init.toArray
+      var iter = 0
+      var moved = true
+      while (iter < 20 && moved) {
+        val sums = Array.fill(cells)(new Array[Double](dim))
+        val counts = new Array[Long](cells)
+        vecs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cells) {
+            var d = 0.0; var j = 0
+            while (j < dim) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          val s = sums(best)
+          var j = 0
+          while (j < dim) { s(j) += v(j); j += 1 }
+        }
+        moved = false
+        var c = 0
+        while (c < cells) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < dim) {
+              val m = sums(c)(j) / counts(c)
+              if (math.abs(m - cents(c)(j)) > 1e-9) moved = true
+              cents(c)(j) = m
+              j += 1
+            }
+          }
+          c += 1
+        }
+        iter += 1
+      }
+      IvfIndex(cents)
     }
   }
 

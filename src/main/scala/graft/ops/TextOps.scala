@@ -47,21 +47,28 @@ object TextOps {
   def digitCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long")
 
-  /** Count occurrences of a word (space-delimited hit counting on a
-    * padded string — exact and portable across engines).
+  /** Count space-delimited occurrences of a word — EXACT (adjacent
+    * repeats like "the the" both count) via the compiled
+    * [[graft.functions.WordHits]] kernel: one pass over the text,
+    * replacing the round-1 `replace`/`length` formula that rescanned
+    * the text per word and missed adjacent repeats (non-overlapping
+    * matching). Oracle side uses the space-doubling trick so DuckDB
+    * counts identically. Requires GraftFunctions.registerAll.
     */
-  def wordHits(text: Column, word: String): Column = {
-    val padded = concat(lit(" "), text, lit(" "))
-    val target = s" $word "
-    // each removed occurrence deletes length(target)-1 chars beyond the space kept
-    ((length(padded) - length(replace(padded, lit(target), lit(" ")))) /
-      lit(word.length + 1)).cast("long")
-  }
+  def wordHits(text: Column, word: String): Column =
+    wordSetHits(text, Seq(word))
+
+  /** Total hits of ANY word in the set — ONE compiled scan regardless
+    * of set size (langId over 25 markers was 25 full-text rescans in
+    * the formula form).
+    */
+  def wordSetHits(text: Column, words: Seq[String]): Column =
+    call_function("graft_word_hits", text, lit(words.mkString(","))).cast("long")
 
   /** Stopword hit count over a small fixed list. */
   val DefaultStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
   def stopwordHits(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
-    stopwords.map(wordHits(text, _)).reduce(_ + _)
+    wordSetHits(text, stopwords)
 
   /** Heuristic quality score in [0,1]: blend of token-length sanity,
     * stopword ratio, and punctuation ratio — the standard cheap quality
@@ -96,7 +103,7 @@ object TextOps {
     // argmax via greatest over (score * K + langRank) encoding; K bounds
     // scores; deterministic and expression-only.
     val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
-      val score = markers.map(wordHits(text, _)).reduce(_ + _)
+      val score = wordSetHits(text, markers)
       // encode: score * 8 + (7 - i) → ties resolve to SMALLEST lang index
       (score * 8 + (LangMarkers.size - 1 - i), lang)
     }
@@ -122,14 +129,13 @@ object TextOps {
 
   /** Character n-grams (the raw material of real language-ID profiles
     * and char-level fingerprints): all n-char windows of the text.
-    * Built with `substr` over an index sequence — engine-portable
-    * (1-based, same semantics in DuckDB for the oracle).
+    * Compiled kernel with `substr` semantics (1-based, code-point
+    * windows — same as DuckDB's `substr` for the oracle); the
+    * round-1 `transform(sequence(...), substr)` form ran the window
+    * lambda interpreted per character.
     */
   def charNgrams(text: Column, n: Int): Column =
-    when(length(text) < n, array(text))
-      .otherwise(transform(
-        sequence(lit(1), length(text) - (n - 1)),
-        i => call_function("substr", text, i, lit(n))))
+    call_function("graft_char_ngrams", text, lit(n))
 
   /** All per-document stats in one pass (single projection). */
   def documentStats(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -44,6 +44,7 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
     try {
       val res = Pipeline.run(spark,
         Pipeline.Spec(from, to.toSeq, envFall ++ env, dryRun))

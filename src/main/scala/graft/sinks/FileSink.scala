@@ -133,17 +133,42 @@ object FileSink {
         case "json" => writer(routed.repartition(col("__graft_dest")))
           .partitionBy("__graft_dest").json(base)
         case "csv" | "tsv" =>
+          // Always write parts headerless: a group split across several
+          // part files (maxRecordsPerFile) must not embed header rows
+          // mid-file; the single header is prepended at finalize.
           val sep = if (fmt == "tsv") "\t" else ","
           writer(routed.repartition(col("__graft_dest")))
             .partitionBy("__graft_dest")
-            .option("header", spec.header).option("sep", sep).csv(base)
+            .option("header", "false").option("sep", sep).csv(base)
         case "txt" => writer(routed.repartition(col("__graft_dest")))
           .partitionBy("__graft_dest").text(base)
         case "xlsx" =>
           sys.error("templated xlsx destinations are not supported; use a static path")
       }
-      finalizeGroupedWrite(df.sparkSession, base)
+      val headerBytes: Option[Array[Byte]] =
+        if ((fmt == "csv" || fmt == "tsv") && spec.header) {
+          val sep = if (fmt == "tsv") '\t' else ','
+          val line = df.columns.map(csvQuote(_, sep)).mkString(sep.toString) + "\n"
+          val raw = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // gzip members concatenate validly, so a compressed header
+          // member + compressed part files is a well-formed .gz
+          Some(if (spec.compression.contains("gzip")) gzipBytes(raw) else raw)
+        } else None
+      finalizeGroupedWrite(df.sparkSession, base, headerBytes)
     }
+  }
+
+  /** Quote a CSV header field the way Spark's writer would. */
+  private[sinks] def csvQuote(name: String, sep: Char): String =
+    if (name.exists(c => c == sep || c == '"' || c == '\n' || c == '\r'))
+      "\"" + name.replace("\"", "\"\"") + "\""
+    else name
+
+  private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
   }
 
   /** Move each `__graft_dest=<escaped>` partition dir to its exact
@@ -155,7 +180,8 @@ object FileSink {
     * exports), not a bulk-data path.
     */
   private def finalizeGroupedWrite(
-      spark: org.apache.spark.sql.SparkSession, base: String): Seq[String] = {
+      spark: org.apache.spark.sql.SparkSession, base: String,
+      headerBytes: Option[Array[Byte]] = None): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(conf)
@@ -169,13 +195,17 @@ object FileSink {
         Option(destPath.getParent).foreach(fs.mkdirs(_))
         val parts = fs.listStatus(st.getPath).toSeq
           .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
-        if (parts.size == 1) fs.rename(parts.head.getPath, destPath)
+        if (parts.size == 1 && headerBytes.isEmpty)
+          fs.rename(parts.head.getPath, destPath)
         else {
           val out = fs.create(destPath, true)
-          try parts.foreach { p =>
-            val in = fs.open(p.getPath)
-            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
-            finally in.close()
+          try {
+            headerBytes.foreach(out.write)
+            parts.foreach { p =>
+              val in = fs.open(p.getPath)
+              try org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
+              finally in.close()
+            }
           } finally out.close()
         }
         dest

@@ -50,16 +50,25 @@ object SqlScript {
     sb.toString
   }
 
-  /** Split on `;` outside string literals. */
+  /** Split on `;` outside string literals. Mirrors [[removeComments]]'
+    * escape handling: a backslash inside a literal escapes the next
+    * character, so `'it\'s; done'` stays one statement.
+    */
   def splitStatements(sql: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inStr: Char = 0
-    for (c <- sql) {
-      if (inStr != 0) { sb += c; if (c == inStr) inStr = 0 }
-      else if (c == '\'' || c == '"') { inStr = c; sb += c }
+    var i = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inStr != 0) {
+        sb += c
+        if (c == '\\' && i + 1 < sql.length) { sb += sql(i + 1); i += 1 }
+        else if (c == inStr) inStr = 0
+      } else if (c == '\'' || c == '"') { inStr = c; sb += c }
       else if (c == ';') { out += sb.toString; sb.clear() }
       else sb += c
+      i += 1
     }
     if (sb.toString.trim.nonEmpty) out += sb.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
