@@ -569,7 +569,49 @@ object SparkEntry {
         "vec_id", "embedding", 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
-    }))
+    }),
+
+    "q53_jaccard_components" -> ((s, dir) => {
+      // connected components over EXACT jaccard edges — unlike q50's
+      // minhash edges, these are SQL-expressible, so the iterative CC
+      // operator itself is oracle-checked (DuckDB recursive CTE
+      // computes the same min-label fixpoint)
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 1000000L)
+      Dedup.connectedComponents(pairs)
+        .groupBy("comp")
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          min(col("id")).as("representative"))
+        .orderBy("comp")
+    }),
+
+    "q54_stream_hourly" -> ((s, dir) => {
+      // the streaming runtime inside the correctness gate: same hourly
+      // aggregation as q31, executed by Structured Streaming
+      // (AvailableNow over the parquet files, complete-mode memory sink)
+      val raw = t(s, dir, "events")
+      // file-stream source wants a directory; pathGlobFilter narrows it
+      // to the events table
+      val stream0 = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => stream0
+      }
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"), col("n"), col("total_value"))
+      graft.streaming.StreamPipeline.runToResult(s, agg, "graft_q54")
+        .orderBy("hour", "event_type")
+    }),
+
+    "q55_langid_ngram" -> ((s, dir) =>
+      TextOps.langIdNgram(t(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -790,6 +832,64 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, corpus_id, cos_sim, rank FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q53_jaccard_components" ->
+      s"""WITH RECURSIVE sh AS (${sqlShingles(3)}),
+         |freq AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 1000000),
+         |pruned AS (SELECT sh.doc_id, sh.gram FROM sh JOIN freq USING (gram)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM pruned a JOIN pruned b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(i AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - i AS DOUBLE) >= 0.5e0),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |comps AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+         |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members, MIN(id) AS representative
+         |FROM comps GROUP BY comp ORDER BY comp""".stripMargin,
+
+    "q54_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q55_langid_ngram" ->
+      """WITH tri AS (
+        |  SELECT DISTINCT doc_id, lang, substr(text, i, 3) AS tg
+        |  FROM documents, UNNEST(range(1, len(text) - 1)) AS t(i)),
+        |prof AS (
+        |  SELECT lang AS cand, tg FROM (
+        |    SELECT lang, tg,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY COUNT(*) DESC, tg) AS rk
+        |    FROM tri GROUP BY lang, tg) WHERE rk <= 20),
+        |scores AS (
+        |  SELECT d.doc_id, prof.cand, COUNT(*) AS score
+        |  FROM (SELECT DISTINCT doc_id, tg FROM tri) d JOIN prof USING (tg)
+        |  GROUP BY d.doc_id, prof.cand),
+        |best AS (
+        |  SELECT doc_id, cand, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rk
+        |  FROM scores)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(b.cand, 'und') AS lang_pred_ngram,
+        |  CAST(COALESCE(b.score, 0) AS BIGINT) AS ngram_score
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q28_ann_topk" ->
       """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

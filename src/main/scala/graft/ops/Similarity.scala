@@ -85,7 +85,12 @@ object Similarity {
       vecCol: String,
       threshold: Double): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
-    val a = base.select(col("__id").as("id_a"), col("__vec").as("__va"))
+    // Embedding tables often arrive as one file = one partition; a
+    // broadcast nested-loop join would then verify all N²/2 pairs in a
+    // SINGLE task. Spread the stream side across the cluster first
+    // (tiny shuffle of N rows buys N-way parallel verification).
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = base.select(col("__id").as("id_a"), col("__vec").as("__va")).repartition(np)
     val b = base.select(col("__id").as("id_b"), col("__vec").as("__vb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -137,6 +137,48 @@ object TextOps {
   def charNgrams(text: Column, n: Int): Column =
     call_function("graft_char_ngrams", text, lit(n))
 
+  /** Char-n-gram-PROFILE language ID — the "real corpus" approach the
+    * marker-word [[langId]] approximates. Profiles are learned from the
+    * labeled corpus itself: the `topK` trigrams per language by
+    * document frequency; a document is classified to the profile with
+    * the largest distinct-trigram overlap (deterministic tie-breaks:
+    * profile rank by (df DESC, trigram), winner by (score DESC, lang);
+    * zero overlap → "und").
+    *
+    * Scale shape: one explode of per-doc DISTINCT trigrams feeds both
+    * the profile aggregation and the scoring join; profiles are tiny
+    * (langs × topK) and broadcast, so scoring is map-side — the only
+    * wide ops are the two hash aggregations.
+    */
+  def langIdNgram(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      n: Int = 3,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tri = df.select(col(idCol).as("__id"), col(langCol).as("__lang"),
+      explode(array_distinct(charNgrams(col(textCol), n))).as("__tg"))
+    val profiles = tri.groupBy("__lang", "__tg").agg(count(lit(1)).as("__n"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__lang").orderBy(col("__n").desc, col("__tg"))))
+      .filter(col("__rk") <= topK)
+      .select(col("__lang").as("__cand"), col("__tg"))
+    val scores = tri.select("__id", "__tg")
+      .join(broadcast(profiles), "__tg")
+      .groupBy("__id", "__cand").agg(count(lit(1)).as("__score"))
+    val best = scores.withColumn("__rk", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__score").desc, col("__cand"))))
+      .filter(col("__rk") === 1)
+      .select(col("__id"), col("__cand"), col("__score"))
+    df.select(col(idCol), col(langCol))
+      .join(best, col(idCol) === best("__id"), "left_outer")
+      .select(col(idCol), col(langCol),
+        coalesce(col("__cand"), lit("und")).as("lang_pred_ngram"),
+        coalesce(col("__score"), lit(0L)).cast("long").as("ngram_score"))
+  }
+
   /** All per-document stats in one pass (single projection). */
   def documentStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -59,6 +59,24 @@ object StreamPipeline {
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"))
 
+  /** Run a streaming aggregation over the files already present
+    * (Trigger.AvailableNow), collect the COMPLETE result into a memory
+    * sink, and return it as a batch DataFrame. This is the
+    * batch-parity entry that puts the streaming engine inside the
+    * DuckDB-oracle correctness gate: the same windowed aggregation,
+    * executed by the streaming runtime, must hash-match the oracle.
+    */
+  def runToResult(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Multi-sink streaming write: one query, each micro-batch persisted
     * once then written to every sink — `foreachBatch` is the streaming
     * MultiSinkPipeline (D5).
