@@ -23,6 +23,20 @@ class GoFloatStringSpec extends SparkSuite {
     assert(df.count() > 0)
   }
 
+  test("shortest round-trip digits survive the plain-form expansion") {
+    // values whose Double.toString uses an exponent: the expansion must
+    // keep the shortest round-trip digits (Go strconv parity), not the
+    // exact binary expansion
+    assert(GoFloatString.format(123456789.1) == "123456789.1")
+    assert(GoFloatString.format(2.5e-8) == "0.000000025")
+    assert(GoFloatString.format(-123456789.1) == "-123456789.1")
+    assert(GoFloatString.format(1.0e16) == "10000000000000000")
+    // round-trip property on awkward doubles
+    Seq(0.1 + 0.2, 1.0 / 3.0, 1e-7, 9.999999999999999e22).foreach { d =>
+      assert(java.lang.Double.parseDouble(GoFloatString.format(d)) == d, d.toString)
+    }
+  }
+
   test("null-safe") {
     GoFloatString.register(spark)
     val out = spark.sql("SELECT go_float_str(CAST(NULL AS DOUBLE)) AS s")

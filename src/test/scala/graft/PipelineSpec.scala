@@ -70,6 +70,23 @@ class PipelineSpec extends SparkSuite {
     assert(g2.select("column_1").as[String].collect().toSeq == Seq("v5"))
   }
 
+  test("templated CSV keeps ONE header even when a group spans part files") {
+    val dir = tmp()
+    val df = (1 to 50).map(i => (s"g${i % 2}", s"v$i")).toDF("g", "column_1")
+    val outs = FileSink.write(df, FileSink.Spec(
+      destinationUri = s"$dir/out_[[ .g ]].csv",
+      header = true,
+      maxRecordsPerFile = 5, // forces >1 part file per group
+      stripMetadata = false))
+    assert(outs.size == 2)
+    outs.foreach { f =>
+      val lines = scala.io.Source.fromFile(f).getLines().toSeq
+      assert(lines.count(_ == "g,column_1") == 1, s"$f: ${lines.take(3)}")
+      assert(lines.head == "g,column_1", f)
+      assert(lines.size == 26, f) // 1 header + 25 rows
+    }
+  }
+
   test("CSV sink inlines nested values as JSON strings (D19)") {
     val dir = tmp()
     val df = Seq((1L, Seq("a", "b"), ("x", 2L)))

@@ -18,6 +18,12 @@ class SqlScriptSpec extends SparkSuite {
     assert(stmts.head.contains("'a;b'"))
   }
 
+  test("statement split honors backslash-escaped quotes (parity with removeComments)") {
+    val stmts = SqlScript.splitStatements("""SELECT 'it\'s; done' AS x; SELECT 2""")
+    assert(stmts.size == 2, stmts)
+    assert(stmts.head.contains("""'it\'s; done'"""))
+  }
+
   test("classification: headers, variables, drops, payload") {
     val s = SqlScript.parse(
       """SET spark.sql.shuffle.partitions=8;
