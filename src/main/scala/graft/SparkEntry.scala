@@ -490,14 +490,17 @@ object SparkEntry {
 
     "q47_quality_filter" -> ((s, dir) => {
       // corpus quality gate: the cheap pre-filter a training pipeline
-      // runs before dedup/classification
+      // runs before dedup/classification. The lang predicate goes FIRST
+      // (pushed to the parquet scan); the quality/token kernels are
+      // projected behind an EvalOnce fence so the filter reads the
+      // columns instead of re-deriving the kernels per row (Catalyst
+      // predicate pushdown would otherwise evaluate them twice).
       val d = t(s, dir, "documents")
+        .filter(col("lang").isin("en", "de", "fr"))
       d.select(col("doc_id"), col("lang"),
-        TextOps.qualityScore(col("text")).as("quality"),
-        TextOps.tokenCountArith(col("text")).as("n_tokens"))
-        .filter(col("quality") >= 0.75 &&
-          col("n_tokens").between(20, 2000) &&
-          col("lang").isin("en", "de", "fr"))
+        TextOps.once(TextOps.qualityScore(col("text"))).as("quality"),
+        TextOps.once(TextOps.tokenCountArith(col("text"))).as("n_tokens"))
+        .filter(col("quality") >= 0.75 && col("n_tokens").between(20, 2000))
         .orderBy("doc_id")
     }),
 
@@ -868,7 +871,14 @@ object SparkEntry {
     "q55_langid_ngram" ->
       """WITH tri AS (
         |  SELECT DISTINCT doc_id, lang, substr(text, i, 3) AS tg
-        |  FROM documents, UNNEST(range(1, len(text) - 1)) AS t(i)),
+        |  FROM documents, UNNEST(range(1, len(text) - 1)) AS t(i)
+        |  WHERE len(text) >= 3
+        |  UNION ALL
+        |  -- mirror the Spark kernel's short-doc fallback: texts shorter
+        |  -- than n collapse to one whole-text gram (range() above would
+        |  -- yield zero rows for them)
+        |  SELECT DISTINCT doc_id, lang, text AS tg
+        |  FROM documents WHERE len(text) < 3),
         |prof AS (
         |  SELECT lang AS cand, tg FROM (
         |    SELECT lang, tg,

@@ -51,8 +51,18 @@ object GoFloatString {
       if (s.indexOf('E') < 0) s
       else {
         val plain = new java.math.BigDecimal(s).toPlainString
-        // strip a trailing ".0" Go would not print (e.g. 1.0E16 -> 10000000000000000)
-        if (plain.endsWith(".0")) plain.substring(0, plain.length - 2) else plain
+        // Strip trailing fractional zeros Go would not print. toPlainString
+        // keeps the mantissa's digit count, so '1.0E-4' expands to '0.00010'
+        // (and '1.0E16' to '10000000000000000.0' never — but the generic
+        // trim covers both): drop trailing '0's after the point, then a
+        // bare trailing '.'.
+        if (plain.indexOf('.') < 0) plain
+        else {
+          var end = plain.length
+          while (end > 0 && plain.charAt(end - 1) == '0') end -= 1
+          if (end > 0 && plain.charAt(end - 1) == '.') end -= 1
+          plain.substring(0, end)
+        }
       }
     }
   }

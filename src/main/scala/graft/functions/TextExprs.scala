@@ -20,9 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     every token array 64 times through closure calls.
   *
   * Each kernel is one compiled pass over the text. Tokenization is
-  * byte-level on the space character 0x20 (a space byte never occurs
-  * inside a multi-byte UTF-8 sequence, so this is code-point safe),
-  * skipping empty runs — equivalent to `split(trim(text), " +")`.
+  * byte-level on the ASCII whitespace class [ \t\n\x0B\f\r] (these
+  * bytes never occur inside a multi-byte UTF-8 sequence, so this is
+  * code-point safe), skipping empty runs — the same token stream as
+  * `TextOps.tokens` = `split(trim(text), "\\s+")` for ASCII-spaced
+  * text, so shingle/minhash/simhash agree with the rest of the
+  * framework on texts containing tabs/newlines. (The DuckDB oracles
+  * that split on a literal ' ' additionally assume single-space-
+  * separated corpus text, which `documents.parquet` satisfies.)
   *
   * Hash parity: token/shingle hashes replicate Spark's `xxhash64`
   * exactly — `XXH64.hashUnsafeBytes(bytes, 42)` for strings and
@@ -32,6 +37,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
   private val SEED = 42L
+  /** Parsed word lists keyed by the raw CSV argument. In practice the
+    * argument is a foldable literal (one distinct key per expression),
+    * but `graft_word_hits` is a general SQL function, so a per-row
+    * second argument must not grow this executor-lifetime map without
+    * bound: beyond WORD_CACHE_MAX entries new keys are parsed per call
+    * instead of cached.
+    */
+  private val WORD_CACHE_MAX = 256
   private val wordCache = new ConcurrentHashMap[UTF8String, Array[Array[Byte]]]()
   private val seedCache = new ConcurrentHashMap[Integer, Array[Long]]()
 
@@ -40,7 +53,7 @@ object TextKernels {
     if (w == null) {
       w = csv.toString.split(',').filter(_.nonEmpty)
         .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      wordCache.putIfAbsent(csv.clone(), w)
+      if (wordCache.size < WORD_CACHE_MAX) wordCache.putIfAbsent(csv.clone(), w)
     }
     w
   }
@@ -54,6 +67,10 @@ object TextKernels {
     s
   }
 
+  /** ASCII whitespace class of Java's `\s`: [ \t\n\x0B\f\r]. */
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+
   /** Token [start, end) byte offsets; empty text yields one empty token
     * (mirroring `split(trim(""), ...)` = `[""]`, which the HOF forms
     * produced).
@@ -64,10 +81,10 @@ object TextKernels {
     var cnt = 0
     var i = 0
     while (i < n) {
-      while (i < n && bytes(i) == ' ') i += 1
+      while (i < n && isWs(bytes(i))) i += 1
       if (i < n) {
         val s = i
-        while (i < n && bytes(i) != ' ') i += 1
+        while (i < n && !isWs(bytes(i))) i += 1
         bounds(cnt * 2) = s; bounds(cnt * 2 + 1) = i
         cnt += 1
       }
@@ -127,13 +144,16 @@ object TextKernels {
     out
   }
 
-  /** True iff tokens [from, from+n) are separated by exactly one space
-    * in the source bytes (gram == contiguous slice; zero-copy hash).
+  /** True iff tokens [from, from+n) are separated by exactly one SPACE
+    * byte in the source (gram == contiguous slice; zero-copy hash).
+    * A single tab/newline separator is NOT contiguous — the canonical
+    * gram joins with ' ', so those must go through `joinGram`.
     */
-  private def contiguous(bounds: Array[Int], from: Int, n: Int): Boolean = {
+  private def contiguous(bytes: Array[Byte], bounds: Array[Int], from: Int, n: Int): Boolean = {
     var k = 0
     while (k < n - 1) {
-      if (bounds((from + k) * 2 + 1) + 1 != bounds((from + k + 1) * 2)) return false
+      val e = bounds((from + k) * 2 + 1)
+      if (e + 1 != bounds((from + k + 1) * 2) || bytes(e) != ' ') return false
       k += 1
     }
     true
@@ -152,7 +172,7 @@ object TextKernels {
       var i = 0
       while (i <= cnt - n) {
         val g =
-          if (contiguous(bounds, i, n))
+          if (contiguous(bytes, bounds, i, n))
             UTF8String.fromBytes(bytes, bounds(i * 2), bounds((i + n - 1) * 2 + 1) - bounds(i * 2))
           else UTF8String.fromBytes(joinGram(bytes, bounds, i, n))
         seen.add(g)
@@ -163,7 +183,7 @@ object TextKernels {
   }
 
   private def gramHash(bytes: Array[Byte], bounds: Array[Int], from: Int, n: Int): Long =
-    if (contiguous(bounds, from, n)) {
+    if (contiguous(bytes, bounds, from, n)) {
       val s = bounds(from * 2); val e = bounds((from + n - 1) * 2 + 1)
       XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s,
         e - s, SEED)
@@ -331,5 +351,6 @@ object GraftFunctions {
     VectorExprs.register(spark)
     TextExprs.register(spark)
     GoFloatString.register(spark)
+    EvalOnce.register(spark)
   }
 }

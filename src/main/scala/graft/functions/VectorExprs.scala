@@ -17,14 +17,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * bit-identical to the HOF form and to DuckDB's `list_inner_product`
   * used by the oracle).
   *
-  * Null handling: a null element or zero norm yields NaN in the kernel,
-  * surfaced as SQL NULL (matching the HOF form, where a null element
-  * nulls the whole fold).
+  * Null handling: a null element, a zero norm, or a DIMENSION MISMATCH
+  * yields NaN in the kernel, surfaced as SQL NULL (the HOF form padded
+  * the shorter vector with nulls via `zip_with`, which nulled the fold —
+  * a partial dot over min(len) would silently hide a dimension bug).
+  * Known conflation: a vector whose ELEMENTS contain NaN also surfaces
+  * as SQL NULL here (the HOF form returned NaN); similarity over NaN
+  * coordinates is meaningless either way, and NULL keeps it out of
+  * top-k/threshold results on both engines.
   */
 object VectorKernels {
-  /** Left-to-right dot product; NaN if any element is null. */
+  /** Left-to-right dot product; NaN if lengths differ or any element is null. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return Double.NaN
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -39,7 +45,8 @@ object VectorKernels {
     * left-to-right in one pass (identical values to separate folds).
     */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return Double.NaN
+    val n = a.numElements()
     var sab = 0.0; var saa = 0.0; var sbb = 0.0
     var i = 0
     while (i < n) {
@@ -53,7 +60,8 @@ object VectorKernels {
 
   /** Squared L2 distance (IVF cell assignment). */
   def l2sq(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return Double.NaN
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -83,7 +83,17 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxRows: Long = 1000000L): DataFrame = {
+    // Fail fast above the quadratic-feasibility bound instead of
+    // launching an N²/2 verification nobody can wait for: at the
+    // default 10⁶ rows that is ~5·10¹¹ cosine evaluations — the
+    // practical ceiling of the exactness baseline. Larger corpora must
+    // use the sub-quadratic [[cosineNearDupPairsLsh]] path.
+    val n = df.count()
+    require(n <= maxRows,
+      s"cosineNearDupPairs is O(N²) and got N=$n > maxRows=$maxRows; " +
+        "use cosineNearDupPairsLsh (sub-quadratic) or raise maxRows explicitly")
     val base = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
     // Embedding tables often arrive as one file = one partition; a
     // broadcast nested-loop join would then verify all N²/2 pairs in a
@@ -238,24 +248,136 @@ object Similarity {
     cosineTopK(assigned.filter(col("cell").isin(cells: _*)), idCol, vecCol, query, k)
   }
 
-  /** k-NN join: for EACH row of `queries`, the top-k neighbours from
-    * `corpus` (brute-force within LSH bucket; exact when buckets
-    * disabled). Uses a window per query id — shuffle keyed by query.
+  /** k-NN join: for EACH row of `queries`, the exact top-k neighbours
+    * from `corpus` by cosine.
+    *
+    * Scale shape: the query set is collected and BROADCAST (bounded by
+    * `maxQueries` — a k-NN *join* with a huge query side should go
+    * through [[lshBuckets]]/[[IvfIndex]] cell joins instead); each
+    * corpus partition keeps a bounded heap of k candidates per query
+    * and emits only Q×k rows, so the one shuffle moves Q×k×P rows —
+    * NOT the Q×N score matrix the naive crossJoin+window plan sorts
+    * (at 10⁴ queries × 10⁸ corpus rows that was a 10¹²-row shuffle
+    * for a k-row-per-query answer). A final window over the k×P
+    * partials per query merges exactly.
+    *
+    * Exactness: the heap orders by (round(cos,6) DESC, corpus_id ASC) —
+    * the same total order as the merge window — so partial top-k
+    * followed by merge top-k is identical to global top-k. Similarity
+    * is accumulated left-to-right in one pass, bit-identical to the
+    * `graft_cosine` kernel; rows whose cosine is undefined (null vec,
+    * dimension mismatch, zero norm) are dropped.
     */
   def knnJoin(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val scored = q.crossJoin(c)
-      .select(col("query_id"), col("corpus_id"),
-        round(cosine(col("__qv"), col("__cv")), 6).as("cos_sim"))
+      k: Int,
+      maxQueries: Int = 65536): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val idType = c.schema("corpus_id").dataType
+    val qRows = queries.select(col(idCol), col(vecCol).cast("array<double>"))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"knnJoin query side exceeds maxQueries=$maxQueries; route a large " +
+        "query side through lshBuckets/IvfIndex cell joins instead")
+    val qData: Array[(Any, Array[Double])] =
+      qRows.filter(!_.isNullAt(1)).map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    val qb = corpus.sparkSession.sparkContext.broadcast(qData)
+
+    // total order shared by the per-partition heaps and the merge
+    // window: cos_sim DESC, corpus_id ASC (ids compared the way the
+    // window comparator does — numerically, or unsigned UTF-8 bytes
+    // for strings)
+    val idOrd: Ordering[Any] = idType match {
+      case LongType    => Ordering.Long.on[Any](_.asInstanceOf[Long])
+      case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+      case ShortType   => Ordering.Short.on[Any](_.asInstanceOf[Short])
+      case DoubleType  => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
+      case FloatType   => Ordering.Float.TotalOrdering.on[Any](_.asInstanceOf[Float])
+      case StringType => new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val d = (x(i) & 0xff) - (y(i) & 0xff)
+            if (d != 0) return d
+            i += 1
+          }
+          x.length - y.length
+        }
+      }
+      case t => throw new IllegalArgumentException(s"knnJoin: unsupported id type $t")
+    }
+
+    val outSchema = StructType(Seq(
+      StructField("query_id", idType),
+      StructField("corpus_id", idType),
+      StructField("cos_sim", DoubleType)))
+
+    val partial = c.mapPartitions { it =>
+      val qs = qb.value
+      if (qs.isEmpty) Iterator.empty
+      else {
+        // head of each heap = current WORST kept candidate
+        val worstFirst = new Ordering[(Double, Any)] {
+          def compare(a: (Double, Any), b: (Double, Any)): Int = {
+            val d = java.lang.Double.compare(b._1, a._1) // lower cos = worse
+            if (d != 0) d else idOrd.compare(a._2, b._2) // larger id = worse
+          }
+        }
+        val heaps = Array.fill(qs.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Any)]()(worstFirst))
+        it.foreach { row =>
+          if (!row.isNullAt(1)) {
+            val cv = row.getSeq[Double](1).toArray
+            val cid = row.get(0)
+            var qi = 0
+            while (qi < qs.length) {
+              val qv = qs(qi)._2
+              if (qv.length == cv.length) {
+                // same one-pass left-to-right accumulation as VectorKernels.cosine
+                var sab = 0.0; var saa = 0.0; var sbb = 0.0
+                var i = 0
+                while (i < qv.length) {
+                  val x = qv(i); val y = cv(i)
+                  sab += x * y; saa += x * x; sbb += y * y
+                  i += 1
+                }
+                val cos = sab / (math.sqrt(saa) * math.sqrt(sbb))
+                if (!java.lang.Double.isNaN(cos)) {
+                  // round exactly like Spark's round(expr, 6): HALF_UP
+                  val r = java.math.BigDecimal.valueOf(cos)
+                    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                  val h = heaps(qi)
+                  if (h.size < k) h.enqueue((r, cid))
+                  else if (worstFirst.compare((r, cid), h.head) < 0) {
+                    // strictly better than the worst kept (worse = greater
+                    // under worstFirst) → replace
+                    h.dequeue(); h.enqueue((r, cid))
+                  }
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (cos, cid) => Row(qs(qi)._1, cid, cos) }
+        }
+      }
+    }(Encoders.row(outSchema))
+
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
+    partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 }

@@ -14,6 +14,12 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Optimizer fence around an expensive per-row expression: project it
+    * `once(...)` and downstream filters read the column instead of
+    * re-deriving the expression (see [[graft.functions.EvalOnce]]).
+    */
+  def once(c: Column): Column = call_function("graft_once", c)
+
   /** Token count without materializing the token array:
     * count = chars - non-space chars + 1 (single-space-separated text).
     * Used in oracle-checked queries because the formula is engine-exact.

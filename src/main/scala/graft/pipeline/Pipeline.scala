@@ -135,8 +135,12 @@ object Pipeline {
           .save()
         Seq("kafka")
       case "IO" =>
-        // stdout sink (K11): NDJSON lines, like the reference
-        df.toJSON.collect().foreach(println)
+        // stdout sink (K11): NDJSON lines, like the reference's
+        // streaming stdout (ext/io/sink.go:16-45). toLocalIterator
+        // pulls ONE partition at a time onto the driver — collect()
+        // here was a driver-OOM for an operator users point at
+        // arbitrary frames.
+        df.toJSON.toLocalIterator().forEachRemaining(println(_))
         Seq("stdout")
       case other => sys.error(s"unknown sink: $other")
     }

@@ -31,6 +31,12 @@ class GoFloatStringSpec extends SparkSuite {
     assert(GoFloatString.format(2.5e-8) == "0.000000025")
     assert(GoFloatString.format(-123456789.1) == "-123456789.1")
     assert(GoFloatString.format(1.0e16) == "10000000000000000")
+    // 'X.0E-n' mantissas: toPlainString keeps the mantissa digit count
+    // ('1.0E-4' -> '0.00010'); trailing fractional zeros must be trimmed
+    assert(GoFloatString.format(1e-4) == "0.0001")
+    assert(GoFloatString.format(5e-7) == "0.0000005")
+    assert(GoFloatString.format(1e-7) == "0.0000001")
+    assert(GoFloatString.format(-1e-4) == "-0.0001")
     // round-trip property on awkward doubles
     Seq(0.1 + 0.2, 1.0 / 3.0, 1e-7, 9.999999999999999e22).foreach { d =>
       assert(java.lang.Double.parseDouble(GoFloatString.format(d)) == d, d.toString)

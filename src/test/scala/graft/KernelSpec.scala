@@ -76,6 +76,30 @@ class KernelSpec extends SparkSuite {
     assert(withNull.filter($"c".isNull).count() == 1)
   }
 
+  test("vector kernels return null on dimension mismatch (not a partial result)") {
+    val out = spark.sql(
+      """SELECT graft_dot(array(1.0, 2.0), array(1.0)) AS d,
+        |       graft_cosine(array(1.0, 2.0), array(1.0)) AS c,
+        |       graft_l2sq(array(1.0, 2.0), array(1.0)) AS l""".stripMargin)
+      .collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2))
+  }
+
+  test("tokenizer treats tabs/newlines/repeated spaces like TextOps.tokens") {
+    // shingle stream must match split(trim(text), "\\s+") semantics:
+    // tabs and newlines separate tokens, empty runs are skipped, and the
+    // canonical gram joins with a single space either way
+    val df = Seq("a\tb\nc  d", "a b c d").toDF("t")
+    val got = df.select(Dedup.shingles($"t", 2)).as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b", "b c", "c d"))
+    assert(got(0) == got(1))
+    // minhash/simhash agree across whitespace variants of the same text
+    val sigs = Seq(("ws", "x\ty\nz"), ("sp", "x y z")).toDF("id", "t")
+      .select($"id", Dedup.minhashSignature($"t", 2, 8).as("m"), Dedup.simhash($"t").as("s"))
+      .as[(String, Seq[Long], Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(sigs("ws") == sigs("sp"))
+  }
+
   test("dot kernel matches interpreted fold bit-for-bit") {
     val vec = (1 to 64).map(i => math.sin(i) * i)
     val df = Seq((vec, vec.reverse)).toDF("a", "b")

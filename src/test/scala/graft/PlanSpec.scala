@@ -64,6 +64,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p) // no shuffle: per-partition top-k + driver merge
   }
 
+  test("q47 evaluates the quality kernel ONCE (filter reads the column)") {
+    // Catalyst predicate pushdown would substitute the kernel into a
+    // Filter below the Project (two evaluations per row); the EvalOnce
+    // fence pins the Filter above. The kernel's word-hit scan
+    // (graft_word_hits) must appear exactly once in the physical plan.
+    val p = plan(SparkEntry.queries("q47_quality_filter")(spark, sfDir))
+    assert("graft_word_hits".r.findAllIn(p).size == 1, p)
+    // the cheap lang predicate still reaches the parquet scan
+    val f = formatted(SparkEntry.queries("q47_quality_filter")(spark, sfDir))
+    assert(f.contains("PushedFilters") && f.contains("In(lang"), f)
+  }
+
+  test("knnJoin never materializes the Q×N score relation (q40)") {
+    // bounded-heap partials: no join operator at all — queries broadcast
+    // inside mapPartitions; the only wide op is the k·P-row merge window
+    val p = plan(SparkEntry.queries("q40_knn_join")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("MapPartitions"), p)
+  }
+
   test("partial aggregation before the shuffle (map-side combine in q01)") {
     val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
     // two HashAggregate stages around one Exchange = partial + final

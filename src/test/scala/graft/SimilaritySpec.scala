@@ -34,6 +34,52 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.map(_._2) == Seq(1L, 2L)) // nearest then next
   }
 
+  test("knnJoin bounded-heap partials match the naive crossJoin+window result") {
+    // 40 corpus vectors across several partitions, 5 queries, with
+    // engineered cosine ties (duplicate vectors) to exercise the
+    // (cos DESC, corpus_id ASC) tie-break at the heap boundary
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map { i =>
+      val v = Array.fill(4)(rnd.nextGaussian().toFloat)
+      (i.toLong + 100L, (if (i % 5 == 0) Array(1.0f, 0.5f, 0.0f, 0.0f) else v).toSeq)
+    }
+    val corpus = base.toDF("vec_id", "embedding").repartition(8)
+    val queries = Seq((0L, Seq(1.0f, 0.4f, 0.1f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)), (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)), (4L, Seq(1.0f, 0.5f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnJoin(corpus, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "corpus_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val naive = {
+      val c = corpus.select($"vec_id".as("corpus_id"), $"embedding".cast("array<double>").as("cv"))
+      val q = queries.select($"vec_id".as("query_id"), $"embedding".cast("array<double>").as("qv"))
+      val w = Window.partitionBy("query_id").orderBy($"cos_sim".desc, $"corpus_id")
+      q.crossJoin(c)
+        .select($"query_id", $"corpus_id",
+          round(Similarity.cosine($"qv", $"cv"), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    }
+    assert(got == naive)
+  }
+
+  test("knnJoin rejects an oversized query side") {
+    val err = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(vecs, vecs, "vec_id", "embedding", k = 1, maxQueries = 2)
+    }
+    assert(err.getMessage.contains("maxQueries"))
+  }
+
+  test("cosineNearDupPairs fails fast above the quadratic bound") {
+    val err = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9, maxRows = 2)
+    }
+    assert(err.getMessage.contains("cosineNearDupPairsLsh"))
+  }
+
   test("LSH buckets put identical vectors together") {
     val b = Similarity.lshBuckets(vecs, "embedding", dim = 3, planes = 8)
     val buckets = b.select("vec_id", "bucket").as[(Long, Long)].collect().toMap
