@@ -48,17 +48,19 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane signature: bit i = sign of dot(vec, h_i) where
-    * h_i is a deterministic pseudo-random hyperplane derived from
-    * xxhash64(i, dim). Map-only; vectors with equal/nearby signatures
-    * land in the same bucket.
+  /** Random-hyperplane signature: bit i = sign of dot(vec, h_{offset+i})
+    * where h_p is a deterministic pseudo-random hyperplane derived from
+    * xxhash64(p, d). Map-only; vectors with equal/nearby signatures
+    * land in the same bucket. `offset` selects an independent plane
+    * family — the OR-amplification bands of [[cosineNearDupPairsLsh]]
+    * each use their own family.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column = {
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, offset: Int = 0): Column = {
     val sigBits = (0 until planes).map { p =>
       // h_p[d] = centered hash in [-0.5, 0.5): deterministic pseudo-random
       val d0 = dot(vec,
         array((0 until dim).map { d =>
-          (pmod(xxhash64(lit(p), lit(d)), lit(1000000L)).cast("double") / 1e6) - 0.5
+          (pmod(xxhash64(lit(offset + p), lit(d)), lit(1000000L)).cast("double") / 1e6) - 0.5
         }: _*))
       when(d0 > 0, 1L).otherwise(0L)
     }
@@ -109,9 +111,14 @@ object Similarity {
   }
 
   /** LSH-bucketed near-duplicates: verification restricted to pairs
-    * sharing a hyperplane-signature bucket — the sub-quadratic scale
-    * path (recall < 1 by design; more planes = higher precision,
-    * smaller buckets). Returns id_a < id_b.
+    * sharing a hyperplane-signature bucket in ANY of `bands`
+    * independent plane families — the sub-quadratic scale path.
+    * Standard AND/OR amplification: `planes` per band sharpens
+    * precision (smaller buckets), `bands` raises recall
+    * (P(candidate) = 1 − (1 − p^planes)^bands for per-plane agreement
+    * probability p = 1 − θ/π). Recall < 1 by design; every emitted
+    * pair is exact-verified with the compiled cosine kernel.
+    * Returns id_a < id_b.
     */
   def cosineNearDupPairsLsh(
       df: DataFrame,
@@ -120,11 +127,14 @@ object Similarity {
       dim: Int,
       threshold: Double,
       planes: Int = 8,
+      bands: Int = 1,
       maxBucket: Int = 10000): DataFrame = {
-    val b = lshBuckets(
-      df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec")),
-      "__vec", dim, planes)
-    val buckets = b.groupBy("bucket")
+    val base = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
+    val banded = base.select(col("__id"), col("__vec"),
+      posexplode(array((0 until bands).map(b =>
+        hyperplaneSignature(col("__vec"), dim, planes, offset = b * planes)): _*))
+        .as(Seq("band", "bucket")))
+    val buckets = banded.groupBy("band", "bucket")
       .agg(collect_list(struct(col("__id"), col("__vec"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
     buckets
