@@ -30,12 +30,22 @@ object Pipeline {
       from: String,
       to: Seq[String],
       env: Map[String, String] = Map.empty,
-      dryRun: Boolean = false)
+      dryRun: Boolean = false,
+      /** Injectable transports keyed by sink name (e.g. "PSQL" →
+        * PgSink.PgClientFactory). Connectors whose protocol has no
+        * sandbox-testable endpoint take their client here; absent, the
+        * built-in path (JDBC writer, …) is used.
+        */
+      clients: Map[String, AnyRef] = Map.empty)
 
   case class Result(
       rows: Option[Long], // populated when >1 sink (counted via persist)
       sinkOutputs: Map[String, Seq[String]],
-      plans: Seq[String]) // explain output on dry-run
+      plans: Seq[String], // explain output on dry-run
+      /** sink → "ok" | error message; dry-run connectivity probes
+        * (reference DryRunable + ConnCheck, check.go:11-49).
+        */
+      connChecks: Map[String, String] = Map.empty)
 
   private def key(env: Map[String, String], component: String, k: String): Option[String] =
     env.get(s"${component}__$k")
@@ -142,15 +152,73 @@ object Pipeline {
         // arbitrary frames.
         df.toJSON.toLocalIterator().forEachRemaining(println(_))
         Seq("stdout")
+      case "PSQL" | "JDBC" =>
+        // K7 (ext/postgresql/sink.go:35-191): COPY-shaped batched path
+        // through an injected transport; plain Spark JDBC append when
+        // only a DSN is configured.
+        val table = key(spec.env, "PSQL", "DESTINATION_TABLE_ID")
+          .orElse(key(spec.env, "JDBC", "TABLE"))
+          .getOrElse(sys.error("PSQL__DESTINATION_TABLE_ID / JDBC__TABLE required"))
+        spec.clients.get("PSQL") match {
+          case Some(f: graft.sinks.PgSink.PgClientFactory) =>
+            graft.sinks.PgSink.write(df, graft.sinks.PgSink.Spec(
+              table = table,
+              preSql = key(spec.env, "PSQL", "PRE_SQL_SCRIPT"),
+              batchSize = key(spec.env, "PSQL", "BATCH_SIZE")
+                .map(_.toInt).getOrElse(512),
+              dryRun = spec.dryRun), f)
+          case _ =>
+            val dsn = key(spec.env, "PSQL", "CONNECTION_DSN")
+              .orElse(key(spec.env, "JDBC", "URL"))
+              .getOrElse(sys.error("PSQL__CONNECTION_DSN / JDBC__URL required"))
+            df.write.format("jdbc")
+              .option("url", dsn).option("dbtable", table)
+              .mode(SaveMode.Append).save()
+        }
+        Seq(table)
       case other => sys.error(s"unknown sink: $other")
     }
+
+  /** Dry-run connectivity probe per sink (D15; reference substitutes
+    * ConnCheck for the real emit, e.g. pg sink.go:184-189, http). Only
+    * sinks with a network endpoint are probed; file-family sinks are
+    * "ok" by construction (the explain already proves the plan).
+    */
+  private def connCheck(sinkName: String, spec: Spec): Option[(String, String)] = {
+    def probe(addr: String): String =
+      try { graft.util.Net.connCheck(addr); "ok" }
+      catch { case scala.util.control.NonFatal(e) => s"unreachable: ${e.getMessage}" }
+    sinkName.toUpperCase match {
+      case "PSQL" | "JDBC" =>
+        spec.clients.get("PSQL") match {
+          case Some(f: graft.sinks.PgSink.PgClientFactory) =>
+            val c = f.create()
+            val r = try { c.connCheck(); "ok" }
+            catch { case scala.util.control.NonFatal(e) => s"unreachable: ${e.getMessage}" }
+            finally c.close()
+            Some(sinkName -> r)
+          case _ =>
+            key(spec.env, "PSQL", "CONNECTION_DSN").orElse(key(spec.env, "JDBC", "URL"))
+              .map(dsn => sinkName -> probe(dsn.stripPrefix("jdbc:")))
+        }
+      case "HTTP" =>
+        key(spec.env, "HTTP", "DESTINATION_URI").map(u => sinkName -> probe(u))
+      case "KAFKA" =>
+        key(spec.env, "KAFKA", "BOOTSTRAP_SERVERS")
+          .map(bs => sinkName -> probe(bs.split(',').head.trim))
+      case _ => None
+    }
+  }
 
   def run(spark: SparkSession, spec: Spec): Result = {
     val plan = transform(source(spark, spec), spec)
     if (spec.dryRun) {
-      // D15: explain-only; no side effects
-      return Result(None, Map.empty, Seq(plan.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)))
+      // D15: explain (no data side effects) + per-sink connectivity
+      // probes, mirroring the reference's DryRunable/ConnCheck split
+      return Result(None, Map.empty,
+        Seq(plan.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)),
+        connChecks = spec.to.flatMap(s => connCheck(s, spec)).toMap)
     }
     if (spec.to.size <= 1) {
       val outs = spec.to.headOption.map(s => s -> sink(plan, s, spec)).toMap

@@ -61,7 +61,7 @@ object FileSink {
   /** Stringify nested columns for CSV output (json2csv.go:104-148:
     * arrays/objects re-serialized as JSON strings).
     */
-  private def flattenForCsv(df: DataFrame, goFloats: Boolean = false): DataFrame = {
+  private[sinks] def flattenForCsv(df: DataFrame, goFloats: Boolean = false): DataFrame = {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
         case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
