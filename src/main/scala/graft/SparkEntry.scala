@@ -698,7 +698,21 @@ object SparkEntry {
 
     "q55_langid_ngram" -> ((s, dir) =>
       TextOps.langIdNgram(t(s, dir, "documents"), "doc_id", "text", "lang")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    "q56_prequery_loop" -> ((s, dir) => {
+      // MC pre-query × query-template loop (S2 / source.go:135-247):
+      // the pre-query's rows drive one templated query each; results
+      // union with pre-row fields merged in as metadata columns
+      t(s, dir, "region").createOrReplaceTempView("region")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      graft.pipeline.QueryLoop.run(s, graft.pipeline.QueryLoop.Spec(
+        preQuery = "SELECT r_name, r_regionkey FROM region",
+        preQueryFilename = "pre_regions.sql",
+        queryFiles = Seq("nations.sql" ->
+          "SELECT n_name, n_nationkey FROM nation WHERE n_regionkey = [[ .__METADATA__r_regionkey ]]")))
+        .data.get.orderBy("n_nationkey")
+    }))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -1067,6 +1081,17 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q56_prequery_loop" ->
+      // the loop's net semantics: every (pre-row, templated query) pair
+      // unioned = the join of the template's body with the pre-query,
+      // pre-row fields carried as metadata columns, filename stamped
+      """SELECT n_name, n_nationkey,
+        |  r_name AS "__METADATA__r_name",
+        |  r_regionkey AS "__METADATA__r_regionkey",
+        |  'nations.sql' AS "__METADATA__filename"
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q28_ann_topk" ->
       """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

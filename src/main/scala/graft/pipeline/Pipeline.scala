@@ -61,12 +61,35 @@ object Pipeline {
         skipRows = key(spec.env, spec.from.toUpperCase, "CSV_SKIP_ROWS")
           .map(_.toInt).getOrElse(0))
     case "SQL" | "MC" =>
-      // SQL front door (reference MC source §3.2): run a (multi-statement)
-      // script through SqlScript; the last statement's result is the source
-      val q = key(spec.env, "MC", "QUERY").orElse(key(spec.env, "SQL", "QUERY"))
-        .getOrElse(sys.error("SQL__QUERY / MC__QUERY required"))
-      SqlScript.run(spark, q, dryRun = false)
-        .getOrElse(sys.error("query script produced no result"))
+      key(spec.env, "MC", "QUERY_FILE_PATH") match {
+        case Some(qPath) =>
+          // pre-query × query-template loop — the reference's main
+          // production entry (ext/maxcompute/source.go:135-247)
+          val preQuery = key(spec.env, "MC", "PRE_QUERY_FILE_PATH").map { pp =>
+            QueryLoop.readQueryFiles(spark, pp).headOption.map(_._2).getOrElse("")
+          }.getOrElse("")
+          val out = QueryLoop.run(spark, QueryLoop.Spec(
+            preQuery = preQuery,
+            preQueryFilename = key(spec.env, "MC", "PRE_QUERY_FILE_PATH")
+              .map(p => new org.apache.hadoop.fs.Path(p).getName).getOrElse(""),
+            queryFiles = QueryLoop.readQueryFiles(spark, qPath),
+            filenameColumn = key(spec.env, "MC", "FILENAME_COLUMN")
+              .getOrElse(Meta.FilenameCol)), dryRun = spec.dryRun)
+          if (spec.dryRun) {
+            // reference dry-run surfaces the generated queries without
+            // running them (source.go:200-205); expose them as the frame
+            import spark.implicits._
+            out.compiled.toDF("filename", "generated_query")
+          } else out.merged.getOrElse(sys.error("query loop produced no result"))
+        case None =>
+          // SQL front door (reference MC source §3.2): run a
+          // (multi-statement) script through SqlScript; the last
+          // statement's result is the source
+          val q = key(spec.env, "MC", "QUERY").orElse(key(spec.env, "SQL", "QUERY"))
+            .getOrElse(sys.error("SQL__QUERY / MC__QUERY required"))
+          SqlScript.run(spark, q, dryRun = false)
+            .getOrElse(sys.error("query script produced no result"))
+      }
     case "JDBC" | "PSQL" =>
       val rdr = spark.read.format("jdbc")
         .option("url", key(spec.env, "PSQL", "DSN")

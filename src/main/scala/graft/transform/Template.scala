@@ -45,6 +45,91 @@ object Template {
   /** Does the template contain any dynamic `[[ ]]` section? */
   def isDynamic(template: String): Boolean = template.contains("[[")
 
+  /** Driver-side render against a plain value map — the reference's
+    * `compiler.Compile(template, model.ToMap(record))` path
+    * (internal/ext/compiler/compiler.go:42-55), used where the rendered
+    * string is control-plane (a SQL text in the MC pre-query loop, an
+    * email subject), not a per-record column. Missing fields render as
+    * Go text/template's `<no value>`.
+    */
+  def render(template: String, values: Map[String, Any]): String =
+    split2(template).map {
+      case Left(text) => text
+      case Right(e) => show(eval(parseExpr(e), values))
+    }.mkString
+
+  private def lookup(path: Seq[String], values: Map[String, Any]): Any =
+    path.foldLeft[Any](values) {
+      case (m: Map[_, _], k) =>
+        m.asInstanceOf[Map[String, Any]].getOrElse(k, null)
+      case (_, _) => null
+    }
+
+  private def asLong(v: Any): Long = v match {
+    case n: Number => n.longValue
+    case s: String => s.toLong
+    case null => sys.error("numeric template arg is missing")
+    case other => other.toString.toLong
+  }
+
+  private[transform] def show(v: Any): String = v match {
+    case null => "<no value>"
+    case d: Double => graft.functions.GoFloatString.format(d)
+    case f: Float => graft.functions.GoFloatString.format(f.toDouble)
+    case other => other.toString
+  }
+
+  private def eval(ast: Ast, values: Map[String, Any]): Any = ast match {
+    case Field(p) => lookup(p, values)
+    case StrLit(v) => v
+    case NumLit(v) => v
+    case Call(fn, args) =>
+      val a = args.map(x => eval(x, values))
+      fn match {
+        case "upper" => show(a.head).toUpperCase
+        case "lower" => show(a.head).toLowerCase
+        case "trim" => show(a.head).trim
+        case "uuid" | "uuidv4" => java.util.UUID.randomUUID.toString
+        case "now" => java.time.Instant.now
+        case "tojson" | "toJson" => toJsonString(a.head)
+        case "div" => math.floorDiv(asLong(a(0)), asLong(a(1)))
+        case "mul" => asLong(a(0)) * asLong(a(1))
+        case "add" => asLong(a(0)) + asLong(a(1))
+        case "sub" => asLong(a(0)) - asLong(a(1))
+        case "mod" => asLong(a(0)) % asLong(a(1))
+        case "printf" =>
+          args.head match {
+            case StrLit(fmt) =>
+              String.format(fmt.replace("%d", "%s"),
+                a.tail.map(show): _*)
+            case _ => throw new IllegalArgumentException("printf needs literal format")
+          }
+        case other => throw new IllegalArgumentException(s"unsupported template function: $other")
+      }
+  }
+
+  private def toJsonString(v: Any): String = v match {
+    case null => "null"
+    case s: String =>
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    case n: Number => show(n)
+    case b: Boolean => b.toString
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+        .map { case (k, x) => toJsonString(k) + ":" + toJsonString(x) }
+        .mkString("{", ",", "}")
+    case it: Iterable[_] => it.map(toJsonString).mkString("[", ",", "]")
+    case other => toJsonString(other.toString)
+  }
+
   // --- parsing ---------------------------------------------------------
 
   /** Split into literal (Left) and expression (Right) chunks. */

@@ -139,6 +139,73 @@ class PipelineSpec extends SparkSuite {
     spark.sql("DROP TABLE graft_t1")
   }
 
+  test("pre-query loop: pre-rows drive templated queries, merge + filename (source.go:135-247)") {
+    import graft.pipeline.QueryLoop
+    Seq(("us", 1L), ("eu", 2L)).toDF("geo", "gk").createOrReplaceTempView("geos")
+    Seq((1L, 10L, "a"), (1L, 11L, "b"), (2L, 20L, "c"))
+      .toDF("gk", "id", "v").createOrReplaceTempView("facts")
+    val out = QueryLoop.run(spark, QueryLoop.Spec(
+      preQuery = "SELECT geo, gk FROM geos",
+      preQueryFilename = "pre.sql",
+      queryFiles = Seq(
+        "facts.sql" -> "SELECT id, v FROM facts WHERE gk = [[ .__METADATA__gk ]]")))
+    val data = out.data.get
+    // merged pre-row fields carried as metadata; record-side columns win
+    assert(data.columns.toSet == Set("id", "v",
+      "__METADATA__geo", "__METADATA__gk", "__METADATA__filename"))
+    val rows = data
+      .select("id", "__METADATA__geo", "__METADATA__filename")
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(rows == Seq((10L, "us", "facts.sql"), (11L, "us", "facts.sql"),
+      (20L, "eu", "facts.sql")))
+    // pre-rows emitted as specialized metadata records
+    val pre = out.preRecords.get
+    import graft.model.Meta
+    assert(pre.filter(Meta.isSpecializedMetadataRecord(pre)).count() == 2)
+    assert(pre.select("__METADATA__filename").distinct()
+      .as[String].collect().toSeq == Seq("pre.sql"))
+    // single-stream view carries both
+    assert(out.merged.get.count() == 5)
+  }
+
+  test("pre-query loop: empty pre-query runs each file once (client_reader.go:76-79)") {
+    import graft.pipeline.QueryLoop
+    Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("solo")
+    val out = QueryLoop.run(spark, QueryLoop.Spec(
+      preQuery = "",
+      queryFiles = Seq(
+        "a.sql" -> "SELECT id FROM solo",
+        "b.sql" -> "SELECT v FROM solo")))
+    assert(out.compiled.map(_._1) == Seq("a.sql", "b.sql"))
+    val got = out.data.get.select("__METADATA__filename", "id", "v")
+      .collect().toSeq.map(r => (r.getString(0), r.isNullAt(1), r.isNullAt(2))).sorted
+    assert(got == Seq(("a.sql", false, true), ("b.sql", true, false)))
+  }
+
+  test("pre-query loop via registry + dry-run compiled queries (S2 wiring)") {
+    import graft.pipeline.QueryLoop
+    val dir = tmp()
+    Files.createDirectories(Paths.get(s"$dir/queries"))
+    Files.write(Paths.get(s"$dir/queries/q1.sql"),
+      "SELECT id FROM loop_src WHERE id > [[ .__METADATA__lo ]]".getBytes)
+    Files.write(Paths.get(s"$dir/pre.sql"),
+      "SELECT 1 AS lo".getBytes)
+    Seq(1L, 2L, 3L).toDF("id").createOrReplaceTempView("loop_src")
+    val res = Pipeline.run(spark, Pipeline.Spec(
+      from = "MC", to = Seq("IO"),
+      env = Map(
+        "MC__QUERY_FILE_PATH" -> s"$dir/queries",
+        "MC__PRE_QUERY_FILE_PATH" -> s"$dir/pre.sql")))
+    assert(res.sinkOutputs("IO") == Seq("stdout"))
+    // dry-run compiles but does not execute
+    val dry = QueryLoop.run(spark, QueryLoop.Spec(
+      preQuery = "SELECT 1 AS lo",
+      queryFiles = QueryLoop.readQueryFiles(spark, s"$dir/queries")), dryRun = true)
+    assert(dry.data.isEmpty)
+    assert(dry.compiled ==
+      Seq(("q1.sql", "SELECT id FROM loop_src WHERE id > <no value>")))
+  }
+
   test("record index stamping via env (D8 batching metadata)") {
     val dir = tmp()
     val in = writeInput(dir)

@@ -34,4 +34,15 @@ class TemplateSpec extends SparkSuite {
     assert(Template.isDynamic("a_[[ .x ]]"))
     assert(!Template.isDynamic("static.json"))
   }
+
+  test("driver-side render against a value map (compiler.Compile path)") {
+    val vals = Map[String, Any]("name" -> "ab", "n" -> 7L, "score" -> 0.5)
+    assert(Template.render("hello [[ upper .name ]]-[[ add .n 1 ]]", vals)
+      == "hello AB-8")
+    assert(Template.render("v=[[ .score ]]", vals) == "v=0.5")
+    // Go text/template renders missing fields as <no value>
+    assert(Template.render("[[ .missing ]]", vals) == "<no value>")
+    assert(Template.render("[[ printf \"%s_%d\" .name .n ]]", vals) == "ab_7")
+    assert(Template.render("static {{ untouched }}", vals) == "static {{ untouched }}")
+  }
 }
