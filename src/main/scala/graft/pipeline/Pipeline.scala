@@ -175,6 +175,31 @@ object Pipeline {
         // arbitrary frames.
         df.toJSON.toLocalIterator().forEachRemaining(println(_))
         Seq("stdout")
+      case "SMTP" =>
+        // K6 (ext/smtp/sink.go): grouped attachment write + MIME compose;
+        // the SMTP transport itself is injected (no server in sandbox)
+        val mailer = spec.clients.get("SMTP") match {
+          case Some(m: graft.sinks.Smtp.Mailer) => m
+          case _ => sys.error("SMTP sink requires an injected Mailer client")
+        }
+        def fileOrInline(fileKey: String, inlineKey: String): String =
+          key(spec.env, "SMTP", fileKey)
+            .map(p => QueryLoop.readQueryFiles(df.sparkSession, p).headOption
+              .map(_._2).getOrElse(""))
+            .orElse(key(spec.env, "SMTP", inlineKey)).getOrElse("")
+        val emails = graft.sinks.Smtp.write(df, graft.sinks.Smtp.Config(
+          from = key(spec.env, "SMTP", "FROM").getOrElse(sys.error("SMTP__FROM required")),
+          to = key(spec.env, "SMTP", "TO").getOrElse(sys.error("SMTP__TO required")),
+          subject = key(spec.env, "SMTP", "SUBJECT").getOrElse(""),
+          bodyTemplate = fileOrInline("BODY_FILE_PATH", "BODY"),
+          bodyNoRecord = fileOrInline("BODY_NO_RECORD_FILE_PATH", "BODY_NO_RECORD"),
+          attachmentFilename = key(spec.env, "SMTP", "ATTACHMENT_FILENAME")
+            .getOrElse("attachment.json"),
+          storageMode = key(spec.env, "SMTP", "STORAGE_MODE").getOrElse("attachment"),
+          storageDir = key(spec.env, "SMTP", "STORAGE_DESTINATION_DIR")
+            .getOrElse("/tmp/graft_smtp")),
+          mailer, dryRun = spec.dryRun)
+        emails.map(e => s"smtp:${e.to.mkString(",")}")
       case "PSQL" | "JDBC" =>
         // K7 (ext/postgresql/sink.go:35-191): COPY-shaped batched path
         // through an injected transport; plain Spark JDBC append when
@@ -226,6 +251,11 @@ object Pipeline {
         }
       case "HTTP" =>
         key(spec.env, "HTTP", "DESTINATION_URI").map(u => sinkName -> probe(u))
+      case "SMTP" =>
+        key(spec.env, "SMTP", "CONNECTION_DSN").map { dsn =>
+          val (h, p, _, _) = graft.sinks.Smtp.parseDsn(dsn)
+          sinkName -> probe(s"$h:$p")
+        }
       case "KAFKA" =>
         key(spec.env, "KAFKA", "BOOTSTRAP_SERVERS")
           .map(bs => sinkName -> probe(bs.split(',').head.trim))

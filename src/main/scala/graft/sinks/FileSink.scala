@@ -78,12 +78,23 @@ object FileSink {
     * values when the URI was templated (for driver-side post-steps like
     * archiving or SMTP attachment per group).
     */
+  private val DestCol = "__graft_dest"
+
   def write(df0: DataFrame, spec: Spec): Seq[String] = {
     val (dataRecords, _) = Meta.splitSpecializedMetadata(df0)
-    val stripped = if (spec.stripMetadata) Meta.stripMetadata(dataRecords) else dataRecords
+    // Templated destinations compile against the FULL record — metadata
+    // included (the reference renders `[[ .__METADATA__... ]]` routes
+    // before RecordWithoutMetadata strips the payload) — so the routing
+    // column is stamped before the metadata strip.
+    val dyn = Template.isDynamic(spec.destinationUri)
+    val destStamped =
+      if (dyn) dataRecords.withColumn(DestCol, Template.compile(spec.destinationUri))
+      else dataRecords
+    val stripped = if (spec.stripMetadata) Meta.stripMetadata(destStamped) else destStamped
     // D11: project each outgoing record through a JSONPath before write
     val df1 = spec.jsonPath match {
-      case Some(p) => graft.transform.JsonPath.select(stripped, p)
+      case Some(p) => graft.transform.JsonPath.select(
+        stripped, p, keep = if (dyn) Seq(DestCol) else Nil)
       case None => stripped
     }
     val fmt = formatOf(spec)
@@ -120,35 +131,35 @@ object FileSink {
       }
       Seq(out)
     } else {
-      // Templated destination (D17): evaluate the template per record
-      // into a routing column, write with partitionBy — each distinct
-      // compiled destination becomes one directory, written in a single
+      // Templated destination (D17): the routing column (stamped above,
+      // pre-strip) drives partitionBy — each distinct compiled
+      // destination becomes one directory, written in a single
       // distributed pass (the reference keeps a writer map per key;
       // partitionBy is the shuffle-free Spark equivalent).
-      val destCol: Column = Template.compile(spec.destinationUri)
-      val routed = df.withColumn("__graft_dest", destCol)
+      val routed = df
       val base = spec.destinationUri.takeWhile(_ != '[').reverse
         .dropWhile(c => c != '/').reverse + "__graft_grouped"
       fmt match {
-        case "json" => writer(routed.repartition(col("__graft_dest")))
-          .partitionBy("__graft_dest").json(base)
+        case "json" => writer(routed.repartition(col(DestCol)))
+          .partitionBy(DestCol).json(base)
         case "csv" | "tsv" =>
           // Always write parts headerless: a group split across several
           // part files (maxRecordsPerFile) must not embed header rows
           // mid-file; the single header is prepended at finalize.
           val sep = if (fmt == "tsv") "\t" else ","
-          writer(routed.repartition(col("__graft_dest")))
-            .partitionBy("__graft_dest")
+          writer(routed.repartition(col(DestCol)))
+            .partitionBy(DestCol)
             .option("header", "false").option("sep", sep).csv(base)
-        case "txt" => writer(routed.repartition(col("__graft_dest")))
-          .partitionBy("__graft_dest").text(base)
+        case "txt" => writer(routed.repartition(col(DestCol)))
+          .partitionBy(DestCol).text(base)
         case "xlsx" =>
           sys.error("templated xlsx destinations are not supported; use a static path")
       }
       val headerBytes: Option[Array[Byte]] =
         if ((fmt == "csv" || fmt == "tsv") && spec.header) {
           val sep = if (fmt == "tsv") '\t' else ','
-          val line = df.columns.map(csvQuote(_, sep)).mkString(sep.toString) + "\n"
+          val line = df.columns.filterNot(_ == DestCol)
+            .map(csvQuote(_, sep)).mkString(sep.toString) + "\n"
           val raw = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           // gzip members concatenate validly, so a compressed header
           // member + compressed part files is a well-formed .gz

@@ -13,16 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object JsonPath {
 
-  /** Simple dotted path (`$.a.b` / `a.b`) on structured data. */
-  def select(df: DataFrame, path: String): DataFrame = {
+  /** Simple dotted path (`$.a.b` / `a.b`) on structured data. `keep`
+    * columns ride along unprojected (e.g. a sink routing column).
+    */
+  def select(df: DataFrame, path: String, keep: Seq[String] = Nil): DataFrame = {
+    val keepCols = keep.map(k => col(s"`$k`"))
     val segs = normalize(path)
     if (segs.isEmpty) df
     else {
       val c = segs.tail.foldLeft(col(s"`${segs.head}`"))((acc, f) => acc.getField(f))
       df.schema(segs.head).dataType match {
         case _: org.apache.spark.sql.types.StructType if segs.size == 1 =>
-          df.select(col(segs.head + ".*"))
-        case _ => df.select(c.as(segs.last))
+          df.select(col(segs.head + ".*") +: keepCols: _*)
+        case _ => df.select(c.as(segs.last) +: keepCols: _*)
       }
     }
   }
