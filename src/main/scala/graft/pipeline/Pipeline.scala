@@ -90,6 +90,46 @@ object Pipeline {
           SqlScript.run(spark, q, dryRun = false)
             .getOrElse(sys.error("query script produced no result"))
       }
+    case "SF" =>
+      // S5: SOQL pagination over an injected client (source.go:64-151)
+      val client = spec.clients.get("SF") match {
+        case Some(c: graft.sources.Salesforce.Client) => c
+        case _ => sys.error("SF source requires an injected Salesforce client")
+      }
+      val soql = key(spec.env, "SF", "SOQL_FILE_PATH")
+        .map(p => QueryLoop.readQueryFiles(spark, p).headOption.map(_._2).getOrElse(""))
+        .orElse(key(spec.env, "SF", "SOQL"))
+        .getOrElse(sys.error("SF__SOQL_FILE_PATH / SF__SOQL required"))
+      graft.sources.Salesforce.read(spark, client, soql,
+        includeDeleted = key(spec.env, "SF", "INCLUDE_DELETED").exists(_.toBoolean))
+    case "GMAIL" =>
+      // S6: attachment download + decode (source.go:64-162)
+      val svc = spec.clients.get("GMAIL") match {
+        case Some(s: graft.sources.Gmail.Service) => s
+        case _ => sys.error("GMAIL source requires an injected Gmail service")
+      }
+      graft.sources.Gmail.read(spark, svc,
+        filterRules = key(spec.env, "GMAIL", "FILTER_RULES").getOrElse(""),
+        filenameColumn = key(spec.env, "GMAIL", "FILENAME_COLUMN")
+          .getOrElse(Meta.FilenameCol),
+        csvDelimiter = key(spec.env, "GMAIL", "CSV_DELIMITER")
+          .map(_.head).getOrElse(','))
+    case "GA" =>
+      // S7: runReport limit/offset paging (source.go:55-131)
+      val client = spec.clients.get("GA") match {
+        case Some(c: graft.sources.GoogleAnalytics.Client) => c
+        case _ => sys.error("GA source requires an injected GA client")
+      }
+      graft.sources.GoogleAnalytics.read(spark, client,
+        propertyId = key(spec.env, "GA", "PROPERTY_ID")
+          .getOrElse(sys.error("GA__PROPERTY_ID required")),
+        startDate = key(spec.env, "GA", "START_DATE").getOrElse(""),
+        endDate = key(spec.env, "GA", "END_DATE").getOrElse(""),
+        dimensions = key(spec.env, "GA", "DIMENSIONS")
+          .map(_.split(',').toSeq.map(_.trim)).getOrElse(Nil),
+        metrics = key(spec.env, "GA", "METRICS")
+          .map(_.split(',').toSeq.map(_.trim)).getOrElse(Nil),
+        batchSize = key(spec.env, "GA", "BATCH_SIZE").map(_.toLong).getOrElse(1000L))
     case "JDBC" | "PSQL" =>
       val rdr = spark.read.format("jdbc")
         .option("url", key(spec.env, "PSQL", "DSN")
