@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   * the 100 TB-scale layout: bytes stay columnar in parquet, metadata
   * is queryable/prunable without touching payloads.
   *
-  * The decode kernels are STUBS (the container ships no image/audio
-  * codecs): they produce deterministic fake outputs derived from the
-  * payload bytes. Everything AROUND the stub — schema, batch iteration,
+  * Image metadata decode is REAL (JDK-native `javax.imageio`, see
+  * [[decodeImageMeta]]). The feature-extraction / resize / frame
+  * kernels remain STUBS (the container ships no vision/audio codecs):
+  * they produce deterministic fake outputs derived from the payload
+  * bytes. Everything AROUND a stub — schema, batch iteration,
   * partition sizing, output shapes — is the real distributed plumbing
   * and is tested. Swapping a stub for a real codec changes only the
   * function body marked `STUB`.
@@ -71,6 +73,57 @@ object Multimodal {
   // iterator-to-iterator (no materialization of the whole partition),
   // mirroring mapInPandas batch semantics.
   // ---------------------------------------------------------------
+
+  /** REAL image decode via JDK-native `javax.imageio` (jpeg/png/gif/
+    * bmp — no external codec needed): stamps actual width/height into
+    * `meta`. Header-only: the registered ImageReader reads dimensions
+    * from the stream header without materializing pixel buffers, so
+    * per-row cost is O(header), not O(pixels) — the right trade at
+    * 100 TB where this runs once per stored asset. Non-image or
+    * undecodable payloads keep their existing meta.
+    */
+  def decodeImageMeta(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val idIdx = schema.fieldIndex("media_id")
+    val contentIdx = schema.fieldIndex("content")
+    val metaIdx = schema.fieldIndex("meta")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val meta = r.getAs[Row](metaIdx)
+        decodeDims(bytes) match {
+          case Some((w, h)) =>
+            val mime = Option(meta).map(_.getAs[String]("mime")).orNull
+            val dur = Option(meta).map(_.getAs[java.lang.Long]("duration_ms")).orNull
+            Row(r.getLong(idIdx), bytes, Row(mime, w, h, dur))
+          case None => Row(r.getLong(idIdx), bytes, meta)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Header-only (width, height) via the matching ImageReader. */
+  private[ops] def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes == null || bytes.isEmpty) None
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            Some((reader.getWidth(0), reader.getHeight(0)))
+          } catch {
+            case scala.util.control.NonFatal(_) => None
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    }
 
   private val featureDim = 16
 

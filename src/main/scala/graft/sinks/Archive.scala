@@ -48,8 +48,22 @@ object Archive {
       }
   }
 
-  def archive(files: Seq[String], dest: String): Unit = {
+  /** `password` applies to zip only (AE-2 AES-256, the yeka/zip path,
+    * file_archiver.go:195-205); for other kinds it is ignored, matching
+    * the reference's warn-and-continue (write_handler.go:321-322).
+    */
+  def archive(files: Seq[String], dest: String, password: Option[String] = None): Unit = {
     val paths = files.map(Paths.get(_))
+    (kindOf(dest), password.filter(_.nonEmpty)) match {
+      case (Zip, Some(pw)) =>
+        val base = commonParent(paths)
+        AesZip.write(dest, paths.map(p =>
+          base.relativize(p.toAbsolutePath).toString -> Files.readAllBytes(p)), pw)
+      case _ => archivePlain(paths, dest)
+    }
+  }
+
+  private def archivePlain(paths: Seq[Path], dest: String): Unit = {
     kindOf(dest) match {
       case Gz =>
         // one .gz per file, written next to dest's directory

@@ -49,6 +49,38 @@ class MultimodalSpec extends SparkSuite {
     assert(out.getAs[Array[Byte]]("content").length <= 64)
   }
 
+  test("REAL image decode: javax.imageio dims land in meta (PNG + JPEG fixtures)") {
+    // render real images in-memory — no external codec needed
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = imageBytes(32, 20, "png")
+    val jpg = imageBytes(11, 7, "jpg")
+    val df = Seq((1L, png), (2L, jpg), (3L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "content")
+      .selectExpr("media_id", "content",
+        "named_struct('mime', CAST(NULL AS STRING), 'width', CAST(NULL AS INT), " +
+          "'height', CAST(NULL AS INT), 'duration_ms', CAST(NULL AS BIGINT)) AS meta")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        Multimodal.sniffMime($"content").as("mime"),
+        $"meta.width", $"meta.height", $"meta.duration_ms"))
+    val out = Multimodal.decodeImageMeta(df).orderBy("media_id").collect()
+    val m1 = out(0).getStruct(2)
+    assert(m1.getAs[String]("mime") == "image/png")
+    assert(m1.getAs[Int]("width") == 32 && m1.getAs[Int]("height") == 20)
+    val m2 = out(1).getStruct(2)
+    assert(m2.getAs[String]("mime") == "image/jpeg")
+    assert(m2.getAs[Int]("width") == 11 && m2.getAs[Int]("height") == 7)
+    // undecodable payload keeps its meta untouched (width stays null)
+    assert(out(2).getStruct(2).isNullAt(1))
+  }
+
   test("frame sampling emits n rows per video (1→N)") {
     val df = Seq((7L, Array.tabulate[Byte](1000)(_.toByte), ("video/mp4", 0, 0, 0L)))
       .toDF("media_id", "content", "meta")

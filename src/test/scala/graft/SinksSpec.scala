@@ -49,6 +49,44 @@ class SinksSpec extends SparkSuite {
     assert(flat.exists(_.contains("\"payload\":\"y\"")))
   }
 
+  test("AES-zip: AE-2 structure, round-trip decrypt, wrong password rejected (file_archiver.go:195-205)") {
+    import graft.sinks.AesZip
+    val dir = Files.createTempDirectory("graft_aeszip")
+    val f1 = Paths.get(s"$dir/a.txt"); Files.write(f1, "hello aes".getBytes)
+    val f2 = Paths.get(s"$dir/sub/b.json")
+    Files.createDirectories(f2.getParent)
+    Files.write(f2, """{"k":1}""".getBytes)
+    val dest = s"$dir/out.zip"
+    Archive.archive(Seq(f1.toString, f2.toString), dest, password = Some("s3cret"))
+
+    val bytes = Files.readAllBytes(Paths.get(dest))
+    // zip magic + AES method 99 + 0x9901 extra field present
+    assert(bytes(0) == 'P' && bytes(1) == 'K' && bytes(2) == 3 && bytes(3) == 4)
+    val hex = bytes.map("%02x".format(_)).mkString
+    assert(hex.contains("63000000")) // method 99 LE + dos time 0
+    assert(hex.contains("01990700")) // extra 0x9901, size 7
+    // java's standard reader refuses the entry: encryption flag is real
+    val zf = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    intercept[java.util.zip.ZipException](zf.getNextEntry)
+
+    val back = AesZip.readAll(bytes, "s3cret")
+    assert(back.keySet == Set("a.txt", "sub/b.json"))
+    assert(new String(back("a.txt"), "UTF-8") == "hello aes")
+    assert(new String(back("sub/b.json"), "UTF-8") == """{"k":1}""")
+    val e = intercept[IllegalArgumentException](AesZip.readAll(bytes, "wrong"))
+    assert(e.getMessage.contains("wrong password"))
+  }
+
+  test("AES-zip handles large multi-block payloads (CTR counter advance)") {
+    import graft.sinks.AesZip
+    val dir = Files.createTempDirectory("graft_aeszip2")
+    val data = Array.tabulate[Byte](100000)(i => (i * 31 % 251).toByte)
+    val dest = s"$dir/big.zip"
+    AesZip.write(dest, Seq("big.bin" -> data), "pw")
+    val back = AesZip.readAll(Files.readAllBytes(Paths.get(dest)), "pw")
+    assert(java.util.Arrays.equals(back("big.bin"), data))
+  }
+
   test("xlsx writer produces a readable OOXML package (D21)") {
     val dir = Files.createTempDirectory("graft_xlsx")
     val path = s"$dir/out.xlsx"
