@@ -104,8 +104,100 @@ object Template {
                 a.tail.map(show): _*)
             case _ => throw new IllegalArgumentException("printf needs literal format")
           }
+
+        // sprig subset — driver mirror of the Column forms below
+        case "default" => if (isEmptyVal(a(1))) a(0) else a(1)
+        case "coalesce" => a.find(v => !isEmptyVal(v)).orNull
+        case "replace" => show(a(2)).replace(show(a(0)), show(a(1)))
+        case "trunc" =>
+          val n = asLong(a(0)).toInt
+          val s = show(a(1))
+          if (n >= 0) s.take(n) else s.takeRight(-n)
+        case "substr" =>
+          val s = show(a(2))
+          s.substring(math.min(asLong(a(0)).toInt, s.length),
+            math.min(asLong(a(1)).toInt, s.length))
+        case "repeat" => show(a(1)) * asLong(a(0)).toInt
+        case "title" => show(a.head).split(' ').map(w =>
+          if (w.isEmpty) w else w.head.toUpper +: w.tail).mkString(" ")
+        case "trimAll" =>
+          val cut = show(a(0)).toSet
+          show(a(1)).dropWhile(cut).reverse.dropWhile(cut).reverse
+        case "trimPrefix" => show(a(1)).stripPrefix(show(a(0)))
+        case "trimSuffix" => show(a(1)).stripSuffix(show(a(0)))
+        case "contains" => show(a(1)).contains(show(a(0)))
+        case "hasPrefix" => show(a(1)).startsWith(show(a(0)))
+        case "hasSuffix" => show(a(1)).endsWith(show(a(0)))
+        case "quote" => "\"" + show(a.head) + "\""
+        case "squote" => "'" + show(a.head) + "'"
+        case "b64enc" =>
+          java.util.Base64.getEncoder.encodeToString(show(a.head).getBytes("UTF-8"))
+        case "b64dec" =>
+          new String(java.util.Base64.getDecoder.decode(show(a.head)), "UTF-8")
+        case "sha256sum" => hexDigest("SHA-256", show(a.head))
+        case "md5sum" => hexDigest("MD5", show(a.head))
+        case "ternary" => if (truthy(a(2))) a(0) else a(1)
+        case "max" => a.map(asLong).max
+        case "min" => a.map(asLong).min
+        case "ceil" => math.ceil(show(a.head).toDouble).toLong
+        case "floor" => math.floor(show(a.head).toDouble).toLong
+        case "round" => math.round(show(a.head).toDouble)
+        case "nospace" => show(a.head).replaceAll("\\s", "")
+        case "snakecase" => show(a.head)
+          .replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2")
+          .replaceAll("([a-z0-9])([A-Z])", "$1_$2")
+          .replaceAll("[-\\s]+", "_").toLowerCase
+        case "kebabcase" => show(a.head)
+          .replaceAll("([A-Z]+)([A-Z][a-z])", "$1-$2")
+          .replaceAll("([a-z0-9])([A-Z])", "$1-$2")
+          .replaceAll("[_\\s]+", "-").toLowerCase
+        case "abbrev" =>
+          val n = asLong(a(0)).toInt
+          val s = show(a(1))
+          if (s.length <= n) s else s.take(n - 3) + "..."
+        case "date" =>
+          val fmt = new java.text.SimpleDateFormat(goLayoutToJava(show(a(0))))
+          fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          fmt.format(java.util.Date.from(toInstant(a(1))))
+        case "toDate" =>
+          val fmt = new java.text.SimpleDateFormat(goLayoutToJava(show(a(0))))
+          fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          fmt.parse(show(a(1))).toInstant
+        case "dateModify" | "date_modify" =>
+          toInstant(a(1)).plusSeconds(goDurationSeconds(show(a(0))))
+        case "unixEpoch" => toInstant(a.head).getEpochSecond
+
         case other => throw new IllegalArgumentException(s"unsupported template function: $other")
       }
+  }
+
+  private def isEmptyVal(v: Any): Boolean = v match {
+    case null => true
+    case "" => true
+    case false => true
+    case n: Number => n.doubleValue == 0.0
+    case _ => false
+  }
+
+  private def truthy(v: Any): Boolean = v match {
+    case b: Boolean => b
+    case null => false
+    case s: String => s == "true"
+    case n: Number => n.doubleValue != 0.0
+    case _ => true
+  }
+
+  private def hexDigest(algo: String, s: String): String =
+    java.security.MessageDigest.getInstance(algo)
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def toInstant(v: Any): java.time.Instant = v match {
+    case i: java.time.Instant => i
+    case t: java.sql.Timestamp => t.toInstant
+    case d: java.util.Date => d.toInstant
+    case l: Long => java.time.Instant.ofEpochSecond(l)
+    case s: String => java.time.Instant.parse(s)
+    case other => sys.error(s"not a time value: $other")
   }
 
   private def toJsonString(v: Any): String = v match {
@@ -158,6 +250,7 @@ object Template {
         case c if c.isWhitespace => i += 1
         case '(' => out += "("; i += 1
         case ')' => out += ")"; i += 1
+        case '|' => out += "|"; i += 1
         case '"' =>
           val end = s.indexOf('"', i + 1)
           require(end >= 0, s"unterminated string in template expr: $s")
@@ -165,7 +258,8 @@ object Template {
           i = end + 1
         case _ =>
           val start = i
-          while (i < s.length && !s(i).isWhitespace && s(i) != '(' && s(i) != ')') i += 1
+          while (i < s.length && !s(i).isWhitespace && s(i) != '(' && s(i) != ')'
+            && s(i) != '|') i += 1
           out += s.substring(start, i)
       }
     }
@@ -173,9 +267,32 @@ object Template {
   }
 
   private[transform] def parseExpr(s: String): Ast = {
-    val (ast, rest) = parseSeq(tokenize(s))
+    val (ast, rest) = parsePipeline(tokenize(s))
     require(rest.isEmpty, s"trailing tokens in template expr: $s")
     ast
+  }
+
+  /** Go-template pipelines: `a | fn args | fn2` desugars to
+    * `fn2 (fn args a)` — the piped value is appended as the LAST
+    * argument (text/template semantics, which is how sprig is used:
+    * `[[ .f | default "x" | upper ]]`).
+    */
+  private def parsePipeline(toks: List[String]): (Ast, List[String]) = {
+    var (ast, rest) = parseSeq(toks)
+    while (rest.nonEmpty && rest.head == "|") {
+      rest = rest.tail
+      require(rest.nonEmpty, "dangling | in template expr")
+      val fn = rest.head
+      rest = rest.tail
+      val args = scala.collection.mutable.ListBuffer.empty[Ast]
+      while (rest.nonEmpty && rest.head != ")" && rest.head != "|") {
+        val (a, r) = parseAtom(rest)
+        args += a
+        rest = r
+      }
+      ast = Call(fn, args.toList :+ ast)
+    }
+    (ast, rest)
   }
 
   /** Parse a function-call sequence `fn arg1 arg2 ...` or a single atom. */
@@ -187,10 +304,10 @@ object Template {
       val (a, rest) = parseAtom(toks)
       (a, rest)
     } else {
-      // function call: name then args until ')' or end
+      // function call: name then args until ')', '|' or end
       var rest = toks.tail
       val args = scala.collection.mutable.ListBuffer.empty[Ast]
-      while (rest.nonEmpty && rest.head != ")") {
+      while (rest.nonEmpty && rest.head != ")" && rest.head != "|") {
         val (a, r) = parseAtom(rest)
         args += a
         rest = r
@@ -201,7 +318,7 @@ object Template {
 
   private def parseAtom(toks: List[String]): (Ast, List[String]) = toks match {
     case "(" :: rest =>
-      val (a, r) = parseSeq(rest)
+      val (a, r) = parsePipeline(rest)
       require(r.nonEmpty && r.head == ")", "unbalanced ( in template expr")
       (a, r.tail)
     case t :: rest if t.startsWith(".") =>
@@ -243,7 +360,134 @@ object Template {
             case StrLit(fmt) => format_string(fmt.replace("%d", "%s"), a.tail: _*)
             case _ => throw new IllegalArgumentException("printf needs literal format")
           }
+
+        // --- sprig subset (reference compiler.go:30-39 registers the
+        // full sprig TxtFuncMap; these are the functions that appear in
+        // sink/source config templates). Argument order follows sprig
+        // (piped value LAST): `default d v`, `replace old new s`,
+        // `trunc n s`, `date layout t`, ...
+        case "default" =>
+          when(a(1).isNull
+            .or(a(1).cast("string") === "")
+            .or(a(1).cast("string") === "0")
+            .or(a(1).cast("string") === "false"), a(0)).otherwise(a(1))
+        case "coalesce" => coalesce(a: _*)
+        case "replace" => call_function("replace", a(2), a(0), a(1))
+        case "trunc" => args.head match {
+          case NumLit(n) if n >= 0 => substring(a(1), 1, n.toInt)
+          case NumLit(n) => substring(a(1), n.toInt, -n.toInt) // last -n chars
+          case _ => throw new IllegalArgumentException("trunc needs literal length")
+        }
+        case "substr" => (args(0), args(1)) match {
+          case (NumLit(st), NumLit(en)) => substring(a(2), st.toInt + 1, (en - st).toInt)
+          case _ => throw new IllegalArgumentException("substr needs literal bounds")
+        }
+        case "repeat" => args.head match {
+          case NumLit(n) => repeat(a(1), n.toInt)
+          case _ => throw new IllegalArgumentException("repeat needs literal count")
+        }
+        case "title" => initcap(a.head)
+        case "trimAll" => args.head match {
+          case StrLit(cut) => trim(a(1), cut)
+          case _ => throw new IllegalArgumentException("trimAll needs literal cutset")
+        }
+        case "trimPrefix" => args.head match {
+          case StrLit(p) => when(a(1).startsWith(p),
+            a(1).substr(lit(p.length + 1), length(a(1)))).otherwise(a(1))
+          case _ => throw new IllegalArgumentException("trimPrefix needs literal prefix")
+        }
+        case "trimSuffix" => args.head match {
+          case StrLit(p) => when(a(1).endsWith(p),
+            a(1).substr(lit(1), length(a(1)) - p.length)).otherwise(a(1))
+          case _ => throw new IllegalArgumentException("trimSuffix needs literal suffix")
+        }
+        case "contains" => a(1).contains(a(0))
+        case "hasPrefix" => a(1).startsWith(a(0))
+        case "hasSuffix" => a(1).endsWith(a(0))
+        case "quote" => concat(lit("\""), a.head.cast("string"), lit("\""))
+        case "squote" => concat(lit("'"), a.head.cast("string"), lit("'"))
+        case "b64enc" => base64(a.head.cast("binary"))
+        case "b64dec" => unbase64(a.head).cast("string")
+        case "sha256sum" => sha2(a.head.cast("binary"), 256)
+        case "md5sum" => md5(a.head.cast("binary"))
+        case "ternary" => when(a(2).cast("boolean"), a(0)).otherwise(a(1))
+        case "max" => greatest(a.map(_.cast("long")): _*)
+        case "min" => least(a.map(_.cast("long")): _*)
+        case "ceil" => ceil(a.head.cast("double"))
+        case "floor" => floor(a.head.cast("double"))
+        case "round" => round(a.head.cast("double")).cast("long")
+        case "nospace" => regexp_replace(a.head, "\\s", "")
+        case "snakecase" => lower(regexp_replace(regexp_replace(
+          regexp_replace(a.head, "([A-Z]+)([A-Z][a-z])", "$1_$2"),
+          "([a-z0-9])([A-Z])", "$1_$2"), "[-\\s]+", "_"))
+        case "kebabcase" => lower(regexp_replace(regexp_replace(
+          regexp_replace(a.head, "([A-Z]+)([A-Z][a-z])", "$1-$2"),
+          "([a-z0-9])([A-Z])", "$1-$2"), "[_\\s]+", "-"))
+        case "abbrev" => args.head match {
+          case NumLit(n) => when(length(a(1)) <= n.toInt, a(1))
+            .otherwise(concat(substring(a(1), 1, n.toInt - 3), lit("...")))
+          case _ => throw new IllegalArgumentException("abbrev needs literal width")
+        }
+        case "date" => args.head match {
+          case StrLit(layout) => date_format(a(1), goLayoutToJava(layout))
+          case _ => throw new IllegalArgumentException("date needs literal layout")
+        }
+        case "toDate" => args.head match {
+          case StrLit(layout) => to_timestamp(a(1), goLayoutToJava(layout))
+          case _ => throw new IllegalArgumentException("toDate needs literal layout")
+        }
+        case "dateModify" | "date_modify" => args.head match {
+          case StrLit(dur) =>
+            a(1) + expr(s"INTERVAL '${goDurationSeconds(dur)}' SECOND")
+          case _ => throw new IllegalArgumentException("dateModify needs literal duration")
+        }
+        case "unixEpoch" => unix_timestamp(a.head)
+
         case other => throw new IllegalArgumentException(s"unsupported template function: $other")
       }
+  }
+
+  // --- sprig/Go helpers -------------------------------------------------
+
+  /** Go reference-time layout → java.time pattern (the tokens that
+    * occur in real templates; unknown letter runs are quoted through).
+    */
+  private[graft] def goLayoutToJava(layout: String): String = {
+    val tokens: Seq[(String, String)] = Seq(
+      "2006" -> "yyyy", "January" -> "MMMM", "Jan" -> "MMM",
+      "Monday" -> "EEEE", "Mon" -> "EEE", ".000000" -> ".SSSSSS",
+      ".000" -> ".SSS", "Z07:00" -> "XXX", "-07:00" -> "XXX",
+      "-0700" -> "Z", "MST" -> "zzz", "15" -> "HH", "01" -> "MM",
+      "02" -> "dd", "03" -> "hh", "04" -> "mm", "05" -> "ss",
+      "PM" -> "a", "pm" -> "a")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < layout.length) {
+      tokens.find { case (go, _) => layout.startsWith(go, i) } match {
+        case Some((go, java)) => sb ++= java; i += go.length
+        case None =>
+          val c = layout(i)
+          if (c.isLetter) sb ++= s"'$c'" else if (c == '\'') sb ++= "''" else sb += c
+          i += 1
+      }
+    }
+    sb.toString.replace("''''", "''") // collapse adjacent quoted letters
+  }
+
+  /** Go duration string ("1h30m", "-15m", "90s") → whole seconds. */
+  private[graft] def goDurationSeconds(d: String): Long = {
+    val neg = d.startsWith("-")
+    val m = java.util.regex.Pattern.compile("(\\d+)(h|ms|m|s)").matcher(d)
+    var secs = 0L
+    while (m.find()) {
+      val n = m.group(1).toLong
+      secs += (m.group(2) match {
+        case "h" => n * 3600
+        case "m" => n * 60
+        case "s" => n
+        case "ms" => n / 1000
+      })
+    }
+    if (neg) -secs else secs
   }
 }

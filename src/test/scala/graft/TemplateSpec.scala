@@ -5,7 +5,8 @@ import graft.transform.Template
 class TemplateSpec extends SparkSuite {
   import spark.implicits._
 
-  private def rec = Seq(("group_1", 1500L, "v")).toDF("__METADATA__group_id", "idx", "x")
+  private def rec = Seq(("group_1", 1500L, "v", ""))
+    .toDF("__METADATA__group_id", "idx", "x", "empty")
 
   private def render(tpl: String): String =
     rec.select(Template.compile(tpl).as("out")).as[String].head()
@@ -33,6 +34,69 @@ class TemplateSpec extends SparkSuite {
   test("isDynamic detects [[ ]] sections") {
     assert(Template.isDynamic("a_[[ .x ]]"))
     assert(!Template.isDynamic("static.json"))
+  }
+
+  test("pipelines desugar with the piped value as last arg (text/template semantics)") {
+    assert(render("[[ .__METADATA__group_id | upper ]]") == "GROUP_1")
+    assert(render("[[ .empty | default \"fallback\" ]]") == "fallback")
+    assert(render("[[ .__METADATA__group_id | default \"x\" | upper ]]") == "GROUP_1")
+  }
+
+  test("sprig subset — string functions (Column path)") {
+    assert(render("[[ replace \"_\" \"-\" .__METADATA__group_id ]]") == "group-1")
+    assert(render("[[ trunc 5 .__METADATA__group_id ]]") == "group")
+    assert(render("[[ trunc -1 .__METADATA__group_id ]]") == "1")
+    assert(render("[[ substr 0 5 .__METADATA__group_id ]]") == "group")
+    assert(render("[[ .__METADATA__group_id | title ]]") == "Group_1")
+    assert(render("[[ repeat 3 \"ab\" ]]") == "ababab")
+    assert(render("[[ trimPrefix \"group_\" .__METADATA__group_id ]]") == "1")
+    assert(render("[[ trimSuffix \"_1\" .__METADATA__group_id ]]") == "group")
+    assert(render("[[ quote .__METADATA__group_id ]]") == "\"group_1\"")
+    assert(render("[[ b64enc .__METADATA__group_id ]]") == "Z3JvdXBfMQ==")
+    assert(render("[[ b64dec \"Z3JvdXBfMQ==\" ]]") == "group_1")
+    assert(render("[[ nospace \"a b  c\" ]]") == "abc")
+    assert(render("[[ abbrev 6 .__METADATA__group_id ]]") == "gro...")
+    assert(render("[[ ternary \"yes\" \"no\" (hasPrefix \"group\" .__METADATA__group_id) ]]")
+      == "yes")
+    assert(render("[[ snakecase \"someValue X\" ]]") == "some_value_x")
+    assert(render("[[ kebabcase \"someValue\" ]]") == "some-value")
+  }
+
+  test("sprig subset — math and date functions (Column path)") {
+    assert(render("[[ max .idx 2000 ]]") == "2000")
+    assert(render("[[ min .idx 2000 ]]") == "1500")
+    assert(render("[[ date \"2006-01-02\" (toDate \"2006-01-02 15:04:05\" \"2026-08-12 10:30:00\") ]]")
+      == "2026-08-12")
+    assert(render(
+      "[[ date \"2006-01-02 15:04\" (dateModify \"-1h30m\" (toDate \"2006-01-02 15:04:05\" \"2026-08-12 10:30:00\")) ]]")
+      == "2026-08-12 09:00")
+    assert(render("[[ unixEpoch (toDate \"2006-01-02\" \"1970-01-02\") ]]") == "86400")
+  }
+
+  test("sprig subset — driver render mirror") {
+    val vals = Map[String, Any]("name" -> "someValue", "n" -> 0L, "s" -> "a_b")
+    assert(Template.render("[[ .n | default 42 ]]", vals) == "42")
+    assert(Template.render("[[ .missing | default \"d\" | upper ]]", vals) == "D")
+    assert(Template.render("[[ replace \"_\" \"-\" .s ]]", vals) == "a-b")
+    assert(Template.render("[[ trunc 4 .name ]]", vals) == "some")
+    assert(Template.render("[[ snakecase .name ]]", vals) == "some_value")
+    assert(Template.render("[[ sha256sum \"abc\" ]]", vals)
+      == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(Template.render("[[ ternary \"t\" \"f\" (contains \"_\" .s) ]]", vals) == "t")
+    assert(Template.render(
+      "[[ date \"2006/01/02\" (toDate \"2006-01-02\" \"2026-08-12\") ]]", vals)
+      == "2026/08/12")
+    assert(Template.render("[[ b64enc .s | b64dec ]]", vals) == "a_b")
+  }
+
+  test("go layout and duration conversion") {
+    assert(Template.goLayoutToJava("2006-01-02T15:04:05Z07:00")
+      == "yyyy-MM-dd'T'HH:mm:ssXXX")
+    assert(Template.goLayoutToJava("Jan 02 2006 03:04 PM")
+      == "MMM dd yyyy hh:mm a")
+    assert(Template.goDurationSeconds("1h30m") == 5400L)
+    assert(Template.goDurationSeconds("-15m") == -900L)
+    assert(Template.goDurationSeconds("90s") == 90L)
   }
 
   test("driver-side render against a value map (compiler.Compile path)") {
