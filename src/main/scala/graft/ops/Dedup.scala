@@ -278,12 +278,14 @@ object Dedup {
     val buckets = sh.groupBy("gram")
       .agg(sort_array(collect_list(col("__id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDocFreq))
-    val pairs = buckets.select(explode(
-      flatten(transform(col("ids"), (x, i) =>
-        transform(
-          slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    // Pair expansion as two codegen'd generators instead of nested
+    // array HOFs (interpreted per element): ids are sorted, so the
+    // `<` filter yields exactly the ordered pairs the slice-based
+    // expansion produced, with every operator inside WholeStageCodegen.
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
     val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
