@@ -90,6 +90,18 @@ object Pipeline {
           SqlScript.run(spark, q, dryRun = false)
             .getOrElse(sys.error("query script produced no result"))
       }
+    case "HTTP" =>
+      // S8: one GET, NDJSON body → records (ext/http/source.go:78-132)
+      val doer = spec.clients.get("HTTP") match {
+        case Some(d: graft.sources.Http.HttpDoer) => d
+        case _ => new graft.sources.Http.JdkHttpDoer()
+      }
+      graft.sources.Http.readNdjson(spark,
+        endpoint = key(spec.env, "HTTP", "ENDPOINT")
+          .getOrElse(sys.error("HTTP__ENDPOINT required")),
+        headers = httpHeaders(spark, spec),
+        oauth = oauthFromEnv(spec, "HTTP"),
+        doer = doer)
     case "SF" =>
       // S5: SOQL pagination over an injected client (source.go:64-151)
       val client = spec.clients.get("SF") match {
@@ -171,6 +183,35 @@ object Pipeline {
     withIndex(jq(df))
   }
 
+  /** "K: V"-line headers from HTTP__HEADERS_FILE_PATH or the packed
+    * HTTP__HEADER "k:v,k2:v2" form (internal/config/sink_http.go:7-8).
+    */
+  private def httpHeaders(spark: SparkSession, spec: Spec): Map[String, Seq[String]] =
+    key(spec.env, "HTTP", "HEADERS_FILE_PATH")
+      .map(p => graft.sources.Http.parseHeaders(
+        QueryLoop.readQueryFiles(spark, p).headOption.map(_._2).getOrElse("")))
+      .orElse(key(spec.env, "HTTP", "HEADER").map(h =>
+        graft.sources.Http.parseHeaders(h.split(',').mkString("\n"))))
+      .getOrElse(Map.empty)
+
+  /** OAuth2 client-credentials config (HTTP__CLIENT_CREDENTIALS_*,
+    * internal/config/sink_http.go:15-18), over the JDK HTTP client.
+    */
+  private def oauthFromEnv(spec: Spec, comp: String): Option[graft.util.OAuth2.ClientCredentials] =
+    for {
+      id <- key(spec.env, comp, "CLIENT_CREDENTIALS_CLIENT_ID").filter(_.nonEmpty)
+      secret <- key(spec.env, comp, "CLIENT_CREDENTIALS_CLIENT_SECRET").filter(_.nonEmpty)
+      url <- key(spec.env, comp, "CLIENT_CREDENTIALS_TOKEN_URL").filter(_.nonEmpty)
+    } yield new graft.util.OAuth2.ClientCredentials(url, id, secret,
+      new graft.util.OAuth2.HttpPost {
+        def post(u: String, headers: Map[String, String]): String = {
+          val (status, body) = new graft.sources.Http.JdkHttpDoer()
+            .send("POST", u, headers.view.mapValues(Seq(_)).toMap, None)
+          if (status != 200) sys.error(s"failed to get token: $status, response: $body")
+          body
+        }
+      })
+
   /** Write to one sink (registry ≅ component.go:138-224). Returns output
     * locations (for FILE-family) or logical names.
     */
@@ -215,6 +256,25 @@ object Pipeline {
         // arbitrary frames.
         df.toJSON.toLocalIterator().forEachRemaining(println(_))
         Seq("stdout")
+      case "HTTP" =>
+        // K9 (ext/http/sink.go:122-240): records group by their compiled
+        // endpoint; batches flush as one request each over the real JDK
+        // client (or an injected doer)
+        val doer = spec.clients.get("HTTP") match {
+          case Some(d: graft.sources.Http.HttpDoer) => d
+          case _ => new graft.sources.Http.JdkHttpDoer()
+        }
+        val endpoint = key(spec.env, "HTTP", "ENDPOINT")
+          .orElse(key(spec.env, "HTTP", "DESTINATION_URI"))
+          .getOrElse(sys.error("HTTP__ENDPOINT required"))
+        graft.sinks.PartitionSinks.writeGrouped(df, endpoint,
+          new graft.sources.Http.SinkClientFactory(
+            method = key(spec.env, "HTTP", "METHOD").getOrElse("POST"),
+            headers = httpHeaders(df.sparkSession, spec),
+            oauth = oauthFromEnv(spec, "HTTP"),
+            doer = doer),
+          batchSize = key(spec.env, "HTTP", "BATCH_SIZE").map(_.toInt).getOrElse(1))
+        Seq(endpoint)
       case "SMTP" =>
         // K6 (ext/smtp/sink.go): grouped attachment write + MIME compose;
         // the SMTP transport itself is injected (no server in sandbox)
@@ -290,7 +350,9 @@ object Pipeline {
               .map(dsn => sinkName -> probe(dsn.stripPrefix("jdbc:")))
         }
       case "HTTP" =>
-        key(spec.env, "HTTP", "DESTINATION_URI").map(u => sinkName -> probe(u))
+        key(spec.env, "HTTP", "ENDPOINT")
+          .orElse(key(spec.env, "HTTP", "DESTINATION_URI"))
+          .map(u => sinkName -> probe(u))
       case "SMTP" =>
         key(spec.env, "SMTP", "CONNECTION_DSN").map { dsn =>
           val (h, p, _, _) = graft.sinks.Smtp.parseDsn(dsn)
