@@ -366,7 +366,10 @@ object Pipeline {
   }
 
   def run(spark: SparkSession, spec: Spec): Result = {
-    val plan = transform(source(spark, spec), spec)
+    // record-count metrics ride the plan itself (commonmetric.go
+    // recordCount, as a map-side observation — no extra pass)
+    val plan = graft.util.Metrics.observe(
+      transform(source(spark, spec), spec), "pipeline")
     if (spec.dryRun) {
       // D15: explain (no data side effects) + per-sink connectivity
       // probes, mirroring the reference's DryRunable/ConnCheck split

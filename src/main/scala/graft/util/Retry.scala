@@ -7,7 +7,10 @@ package graft.util
   * driver-side connector calls (page fetches, table ops).
   */
 object Retry {
-  def apply[T](maxAttempts: Int = 3, backoffMs: Long = 1000L)(f: => T): T = {
+  def apply[T](
+      maxAttempts: Int = 3,
+      backoffMs: Long = 1000L,
+      onRetry: () => Unit = () => ())(f: => T): T = {
     var attempt = 0
     var sleep = backoffMs
     while (true) {
@@ -16,6 +19,7 @@ object Retry {
         case e: Throwable =>
           attempt += 1
           if (attempt >= maxAttempts) throw e
+          onRetry()
           Thread.sleep(sleep)
           sleep *= 2
       }
