@@ -164,13 +164,10 @@ object Pipeline {
     // Subset misses surface when the compiled transform is APPLIED to
     // the frame (plan construction), so the fallback wraps application.
     val jq: DataFrame => DataFrame = key(spec.env, "JQ", "QUERY") match {
-      case Some(q) =>
-        d =>
-          try Jq.compile(q)(d)
-          catch {
-            case scala.util.control.NonFatal(_) =>
-              graft.transform.JqEscapeHatch(d, q)
-          }
+      // templated programs ([[ ]] over record fields) route through the
+      // per-program grouping path (connector.go:57-95); plain programs
+      // compile once, with the real-jq escape hatch on subset misses
+      case Some(q) => d => Jq.applyTemplated(d, q)
       case None => identity
     }
     val withIndex: DataFrame => DataFrame =
@@ -408,7 +405,17 @@ object TableSink {
       val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
       df.select(target.fields.map { f =>
         byLower.get(f.name.toLowerCase) match {
-          case Some(src) => col(s"`$src`").cast(f.dataType).as(f.name)
+          case Some(src) =>
+            val srcType = df.schema(src).dataType
+            // string→timestamp goes through the multi-format parsing
+            // ladder (util.go:665-711), not a bare cast
+            val c0 = (f.dataType, srcType) match {
+              case (org.apache.spark.sql.types.TimestampType,
+                org.apache.spark.sql.types.StringType) =>
+                graft.functions.TimeParse.parseTime(col(s"`$src`"))
+              case _ => col(s"`$src`").cast(f.dataType)
+            }
+            c0.as(f.name)
           case None => lit(null).cast(f.dataType).as(f.name)
         }
       }.toIndexedSeq: _*)

@@ -81,4 +81,46 @@ class JqSpec extends SparkSuite {
     assert(out.columns.toSeq == Seq("_1", "_2"))
     assert(out.count() == 2)
   }
+
+  test("templated jq: per-record compiled program grouping (connector.go:57-95)") {
+    // records route to DIFFERENT programs depending on their own fields
+    val df = Seq((1L, 10L, "keep"), (2L, 20L, "keep"), (3L, 30L, "drop"))
+      .toDF("id", "v", "mode")
+    val out = Jq.applyTemplated(df,
+      "select(.mode == \"[[ .mode ]]\") | {id: .id, tag: \"[[ .mode ]]\"}")
+    // each slice ran its own program; select matches within each slice
+    val rows = out.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "keep"), (2L, "keep"), (3L, "drop")))
+    // non-templated program passes through the plain path
+    val plain = Jq.applyTemplated(df, ".id")
+    assert(plain.columns.toSeq == Seq("id"))
+  }
+
+  test("time parsing ladder accepts the reference's formats (util.go:665-711)") {
+    import graft.functions.TimeParse
+    val df = Seq(
+      "2026-08-12T10:30:00+07:00", // RFC3339
+      "2026-08-12 10:30:00", // DateTimeFormat
+      "2026-08-12", // DateFormat
+      "2026-08-12T10:30:00.000-0700", // ISO non-standard
+      "definitely not a time")
+      .toDF("s")
+    val parsed = df.select(TimeParse.parseTime(org.apache.spark.sql.functions.col("s"))
+      .as("t")).collect().map(r => Option(r.getTimestamp(0)))
+    assert(parsed.take(4).forall(_.isDefined))
+    assert(parsed(4).isEmpty) // unparseable → null, not an ANSI throw
+    assert(parsed(1).get.toString.startsWith("2026-08-12 10:30:00"))
+  }
+
+  test("table sink coerces string timestamps through the ladder (K2 type coercion)") {
+    val spark2 = spark
+    import spark2.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_times")
+    Seq(Tuple1(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("ts").write.saveAsTable("graft_times")
+    graft.pipeline.TableSink.write(
+      Seq("2026-08-12T10:30:00.000-0700").toDF("ts"), "graft_times", "APPEND")
+    assert(spark.table("graft_times").where("ts IS NOT NULL").count() == 2)
+    spark.sql("DROP TABLE graft_times")
+  }
 }
