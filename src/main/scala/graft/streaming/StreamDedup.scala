@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming deduplication — the continuous-ingest counterpart of the
+  * batch exact-dedup operator (ops/Dedup.scala). Two paths:
+  *
+  *  - [[dedupWithinWatermark]]: Spark-native
+  *    `dropDuplicatesWithinWatermark` — state for a key is dropped once
+  *    the watermark passes it, so state size is bounded by the
+  *    watermark horizon × key arrival rate. This is the 100 TB-stream
+  *    answer: no unbounded seen-set.
+  *
+  *  - [[firstSeenTagged]]: custom state via `flatMapGroupsWithState`
+  *    (the KeyValueGroupedDataset custom-state surface): every record
+  *    is EMITTED, tagged with whether its key was seen before and the
+  *    running per-key count — the streaming version of the batch
+  *    dup-groups operator (q21), useful when the pipeline wants to
+  *    route dupes rather than drop them. State carries one counter per
+  *    live key and expires on a processing-time timeout.
+  */
+object StreamDedup {
+
+  case class KeyedRecord(key: String, ts: java.sql.Timestamp, payload: String)
+  case class SeenState(count: Long)
+  case class TaggedRecord(
+      key: String,
+      ts: java.sql.Timestamp,
+      payload: String,
+      seen_before: Boolean,
+      seen_count: Long)
+
+  /** Built-in streaming dedup: duplicates of a key arriving within the
+    * watermark horizon are dropped; state self-expires.
+    */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Custom-state dedup tagging: all records flow through, stamped
+    * with (seen_before, seen_count). Rows inside one micro-batch group
+    * are processed in event-time order.
+    *
+    * `stateTimeout`: None → state lives for the query's lifetime
+    * (NoTimeout). Some(duration) → per-key state expires after the
+    * duration of inactivity. NOTE: a processing-time timeout makes the
+    * engine self-trigger batches to evaluate expirations, so pair it
+    * with a real trigger interval — under the default ASAP trigger the
+    * engine busy-loops empty batches (and `processAllAvailable` never
+    * quiesces).
+    */
+  def firstSeenTagged(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      stateTimeout: Option[String] = None): Dataset[TaggedRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val payload = to_json(struct(df.columns.map(col).toIndexedSeq: _*))
+    val packed = df.select(
+      col(keyCol).cast("string").as("key"),
+      col(tsCol).cast("timestamp").as("ts"),
+      payload.as("payload")).as[KeyedRecord]
+    val timeoutConf = stateTimeout match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
+    packed.groupByKey(_.key)
+      .flatMapGroupsWithState[SeenState, TaggedRecord](
+        OutputMode.Append, timeoutConf) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var count = state.getOption.map(_.count).getOrElse(0L)
+            // materialize before updating state: the iterator must not
+            // observe post-update state
+            val out = rows.toSeq.sortBy(_.ts.getTime).map { r =>
+              count += 1
+              TaggedRecord(key, r.ts, r.payload, count > 1, count)
+            }
+            state.update(SeenState(count))
+            stateTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+}

@@ -88,4 +88,47 @@ class StreamingSpec extends SparkSuite {
       assert(spark.table("drop_out").count() == 3)
     } finally q.stop()
   }
+
+  test("streaming dedup drops duplicates within the watermark horizon") {
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "key")
+    val out = StreamDedup.dedupWithinWatermark(df, Seq("key"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-08-12 10:00:00")
+      val t1 = Timestamp.valueOf("2026-08-12 10:01:00")
+      input.addData((t0, "a"), (t1, "a"), (t0, "b")) // a duplicated in-horizon
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("key")
+        .as[String].collect().sorted.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState tags repeats across micro-batches (custom state)") {
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "key", "v")
+    val out = StreamDedup.firstSeenTagged(df, "key", "ts")
+    val q = out.writeStream.format("memory").queryName("tagged_out")
+      .outputMode("append").start()
+    try {
+      val t = Timestamp.valueOf("2026-08-12 10:00:00")
+      input.addData((t, "k1", 1L), (t, "k2", 2L))
+      q.processAllAvailable()
+      // second batch: k1 repeats — state must survive the batch boundary
+      input.addData((Timestamp.valueOf("2026-08-12 10:05:00"), "k1", 3L))
+      q.processAllAvailable()
+      val rows = spark.table("tagged_out")
+        .select("key", "seen_before", "seen_count")
+        .as[(String, Boolean, Long)].collect().sorted.toSeq
+      assert(rows == Seq(("k1", false, 1L), ("k1", true, 2L), ("k2", false, 1L)))
+      // payload carries the full original record
+      assert(spark.table("tagged_out").where("key = 'k2'")
+        .select("payload").as[String].head().contains("\"v\":2"))
+    } finally q.stop()
+  }
 }
