@@ -297,6 +297,23 @@ object Pipeline {
             .getOrElse("/tmp/graft_smtp")),
           mailer, dryRun = spec.dryRun)
         emails.map(e => s"smtp:${e.to.mkString(",")}")
+      case "REDIS" =>
+        // K8 (ext/redis/sink.go:35-170): templated key/value per record,
+        // MSET batches over the RESP transport (or an injected client)
+        val factory = spec.clients.get("REDIS") match {
+          case Some(f: graft.sinks.PartitionSinks.ClientFactory) => f
+          case _ => new graft.sinks.Redis.ClientFactory(
+            key(spec.env, "REDIS", "CONNECTION_DSN")
+              .getOrElse(sys.error("REDIS__CONNECTION_DSN required")))
+        }
+        graft.sinks.PartitionSinks.writeKeyValue(df,
+          keyTemplate = key(spec.env, "REDIS", "RECORD_KEY")
+            .getOrElse(sys.error("REDIS__RECORD_KEY required")),
+          valueTemplate = key(spec.env, "REDIS", "RECORD_VALUE"),
+          factory = factory,
+          batchSize = key(spec.env, "REDIS", "BATCH_SIZE")
+            .map(_.toInt).getOrElse(512))
+        Seq("redis")
       case "PSQL" | "JDBC" =>
         // K7 (ext/postgresql/sink.go:35-191): COPY-shaped batched path
         // through an injected transport; plain Spark JDBC append when
@@ -353,6 +370,11 @@ object Pipeline {
       case "SMTP" =>
         key(spec.env, "SMTP", "CONNECTION_DSN").map { dsn =>
           val (h, p, _, _) = graft.sinks.Smtp.parseDsn(dsn)
+          sinkName -> probe(s"$h:$p")
+        }
+      case "REDIS" =>
+        key(spec.env, "REDIS", "CONNECTION_DSN").map { dsn =>
+          val (h, p, _) = graft.sinks.Redis.parseDsn(dsn)
           sinkName -> probe(s"$h:$p")
         }
       case "KAFKA" =>
