@@ -10,9 +10,10 @@ import org.apache.spark.sql.types._
   * the 100 TB-scale layout: bytes stay columnar in parquet, metadata
   * is queryable/prunable without touching payloads.
   *
-  * Image metadata decode is REAL (JDK-native `javax.imageio`, see
-  * [[decodeImageMeta]]). The feature-extraction / resize / frame
-  * kernels remain STUBS (the container ships no vision/audio codecs):
+  * Image and audio metadata decode are REAL (JDK-native
+  * `javax.imageio` / `javax.sound.sampled`, see [[decodeImageMeta]] /
+  * [[decodeAudioMeta]]). The feature-extraction / resize / frame
+  * kernels remain STUBS (the container ships no vision/video codecs):
   * they produce deterministic fake outputs derived from the payload
   * bytes. Everything AROUND a stub — schema, batch iteration,
   * partition sizing, output shapes — is the real distributed plumbing
@@ -103,6 +104,49 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, mediaSchema)
   }
+
+  /** REAL audio metadata decode via JDK-native `javax.sound.sampled`
+    * (wav/aiff/au): duration from frame count / frame rate lands in
+    * `meta.duration_ms`. Same header-only, mapPartitions shape as
+    * [[decodeImageMeta]]; undecodable payloads keep their meta.
+    */
+  def decodeAudioMeta(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val idIdx = schema.fieldIndex("media_id")
+    val contentIdx = schema.fieldIndex("content")
+    val metaIdx = schema.fieldIndex("meta")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val meta = r.getAs[Row](metaIdx)
+        audioDurationMs(bytes) match {
+          case Some(ms) =>
+            val mime = Option(meta).map(_.getAs[String]("mime")).orNull
+            val w = Option(meta).map(_.getAs[java.lang.Integer]("width")).orNull
+            val h = Option(meta).map(_.getAs[java.lang.Integer]("height")).orNull
+            Row(r.getLong(idIdx), bytes, Row(mime, w, h, ms))
+          case None => Row(r.getLong(idIdx), bytes, meta)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private[graft] def audioDurationMs(bytes: Array[Byte]): Option[java.lang.Long] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val frames = in.getFrameLength
+          val rate = in.getFormat.getFrameRate
+          if (frames >= 0 && rate > 0)
+            Some(java.lang.Long.valueOf((frames * 1000.0 / rate).toLong))
+          else None
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Header-only (width, height) via the matching ImageReader. */
   private[ops] def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] =

@@ -81,6 +81,28 @@ class MultimodalSpec extends SparkSuite {
     assert(out(2).getStruct(2).isNullAt(1))
   }
 
+  test("REAL audio decode: WAV duration lands in meta (javax.sound.sampled)") {
+    // render a real 0.5s 8kHz mono WAV in-memory
+    val format = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val samples = new Array[Byte](8000) // 4000 frames = 500 ms
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), format, 4000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val df = Seq((1L, wav), (2L, Array[Byte](9, 9, 9)))
+      .toDF("media_id", "content")
+      .selectExpr("media_id", "content",
+        "named_struct('mime', CAST(NULL AS STRING), 'width', CAST(NULL AS INT), " +
+          "'height', CAST(NULL AS INT), 'duration_ms', CAST(NULL AS BIGINT)) AS meta")
+    val out = Multimodal.decodeAudioMeta(df).orderBy("media_id").collect()
+    assert(out(0).getStruct(2).getAs[Long]("duration_ms") == 500L)
+    assert(out(1).getStruct(2).isNullAt(3)) // undecodable keeps nulls
+    // the RIFF sniffer recognizes the container
+    assert(Multimodal.audioDurationMs(wav).isDefined)
+  }
+
   test("frame sampling emits n rows per video (1→N)") {
     val df = Seq((7L, Array.tabulate[Byte](1000)(_.toByte), ("video/mp4", 0, 0, 0L)))
       .toDF("media_id", "content", "meta")
