@@ -700,6 +700,23 @@ object SparkEntry {
       TextOps.langIdNgram(t(s, dir, "documents"), "doc_id", "text", "lang")
         .orderBy("doc_id")),
 
+    "q57_pii_scrub" -> ((s, dir) => {
+      // PII redaction over documents; deterministic synthetic contact
+      // info appended so the scrub provably fires on every row
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com see http://ex.com/d/"), col("doc_id").cast("string"),
+        lit(" from 10.0.0.1 ref 5551234567"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.scrubPii(aug).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    "q58_embed_quantize" -> ((s, dir) =>
+      // symmetric max-abs int8 quantization, one row per (vector, dim)
+      graft.ops.Quantize.int8Rows(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id", "i")),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -1081,6 +1098,36 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q57_pii_scrub" -> {
+      // nested regexp_replace chain generated from the SAME pattern
+      // list the Spark operator uses (TextOps.PiiPatterns)
+      // DuckDB single-quoted literals keep backslashes verbatim, so
+      // the Java-regex strings embed unchanged
+      val scrubbed = TextOps.PiiPatterns.foldLeft("a") {
+        case (inner, (pat, repl)) =>
+          s"regexp_replace($inner, '$pat', '$repl', 'g')"
+      }
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com see http://ex.com/d/' || CAST(doc_id AS VARCHAR) ||
+         |    ' from 10.0.0.1 ref 5551234567' AS a
+         |  FROM documents)
+         |SELECT doc_id, $scrubbed AS clean_text
+         |FROM aug ORDER BY doc_id""".stripMargin
+    },
+
+    "q58_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x,
+        |    CAST(t.i AS BIGINT) AS i
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |m AS (SELECT vec_id, MAX(ABS(x)) AS amax FROM e GROUP BY vec_id)
+        |SELECT e.vec_id, e.i,
+        |  CAST(CASE WHEN m.amax = 0 THEN 0
+        |    ELSE round(e.x * 127 / m.amax) END AS BIGINT) AS q
+        |FROM e JOIN m USING (vec_id)
+        |ORDER BY e.vec_id, e.i""".stripMargin,
 
     "q56_prequery_loop" ->
       // the loop's net semantics: every (pre-row, templated query) pair

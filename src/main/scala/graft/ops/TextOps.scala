@@ -195,4 +195,25 @@ object TextOps {
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  // ------------------------------------------------------------------
+  // PII scrubbing — every training-data pipeline redacts contact info
+  // before the corpus ships. Pure regexp_replace chain (codegen'd,
+  // shuffle-free); the patterns avoid lookaround so the SAME strings
+  // run under Java regex (Spark) and RE2 (DuckDB oracle) identically.
+  // Replacement order matters and is part of the contract: emails
+  // first (URLs may not swallow the user@host), then URLs, IPs, and
+  // long digit runs (phone/account numbers).
+  // ------------------------------------------------------------------
+
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{7,}\\b" -> "<NUM>")
+
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
 }

@@ -4,6 +4,53 @@ import org.apache.spark.sql.functions._
 import graft.ops.TextOps
 
 class TextOpsSpec extends SparkSuite {
+
+  test("PII scrubbing redacts emails, URLs, IPs and long digit runs in order") {
+    import spark.implicits._
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "docs at https://ex.com/a?b=1#f end",
+      "host 192.168.1.100 up",
+      "call 5551234567 or 555123 short",
+      "clean text stays").toDF("t")
+    val out = df.select(graft.ops.TextOps.scrubPii($"t").as("c")).as[String]
+      .collect().toSeq
+    assert(out == Seq(
+      "mail <EMAIL> now",
+      "docs at <URL> end",
+      "host <IP> up",
+      "call <NUM> or 555123 short", // 6 digits: below the 7+ threshold
+      "clean text stays"))
+  }
+
+  test("int8 quantization round-trips within one level; zero vector is all zeros") {
+    import spark.implicits._
+    import graft.ops.Quantize
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val packed = Quantize.int8(df, "vec_id", "embedding").orderBy("vec_id").collect()
+    val q1 = packed(0).getSeq[Byte](2)
+    val s1 = packed(0).getFloat(1)
+    assert(q1 == Seq[Byte](64, -127, 32)) // round(x*127/amax), amax=1.0
+    // dequantized values within half a level of the originals
+    Seq(0.5f, -1.0f, 0.25f).zip(q1).foreach { case (x, q) =>
+      assert(math.abs(x - q * s1) <= s1 / 2 + 1e-6)
+    }
+    assert(packed(1).getSeq[Byte](2) == Seq[Byte](0, 0, 0))
+    assert(packed(1).getFloat(1) == 0f)
+    // int8 cosine tracks float cosine
+    val two = Quantize.int8(
+      Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(2.0f, 4.0f, 6.0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val a = two.where("vec_id = 1").select("qvec", "scale").head()
+    val b = two.where("vec_id = 2").select("qvec", "scale").head()
+    val cos = Seq((a.getSeq[Byte](0), a.getFloat(1), b.getSeq[Byte](0), b.getFloat(1)))
+      .toDF("qa", "sa", "qb", "sb")
+      .select(Quantize.cosineInt8($"qa", $"sa", $"qb", $"sb").as("c"))
+      .as[Double].head()
+    assert(math.abs(cos - 1.0) < 0.01) // parallel vectors
+  }
   import spark.implicits._
 
   private def docs = Seq(
