@@ -90,4 +90,28 @@ class PlanSpec extends SparkSuite {
     // two HashAggregate stages around one Exchange = partial + final
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("PII scrub is a shuffle-free codegen projection (q57)") {
+    import org.apache.spark.sql.functions._
+    // the operator itself (before the presentation orderBy): one
+    // embarrassingly parallel scan→project pass, no UDF, no exchange
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), graft.ops.TextOps.scrubPii(col("text")).as("clean"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
+  }
+
+  test("int8 quantization shuffles once, partitioned by vector id (q58)") {
+    val df = graft.ops.Quantize.int8Rows(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding")
+    val p = plan(df)
+    // exactly one exchange: the per-vector window (no global window)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(vec_id"), p)
+    // packed form is pure map-side (HOF aggregate over the array)
+    val packed = graft.ops.Quantize.int8(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding")
+    assert(!plan(packed).contains("Exchange"), plan(packed))
+  }
 }
