@@ -100,6 +100,12 @@ object QueryLoop {
         }
       case None => Seq(Map(spec.filenameColumn -> spec.preQueryFilename))
     }
+    // pre-row field types, for typed literals on the merge (a bare
+    // lit(null) would give the merged column NullType, which breaks
+    // downstream parquet/union consumers)
+    val preTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      preDf.map(_.schema.fields.map(f =>
+        (spec.metadataPrefix + f.name) -> f.dataType).toMap).getOrElse(Map.empty)
 
     // 2. per (pre-row, file): compile + (unless dry-run) execute
     val compiled = for {
@@ -117,7 +123,10 @@ object QueryLoop {
           val have = res.columns.map(_.toLowerCase).toSet
           val extra: Seq[Column] = pre.toSeq.sortBy(_._1).collect {
             case (k, v) if k != spec.filenameColumn && !have.contains(k.toLowerCase) =>
-              lit(v).as(k)
+              preTypes.get(k) match {
+                case Some(dt) => lit(v).cast(dt).as(k)
+                case None => lit(v).as(k)
+              }
           }
           res.select(
             (res.columns.filterNot(_ == spec.filenameColumn).map(c => col(s"`$c`")).toSeq

@@ -168,6 +168,25 @@ class PipelineSpec extends SparkSuite {
     assert(out.merged.get.count() == 5)
   }
 
+  test("pre-query loop: null pre-row values merge with the pre-query's types") {
+    import graft.pipeline.QueryLoop
+    Seq((1L, Option.empty[String]), (2L, Some("tag")))
+      .toDF("gk", "note").createOrReplaceTempView("geos_nullable")
+    Seq((1L, 10L), (2L, 20L)).toDF("gk", "id").createOrReplaceTempView("facts_n")
+    val out = QueryLoop.run(spark, QueryLoop.Spec(
+      preQuery = "SELECT gk, note FROM geos_nullable",
+      queryFiles = Seq(
+        "f.sql" -> "SELECT id FROM facts_n WHERE gk = [[ .__METADATA__gk ]]")))
+    val data = out.data.get
+    // merged column keeps the pre-query's STRING type even when the
+    // first pre-row's value is null (a bare lit(null) would be NullType)
+    assert(data.schema("__METADATA__note").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val dir = tmp()
+    data.write.mode("overwrite").parquet(s"$dir/loop_out") // must not throw
+    assert(spark.read.parquet(s"$dir/loop_out").count() == 2)
+  }
+
   test("pre-query loop: empty pre-query runs each file once (client_reader.go:76-79)") {
     import graft.pipeline.QueryLoop
     Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("solo")
@@ -204,6 +223,20 @@ class PipelineSpec extends SparkSuite {
     assert(dry.data.isEmpty)
     assert(dry.compiled ==
       Seq(("q1.sql", "SELECT id FROM loop_src WHERE id > <no value>")))
+  }
+
+  test("destination templates may reference metadata columns (constructFileURI shape)") {
+    val dir = tmp()
+    val df = Seq((1L, "x"), (2L, "y"))
+      .toDF("id", "v")
+      .withColumn("__METADATA__batch", org.apache.spark.sql.functions.lit("b7"))
+    val outs = FileSink.write(df, FileSink.Spec(
+      destinationUri = s"$dir/out_[[ .__METADATA__batch ]]_[[ .id ]].json"))
+    assert(outs.sorted == Seq(s"$dir/out_b7_1.json", s"$dir/out_b7_2.json"))
+    // metadata stays OUT of the payload even though the route used it
+    val payload = new String(Files.readAllBytes(Paths.get(outs.head)), "UTF-8")
+    assert(!payload.contains("__METADATA__"))
+    assert(payload.contains("\"v\":\"x\""))
   }
 
   test("record index stamping via env (D8 batching metadata)") {
