@@ -717,6 +717,12 @@ object SparkEntry {
       graft.ops.Quantize.int8Rows(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id", "i")),
 
+    "q59_repetition" -> ((s, dir) =>
+      // Gopher-style duplication signals: distinct-token ratio and
+      // most-frequent-token share per document
+      TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -1128,6 +1134,26 @@ object SparkEntry {
         |    ELSE round(e.x * 127 / m.amax) END AS BIGINT) AS q
         |FROM e JOIN m USING (vec_id)
         |ORDER BY e.vec_id, e.i""".stripMargin,
+
+    "q59_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |pt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+        |ranked AS (
+        |  SELECT doc_id, tok, n,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS rk
+        |  FROM pt),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |  FROM pt GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_tokens, a.n_distinct,
+        |  CAST(a.n_distinct AS DOUBLE) / a.n_tokens AS distinct_ratio,
+        |  t.tok AS top_token, CAST(t.n AS BIGINT) AS top_token_n,
+        |  CAST(t.n AS DOUBLE) / a.n_tokens AS top_token_share
+        |FROM agg a JOIN (SELECT * FROM ranked WHERE rk = 1) t USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q56_prequery_loop" ->
       // the loop's net semantics: every (pre-row, templated query) pair

@@ -216,4 +216,29 @@ object TextOps {
     PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
       regexp_replace(c, pat, repl)
     }
+
+  /** Repetition statistics — the Gopher/RefinedWeb-style duplication
+    * signals used to drop low-quality documents: distinct-token ratio
+    * and the most-frequent token's share. One explode + one grouped
+    * pass per document (shuffle on doc id only); ties on the top token
+    * break to the lexicographically smallest, making the output
+    * deterministic and oracle-checkable.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("__tok"))
+    val perTok = toks.groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__n"))
+    perTok.groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        // min over (-count, token): highest count, smallest token on ties
+        min(struct((-col("__n")).as("negn"), col("__tok"))).as("__top"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        col("__top.__tok").as("top_token"),
+        (-col("__top.negn")).cast("long").as("top_token_n"),
+        ((-col("__top.negn")).cast("double") / col("n_tokens")).as("top_token_share"))
+  }
 }
