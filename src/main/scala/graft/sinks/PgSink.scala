@@ -82,7 +82,8 @@ object PgSink {
   private[sinks] def csvField(v: String): String =
     if (v == null) ""
     else if (v.nonEmpty &&
-      (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r') || v.head == ' '))
+      (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r')
+        || v.head == ' ' || v.head == '\t'))
       "\"" + v.replace("\"", "\"\"") + "\""
     else v
 

@@ -107,7 +107,7 @@ object Gmail {
   /** In-memory CSV→NDJSON (fileconverter/csv2json.go:16-99): first row
     * is the header, every value stays a JSON string.
     */
-  private[sources] def csvToJsonLines(text: String, delimiter: Char): Seq[String] = {
+  private[graft] def csvToJsonLines(text: String, delimiter: Char): Seq[String] = {
     val rows = parseCsv(text, delimiter)
     if (rows.isEmpty) return Nil
     val headers = rows.head
@@ -139,7 +139,9 @@ object Gmail {
     def endField(): Unit = { row += field.toString; field.clear() }
     def endRow(): Unit = {
       endField()
-      if (row.exists(_.nonEmpty)) rows += row.toSeq
+      // only pure blank lines vanish (Go's csv reader skips them);
+      // a genuine ",," row of empty fields is kept
+      if (row.size > 1 || row.exists(_.nonEmpty)) rows += row.toSeq
       row.clear()
     }
     while (i < text.length) {

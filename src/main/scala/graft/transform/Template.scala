@@ -366,11 +366,12 @@ object Template {
         // sink/source config templates). Argument order follows sprig
         // (piped value LAST): `default d v`, `replace old new s`,
         // `trunc n s`, `date layout t`, ...
+        // Column path checks null/empty-string only: a Column's type
+        // isn't known here, and treating the STRING "0" as empty would
+        // swallow legitimate ids (the driver-path mirror sees typed
+        // values and also treats numeric 0 / false as empty, like sprig)
         case "default" =>
-          when(a(1).isNull
-            .or(a(1).cast("string") === "")
-            .or(a(1).cast("string") === "0")
-            .or(a(1).cast("string") === "false"), a(0)).otherwise(a(1))
+          when(a(1).isNull.or(a(1).cast("string") === ""), a(0)).otherwise(a(1))
         case "coalesce" => coalesce(a: _*)
         case "replace" => call_function("replace", a(2), a(0), a(1))
         case "trunc" => args.head match {

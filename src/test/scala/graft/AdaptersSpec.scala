@@ -86,6 +86,14 @@ class AdaptersSpec extends SparkSuite {
       ("9", "gamma", "extra.json")))
   }
 
+  test("csv parse keeps all-empty-field rows, skips pure blank lines (csv2json parity)") {
+    val lines = Gmail.csvToJsonLines("a,b\n1,2\n,\n\n3,4\n", ',')
+    assert(lines == Seq(
+      """{"a":"1","b":"2"}""",
+      """{"a":"","b":""}""", // ",," row of empty fields survives
+      """{"a":"3","b":"4"}"""))
+  }
+
   test("gmail with no matching messages yields an empty frame (source.go:87-90)") {
     val svc = new Gmail.Service {
       def listMessages(f: String): Seq[String] = Nil

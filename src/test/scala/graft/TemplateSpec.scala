@@ -5,8 +5,8 @@ import graft.transform.Template
 class TemplateSpec extends SparkSuite {
   import spark.implicits._
 
-  private def rec = Seq(("group_1", 1500L, "v", ""))
-    .toDF("__METADATA__group_id", "idx", "x", "empty")
+  private def rec = Seq(("group_1", 1500L, "v", "", "0"))
+    .toDF("__METADATA__group_id", "idx", "x", "empty", "zeroStr")
 
   private def render(tpl: String): String =
     rec.select(Template.compile(tpl).as("out")).as[String].head()
@@ -40,6 +40,9 @@ class TemplateSpec extends SparkSuite {
     assert(render("[[ .__METADATA__group_id | upper ]]") == "GROUP_1")
     assert(render("[[ .empty | default \"fallback\" ]]") == "fallback")
     assert(render("[[ .__METADATA__group_id | default \"x\" | upper ]]") == "GROUP_1")
+    // the STRING "0" is a legitimate value, not sprig's numeric zero —
+    // the Column path must not swallow it
+    assert(render("[[ .zeroStr | default \"swallowed\" ]]") == "0")
   }
 
   test("sprig subset — string functions (Column path)") {
