@@ -164,8 +164,12 @@ object TextOps {
       n: Int = 3,
       topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tri feeds BOTH the profile aggregation and the scoring join;
+    // without materialization Catalyst re-runs the n-gram kernel +
+    // explode for each consumer (same lesson as the q25 shingle table)
     val tri = df.select(col(idCol).as("__id"), col(langCol).as("__lang"),
       explode(array_distinct(charNgrams(col(textCol), n))).as("__tg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val profiles = tri.groupBy("__lang", "__tg").agg(count(lit(1)).as("__n"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("__lang").orderBy(col("__n").desc, col("__tg"))))
