@@ -723,6 +723,53 @@ object SparkEntry {
       TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "q60_sketch_contracts" -> ((s, dir) => {
+      // sketch error contracts: HLL distinct counts (rsd 5%) and the
+      // approximate median must land within bound of the exact values;
+      // violations emit rows and the oracle pins EMPTY. At 100 TB the
+      // sketches are the only affordable form of these statistics —
+      // this query keeps their error budget honest.
+      val docs = t(s, dir, "documents")
+      val li = t(s, dir, "lineitem")
+      val hllDocs = docs.agg(
+        approx_count_distinct(col("text")).cast("double").as("est"),
+        countDistinct(col("text")).cast("double").as("exact"))
+        .select(lit("hll_documents_text").as("metric"), col("est"), col("exact"))
+      val hllParts = li.agg(
+        approx_count_distinct(col("l_partkey")).cast("double").as("est"),
+        countDistinct(col("l_partkey")).cast("double").as("exact"))
+        .select(lit("hll_lineitem_partkey").as("metric"), col("est"), col("exact"))
+      val pct = li.agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .cast("double").as("est"),
+        expr("percentile(l_extendedprice, 0.5)").cast("double").as("exact"))
+        .select(lit("p50_extendedprice").as("metric"), col("est"), col("exact"))
+      hllDocs.union(hllParts).union(pct)
+        .filter(abs(col("est") - col("exact")) > col("exact") * 0.05)
+        .select(col("metric"))
+    }),
+
+    "q61_corpus_pipeline" -> ((s, dir) => {
+      // the composed training-data flow in one plan: language gate
+      // (pushed to the scan) → quality/token gate (kernels behind the
+      // EvalOnce fence) → PII scrub → exact dedup keeping the smallest
+      // doc_id per scrubbed digest
+      val gated = t(s, dir, "documents")
+        .filter(col("lang").isin("en", "de", "fr"))
+        .select(col("doc_id"), col("lang"),
+          TextOps.once(TextOps.qualityScore(col("text"))).as("quality"),
+          TextOps.once(TextOps.tokenCountArith(col("text"))).as("n_tokens"),
+          col("text"))
+        .filter(col("quality") >= 0.5 && col("n_tokens") >= 10)
+        .withColumn("clean_text", TextOps.scrubPii(col("text")))
+      val keep = gated
+        .groupBy(md5(col("clean_text")).as("__digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      gated.join(keep.select("doc_id"), "doc_id")
+        .select("doc_id", "lang", "quality", "n_tokens", "clean_text")
+        .orderBy("doc_id")
+    }),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -1154,6 +1201,32 @@ object SparkEntry {
         |  CAST(t.n AS DOUBLE) / a.n_tokens AS top_token_share
         |FROM agg a JOIN (SELECT * FROM ranked WHERE rk = 1) t USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin,
+
+    "q60_sketch_contracts" ->
+      // the contract holds ⇔ no violations: the oracle is the empty
+      // relation with the matching schema (same derived-contract oracle
+      // pattern as q26/q27)
+      "SELECT CAST(NULL AS VARCHAR) AS metric WHERE 1 = 0",
+
+    "q61_corpus_pipeline" -> {
+      val scrubbed = TextOps.PiiPatterns.foldLeft("text") {
+        case (inner, (pat, repl)) =>
+          s"regexp_replace($inner, '$pat', '$repl', 'g')"
+      }
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang, ${sqlQuality("text")} AS quality,
+         |    ${sqlTokenCount("text")} AS n_tokens,
+         |    $scrubbed AS clean_text
+         |  FROM documents
+         |  WHERE lang IN ('en', 'de', 'fr')
+         |    AND ${sqlQuality("text")} >= 0.5e0
+         |    AND ${sqlTokenCount("text")} >= 10),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(clean_text))
+         |SELECT g.doc_id, g.lang, g.quality, g.n_tokens, g.clean_text
+         |FROM gated g JOIN keep k ON g.doc_id = k.doc_id
+         |ORDER BY g.doc_id""".stripMargin
+    },
 
     "q56_prequery_loop" ->
       // the loop's net semantics: every (pre-row, templated query) pair
