@@ -164,12 +164,15 @@ object TextOps {
       n: Int = 3,
       topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // tri feeds BOTH the profile aggregation and the scoring join;
-    // without materialization Catalyst re-runs the n-gram kernel +
-    // explode for each consumer (same lesson as the q25 shingle table)
+    // tri feeds BOTH the profile aggregation and the scoring join.
+    // Deliberately NOT persisted: the exploded trigram table is ~100×
+    // the input bytes while the kernel runs at scan speed, so at scale
+    // re-deriving it twice beats materializing the blowup (the q25
+    // shingle table persists because FOUR consumers reuse it and the
+    // pair-join reads it repeatedly; two cheap linear consumers don't
+    // clear that bar — measured: persisting made q55 slower).
     val tri = df.select(col(idCol).as("__id"), col(langCol).as("__lang"),
       explode(array_distinct(charNgrams(col(textCol), n))).as("__tg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val profiles = tri.groupBy("__lang", "__tg").agg(count(lit(1)).as("__n"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("__lang").orderBy(col("__n").desc, col("__tg"))))
