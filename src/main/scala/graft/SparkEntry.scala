@@ -735,6 +735,11 @@ object SparkEntry {
         approx_count_distinct(col("text")).cast("double").as("est"),
         countDistinct(col("text")).cast("double").as("exact"))
         .select(lit("hll_documents_text").as("metric"), col("est"), col("exact"))
+      // deliberately TWO lineitem passes: fusing count(DISTINCT) with
+      // the percentile aggregates forces Catalyst's Expand-based
+      // multi-distinct plan (row multiplication + replicated percentile
+      // buffers through the shuffle), which measures slower than two
+      // clean scans
       val hllParts = li.agg(
         approx_count_distinct(col("l_partkey")).cast("double").as("est"),
         countDistinct(col("l_partkey")).cast("double").as("exact"))
