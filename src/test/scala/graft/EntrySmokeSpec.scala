@@ -10,6 +10,12 @@ class EntrySmokeSpec extends SparkSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every query has an oracle (the full-coverage invariant)") {
+    val uncovered = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(uncovered.isEmpty,
+      s"queries without an oracle (would downgrade the correctness gate): $uncovered")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
