@@ -115,10 +115,13 @@ object AesZip {
       val auth = hmacSha1(macKey, enc).take(AuthLen)
       val payloadLen = SaltLen + 2 + enc.length + AuthLen
       val nameBytes = name.getBytes("UTF-8")
+      // bit 0 = encrypted; bit 11 = UTF-8 name (EFS), set when needed
+      val flags: Short =
+        if (name.exists(_ > 127)) 0x0801.toShort else 0x0001.toShort
 
       def headerFields(b: ByteBuffer): Unit = {
         b.putShort(51) // version needed: 5.1
-        b.putShort(0x0001) // flags: encrypted
+        b.putShort(flags)
         b.putShort(99) // method: AES
         b.putInt(0) // dos time+date
         b.putInt(0) // crc (AE-2: zero)

@@ -87,6 +87,22 @@ class SinksSpec extends SparkSuite {
     assert(java.util.Arrays.equals(back("big.bin"), data))
   }
 
+  test("AES-zip edge entries: empty payload and UTF-8 entry name") {
+    import graft.sinks.AesZip
+    val dir = Files.createTempDirectory("graft_aeszip3")
+    val dest = s"$dir/edge.zip"
+    AesZip.write(dest, Seq(
+      "empty.txt" -> Array.emptyByteArray,
+      "résumé.txt" -> "unicode name".getBytes("UTF-8")), "pw")
+    val bytes = Files.readAllBytes(Paths.get(dest))
+    val back = AesZip.readAll(bytes, "pw")
+    assert(back("empty.txt").isEmpty)
+    assert(new String(back("résumé.txt"), "UTF-8") == "unicode name")
+    // the UTF-8 entry carries the EFS flag (0x0800 | encrypted 0x0001)
+    val hex = bytes.map("%02x".format(_)).mkString
+    assert(hex.contains("33000108")) // version 51 LE + flags 0x0801 LE
+  }
+
   test("xlsx writer produces a readable OOXML package (D21)") {
     val dir = Files.createTempDirectory("graft_xlsx")
     val path = s"$dir/out.xlsx"
