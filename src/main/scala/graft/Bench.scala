@@ -6,8 +6,20 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line. A `noop`-format write
   * forces full plan execution (a bare `count()` would let Catalyst
   * collapse narrow plans to metadata-only scans).
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3); the
+  * reported per-query number and the total are the MEDIAN run, with the
+  * first (cold) run kept in a separate `cold` map. A single cold run
+  * measures per-query JIT/codegen, not the plan: round-3 cold numbers
+  * overstated steady state by up to 12x (q29 15.0s cold vs 0.85s warm),
+  * which made round-over-round comparison meaningless.
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,20 +48,24 @@ object Bench {
         .filter(col("l_quantity") > 49).agg(sum(col("l_extendedprice")
           .cast("decimal(18,2)"))).collect()
     }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, median(times), times.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double)) => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + f"${f(r)}%.3f").mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -344,13 +344,21 @@ object TextExprs {
 
 /** One-stop registration for every graft SQL function. Idempotent and
   * cheap — called by Verify/Bench/Pipeline session setup and by the
-  * table readers in SparkEntry.
+  * table readers in SparkEntry. Registration happens ONCE per session:
+  * re-registering on every query call made `SimpleFunctionRegistry`
+  * log a "replaced a previously registered function" WARN per function
+  * per query, polluting every bench/verify artifact tail.
   */
 object GraftFunctions {
-  def registerAll(spark: SparkSession): Unit = {
-    VectorExprs.register(spark)
-    TextExprs.register(spark)
-    GoFloatString.register(spark)
-    EvalOnce.register(spark)
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def registerAll(spark: SparkSession): Unit = registered.synchronized {
+    if (registered.add(spark)) {
+      VectorExprs.register(spark)
+      TextExprs.register(spark)
+      GoFloatString.register(spark)
+      EvalOnce.register(spark)
+    }
   }
 }

@@ -179,7 +179,8 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, // columns id_a, id_b
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10,
+      driverEdgeThreshold: Long = 1000000L): DataFrame = {
     // Iterative DataFrame algorithms MUST truncate lineage each round:
     // `labels` feeds three operators per iteration, so the logical plan
     // doubles per round and Catalyst re-analysis becomes the runtime
@@ -191,10 +192,17 @@ object Dedup {
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    // Size each round's stages to the edge count — dup graphs are tiny
-    // relative to the corpus, and per-round latency is dominated by
-    // task count, not data (100k edges per partition).
     val nEdges = edges0.count()
+    // The dup-pair graph is post-verify and TINY relative to the corpus
+    // (a few hundred edges at sf0.01; even pathological corpora stay in
+    // the low millions). Below the threshold, a driver union-find is one
+    // collect instead of O(diameter) rounds x (join + agg + convergence
+    // count) — the iterative path spent ~13s of stage overhead on
+    // 400-edge graphs. Above it (or if a caller disables it with 0),
+    // fall through to the distributed min-label iteration.
+    if (nEdges <= driverEdgeThreshold) return driverUnionFind(edges0)
+    // Size each round's stages to the edge count — per-round latency is
+    // dominated by task count, not data (100k edges per partition).
     val np = math.max(2, math.min(
       edges0.rdd.getNumPartitions, (nEdges / 100000L).toInt + 1))
     val edges = edges0.repartition(np).localCheckpoint(true)
@@ -219,6 +227,48 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Exact connected components on the driver: union-find with
+    * union-by-minimum, so each set's root IS the component's smallest
+    * id — identical (id, comp) semantics to the iterative min-label
+    * fixpoint, in one collect + one local job. Only called for edge
+    * lists under [[connectedComponents]]'s guarded threshold.
+    */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = edges.schema.head.dataType
+    // ids come from ONE column, so they share an external type; every
+    // atomic Catalyst external type (java.lang Long/Integer/..., String,
+    // Date, Timestamp, BigDecimal) is Comparable, and this ordering
+    // matches SQL `min` for those types.
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("comp", idType)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { id =>
+      rows.add(org.apache.spark.sql.Row(id, find(id)))
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** End-to-end corpus dedup, the composed operator a training-data

@@ -57,6 +57,27 @@ class DedupSpec extends SparkSuite {
     assert(Set(5L, 6L).map(comps) == Set(5L))
   }
 
+  test("connected components: driver union-find and iterative path agree") {
+    // a long chain (worst case for min-label diameter) plus islands
+    val pairs = ((1L to 40L).sliding(2).map(s => (s(1), s.head)) ++
+      Seq((100L, 101L), (200L, 200L))).toSeq.toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val iterative = Dedup.connectedComponents(pairs, maxIter = 64,
+      driverEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(fast == iterative)
+    assert((1L to 40L).map(fast) == (1L to 40L).map(_ => 1L))
+  }
+
+  test("connected components: driver path handles non-numeric ids") {
+    val pairs = Seq(("b", "a"), ("c", "b"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(Set("a", "b", "c").map(comps) == Set("a"))
+    assert(Set("x", "y").map(comps) == Set("x"))
+  }
+
   test("ngram jaccard: dup pair scores 1.0, near pair high, rest absent") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
       threshold = 0.3, maxDocFreq = 100)
