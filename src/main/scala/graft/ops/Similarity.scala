@@ -92,11 +92,19 @@ object Similarity {
     // default 10⁶ rows that is ~5·10¹¹ cosine evaluations — the
     // practical ceiling of the exactness baseline. Larger corpora must
     // use the sub-quadratic [[cosineNearDupPairsLsh]] path.
-    val n = df.count()
-    require(n <= maxRows,
-      s"cosineNearDupPairs is O(N²) and got N=$n > maxRows=$maxRows; " +
-        "use cosineNearDupPairsLsh (sub-quadratic) or raise maxRows explicitly")
+    // The projected input is persisted BEFORE the guard count so the
+    // upstream pipeline executes once total — unpersisted, the count
+    // plus the two self-join sides would re-run it three times (costly
+    // when the input is itself a transform, not a bare scan).
     val base = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    if (n > maxRows) {
+      base.unpersist()
+      throw new IllegalArgumentException(
+        s"cosineNearDupPairs is O(N²) and got N=$n > maxRows=$maxRows; " +
+          "use cosineNearDupPairsLsh (sub-quadratic) or raise maxRows explicitly")
+    }
     // Embedding tables often arrive as one file = one partition; a
     // broadcast nested-loop join would then verify all N²/2 pairs in a
     // SINGLE task. Spread the stream side across the cluster first

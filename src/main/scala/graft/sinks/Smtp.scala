@@ -150,7 +150,8 @@ object Smtp {
   /** Run the sink: group → write attachments → compose → send.
     * Returns the emails sent, in hash order (for tests/inspection).
     */
-  def write(df0: DataFrame, cfg: Config, mailer: Mailer, dryRun: Boolean = false): Seq[Email] = {
+  def write(df0: DataFrame, cfg: Config, mailer: Mailer, dryRun: Boolean = false,
+      maxGroups: Int = 1000): Seq[Email] = {
     val (toT, ccT, bccT) = parseTo(cfg.to)
     val (bodyMain, attachmentInner) = separateBody(cfg.bodyTemplate)
 
@@ -178,14 +179,22 @@ object Smtp {
       .withColumn(s"${H}hash", hash)
 
     // one email group per distinct compiled header set — including
-    // groups created by specialized metadata records (sink.go:229-240)
+    // groups created by specialized metadata records (sink.go:229-240).
+    // Group cardinality is config-shaped (the reference sends one email
+    // per group too), but a `to`/`subject` template keyed on a
+    // per-record field would collect one group per row — limit(max+1)
+    // bounds the driver read and fails fast instead of OOMing.
     val groups = stamped
       .select(col(s"${H}hash"), col(s"${H}from"), col(s"${H}to"), col(s"${H}cc"),
         col(s"${H}bcc"), col(s"${H}subject"), col(s"${H}body"))
-      .distinct().collect().toSeq
+      .distinct().limit(maxGroups + 1).collect().toSeq
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
         r.getString(4), r.getString(5), r.getString(6)))
       .sortBy(_._1)
+    require(groups.length <= maxGroups,
+      s"SMTP sink expanded to more than $maxGroups email groups — a header " +
+        "template likely embeds a per-record field; group on config-shaped " +
+        "fields or raise maxGroups explicitly")
 
     // distributed attachment write: data records only, routed by
     // <dir>/<hash>/<attachment-template> (constructFileURI)

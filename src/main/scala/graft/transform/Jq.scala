@@ -314,7 +314,8 @@ object Jq {
     * the same multiset of outputs; record order is partition-dependent
     * in Spark either way.
     */
-  def applyTemplated(df: DataFrame, programTemplate: String): DataFrame = {
+  def applyTemplated(
+      df: DataFrame, programTemplate: String, maxPrograms: Int = 64): DataFrame = {
     if (!Template.isDynamic(programTemplate))
       return try compile(programTemplate)(df)
       catch {
@@ -322,8 +323,21 @@ object Jq {
       }
     val progCol = "__graft_jq_prog"
     val stamped = df.withColumn(progCol, Template.compile(programTemplate))
-    val programs = stamped.select(progCol).distinct()
+    // The distinct-program set is control-plane sized ONLY when the
+    // template keys on config-like fields; a template embedding a
+    // high-cardinality record field (`[[ .user_id ]]`) would otherwise
+    // collect unbounded programs to the driver and build one plan each.
+    // limit(max+1) bounds the driver read and fails fast with a pointer
+    // to the per-partition escape hatch, which handles that case in one
+    // plan (reference ext/jq/connector.go:72-75 bounds it by grouping
+    // consecutive records stream-side instead).
+    val programs = stamped.select(progCol).distinct().limit(maxPrograms + 1)
       .collect().map(_.getString(0)).sorted
+    if (programs.length > maxPrograms)
+      throw new IllegalArgumentException(
+        s"templated jq expanded to more than $maxPrograms distinct programs — " +
+          "the template likely embeds a high-cardinality record field; use " +
+          "JqEscapeHatch(df, template) (per-partition jq, one plan) instead")
     programs.map { p =>
       val slice = stamped.filter(col(progCol) === p).drop(progCol)
       val prog = p.trim

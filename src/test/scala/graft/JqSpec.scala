@@ -96,6 +96,16 @@ class JqSpec extends SparkSuite {
     assert(plain.columns.toSeq == Seq("id"))
   }
 
+  test("templated jq fails fast when the template is data-cardinality") {
+    // a template keyed on a high-cardinality record field would collect
+    // one compiled program per row to the driver — the guard bounds it
+    val df = spark.range(100).selectExpr("id", "id AS v")
+    val e = intercept[IllegalArgumentException] {
+      Jq.applyTemplated(df, "{id: .id, k: [[ .v ]]}", maxPrograms = 16)
+    }
+    assert(e.getMessage.contains("JqEscapeHatch"))
+  }
+
   test("time parsing ladder accepts the reference's formats (util.go:665-711)") {
     import graft.functions.TimeParse
     val df = Seq(

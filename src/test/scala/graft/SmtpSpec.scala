@@ -96,6 +96,23 @@ class SmtpSpec extends SparkSuite {
     assert(emails.head.attachments.isEmpty)
   }
 
+  test("per-record header template trips the maxGroups guard, not a driver OOM") {
+    FakeMailer.sent.clear()
+    val dir = tmp()
+    val df = spark.range(50).selectExpr("id", "CAST(id AS STRING) AS user")
+    val e = intercept[IllegalArgumentException] {
+      Smtp.write(df, Smtp.Config(
+        from = "noreply@corp.com",
+        to = "to:[[ .user ]]@corp.com", // one group PER ROW
+        subject = "s",
+        bodyTemplate = "<p>b</p>",
+        attachmentFilename = "a.csv",
+        storageDir = dir), new FakeMailer.Mailer, maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    assert(FakeMailer.sent.isEmpty)
+  }
+
   test("TO config parsing + DSN parsing (sink.go:96-111, client.go:27-49)") {
     assert(Smtp.parseTo("to:a@x,b@y;cc:c@z;bcc:d@w") == ("a@x,b@y", "c@z", "d@w"))
     assert(Smtp.parseTo("to:a@x") == ("a@x", "", ""))
