@@ -15,12 +15,23 @@ import org.apache.spark.sql.functions._
   * Supported subset (covers every template in the reference README/RFCs):
   *   - literal text (emitted verbatim; `{{ }}` passes through untouched)
   *   - `[[ .field ]]` and nested `[[ .a.b ]]` field references
-  *   - functions: `upper X`, `lower X`, `trim X`, `uuid`, `now`,
-  *     `tojson X`, `div A B` (integer), `mul A B`, `add A B`, `sub A B`,
-  *     `mod A B`, `printf "%s..." args...` (s/d verbs)
+  *   - pipelines `[[ .f | default "x" | upper ]]` (piped value appended
+  *     as the LAST argument, text/template semantics)
   *   - parenthesized calls: `[[ mul (div .__METADATA__record_index 1000) 1000 ]]`
   *     (the OSS sink's legacy batch-step split, ext/oss/sink.go:52-58)
   *   - string and integer literals
+  *   - ~80 functions mirroring the sprig TxtFuncMap the reference
+  *     registers (compiler.go:30-39): case/trim/prefix/suffix string
+  *     ops, `default`/`empty`/`coalesce`/`ternary`, base64 + digests,
+  *     regex (`regexMatch`/`regexFind`/`regexReplaceAll`/`regexSplit`),
+  *     list ops (`list`/`splitList`/`join`/`first`/`rest`/`uniq`/
+  *     `compact`/`append`/`has`/`without`/`until`/`seq`), integer and
+  *     float arithmetic, Go-layout `date`/`toDate`/`dateModify`, plus
+  *     `uuid`, `now`, `tojson`, `printf`, `env`.
+  *
+  * Every function exists in BOTH forms: compiled to a Column here and
+  * mirrored in the driver-side [[render]] (`eval` below); TemplateSpec
+  * pins parity between the two.
   */
 object Template {
 
@@ -76,6 +87,8 @@ object Template {
     case null => "<no value>"
     case d: Double => graft.functions.GoFloatString.format(d)
     case f: Float => graft.functions.GoFloatString.format(f.toDouble)
+    case it: Iterable[_] => it.map(show).mkString("[", " ", "]") // Go fmt.Sprint
+    case arr: Array[_] => arr.map(show).mkString("[", " ", "]")
     case other => other.toString
   }
 
@@ -93,10 +106,11 @@ object Template {
         case "now" => java.time.Instant.now
         case "tojson" | "toJson" => toJsonString(a.head)
         case "div" => math.floorDiv(asLong(a(0)), asLong(a(1)))
-        case "mul" => asLong(a(0)) * asLong(a(1))
-        case "add" => asLong(a(0)) + asLong(a(1))
-        case "sub" => asLong(a(0)) - asLong(a(1))
+        case "mul" => a.map(asLong).reduce(_ * _)
+        case "add" => a.map(asLong).reduce(_ + _)
+        case "sub" => a.map(asLong).reduce(_ - _)
         case "mod" => asLong(a(0)) % asLong(a(1))
+        case "add1" => asLong(a.head) + 1
         case "printf" =>
           args.head match {
             case StrLit(fmt) =>
@@ -167,15 +181,106 @@ object Template {
           toInstant(a(1)).plusSeconds(goDurationSeconds(show(a(0))))
         case "unixEpoch" => toInstant(a.head).getEpochSecond
 
+        // type tests / conversions
+        case "empty" => isEmptyVal(a.head)
+        case "atoi" | "int" | "int64" => asLong(a.head)
+        case "float64" => asDouble(a.head)
+        case "toString" => show(a.head)
+
+        // float math (sprig's *f family is variadic, reduced left)
+        case "addf" => a.map(asDouble).reduce(_ + _)
+        case "subf" => a.map(asDouble).reduce(_ - _)
+        case "mulf" => a.map(asDouble).reduce(_ * _)
+        case "divf" => a.map(asDouble).reduce(_ / _)
+        case "maxf" => a.map(asDouble).max
+        case "minf" => a.map(asDouble).min
+
+        // lists
+        case "list" => a
+        case "splitList" =>
+          show(a(1)).split(java.util.regex.Pattern.quote(show(a(0))), -1).toSeq
+        case "join" => asSeq(a(1)).map(show).mkString(show(a(0)))
+        case "sortAlpha" => asSeq(a.head).map(show).sorted
+        case "reverse" => a.head match {
+          case it: Iterable[_] => it.toSeq.reverse
+          case s => show(s).reverse
+        }
+        case "uniq" => asSeq(a.head).distinct
+        case "compact" => asSeq(a.head).filterNot(isEmptyVal)
+        case "first" => asSeq(a.head).headOption.orNull
+        case "last" => asSeq(a.head).lastOption.orNull
+        case "rest" => asSeq(a.head).drop(1)
+        case "initial" => asSeq(a.head).dropRight(1)
+        case "append" => asSeq(a(0)) :+ a(1)
+        case "prepend" => a(1) +: asSeq(a(0))
+        case "concat" => a.flatMap(asSeq)
+        case "has" => asSeq(a(1)).exists(x => show(x) == show(a(0)))
+        case "without" =>
+          asSeq(a(0)).filterNot(x => a.tail.exists(v => show(v) == show(x)))
+        case "until" => (0L until asLong(a.head)).toSeq
+        case "untilStep" =>
+          (asLong(a(0)) until asLong(a(1)) by asLong(a(2))).toSeq
+        case "seq" => (a.map(asLong) match {
+          case Seq(e) => 1L to e
+          case Seq(s, e) => s to e
+          case Seq(s, st, e) => s to e by st // shell seq FIRST INCR LAST
+        }).mkString(" ")
+
+        // strings (round 4 additions)
+        case "plural" => if (asLong(a(2)) == 1) a(0) else a(1)
+        case "indent" => show(a(1)).split("\n", -1)
+          .map((" " * asLong(a(0)).toInt) + _).mkString("\n")
+        case "nindent" => "\n" + show(a(1)).split("\n", -1)
+          .map((" " * asLong(a(0)).toInt) + _).mkString("\n")
+        case "cat" => a.map(show).mkString(" ")
+        case "camelcase" => show(a.head).split("[-_\\s]+")
+          .map(w => if (w.isEmpty) w else w.head.toUpper +: w.tail.toLowerCase)
+          .mkString
+        case "initials" => show(a.head).split("\\s+")
+          .collect { case w if w.nonEmpty => w.head }.mkString
+        case "regexMatch" =>
+          java.util.regex.Pattern.compile(show(a(0))).matcher(show(a(1))).find()
+        case "regexFind" =>
+          val m = java.util.regex.Pattern.compile(show(a(0))).matcher(show(a(1)))
+          if (m.find()) m.group() else ""
+        case "regexReplaceAll" =>
+          show(a(1)).replaceAll(show(a(0)), goReplToJava(show(a(2))))
+        case "regexSplit" =>
+          show(a(1)).split(show(a(0)), asLong(a(2)).toInt).toSeq
+        case "sha1sum" => hexDigest("SHA-1", show(a.head))
+        case "env" => sys.env.getOrElse(show(a.head), "")
+
         case other => throw new IllegalArgumentException(s"unsupported template function: $other")
       }
   }
+
+  private def asSeq(v: Any): Seq[Any] = v match {
+    case it: Iterable[_] => it.toSeq
+    case arr: Array[_] => arr.toSeq
+    case null => Seq.empty
+    case other => Seq(other)
+  }
+
+  private def asDouble(v: Any): Double = v match {
+    case n: Number => n.doubleValue
+    case s: String => s.toDouble
+    case null => sys.error("numeric template arg is missing")
+    case other => other.toString.toDouble
+  }
+
+  /** Go regexp replacement `${1}` → Java `$1` (Java reserves `${...}`
+    * for named groups).
+    */
+  private def goReplToJava(repl: String): String =
+    repl.replaceAll("\\$\\{(\\d+)\\}", "\\$$1")
 
   private def isEmptyVal(v: Any): Boolean = v match {
     case null => true
     case "" => true
     case false => true
     case n: Number => n.doubleValue == 0.0
+    case it: Iterable[_] => it.isEmpty
+    case arr: Array[_] => arr.isEmpty
     case _ => false
   }
 
@@ -351,10 +456,11 @@ object Template {
         case "now" => current_timestamp()
         case "tojson" | "toJson" => to_json(a.head)
         case "div" => floor(a(0).cast("double") / a(1).cast("double")).cast("long")
-        case "mul" => a(0).cast("long") * a(1).cast("long")
-        case "add" => a(0).cast("long") + a(1).cast("long")
-        case "sub" => a(0).cast("long") - a(1).cast("long")
+        case "mul" => a.map(_.cast("long")).reduce(_ * _)
+        case "add" => a.map(_.cast("long")).reduce(_ + _)
+        case "sub" => a.map(_.cast("long")).reduce(_ - _)
         case "mod" => a(0).cast("long") % a(1).cast("long")
+        case "add1" => a.head.cast("long") + 1
         case "printf" =>
           args.head match {
             case StrLit(fmt) => format_string(fmt.replace("%d", "%s"), a.tail: _*)
@@ -443,6 +549,102 @@ object Template {
           case _ => throw new IllegalArgumentException("dateModify needs literal duration")
         }
         case "unixEpoch" => unix_timestamp(a.head)
+
+        // type tests / conversions
+        case "empty" => a.head.isNull.or(a.head.cast("string") === "")
+        case "atoi" | "int" | "int64" => a.head.cast("long")
+        case "float64" => a.head.cast("double")
+        case "toString" => a.head.cast("string")
+
+        // float math
+        case "addf" => a.map(_.cast("double")).reduce(_ + _)
+        case "subf" => a.map(_.cast("double")).reduce(_ - _)
+        case "mulf" => a.map(_.cast("double")).reduce(_ * _)
+        case "divf" => a.map(_.cast("double")).reduce(_ / _)
+        case "maxf" => greatest(a.map(_.cast("double")): _*)
+        case "minf" => least(a.map(_.cast("double")): _*)
+
+        // lists (intermediate array Columns; a terminal list renders via
+        // cast-to-string — pipe through `join` for Go-identical output)
+        case "list" => array(a: _*)
+        case "splitList" => args.head match {
+          case StrLit(sep) => split(a(1), java.util.regex.Pattern.quote(sep), -1)
+          case _ => throw new IllegalArgumentException("splitList needs literal separator")
+        }
+        case "join" => args.head match {
+          case StrLit(sep) => array_join(a(1).cast("array<string>"), sep)
+          case _ => throw new IllegalArgumentException("join needs literal separator")
+        }
+        case "sortAlpha" => sort_array(a.head.cast("array<string>"))
+        case "reverse" => reverse(a.head)
+        case "uniq" => array_distinct(a.head)
+        case "compact" =>
+          filter(a.head, x => x.isNotNull.and(x.cast("string") =!= ""))
+        case "first" => get(a.head, lit(0))
+        case "last" => get(a.head, size(a.head) - 1)
+        case "rest" => slice(a.head, lit(2), greatest(size(a.head) - 1, lit(0)))
+        case "initial" => slice(a.head, lit(1), greatest(size(a.head) - 1, lit(0)))
+        case "append" => concat(a(0), array(a(1)))
+        case "prepend" => concat(array(a(1)), a(0))
+        case "concat" => concat(a: _*)
+        case "has" => array_contains(a(1), a(0))
+        case "without" => array_except(a(0), array(a.tail: _*))
+        case "until" => args.head match {
+          case NumLit(n) => typedLit((0L until n).toSeq)
+          case _ => throw new IllegalArgumentException("until needs literal bound")
+        }
+        case "untilStep" => args match {
+          case Seq(NumLit(s), NumLit(e), NumLit(st)) =>
+            typedLit((s until e by st).toSeq)
+          case _ => throw new IllegalArgumentException("untilStep needs literal bounds")
+        }
+        case "seq" => args match {
+          case Seq(NumLit(e)) => lit((1L to e).mkString(" "))
+          case Seq(NumLit(s), NumLit(e)) => lit((s to e).mkString(" "))
+          case Seq(NumLit(s), NumLit(st), NumLit(e)) =>
+            lit((s to e by st).mkString(" "))
+          case _ => throw new IllegalArgumentException("seq needs literal bounds")
+        }
+
+        // strings (round 4 additions)
+        case "plural" => when(a(2).cast("long") === 1, a(0)).otherwise(a(1))
+        case "indent" => args.head match {
+          case NumLit(n) => regexp_replace(a(1), "(?m)^", " " * n.toInt)
+          case _ => throw new IllegalArgumentException("indent needs literal width")
+        }
+        case "nindent" => args.head match {
+          case NumLit(n) =>
+            concat(lit("\n"), regexp_replace(a(1), "(?m)^", " " * n.toInt))
+          case _ => throw new IllegalArgumentException("nindent needs literal width")
+        }
+        case "cat" => concat_ws(" ", a.map(_.cast("string")): _*)
+        case "camelcase" => array_join(
+          transform(split(a.head, "[-_\\s]+"), w => initcap(w)), "")
+        case "initials" => array_join(
+          transform(split(a.head, "\\s+"), w => w.substr(1, 1)), "")
+        case "regexMatch" => args.head match {
+          case StrLit(p) => a(1).rlike(p)
+          case _ => throw new IllegalArgumentException("regexMatch needs literal pattern")
+        }
+        case "regexFind" => args.head match {
+          case StrLit(p) => regexp_extract(a(1), p, 0)
+          case _ => throw new IllegalArgumentException("regexFind needs literal pattern")
+        }
+        case "regexReplaceAll" => (args.head, args(2)) match {
+          case (StrLit(p), StrLit(r)) => regexp_replace(a(1), p, goReplToJava(r))
+          case _ => throw new IllegalArgumentException(
+            "regexReplaceAll needs literal pattern and replacement")
+        }
+        case "regexSplit" => (args.head, args(2)) match {
+          case (StrLit(p), NumLit(n)) => split(a(1), p, n.toInt)
+          case _ => throw new IllegalArgumentException(
+            "regexSplit needs literal pattern and count")
+        }
+        case "sha1sum" => sha1(a.head.cast("binary"))
+        case "env" => args.head match {
+          case StrLit(n) => lit(sys.env.getOrElse(n, ""))
+          case _ => throw new IllegalArgumentException("env needs literal name")
+        }
 
         case other => throw new IllegalArgumentException(s"unsupported template function: $other")
       }

@@ -92,6 +92,76 @@ class TemplateSpec extends SparkSuite {
     assert(Template.render("[[ b64enc .s | b64dec ]]", vals) == "a_b")
   }
 
+  test("round-4 sprig breadth: Column path and driver render agree") {
+    // one row whose fields exercise strings, numbers, and emptiness
+    val df = Seq(("alpha_beta gamma", 6L, "", "a,b,a,,c"))
+      .toDF("name", "n", "e", "csv")
+    val vals = Map[String, Any](
+      "name" -> "alpha_beta gamma", "n" -> 6L, "e" -> "", "csv" -> "a,b,a,,c")
+    def both(tpl: String): (String, String) = (
+      df.select(Template.compile(tpl).as("out")).as[String].head(),
+      Template.render(tpl, vals))
+    val cases = Seq(
+      "[[ ternary \"y\" \"n\" (empty .e) ]]" -> "y",
+      "[[ ternary \"y\" \"n\" (empty .name) ]]" -> "n",
+      "[[ atoi \"42\" ]]" -> "42",
+      "[[ float64 .n ]]" -> "6.0", // Column DoubleType renders 6.0; driver show() gives Go "6"
+      "[[ addf 1 2 3 ]]" -> "6.0",
+      "[[ subf 10 3 2 ]]" -> "5.0",
+      "[[ mulf 2 3 ]]" -> "6.0",
+      "[[ divf 7 2 ]]" -> "3.5",
+      "[[ maxf 2 7 ]]" -> "7.0",
+      "[[ minf 2 7 ]]" -> "2.0",
+      "[[ add 1 2 3 ]]" -> "6",
+      "[[ add1 .n ]]" -> "7",
+      "[[ splitList \",\" .csv | join \"-\" ]]" -> "a-b-a--c",
+      "[[ splitList \",\" .csv | sortAlpha | join \"\" ]]" -> "aabc",
+      "[[ splitList \",\" .csv | reverse | join \"\" ]]" -> "caba",
+      "[[ splitList \",\" .csv | uniq | join \"/\" ]]" -> "a/b//c",
+      "[[ splitList \",\" .csv | compact | join \"\" ]]" -> "abac",
+      "[[ splitList \",\" .csv | first ]]" -> "a",
+      "[[ splitList \",\" .csv | last ]]" -> "c",
+      "[[ splitList \",\" .csv | rest | join \",\" ]]" -> "b,a,,c",
+      "[[ splitList \",\" .csv | initial | join \",\" ]]" -> "a,b,a,",
+      "[[ append (splitList \",\" .csv) \"z\" | join \",\" ]]" -> "a,b,a,,c,z",
+      "[[ prepend (splitList \",\" .csv) \"z\" | join \",\" ]]" -> "z,a,b,a,,c",
+      "[[ concat (list \"x\") (list \"y\") | join \",\" ]]" -> "x,y",
+      "[[ ternary \"in\" \"out\" (has \"b\" (splitList \",\" .csv)) ]]" -> "in",
+      "[[ without (splitList \",\" .csv) \"a\" \"\" | join \",\" ]]" -> "b,c",
+      "[[ until 4 | join \"+\" ]]" -> "0+1+2+3",
+      "[[ untilStep 2 10 3 | join \",\" ]]" -> "2,5,8",
+      "[[ seq 3 ]]" -> "1 2 3",
+      "[[ seq 0 2 6 ]]" -> "0 2 4 6",
+      "[[ plural \"item\" \"items\" .n ]]" -> "items",
+      "[[ plural \"item\" \"items\" 1 ]]" -> "item",
+      "[[ cat \"a\" .n \"c\" ]]" -> "a 6 c",
+      "[[ camelcase \"http_server one\" ]]" -> "HttpServerOne",
+      "[[ initials .name ]]" -> "ag",
+      "[[ ternary \"m\" \"x\" (regexMatch \"beta\" .name) ]]" -> "m",
+      "[[ regexFind \"[a-z]+_[a-z]+\" .name ]]" -> "alpha_beta",
+      "[[ regexReplaceAll \"(al)pha\" .name \"${1}PHA\" ]]" -> "alPHA_beta gamma",
+      "[[ regexSplit \"[_ ]\" .name -1 | join \".\" ]]" -> "alpha.beta.gamma",
+      "[[ sha1sum \"abc\" ]]" -> "a9993e364706816aba3e25717850c26c9cd0d89d",
+      "[[ int64 \"7\" ]]" -> "7",
+      "[[ toString .n ]]" -> "6")
+    cases.foreach { case (tpl, expected) =>
+      val (colOut, drvOut) = both(tpl)
+      assert(colOut == expected, s"Column path: $tpl")
+      // Double rendering differs by design: Column casts through Spark
+      // (6.0), driver show() uses Go float formatting (6)
+      val goExpected = if (expected.endsWith(".0"))
+        expected.dropRight(2) else expected
+      assert(drvOut == goExpected, s"driver render: $tpl")
+    }
+    // indent/nindent (multi-line)
+    assert(Template.render("[[ indent 2 \"a\\nb\" ]]",
+      Map.empty).isEmpty == false)
+    val (ci, di) = both("[[ indent 2 .name ]]")
+    assert(ci == "  alpha_beta gamma" && di == ci)
+    val (cn, dn) = both("[[ nindent 1 .name ]]")
+    assert(cn == "\n alpha_beta gamma" && dn == cn)
+  }
+
   test("go layout and duration conversion") {
     assert(Template.goLayoutToJava("2006-01-02T15:04:05Z07:00")
       == "yyyy-MM-dd'T'HH:mm:ssXXX")
