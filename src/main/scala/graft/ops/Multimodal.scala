@@ -10,15 +10,15 @@ import org.apache.spark.sql.types._
   * the 100 TB-scale layout: bytes stay columnar in parquet, metadata
   * is queryable/prunable without touching payloads.
   *
-  * Image and audio metadata decode are REAL (JDK-native
-  * `javax.imageio` / `javax.sound.sampled`, see [[decodeImageMeta]] /
-  * [[decodeAudioMeta]]). The feature-extraction / resize / frame
-  * kernels remain STUBS (the container ships no vision/video codecs):
-  * they produce deterministic fake outputs derived from the payload
-  * bytes. Everything AROUND a stub — schema, batch iteration,
-  * partition sizing, output shapes — is the real distributed plumbing
-  * and is tested. Swapping a stub for a real codec changes only the
-  * function body marked `STUB`.
+  * Image decode, metadata, FEATURES, and RESIZE are REAL (JDK-native
+  * `javax.imageio` + `BufferedImage` pixel access — see
+  * [[decodeImageMeta]], [[imageFeatures]], [[resize]]); audio metadata
+  * decode is real via `javax.sound.sampled`. Only VIDEO frame sampling
+  * remains a STUB (the container ships no video codecs): it produces
+  * deterministic fake frames from payload bytes. Everything around the
+  * stub — schema, batch iteration, partition sizing, output shapes —
+  * is the real distributed plumbing and is tested; swapping it for a
+  * real codec changes only the body marked `STUB`.
   */
 object Multimodal {
 
@@ -169,12 +169,18 @@ object Multimodal {
       } finally iis.close()
     }
 
-  private val featureDim = 16
+  private val featureGrid = 4 // 4x4 pooled luminance grid = 16 floats
 
-  /** STUB image decode + feature extraction: a real implementation
-    * decodes pixels and runs a vision encoder; this derives a
-    * deterministic float vector from the bytes so shapes/partitioning
-    * are exercised end-to-end.
+  /** REAL image feature extraction (pure JDK): decode pixels with
+    * `ImageIO.read`, average-pool luminance (0.299R+0.587G+0.114B,
+    * normalized to [0,1]) over a `featureGrid`² cell grid — the classic
+    * tiny-image descriptor; swap [[grayGridFeatures]] for a vision
+    * encoder to change the embedding, not the plumbing. Undecodable or
+    * non-image payloads yield null features (they'd otherwise pollute
+    * nearest-neighbour queries with hash noise). Same iterator-to-
+    * iterator mapPartitions shape as [[decodeImageMeta]]; callers
+    * should [[balanceForDecode]] first — decode cost is O(pixels), and
+    * file sizes are heavily skewed.
     */
   def imageFeatures(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -188,38 +194,83 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
-        // STUB: pseudo-features from a rolling hash of the payload.
-        val feats = new Array[Float](featureDim)
-        if (bytes != null) {
-          var h = 1125899906842597L
-          var i = 0
-          while (i < bytes.length) {
-            h = 31 * h + bytes(i)
-            if (i % 8 == 7) feats((i / 8) % featureDim) += (h % 1000L) / 1000.0f
-            i += 1
-          }
-        }
         Row(r.getLong(idIdx),
           Option(r.getAs[Row](metaIdx)).map(_.getAs[String]("mime")).orNull,
-          feats.toSeq)
+          grayGridFeatures(bytes).map(_.toSeq).orNull)
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** STUB resize: a real implementation re-encodes pixels; this
-    * truncates payload bytes proportionally and stamps the new dims,
-    * keeping the binary-in/binary-out contract.
+  /** Average-pooled grayscale grid over the decoded image. */
+  private[ops] def grayGridFeatures(
+      bytes: Array[Byte], grid: Int = featureGrid): Option[Array[Float]] =
+    decodeImage(bytes).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val sums = new Array[Double](grid * grid)
+      val counts = new Array[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * grid / h, grid - 1)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * grid / w, grid - 1)
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          val cell = gy * grid + gx
+          sums(cell) += lum / 255.0
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(grid * grid)(i =>
+        if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
+    }
+
+  private[ops] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL resize (pure JDK): decode, bilinear `Graphics2D` scale to
+    * (w, h), re-encode PNG, stamp the new dims and mime. Undecodable
+    * payloads pass through untouched — stamping requested dims on a
+    * non-image would lie to downstream pruning. Binary-in/binary-out
+    * over the same mediaSchema, mapPartitions iterator-to-iterator.
     */
-  def resize(df: DataFrame, w: Int, h: Int): DataFrame =
-    df.withColumn("content",
-      // STUB: proportional byte truncation stands in for re-encoding
-      substring(col("content"), lit(1),
-        greatest(lit(16), least(length(col("content")), lit(w * h)))))
-      .withColumn("meta", struct(
-        col("meta.mime").as("mime"),
-        lit(w).as("width"), lit(h).as("height"),
-        col("meta.duration_ms").as("duration_ms")))
+  def resize(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex("media_id")
+    val contentIdx = df.schema.fieldIndex("content")
+    val metaIdx = df.schema.fieldIndex("meta")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val meta = r.getAs[Row](metaIdx)
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", baos)
+            val dur = Option(meta).map(_.getAs[java.lang.Long]("duration_ms")).orNull
+            Row(r.getLong(idIdx), baos.toByteArray, Row("image/png", w, h, dur))
+          case None => Row(r.getLong(idIdx), bytes, meta)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
 
   /** STUB video frame sampling: emits `n` frame rows per video
     * (media_id, frame_idx, frame bytes) — 1→N like real frame

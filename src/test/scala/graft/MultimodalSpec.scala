@@ -22,31 +22,70 @@ class MultimodalSpec extends SparkSuite {
     assert(mimes == Set("image/png", "image/jpeg"))
   }
 
-  test("image feature extraction: deterministic shape and batch plumbing") {
-    val df = Seq((1L, pngMagic, ("image/png", 0, 0, 0L)),
-      (2L, jpgMagic, ("image/jpeg", 0, 0, 0L)))
-      .toDF("media_id", "content", "meta")
+  /** Render a real image in-memory: left half black, right half white. */
+  private def halfImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("REAL image features: pooled grayscale grid reflects actual pixels") {
+    val df = Seq((1L, halfImage(32, 32, "png")), (2L, halfImage(16, 16, "jpg")),
+      (3L, Array[Byte](1, 2, 3))) // undecodable
+      .toDF("media_id", "content")
       .selectExpr("media_id", "content",
-        "named_struct('mime', meta._1, 'width', meta._2, 'height', meta._3, 'duration_ms', meta._4) AS meta")
+        "named_struct('mime', CAST(NULL AS STRING), 'width', CAST(NULL AS INT), " +
+          "'height', CAST(NULL AS INT), 'duration_ms', CAST(NULL AS BIGINT)) AS meta")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        Multimodal.sniffMime($"content").as("mime"),
+        $"meta.width", $"meta.height", $"meta.duration_ms"))
     val feats = Multimodal.imageFeatures(df)
     assert(feats.columns.toSeq == Seq("media_id", "mime", "features"))
     val rows = feats.orderBy("media_id").collect()
-    assert(rows.length == 2)
-    assert(rows(0).getSeq[Float](2).size == 16)
+    // 4x4 grid row-major: columns 0-1 over the black half (~0),
+    // columns 2-3 over the white half (~1) — REAL luminance statistics
+    val png = rows(0).getSeq[Float](2)
+    assert(png.size == 16)
+    (0 until 4).foreach { gy =>
+      assert(png(gy * 4) < 0.05f && png(gy * 4 + 1) < 0.05f,
+        s"black cells row $gy: $png")
+      assert(png(gy * 4 + 2) > 0.95f && png(gy * 4 + 3) > 0.95f,
+        s"white cells row $gy: $png")
+    }
+    // JPEG decodes too (lossy, so looser bounds)
+    val jpg = rows(1).getSeq[Float](2)
+    assert(jpg(0) < 0.2f && jpg(3) > 0.8f)
+    // undecodable payload → null features, not hash noise
+    assert(rows(2).isNullAt(2))
     // deterministic: re-run gives identical features
     val again = Multimodal.imageFeatures(df).orderBy("media_id").collect()
-    assert(rows(0).getSeq[Float](2) == again(0).getSeq[Float](2))
+    assert(png == again(0).getSeq[Float](2))
   }
 
-  test("resize keeps binary contract and stamps dims (STUB kernel)") {
-    val df = Seq((1L, pngMagic, ("image/png", 0, 0, 0L)))
-      .toDF("media_id", "content", "meta")
+  test("REAL resize: Graphics2D re-encode stamps dims; undecodable passes through") {
+    val orig = halfImage(32, 20, "png")
+    val df = Seq((1L, orig), (2L, Array[Byte](7, 7, 7)))
+      .toDF("media_id", "content")
       .selectExpr("media_id", "content",
-        "named_struct('mime', meta._1, 'width', meta._2, 'height', meta._3, 'duration_ms', meta._4) AS meta")
-    val out = Multimodal.resize(df, 8, 8).head()
-    val meta = out.getStruct(out.fieldIndex("meta"))
+        "named_struct('mime', 'image/png', 'width', CAST(NULL AS INT), " +
+          "'height', CAST(NULL AS INT), 'duration_ms', CAST(NULL AS BIGINT)) AS meta")
+    val out = Multimodal.resize(df, 8, 8).orderBy("media_id").collect()
+    val meta = out(0).getStruct(2)
+    assert(meta.getAs[String]("mime") == "image/png")
     assert(meta.getAs[Int]("width") == 8 && meta.getAs[Int]("height") == 8)
-    assert(out.getAs[Array[Byte]]("content").length <= 64)
+    // output bytes are a REAL decodable 8x8 PNG preserving the pattern
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).getAs[Array[Byte]](1)))
+    assert(resized.getWidth == 8 && resized.getHeight == 8)
+    assert((resized.getRGB(0, 0) & 0xFF) < 32) // left: dark
+    assert((resized.getRGB(7, 0) & 0xFF) > 224) // right: bright
+    // undecodable: bytes and meta untouched
+    assert(out(1).getAs[Array[Byte]](1).toSeq == Seq[Byte](7, 7, 7))
+    assert(out(1).getStruct(2).isNullAt(1))
   }
 
   test("REAL image decode: javax.imageio dims land in meta (PNG + JPEG fixtures)") {
