@@ -50,22 +50,34 @@ object Bench {
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var ok = true
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
           case e: Throwable =>
+            ok = false
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, median(times), times.head)
+      (name, median(times), times.head, ok)
     }
-    def jmap(f: ((String, Double, Double)) => Double): String =
+    def jmap(f: ((String, Double, Double, Boolean)) => Double): String =
       results.map(r => "\"" + r._1 + "\":" + f"${f(r)}%.3f").mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"}""")
+    // a query that threw must not fold its (fast-failure) wall time into
+    // the headline total — broken must not read as fast round-over-round
+    val total = results.filter(_._4).map(_._2).sum
+    val failed = results.collect { case (n, _, _, false) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"}"""
+    println(json)
+    // the driver captures the tail of stdout; a long single line can lose
+    // its head (BENCH_r04 lost the total) — persist the artifact too
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -53,6 +53,9 @@ object Pipeline {
   /** Build the source DataFrame (registry ≅ component.go:61-134). */
   def source(spark: SparkSession, spec: Spec): DataFrame = spec.from.toUpperCase match {
     case "FILE" | "OSS" | "S3" =>
+      // S3 auth env → fs.s3a.* before the scan plans (K4/S-family;
+      // ext/s3/sink.go:39-51)
+      if (spec.from.equalsIgnoreCase("S3")) graft.util.S3Conf(spark, spec.env)
       val uri = key(spec.env, spec.from.toUpperCase, "SOURCE_URI")
         .getOrElse(sys.error(s"${spec.from}__SOURCE_URI required"))
       FileSource.read(spark, uri,
@@ -215,6 +218,8 @@ object Pipeline {
   def sink(df: DataFrame, sinkName: String, spec: Spec): Seq[String] =
     sinkName.toUpperCase match {
       case "FILE" | "OSS" | "S3" | "SFTP" =>
+        if (sinkName.equalsIgnoreCase("S3"))
+          graft.util.S3Conf(df.sparkSession, spec.env)
         val uri = key(spec.env, sinkName.toUpperCase, "DESTINATION_URI")
           .getOrElse(sys.error(s"${sinkName}__DESTINATION_URI required"))
         FileSink.write(df, FileSink.Spec(

@@ -42,7 +42,15 @@ object QueryLoop {
         * (client_reader.go:166). Off by default: it costs one count job
         * per (pre-row, file) pair.
         */
-      stampTotalCount: Boolean = false)
+      stampTotalCount: Boolean = false,
+      /** Guard on the pre-query driver collect. Pre-rows are
+        * control-plane (each generates one query per file,
+        * source.go:163-179) so their cardinality is config-scale; a
+        * pre-query that returns data-scale rows is a config bug that
+        * would otherwise OOM the driver AND fan out rows×files query
+        * jobs. Generous default, explicit failure.
+        */
+      maxPreRows: Int = 10000)
 
   case class Out(
       /** Unioned data records of every (pre-row, file) execution. */
@@ -93,7 +101,13 @@ object QueryLoop {
     val preRows: Seq[Map[String, Any]] = preDf match {
       case Some(df) =>
         val cols = df.columns
-        df.collect().toSeq.map { row =>
+        val collected = df.limit(spec.maxPreRows + 1).collect().toSeq
+        require(
+          collected.size <= spec.maxPreRows,
+          s"pre-query returned more than maxPreRows=${spec.maxPreRows} rows; " +
+            "pre-rows are control-plane (one query per pre-row × file) — " +
+            "raise Spec.maxPreRows only if the query fan-out is intended")
+        collected.map { row =>
           cols.zipWithIndex.map { case (c, i) =>
             (spec.metadataPrefix + c) -> row.get(i)
           }.toMap + (spec.filenameColumn -> spec.preQueryFilename)

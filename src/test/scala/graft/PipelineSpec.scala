@@ -253,4 +253,56 @@ class PipelineSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSeq.sorted
     assert(idx == Seq((0L, 0L), (1L, 0L), (2L, 1L)))
   }
+
+  test("pre-query loop: maxPreRows guard fails loud on data-scale pre-queries") {
+    import graft.pipeline.QueryLoop
+    val e = intercept[IllegalArgumentException] {
+      QueryLoop.run(spark, QueryLoop.Spec(
+        preQuery = "SELECT id FROM range(10)",
+        queryFiles = Seq(("q.sql", "SELECT 1 AS one")),
+        maxPreRows = 5))
+    }
+    assert(e.getMessage.contains("maxPreRows"))
+    // at the limit it still runs: 10 pre-rows × 1 file
+    val ok = QueryLoop.run(spark, QueryLoop.Spec(
+      preQuery = "SELECT id FROM range(10)",
+      queryFiles = Seq(("q.sql", "SELECT 1 AS one")),
+      maxPreRows = 10))
+    assert(ok.data.get.count() == 10)
+  }
+
+  test("S3 env auth maps onto fs.s3a.* session conf (K4, ext/s3/sink.go:39-51)") {
+    val applied = graft.util.S3Conf(spark, Map(
+      "S3__CREDENTIALS" ->
+        """{"aws_access_key_id":"AKIAX","aws_secret_access_key":"sek","aws_session_token":"tok"}""",
+      "S3__REGION" -> "ap-southeast-2"))
+    assert(applied("fs.s3a.access.key") == "AKIAX")
+    assert(applied("fs.s3a.secret.key") == "sek")
+    assert(applied("fs.s3a.session.token") == "tok")
+    assert(applied("fs.s3a.aws.credentials.provider")
+      .contains("TemporaryAWSCredentialsProvider"))
+    assert(applied("fs.s3a.endpoint.region") == "ap-southeast-2")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    assert(hconf.get("fs.s3a.access.key") == "AKIAX")
+    // flat keys win over the blob; no session token → no provider override
+    val flat = graft.util.S3Conf(spark, Map(
+      "S3__CREDENTIALS" -> """{"aws_access_key_id":"blob","aws_secret_access_key":"blob"}""",
+      "S3__ACCESS_KEY_ID" -> "FLAT",
+      "S3__SECRET_ACCESS_KEY" -> "flatsec",
+      "S3__ENDPOINT" -> "http://localhost:9000",
+      "S3__PATH_STYLE_ACCESS" -> "TRUE"))
+    assert(flat("fs.s3a.access.key") == "FLAT")
+    assert(!flat.contains("fs.s3a.aws.credentials.provider"))
+    assert(flat("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(flat("fs.s3a.path.style.access") == "true")
+    // vendor token provider is rejected loudly (tiktok_provider.go)
+    val err = intercept[IllegalArgumentException] {
+      graft.util.S3Conf(spark, Map("S3__PROVIDER" -> "tiktok"))
+    }
+    assert(err.getMessage.contains("S3__PROVIDER"))
+    // malformed blob is an error, not silent defaults (util.go:19-22)
+    intercept[IllegalArgumentException] {
+      graft.util.S3Conf.parseCredentials("""{"aws_access_key_id":"only"}""")
+    }
+  }
 }
