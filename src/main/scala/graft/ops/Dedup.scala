@@ -188,8 +188,13 @@ object Dedup {
     // localCheckpoint materializes AND replaces the plan with a
     // LogicalRDD. (On a cluster with unreliable executors use
     // `checkpoint` with a reliable dir instead.)
+    // null ids can never join back to a label (SQL null ≠ null), so a
+    // null-end edge is dead weight in the iterative path and an NPE in
+    // the driver fast path's Comparable ordering — drop them up front
+    // so both paths agree
     val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("src").isNotNull.and(col("dst").isNotNull))
       .distinct()
       .localCheckpoint(true)
     val nEdges = edges0.count()
@@ -200,7 +205,21 @@ object Dedup {
     // count) — the iterative path spent ~13s of stage overhead on
     // 400-edge graphs. Above it (or if a caller disables it with 0),
     // fall through to the distributed min-label iteration.
-    if (nEdges <= driverEdgeThreshold) return driverUnionFind(edges0)
+    // the fast path's union-by-minimum needs a Comparable external type
+    // whose ordering matches SQL `min` — true for these atomics, not
+    // for struct/array/binary ids (Row and Array[Byte] aren't
+    // Comparable) — those take the SQL-semantics iterative path
+    // regardless of size
+    val atomicId = edges0.schema.head.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType
+        | org.apache.spark.sql.types.BooleanType
+        | org.apache.spark.sql.types.DateType
+        | org.apache.spark.sql.types.TimestampType
+        | org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    if (nEdges <= driverEdgeThreshold && atomicId) return driverUnionFind(edges0)
     // Size each round's stages to the edge count — per-round latency is
     // dominated by task count, not data (100k edges per partition).
     val np = math.max(2, math.min(

@@ -92,15 +92,19 @@ object Similarity {
     // default 10⁶ rows that is ~5·10¹¹ cosine evaluations — the
     // practical ceiling of the exactness baseline. Larger corpora must
     // use the sub-quadratic [[cosineNearDupPairsLsh]] path.
-    // The projected input is persisted BEFORE the guard count so the
-    // upstream pipeline executes once total — unpersisted, the count
-    // plus the two self-join sides would re-run it three times (costly
-    // when the input is itself a transform, not a bare scan).
+    // The projected input is materialized BEFORE the guard count so the
+    // upstream pipeline executes once total — otherwise the count plus
+    // the two self-join sides would re-run it three times (costly when
+    // the input is itself a transform, not a bare scan). localCheckpoint
+    // rather than persist: a persist would sit in the CacheManager until
+    // someone calls unpersist (the returned frame pinned it forever in
+    // long-lived sessions), while checkpoint blocks belong to the RDD
+    // and the ContextCleaner frees them once the returned DataFrame is
+    // no longer referenced.
     val base = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val n = base.count()
     if (n > maxRows) {
-      base.unpersist()
       throw new IllegalArgumentException(
         s"cosineNearDupPairs is O(N²) and got N=$n > maxRows=$maxRows; " +
           "use cosineNearDupPairsLsh (sub-quadratic) or raise maxRows explicitly")

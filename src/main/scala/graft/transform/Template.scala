@@ -442,6 +442,26 @@ object Template {
   def fieldCol(path: Seq[String]): Column =
     path.tail.foldLeft(col(s"`${path.head}`"))((c, f) => c.getField(f))
 
+  /** Column mirror of [[isEmptyVal]] (sprig emptiness: null, "", false,
+    * numeric 0, empty list/map). The compiler has no schema, so the
+    * typed checks gate on `typeof(c)` — a per-type constant — and test
+    * the universally-castable STRING form: a string "0" keeps
+    * typeof=string and is NOT empty (ids stay safe), while int/double 0
+    * renders "0"/"0.0" under a numeric typeof and is.
+    */
+  private def isEmptyCol(c: Column): Column = {
+    val t = call_function("typeof", c)
+    val s = c.cast("string")
+    val numericT = t.isin("tinyint", "smallint", "int", "bigint",
+      "float", "double").or(t.startsWith("decimal"))
+    val containerT = t.startsWith("array").or(t.startsWith("map"))
+    c.isNull
+      .or(s === "")
+      .or(numericT.and(regexp_like(s, lit("^-?0+(\\.0+)?$"))))
+      .or(t === "boolean" && s === "false")
+      .or(containerT.and(s.isin("[]", "{}")))
+  }
+
   private def toCol(ast: Ast): Column = ast match {
     case Field(p) => fieldCol(p)
     case StrLit(v) => lit(v)
@@ -472,13 +492,18 @@ object Template {
         // sink/source config templates). Argument order follows sprig
         // (piped value LAST): `default d v`, `replace old new s`,
         // `trunc n s`, `date layout t`, ...
-        // Column path checks null/empty-string only: a Column's type
-        // isn't known here, and treating the STRING "0" as empty would
-        // swallow legitimate ids (the driver-path mirror sees typed
-        // values and also treats numeric 0 / false as empty, like sprig)
+        // sprig emptiness (typed, via isEmptyCol's typeof gate) so the
+        // Column path agrees with the driver mirror on 0/false/[].
+        // Branches are string-typed: ANSI CaseWhen coercion would
+        // otherwise runtime-cast a string fallback to the field's type
+        // (`false | default "d"` → cast error); templates render to
+        // text anyway and downstream numeric fns re-cast explicitly.
         case "default" =>
-          when(a(1).isNull.or(a(1).cast("string") === ""), a(0)).otherwise(a(1))
-        case "coalesce" => coalesce(a: _*)
+          when(isEmptyCol(a(1)), a(0).cast("string"))
+            .otherwise(a(1).cast("string"))
+        case "coalesce" =>
+          coalesce(a.map(c =>
+            when(isEmptyCol(c), lit(null)).otherwise(c.cast("string"))): _*)
         case "replace" => call_function("replace", a(2), a(0), a(1))
         case "trunc" => args.head match {
           case NumLit(n) if n >= 0 => substring(a(1), 1, n.toInt)
@@ -551,7 +576,7 @@ object Template {
         case "unixEpoch" => unix_timestamp(a.head)
 
         // type tests / conversions
-        case "empty" => a.head.isNull.or(a.head.cast("string") === "")
+        case "empty" => isEmptyCol(a.head)
         case "atoi" | "int" | "int64" => a.head.cast("long")
         case "float64" => a.head.cast("double")
         case "toString" => a.head.cast("string")
@@ -578,8 +603,7 @@ object Template {
         case "sortAlpha" => sort_array(a.head.cast("array<string>"))
         case "reverse" => reverse(a.head)
         case "uniq" => array_distinct(a.head)
-        case "compact" =>
-          filter(a.head, x => x.isNotNull.and(x.cast("string") =!= ""))
+        case "compact" => filter(a.head, x => !isEmptyCol(x))
         case "first" => get(a.head, lit(0))
         case "last" => get(a.head, size(a.head) - 1)
         case "rest" => slice(a.head, lit(2), greatest(size(a.head) - 1, lit(0)))
@@ -588,7 +612,10 @@ object Template {
         case "prepend" => concat(array(a(1)), a(0))
         case "concat" => concat(a: _*)
         case "has" => array_contains(a(1), a(0))
-        case "without" => array_except(a(0), array(a.tail: _*))
+        // NOT array_except: sprig's without preserves duplicates among
+        // survivors; array_except would dedupe them
+        case "without" =>
+          filter(a(0), x => !coalesce(x.isin(a.tail: _*), lit(false)))
         case "until" => args.head match {
           case NumLit(n) => typedLit((0L until n).toSeq)
           case _ => throw new IllegalArgumentException("until needs literal bound")

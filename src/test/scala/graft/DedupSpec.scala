@@ -78,6 +78,22 @@ class DedupSpec extends SparkSuite {
     assert(Set("x", "y").map(comps) == Set("x"))
   }
 
+  test("connected components: null-id edges dropped; struct ids take the iterative path") {
+    // null ends can't join back to a label in SQL (null != null) and
+    // would NPE the driver fast path's Comparable ordering
+    val withNulls = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(withNulls)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L))
+    // struct ids: Row is not Comparable — must not hit the fast path
+    val structPairs = Seq(((1L, "x"), (2L, "y")), ((2L, "y"), (3L, "z")))
+      .toDF("id_a", "id_b")
+    val sc = Dedup.connectedComponents(structPairs, maxIter = 16)
+      .as[((Long, String), (Long, String))].collect().toMap
+    assert(sc.values.toSet == Set((1L, "x")))
+  }
+
   test("ngram jaccard: dup pair scores 1.0, near pair high, rest absent") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
       threshold = 0.3, maxDocFreq = 100)

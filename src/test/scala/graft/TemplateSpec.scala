@@ -162,6 +162,39 @@ class TemplateSpec extends SparkSuite {
     assert(cn == "\n alpha_beta gamma" && dn == cn)
   }
 
+  test("typed emptiness parity: 0/false/[] empty in BOTH paths (sprig isEmptyVal)") {
+    val df = Seq((0L, 1L, false, true, "0", Seq.empty[String], Seq("a", "a", "b")))
+      .toDF("zero", "one", "f", "t", "zeroStr", "emptyArr", "dups")
+    val vals = Map[String, Any]("zero" -> 0L, "one" -> 1L, "f" -> false,
+      "t" -> true, "zeroStr" -> "0", "emptyArr" -> Seq.empty[String],
+      "dups" -> Seq("a", "a", "b"))
+    def both(tpl: String): (String, String) = (
+      df.select(Template.compile(tpl).as("out")).as[String].head(),
+      Template.render(tpl, vals))
+    val cases = Seq(
+      "[[ ternary \"y\" \"n\" (empty .zero) ]]" -> "y",
+      "[[ ternary \"y\" \"n\" (empty .one) ]]" -> "n",
+      "[[ ternary \"y\" \"n\" (empty .f) ]]" -> "y",
+      "[[ ternary \"y\" \"n\" (empty .t) ]]" -> "n",
+      // the STRING "0" is a legitimate id, not sprig's numeric zero
+      "[[ ternary \"y\" \"n\" (empty .zeroStr) ]]" -> "n",
+      "[[ ternary \"y\" \"n\" (empty .emptyArr) ]]" -> "y",
+      "[[ .zero | default 42 ]]" -> "42",
+      "[[ .f | default \"d\" ]]" -> "d",
+      "[[ .zeroStr | default \"d\" ]]" -> "0",
+      "[[ coalesce .zero .one ]]" -> "1",
+      // without filters (sprig), it does NOT set-diff: duplicate
+      // survivors are preserved (array_except would dedupe to "a")
+      "[[ without .dups \"b\" | join \",\" ]]" -> "a,a",
+      // compact drops numeric zeros like the driver mirror
+      "[[ list .zero .one .zero | compact | join \",\" ]]" -> "1")
+    cases.foreach { case (tpl, expected) =>
+      val (colOut, drvOut) = both(tpl)
+      assert(colOut == expected, s"Column path: $tpl")
+      assert(drvOut == expected, s"driver render: $tpl")
+    }
+  }
+
   test("go layout and duration conversion") {
     assert(Template.goLayoutToJava("2006-01-02T15:04:05Z07:00")
       == "yyyy-MM-dd'T'HH:mm:ssXXX")
