@@ -94,10 +94,12 @@ object Pipeline {
             .getOrElse(sys.error("query script produced no result"))
       }
     case "HTTP" =>
-      // S8: one GET, NDJSON body → records (ext/http/source.go:78-132)
+      // S8: one GET, NDJSON body → records (ext/http/source.go:78-132);
+      // HTTP__CONNECTION_TLS_* env (PEM contents) → SSLContext
       val doer = spec.clients.get("HTTP") match {
         case Some(d: graft.sources.Http.HttpDoer) => d
-        case _ => new graft.sources.Http.JdkHttpDoer()
+        case _ => new graft.sources.Http.JdkHttpDoer(
+          tls = graft.util.Tls.fromEnv(spec.env, "HTTP"))
       }
       graft.sources.Http.readNdjson(spark,
         endpoint = key(spec.env, "HTTP", "ENDPOINT")
@@ -264,7 +266,8 @@ object Pipeline {
         // client (or an injected doer)
         val doer = spec.clients.get("HTTP") match {
           case Some(d: graft.sources.Http.HttpDoer) => d
-          case _ => new graft.sources.Http.JdkHttpDoer()
+          case _ => new graft.sources.Http.JdkHttpDoer(
+            tls = graft.util.Tls.fromEnv(spec.env, "HTTP"))
         }
         val endpoint = key(spec.env, "HTTP", "ENDPOINT")
           .orElse(key(spec.env, "HTTP", "DESTINATION_URI"))
@@ -309,7 +312,8 @@ object Pipeline {
           case Some(f: graft.sinks.PartitionSinks.ClientFactory) => f
           case _ => new graft.sinks.Redis.ClientFactory(
             key(spec.env, "REDIS", "CONNECTION_DSN")
-              .getOrElse(sys.error("REDIS__CONNECTION_DSN required")))
+              .getOrElse(sys.error("REDIS__CONNECTION_DSN required")),
+            tls = graft.util.Tls.fromEnv(spec.env, "REDIS"))
         }
         graft.sinks.PartitionSinks.writeKeyValue(df,
           keyTemplate = key(spec.env, "REDIS", "RECORD_KEY")

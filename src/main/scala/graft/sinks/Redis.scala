@@ -62,17 +62,36 @@ object Redis {
   }
 
   /** One socket per client (per partition); AUTH on connect when the
-    * DSN carries a password.
+    * DSN carries a password. A `rediss://` scheme or an explicit
+    * [[graft.util.Tls.Config]] (REDIS__CONNECTION_TLS_*,
+    * internal/config/sink_redis.go:6-8) wraps the connection in TLS;
+    * the config's CA/client-cert/skip-verify options apply, or the JVM
+    * default trust store when only the scheme asks for TLS.
     */
-  class ClientFactory(dsn: String, timeoutMs: Int = 10000)
+  class ClientFactory(dsn: String, timeoutMs: Int = 10000,
+      tls: Option[graft.util.Tls.Config] = None)
     extends PartitionSinks.ClientFactory {
     def create(): PartitionSinks.BatchClient = new PartitionSinks.BatchClient {
       private val (host, port, pass) = parseDsn(dsn)
       private var opened: java.net.Socket = null
       private def socket: java.net.Socket = {
         if (opened == null) {
-          val s = new java.net.Socket()
-          s.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+          val useTls = tls.isDefined || dsn.startsWith("rediss://")
+          val s: java.net.Socket = if (useTls) {
+            val ctx = tls.map(graft.util.Tls.sslContext)
+              .getOrElse(javax.net.ssl.SSLContext.getDefault)
+            val raw = new java.net.Socket()
+            raw.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+            val ssl = ctx.getSocketFactory
+              .createSocket(raw, host, port, true)
+              .asInstanceOf[javax.net.ssl.SSLSocket]
+            ssl.startHandshake()
+            ssl
+          } else {
+            val raw = new java.net.Socket()
+            raw.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+            raw
+          }
           s.setSoTimeout(timeoutMs)
           pass.foreach { p =>
             s.getOutputStream.write(encode(Seq("AUTH", p)))

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.sinks.PartitionSinks
-import graft.util.OAuth2
+import graft.util.{OAuth2, Tls}
 
 /** Real HTTP transport (reference S8 source / K9 sink, ext/http/).
   *
@@ -29,10 +29,21 @@ object Http {
         body: Option[String]): (Int, String)
   }
 
-  /** JDK-native client; built lazily per JVM (serializable-safe). */
-  class JdkHttpDoer(timeoutMs: Long = 30000) extends HttpDoer {
-    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+  /** JDK-native client; built lazily per JVM (serializable-safe).
+    * `tls` carries the reference's connection TLS options
+    * (internal/ext/auth/tls.go:11-27 via ext/http/sink.go:79-84):
+    * private-CA trust, client cert/key, skip-verify — compiled to an
+    * `SSLContext` once per JVM. PEM strings serialize with the doer,
+    * so executor-side clients get the same context.
+    */
+  class JdkHttpDoer(timeoutMs: Long = 30000, tls: Option[Tls.Config] = None)
+    extends HttpDoer {
+    @transient private lazy val client = {
+      val b = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      tls.foreach(cfg => b.sslContext(Tls.sslContext(cfg)))
+      b.build()
+    }
     def send(
         method: String,
         url: String,

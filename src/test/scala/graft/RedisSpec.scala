@@ -5,10 +5,16 @@ import graft.sinks.Redis
 /** In-process RESP2 server: parses command arrays, stores MSET pairs,
   * answers +OK — drives the REAL socket transport end to end.
   */
-class FakeRespServer(password: Option[String] = None) {
+class FakeRespServer(
+    password: Option[String] = None,
+    tls: Option[graft.util.Tls.Config] = None) {
   val store = new java.util.concurrent.ConcurrentHashMap[String, String]
   val commands = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]
-  private val server = new java.net.ServerSocket(0)
+  private val server = tls match {
+    case Some(cfg) =>
+      graft.util.Tls.sslContext(cfg).getServerSocketFactory.createServerSocket(0)
+    case None => new java.net.ServerSocket(0)
+  }
   def port: Int = server.getLocalPort
 
   private val thread = new Thread(() => {
@@ -97,6 +103,30 @@ class RedisSpec extends SparkSuite {
       assert(srv.store.containsKey("k:1"))
       val cmds = srv.commands.toArray.toSeq.map(_.asInstanceOf[Seq[String]])
       assert(cmds.head.take(2) == Seq("AUTH", "pw1"))
+    } finally srv.close()
+  }
+
+  test("rediss:// + REDIS__CONNECTION_TLS_CACERT: real TLS handshake to the RESP server (sink_redis.go:6-8)") {
+    def pem(name: String): String = {
+      val in = getClass.getResourceAsStream(s"/tls/$name")
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val srv = new FakeRespServer(tls = Some(graft.util.Tls.Config(
+      cert = Some(pem("server.pem")), key = Some(pem("server.key")))))
+    try {
+      val df = Seq((9L, "t")).toDF("id", "v")
+      graft.sinks.PartitionSinks.writeKeyValue(df.coalesce(1),
+        "tls:[[ .id ]]", None,
+        new Redis.ClientFactory(s"rediss://127.0.0.1:${srv.port}",
+          tls = Some(graft.util.Tls.Config(caCert = Some(pem("ca.pem"))))))
+      var tries = 0
+      while (srv.store.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(srv.store.containsKey("tls:9"))
+      // without the CA the handshake must fail, not fall back to plaintext
+      intercept[Exception] {
+        new Redis.ClientFactory(s"rediss://127.0.0.1:${srv.port}")
+          .create().send("", Seq("k", "v"))
+      }
     } finally srv.close()
   }
 
