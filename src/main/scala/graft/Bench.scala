@@ -70,14 +70,19 @@ object Bench {
     val total = results.filter(_._4).map(_._2).sum
     val failed = results.collect { case (n, _, _, false) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
+    // The driver keeps only the LAST ~3000 chars of stdout: with both
+    // the median and cold maps on one line the head (metric/total) was
+    // truncated away two rounds running (BENCH_r04/r05 parsed:null).
+    // stdout carries the parseable essentials; the full artifact
+    // including the cold map goes to target/bench.json.
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"}"""
     println(json)
-    // the driver captures the tail of stdout; a long single line can lose
-    // its head (BENCH_r04 lost the total) — persist the artifact too
+    val full =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -539,20 +539,25 @@ object SparkEntry {
 
     "q50_dup_components" -> ((s, dir) => {
       // THE production near-dedup path, composed and oracle-checked
-      // end-to-end: sub-quadratic MinHash-LSH candidates → exact
-      // jaccard verification (≥ 0.9) → connected components into
-      // complete duplicate clusters (A~B, B~C ⇒ one group). Because
-      // LSH recall at j ≥ 0.9 is deterministic-1 on a fixed corpus
-      // (see q26), the verified edge set equals the exact high-jaccard
-      // edge set, which DuckDB recomputes with a recursive-CTE
-      // fixpoint — so candidate generation, verification AND the
-      // iterative CC operator are all under one green row.
+      // end-to-end: sub-quadratic MinHash-LSH candidates → corpus
+      // restricted to candidate ids → exact jaccard verification
+      // (≥ 0.9) → connected components into complete duplicate
+      // clusters (A~B, B~C ⇒ one group). Verification runs on the
+      // candidate sub-corpus ONLY (Dedup.candidateDocs — the
+      // dedupCorpus shape), so the gram-bucket expansion is bounded by
+      // the candidate set, never the corpus: a stop-shingle shared by
+      // 100k docs cannot create a quadratic bucket here. Oracle
+      // parity: LSH recall at j ≥ 0.9 is deterministic-1 on a fixed
+      // corpus (q26's contract), so every exact high-jaccard pair has
+      // both endpoints among the candidates and survives restriction —
+      // the verified edge set still equals the full-corpus exact edge
+      // set that DuckDB recomputes with a recursive-CTE fixpoint.
       val docs = t(s, dir, "documents")
       val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
         numHashes = 64, bands = 32, shingleSize = 3)
-      val verified = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.9, maxDocFreq = 1000000L)
-        .join(cands, Seq("id_a", "id_b"), "left_semi")
+      val verified = Dedup.ngramJaccardPairs(
+        Dedup.candidateDocs(docs, "doc_id", cands),
+        "doc_id", "text", n = 3, threshold = 0.9)
       Dedup.connectedComponents(verified)
         .groupBy("comp").agg(count(lit(1)).cast("long").as("cluster_size"),
           min(col("id")).as("representative"))

@@ -290,6 +290,18 @@ object Dedup {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Restrict a corpus to the documents named by a candidate-pair edge
+    * list — the step that makes verification scale-safe: exact n-gram
+    * Jaccard after this touches only near-dup suspects, so a
+    * stop-shingle shared by 100k corpus docs can no longer create a
+    * quadratic gram bucket (jaccard is pair-local, so restriction
+    * never changes a surviving pair's score).
+    */
+  def candidateDocs(df: DataFrame, idCol: String, candidates: DataFrame): DataFrame =
+    df.join(
+      candidates.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+
   /** End-to-end corpus dedup, the composed operator a training-data
     * pipeline runs: exact dedup first (cheap, removes byte-identical
     * docs), then MinHash-LSH candidates verified by n-gram Jaccard,
@@ -310,9 +322,7 @@ object Dedup {
     val candidates = minhashCandidates(exact0, idCol, textCol,
       shingleSize = shingleSize)
     val verified = ngramJaccardPairs(
-      exact0.join(
-        candidates.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct(),
-        idCol, "left_semi"),
+      candidateDocs(exact0, idCol, candidates),
       idCol, textCol, n = shingleSize, threshold = jaccardThreshold)
     val drop = verified.select(col("id_b").as(idCol)).distinct()
     exact0.join(drop, Seq(idCol), "left_anti")

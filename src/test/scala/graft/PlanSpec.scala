@@ -102,6 +102,32 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("q50 verify grams expand only the candidate sub-corpus (no corpus-wide buckets)") {
+    // The scale contract of the production near-dedup composition:
+    // every gram explode that feeds exact-jaccard verification must sit
+    // ABOVE the candidate-id semi-join — a corpus-wide gram-bucket
+    // expansion is the one shape that turns a stop-shingle into a
+    // quadratic bucket at 100 TB.
+    // ngramJaccardPairs persists its gram table, so the explode lives
+    // inside an InMemoryRelation — assert on the CACHED plan: the gram
+    // table itself must be built on a candidate semi-join.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cands = graft.ops.Dedup.minhashCandidates(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleSize = 3)
+    val verified = graft.ops.Dedup.ngramJaccardPairs(
+      graft.ops.Dedup.candidateDocs(docs, "doc_id", cands),
+      "doc_id", "text", n = 3, threshold = 0.9)
+    val gramTables = verified.queryExecution.optimizedPlan.collect {
+      case r: InMemoryRelation
+        if r.cachedPlan.toString.contains("graft_shingles") => r.cachedPlan.toString
+    }
+    assert(gramTables.nonEmpty, "expected a cached gram table in the verify plan")
+    gramTables.foreach { p =>
+      assert(p.contains("LeftSemi"), s"gram table not candidate-restricted:\n$p")
+    }
+  }
+
   test("int8 quantization shuffles once, partitioned by vector id (q58)") {
     val df = graft.ops.Quantize.int8Rows(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding")
