@@ -8,6 +8,8 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // SSH client for the SFTP sink transport (public jsch fork, cached)
+  "com.github.mwiede" % "jsch" % "0.2.17",
 )
 Test / fork := true
 run / fork := true

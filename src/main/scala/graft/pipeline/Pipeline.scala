@@ -219,7 +219,27 @@ object Pipeline {
     */
   def sink(df: DataFrame, sinkName: String, spec: Spec): Seq[String] =
     sinkName.toUpperCase match {
-      case "FILE" | "OSS" | "S3" | "SFTP" =>
+      case "SFTP" =>
+        // K5 (ext/sftp/sink.go + client.go): distributed format/write
+        // into staging, then stream each group file over the real SSH
+        // transport (password / private-key / host-fingerprint auth)
+        val uri = key(spec.env, "SFTP", "DESTINATION_URI")
+          .getOrElse(sys.error("SFTP__DESTINATION_URI required"))
+        val (cfg, _) = graft.sinks.Sftp.parseUri(uri, spec.env)
+        val factory = spec.clients.get("SFTP") match {
+          case Some(f: graft.sinks.Sftp.TransportFactory) => f
+          case _ => new graft.sinks.Sftp.JschFactory(cfg)
+        }
+        graft.sinks.Sftp.write(df, uri, FileSink.Spec(
+          destinationUri = uri,
+          format = key(spec.env, "SFTP", "FORMAT"),
+          header = key(spec.env, "SFTP", "CSV_HEADER").forall(_.toBoolean),
+          compression = key(spec.env, "SFTP", "COMPRESSION_TYPE"),
+          maxRecordsPerFile = key(spec.env, "SFTP", "MAX_TEMP_FILE_RECORD_NUMBER")
+            .map(_.toLong).getOrElse(0L),
+          jsonPath = key(spec.env, "SFTP", "JSONPATH_SELECTOR")),
+          factory, cfg.enableOverwrite)
+      case "FILE" | "OSS" | "S3" =>
         if (sinkName.equalsIgnoreCase("S3"))
           graft.util.S3Conf(df.sparkSession, spec.env)
         val uri = key(spec.env, sinkName.toUpperCase, "DESTINATION_URI")

@@ -142,7 +142,7 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.audioDurationMs(wav).isDefined)
   }
 
-  test("frame sampling emits n rows per video (1→N)") {
+  test("frame sampling emits n rows per video (1→N); codec formats take the stub path") {
     val df = Seq((7L, Array.tabulate[Byte](1000)(_.toByte), ("video/mp4", 0, 0, 0L)))
       .toDF("media_id", "content", "meta")
       .selectExpr("media_id", "content",
@@ -151,5 +151,66 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))
     assert(frames.count() == 4)
     assert(frames.select("frame_idx").as[Int].collect().toSet == Set(0, 1, 2, 3))
+  }
+
+  /** Animated GIF with `colors.size` solid frames, pure ImageIO. */
+  private def animatedGif(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val tpe = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+      val meta = writer.getDefaultImageMetadata(tpe, writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    baos.toByteArray
+  }
+
+  test("REAL video frames: animated GIF decodes to actual sampled pixels") {
+    // 4 solid frames: red, green, blue, white
+    val gif = animatedGif(8, 6, Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+    val df = Seq((9L, gif, ("image/gif", 8, 6, 400L)))
+      .toDF("media_id", "content", "meta")
+      .selectExpr("media_id", "content",
+        "named_struct('mime', meta._1, 'width', meta._2, 'height', meta._3, 'duration_ms', meta._4) AS meta")
+    val frames = Multimodal.sampleFrames(df, 4)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 4)
+    // every sampled frame is a real PNG whose center pixel matches the
+    // frame color at that position in the stream
+    val want = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    frames.zip(want).foreach { case (row, rgb) =>
+      val png = row.getAs[Array[Byte]]("frame")
+      assert(png.take(4).sameElements(
+        Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)), "not a PNG frame")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 8 && img.getHeight == 6)
+      assert((img.getRGB(4, 3) & 0xffffff) == rgb,
+        f"center pixel ${img.getRGB(4, 3) & 0xffffff}%06x != $rgb%06x")
+    }
+    // sampling fewer than available picks evenly spaced real frames
+    val two = Multimodal.sampleFrames(df, 2).orderBy("frame_idx").collect()
+    assert(two.length == 2)
+    val first = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(two(0).getAs[Array[Byte]]("frame")))
+    assert((first.getRGB(4, 3) & 0xffffff) == 0xff0000)
   }
 }
