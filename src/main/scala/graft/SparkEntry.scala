@@ -780,6 +780,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q62_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination (the GPT-3/Pile n-gram pass): flag
+      // training docs sharing any word 5-gram with the eval slice
+      // (doc_id % 20 == 0 stands in for a benchmark set). Eval grams
+      // BROADCAST; the training corpus sees one map-side explode and
+      // one doc-id aggregation — no corpus-vs-corpus shuffle.
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -1237,6 +1251,26 @@ object SparkEntry {
          |FROM gated g JOIN keep k ON g.doc_id = k.doc_id
          |ORDER BY g.doc_id""".stripMargin
     },
+
+    // q62: eval grams = DISTINCT 5-grams of the doc_id%20==0 slice;
+    // n_shared = distinct shared grams per training doc. Mirrors the
+    // kernel's short-doc rule (< n tokens → one whole-text gram), the
+    // same union device as q55's fallback.
+    "q62_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, array_to_string(tokens[i:i+4], ' ') AS gram
+        |    FROM toks, UNNEST(range(1, len(tokens) - 3)) AS t(i)
+        |    UNION ALL
+        |    SELECT doc_id, array_to_string(tokens, ' ') AS gram
+        |    FROM toks WHERE len(tokens) < 5)),
+        |ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, gram FROM sh WHERE doc_id % 20 <> 0)
+        |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     "q56_prequery_loop" ->
       // the loop's net semantics: every (pre-row, templated query) pair

@@ -290,6 +290,32 @@ object Dedup {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Benchmark decontamination: flag TRAINING documents that share any
+    * word n-gram with an evaluation/benchmark set (the GPT-3/Pile
+    * 13-gram pass; `n` configurable). Returns (idCol, n_shared) where
+    * n_shared counts the DISTINCT grams a training doc shares with the
+    * eval set — order by it to triage the worst leaks first.
+    *
+    * Scale shape: eval sets are benchmark-sized (thousands of docs),
+    * so their distinct gram table BROADCASTS; the 100 TB training
+    * corpus sees one map-side gram explode + broadcast semi-ish join +
+    * one aggregation keyed by doc id. No corpus-vs-corpus shuffle
+    * exists anywhere in the plan.
+    */
+  def decontaminate(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    val evalGrams = gramRows(evalSet, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    gramRows(train, idCol, textCol, n)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
   /** Restrict a corpus to the documents named by a candidate-pair edge
     * list — the step that makes verification scale-safe: exact n-gram
     * Jaccard after this touches only near-dup suspects, so a

@@ -46,11 +46,40 @@ object Template {
     val parts = split2(template)
     val cols = parts.map {
       case Left(text) => lit(text)
-      case Right(expr) => toCol(parseExpr(expr)).cast("string")
+      case Right(expr) =>
+        val ast = parseExpr(expr)
+        goStringCol(toCol(ast), ast)
     }
     if (cols.isEmpty) lit("")
     else if (cols.size == 1) cols.head
     else concat(cols: _*)
+  }
+
+  /** Calls statically known to yield a list / a list of lists / a dict
+    * — rendered Go-fmt style (`[a b]`, `map[k:v]`, key-sorted) so the
+    * Column path prints what the driver `show` prints. Scalar sections
+    * keep the plain string cast.
+    */
+  private val listFns = Set("list", "splitList", "sortAlpha", "uniq",
+    "compact", "without", "append", "prepend", "rest", "initial",
+    "until", "untilStep", "regexSplit", "keys", "values",
+    "pluck", "slice") // NOT `seq` — sprig's seq yields a plain string
+  private val dictFns = Set("dict", "merge", "set", "unset", "urlParse")
+
+  private def goStringCol(c: Column, ast: Ast): Column = ast match {
+    case Call("chunk", _) => // list of lists
+      concat(lit("["), array_join(
+        transform(c, inner => concat(lit("["),
+          array_join(inner.cast("array<string>"), " "), lit("]"))), " "),
+        lit("]"))
+    case Call(fn, _) if listFns(fn) =>
+      concat(lit("["), array_join(c.cast("array<string>"), " "), lit("]"))
+    case Call(fn, _) if dictFns(fn) =>
+      concat(lit("map["), array_join(
+        transform(sort_array(map_entries(c)), e => concat_ws(":",
+          e.getField("key").cast("string"), e.getField("value").cast("string"))),
+        " "), lit("]"))
+    case _ => c.cast("string")
   }
 
   /** Does the template contain any dynamic `[[ ]]` section? */
@@ -87,6 +116,9 @@ object Template {
     case null => "<no value>"
     case d: Double => graft.functions.GoFloatString.format(d)
     case f: Float => graft.functions.GoFloatString.format(f.toDouble)
+    case m: Map[_, _] => // Go fmt prints maps key-sorted
+      m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+        .map { case (k, x) => s"$k:${show(x)}" }.mkString("map[", " ", "]")
     case it: Iterable[_] => it.map(show).mkString("[", " ", "]") // Go fmt.Sprint
     case arr: Array[_] => arr.map(show).mkString("[", " ", "]")
     case other => other.toString
@@ -248,10 +280,58 @@ object Template {
         case "regexSplit" =>
           show(a(1)).split(show(a(0)), asLong(a(2)).toInt).toSeq
         case "sha1sum" => hexDigest("SHA-1", show(a.head))
+        case "sha512sum" => hexDigest("SHA-512", show(a.head))
         case "env" => sys.env.getOrElse(show(a.head), "")
+
+        // --- dict family (sprig dict.go) -------------------------------
+        case "dict" =>
+          require(a.size % 2 == 0, "dict needs an even number of args")
+          a.grouped(2).map { case Seq(k, v) => show(k) -> v }.toMap
+        case "get" => asMap(a(0)).getOrElse(show(a(1)), "")
+        case "set" => asMap(a(0)) + (show(a(1)) -> a(2))
+        case "unset" => asMap(a(0)) - show(a(1))
+        case "hasKey" => asMap(a(0)).contains(show(a(1)))
+        case "keys" => a.flatMap(m => asMap(m).keys.toSeq)
+        case "values" => a.flatMap(m => asMap(m).values.toSeq)
+        case "pluck" =>
+          val k = show(a.head)
+          a.tail.flatMap(m => asMap(m).get(k))
+        case "merge" =>
+          // dst (first arg) wins on conflicts, like sprig's mergo call
+          a.map(asMap).reverse.reduce(_ ++ _)
+
+        case "chunk" =>
+          val n = asLong(a(0)).toInt
+          asSeq(a(1)).grouped(n).toSeq
+        case "slice" => a match {
+          case Seq(l) => asSeq(l)
+          case Seq(l, from) => asSeq(l).drop(asLong(from).toInt)
+          case Seq(l, from, to) =>
+            asSeq(l).slice(asLong(from).toInt, asLong(to).toInt)
+          case _ => throw new IllegalArgumentException("slice takes 1-3 args")
+        }
+        case "swapcase" => show(a.head).map(c =>
+          if (c.isUpper) c.toLower else if (c.isLower) c.toUpper else c)
+        case "untitle" => show(a.head).split(" ", -1).map(w =>
+          if (w.isEmpty) w else w.head.toLower + w.tail).mkString(" ")
+        case "urlParse" =>
+          val u = new java.net.URI(show(a.head))
+          Map(
+            "scheme" -> Option(u.getScheme).getOrElse(""),
+            "host" -> Option(u.getHost).getOrElse(""),
+            "path" -> Option(u.getPath).getOrElse(""),
+            "query" -> Option(u.getQuery).getOrElse(""),
+            "fragment" -> Option(u.getFragment).getOrElse(""),
+            "userinfo" -> Option(u.getUserInfo).getOrElse(""))
 
         case other => throw new IllegalArgumentException(s"unsupported template function: $other")
       }
+  }
+
+  private def asMap(v: Any): Map[String, Any] = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    case null => Map.empty
+    case other => sys.error(s"expected dict, got: $other")
   }
 
   private def asSeq(v: Any): Seq[Any] = v match {
@@ -668,10 +748,67 @@ object Template {
             "regexSplit needs literal pattern and count")
         }
         case "sha1sum" => sha1(a.head.cast("binary"))
+        case "sha512sum" => sha2(a.head.cast("binary"), 512)
         case "env" => args.head match {
           case StrLit(n) => lit(sys.env.getOrElse(n, ""))
           case _ => throw new IllegalArgumentException("env needs literal name")
         }
+
+        // --- dict family over MapType columns --------------------------
+        case "dict" =>
+          require(a.size % 2 == 0, "dict needs an even number of args")
+          map(a.grouped(2).flatMap { case Seq(k, v) =>
+            Seq(k.cast("string"), v) }.toSeq: _*)
+        case "get" =>
+          coalesce(try_element_at(a(0), a(1).cast("string")).cast("string"), lit(""))
+        case "set" => map_concat(
+          map_filter(a(0), (k, _) => k =!= a(1).cast("string")),
+          map(a(1).cast("string"), a(2)))
+        case "unset" => map_filter(a(0), (k, _) => k =!= a(1).cast("string"))
+        case "hasKey" => map_contains_key(a(0), a(1).cast("string"))
+        case "keys" => concat(a.map(map_keys): _*)
+        case "values" => concat(a.map(map_values): _*)
+        case "pluck" =>
+          filter(array(a.tail.map(d =>
+            try_element_at(d, a.head.cast("string"))): _*), _.isNotNull)
+        case "merge" =>
+          // dst (first arg) wins — drop src keys the accumulator has
+          a.reduceLeft((dst, src) => map_concat(dst,
+            map_filter(src, (k, _) => !map_contains_key(dst, k))))
+
+        case "chunk" =>
+          val n = a(0).cast("int")
+          val arr = a(1)
+          filter(
+            transform(
+              sequence(lit(0), greatest(
+                ceil(size(arr).cast("double") / n).cast("long") - 1, lit(0))),
+              i => slice(arr, (i.cast("int") * n + 1), n)),
+            c => size(c) > 0)
+        case "slice" => a match {
+          case Seq(l) => l
+          case Seq(l, from) =>
+            slice(l, from.cast("int") + 1, greatest(size(l) - from.cast("int"), lit(0)))
+          case Seq(l, from, to) =>
+            slice(l, from.cast("int") + 1, greatest(to.cast("int") - from.cast("int"), lit(0)))
+          case _ => throw new IllegalArgumentException("slice takes 1-3 args")
+        }
+        case "swapcase" => array_join(
+          transform(split(a.head.cast("string"), ""),
+            c => when(c === upper(c), lower(c)).otherwise(upper(c))), "")
+        case "untitle" => array_join(
+          transform(split(a.head.cast("string"), " ", -1),
+            w => concat(lower(substring(w, 1, 1)), substring(w, 2, Int.MaxValue))), " ")
+        case "urlParse" =>
+          val u = a.head.cast("string")
+          def part(p: String) = coalesce(parse_url(u, lit(p)), lit(""))
+          map(
+            lit("scheme"), part("PROTOCOL"),
+            lit("host"), part("HOST"),
+            lit("path"), part("PATH"),
+            lit("query"), part("QUERY"),
+            lit("fragment"), part("REF"),
+            lit("userinfo"), part("USERINFO"))
 
         case other => throw new IllegalArgumentException(s"unsupported template function: $other")
       }

@@ -103,4 +103,26 @@ class DedupSpec extends SparkSuite {
     assert(out.contains((1L, 3L)))
     assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("decontaminate: only train docs sharing eval n-grams are flagged, with gram counts") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the dog"), // shares 2 trigrams
+      (2L, "completely unrelated content here today"),
+      (3L, "quick brown fox leaps high")) // shares 1 trigram
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "the quick brown fox runs")) // trigrams incl. overlap
+      .toDF("doc_id", "text")
+    val flagged = Dedup.decontaminate(train, evalSet, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "the quick brown" + "quick brown fox"; doc 3 shares
+    // "quick brown fox"; doc 2 shares nothing
+    assert(flagged == Map(1L -> 2L, 3L -> 1L))
+    // short eval docs (< n tokens) contribute their whole-text gram
+    val shortEval = Seq((200L, "tiny doc")).toDF("doc_id", "text")
+    val shortTrain = Seq((5L, "tiny doc"), (6L, "tiny dog")).toDF("doc_id", "text")
+    val f2 = Dedup.decontaminate(shortTrain, shortEval, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(f2 == Map(5L -> 1L))
+  }
 }

@@ -128,6 +128,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("decontamination broadcasts the eval gram table (q62)") {
+    // the 100 TB contract: the benchmark side broadcasts; the corpus
+    // side never shuffles its gram table into a join exchange
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val df = graft.ops.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 5)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly the aggregation exchanges remain: eval-gram distinct
+    // (small side) + the final doc-id aggregate; the train gram table
+    // reaches the join exchange-free
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("int8 quantization shuffles once, partitioned by vector id (q58)") {
     val df = graft.ops.Quantize.int8Rows(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding")

@@ -215,4 +215,56 @@ class TemplateSpec extends SparkSuite {
     assert(Template.render("[[ printf \"%s_%d\" .name .n ]]", vals) == "ab_7")
     assert(Template.render("static {{ untouched }}", vals) == "static {{ untouched }}")
   }
+
+  test("round-6 sprig tranche: dict family, chunk/slice, case, url, sha512 — both paths agree") {
+    val df = Seq(("alpha beta", "x", Seq("a", "b", "c", "d", "e"),
+      "https://u1@files.example:2222/a/b?q=1#frag"))
+      .toDF("name", "x", "arr", "url")
+    val vals = Map[String, Any]("name" -> "alpha beta", "x" -> "x",
+      "arr" -> Seq("a", "b", "c", "d", "e"),
+      "url" -> "https://u1@files.example:2222/a/b?q=1#frag")
+    def both(tpl: String): (String, String) = (
+      df.select(Template.compile(tpl).as("out")).as[String].head(),
+      Template.render(tpl, vals))
+    val cases = Seq(
+      // dict family (sprig dict.go); get on maps, set/unset round trips
+      "[[ get (dict \"a\" .x \"b\" \"2\") \"a\" ]]" -> "x",
+      "[[ get (dict \"a\" \"1\") \"missing\" ]]" -> "",
+      "[[ get (set (dict \"a\" \"1\") \"a\" \"9\") \"a\" ]]" -> "9",
+      "[[ get (set (dict \"a\" \"1\") \"b\" \"2\") \"b\" ]]" -> "2",
+      "[[ get (unset (dict \"a\" \"1\" \"b\" \"2\") \"a\") \"b\" ]]" -> "2",
+      "[[ ternary \"y\" \"n\" (hasKey (dict \"a\" \"1\") \"a\") ]]" -> "y",
+      "[[ ternary \"y\" \"n\" (hasKey (dict \"a\" \"1\") \"z\") ]]" -> "n",
+      "[[ sortAlpha (keys (dict \"b\" \"2\" \"a\" \"1\")) ]]" -> "[a b]",
+      "[[ sortAlpha (values (dict \"b\" \"2\" \"a\" \"1\")) ]]" -> "[1 2]",
+      "[[ pluck \"k\" (dict \"k\" \"v1\") (dict \"x\" \"n\") (dict \"k\" \"v2\") ]]" -> "[v1 v2]",
+      // merge: dst wins on conflict
+      "[[ get (merge (dict \"a\" \"dst\") (dict \"a\" \"src\" \"b\" \"2\")) \"a\" ]]" -> "dst",
+      "[[ get (merge (dict \"a\" \"dst\") (dict \"a\" \"src\" \"b\" \"2\")) \"b\" ]]" -> "2",
+      // lists
+      "[[ chunk 2 .arr ]]" -> "[[a b] [c d] [e]]",
+      "[[ slice .arr 1 3 ]]" -> "[b c]",
+      "[[ slice .arr 3 ]]" -> "[d e]",
+      // strings
+      "[[ swapcase \"aB c9\" ]]" -> "Ab C9",
+      "[[ untitle \"Alpha Beta\" ]]" -> "alpha beta",
+      "[[ sha512sum \"abc\" ]]" ->
+        ("ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
+          "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f"),
+      // url parsing
+      "[[ get (urlParse .url) \"scheme\" ]]" -> "https",
+      "[[ get (urlParse .url) \"host\" ]]" -> "files.example",
+      "[[ get (urlParse .url) \"path\" ]]" -> "/a/b",
+      "[[ get (urlParse .url) \"query\" ]]" -> "q=1",
+      "[[ get (urlParse .url) \"fragment\" ]]" -> "frag",
+      "[[ get (urlParse .url) \"userinfo\" ]]" -> "u1")
+    cases.foreach { case (tpl, want) =>
+      val (c, d) = both(tpl)
+      assert(c == want, s"Column path: $tpl -> '$c', want '$want'")
+      assert(d == want, s"driver path: $tpl -> '$d', want '$want'")
+    }
+    // driver-side Go map rendering (fmt prints maps key-sorted)
+    assert(Template.render("[[ dict \"b\" \"2\" \"a\" \"1\" ]]", vals)
+      == "map[a:1 b:2]")
+  }
 }
