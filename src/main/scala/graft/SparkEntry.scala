@@ -794,6 +794,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q63_mixture_sample" -> ((s, dir) =>
+      // corpus assembly: deterministic per-language mixture weights
+      // (hash-threshold sampling — reproducible across reruns/engines,
+      // shuffle-free). Count per stratum to keep the row small while
+      // still pinning the exact kept set via the id checksum.
+      TextOps.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), defaultWeight = 0.1)
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy("lang")),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -1271,6 +1283,18 @@ object SparkEntry {
         |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM tr JOIN ev USING (gram)
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // q63: identical md5-prefix threshold sampling; hex strings compare
+    // lexicographically in both engines, id_sum pins the exact kept set
+    "q63_mixture_sample" ->
+      """WITH kept AS (
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |    CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN 'g'
+        |              WHEN 'fr' THEN '40000000' ELSE '19999999' END)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q56_prequery_loop" ->
       // the loop's net semantics: every (pre-row, templated query) pair

@@ -231,6 +231,35 @@ object TextOps {
     * break to the lexicographically smallest, making the output
     * deterministic and oracle-checkable.
     */
+  /** Deterministic data-mixture sampling: keep each row with its
+    * stratum's probability, decided by a content-stable hash of the id
+    * — the "mix 50% en, 100% de…" step of corpus assembly. Exactly
+    * reproducible across engines (and across reruns, unlike
+    * `df.sample`): a row is kept iff the first 8 hex chars of
+    * `md5(id)` sort below the stratum threshold — hex strings compare
+    * lexicographically like the numbers they encode, so no
+    * engine-specific hash or float rounding is involved.
+    *
+    * Scale shape: one codegen'd projection + filter, no shuffle, no
+    * RNG state; the sample is a pure function of (id, weights), so
+    * re-running a 100 TB job after a failure yields the same corpus.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 0.0): DataFrame = {
+    def hex8(w: Double): String =
+      if (w >= 1.0) "g" // every 8-hex-digit prefix sorts below "g"
+      else if (w <= 0.0) ""
+      else f"${(w * 4294967296d).toLong}%08x"
+    val thr = weights.foldLeft(lit(hex8(defaultWeight))) {
+      case (acc, (k, w)) => when(col(stratumCol) === k, lit(hex8(w))).otherwise(acc)
+    }
+    df.filter(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8) < thr)
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(tokens(col(textCol))).as("__tok"))

@@ -97,4 +97,22 @@ class TextOpsSpec extends SparkSuite {
     val vals = docs.select(TextOps.qualityScore($"text")).as[Double].collect()
     assert(vals.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("mixture sampling: deterministic, weight 1 keeps all, weight 0 drops all") {
+    val d = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val keepAll = TextOps.mixtureSample(d, "doc_id", "lang", Map("en" -> 1.0, "de" -> 1.0))
+    assert(keepAll.count() == 200)
+    val dropEn = TextOps.mixtureSample(d, "doc_id", "lang", Map("en" -> 0.0, "de" -> 1.0))
+    assert(dropEn.select("lang").distinct().as[String].collect().toSeq == Seq("de"))
+    // half-weight keeps a hash-stable subset: same rows on every run
+    val h1 = TextOps.mixtureSample(d, "doc_id", "lang", Map("en" -> 0.5), 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val h2 = TextOps.mixtureSample(d, "doc_id", "lang", Map("en" -> 0.5), 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(h1 == h2 && h1.nonEmpty && h1.size < 200)
+    // the kept fraction tracks the weight (md5 is uniform)
+    val en = h1.count(_ % 2 == 0).toDouble / 100
+    assert(en > 0.3 && en < 0.7, s"en fraction $en")
+  }
 }
