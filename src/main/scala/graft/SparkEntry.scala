@@ -794,6 +794,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q64_random_projection" -> ((s, dir) => {
+      // JL random-projection contract (q60-style error bound): project
+      // 64-dim embeddings to k=32 with the hash-derived sign matrix and
+      // verify cosine preservation over a bounded pair sample — no
+      // per-pair violation beyond 3.5σ-with-headroom (0.75) and a mean
+      // absolute deviation within the JL expectation (< 0.25 for k=32,
+      // measured ≈ 0.14). Rows only appear on violation, so the oracle
+      // is the empty set.
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 60)
+      val proj = Similarity.randomProject(emb, "vec_id", "embedding", k = 32)
+      val joined = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .join(proj, "vec_id")
+      val a = joined.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("projected").as("pa"))
+      val b = joined.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("projected").as("pb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          abs(Similarity.cosine(col("va"), col("vb"))
+            - Similarity.cosine(col("pa"), col("pb"))).as("dcos"))
+      val perPair = pairs.filter(col("dcos") > 0.75)
+        .select(lit("pair_dcos").as("violation"), col("id_a"), col("id_b"))
+      val meanViol = pairs.agg(avg(col("dcos")).as("m"))
+        .filter(col("m") > 0.25)
+        .select(lit("mean_dcos").as("violation"),
+          lit(null).cast("long").as("id_a"), lit(null).cast("long").as("id_b"))
+      perPair.unionAll(meanViol).orderBy("violation", "id_a", "id_b")
+    }),
+
     "q63_mixture_sample" -> ((s, dir) =>
       // corpus assembly: deterministic per-language mixture weights
       // (hash-threshold sampling — reproducible across reruns/engines,
@@ -1283,6 +1313,12 @@ object SparkEntry {
         |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM tr JOIN ev USING (gram)
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // q64: JL projection contract — empty when cosine preservation
+    // bounds hold (the q52/q60 device for non-SQL-expressible ops)
+    "q64_random_projection" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation, CAST(NULL AS BIGINT) AS id_a,
+        |  CAST(NULL AS BIGINT) AS id_b WHERE FALSE""".stripMargin,
 
     // q63: identical md5-prefix threshold sampling; hex strings compare
     // lexicographically in both engines, id_sum pins the exact kept set

@@ -72,6 +72,36 @@ object VectorKernels {
     }
     s
   }
+
+  /** Johnson–Lindenstrauss random projection to `k` dims with an
+    * Achlioptas ±1 sign matrix derived ON THE FLY from xxhash64 of
+    * (row, col, seed): out_f = Σ_j sign(f,j) · v_j / √k. No k×d matrix
+    * is ever materialized or shipped — the "matrix" is a hash function,
+    * so executors need only (k, seed) and results are deterministic
+    * across reruns/engines. One compiled k·d loop per vector; null
+    * elements yield a null output vector.
+    */
+  def randomProject(v: ArrayData, k: Int, seed: Long): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val d = v.numElements()
+    val out = new Array[Double](k)
+    val inv = 1.0 / math.sqrt(k.toDouble)
+    var j = 0
+    while (j < d) {
+      if (v.isNullAt(j)) return null
+      val x = v.getDouble(j)
+      var f = 0
+      while (f < k) {
+        val h = XXH64.hashLong(j.toLong * 2654435761L + f, seed)
+        if ((h & 1L) == 0L) out(f) += x else out(f) -= x
+        f += 1
+      }
+      j += 1
+    }
+    var f = 0
+    while (f < k) { out(f) *= inv; f += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 abstract class VectorBinaryExpression extends BinaryExpression {
@@ -116,6 +146,24 @@ case class L2Sq(left: Expression, right: Expression) extends VectorBinaryExpress
     copy(left = l, right = r)
 }
 
+case class RandomProject(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_random_project"
+  override def nullSafeEval(v: Any, k: Any, seed: Any): Any =
+    VectorKernels.randomProject(v.asInstanceOf[ArrayData],
+      k.asInstanceOf[Int], seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, k, seed) => s"""
+      ${ev.value} = graft.functions.VectorKernels.randomProject($v, $k, $seed);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RandomProject =
+    copy(first = f, second = s, third = t)
+}
+
 object VectorExprs {
   private def asDoubleArray(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
@@ -132,5 +180,9 @@ object VectorExprs {
       es => DotProd(asDoubleArray(es(0)), asDoubleArray(es(1))), "built-in")
     reg.createOrReplaceTempFunction("graft_l2sq",
       es => L2Sq(asDoubleArray(es(0)), asDoubleArray(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_random_project",
+      es => RandomProject(asDoubleArray(es(0)),
+        Cast(es(1), org.apache.spark.sql.types.IntegerType),
+        Cast(es(2), org.apache.spark.sql.types.LongType)), "built-in")
   }
 }

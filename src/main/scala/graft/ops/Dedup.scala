@@ -307,11 +307,15 @@ object Dedup {
       evalSet: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 13): DataFrame = {
+      n: Int = 13,
+      broadcastEval: Boolean = true): DataFrame = {
     val evalGrams = gramRows(evalSet, idCol, textCol, n)
       .select(col("gram")).distinct()
+    // an eval set too big to broadcast (rare — benchmarks are small)
+    // falls back to a shuffle join rather than OOMing the driver
+    val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
     gramRows(train, idCol, textCol, n)
-      .join(broadcast(evalGrams), Seq("gram"))
+      .join(ev, Seq("gram"))
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }

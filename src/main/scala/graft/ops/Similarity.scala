@@ -402,4 +402,23 @@ object Similarity {
     partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `k` dims ([[graft.functions.VectorKernels.randomProject]]): the
+    * dimensionality-reduction step before indexing/clustering when the
+    * native dim is wastefully large. Map-only, one compiled k·d loop
+    * per row, and the ±1 projection "matrix" is a hash function of
+    * (seed, row, col) — nothing is materialized, broadcast, or
+    * non-deterministic, so a 100 TB projection is restartable and
+    * reproducible by construction.
+    */
+  def randomProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      seed: Long = 42L): DataFrame =
+    df.select(col(idCol),
+      call_function("graft_random_project", col(vecCol), lit(k), lit(seed))
+        .as("projected"))
 }

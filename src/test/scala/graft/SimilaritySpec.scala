@@ -88,4 +88,38 @@ class SimilaritySpec extends SparkSuite {
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
     assert(buckets == again)
   }
+
+  test("JL random projection: deterministic, dim k, cosine roughly preserved") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter($"vec_id" < 80)
+    val p1 = Similarity.randomProject(emb, "vec_id", "embedding", k = 32)
+    assert(p1.select(org.apache.spark.sql.functions.size($"projected"))
+      .distinct().as[Int].head() == 32)
+    val m1 = p1.as[(Long, Array[Double])].collect().toMap
+    val m2 = Similarity.randomProject(emb, "vec_id", "embedding", k = 32)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(m1.keySet == m2.keySet
+      && m1.keySet.forall(k => m1(k).sameElements(m2(k))))
+    // different seed → different projection
+    val m3 = Similarity.randomProject(emb, "vec_id", "embedding", k = 32, seed = 7L)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(m1.keySet.exists(k => !m1(k).sameElements(m3(k))))
+    // cosine preservation (the JL contract): measure max |Δcos| over
+    // all pairs of the 80-vector sample
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val orig = emb.selectExpr("vec_id", "cast(embedding as array<double>) e")
+      .as[(Long, Array[Double])].collect().toMap
+    val devs = for {
+      a <- orig.keys.toSeq; b <- orig.keys.toSeq if a < b
+    } yield math.abs(cos(orig(a), orig(b)) - cos(m1(a), m1(b)))
+    info(f"max |dcos| = ${devs.max}%.4f, mean = ${devs.sum / devs.size}%.4f")
+    // k=32 sign-JL: per-pair σ ≈ 1/√k ≈ 0.18; the max over ~3k pairs
+    // sits near 3.5σ (measured 0.57) — bound mean tightly, max loosely
+    assert(devs.max < 0.75, f"JL cosine deviation too large: ${devs.max}%.4f")
+    assert(devs.sum / devs.size < 0.2,
+      f"JL mean deviation too large: ${devs.sum / devs.size}%.4f")
+  }
 }
