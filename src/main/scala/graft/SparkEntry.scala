@@ -794,6 +794,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q65_tfidf_keywords" -> ((s, dir) => {
+      // per-document keyword extraction: top-3 TF-IDF terms — the
+      // topic-tagging pass of corpus curation. Shape: one token
+      // explode feeding both the tf and document-frequency aggregates,
+      // a broadcast of the 1-row corpus count, ranks on the ROUNDED
+      // score (cross-engine double parity, the q29 round(,6) device)
+      // with a token tie-break.
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfq = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfq, "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok").as("token"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     "q64_random_projection" -> ((s, dir) => {
       // JL random-projection contract (q60-style error bound): project
       // 64-dim embeddings to k=32 with the hash-derived sign matrix and
@@ -1313,6 +1336,26 @@ object SparkEntry {
         |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM tr JOIN ev USING (gram)
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // q65: same tokenization as q59; LN on integer ratios rounds to 6
+    // on both sides before ranking so ordering is cross-engine stable
+    "q65_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok AS token,
+        |    ROUND(tf * LN(CAST(n.n AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+        |  FROM scored)
+        |SELECT doc_id, token, score, CAST(rk AS BIGINT) AS rank
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // q64: JL projection contract — empty when cosine preservation
     // bounds hold (the q52/q60 device for non-SQL-expressible ops)
