@@ -805,7 +805,11 @@ object SparkEntry {
       val toks = docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dfq = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // document frequency FROM the tf table (it already holds one row
+      // per distinct (doc, token)): count(*) == countDistinct(doc) and
+      // the corpus is scanned + exploded ONCE, not once per aggregate
+      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val scored = tf.join(dfq, "tok").crossJoin(broadcast(n))
         .select(col("doc_id"), col("tok").as("token"),
