@@ -41,18 +41,34 @@ object Template {
   case class NumLit(v: Long) extends Ast
   case class Call(fn: String, args: Seq[Ast]) extends Ast
 
-  /** Compile a template string into a single string-typed Column. */
+  /** Compile a template string into a single string-typed Column.
+    * Sections with no record-field references and no per-row
+    * nondeterminism constant-fold through the DRIVER evaluator — which
+    * both collapses them to literals in the plan and makes every
+    * driver-complete function (semver, adler32sum, …) available on the
+    * Column path with zero divergence.
+    */
   def compile(template: String): Column = {
     val parts = split2(template)
     val cols = parts.map {
       case Left(text) => lit(text)
       case Right(expr) =>
         val ast = parseExpr(expr)
-        goStringCol(toCol(ast), ast)
+        if (isConstant(ast)) lit(show(eval(ast, Map.empty)))
+        else goStringCol(toCol(ast), ast)
     }
     if (cols.isEmpty) lit("")
     else if (cols.size == 1) cols.head
     else concat(cols: _*)
+  }
+
+  /** Per-row functions must not fold to one driver value. */
+  private val perRowFns = Set("uuid", "uuidv4", "now")
+
+  private def isConstant(ast: Ast): Boolean = ast match {
+    case Field(_) => false
+    case StrLit(_) | NumLit(_) => true
+    case Call(fn, args) => !perRowFns(fn) && args.forall(isConstant)
   }
 
   /** Calls statically known to yield a list / a list of lists / a dict
@@ -282,6 +298,17 @@ object Template {
         case "sha1sum" => hexDigest("SHA-1", show(a.head))
         case "sha512sum" => hexDigest("SHA-512", show(a.head))
         case "env" => sys.env.getOrElse(show(a.head), "")
+        case "adler32sum" =>
+          val ad = new java.util.zip.Adler32()
+          ad.update(show(a.head).getBytes("UTF-8"))
+          ad.getValue.toString
+        case "deepCopy" => a.head // values here are immutable
+        case "semver" =>
+          val v = Semver.parse(show(a.head))
+          Map("Major" -> v.major, "Minor" -> v.minor, "Patch" -> v.patch,
+            "Prerelease" -> v.pre.mkString("."), "Metadata" -> v.meta,
+            "Original" -> show(a.head))
+        case "semverCompare" => Semver.matches(show(a(0)), show(a(1)))
 
         // --- dict family (sprig dict.go) -------------------------------
         case "dict" =>
@@ -753,6 +780,12 @@ object Template {
           case StrLit(n) => lit(sys.env.getOrElse(n, ""))
           case _ => throw new IllegalArgumentException("env needs literal name")
         }
+
+        case "deepCopy" => a.head // Column values are immutable
+        case "adler32sum" | "semver" | "semverCompare" =>
+          throw new IllegalArgumentException(s"$fn is driver-complete: on " +
+            "the Column path it constant-folds with literal args only " +
+            "(record-field args are not supported)")
 
         // --- dict family over MapType columns --------------------------
         case "dict" =>

@@ -267,4 +267,44 @@ class TemplateSpec extends SparkSuite {
     assert(Template.render("[[ dict \"b\" \"2\" \"a\" \"1\" ]]", vals)
       == "map[a:1 b:2]")
   }
+
+  test("semver family + adler32; literal sections constant-fold on the Column path") {
+    import graft.transform.Semver
+    // precedence (semver 2.0 §11)
+    assert(Semver.compare(Semver.parse("1.2.3"), Semver.parse("1.2.3")) == 0)
+    assert(Semver.compare(Semver.parse("1.10.0"), Semver.parse("1.9.9")) > 0)
+    assert(Semver.compare(Semver.parse("1.0.0-alpha"), Semver.parse("1.0.0")) < 0)
+    assert(Semver.compare(Semver.parse("1.0.0-alpha.1"), Semver.parse("1.0.0-alpha.beta")) < 0)
+    assert(Semver.compare(Semver.parse("1.0.0-rc.1+build5"), Semver.parse("1.0.0-rc.1")) == 0)
+    // constraint grammar
+    assert(Semver.matches("^1.2.3", "1.9.9") && !Semver.matches("^1.2.3", "2.0.0"))
+    assert(Semver.matches("^0.2.3", "0.2.9") && !Semver.matches("^0.2.3", "0.3.0"))
+    assert(Semver.matches("^0.0.3", "0.0.3") && !Semver.matches("^0.0.3", "0.0.4"))
+    assert(Semver.matches("~1.2.3", "1.2.9") && !Semver.matches("~1.2.3", "1.3.0"))
+    assert(Semver.matches(">=1.2.3 <2.0.0", "1.5.0"))
+    assert(!Semver.matches(">=1.2.3 <2.0.0", "2.1.0"))
+    assert(Semver.matches("1.2.x", "1.2.7") && !Semver.matches("1.2.x", "1.3.0"))
+    assert(Semver.matches("<2 || >3.1", "1.0.0"))
+    assert(Semver.matches("<2 || >3.1", "3.2.0"))
+    assert(!Semver.matches("<2 || >3.1", "2.5.0"))
+    assert(Semver.matches("!=1.2.3", "1.2.4") && !Semver.matches("!=1.2.3", "1.2.3"))
+    // template surface, both paths (Column folds the literal section)
+    val df = Seq(Tuple1("r")).toDF("x")
+    def render(tpl: String): String =
+      df.select(Template.compile(tpl).as("out")).as[String].head()
+    assert(render("[[ semverCompare \"^1.2\" \"1.4.0\" ]]") == "true")
+    assert(Template.render("[[ semverCompare \"^1.2\" \"1.4.0\" ]]", Map.empty) == "true")
+    assert(render("[[ get (semver \"1.2.3-rc.1\") \"Minor\" ]]") == "2")
+    assert(render("[[ get (semver \"1.2.3-rc.1\") \"Prerelease\" ]]") == "rc.1")
+    assert(render("[[ adler32sum \"abc\" ]]") == "38600999")
+    assert(Template.render("[[ adler32sum \"abc\" ]]", Map.empty) == "38600999")
+    // folded sections compile to literals in the plan
+    val plan = df.select(Template.compile("[[ adler32sum \"abc\" ]]"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("38600999"), plan)
+    // per-record args keep the loud driver-only error
+    val e = intercept[IllegalArgumentException](
+      df.select(Template.compile("[[ adler32sum .x ]]")).collect())
+    assert(e.getMessage.contains("driver-complete"))
+  }
 }
