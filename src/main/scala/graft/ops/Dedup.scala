@@ -137,6 +137,18 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    simhashCandidatesFromSigs(
+      simhashSignatures(df, idCol, textCol), maxHamming, maxBucket)
+
+  /** Same banding over a PRECOMPUTED `(__id, __sig)` signature table —
+    * lets a caller that also needs the signatures elsewhere (q27's
+    * exact-verification contract) pay the per-text simhash kernel once
+    * instead of once per consumer.
+    */
+  def simhashCandidatesFromSigs(
+      sigDf: DataFrame,
+      maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     // Pigeonhole: distance ≤ maxHamming ⇒ some band of bands > maxHamming
     // is untouched. More bands = smaller chunks = bigger buckets, so use
@@ -145,7 +157,6 @@ object Dedup {
     val bands = Seq(4, 8, 16).find(_ > maxHamming).getOrElse(16)
     val chunkBits = 64 / bands
     val chunkMask = (1L << chunkBits) - 1
-    val sigDf = simhashSignatures(df, idCol, textCol)
     val banded = sigDf.select(col("__id"), col("__sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright", col("__sig"), b * chunkBits)

@@ -76,12 +76,19 @@ object Semver {
       case t => ("=", t)
     }
     val spec = rest.trim.stripPrefix("v")
+    // Masterminds rule: a prerelease version only matches terms that
+    // themselves carry a prerelease; ">=1.0.0" does NOT admit "1.1.0-alpha".
+    if (v.pre.nonEmpty && !spec.contains('-')) return false
     if (wildcard(spec) || spec.isEmpty) return true
     // wildcard / partial versions define a [lo, hi) range
     val core = spec.takeWhile(c => c != '-' && c != '+')
     val comps = core.split('.').toSeq
     val known = comps.takeWhile(c => !wildcard(c))
-    val lo = parse(spec)
+    // parse(spec) only when no wildcard components remain — "1.2.x" must
+    // lower-bound as 1.2.0, not crash on "x".toLong
+    val lo =
+      if (known.size == comps.size) parse(spec)
+      else parse((known ++ Seq.fill(math.max(0, 3 - known.size))("0")).mkString("."))
     def upperAfter(idx: Int): V = known.take(idx) match {
       case Seq() => V(Long.MaxValue, 0, 0, Nil, "")
       case Seq(ma) => V(ma.toLong + 1, 0, 0, Nil, "")

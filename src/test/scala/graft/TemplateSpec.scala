@@ -105,13 +105,15 @@ class TemplateSpec extends SparkSuite {
       "[[ ternary \"y\" \"n\" (empty .e) ]]" -> "y",
       "[[ ternary \"y\" \"n\" (empty .name) ]]" -> "n",
       "[[ atoi \"42\" ]]" -> "42",
-      "[[ float64 .n ]]" -> "6.0", // Column DoubleType renders 6.0; driver show() gives Go "6"
-      "[[ addf 1 2 3 ]]" -> "6.0",
-      "[[ subf 10 3 2 ]]" -> "5.0",
-      "[[ mulf 2 3 ]]" -> "6.0",
+      "[[ float64 .n ]]" -> "6.0", // field ref → Column DoubleType renders 6.0; driver show() gives Go "6"
+      // constant float sections FOLD through the driver evaluator →
+      // Go float rendering ("6", not "6.0") on BOTH paths
+      "[[ addf 1 2 3 ]]" -> "6",
+      "[[ subf 10 3 2 ]]" -> "5",
+      "[[ mulf 2 3 ]]" -> "6",
       "[[ divf 7 2 ]]" -> "3.5",
-      "[[ maxf 2 7 ]]" -> "7.0",
-      "[[ minf 2 7 ]]" -> "2.0",
+      "[[ maxf 2 7 ]]" -> "7",
+      "[[ minf 2 7 ]]" -> "2",
       "[[ add 1 2 3 ]]" -> "6",
       "[[ add1 .n ]]" -> "7",
       "[[ splitList \",\" .csv | join \"-\" ]]" -> "a-b-a--c",
@@ -284,6 +286,14 @@ class TemplateSpec extends SparkSuite {
     assert(Semver.matches(">=1.2.3 <2.0.0", "1.5.0"))
     assert(!Semver.matches(">=1.2.3 <2.0.0", "2.1.0"))
     assert(Semver.matches("1.2.x", "1.2.7") && !Semver.matches("1.2.x", "1.3.0"))
+    assert(Semver.matches(">=1.2.x", "1.3.0") && !Semver.matches("<1.x", "1.3.0"))
+    // Masterminds prerelease exclusion: constraints without a prerelease
+    // never admit prerelease versions
+    assert(!Semver.matches(">=1.0.0", "1.1.0-alpha"))
+    assert(!Semver.matches("*", "1.1.0-alpha"))
+    assert(Semver.matches(">=1.0.0-0", "1.1.0-alpha"))
+    assert(Semver.matches("=1.2.3-alpha", "1.2.3-alpha"))
+    assert(!Semver.matches("!=1.2.3", "1.2.4-beta"))
     assert(Semver.matches("<2 || >3.1", "1.0.0"))
     assert(Semver.matches("<2 || >3.1", "3.2.0"))
     assert(!Semver.matches("<2 || >3.1", "2.5.0"))
