@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Pack, Sample, Similarity, TextOps}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -833,6 +833,56 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    "q66_pack_sequences" -> ((s, dir) => {
+      // sequence packing (concat-and-chunk batch prep): global token
+      // offset per doc via the DISTRIBUTED prefix sum in Pack — range
+      // shuffle + partition-local running sums + a P-row prefix scan;
+      // never a corpus-wide single-partition window
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      Pack.contiguous(docs, "doc_id", "n_tokens", budget = 512)
+        .select(col("doc_id"), col("n_tokens"), col("offset"),
+          col("pack_first"), col("pack_last"))
+        .orderBy("doc_id")
+    }),
+
+    "q67_bloom_decontaminate" -> ((s, dir) => {
+      // decontamination at eval-set sizes past string broadcast: Bloom
+      // bits prefilter the training gram stream map-side (no false
+      // negatives), the exact join on the rare survivors kills the
+      // false positives — output is bit-identical to q62's exact path,
+      // which is precisely what the oracle checks
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 7, expectedGrams = 100000L, fpp = 0.01)
+        .orderBy("doc_id")
+    }),
+
+    "q68_stratified_sample" -> ((s, dir) =>
+      // balanced pilot corpus: exactly k docs per language, drawn by
+      // the portable (md5(id), id) order; two-phase rank keeps strata
+      // out of single partitions
+      Sample.stratifiedTopK(t(s, dir, "documents"), "doc_id", "lang", k = 10)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy("lang", "rk")),
+
+    "q69_unigram_logprob" -> ((s, dir) =>
+      // perplexity-proxy quality ranking under the corpus unigram LM;
+      // LN rounds to 6 before the DECIMAL-weighted sum (parity memo)
+      TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q70_segment_dedup" -> ((s, dir) =>
+      // cross-document segment removal (RefinedWeb line dedup over
+      // 10-token segments — this corpus has no newlines): duplicated
+      // segments vanish, docs reassemble in order, fully-duplicated
+      // docs survive as empty text
+      Dedup.dedupSegments(t(s, dir, "documents"), "doc_id", "text",
+        segTokens = 10, minDocs = 2)
+        .orderBy("doc_id")),
+
     "q64_random_projection" -> ((s, dir) => {
       // JL random-projection contract (q60-style error bound): project
       // 64-dim embeddings to k=32 with the hash-derived sign matrix and
@@ -1372,6 +1422,95 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, token, score, CAST(rk AS BIGINT) AS rank
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // q66: the oracle's single-window cumsum is the SEMANTIC spec the
+    // distributed prefix sum must reproduce; `//` is DuckDB integral
+    // division (Spark side uses DIV)
+    "q66_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS "offset"
+        |  FROM d)
+        |SELECT doc_id, n_tokens, "offset",
+        |  CAST("offset" // 512 AS BIGINT) AS pack_first,
+        |  CAST(("offset" + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS pack_last
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // q67: the oracle is q62's EXACT shape at n=7 — the Bloom prefilter
+    // must be invisible in the answer (no false negatives; positives
+    // removed by the verify join)
+    "q67_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, array_to_string(tokens[i:i+6], ' ') AS gram
+        |    FROM toks, UNNEST(range(1, len(tokens) - 5)) AS t(i)
+        |    UNION ALL
+        |    SELECT doc_id, array_to_string(tokens, ' ') AS gram
+        |    FROM toks WHERE len(tokens) < 7)),
+        |ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, gram FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // q68: md5-hex order is engine-portable (q63 memo); id tie-break
+    // makes the draw total
+    "q68_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+
+    // q69: LN rounds to 6 pre-sum, weighted sum in DECIMAL (order-
+    // independent), final mean rounds to 6 — the q65 parity ladder
+    "q69_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |freq AS (SELECT tok, SUM(tf) AS freq FROM tf GROUP BY tok),
+        |total AS (SELECT SUM(freq) AS total FROM freq),
+        |j AS (
+        |  SELECT doc_id, tf.tf,
+        |    CAST(ROUND(LN(CAST(freq AS DOUBLE) / total), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM tf JOIN freq USING (tok) CROSS JOIN total)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6) AS mean_lp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q70: 1-based inclusive list slices (parity memo); docs whose
+    // every segment is duplicated must survive with empty clean_text
+    "q70_segment_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i, array_to_string(tokens[(i*10+1):(i*10+10)], ' ') AS seg
+        |  FROM toks,
+        |    UNNEST(range(0, CAST(ceil(len(tokens) / 10.0) AS BIGINT))) AS t(i)),
+        |dup AS (
+        |  SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT s.doc_id, s.i, s.seg FROM segs s ANTI JOIN dup d USING (seg)),
+        |reasm AS (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
+        |    CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  COALESCE(r.n_kept, 0) AS n_kept
+        |FROM documents d LEFT JOIN reasm r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // q64: JL projection contract — empty when cosine preservation
     // bounds hold (the q52/q60 device for non-SQL-expressible ops)

@@ -331,6 +331,89 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter — the shape for
+    * eval sets whose gram table is too big to broadcast as strings but
+    * whose BITS still fit everywhere (a 10M-gram set ≈ 17 MB at 1%
+    * fpp vs ~1 GB of gram strings).
+    *
+    * Two passes over the training gram stream:
+    *   1. map-only Bloom probe — drops (1 - fpp) of the clean grams
+    *      with zero shuffle;
+    *   2. exact join of the rare survivors against the eval gram table
+    *      — removes the Bloom's false positives.
+    * Bloom filters have no false NEGATIVES, so the output is
+    * bit-identical to [[decontaminate]]: the sketch only shrinks the
+    * exact join's probe side (from the full corpus gram stream to
+    * suspects), never the answer.
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      expectedGrams: Long = 10000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val evalGrams = gramRows(evalSet, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val bloom = evalGrams.stat.bloomFilter("gram", expectedGrams, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    // UDF is warranted here: no Catalyst builtin probes a Bloom sketch,
+    // and the probe runs against broadcast bits (no per-row state)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    gramRows(train, idCol, textCol, n)
+      .filter(mightContain(col("gram")))
+      .join(evalGrams, Seq("gram")) // exact verify — kills false positives
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
+  /** Cross-document SEGMENT dedup (the RefinedWeb/CCNet line-removal
+    * pass, over fixed `segTokens`-token segments since this corpus has
+    * no newlines): chunk each document's token stream into consecutive
+    * segments, drop every segment that appears verbatim in ≥ `minDocs`
+    * distinct documents, and reassemble the surviving segments in
+    * order. Returns (idCol, clean_text, n_kept).
+    *
+    * Scale shape: segments shuffle as md5 digests with their doc/idx
+    * bookkeeping; the duplicate-segment table is corpus-frequency
+    * bounded and joins back as a left_anti on the digest. Reassembly
+    * is one aggregation keyed by doc id over array_sort — no window,
+    * no driver collect.
+    */
+  def dedupSegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int = 10,
+      minDocs: Int = 2): DataFrame = {
+    require(segTokens > 0 && minDocs >= 2,
+      s"segTokens=$segTokens minDocs=$minDocs out of range")
+    val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val segs = toks.select(col(idCol),
+      posexplode(transform(
+        sequence(lit(0),
+          ceil(size(col("__toks")).cast("double") / segTokens).cast("int") - 1),
+        i => array_join(slice(col("__toks"), i * segTokens + 1, lit(segTokens)), " ")))
+        .as(Seq("__idx", "__seg")))
+    val dup = segs.groupBy(md5(col("__seg")).as("__digest"))
+      .agg(count_distinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("__digest")
+    val kept = segs.join(dup,
+      md5(col("__seg")) === dup("__digest"), "left_anti")
+    kept.groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__idx"), col("__seg")))),
+          s => s.getField("__seg")), " ").as("clean_text"),
+        count(lit(1)).cast("long").as("n_kept"))
+      // documents whose every segment was dropped must survive with
+      // empty text, not vanish
+      .join(df.select(col(idCol)), Seq(idCol), "right_outer")
+      .na.fill("", Seq("clean_text")).na.fill(0L, Seq("n_kept"))
+  }
+
   /** Restrict a corpus to the documents named by a candidate-pair edge
     * list — the step that makes verification scale-safe: exact n-gram
     * Jaccard after this touches only near-dup suspects, so a

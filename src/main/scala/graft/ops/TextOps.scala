@@ -53,6 +53,36 @@ object TextOps {
   def digitCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long")
 
+  /** Per-document mean token log-probability under the corpus's own
+    * unigram language model — the cheap perplexity proxy used to rank
+    * documents for LM-quality filtering (CCNet's perplexity bucket,
+    * with the corpus standing in for the reference LM). Returns
+    * (idCol, n_tokens, mean_lp); lower mean_lp = more surprising text.
+    *
+    * Parity device: LN rounds to 6 decimals BEFORE the weighted sum
+    * (libm vs StrictMath last-ulp differences), and the sum runs in
+    * DECIMAL so token order can't perturb the low bits.
+    *
+    * Scale shape: ONE corpus explode feeds both the per-doc tf
+    * aggregate and the vocabulary frequency table (shared shuffle,
+    * ReuseExchange); the vocab joins back keyed by token (AQE
+    * broadcasts it when small) and the 1-row total broadcasts.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("tok").agg(sum("tf").as("freq"))
+    val total = freq.agg(sum("freq").as("total"))
+    val lp = round(log(col("freq").cast("double") / col("total")), 6)
+      .cast("decimal(18,6)")
+    tf.join(freq, "tok").crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(sum(col("tf") * lp).as("__s"),
+        sum("tf").cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__s").cast("double") / col("n_tokens"), 6).as("mean_lp"))
+  }
+
   /** Count space-delimited occurrences of a word — EXACT (adjacent
     * repeats like "the the" both count) via the compiled
     * [[graft.functions.WordHits]] kernel: one pass over the text,

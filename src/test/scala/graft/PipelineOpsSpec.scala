@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Pack, Sample, TextOps}
+
+/** Round-7 pipeline operators: sequence packing (distributed prefix
+  * sum), stratified sampling, Bloom decontamination, unigram-LM
+  * scoring, segment dedup.
+  */
+class PipelineOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokenOffsets is an exclusive prefix sum in id order, any partitioning") {
+    val df = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("id", "n")
+      .repartition(13) // scramble physical layout; offsets must not care
+    val out = Pack.tokenOffsets(df, "id", "n", numPartitions = 5)
+      .select("id", "n", "offset").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    var run = 0L
+    out.foreach { case (id, n, off) =>
+      assert(off == run, s"id=$id expected offset $run got $off")
+      run += n
+    }
+  }
+
+  test("contiguous packing spans windows exactly like concat-and-chunk") {
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 500L), (4L, 0L))
+      .toDF("id", "n")
+    val rows = Pack.contiguous(df, "id", "n", budget = 512)
+      .select("id", "offset", "pack_first", "pack_last")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // offsets: 0, 300, 600, 1100
+    assert(rows(0) == (1L, 0L, 0L, 0L))      // [0, 300) in window 0
+    assert(rows(1) == (2L, 300L, 0L, 1L))    // straddles 512
+    assert(rows(2) == (3L, 600L, 1L, 2L))    // [600, 1100) spans 1..2
+    assert(rows(3) == (4L, 1100L, 2L, 2L))   // empty doc pins to its offset window
+  }
+
+  test("stratifiedTopK: exactly k per stratum, deterministic, two-phase == naive") {
+    val df = (1L to 200L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+      .repartition(7)
+    val out = Sample.stratifiedTopK(df, "id", "lang", k = 5)
+      .select("lang", "id", "rk").as[(String, Long, Long)].collect()
+    assert(out.length == 15)
+    assert(out.groupBy(_._1).forall(_._2.length == 5))
+    // matches the single-window reference draw
+    val naive = df.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(md5($"id".cast("string")), $"id")).cast("long"))
+      .filter($"rk" <= 5)
+      .select("lang", "id", "rk").as[(String, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._3)).toSeq == naive.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
+  test("decontaminateBloom output is bit-identical to exact decontaminate") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(train, eval, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toSet
+    val bloom = Dedup.decontaminateBloom(train, eval, "doc_id", "text",
+      n = 5, expectedGrams = 1000L, fpp = 0.01)
+      .as[(Long, Long)].collect().toSet
+    assert(bloom == exact)
+    assert(exact.map(_._1) == Set(1L, 3L)) // doc 2 shares nothing
+  }
+
+  test("unigramLogProb: uniform vocab gives every doc the same mean_lp") {
+    // 4 tokens each appearing exactly twice → p = 1/4 for all
+    val df = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "aa bb"), (4L, "cc dd"))
+      .toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(df, "doc_id", "text")
+      .select("doc_id", "n_tokens", "mean_lp")
+      .as[(Long, Long, Double)].collect()
+    val expected = BigDecimal(math.log(0.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case (_, n, lp) =>
+      assert(n == 2L)
+      assert(lp == expected, s"got $lp want $expected")
+    }
+  }
+
+  test("unigramLogProb ranks rare-token docs as more surprising") {
+    val df = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "the the the the the the the zyzzyva")
+    ).toDF("doc_id", "text")
+    val lp = TextOps.unigramLogProb(df, "doc_id", "text")
+      .select("doc_id", "mean_lp").as[(Long, Double)].collect().toMap
+    assert(lp(2L) < lp(1L)) // rare token drags the mean down
+  }
+
+  test("dedupSegments removes cross-doc duplicated segments, keeps order, empties survive") {
+    val seg = (1 to 10).map(i => s"w$i").mkString(" ") // one full shared segment
+    val df = Seq(
+      (1L, s"$seg unique one two"),
+      (2L, s"$seg other words here"),
+      (3L, "totally distinct text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(df, "doc_id", "text", segTokens = 10, minDocs = 2)
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == (1L, "unique one two", 1L))
+    assert(out(1) == (2L, "other words here", 1L))
+    assert(out(2) == (3L, "totally distinct text", 1L))
+    // fully-duplicated docs survive as empty rows
+    val allDup = Seq((1L, seg), (2L, seg)).toDF("doc_id", "text")
+    val empty = Dedup.dedupSegments(allDup, "doc_id", "text", 10, 2)
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(empty.toSeq == Seq((1L, "", 0L), (2L, "", 0L)))
+  }
+
+  test("packing plan: no corpus-wide single-partition window") {
+    val df = (1L to 50L).map(i => (i, i)).toDF("id", "n")
+    val plan = Pack.tokenOffsets(df, "id", "n", numPartitions = 4)
+      .queryExecution.executedPlan.toString
+    // every Window node must be keyed (the P-row prefix scan windows
+    // over __pid AFTER an aggregation, never over the corpus rows)
+    val corpusWindow = "Window.*\\[sum\\(n".r.findFirstIn(plan)
+    assert(corpusWindow.isEmpty || plan.contains("__pid"), plan)
+  }
+}
