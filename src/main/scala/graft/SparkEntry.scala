@@ -925,6 +925,71 @@ object SparkEntry {
           sum(col("doc_id")).cast("long").as("id_sum"))
         .orderBy("lang")),
 
+    "q71_c4_rules" -> ((s, dir) =>
+      // C4-style cleaning gate (Raffel et al. 2020 §2.2): per-doc
+      // signals + combined keep flag, all arithmetic/regex on the scan
+      // — a pure map stage that rides the parquet read at any scale
+      TextOps.c4Rules(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q72_char_entropy" -> ((s, dir) => {
+      // character-entropy quality gate via the compiled kernel — ONE
+      // codegen'd pass per document, zero shuffles (the DuckDB oracle
+      // pays a full char explode + two aggregations for the same
+      // numbers; the kernel is the 100 TB shape). Parity: the q69
+      // round-6-LN → exact-fixed-point-sum ladder inside the kernel.
+      val docs = t(s, dir, "documents").filter(length(col("text")) > 0)
+      docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n"),
+        TextOps.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    "q73_cms_heavy_hitters" -> ((s, dir) => {
+      // heavy-hitter token counts from a CountMinSketch — the one-pass
+      // mergeable sketch that replaces a full groupBy at 100 TB — held
+      // to its own guarantee (q60 device): estimates never undercount,
+      // and overcount ≤ eps·N with confidence 99.9%. The exact side
+      // exists only to audit the sketch; violations emit rows and the
+      // oracle pins EMPTY. Driver-side work is bounded: the sketch
+      // (width 2/eps) and the top-20 collect.
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val eps = 0.001
+      val cms = toks.stat.countMinSketch("tok", eps, 0.999, 42)
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("tok")).limit(20).collect()
+      val budget = math.ceil(eps * cms.totalCount()).toLong
+      val rows = top.toSeq.map { r =>
+        (r.getString(0), cms.estimateCount(r.getString(0)), r.getLong(1))
+      }
+      import s.implicits._
+      rows.toDF("token", "est", "exact")
+        .filter(col("est") < col("exact") ||
+          col("est") > col("exact") + lit(budget))
+        .orderBy("token")
+    }),
+
+    "q74_semdedup" -> ((s, dir) => {
+      // SemDeDup (cluster → within-cluster cosine prune, keep-min-id)
+      // with its correctness contract: the kept set must contain NO
+      // intra-cluster pair at/above the threshold — greedy keep-min-id
+      // guarantees it (a surviving y would have been dropped by its
+      // smaller-id neighbor x), so rows appear only on violation and
+      // the oracle pins EMPTY. Same round-6 cosine on both sides.
+      val kept = Similarity.semDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", cells = 8, threshold = 0.4)
+      val a = kept.select(col("vec_id").as("id_a"), col("cell"),
+        col("embedding").cast("array<double>").as("va"))
+      val b = kept.select(col("vec_id").as("id_b"), col("cell"),
+        col("embedding").cast("array<double>").as("vb"))
+      a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -1678,5 +1743,51 @@ object SparkEntry {
         |  COALESCE(o_orderpriority, 'ALL') AS priority,
         |  COUNT(*) AS n
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        |ORDER BY status, priority""".stripMargin)
+        |ORDER BY status, priority""".stripMargin,
+
+    // q71: token-count arithmetic is the single-space formula (q22
+    // memo); mean word length rounds to 6 on both sides
+    "q71_c4_rules" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS DOUBLE) /
+        |      (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 6) AS mean_word_len,
+        |    CAST(LIST_MAX(LIST_TRANSFORM(string_split_regex(TRIM(text), '\s+'),
+        |      w -> LENGTH(w))) AS BIGINT) AS max_word_len,
+        |    RIGHT(TRIM(text), 1) IN ('.', '!', '?') AS ends_punct,
+        |    (text LIKE '%{%' OR text LIKE '%}%') AS has_brace,
+        |    LOWER(text) LIKE '%lorem ipsum%' AS has_lorem
+        |  FROM documents)
+        |SELECT *, (n_tokens >= 5 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND max_word_len <= 30 AND NOT has_brace AND NOT has_lorem) AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // q72: the oracle rebuilds the kernel's ladder the expensive way —
+    // char explode, per-char counts, round-6 LN carried as
+    // DECIMAL(18,6) so the sum is order-independent, final round 6
+    "q72_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, SUBSTR(text, CAST(i AS INT), 1) AS ch
+        |  FROM documents, UNNEST(RANGE(1, CAST(LENGTH(text) AS BIGINT) + 1)) AS t(i)
+        |  WHERE LENGTH(text) > 0),
+        |cnts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, SUM(c) AS L FROM cnts GROUP BY doc_id),
+        |terms AS (
+        |  SELECT cnts.doc_id, c, L,
+        |    CAST(ROUND(LN(CAST(c AS DOUBLE) / L), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM cnts JOIN tot ON cnts.doc_id = tot.doc_id)
+        |SELECT doc_id, CAST(MAX(L) AS BIGINT) AS n,
+        |  ROUND(-(CAST(SUM(c * lp) AS DOUBLE) / MAX(L)), 6) AS entropy
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q73: CMS guarantee contract — the violation set is empty
+    "q73_cms_heavy_hitters" ->
+      """SELECT CAST(NULL AS VARCHAR) AS token, CAST(NULL AS BIGINT) AS est,
+        |  CAST(NULL AS BIGINT) AS exact WHERE FALSE""".stripMargin,
+
+    // q74: SemDeDup keep-min-id contract — the violation set is empty
+    "q74_semdedup" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |  CAST(NULL AS DOUBLE) AS cos_sim WHERE FALSE""".stripMargin)
 }

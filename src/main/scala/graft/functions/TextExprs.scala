@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Compiled text kernels for the dedup / text-analysis operators.
@@ -263,6 +263,53 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Character-level Shannon entropy (nats) — the cheap "is this text
+    * or noise?" quality gate (machine-generated / encoded blobs score
+    * near-uniform, natural language sits around 2.5-3.2 nats). One
+    * compiled pass per document, no shuffle anywhere.
+    *
+    * Parity ladder (the q69 device, per-character instead of
+    * per-token): each distinct code point contributes
+    * `count * round(ln(count/L), 6)` with the rounded log carried as a
+    * scale-6 fixed-point long, so the sum is EXACT and
+    * order-independent; the final `-(sum/L)` rounds to 6 half-up —
+    * bit-identical to the DuckDB oracle's DECIMAL(18,6) ladder
+    * regardless of libm or summation order.
+    */
+  def charEntropy(text: UTF8String): Double = {
+    val s = text.toString
+    val n = s.codePointCount(0, s.length)
+    if (n == 0) return 0.0
+    // ASCII fast path: flat count table; rare non-ASCII spills to a map
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Integer, Long] = null
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Long]()
+        other.merge(cp, 1L, (a, b) => a + b)
+      }
+      i += Character.charCount(cp)
+    }
+    var sumScaled = 0L // Σ count * round6(ln(count/n)), scaled by 1e6
+    def term(c: Long): Unit = if (c > 0) {
+      val lp = java.math.BigDecimal.valueOf(math.log(c.toDouble / n))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+      sumScaled += c * lp
+    }
+    var ch = 0
+    while (ch < 128) { term(ascii(ch)); ch += 1 }
+    if (other != null) other.values.forEach(c => term(c))
+    // CAST(DECIMAL SUM AS DOUBLE) / L, then ROUND(,6) — mirror the SQL
+    val d = java.math.BigDecimal.valueOf(sumScaled, 6).doubleValue() / n
+    // + 0.0 normalizes the single-character-document -0.0 to 0.0
+    java.math.BigDecimal.valueOf(-d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+  }
 }
 
 case class WordHits(left: Expression, right: Expression) extends BinaryExpression {
@@ -312,6 +359,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_char_entropy"
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.charEntropy(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.charEntropy($t)")
+  override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
+}
+
 case class CharNgramsExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_char_ngrams"
@@ -339,6 +396,8 @@ object TextExprs {
       es => SimHash64(str(es(0))), "built-in")
     reg.createOrReplaceTempFunction("graft_char_ngrams",
       es => CharNgramsExpr(str(es(0)), int(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_char_entropy",
+      es => CharEntropy(str(es(0))), "built-in")
   }
 }
 

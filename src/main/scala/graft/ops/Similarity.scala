@@ -159,6 +159,52 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    * deduplication — cluster the embedding space with the IVF coarse
+    * quantizer, then inside each cluster drop every vector that has a
+    * SMALLER-id neighbor at or above `threshold` cosine. Greedy
+    * keep-min-id is deterministic, and the kept set provably contains
+    * no intra-cluster pair ≥ threshold: if kept x < y had
+    * cos(x,y) ≥ t, x would have dropped y.
+    *
+    * Scale shape: the quadratic pass runs INSIDE clusters only. The
+    * assignment is a broadcast map-side argmin (no shuffle); the pair
+    * expansion shuffles (id, cell, vec) once and is guarded by
+    * `maxCell` — an oversized cell fails fast with the fix spelled out
+    * (raise `cells`; per-cell membership is corpus_size / cells in
+    * expectation, so the knob keeps the bound flat at any scale).
+    * Cosine rounds to 6 before the threshold compare so the drop
+    * decision and the verification contract see identical values.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cells: Int,
+      threshold: Double,
+      seed: Long = 42L,
+      maxCell: Long = 100000L): DataFrame = {
+    val index = IvfIndex.fit(df, vecCol, cells, seed)
+    // checkpoint: fit already ran the upstream once for its sample; the
+    // guard count, both join sides, and the caller's action would
+    // otherwise each re-run it
+    val assigned = index.assign(df, vecCol).localCheckpoint(true)
+    val biggest = assigned.groupBy("cell").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    require(biggest <= maxCell,
+      s"semDedup: largest cluster has $biggest members > maxCell=$maxCell; " +
+        "raise `cells` so the per-cluster pairwise pass stays bounded")
+    val a = assigned.select(col(idCol).as("__id_a"), col("cell"),
+      col(vecCol).cast("array<double>").as("__va"))
+    val b = assigned.select(col(idCol).as("__id_b"), col("cell"),
+      col(vecCol).cast("array<double>").as("__vb"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(round(cosine(col("__va"), col("__vb")), 6) >= threshold)
+      .select(col("__id_b").as(idCol)).distinct()
+    assigned.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** IVF (inverted-file) index: a coarse k-means quantizer assigns every
     * vector to its nearest centroid's cell; queries probe only the
     * `nprobe` nearest cells. The standard ANN scale path: search cost
@@ -171,6 +217,7 @@ object Similarity {
   case class IvfIndex(centroids: Array[Array[Double]]) {
     /** cell id column for a vector column (argmin of L2 to centroids). */
     def cellCol(vec: Column): Column = {
+      if (centroids.length == 1) return lit(0) // least() needs ≥2 args
       val dists = centroids.zipWithIndex.map { case (c, i) =>
         val cCol = array(c.map(lit).toIndexedSeq: _*)
         val d2 = call_function("graft_l2sq", vec, cCol)

@@ -41,6 +41,46 @@ object TextOps {
     (words + greatest(lit(0L), (chars - words * 4) / 4).cast("long")).cast("long")
   }
 
+  /** Character-level Shannon entropy (nats) via the compiled
+    * [[graft.functions.CharEntropy]] kernel — one codegen'd pass per
+    * document, no shuffle. Low entropy flags repeated-character noise;
+    * near-uniform entropy flags encoded/compressed blobs. Requires
+    * GraftFunctions.registerAll.
+    */
+  def charEntropy(text: Column): Column = call_function("graft_char_entropy", text)
+
+  /** C4-style document cleaning signals (Raffel et al., 2020 §2.2 —
+    * the rules that survive a corpus with no markup): token count,
+    * mean/max word length, terminal punctuation, brace and
+    * "lorem ipsum" marks, plus the combined `keep` gate. Everything is
+    * arithmetic/regex on the scan — a pure map stage, so the filter
+    * rides the parquet read at any corpus size.
+    *
+    * Gate: ≥5 tokens, mean word length in [3,10], no word longer than
+    * 30 chars, no curly braces (code/templating), no boilerplate
+    * "lorem ipsum".
+    */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val nTok = tokenCountArith(text)
+    val meanWordLen = round(
+      length(regexp_replace(text, "\\s", "")).cast("double") / nTok, 6)
+    val maxWordLen = array_max(transform(tokens(text), w => length(w))).cast("long")
+    df.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      meanWordLen.as("mean_word_len"),
+      maxWordLen.as("max_word_len"),
+      substring(trim(text), -1, 1).isin(".", "!", "?").as("ends_punct"),
+      text.contains("{").or(text.contains("}")).as("has_brace"),
+      lower(text).contains("lorem ipsum").as("has_lorem"))
+      .withColumn("keep",
+        col("n_tokens") >= 5 &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("max_word_len") <= 30 &&
+          !col("has_brace") && !col("has_lorem"))
+  }
+
   /** Punctuation character count (fixed class, engine-portable). */
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("long")

@@ -54,6 +54,8 @@ object FileSink {
         case "tsv" => "tsv"
         case "txt" => "txt"
         case "xlsx" => "xlsx"
+        case "parquet" => "parquet"
+        case "orc" => "orc"
         case _ => "json"
       }
     }
@@ -119,6 +121,8 @@ object FileSink {
           // D21: single-file OOXML export (no chunking, like the reference)
           Xlsx.writeDataFrame(flattenForCsv(df), out)
         case "json" => writer(df).json(out)
+        case "parquet" => writer(df).parquet(out)
+        case "orc" => writer(df).orc(out)
         case "csv" => writer(df).option("header", spec.header).csv(out)
         case "tsv" =>
           writer(df).option("header", spec.header).option("sep", "\t").csv(out)
@@ -137,11 +141,21 @@ object FileSink {
       // distributed pass (the reference keeps a writer map per key;
       // partitionBy is the shuffle-free Spark equivalent).
       val routed = df
+      // binary formats survive the finalize pass only via the
+      // single-part rename branch — stream-concatenating parquet/orc
+      // parts would corrupt footers, so chunking is rejected up front
+      if ((fmt == "parquet" || fmt == "orc") && spec.maxRecordsPerFile > 0)
+        sys.error(s"templated $fmt destinations cannot be chunked " +
+          "(maxRecordsPerFile): binary part files do not concatenate")
       val base = spec.destinationUri.takeWhile(_ != '[').reverse
         .dropWhile(c => c != '/').reverse + "__graft_grouped"
       fmt match {
         case "json" => writer(routed.repartition(col(DestCol)))
           .partitionBy(DestCol).json(base)
+        case "parquet" => writer(routed.repartition(col(DestCol)))
+          .partitionBy(DestCol).parquet(base)
+        case "orc" => writer(routed.repartition(col(DestCol)))
+          .partitionBy(DestCol).orc(base)
         case "csv" | "tsv" =>
           // Always write parts headerless: a group split across several
           // part files (maxRecordsPerFile) must not embed header rows

@@ -29,10 +29,11 @@ object FileSource {
   case object Tsv extends Format { val extensions = Seq("tsv") }
   case object Txt extends Format { val extensions = Seq("txt") }
   case object Parquet extends Format { val extensions = Seq("parquet") }
+  case object Orc extends Format { val extensions = Seq("orc") }
 
   def formatOf(path: String): Format = {
     val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
-    Seq(Json, Csv, Tsv, Txt, Parquet).find(_.extensions.contains(ext)).getOrElse(Json)
+    Seq(Json, Csv, Tsv, Txt, Parquet, Orc).find(_.extensions.contains(ext)).getOrElse(Json)
   }
 
   /** Read a file/dir; attach filename metadata column.
@@ -67,6 +68,7 @@ object FileSource {
           df.toDF(df.columns.indices.map(_.toString): _*)
         else df
       case Txt => spark.read.option("recursiveFileLookup", "true").text(path)
+      case Orc => spark.read.option("recursiveFileLookup", "true").orc(path)
     }
     val withSkip =
       if (skipRows <= 0) base

@@ -98,4 +98,34 @@ class FormatSpec extends SparkSuite {
     assert(parts.exists(_.endsWith(".json.gz")), parts.toString)
     assert(spark.read.json(s"$dir/out").count() == 2)
   }
+
+  test("ORC round trip: sink by extension, source reads types back") {
+    val dir = tmp()
+    val df = Seq((1L, "x", 1.5), (2L, "y", -2.0)).toDF("id", "s", "v")
+    FileSink.write(df, FileSink.Spec(s"$dir/out.orc"))
+    val back = FileSource.read(spark, s"$dir/out.orc", filenameColumn = None)
+      .orderBy("id")
+    assert(back.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq("id" -> "bigint", "s" -> "string", "v" -> "double"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((1L, "x", 1.5), (2L, "y", -2.0)))
+  }
+
+  test("templated ORC destinations produce one valid file per group") {
+    val dir = tmp()
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    val outs = FileSink.write(df,
+      FileSink.Spec(s"$dir/out_[[ .g ]].orc"))
+    assert(outs == Seq(s"$dir/out_a.orc", s"$dir/out_b.orc"))
+    // each group file is a well-formed ORC file (single-part rename,
+    // never stream-concatenated)
+    assert(spark.read.orc(s"$dir/out_a.orc").count() == 2)
+    assert(spark.read.orc(s"$dir/out_b.orc").count() == 1)
+    // chunked binary groups are rejected up front
+    val e = intercept[RuntimeException] {
+      FileSink.write(df, FileSink.Spec(s"$dir/c_[[ .g ]].orc",
+        maxRecordsPerFile = 1L))
+    }
+    assert(e.getMessage.contains("concatenate"))
+  }
 }

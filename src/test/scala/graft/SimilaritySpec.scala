@@ -122,4 +122,47 @@ class SimilaritySpec extends SparkSuite {
     assert(devs.sum / devs.size < 0.2,
       f"JL mean deviation too large: ${devs.sum / devs.size}%.4f")
   }
+
+  test("semDedup: keep-min-id inside clusters, contract holds, guard trips") {
+    // single cluster (cells=1) makes the greedy rule hand-checkable:
+    // 1≈2 and 3≈4 are near-dup pairs, 5 is far from everything
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.01)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.02, 1.0)),
+      (5L, Seq(-1.0, -1.0))).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(vecs, "vec_id", "embedding",
+      cells = 1, threshold = 0.95)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L))
+    // contract: no kept intra-cluster pair at/above threshold
+    val k = Similarity.semDedup(vecs, "vec_id", "embedding",
+      cells = 1, threshold = 0.95)
+    val a = k.select($"vec_id".as("id_a"), $"cell",
+      $"embedding".cast("array<double>").as("va"))
+    val b = k.select($"vec_id".as("id_b"), $"cell",
+      $"embedding".cast("array<double>").as("vb"))
+    val viol = a.join(b, Seq("cell")).filter($"id_a" < $"id_b")
+      .filter(org.apache.spark.sql.functions.round(
+        Similarity.cosine($"va", $"vb"), 6) >= 0.95)
+    assert(viol.count() == 0)
+    // oversized-cluster guard fails fast with the remedy in the message
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedup(vecs, "vec_id", "embedding",
+        cells = 1, threshold = 0.95, maxCell = 2L)
+    }
+    assert(e.getMessage.contains("raise `cells`"))
+  }
+
+  test("semDedup with real clusters only prunes within a cluster") {
+    // two well-separated clusters; duplicates exist in each
+    val vecs = Seq(
+      (10L, Seq(5.0, 0.1)), (11L, Seq(5.0, 0.11)), (12L, Seq(4.0, 2.0)),
+      (20L, Seq(-5.0, 0.1)), (21L, Seq(-5.0, 0.12))).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(vecs, "vec_id", "embedding",
+      cells = 2, threshold = 0.999)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // 11 dropped by 10, 21 dropped by 20; 12 (same cluster as 10 but
+    // not a near-dup at 0.999) survives
+    assert(kept == Seq(10L, 12L, 20L))
+  }
 }

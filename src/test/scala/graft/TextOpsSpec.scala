@@ -115,4 +115,38 @@ class TextOpsSpec extends SparkSuite {
     val en = h1.count(_ % 2 == 0).toDouble / 100
     assert(en > 0.3 && en < 0.7, s"en fraction $en")
   }
+
+  test("char entropy: kernel matches the hand-computed round-6 ladder") {
+    val d = Seq("aabb", "aaaa", "abcd", "aab", "hello world", "")
+      .toDF("t")
+    val got = d.select(TextOps.charEntropy($"t").as("e")).as[Double]
+      .collect().toSeq
+    // values from the same ladder computed independently (round-6 LN,
+    // exact fixed-point sum, final round 6)
+    assert(got == Seq(0.693147, 0.0, 1.386294, 0.636514, 1.972247, 0.0))
+    // single-char docs must yield +0.0, not -0.0 (hash parity)
+    assert(java.lang.Double.doubleToRawLongBits(got(1)) == 0L)
+  }
+
+  test("C4 rules: each gate trips on its own pathology") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over dog"),
+      (2L, "x {json} blob here here more words"),
+      (3L, "Lorem Ipsum dolor sit amet friend"),
+      (4L, "a b"),
+      (5L, "pneumonoultramicroscopicsilicovolcanoconiosisx is a very long word test"),
+      (6L, "this line ends with a period.")
+    ).toDF("doc_id", "text")
+    val r = TextOps.c4Rules(d, "doc_id", "text").orderBy("doc_id").collect()
+    def row(i: Int) = r(i)
+    assert(row(0).getAs[Boolean]("keep"))
+    assert(row(0).getAs[Long]("n_tokens") == 7L)
+    assert(row(0).getAs[Double]("mean_word_len") == 4.0)
+    assert(row(1).getAs[Boolean]("has_brace") && !row(1).getAs[Boolean]("keep"))
+    assert(row(2).getAs[Boolean]("has_lorem") && !row(2).getAs[Boolean]("keep"))
+    assert(!row(3).getAs[Boolean]("keep")) // 2 tokens, mean len 1
+    assert(row(4).getAs[Long]("max_word_len") == 46L)
+    assert(!row(4).getAs[Boolean]("keep"))
+    assert(row(5).getAs[Boolean]("ends_punct") && row(5).getAs[Boolean]("keep"))
+  }
 }
