@@ -990,6 +990,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q75_contrastive_mine" -> ((s, dir) =>
+      // hard-negative mining for contrastive training: per anchor, the
+      // best same-label neighbor (positive) and best different-label
+      // neighbor (hard negative). Anchors broadcast; the corpus makes
+      // ONE narrow pass and only map-side-combined argmax partials
+      // shuffle — the anchor×corpus score relation never crosses the
+      // wire. Round-6 cosine + smaller-id tie-break = portable argmax.
+      Similarity.contrastiveMine(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label")
+        .orderBy("anchor_id")),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -1789,5 +1800,30 @@ object SparkEntry {
     // q74: SemDeDup keep-min-id contract — the violation set is empty
     "q74_semdedup" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
-        |  CAST(NULL AS DOUBLE) AS cos_sim WHERE FALSE""".stripMargin)
+        |  CAST(NULL AS DOUBLE) AS cos_sim WHERE FALSE""".stripMargin,
+
+    // q75: per-anchor argmax re-derived via windows; round-6 cosine and
+    // (score DESC, id ASC) tie order mirror the struct-max exactly
+    "q75_contrastive_mine" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS anchor_id, b.vec_id AS bid,
+        |    (a.label = b.label) AS same,
+        |    ROUND(list_inner_product(a.v, b.v) /
+        |      (SQRT(list_inner_product(a.v, a.v)) *
+        |       SQRT(list_inner_product(b.v, b.v))), 6) AS c
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |pos AS (SELECT anchor_id, bid, c,
+        |    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY c DESC, bid) AS rn
+        |  FROM p WHERE same),
+        |neg AS (SELECT anchor_id, bid, c,
+        |    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY c DESC, bid) AS rn
+        |  FROM p WHERE NOT same)
+        |SELECT pos.anchor_id, pos.bid AS pos_id, pos.c AS pos_cos,
+        |  neg.bid AS neg_id, neg.c AS neg_cos
+        |FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
+        |WHERE pos.rn = 1 AND neg.rn = 1
+        |ORDER BY pos.anchor_id""".stripMargin)
 }

@@ -205,6 +205,49 @@ object Similarity {
     assigned.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Contrastive pair mining for embedding training: for each anchor,
+    * the most-similar SAME-label vector (positive) and the
+    * most-similar DIFFERENT-label vector (hard negative) by cosine —
+    * the standard hard-negative mining pass for contrastive /
+    * metric-learning data prep.
+    *
+    * Scale shape (the knnJoin device): the anchor side is bounded by
+    * `maxAnchors` and broadcasts; the corpus streams through ONE
+    * narrow pass, and because `max` is algebraic the per-anchor
+    * argmax combines map-side — each partition contributes at most
+    * one partial per (anchor, polarity), so the shuffle carries
+    * O(anchors × partitions) structs, never the anchor×corpus score
+    * relation. Cosine rounds to 6 and ties break toward the smaller
+    * id (via the negated-id struct field) so the argmax is
+    * engine-portable. Requires a numeric id column.
+    */
+  def contrastiveMine(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      maxAnchors: Int = 65536): DataFrame = {
+    val nAnchors = df.limit(maxAnchors + 1).count()
+    require(nAnchors <= maxAnchors,
+      s"contrastiveMine anchor side exceeds maxAnchors=$maxAnchors; mine " +
+        "per-cluster (semDedup cells) or per-stratum batches instead")
+    val a = df.select(col(idCol).as("anchor_id"), col(labelCol).as("__al"),
+      col(vecCol).cast("array<double>").as("__av"))
+    val c = df.select(col(idCol).as("__cid"), col(labelCol).as("__cl"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val pairs = c.crossJoin(broadcast(a))
+      .filter(col("anchor_id") =!= col("__cid"))
+      .select(col("anchor_id"), (col("__cl") === col("__al")).as("__same"),
+        struct(round(cosine(col("__av"), col("__cv")), 6).as("c"),
+          (-col("__cid")).cast("long").as("nid")).as("__s"))
+    pairs.groupBy("anchor_id")
+      .agg(max(when(col("__same"), col("__s"))).as("__p"),
+        max(when(!col("__same"), col("__s"))).as("__n"))
+      .select(col("anchor_id"),
+        (-col("__p.nid")).as("pos_id"), col("__p.c").as("pos_cos"),
+        (-col("__n.nid")).as("neg_id"), col("__n.c").as("neg_cos"))
+  }
+
   /** IVF (inverted-file) index: a coarse k-means quantizer assigns every
     * vector to its nearest centroid's cell; queries probe only the
     * `nprobe` nearest cells. The standard ANN scale path: search cost

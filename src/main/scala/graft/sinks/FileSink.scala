@@ -56,6 +56,7 @@ object FileSink {
         case "xlsx" => "xlsx"
         case "parquet" => "parquet"
         case "orc" => "orc"
+        case "xml" => "xml"
         case _ => "json"
       }
     }
@@ -123,6 +124,8 @@ object FileSink {
         case "json" => writer(df).json(out)
         case "parquet" => writer(df).parquet(out)
         case "orc" => writer(df).orc(out)
+        case "xml" => writer(df)
+          .option("rowTag", "row").option("rootTag", "rows").xml(out)
         case "csv" => writer(df).option("header", spec.header).csv(out)
         case "tsv" =>
           writer(df).option("header", spec.header).option("sep", "\t").csv(out)
@@ -141,12 +144,13 @@ object FileSink {
       // distributed pass (the reference keeps a writer map per key;
       // partitionBy is the shuffle-free Spark equivalent).
       val routed = df
-      // binary formats survive the finalize pass only via the
+      // framed formats survive the finalize pass only via the
       // single-part rename branch — stream-concatenating parquet/orc
-      // parts would corrupt footers, so chunking is rejected up front
-      if ((fmt == "parquet" || fmt == "orc") && spec.maxRecordsPerFile > 0)
+      // parts corrupts footers and xml parts double the root element,
+      // so chunking is rejected up front
+      if ((fmt == "parquet" || fmt == "orc" || fmt == "xml") && spec.maxRecordsPerFile > 0)
         sys.error(s"templated $fmt destinations cannot be chunked " +
-          "(maxRecordsPerFile): binary part files do not concatenate")
+          "(maxRecordsPerFile): framed part files do not concatenate")
       val base = spec.destinationUri.takeWhile(_ != '[').reverse
         .dropWhile(c => c != '/').reverse + "__graft_grouped"
       fmt match {
@@ -156,6 +160,9 @@ object FileSink {
           .partitionBy(DestCol).parquet(base)
         case "orc" => writer(routed.repartition(col(DestCol)))
           .partitionBy(DestCol).orc(base)
+        case "xml" => writer(routed.repartition(col(DestCol)))
+          .partitionBy(DestCol)
+          .option("rowTag", "row").option("rootTag", "rows").xml(base)
         case "csv" | "tsv" =>
           // Always write parts headerless: a group split across several
           // part files (maxRecordsPerFile) must not embed header rows

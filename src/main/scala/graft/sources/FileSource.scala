@@ -30,10 +30,11 @@ object FileSource {
   case object Txt extends Format { val extensions = Seq("txt") }
   case object Parquet extends Format { val extensions = Seq("parquet") }
   case object Orc extends Format { val extensions = Seq("orc") }
+  case object Xml extends Format { val extensions = Seq("xml") }
 
   def formatOf(path: String): Format = {
     val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
-    Seq(Json, Csv, Tsv, Txt, Parquet, Orc).find(_.extensions.contains(ext)).getOrElse(Json)
+    Seq(Json, Csv, Tsv, Txt, Parquet, Orc, Xml).find(_.extensions.contains(ext)).getOrElse(Json)
   }
 
   /** Read a file/dir; attach filename metadata column.
@@ -69,6 +70,8 @@ object FileSource {
         else df
       case Txt => spark.read.option("recursiveFileLookup", "true").text(path)
       case Orc => spark.read.option("recursiveFileLookup", "true").orc(path)
+      case Xml => spark.read.option("recursiveFileLookup", "true")
+        .option("rowTag", "row").xml(path)
     }
     val withSkip =
       if (skipRows <= 0) base

@@ -128,4 +128,14 @@ class FormatSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("concatenate"))
   }
+
+  test("XML round trip via Spark 4's native xml datasource") {
+    val dir = tmp()
+    val df = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
+    FileSink.write(df, FileSink.Spec(s"$dir/out.xml"))
+    val back = FileSource.read(spark, s"$dir/out.xml", filenameColumn = None)
+      .orderBy("id")
+    assert(back.columns.toSeq.sorted == Seq("id", "name"))
+    assert(back.select("name").as[String].collect().toSeq == Seq("alice", "bob"))
+  }
 }

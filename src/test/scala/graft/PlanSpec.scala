@@ -102,6 +102,29 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("C4 rules and char entropy are shuffle-free codegen scans (q71/q72)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val c4 = graft.ops.TextOps.c4Rules(docs, "doc_id", "text")
+    val ent = docs.select(col("doc_id"),
+      graft.ops.TextOps.charEntropy(col("text")).as("e"))
+    Seq(c4, ent).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), p)
+      assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
+    }
+  }
+
+  test("semDedup cluster assignment is a broadcast map-side argmin (q74)") {
+    // the 100 TB contract: assigning a corpus to IVF cells must not
+    // shuffle — centroids fold into the projection as literals
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val index = graft.ops.Similarity.IvfIndex.fit(emb, "embedding", cells = 4)
+    val p = plan(index.assign(emb, "embedding"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
   test("q50 verify grams expand only the candidate sub-corpus (no corpus-wide buckets)") {
     // The scale contract of the production near-dedup composition:
     // every gram explode that feeds exact-jaccard verification must sit

@@ -165,4 +165,33 @@ class SimilaritySpec extends SparkSuite {
     // not a near-dup at 0.999) survives
     assert(kept == Seq(10L, 12L, 20L))
   }
+
+  test("contrastiveMine: per-anchor positive/negative argmax with id tie-break") {
+    // label A: 1=(1,0), 2=(0.9,0.1); label B: 3=(0,1), 4=(0.1,0.9)
+    val vecs = Seq(
+      (1L, "A", Seq(1.0, 0.0)), (2L, "A", Seq(0.9, 0.1)),
+      (3L, "B", Seq(0.0, 1.0)), (4L, "B", Seq(0.1, 0.9)))
+      .toDF("vec_id", "label", "embedding")
+    val m = Similarity.contrastiveMine(vecs, "vec_id", "embedding", "label")
+      .orderBy("anchor_id").collect()
+    // anchor 1: positive = 2 (only same-label); negative = 4
+    // (cos(1,4)=0.110 > cos(1,3)=0.0)
+    assert(m(0).getLong(1) == 2L && m(0).getLong(3) == 4L)
+    // anchor 3: positive = 4; negative = 2 (cos(3,2)=0.110 > cos(3,1)=0)
+    assert(m(2).getLong(1) == 4L && m(2).getLong(3) == 2L)
+    // tie-break toward the smaller id: two equidistant same-label docs
+    val tie = Seq(
+      (1L, "A", Seq(1.0, 0.0)), (2L, "A", Seq(0.0, 1.0)),
+      (3L, "A", Seq(0.0, 1.0)), (9L, "B", Seq(-1.0, 0.0)))
+      .toDF("vec_id", "label", "embedding")
+    val t1 = Similarity.contrastiveMine(tie, "vec_id", "embedding", "label")
+      .filter($"anchor_id" === 1L).collect()(0)
+    assert(t1.getLong(1) == 2L) // cos(1,2)=cos(1,3)=0 → smaller id wins
+    // anchor-side guard
+    val e = intercept[IllegalArgumentException] {
+      Similarity.contrastiveMine(tie, "vec_id", "embedding", "label",
+        maxAnchors = 2)
+    }
+    assert(e.getMessage.contains("maxAnchors"))
+  }
 }
