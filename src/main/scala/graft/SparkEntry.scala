@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Dedup, Pack, Sample, Similarity, TextOps}
+import graft.ops.{Dedup, Pack, Rank, Sample, Similarity, TextOps}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -1001,6 +1001,19 @@ object SparkEntry {
         "embedding", "label")
         .orderBy("anchor_id")),
 
+    "q76_quality_buckets" -> ((s, dir) => {
+      // CCNet-style head/middle/tail split per language over the char-
+      // entropy score — EXACT per-stratum quantile buckets through the
+      // two-phase distributed rank (one range shuffle + a P×S-row side
+      // table; never a one-task-per-language window). Integral bucket
+      // arithmetic = engine-portable split.
+      val docs = t(s, dir, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("lang"),
+          TextOps.charEntropy(col("text")).as("score"))
+      Rank.quantileBuckets(docs, "lang", Seq("score", "doc_id"), nBuckets = 3)
+        .orderBy("doc_id")
+    }),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -1825,5 +1838,31 @@ object SparkEntry {
         |  neg.bid AS neg_id, neg.c AS neg_cos
         |FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
         |WHERE pos.rn = 1 AND neg.rn = 1
-        |ORDER BY pos.anchor_id""".stripMargin)
+        |ORDER BY pos.anchor_id""".stripMargin,
+
+    // q76: the naive window IS the semantic spec the two-phase rank
+    // must equal; bucket arithmetic is integral on both engines
+    "q76_quality_buckets" ->
+      """WITH chars AS (
+        |  SELECT doc_id, SUBSTR(text, CAST(i AS INT), 1) AS ch
+        |  FROM documents, UNNEST(RANGE(1, CAST(LENGTH(text) AS BIGINT) + 1)) AS t(i)
+        |  WHERE LENGTH(text) > 0),
+        |cnts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, SUM(c) AS L FROM cnts GROUP BY doc_id),
+        |terms AS (
+        |  SELECT cnts.doc_id, c, L,
+        |    CAST(ROUND(LN(CAST(c AS DOUBLE) / L), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM cnts JOIN tot ON cnts.doc_id = tot.doc_id),
+        |ent AS (
+        |  SELECT doc_id, ROUND(-(CAST(SUM(c * lp) AS DOUBLE) / MAX(L)), 6) AS score
+        |  FROM terms GROUP BY doc_id),
+        |r AS (
+        |  SELECT d.doc_id, d.lang, e.score,
+        |    ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY e.score, d.doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM documents d JOIN ent e ON d.doc_id = e.doc_id)
+        |SELECT doc_id, lang, score, CAST(rk AS BIGINT) AS rk,
+        |  CAST(n AS BIGINT) AS n_stratum,
+        |  CAST((rk - 1) * 3 // n + 1 AS BIGINT) AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin)
 }

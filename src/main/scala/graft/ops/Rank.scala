@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-stratum rank and quantile bucketing WITHOUT
+  * single-partition windows — the device CCNet-style quality
+  * bucketing needs: "keep the best X% of each language" requires every
+  * document's exact rank inside its language, and a naive
+  * `Window.partitionBy(lang).orderBy(score)` drags each whole language
+  * into one task (a 100 TB English split = one executor).
+  *
+  * Two-phase shape (generalizes [[Pack.tokenOffsets]] per stratum):
+  *
+  *   1. range-repartition by (stratum, order...) — P ordered
+  *      partitions, strata free to span partitions;
+  *   2. partition-local ranks per (partition, stratum) — parallelism
+  *      P×S, never one-task-per-stratum;
+  *   3. (partition × stratum) count table — at most P·S tiny rows —
+  *      prefix-scanned per stratum and broadcast back.
+  *
+  * Only the count table crosses a partition boundary twice; the corpus
+  * itself sees one range shuffle. Order columns must make the rank
+  * deterministic (include a unique id as the last key).
+  */
+object Rank {
+
+  /** Adds `rk` (1-based ascending rank of `orderCols` within
+    * `stratumCol`) and `n_stratum` (stratum row count).
+    */
+  def stratifiedRank(
+      df: DataFrame,
+      stratumCol: String,
+      orderCols: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "stratifiedRank needs at least one order column")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val keys = (stratumCol +: orderCols).map(col)
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"), col(stratumCol))
+      .orderBy(orderCols.map(col): _*)
+    val local = ranged.withColumn("__lrk", row_number().over(wLocal))
+    // P×S-row side table: per-(partition, stratum) counts, exclusive
+    // prefix within each stratum, stratum totals — all tiny
+    val counts = local.groupBy("__pid", stratumCol).agg(count(lit(1)).as("__cnt"))
+    val wPrefix = Window.partitionBy(stratumCol).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val side = counts
+      .withColumn("__prefix", coalesce(sum("__cnt").over(wPrefix), lit(0L)))
+      .withColumn("__n", sum("__cnt").over(Window.partitionBy(stratumCol)))
+      .select(col("__pid"), col(stratumCol), col("__prefix"), col("__n"))
+    local.join(broadcast(side), Seq("__pid", stratumCol))
+      .withColumn("rk", (col("__lrk") + col("__prefix")).cast("long"))
+      .withColumn("n_stratum", col("__n").cast("long"))
+      .drop("__pid", "__lrk", "__prefix", "__n")
+  }
+
+  /** Exact per-stratum quantile buckets over a deterministic order
+    * (CCNet's head/middle/tail split at nBuckets = 3):
+    * `bucket = (rk-1)·nBuckets DIV n_stratum + 1` — integral
+    * arithmetic, so the split is identical on any engine and any
+    * partitioning.
+    */
+  def quantileBuckets(
+      df: DataFrame,
+      stratumCol: String,
+      orderCols: Seq[String],
+      nBuckets: Int,
+      numPartitions: Int = 0): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    stratifiedRank(df, stratumCol, orderCols, numPartitions)
+      .withColumn("bucket",
+        expr(s"(rk - 1L) * ${nBuckets}L DIV n_stratum + 1L"))
+  }
+}

@@ -125,4 +125,47 @@ class PipelineOpsSpec extends SparkSuite {
     val corpusWindow = "Window.*\\[sum\\(n".r.findFirstIn(plan)
     assert(corpusWindow.isEmpty || plan.contains("__pid"), plan)
   }
+
+  test("stratifiedRank: two-phase == naive per-stratum window, any partitioning") {
+    import graft.ops.Rank
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 120L).map(i => (i, s"s${i % 3}", (i * 37) % 50))
+      .toDF("id", "g", "v").repartition(11)
+    val got = Rank.stratifiedRank(df, "g", Seq("v", "id"), numPartitions = 5)
+      .select("id", "rk", "n_stratum").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val w = Window.partitionBy("g").orderBy("v", "id")
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy("g")))
+      .select("id", "rk", "n_stratum").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
+  test("quantileBuckets: exact integral split, stratum-local, 1-based") {
+    import graft.ops.Rank
+    // 10 rows in one stratum, 5 in another; 3 buckets
+    val df = ((1L to 10L).map(i => (i, "a")) ++ (11L to 15L).map(i => (i, "b")))
+      .toDF("id", "g")
+    val out = Rank.quantileBuckets(df, "g", Seq("id"), nBuckets = 3)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    // stratum a (n=10): ranks 1-4 → 1, 5-7 → 2, 8-10 → 3
+    assert((1L to 4L).forall(out(_) == 1L))
+    assert((5L to 7L).forall(out(_) == 2L))
+    assert((8L to 10L).forall(out(_) == 3L))
+    // stratum b (n=5): 1-2 → 1, 3-4 → 2, 5 → 3
+    assert(out(11L) == 1L && out(12L) == 1L && out(13L) == 2L)
+    assert(out(14L) == 2L && out(15L) == 3L)
+  }
+
+  test("stratifiedRank plan: windows key on (__pid, stratum), never bare stratum over the corpus") {
+    import graft.ops.Rank
+    val df = (1L to 50L).map(i => (i, s"s${i % 2}")).toDF("id", "g")
+    val plan = Rank.stratifiedRank(df, "g", Seq("id"), numPartitions = 4)
+      .queryExecution.executedPlan.toString
+    // the corpus-side row_number window must be keyed by __pid too —
+    // a Window over [g] alone is one-task-per-stratum
+    val rowNumberWindows = "row_number\\(\\)".r.findAllIn(plan).size
+    assert(rowNumberWindows >= 1 && plan.contains("__pid"), plan)
+  }
 }
