@@ -227,22 +227,88 @@ object Similarity {
       vecCol: String,
       labelCol: String,
       maxAnchors: Int = 65536): DataFrame = {
-    val nAnchors = df.limit(maxAnchors + 1).count()
-    require(nAnchors <= maxAnchors,
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(labelCol).cast("string").as("__l"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val aRows = base.limit(maxAnchors + 1).collect()
+    require(aRows.length <= maxAnchors,
       s"contrastiveMine anchor side exceeds maxAnchors=$maxAnchors; mine " +
         "per-cluster (semDedup cells) or per-stratum batches instead")
-    val a = df.select(col(idCol).as("anchor_id"), col(labelCol).as("__al"),
-      col(vecCol).cast("array<double>").as("__av"))
-    val c = df.select(col(idCol).as("__cid"), col(labelCol).as("__cl"),
-      col(vecCol).cast("array<double>").as("__cv"))
-    val pairs = c.crossJoin(broadcast(a))
-      .filter(col("anchor_id") =!= col("__cid"))
-      .select(col("anchor_id"), (col("__cl") === col("__al")).as("__same"),
-        struct(round(cosine(col("__av"), col("__cv")), 6).as("c"),
-          (-col("__cid")).cast("long").as("nid")).as("__s"))
-    pairs.groupBy("anchor_id")
-      .agg(max(when(col("__same"), col("__s"))).as("__p"),
-        max(when(!col("__same"), col("__s"))).as("__n"))
+    val anchors = aRows.filter(r => !r.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Double](2).toArray))
+    val ab = df.sparkSession.sparkContext.broadcast(anchors)
+    // the knnJoin device, specialized to k=1 × two polarities: one
+    // compiled pass over the corpus keeps (best cos, smallest id) per
+    // (anchor, same-label?) slot — the anchor×corpus score relation
+    // exists only inside this loop, and each partition emits ≤ 2
+    // partial rows per anchor. (The declarative BNLJ form of the same
+    // argmax spent ~6 µs/pair on row plumbing — 4.9s at sf0.1 against
+    // ~0.5s for this loop.)
+    val outSchema = StructType(Seq(
+      StructField("anchor_id", LongType), StructField("same", BooleanType),
+      StructField("c", DoubleType), StructField("cid", LongType)))
+    // embedding tables often arrive one file = one partition; spread
+    // the corpus so the compiled pass runs cluster-wide (the
+    // cosineNearDupPairs device)
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    val partial = base.repartition(np).mapPartitions { it =>
+      val as = ab.value
+      if (as.isEmpty) Iterator.empty
+      else {
+        val bestC = Array.fill(as.length * 2)(Double.NegativeInfinity)
+        val bestId = new Array[Long](as.length * 2)
+        it.foreach { row =>
+          if (!row.isNullAt(2)) {
+            val cv = row.getSeq[Double](2).toArray
+            val cid = row.getLong(0)
+            val cl = row.getString(1)
+            var ai = 0
+            while (ai < as.length) {
+              val a = as(ai)
+              val av = a._3
+              if (a._1 != cid && av.length == cv.length) {
+                // same one-pass accumulation as VectorKernels.cosine
+                var sab = 0.0; var saa = 0.0; var sbb = 0.0
+                var i = 0
+                while (i < av.length) {
+                  val x = av(i); val y = cv(i)
+                  sab += x * y; saa += x * x; sbb += y * y
+                  i += 1
+                }
+                val cos = sab / (math.sqrt(saa) * math.sqrt(sbb))
+                if (!java.lang.Double.isNaN(cos)) {
+                  // round exactly like Spark's round(expr, 6): HALF_UP
+                  val r = java.math.BigDecimal.valueOf(cos)
+                    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                  val slot = ai * 2 + (if (a._2 == cl) 0 else 1)
+                  if (r > bestC(slot) ||
+                      (r == bestC(slot) && cid < bestId(slot))) {
+                    bestC(slot) = r; bestId(slot) = cid
+                  }
+                }
+              }
+              ai += 1
+            }
+          }
+        }
+        as.iterator.zipWithIndex.flatMap { case (a, ai) =>
+          (0 to 1).flatMap { p =>
+            val s = ai * 2 + p
+            if (bestC(s) == Double.NegativeInfinity) Nil
+            else Seq(Row(a._1, p == 0, bestC(s), bestId(s)))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+    // cross-partition merge: max over (cos, -id) structs — identical
+    // tie order (higher cos, then smaller id) to the in-partition rule
+    partial.groupBy("anchor_id")
+      .agg(max(when(col("same"), struct(col("c").as("c"),
+          (-col("cid")).as("nid")))).as("__p"),
+        max(when(!col("same"), struct(col("c").as("c"),
+          (-col("cid")).as("nid")))).as("__n"))
       .select(col("anchor_id"),
         (-col("__p.nid")).as("pos_id"), col("__p.c").as("pos_cos"),
         (-col("__n.nid")).as("neg_id"), col("__n.c").as("neg_cos"))

@@ -131,4 +131,34 @@ class StreamingSpec extends SparkSuite {
         .select("payload").as[String].head().contains("\"v\":2"))
     } finally q.stop()
   }
+
+  test("text kernels ride a stream: quality gate + entropy + scrub per micro-batch") {
+    // the whole curation scan stage (compiled kernels, zero shuffle)
+    // composes with readStream unchanged — stateless map operators are
+    // streaming-safe by construction; this pins that the registered
+    // graft_* functions resolve inside a streaming plan too
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val gated = docs.select(col("doc_id"),
+      graft.ops.TextOps.qualityScore(col("text")).as("quality"),
+      graft.ops.TextOps.charEntropy(col("text")).as("entropy"),
+      graft.ops.TextOps.scrubPii(col("text")).as("clean"))
+      .filter(col("quality") >= 0.5)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("gate_out").start()
+    try {
+      input.addData(
+        (1L, "the cat sat on the mat and the dog slept by the door"),
+        (2L, "..........."), // punct-only: scores 0.25, fails the gate
+        (3L, "mail bob@example.com about the meeting with the team"))
+      q.processAllAvailable()
+      val rows = spark.table("gate_out")
+        .select("doc_id", "entropy", "clean")
+        .as[(Long, Double, String)].collect().sortBy(_._1).toSeq
+      assert(rows.map(_._1) == Seq(1L, 3L))
+      assert(rows.forall(_._2 > 0.0))
+      assert(rows(1)._3.contains("<EMAIL>"))
+    } finally q.stop()
+  }
 }
