@@ -1014,6 +1014,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q77_incremental_dedup" -> ((s, dir) => {
+      // rolling corpus build: dedup an incoming batch against the
+      // digest index of the already-accepted corpus, then within the
+      // batch itself (keep-min-id). Only 16-byte digests shuffle or
+      // join — the accepted corpus itself is never re-read.
+      val docs = t(s, dir, "documents")
+      val seen = Dedup.digests(docs.filter(col("doc_id") % 3 =!= 1), Seq("text"))
+      Dedup.dedupAgainst(docs.filter(col("doc_id") % 3 === 1), seen,
+        Seq("text"), "doc_id")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -1864,5 +1877,18 @@ object SparkEntry {
         |SELECT doc_id, lang, score, CAST(rk AS BIGINT) AS rk,
         |  CAST(n AS BIGINT) AS n_stratum,
         |  CAST((rk - 1) * 3 // n + 1 AS BIGINT) AS bucket
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q77: anti-join on the seen digest set + keep-min-id within the
+    // batch; md5 hex agrees across engines (q20 memo)
+    "q77_incremental_dedup" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 3 <> 1),
+        |batch AS (
+        |  SELECT doc_id, text, md5(text) AS dg,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id, text
+        |FROM batch b ANTI JOIN seen s ON b.dg = s.digest
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 }

@@ -34,6 +34,41 @@ object Dedup {
       .drop("__graft_rn")
   }
 
+  /** 16-byte content digest over the concatenated key columns — the
+    * unit that travels between incremental corpus-build runs.
+    */
+  def contentDigest(keyCols: Seq[String]): Column =
+    md5(concat_ws("\u0000", keyCols.map(col): _*)) // same key as [[exact]]
+
+  /** The digest index of an accepted corpus: persist this (parquet)
+    * between ingest runs and feed it back to [[dedupAgainst]]. At any
+    * corpus size the index is 16 bytes + overhead per distinct
+    * document — the only state incremental dedup ever needs.
+    */
+  def digests(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.select(contentDigest(keyCols).as("digest")).distinct()
+
+  /** Incremental dedup for rolling corpus builds: drop incoming rows
+    * whose content digest is already in `seen` (a [[digests]] index
+    * from previous runs), then exact-dedup the batch itself keeping
+    * the smallest `tieBreak`. Returns only genuinely new rows — union
+    * their digests into the index for the next run.
+    *
+    * Scale shape: the anti-join keys on 16-byte digests (AQE
+    * broadcasts a small index; a 100 TB-corpus index still shuffles
+    * only digests), and the batch-internal window groups on the same
+    * digest — text never crosses the wire.
+    */
+  def dedupAgainst(
+      df: DataFrame,
+      seen: DataFrame,
+      keyCols: Seq[String],
+      tieBreak: String): DataFrame =
+    exact(
+      df.join(seen.select(col("digest")),
+        contentDigest(keyCols) === col("digest"), "left_anti"),
+      keyCols, tieBreak)
+
   /** Word-level shingles (n consecutive tokens joined by a space),
     * distinct per document. Compiled one-pass kernel
     * ([[graft.functions.WordShingles]]); the round-1 HOF form

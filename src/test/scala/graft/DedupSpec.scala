@@ -125,4 +125,21 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(f2 == Map(5L -> 1L))
   }
+
+  test("incremental dedup: digest index round-trips parquet across ingest runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val run1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("doc_id", "text")
+    // first run: nothing seen yet
+    val empty = Seq.empty[String].toDF("digest")
+    val acc1 = Dedup.dedupAgainst(run1, empty, Seq("text"), "doc_id")
+    assert(acc1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // persist the index exactly as a rolling build would
+    Dedup.digests(acc1, Seq("text")).write.mode("overwrite").parquet(s"$dir/idx")
+    val seen = spark.read.parquet(s"$dir/idx")
+    // second run: one cross-run dup, one in-batch dup, one new doc
+    val run2 = Seq((10L, "beta"), (11L, "gamma"), (12L, "gamma"))
+      .toDF("doc_id", "text")
+    val acc2 = Dedup.dedupAgainst(run2, seen, Seq("text"), "doc_id")
+    assert(acc2.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L))
+  }
 }
