@@ -349,6 +349,27 @@ object Similarity {
   }
 
   object IvfIndex {
+    /** Persist the index (centroids) as parquet — the inter-run state
+      * of an incremental ANN build, symmetric to `Dedup.digests`:
+      * cells × dim doubles regardless of corpus size. `load` restores
+      * an index whose assignments are bit-identical to the saved one.
+      */
+    def save(index: IvfIndex, spark: org.apache.spark.sql.SparkSession,
+        path: String): Unit = {
+      import spark.implicits._
+      index.centroids.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+      val rows = spark.read.parquet(path).select("cell", "centroid").collect()
+      val cents = rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+      require(cents.nonEmpty, s"no centroids found at $path")
+      IvfIndex(cents)
+    }
+
     /** Fit centroids on a bounded sample of the corpus, Lloyd-iterated
       * on the driver. A coarse quantizer needs only a representative
       * sample (standard IVF practice — FAISS trains on ~30-256 vectors

@@ -33,4 +33,19 @@ class IvfSpec extends SparkSuite {
     val again = idx.assign(e, "embedding").select("cell").as[Int].collect()
     assert(cells.toSeq == again.toSeq)
   }
+
+  test("index save/load round-trips: restored assignments are bit-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = Similarity.IvfIndex.fit(e, "embedding", cells = 4)
+    Similarity.IvfIndex.save(idx, spark, s"$dir/idx")
+    val restored = Similarity.IvfIndex.load(spark, s"$dir/idx")
+    assert(restored.centroids.map(_.toSeq).toSeq ==
+      idx.centroids.map(_.toSeq).toSeq)
+    val a = idx.assign(e, "embedding").select("vec_id", "cell")
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val b = restored.assign(e, "embedding").select("vec_id", "cell")
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }

@@ -128,6 +128,16 @@ class TextOpsSpec extends SparkSuite {
     assert(java.lang.Double.doubleToRawLongBits(got(1)) == 0L)
   }
 
+  test("char entropy counts code points, not bytes (non-ASCII fallback path)") {
+    // "éé" is 2 code points / 4 UTF-8 bytes; "é日" exercises the
+    // HashMap fallback with a surrogate-free BMP pair
+    val d = Seq("éé", "é日", "aéaé").toDF("t")
+    val got = d.select(TextOps.charEntropy($"t").as("e")).as[Double]
+      .collect().toSeq
+    // 1 distinct cp → 0; 2 distinct of 2 → ln 2; 2 distinct of 4 (2+2) → ln 2
+    assert(got == Seq(0.0, 0.693147, 0.693147))
+  }
+
   test("C4 rules: each gate trips on its own pathology") {
     val d = Seq(
       (1L, "the quick brown fox jumps over dog"),
