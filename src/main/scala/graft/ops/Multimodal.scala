@@ -202,6 +202,43 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Perceptual average-hash (aHash) for image dedup: decode → 8×8
+    * pooled luminance ([[grayGridFeatures]] at grid 8) → 64-bit
+    * signature, bit set iff the cell sits above the image's mean.
+    * Re-encodes, resizes, and small edits land within a few Hamming
+    * bits, so the signature feeds the SAME banded-Hamming candidate
+    * machinery as text SimHash — `Dedup.simhashCandidatesFromSigs`
+    * consumes the (`__id`, `__sig`) shape directly, making image
+    * near-dedup a composition of existing scale paths (map-only hash,
+    * one small-key shuffle, bucket-bounded pair expansion).
+    * Undecodable payloads yield null signatures.
+    */
+  def imageAHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("__id", LongType, nullable = false),
+      StructField("__sig", LongType)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val contentIdx = df.schema.fieldIndex("content")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val sig = grayGridFeatures(r.getAs[Array[Byte]](contentIdx), grid = 8)
+          .map { cells =>
+            val mean = cells.map(_.toDouble).sum / cells.length
+            var h = 0L
+            var i = 0
+            while (i < cells.length) {
+              if (cells(i) > mean) h |= (1L << i)
+              i += 1
+            }
+            java.lang.Long.valueOf(h)
+          }.orNull
+        Row(r.getLong(idIdx), sig)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Average-pooled grayscale grid over the decoded image. */
   private[ops] def grayGridFeatures(
       bytes: Array[Byte], grid: Int = featureGrid): Option[Array[Float]] =

@@ -66,6 +66,37 @@ class MultimodalSpec extends SparkSuite {
     assert(png == again(0).getSeq[Float](2))
   }
 
+  test("aHash: re-encodes collide, different images differ, dedup composes with SimHash banding") {
+    // same scene at different sizes/encodings → near-identical 8×8
+    // luminance → tiny Hamming distance; inverted scene → far
+    def inverted(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, if (x < w / 2) 0xFFFFFF else 0x000000)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, halfImage(32, 32, "png")), (2L, halfImage(64, 64, "jpg")),
+      (3L, inverted(32, 32)), (4L, Array[Byte](9, 9, 9)))
+      .toDF("media_id", "content")
+    val sigs = graft.ops.Multimodal.imageAHash(df)
+    val m = sigs.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(m(4L).isEmpty) // undecodable → null
+    val d12 = java.lang.Long.bitCount(m(1L).get ^ m(2L).get)
+    val d13 = java.lang.Long.bitCount(m(1L).get ^ m(3L).get)
+    assert(d12 <= 3, s"re-encode distance $d12")
+    assert(d13 > 30, s"inverted distance $d13") // complementary scenes
+    // the signature shape feeds the text SimHash candidate machinery
+    val cands = graft.ops.Dedup.simhashCandidatesFromSigs(
+      sigs.na.drop(), maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands == Set((1L, 2L)))
+  }
+
   test("REAL resize: Graphics2D re-encode stamps dims; undecodable passes through") {
     val orig = halfImage(32, 20, "png")
     val df = Seq((1L, orig), (2L, Array[Byte](7, 7, 7)))
