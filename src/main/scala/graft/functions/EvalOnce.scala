@@ -44,7 +44,12 @@ case class EvalOnce(child: Expression) extends UnaryExpression {
 }
 
 object EvalOnce {
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] =
+    Seq("graft_once" -> (es => EvalOnce(es.head)))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_once", es => EvalOnce(es.head), "built-in")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
 }

@@ -71,10 +71,16 @@ object GoFloatString {
     * The argument is cast to double at registration (in place of an
     * `ExpectsInputTypes` mixin, whose types are `private[sql]`).
     */
+  private[functions] val builders
+      : Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "go_float_str" -> (exprs =>
+      GoFloatString(org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs.head, org.apache.spark.sql.types.DoubleType))))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "go_float_str",
-      exprs => GoFloatString(org.apache.spark.sql.catalyst.expressions.Cast(
-        exprs.head, org.apache.spark.sql.types.DoubleType)),
-      "built-in")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
 }

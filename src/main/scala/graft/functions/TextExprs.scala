@@ -384,20 +384,20 @@ object TextExprs {
   private def str(e: Expression): Expression = Cast(e, StringType)
   private def int(e: Expression): Expression = Cast(e, IntegerType)
 
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_word_hits" -> (es => WordHits(str(es(0)), str(es(1)))),
+    "graft_shingles" -> (es => WordShingles(str(es(0)), int(es(1)))),
+    "graft_shingle_minhash" ->
+      (es => ShingleMinHash(str(es(0)), int(es(1)), int(es(2)))),
+    "graft_simhash" -> (es => SimHash64(str(es(0)))),
+    "graft_char_ngrams" -> (es => CharNgramsExpr(str(es(0)), int(es(1)))),
+    "graft_char_entropy" -> (es => CharEntropy(str(es(0)))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_word_hits",
-      es => WordHits(str(es(0)), str(es(1))), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingles",
-      es => WordShingles(str(es(0)), int(es(1))), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_minhash",
-      es => ShingleMinHash(str(es(0)), int(es(1)), int(es(2))), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      es => SimHash64(str(es(0))), "built-in")
-    reg.createOrReplaceTempFunction("graft_char_ngrams",
-      es => CharNgramsExpr(str(es(0)), int(es(1))), "built-in")
-    reg.createOrReplaceTempFunction("graft_char_entropy",
-      es => CharEntropy(str(es(0))), "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }
 
@@ -420,4 +420,37 @@ object GraftFunctions {
       EvalOnce.register(spark)
     }
   }
+
+  /** Every graft SQL function as (name, builder) — the single source
+    * both [[registerAll]] and [[GraftExtensions]] draw from.
+    */
+  private[functions] def allBuilders
+      : Seq[(String, Seq[Expression] => Expression)] =
+    VectorExprs.builders ++ TextExprs.builders ++
+      GoFloatString.builders ++ EvalOnce.builders
+}
+
+/** `spark.sql.extensions`-style entry point: inject every graft
+  * function at session build, the idiomatic way a Spark library ships
+  * its surface —
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  *   // or: .withExtensions(new GraftExtensions)
+  * }}}
+  *
+  * makes `graft_simhash`, `graft_char_entropy`, `go_float_str`, …
+  * resolvable from any `spark.sql`/`expr` string with no explicit
+  * `GraftFunctions.registerAll` call.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.allBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        builder))
+    }
 }

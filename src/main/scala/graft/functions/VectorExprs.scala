@@ -172,17 +172,18 @@ object VectorExprs {
     * to array<double> (float embeddings upcast once at the source scan,
     * not per pair).
     */
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> (es => CosineSim(asDoubleArray(es(0)), asDoubleArray(es(1)))),
+    "graft_dot" -> (es => DotProd(asDoubleArray(es(0)), asDoubleArray(es(1)))),
+    "graft_l2sq" -> (es => L2Sq(asDoubleArray(es(0)), asDoubleArray(es(1)))),
+    "graft_random_project" -> (es => RandomProject(asDoubleArray(es(0)),
+      Cast(es(1), org.apache.spark.sql.types.IntegerType),
+      Cast(es(2), org.apache.spark.sql.types.LongType))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_cosine",
-      es => CosineSim(asDoubleArray(es(0)), asDoubleArray(es(1))), "built-in")
-    reg.createOrReplaceTempFunction("graft_dot",
-      es => DotProd(asDoubleArray(es(0)), asDoubleArray(es(1))), "built-in")
-    reg.createOrReplaceTempFunction("graft_l2sq",
-      es => L2Sq(asDoubleArray(es(0)), asDoubleArray(es(1))), "built-in")
-    reg.createOrReplaceTempFunction("graft_random_project",
-      es => RandomProject(asDoubleArray(es(0)),
-        Cast(es(1), org.apache.spark.sql.types.IntegerType),
-        Cast(es(2), org.apache.spark.sql.types.LongType)), "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }

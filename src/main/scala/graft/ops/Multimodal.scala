@@ -133,6 +133,79 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Audio energy fingerprint for near-dup detection, the audio twin
+    * of [[imageAHash]]: decode to PCM (javax.sound converts any
+    * JDK-supported encoding), pool RMS energy over 64 equal-TIME
+    * cells, bit set iff the cell sits above the clip's mean energy.
+    * Time-proportional pooling makes the signature sample-rate
+    * invariant, so re-encodes/resamples of the same material land
+    * within a few Hamming bits and feed
+    * `Dedup.simhashCandidatesFromSigs` directly. Undecodable → null.
+    */
+  def audioEnergyHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("__id", LongType, nullable = false),
+      StructField("__sig", LongType)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val contentIdx = df.schema.fieldIndex("content")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(idIdx),
+          energyHash(r.getAs[Array[Byte]](contentIdx))
+            .map(java.lang.Long.valueOf).orNull)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private[ops] def energyHash(bytes: Array[Byte], cells: Int = 64): Option[Long] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val src = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            src.getSampleRate, 16, src.getChannels, true, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          val data = pcm.readAllBytes()
+          val channels = target.getChannels
+          val nFrames = data.length / (2 * channels)
+          if (nFrames == 0) None
+          else {
+            val sums = new Array[Double](cells)
+            val counts = new Array[Long](cells)
+            var f = 0
+            while (f < nFrames) {
+              val cell = math.min(f.toLong * cells / nFrames, cells - 1L).toInt
+              var c = 0
+              var acc = 0.0
+              while (c < channels) {
+                val o = (f * channels + c) * 2
+                val s = ((data(o + 1) << 8) | (data(o) & 0xff)).toShort / 32768.0
+                acc += s * s
+                c += 1
+              }
+              sums(cell) += acc / channels
+              counts(cell) += 1
+              f += 1
+            }
+            val rms = Array.tabulate(cells)(i =>
+              if (counts(i) == 0) 0.0 else math.sqrt(sums(i) / counts(i)))
+            val mean = rms.sum / cells
+            var h = 0L
+            var i = 0
+            while (i < cells) {
+              if (rms(i) > mean) h |= (1L << i)
+              i += 1
+            }
+            Some(h)
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
   private[graft] def audioDurationMs(bytes: Array[Byte]): Option[java.lang.Long] =
     if (bytes == null || bytes.isEmpty) None
     else

@@ -123,4 +123,39 @@ class KernelSpec extends SparkSuite {
     assert(got(0) == "en" && got(1) == "en")
     assert(got(2) == "de" && got(3) == "de")
   }
+
+  test("GraftExtensions injects every function at session build (no registerAll)") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark
+    // force a NEW session (same SparkContext) built through the
+    // extensions path, exactly as a library user would configure it
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne old)
+      val r = s2.sql(
+        """SELECT graft_simhash('hello world') AS h,
+          |  graft_char_entropy('aabb') AS e,
+          |  go_float_str(CAST(1.5 AS DOUBLE)) AS f,
+          |  graft_word_hits('the the cat', 'the') AS w""".stripMargin)
+        .collect()(0)
+      assert(r.getDouble(1) == 0.693147)
+      assert(r.getString(2) == "1.5")
+      assert(r.getLong(3) == 2L)
+      // same kernel the registerAll path resolves
+      graft.functions.GraftFunctions.registerAll(old)
+      val viaRegister = old.sql("SELECT graft_simhash('hello world')")
+        .collect()(0).getLong(0)
+      assert(r.getLong(0) == viaRegister)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
 }

@@ -97,6 +97,43 @@ class MultimodalSpec extends SparkSuite {
     assert(cands == Set((1L, 2L)))
   }
 
+  test("audio energy hash: resamples collide, reversed envelopes differ") {
+    def wav(samples: Array[Double], rate: Float): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val raw = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        val v = math.max(-32768, math.min(32767, (s * 32767).toInt))
+        raw(i * 2) = (v & 0xff).toByte
+        raw(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def toneThenSilence(rate: Int): Array[Double] = {
+      val n = rate / 2 // 0.5 s
+      Array.tabulate(n)(i =>
+        if (i < n / 2) 0.8 * math.sin(2 * math.Pi * 440 * i / rate) else 0.0)
+    }
+    val df = Seq(
+      (1L, wav(toneThenSilence(8000), 8000f)),
+      (2L, wav(toneThenSilence(16000), 16000f)), // same material, resampled
+      (3L, wav(toneThenSilence(8000).reverse, 8000f)), // silence-then-tone
+      (4L, Array[Byte](7, 7, 7))) // undecodable
+      .toDF("media_id", "content")
+    val sigs = graft.ops.Multimodal.audioEnergyHash(df)
+    val m = sigs.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(m(4L).isEmpty)
+    val d12 = java.lang.Long.bitCount(m(1L).get ^ m(2L).get)
+    val d13 = java.lang.Long.bitCount(m(1L).get ^ m(3L).get)
+    assert(d12 <= 3, s"resample distance $d12")
+    assert(d13 > 30, s"reversed distance $d13")
+  }
+
   test("REAL resize: Graphics2D re-encode stamps dims; undecodable passes through") {
     val orig = halfImage(32, 20, "png")
     val df = Seq((1L, orig), (2L, Array[Byte](7, 7, 7)))
