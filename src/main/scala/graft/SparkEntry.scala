@@ -1027,6 +1027,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q78_token_budget" -> ((s, dir) => {
+      // token-budget corpus assembly: each language contributes
+      // documents in md5(id) order until 3000 tokens. The running
+      // total is the per-stratum two-phase prefix sum — one range
+      // shuffle, P×S-row side table, never a one-task-per-language
+      // window.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCountArith(col("text")).as("n_tokens"))
+      Rank.tokenBudgetSample(docs, "doc_id", "lang", "n_tokens",
+        budget = 3000L)
+        .select("doc_id", "lang", "n_tokens", "prefix")
+        .orderBy("doc_id")
+    }),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -1890,5 +1905,22 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 3 = 1)
         |SELECT doc_id, text
         |FROM batch b ANTI JOIN seen s ON b.dg = s.digest
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q78: the naive per-stratum running-sum window is the semantic
+    // spec; md5-hex order is engine-portable (q63 memo)
+    "q78_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM d)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(prefix AS BIGINT) AS prefix
+        |FROM p WHERE prefix < 3000 ORDER BY doc_id""".stripMargin)
 }

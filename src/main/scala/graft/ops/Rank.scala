@@ -59,6 +59,67 @@ object Rank {
       .drop("__pid", "__lrk", "__prefix", "__n")
   }
 
+  /** Per-stratum EXCLUSIVE running sum of `valCol` in `orderCols`
+    * order — the same two-phase shape as [[stratifiedRank]] with sums
+    * in place of counts. Adds `prefix` (sum of `valCol` over all
+    * earlier rows of the stratum). The building block for token-budget
+    * corpus assembly: "take documents until N tokens per language"
+    * is `prefix < N` on a deterministic order.
+    */
+  def stratifiedPrefixSum(
+      df: DataFrame,
+      stratumCol: String,
+      orderCols: Seq[String],
+      valCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "stratifiedPrefixSum needs at least one order column")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val keys = (stratumCol +: orderCols).map(col)
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"), col(stratumCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__local",
+      sum(col(valCol)).over(wLocal) - col(valCol))
+    val totals = local.groupBy("__pid", stratumCol)
+      .agg(sum(col(valCol)).as("__tot"))
+    val wPrefix = Window.partitionBy(stratumCol).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val side = totals
+      .withColumn("__spre", coalesce(sum("__tot").over(wPrefix), lit(0L)))
+      .select(col("__pid"), col(stratumCol), col("__spre"))
+    local.join(broadcast(side), Seq("__pid", stratumCol))
+      .withColumn("prefix", (col("__local") + col("__spre")).cast("long"))
+      .drop("__pid", "__local", "__spre")
+  }
+
+  /** Token-budget mixture sampling (the Dolma/DataTrove corpus
+    * assembly pass): keep each stratum's documents in the portable
+    * md5(id) order until the stratum's running token total reaches
+    * `budget`. Greedy-inclusive: a document is kept iff the tokens
+    * BEFORE it are under budget, so every stratum gets at least its
+    * first document. Deterministic across engines, reruns, and
+    * partitionings — the kept set is a pure function of
+    * (ids, token counts, budget).
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      nTokCol: String,
+      budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val keyed = df.withColumn("__h", md5(col(idCol).cast("string")))
+    stratifiedPrefixSum(keyed, stratumCol, Seq("__h", idCol), nTokCol,
+      numPartitions)
+      .filter(col("prefix") < budget)
+      .drop("__h")
+  }
+
   /** Exact per-stratum quantile buckets over a deterministic order
     * (CCNet's head/middle/tail split at nBuckets = 3):
     * `bucket = (rk-1)·nBuckets DIV n_stratum + 1` — integral

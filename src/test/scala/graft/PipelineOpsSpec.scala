@@ -158,6 +158,44 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(14L) == 2L && out(15L) == 3L)
   }
 
+  test("stratifiedPrefixSum: two-phase == naive per-stratum running sum") {
+    import graft.ops.Rank
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 90L).map(i => (i, s"g${i % 4}", i % 13 + 1))
+      .toDF("id", "g", "n").repartition(7)
+    val got = Rank.stratifiedPrefixSum(df, "g", Seq("id"), "n", numPartitions = 5)
+      .select("id", "prefix").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("prefix",
+      coalesce(sum("n").over(w), lit(0L)).cast("long"))
+      .select("id", "prefix").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
+  test("tokenBudgetSample: greedy-inclusive per stratum, deterministic") {
+    import graft.ops.Rank
+    val df = (1L to 60L).map(i => (i, if (i % 2 == 0) "en" else "de", 10L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val kept = Rank.tokenBudgetSample(df, "doc_id", "lang", "n_tokens",
+      budget = 100L)
+    val byLang = kept.groupBy("lang").agg(
+      count(lit(1)).as("n"), sum("n_tokens").as("tok"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // 10 tokens/doc, budget 100 → exactly 10 docs per stratum
+    assert(byLang == Map("en" -> ((10L, 100L)), "de" -> ((10L, 100L))))
+    // deterministic: identical kept set on rerun
+    val k1 = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val k2 = Rank.tokenBudgetSample(df, "doc_id", "lang", "n_tokens", 100L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k1 == k2)
+    // a stratum whose first doc exceeds the budget still contributes it
+    val big = Seq((1L, "x", 500L), (2L, "x", 500L)).toDF("doc_id", "lang", "n_tokens")
+    val kb = Rank.tokenBudgetSample(big, "doc_id", "lang", "n_tokens", 100L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kb.size == 1)
+  }
+
   test("stratifiedRank plan: windows key on (__pid, stratum), never bare stratum over the corpus") {
     import graft.ops.Rank
     val df = (1L to 50L).map(i => (i, s"s${i % 2}")).toDF("id", "g")
