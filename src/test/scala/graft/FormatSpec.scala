@@ -129,6 +129,17 @@ class FormatSpec extends SparkSuite {
     assert(e.getMessage.contains("concatenate"))
   }
 
+  test("lz4 compression round-trips (codec passthrough beyond gzip)") {
+    val dir = tmp()
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    FileSink.write(df, FileSink.Spec(s"$dir/out",
+      compression = Some("lz4")))
+    val parts = Files.list(Paths.get(s"$dir/out")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(parts.exists(_.endsWith(".json.lz4")), parts.toString)
+    assert(spark.read.json(s"$dir/out").count() == 2)
+  }
+
   test("XML round trip via Spark 4's native xml datasource") {
     val dir = tmp()
     val df = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
