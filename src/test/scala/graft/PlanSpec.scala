@@ -125,6 +125,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("incremental dedup anti-joins the digest index by broadcast when small (q77)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val seen = graft.ops.Dedup.digests(docs.filter(col("doc_id") % 3 =!= 1), Seq("text"))
+    val out = graft.ops.Dedup.dedupAgainst(
+      docs.filter(col("doc_id") % 3 === 1), seen, Seq("text"), "doc_id")
+    // run it so AQE settles the join strategy, then read the final plan
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // the batch text itself never shuffles — only md5 digests key the
+    // window exchange
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q50 verify grams expand only the candidate sub-corpus (no corpus-wide buckets)") {
     // The scale contract of the production near-dedup composition:
     // every gram explode that feeds exact-jaccard verification must sit
