@@ -476,14 +476,33 @@ object Dedup {
       idCol: String,
       textCol: String,
       jaccardThreshold: Double = 0.8,
-      shingleSize: Int = 5): DataFrame = {
+      shingleSize: Int = 5,
+      keep: String = "min_id"): DataFrame = {
+    require(keep == "min_id" || keep == "longest",
+      s"keep policy must be min_id or longest, got $keep")
     val exact0 = exact(df, Seq(textCol), idCol)
     val candidates = minhashCandidates(exact0, idCol, textCol,
       shingleSize = shingleSize)
     val verified = ngramJaccardPairs(
       candidateDocs(exact0, idCol, candidates),
       idCol, textCol, n = shingleSize, threshold = jaccardThreshold)
-    val drop = verified.select(col("id_b").as(idCol)).distinct()
+    // keep policy per verified pair: min_id drops the larger id;
+    // longest (the RefinedWeb choice — the longer copy usually carries
+    // the fuller context) drops the shorter, tie-broken to min_id.
+    // Both are per-pair decisions joined on ids only, so the policy
+    // adds at most one broadcast-size length join, never a text shuffle.
+    val drop = keep match {
+      case "min_id" => verified.select(col("id_b").as(idCol)).distinct()
+      case "longest" =>
+        val lens = exact0.select(col(idCol).as("__lid"),
+          length(col(textCol)).as("__len"))
+        verified
+          .join(lens.select(col("__lid").as("id_a"), col("__len").as("__la")), "id_a")
+          .join(lens.select(col("__lid").as("id_b"), col("__len").as("__lb")), "id_b")
+          .select(when(col("__la") < col("__lb"), col("id_a"))
+            .otherwise(col("id_b")).as(idCol)) // equal lengths → id_b (= min_id)
+          .distinct()
+    }
     exact0.join(drop, Seq(idCol), "left_anti")
   }
 

@@ -142,4 +142,25 @@ class DedupSpec extends SparkSuite {
     val acc2 = Dedup.dedupAgainst(run2, seen, Seq("text"), "doc_id")
     assert(acc2.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L))
   }
+
+  test("dedupCorpus keep policies: min_id vs longest (RefinedWeb choice)") {
+    // doc 2 is a superset of doc 1 (one extra token → 3-gram jaccard
+    // 6/7 ≈ 0.86); doc 3 is unrelated
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h extra"),
+      (3L, "totally different content lives here now")).toDF("doc_id", "text")
+    val minId = Dedup.dedupCorpus(docs, "doc_id", "text",
+      jaccardThreshold = 0.8, shingleSize = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(minId == Seq(1L, 3L))
+    val longest = Dedup.dedupCorpus(docs, "doc_id", "text",
+      jaccardThreshold = 0.8, shingleSize = 3, keep = "longest")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(longest == Seq(2L, 3L))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupCorpus(docs, "doc_id", "text", keep = "newest")
+    }
+    assert(e.getMessage.contains("keep policy"))
+  }
 }
