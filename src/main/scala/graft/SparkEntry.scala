@@ -1042,6 +1042,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q79_document_stats" -> ((s, dir) =>
+      // the one-pass wide-stats projection (documentStats) under the
+      // oracle gate — every signal lands in a single scan stage; the
+      // xxhash64 fingerprint column is exercised by q30's contracts
+      // and dropped here (no DuckDB equivalent to hash-compare)
+      TextOps.documentStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_punct"),
+          col("n_stopwords"), col("quality"), col("lang_pred"))
+        .orderBy("doc_id")),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -1922,5 +1932,16 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(prefix AS BIGINT) AS prefix
-        |FROM p WHERE prefix < 3000 ORDER BY doc_id""".stripMargin)
+        |FROM p WHERE prefix < 3000 ORDER BY doc_id""".stripMargin,
+
+    // q79: the one-pass stats projection, each signal via the shared
+    // SQL builder (single source of truth with the Spark kernels)
+    "q79_document_stats" ->
+      s"""SELECT doc_id,
+         |  ${sqlTokenCount("text")} AS n_tokens,
+         |  ${sqlPunctCount("text")} AS n_punct,
+         |  ${sqlStopwordHits("text")} AS n_stopwords,
+         |  ${sqlQuality("text")} AS quality,
+         |  ${sqlLangId("text")} AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin)
 }
