@@ -340,7 +340,7 @@ object Template {
         case "swapcase" => show(a.head).map(c =>
           if (c.isUpper) c.toLower else if (c.isLower) c.toUpper else c)
         case "untitle" => show(a.head).split(" ", -1).map(w =>
-          if (w.isEmpty) w else w.head.toLower + w.tail).mkString(" ")
+          if (w.isEmpty) w else s"${w.head.toLower}${w.tail}").mkString(" ")
         case "urlParse" =>
           val u = new java.net.URI(show(a.head))
           Map(
