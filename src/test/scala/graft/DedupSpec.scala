@@ -143,6 +143,18 @@ class DedupSpec extends SparkSuite {
     assert(acc2.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L))
   }
 
+  test("simhashCandidates end-to-end: near-identical texts bucket, distant don't") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (3L, "completely different material talks about databases and query planners"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("dedupCorpus keep policies: min_id vs longest (RefinedWeb choice)") {
     // doc 2 is a superset of doc 1 (one extra token → 3-gram jaccard
     // 6/7 ≈ 0.86); doc 3 is unrelated

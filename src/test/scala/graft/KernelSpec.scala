@@ -124,6 +124,13 @@ class KernelSpec extends SparkSuite {
     assert(got(2) == "de" && got(3) == "de")
   }
 
+  test("upper/digit counts (the remaining arithmetic stat kernels)") {
+    val df = Seq("AbC12de3", "", "XYZ").toDF("t")
+    val got = df.select(TextOps.upperCount($"t"), TextOps.digitCount($"t"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 3L), (0L, 0L), (3L, 0L)))
+  }
+
   test("GraftExtensions injects every function at session build (no registerAll)") {
     import org.apache.spark.sql.SparkSession
     val old = spark

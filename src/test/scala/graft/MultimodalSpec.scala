@@ -97,6 +97,17 @@ class MultimodalSpec extends SparkSuite {
     assert(cands == Set((1L, 2L)))
   }
 
+  test("balanceForDecode spreads assets across the requested partitions") {
+    val df = (1L to 40L).map(i => (i, Array.fill(i.toInt)(i.toByte)))
+      .toDF("media_id", "content").coalesce(1)
+    val balanced = graft.ops.Multimodal.balanceForDecode(df, partitions = 8)
+    assert(balanced.rdd.getNumPartitions == 8)
+    // no partition hoards the corpus (decode cost skew guard)
+    val sizes = balanced.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.max <= 15, sizes.mkString(","))
+    assert(balanced.count() == 40)
+  }
+
   test("audio energy hash: resamples collide, reversed envelopes differ") {
     def wav(samples: Array[Double], rate: Float): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
