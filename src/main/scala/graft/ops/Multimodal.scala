@@ -10,15 +10,18 @@ import org.apache.spark.sql.types._
   * the 100 TB-scale layout: bytes stay columnar in parquet, metadata
   * is queryable/prunable without touching payloads.
   *
-  * Image decode, metadata, FEATURES, and RESIZE are REAL (JDK-native
-  * `javax.imageio` + `BufferedImage` pixel access — see
-  * [[decodeImageMeta]], [[imageFeatures]], [[resize]]); audio metadata
-  * decode is real via `javax.sound.sampled`. Only VIDEO frame sampling
-  * remains a STUB (the container ships no video codecs): it produces
-  * deterministic fake frames from payload bytes. Everything around the
-  * stub — schema, batch iteration, partition sizing, output shapes —
-  * is the real distributed plumbing and is tested; swapping it for a
-  * real codec changes only the body marked `STUB`.
+  * Image decode, metadata, FEATURES, RESIZE, and perceptual hashing
+  * are REAL (JDK-native `javax.imageio` + `BufferedImage` pixel
+  * access — see [[decodeImageMeta]], [[imageFeatures]], [[resize]],
+  * [[imageAHash]]); audio metadata decode and energy fingerprints are
+  * real via `javax.sound.sampled`. VIDEO frame sampling is REAL for
+  * two containers the JDK can handle without external codecs —
+  * animated GIF ([[gifFrames]]) and MJPEG AVI ([[aviMjpegFrames]]) —
+  * and a clearly-marked STUB for codec containers (mp4/webm: no
+  * decoders ship in this environment). Everything around the stub —
+  * schema, batch iteration, partition sizing, output shapes — is the
+  * real distributed plumbing and is tested; swapping in a codec
+  * changes only the fallback branch.
   */
 object Multimodal {
 
@@ -386,13 +389,13 @@ object Multimodal {
     * (media_id, frame_idx, frame bytes), evenly spaced across the
     * stream — the 1→N shape of real frame extraction.
     *
-    * REAL for animated GIF (the one video container the JDK decodes
-    * natively): frames are composited onto the logical screen honoring
-    * per-frame offsets, sampled evenly, and re-encoded as PNG. For
-    * codec containers (mp4/webm — no decoders ship in this
-    * environment) the per-frame payload is a deterministic byte slice,
-    * clearly a STUB: swapping in a codec changes only
-    * [[gifFrames]]/the fallback branch, never the distributed shape.
+    * REAL for animated GIF (frames composited onto the logical screen
+    * honoring per-frame offsets) and MJPEG AVI (RIFF chunk walk →
+    * per-frame JPEG decode, [[aviMjpegFrames]]) — both sampled evenly
+    * and re-encoded as PNG. For codec containers (mp4/webm — no
+    * decoders ship in this environment) the per-frame payload is a
+    * deterministic byte slice, clearly a STUB: swapping in a codec
+    * changes only the fallback branch, never the distributed shape.
     */
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -409,9 +412,15 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val isGif = bytes != null && bytes.length > 4 &&
           bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'
-        val gif = if (isGif) gifFrames(bytes, n) else Nil
-        if (gif.nonEmpty)
-          gif.zipWithIndex.map { case (png, i) => Row(id, i, png) }
+        val isAvi = bytes != null && bytes.length > 12 &&
+          bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+        val real =
+          if (isGif) gifFrames(bytes, n)
+          else if (isAvi) aviMjpegFrames(bytes, n)
+          else Nil
+        if (real.nonEmpty)
+          real.zipWithIndex.map { case (png, i) => Row(id, i, png) }
         else {
           // STUB: deterministic slices stand in for decoded frames
           val len = math.max(1, if (bytes == null) 1 else bytes.length)
@@ -469,6 +478,51 @@ object Multimodal {
         out.toSeq
       } finally g.dispose()
     } finally reader.dispose()
+  } catch { case _: Exception => Nil }
+
+  /** Decode an MJPEG AVI and return up to `n` evenly-spaced frames as
+    * PNG bytes — the second REAL video container (after animated GIF)
+    * the JDK can handle without external codecs: AVI is a RIFF chunk
+    * tree, and MJPEG frames are plain JPEGs in `..db`/`..dc` chunks,
+    * which `ImageIO` decodes natively. The walker is tolerant: it
+    * descends RIFF/LIST nodes, collects video-frame chunks, and
+    * ignores everything else (headers, index, audio).
+    */
+  private[ops] def aviMjpegFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = try {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def walk(from: Int, to: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val id = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(p + 4)
+        if (size < 0 || p + 8 + size > to) return // malformed — stop
+        val body = p + 8
+        if (id == "RIFF" || id == "LIST") walk(body + 4, body + size.toInt)
+        else if (id.length == 4 && (id.endsWith("db") || id.endsWith("dc")) &&
+            size >= 2 && bytes(body) == 0xFF.toByte && bytes(body + 1) == 0xD8.toByte)
+          frames += ((body, size.toInt)) // JPEG SOI — an MJPEG frame
+        p = body + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+    }
+    walk(0, bytes.length)
+    if (frames.isEmpty) return Nil
+    val count = frames.size
+    val picks = (0 until math.min(n, count))
+      .map(k => k.toLong * count / math.min(n, count)).map(_.toInt).distinct
+    picks.flatMap { i =>
+      val (off, len) = frames(i)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        java.util.Arrays.copyOfRange(bytes, off, off + len)))
+      if (img == null) None
+      else {
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Some(baos.toByteArray)
+      }
+    }
   } catch { case _: Exception => Nil }
 
   private def frameOffset(reader: javax.imageio.ImageReader, i: Int): (Int, Int) =

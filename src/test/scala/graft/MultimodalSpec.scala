@@ -108,6 +108,51 @@ class MultimodalSpec extends SparkSuite {
     assert(balanced.count() == 40)
   }
 
+  test("REAL video frames: MJPEG AVI chunk walk decodes actual sampled pixels") {
+    def solidJpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(x => (0 until 16).foreach(y => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val movi = new java.io.ByteArrayOutputStream()
+      movi.write("movi".getBytes)
+      frames.foreach { j =>
+        movi.write("00dc".getBytes); movi.write(le32(j.length)); movi.write(j)
+        if (j.length % 2 == 1) movi.write(0)
+      }
+      val body = new java.io.ByteArrayOutputStream()
+      body.write("AVI ".getBytes)
+      body.write("LIST".getBytes); body.write(le32(movi.size())); movi.writeTo(body)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes); out.write(le32(body.size())); body.writeTo(out)
+      out.toByteArray
+    }
+    // red, green, blue, yellow — sampling 2 of 4 must hit frames 0 and 2
+    val avi = mjpegAvi(Seq(
+      solidJpeg(0xFF0000), solidJpeg(0x00FF00),
+      solidJpeg(0x0000FF), solidJpeg(0xFFFF00)))
+    val df = Seq((1L, avi)).toDF("media_id", "content")
+    val frames = graft.ops.Multimodal.sampleFrames(df, 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 2)
+    def centerRgb(png: Array[Byte]): Int = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      img.getRGB(8, 8) & 0xFFFFFF
+    }
+    val c0 = centerRgb(frames(0).getAs[Array[Byte]](2))
+    val c2 = centerRgb(frames(1).getAs[Array[Byte]](2))
+    // JPEG is lossy: assert channel dominance, not exact values
+    assert(((c0 >> 16) & 0xFF) > 200 && ((c0 >> 8) & 0xFF) < 80, f"$c0%06x") // red
+    assert((c2 & 0xFF) > 200 && ((c2 >> 16) & 0xFF) < 80, f"$c2%06x")        // blue
+  }
+
   test("audio energy hash: resamples collide, reversed envelopes differ") {
     def wav(samples: Array[Double], rate: Float): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
