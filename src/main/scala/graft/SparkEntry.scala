@@ -1052,6 +1052,24 @@ object SparkEntry {
           col("n_stopwords"), col("quality"), col("lang_pred"))
         .orderBy("doc_id")),
 
+    "q80_semantic_retrieval" -> ((s, dir) => {
+      // end-to-end retrieval: ANN top-k over the embedding table joined
+      // back to document metadata (vec_id aligns with doc_id) — the
+      // single-pass TakeOrdered search plus ONE broadcast join of the
+      // k-row result against the doc table; the corpus is scanned once
+      // and no score relation materializes
+      val e = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val top = Similarity.cosineTopK(e, "vec_id", "embedding", q, 10)
+      broadcast(top).join(docs, top("vec_id") === docs("doc_id"))
+        .select(col("doc_id"), col("cos_sim"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("cos_sim").desc, col("doc_id"))
+    }),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -1943,5 +1961,21 @@ object SparkEntry {
          |  ${sqlStopwordHits("text")} AS n_stopwords,
          |  ${sqlQuality("text")} AS quality,
          |  ${sqlLangId("text")} AS lang_pred
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q80: the q28 cosine top-k joined to document metadata
+    "q80_semantic_retrieval" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id = 0),
+        |top AS (
+        |  SELECT vec_id, ROUND(
+        |    list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv) /
+        |    (SQRT(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                             list_transform(embedding, x -> CAST(x AS DOUBLE)))) *
+        |     SQRT(list_inner_product(qv, qv))), 6) AS cos_sim
+        |  FROM embeddings, q
+        |  ORDER BY cos_sim DESC, vec_id LIMIT 10)
+        |SELECT d.doc_id, t.cos_sim, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+        |FROM top t JOIN documents d ON t.vec_id = d.doc_id
+        |ORDER BY t.cos_sim DESC, d.doc_id""".stripMargin)
 }
