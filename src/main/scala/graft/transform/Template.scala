@@ -80,7 +80,8 @@ object Template {
     "compact", "without", "append", "prepend", "rest", "initial",
     "until", "untilStep", "regexSplit", "keys", "values",
     "pluck", "slice") // NOT `seq` — sprig's seq yields a plain string
-  private val dictFns = Set("dict", "merge", "set", "unset", "urlParse")
+  private val dictFns = Set("dict", "merge", "mergeOverwrite", "pick",
+    "omit", "set", "unset", "urlParse")
 
   private def goStringCol(c: Column, ast: Ast): Column = ast match {
     case Call("chunk", _) => // list of lists
@@ -326,6 +327,32 @@ object Template {
         case "merge" =>
           // dst (first arg) wins on conflicts, like sprig's mergo call
           a.map(asMap).reverse.reduce(_ ++ _)
+        case "mergeOverwrite" =>
+          // later srcs win, sprig's mergo WithOverride
+          a.map(asMap).reduce(_ ++ _)
+        case "pick" =>
+          val ks = a.tail.map(show).toSet
+          asMap(a.head).filter { case (k, _) => ks(k) }
+        case "omit" =>
+          val ks = a.tail.map(show).toSet
+          asMap(a.head).filter { case (k, _) => !ks(k) }
+        case "dig" =>
+          // dig k1 … kn default dict (sprig dict.go): walk nested maps
+          require(a.size >= 3, "dig needs keys, a default, and a dict")
+          val keys = a.dropRight(2).map(show)
+          keys.foldLeft[Option[Any]](Some(asMap(a.last))) {
+            case (Some(m: Map[_, _]), k) =>
+              m.asInstanceOf[Map[String, Any]].get(k)
+            case _ => None
+          }.getOrElse(a(a.size - 2))
+        case "all" => a.forall(truthy)
+        case "any" => a.exists(truthy)
+        case "fromJson" => jsonParse(show(a.head))
+        case "toPrettyJson" => toPrettyJsonString(a.head, "")
+        case "b32enc" => new org.apache.commons.codec.binary.Base32()
+          .encodeToString(show(a.head).getBytes("UTF-8"))
+        case "b32dec" => new String(new org.apache.commons.codec.binary.Base32()
+          .decode(show(a.head)), "UTF-8")
 
         case "chunk" =>
           val n = asLong(a(0)).toInt
@@ -410,6 +437,38 @@ object Template {
     case l: Long => java.time.Instant.ofEpochSecond(l)
     case s: String => java.time.Instant.parse(s)
     case other => sys.error(s"not a time value: $other")
+  }
+
+  /** JSON text → driver values (Map/List/String/Number/Boolean/null)
+    * via the Jackson shipped with Spark.
+    */
+  private def jsonParse(s: String): Any = {
+    import scala.jdk.CollectionConverters._
+    def conv(v: Any): Any = v match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, x) => k.toString -> conv(x) }.toMap
+      case l: java.util.List[_] => l.asScala.map(conv).toList
+      case x => x
+    }
+    conv(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(s, classOf[Object]))
+  }
+
+  /** Go `MarshalIndent`-style two-space pretty form of [[toJsonString]]
+    * (keys sorted, close bracket at parent indent).
+    */
+  private def toPrettyJsonString(v: Any, indent: String): String = v match {
+    case m: Map[_, _] if m.nonEmpty =>
+      val in2 = indent + "  "
+      m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+        .map { case (k, x) =>
+          in2 + toJsonString(k) + ": " + toPrettyJsonString(x, in2) }
+        .mkString("{\n", ",\n", "\n" + indent + "}")
+    case it: Iterable[_] if it.nonEmpty =>
+      val in2 = indent + "  "
+      it.map(x => in2 + toPrettyJsonString(x, in2))
+        .mkString("[\n", ",\n", "\n" + indent + "]")
+    case other => toJsonString(other)
   }
 
   private def toJsonString(v: Any): String = v match {
@@ -782,7 +841,8 @@ object Template {
         }
 
         case "deepCopy" => a.head // Column values are immutable
-        case "adler32sum" | "semver" | "semverCompare" =>
+        case "adler32sum" | "semver" | "semverCompare" | "dig" | "fromJson" |
+            "toPrettyJson" | "b32enc" | "b32dec" =>
           throw new IllegalArgumentException(s"$fn is driver-complete: on " +
             "the Column path it constant-folds with literal args only " +
             "(record-field args are not supported)")
@@ -808,6 +868,18 @@ object Template {
           // dst (first arg) wins — drop src keys the accumulator has
           a.reduceLeft((dst, src) => map_concat(dst,
             map_filter(src, (k, _) => !map_contains_key(dst, k))))
+        case "mergeOverwrite" =>
+          // later srcs win
+          a.reduceLeft((dst, src) => map_concat(
+            map_filter(dst, (k, _) => !map_contains_key(src, k)), src))
+        case "pick" =>
+          map_filter(a.head, (k, _) =>
+            a.tail.map(t => k === t.cast("string")).reduce(_ || _))
+        case "omit" =>
+          map_filter(a.head, (k, _) =>
+            a.tail.map(t => k =!= t.cast("string")).reduce(_ && _))
+        case "all" => a.map(_.cast("boolean")).reduce(_ && _)
+        case "any" => a.map(_.cast("boolean")).reduce(_ || _)
 
         case "chunk" =>
           val n = a(0).cast("int")

@@ -270,6 +270,43 @@ class TemplateSpec extends SparkSuite {
       == "map[a:1 b:2]")
   }
 
+  test("round-7 sprig tranche: pick/omit/mergeOverwrite/dig/all/any/fromJson/pretty/b32") {
+    val df = Seq(("x", "1")).toDF("x", "one")
+    val vals = Map[String, Any]("x" -> "x", "one" -> "1")
+    def both(tpl: String): (String, String) = (
+      df.select(Template.compile(tpl).as("out")).as[String].head(),
+      Template.render(tpl, vals))
+    val cases = Seq(
+      "[[ pick (dict \"a\" \"1\" \"b\" \"2\" \"c\" \"3\") \"a\" \"c\" ]]" -> "map[a:1 c:3]",
+      "[[ omit (dict \"a\" \"1\" \"b\" \"2\" \"c\" \"3\") \"b\" ]]" -> "map[a:1 c:3]",
+      // mergeOverwrite: LAST src wins (inverse of merge)
+      "[[ get (mergeOverwrite (dict \"a\" \"dst\") (dict \"a\" \"src\")) \"a\" ]]" -> "src",
+      "[[ ternary \"y\" \"n\" (all \"true\" \"true\") ]]" -> "y",
+      "[[ ternary \"y\" \"n\" (all \"true\" \"false\") ]]" -> "n",
+      "[[ ternary \"y\" \"n\" (any \"false\" \"true\") ]]" -> "y",
+      "[[ ternary \"y\" \"n\" (any \"false\" \"false\") ]]" -> "n")
+    cases.foreach { case (tpl, want) =>
+      val (c, d) = both(tpl)
+      assert(c == want, s"Column path: $tpl -> '$c', want '$want'")
+      assert(d == want, s"driver path: $tpl -> '$d', want '$want'")
+    }
+    // driver-complete functions (constant-fold on the Column path too,
+    // because literal-only sections run the driver evaluator); the
+    // JSON arrives as a record field — the template string-literal
+    // grammar (like the reference's) has no escaped-quote form
+    val jvals = vals + ("js" -> """{"o":{"i":"v"}}""")
+    assert(Template.render("[[ dig \"o\" \"i\" \"d\" (fromJson .js) ]]", jvals) == "v")
+    assert(Template.render("[[ dig \"o\" \"missing\" \"d\" (fromJson .js) ]]", jvals) == "d")
+    assert(Template.render("[[ get (fromJson .js) \"o\" ]]", jvals) == "map[i:v]")
+    assert(Template.render("[[ b32enc \"hi\" ]]", vals) == "NBUQ====")
+    assert(Template.render("[[ b32dec \"NBUQ====\" ]]", vals) == "hi")
+    assert(Template.render("[[ toPrettyJson (dict \"a\" \"1\") ]]", vals)
+      == "{\n  \"a\": \"1\"\n}")
+    // Column path with literal args constant-folds driver-complete fns
+    assert(df.select(Template.compile("[[ b32enc \"hi\" ]]").as("o"))
+      .as[String].head() == "NBUQ====")
+  }
+
   test("semver family + adler32; literal sections constant-fold on the Column path") {
     import graft.transform.Semver
     // precedence (semver 2.0 §11)
