@@ -132,6 +132,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming token budget: per-stratum admission persists across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "lang", "n_tokens")
+    val admitted = graft.streaming.StreamBudget.admitUntilBudget(
+      docs, "doc_id", "lang", "n_tokens", budget = 100L)
+    val q = admitted.writeStream.outputMode("append")
+      .format("memory").queryName("budget_out").start()
+    try {
+      // batch 1: en spends 80 of 100; de spends 90
+      input.addData((1L, "en", 50L), (2L, "en", 30L), (3L, "de", 90L))
+      q.processAllAvailable()
+      // batch 2: en admits one more (80 < 100, greedy-inclusive) then
+      // closes; de admits 4 (90 < 100) then closes; batch 3 all dropped
+      input.addData((4L, "en", 40L), (5L, "en", 10L), (6L, "de", 99L))
+      q.processAllAvailable()
+      input.addData((7L, "en", 1L), (8L, "de", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("budget_out")
+        .select("doc_id", "spent_before").as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(rows.map(_._1) == Seq(1L, 2L, 3L, 4L, 6L))
+      // state carried the batch-1 totals into batch 2
+      assert(rows.toMap.apply(4L) == 80L)
+      assert(rows.toMap.apply(6L) == 90L)
+    } finally q.stop()
+  }
+
   test("text kernels ride a stream: quality gate + entropy + scrub per micro-batch") {
     // the whole curation scan stage (compiled kernels, zero shuffle)
     // composes with readStream unchanged — stateless map operators are
