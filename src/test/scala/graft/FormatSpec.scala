@@ -3,6 +3,8 @@ package graft
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.functions.col
+
 import graft.sinks.FileSink
 import graft.sources.FileSource
 
@@ -138,6 +140,25 @@ class FormatSpec extends SparkSuite {
       .map(_.getFileName.toString).toSeq
     assert(parts.exists(_.endsWith(".json.lz4")), parts.toString)
     assert(spark.read.json(s"$dir/out").count() == 2)
+  }
+
+  test("malformed NDJSON lines survive as _corrupt_record, good rows parse (PERMISSIVE)") {
+    val dir = tmp()
+    Files.write(Paths.get(s"$dir/in.json"), Seq(
+      """{"v": 1}""",
+      """{"v": 2, "broken""",
+      """not json at all""",
+      """{"v": 3}""").asJava)
+    // cache: Spark disallows querying ONLY _corrupt_record off a raw
+    // JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val df = FileSource.read(spark, s"$dir/in.json", filenameColumn = None).cache()
+    try {
+      assert(df.count() == 4) // nothing silently dropped
+      val good = df.filter(col("_corrupt_record").isNull)
+        .select("v").as[Long].collect().sorted.toSeq
+      assert(good == Seq(1L, 3L))
+      assert(df.filter(col("_corrupt_record").isNotNull).count() == 2)
+    } finally df.unpersist()
   }
 
   test("XML round trip via Spark 4's native xml datasource") {
