@@ -389,8 +389,11 @@ object Dedup {
       n: Int = 13,
       expectedGrams: Long = 10000000L,
       fpp: Double = 0.01): DataFrame = {
+    // checkpoint: the gram explode + distinct over the eval corpus
+    // feeds TWO consumers (the bloomFilter action here and the verify
+    // join below) — without it the eval side computes twice per call
     val evalGrams = gramRows(evalSet, idCol, textCol, n)
-      .select(col("gram")).distinct()
+      .select(col("gram")).distinct().localCheckpoint(true)
     val bloom = evalGrams.stat.bloomFilter("gram", expectedGrams, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(bloom)
     // UDF is warranted here: no Catalyst builtin probes a Bloom sketch,

@@ -53,7 +53,7 @@ object Pack {
       .select(col("__pid"), col("__prefix"))
     local.join(broadcast(prefix), "__pid")
       .withColumn("offset", (col("__local") + col("__prefix")).cast("long"))
-      .drop("__pid", "__local")
+      .drop("__pid", "__local", "__prefix")
   }
 
   /** Assigns each document its context-window span under

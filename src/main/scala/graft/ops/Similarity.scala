@@ -229,9 +229,13 @@ object Similarity {
       maxAnchors: Int = 65536): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
+    // null labels drop out entirely: SQL's `a.label = b.label` is NULL
+    // for them (neither positive nor negative), and `null == null`
+    // would silently differ here
     val base = df.select(col(idCol).cast("long").as("__id"),
       col(labelCol).cast("string").as("__l"),
       col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__l").isNotNull)
     val aRows = base.limit(maxAnchors + 1).collect()
     require(aRows.length <= maxAnchors,
       s"contrastiveMine anchor side exceeds maxAnchors=$maxAnchors; mine " +
@@ -303,12 +307,17 @@ object Similarity {
       }
     }(Encoders.row(outSchema))
     // cross-partition merge: max over (cos, -id) structs — identical
-    // tie order (higher cos, then smaller id) to the in-partition rule
+    // tie order (higher cos, then smaller id) to the in-partition rule.
+    // Anchors missing EITHER side (a singleton label class has no
+    // positive; a single-label corpus has no negative) are omitted —
+    // they are unusable as contrastive examples, and this matches the
+    // oracle's inner join of the pos/neg derivations.
     partial.groupBy("anchor_id")
       .agg(max(when(col("same"), struct(col("c").as("c"),
           (-col("cid")).as("nid")))).as("__p"),
         max(when(!col("same"), struct(col("c").as("c"),
           (-col("cid")).as("nid")))).as("__n"))
+      .filter(col("__p").isNotNull && col("__n").isNotNull)
       .select(col("anchor_id"),
         (-col("__p.nid")).as("pos_id"), col("__p.c").as("pos_cos"),
         (-col("__n.nid")).as("neg_id"), col("__n.c").as("neg_cos"))

@@ -77,8 +77,10 @@ object Semver {
     }
     val spec = rest.trim.stripPrefix("v")
     // Masterminds rule: a prerelease version only matches terms that
-    // themselves carry a prerelease; ">=1.0.0" does NOT admit "1.1.0-alpha".
-    if (v.pre.nonEmpty && !spec.contains('-')) return false
+    // themselves carry a prerelease; ">=1.0.0" does NOT admit
+    // "1.1.0-alpha". The hyphen must sit BEFORE any build metadata —
+    // ">=1.0.0+build-1" carries no prerelease.
+    if (v.pre.nonEmpty && !spec.takeWhile(_ != '+').contains('-')) return false
     if (wildcard(spec) || spec.isEmpty) return true
     // wildcard / partial versions define a [lo, hi) range
     val core = spec.takeWhile(c => c != '-' && c != '+')

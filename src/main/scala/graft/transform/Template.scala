@@ -345,8 +345,10 @@ object Template {
               m.asInstanceOf[Map[String, Any]].get(k)
             case _ => None
           }.getOrElse(a(a.size - 2))
-        case "all" => a.forall(truthy)
-        case "any" => a.exists(truthy)
+        // sprig defines all/any via empty(), not Go truthiness: any
+        // non-empty string is true (sprig defaults.go)
+        case "all" => a.forall(x => !isEmptyVal(x))
+        case "any" => a.exists(x => !isEmptyVal(x))
         case "fromJson" => jsonParse(show(a.head))
         case "toPrettyJson" => toPrettyJsonString(a.head, "")
         case "b32enc" => new org.apache.commons.codec.binary.Base32()
@@ -873,13 +875,16 @@ object Template {
           a.reduceLeft((dst, src) => map_concat(
             map_filter(dst, (k, _) => !map_contains_key(src, k)), src))
         case "pick" =>
-          map_filter(a.head, (k, _) =>
+          if (a.tail.isEmpty) map_filter(a.head, (_, _) => lit(false))
+          else map_filter(a.head, (k, _) =>
             a.tail.map(t => k === t.cast("string")).reduce(_ || _))
         case "omit" =>
-          map_filter(a.head, (k, _) =>
+          if (a.tail.isEmpty) a.head
+          else map_filter(a.head, (k, _) =>
             a.tail.map(t => k =!= t.cast("string")).reduce(_ && _))
-        case "all" => a.map(_.cast("boolean")).reduce(_ && _)
-        case "any" => a.map(_.cast("boolean")).reduce(_ || _)
+        // mirror the driver path's sprig empty() semantics
+        case "all" => a.map(x => !isEmptyCol(x)).reduce(_ && _)
+        case "any" => a.map(x => !isEmptyCol(x)).reduce(_ || _)
 
         case "chunk" =>
           val n = a(0).cast("int")

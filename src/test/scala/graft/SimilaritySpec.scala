@@ -193,5 +193,15 @@ class SimilaritySpec extends SparkSuite {
         maxAnchors = 2)
     }
     assert(e.getMessage.contains("maxAnchors"))
+    // singleton label class → no positive → anchor omitted (matches
+    // the oracle's inner join); null labels drop out entirely
+    val singleton = Seq(
+      (1L, "A", Seq(1.0, 0.0)), (2L, "A", Seq(0.9, 0.1)),
+      (3L, "B", Seq(0.0, 1.0)),
+      (4L, null.asInstanceOf[String], Seq(0.5, 0.5)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.contrastiveMine(singleton, "vec_id", "embedding", "label")
+      .select("anchor_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L)) // 3 has no positive, 4 has no label
   }
 }

@@ -281,10 +281,13 @@ class TemplateSpec extends SparkSuite {
       "[[ omit (dict \"a\" \"1\" \"b\" \"2\" \"c\" \"3\") \"b\" ]]" -> "map[a:1 c:3]",
       // mergeOverwrite: LAST src wins (inverse of merge)
       "[[ get (mergeOverwrite (dict \"a\" \"dst\") (dict \"a\" \"src\")) \"a\" ]]" -> "src",
-      "[[ ternary \"y\" \"n\" (all \"true\" \"true\") ]]" -> "y",
-      "[[ ternary \"y\" \"n\" (all \"true\" \"false\") ]]" -> "n",
-      "[[ ternary \"y\" \"n\" (any \"false\" \"true\") ]]" -> "y",
-      "[[ ternary \"y\" \"n\" (any \"false\" \"false\") ]]" -> "n")
+      // sprig all/any go through empty(): any NON-empty string is
+      // true ("false" the string included); "" and 0 are false
+      "[[ ternary \"y\" \"n\" (all \"a\" \"b\") ]]" -> "y",
+      "[[ ternary \"y\" \"n\" (all \"a\" \"\") ]]" -> "n",
+      "[[ ternary \"y\" \"n\" (all \"false\" 1) ]]" -> "y",
+      "[[ ternary \"y\" \"n\" (any \"\" \"x\") ]]" -> "y",
+      "[[ ternary \"y\" \"n\" (any \"\" 0) ]]" -> "n")
     cases.foreach { case (tpl, want) =>
       val (c, d) = both(tpl)
       assert(c == want, s"Column path: $tpl -> '$c', want '$want'")
@@ -329,6 +332,8 @@ class TemplateSpec extends SparkSuite {
     assert(!Semver.matches(">=1.0.0", "1.1.0-alpha"))
     assert(!Semver.matches("*", "1.1.0-alpha"))
     assert(Semver.matches(">=1.0.0-0", "1.1.0-alpha"))
+    // a hyphen in BUILD METADATA is not a prerelease marker
+    assert(!Semver.matches(">=1.0.0+build-1", "1.1.0-alpha"))
     assert(Semver.matches("=1.2.3-alpha", "1.2.3-alpha"))
     assert(!Semver.matches("!=1.2.3", "1.2.4-beta"))
     assert(Semver.matches("<2 || >3.1", "1.0.0"))
