@@ -206,4 +206,16 @@ class PipelineOpsSpec extends SparkSuite {
     val rowNumberWindows = "row_number\\(\\)".r.findAllIn(plan).size
     assert(rowNumberWindows >= 1 && plan.contains("__pid"), plan)
   }
+
+  test("stratifiedPrefixSum plan: corpus running-sum window keyed by __pid; no internal columns leak") {
+    import graft.ops.Rank
+    val df = (1L to 50L).map(i => (i, s"s${i % 2}", i)).toDF("id", "g", "n")
+    val out = Rank.stratifiedPrefixSum(df, "g", Seq("id"), "n", numPartitions = 4)
+    assert(out.columns.toSeq == Seq("g", "id", "n", "prefix"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), plan)
+    // Pack's contract too: offsets add exactly one column
+    val packed = Pack.tokenOffsets(df.select("id", "n"), "id", "n", 4)
+    assert(packed.columns.toSeq == Seq("id", "n", "offset"))
+  }
 }
