@@ -1070,6 +1070,23 @@ object SparkEntry {
         .orderBy(col("cos_sim").desc, col("doc_id"))
     }),
 
+    "q81_curation_pipeline" -> ((s, dir) => {
+      // the round-7 curation flow COMPOSED in one declarative plan:
+      // C4 gate → char-entropy gate (both ride the scan) → per-language
+      // token budget (one range shuffle + P×S side table). The q61
+      // pattern applied to this round's operators.
+      val sig = TextOps.c4Rules(t(s, dir, "documents"), "doc_id", "text",
+        passthrough = Seq("lang", "text"))
+      val gated = sig.filter(col("keep"))
+        .withColumn("entropy", TextOps.charEntropy(col("text")))
+        .filter(col("entropy") >= 2.6)
+        .select("doc_id", "lang", "n_tokens", "entropy")
+      Rank.tokenBudgetSample(gated, "doc_id", "lang", "n_tokens",
+        budget = 3000L)
+        .select("doc_id", "lang", "n_tokens", "entropy", "prefix")
+        .orderBy("doc_id")
+    }),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -1977,5 +1994,48 @@ object SparkEntry {
         |  ORDER BY cos_sim DESC, vec_id LIMIT 10)
         |SELECT d.doc_id, t.cos_sim, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
         |FROM top t JOIN documents d ON t.vec_id = d.doc_id
-        |ORDER BY t.cos_sim DESC, d.doc_id""".stripMargin)
+        |ORDER BY t.cos_sim DESC, d.doc_id""".stripMargin,
+
+    // q81: q71's gate ∘ q72's ladder ∘ q78's budget, composed
+    "q81_curation_pipeline" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS DOUBLE) /
+        |      (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 6) AS mean_word_len,
+        |    CAST(LIST_MAX(LIST_TRANSFORM(string_split_regex(TRIM(text), '\s+'),
+        |      w -> LENGTH(w))) AS BIGINT) AS max_word_len,
+        |    (text LIKE '%{%' OR text LIKE '%}%') AS has_brace,
+        |    LOWER(text) LIKE '%lorem ipsum%' AS has_lorem
+        |  FROM documents),
+        |chars AS (
+        |  SELECT doc_id, SUBSTR(text, CAST(i AS INT), 1) AS ch
+        |  FROM documents, UNNEST(RANGE(1, CAST(LENGTH(text) AS BIGINT) + 1)) AS t(i)
+        |  WHERE LENGTH(text) > 0),
+        |cnts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, SUM(c) AS L FROM cnts GROUP BY doc_id),
+        |terms AS (
+        |  SELECT cnts.doc_id, c, L,
+        |    CAST(ROUND(LN(CAST(c AS DOUBLE) / L), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM cnts JOIN tot ON cnts.doc_id = tot.doc_id),
+        |ent AS (
+        |  SELECT doc_id, ROUND(-(CAST(SUM(c * lp) AS DOUBLE) / MAX(L)), 6) AS entropy
+        |  FROM terms GROUP BY doc_id),
+        |base AS (
+        |  SELECT d.doc_id, d.lang, s.n_tokens, e.entropy,
+        |    md5(CAST(d.doc_id AS VARCHAR)) AS h
+        |  FROM documents d
+        |  JOIN sig s ON d.doc_id = s.doc_id
+        |  JOIN ent e ON d.doc_id = e.doc_id
+        |  WHERE s.n_tokens >= 5 AND s.mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND s.max_word_len <= 30 AND NOT s.has_brace AND NOT s.has_lorem
+        |    AND e.entropy >= 2.6e0),
+        |p AS (
+        |  SELECT doc_id, lang, n_tokens, entropy,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM base)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, entropy,
+        |  CAST(prefix AS BIGINT) AS prefix
+        |FROM p WHERE prefix < 3000 ORDER BY doc_id""".stripMargin)
 }

@@ -60,20 +60,24 @@ object TextOps {
     * 30 chars, no curly braces (code/templating), no boilerplate
     * "lorem ipsum".
     */
-  def c4Rules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def c4Rules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val text = col(textCol)
     val nTok = tokenCountArith(text)
     val meanWordLen = round(
       length(regexp_replace(text, "\\s", "")).cast("double") / nTok, 6)
     val maxWordLen = array_max(transform(tokens(text), w => length(w))).cast("long")
     df.select(
-      col(idCol),
-      nTok.as("n_tokens"),
-      meanWordLen.as("mean_word_len"),
-      maxWordLen.as("max_word_len"),
-      substring(trim(text), -1, 1).isin(".", "!", "?").as("ends_punct"),
-      text.contains("{").or(text.contains("}")).as("has_brace"),
-      lower(text).contains("lorem ipsum").as("has_lorem"))
+      (col(idCol) +: passthrough.map(col)) ++ Seq(
+        nTok.as("n_tokens"),
+        meanWordLen.as("mean_word_len"),
+        maxWordLen.as("max_word_len"),
+        substring(trim(text), -1, 1).isin(".", "!", "?").as("ends_punct"),
+        text.contains("{").or(text.contains("}")).as("has_brace"),
+        lower(text).contains("lorem ipsum").as("has_lorem")): _*)
       .withColumn("keep",
         col("n_tokens") >= 5 &&
           col("mean_word_len").between(3.0, 10.0) &&
