@@ -1087,6 +1087,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q82_event_outliers" -> ((s, dir) => {
+      // per-type z-score anomaly flagging over the event stream (the
+      // monitoring pass of a telemetry pipeline). Parity device: the
+      // per-type moments are EXACT DECIMAL sums (2-dp values square to
+      // 4-dp — both engines sum them without rounding), and the
+      // mean/variance/z derivation is the same IEEE double formula in
+      // the same operation order on both sides, so round-6 z-scores
+      // hash-match. Shape: one map-side-combined aggregate (5 rows)
+      // broadcast back over the stream — no second shuffle.
+      val ev = t(s, dir, "events")
+      val d = col("value").cast("decimal(18,2)")
+      val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(d).as("s"), sum(d * d).as("ss"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", round(
+          (col("value") - col("s").cast("double") / col("n")) /
+            sqrt((col("ss").cast("double") -
+              col("s").cast("double") * col("s").cast("double") / col("n")) /
+              (col("n") - 1)), 6))
+        .filter(abs(col("z")) > 3)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    }),
+
     "q56_prequery_loop" -> ((s, dir) => {
       // MC pre-query × query-template loop (S2 / source.go:135-247):
       // the pre-query's rows drive one templated query each; results
@@ -2037,5 +2061,23 @@ object SparkEntry {
         |  FROM base)
         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, entropy,
         |  CAST(prefix AS BIGINT) AS prefix
-        |FROM p WHERE prefix < 3000 ORDER BY doc_id""".stripMargin)
+        |FROM p WHERE prefix < 3000 ORDER BY doc_id""".stripMargin,
+
+    // q82: exact DECIMAL moments, then the identical IEEE double
+    // mean/var/z formula in the same operation order on both engines
+    "q82_event_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS s,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ss
+        |  FROM events GROUP BY event_type),
+        |z AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    ROUND((e.value - CAST(st.s AS DOUBLE) / st.n) /
+        |      SQRT((CAST(st.ss AS DOUBLE) -
+        |        CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n) /
+        |        (st.n - 1)), 6) AS z
+        |  FROM events e JOIN st USING (event_type))
+        |SELECT event_id, event_type, value, z
+        |FROM z WHERE ABS(z) > 3 ORDER BY event_id""".stripMargin)
 }
