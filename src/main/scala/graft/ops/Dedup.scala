@@ -27,18 +27,31 @@ object Dedup {
     * key so a 100 TB text column shuffles 16 bytes per row).
     */
   def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
-    val key = md5(concat_ws("\u0000", keyCols.map(col): _*))
+    val key = contentDigest(keyCols)
     val w = Window.partitionBy(key).orderBy(col(tieBreak))
     df.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
   }
 
-  /** 16-byte content digest over the concatenated key columns — the
+  /** Null-normalized key string shared by [[exact]] and
+    * [[contentDigest]]: each key column is encoded `'v' + value` or
+    * `'n'` when NULL, then joined with \u0001 — so ('a', NULL, 'b')
+    * and ('a', 'b', NULL) digest differently and a NULL key is a
+    * first-class dedup key rather than collapsing to md5('')
+    * (round-7 ADVICE: bare concat_ws skips NULLs). Oracle-portable as
+    * `md5(CASE WHEN c IS NULL THEN 'n' ELSE 'v' || c END)` per column.
+    */
+  private def keyString(keyCols: Seq[String]): Column =
+    concat_ws("\u0001",
+      keyCols.map(c =>
+        coalesce(concat(lit("v"), col(c).cast("string")), lit("n"))): _*)
+
+  /** 16-byte content digest over the null-normalized key columns — the
     * unit that travels between incremental corpus-build runs.
     */
   def contentDigest(keyCols: Seq[String]): Column =
-    md5(concat_ws("\u0000", keyCols.map(col): _*)) // same key as [[exact]]
+    md5(keyString(keyCols)) // same key as [[exact]]
 
   /** The digest index of an accepted corpus: persist this (parquet)
     * between ingest runs and feed it back to [[dedupAgainst]]. At any

@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   * the offset is computed as a two-phase distributed prefix sum:
   *
   *   1. range-repartition by id (P ordered partitions);
-  *   2. per-partition running sums (narrow, partition-local window);
+  *   2. per-partition running sums — an imperative in-partition scan
+  *      ([[Prefix.localScan]]; the round-7 window-on-__pid form made
+  *      Catalyst re-exchange the corpus on __pid);
   *   3. per-partition totals → P rows → tiny single-partition prefix
   *      scan over P values → broadcast back.
   *
   * Only the P-row totals table ever crosses a partition boundary
   * twice; the corpus itself sees one range shuffle and map-side work —
-  * the same shape holds at 1000 executors over 100 TB.
+  * the same shape holds at 1000 executors over 100 TB. Token counts
+  * are integral (the scan accumulates longs).
   */
 object Pack {
 
@@ -36,16 +39,16 @@ object Pack {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-    // partition-local exclusive running sum — no cross-partition data
-    val wLocal = Window.partitionBy("__pid").orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__local",
-      sum(col(nTokCol)).over(wLocal) - col(nTokCol))
-    // P-row totals; the single-partition window here scans P values,
-    // not the corpus (P = shuffle partitions, i.e. thousands at most)
+    // partition-local exclusive running sum — no cross-partition data,
+    // no second corpus exchange
+    val local = Prefix.localScan(ranged, stratumCol = None,
+      sortCols = Seq(col(idCol)), valCol = Some(nTokCol))
+    // P-row totals derived from `local` so ReuseExchange shares the
+    // one range shuffle (see Rank.stratifiedRank); the
+    // single-partition window here scans P values, not the corpus
+    // (P = shuffle partitions, i.e. thousands at most)
     val totals = local.groupBy("__pid")
-      .agg(sum(col(nTokCol)).as("__tot"))
+      .agg(sum(col(nTokCol).cast("long")).as("__tot"))
     val wPrefix = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = totals

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** The partition-local half of the two-phase distributed prefix sum
+  * shared by [[Pack.tokenOffsets]], [[Rank.stratifiedRank]] and
+  * [[Rank.stratifiedPrefixSum]].
+  *
+  * Through round 7 this half was a `Window.partitionBy(__pid, stratum)`
+  * — semantically partition-local, but Catalyst cannot know that
+  * `spark_partition_id()` is aligned with the physical partitioning,
+  * so it inserted a second corpus-wide `Exchange hashpartitioning(
+  * __pid, stratum)` after the range shuffle. The docstrings claimed
+  * "the corpus sees one range shuffle"; the physical plan disagreed.
+  * This imperative per-partition pass (sort within partitions, then
+  * one streaming scan — the documented last-resort case where a
+  * partition-local computation genuinely cannot be expressed
+  * declaratively without a redundant shuffle) makes the plan match the
+  * claim: the corpus crosses exactly ONE exchange, and PlanSpec pins
+  * it.
+  */
+private[ops] object Prefix {
+
+  /** Adds `__pid` (physical partition id) and `__local` (exclusive
+    * partition-local running total in row order) to an ALREADY
+    * range-partitioned DataFrame. Rows are sorted within each
+    * partition by `sortCols` first; the running total resets whenever
+    * the value of `stratumCol` changes (strata are contiguous under
+    * the range partitioning because it leads with the stratum).
+    *
+    * `valCol = None` counts rows (rank device, `__local` = number of
+    * earlier rows in the stratum-partition); `Some(c)` sums `c`
+    * (prefix-sum device). A NULL value yields a NULL `__local` and
+    * does not advance the total — the same semantics as the windowed
+    * `sum(c) - c` it replaces, where sum skips NULLs.
+    */
+  def localScan(
+      ranged: DataFrame,
+      stratumCol: Option[String],
+      sortCols: Seq[Column],
+      valCol: Option[String]): DataFrame = {
+    val sorted = ranged.sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema
+      .add("__pid", IntegerType, nullable = false)
+      .add("__local", LongType, nullable = true)
+    val stratumIdx = stratumCol.map(sorted.schema.fieldIndex)
+    val valIdx = valCol.map(sorted.schema.fieldIndex)
+    sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var cur: Any = null
+      var first = true
+      var run = 0L
+      it.map { r =>
+        stratumIdx.foreach { si =>
+          val s = r.get(si)
+          if (first || !java.util.Objects.equals(s, cur)) {
+            run = 0L; cur = s; first = false
+          }
+        }
+        val local: Any = valIdx match {
+          case None =>
+            val out = run; run += 1L; out
+          case Some(vi) =>
+            val v = r.get(vi)
+            if (v == null) null
+            else { val out = run; run += v.asInstanceOf[Number].longValue; out }
+        }
+        Row.fromSeq(r.toSeq :+ pid :+ local)
+      }
+    }(Encoders.row(schema))
+  }
+}

@@ -15,14 +15,21 @@ import org.apache.spark.sql.functions._
   *
   *   1. range-repartition by (stratum, order...) — P ordered
   *      partitions, strata free to span partitions;
-  *   2. partition-local ranks per (partition, stratum) — parallelism
-  *      P×S, never one-task-per-stratum;
-  *   3. (partition × stratum) count table — at most P·S tiny rows —
-  *      prefix-scanned per stratum and broadcast back.
+  *   2. partition-local ranks per (partition, stratum) — an imperative
+  *      in-partition scan ([[Prefix.localScan]]); parallelism P×S,
+  *      never one-task-per-stratum and never a second corpus shuffle
+  *      (the round-7 window form re-exchanged the corpus on
+  *      (__pid, stratum) because Catalyst cannot see that
+  *      spark_partition_id is already clustered);
+  *   3. (partition × stratum) count table — at most P·S tiny rows,
+  *      aggregated map-side off the SAME range exchange (ReuseExchange
+  *      dedupes the scan) — prefix-scanned per stratum and broadcast
+  *      back.
   *
   * Only the count table crosses a partition boundary twice; the corpus
-  * itself sees one range shuffle. Order columns must make the rank
-  * deterministic (include a unique id as the last key).
+  * itself sees one range shuffle, and PlanSpec pins exactly that.
+  * Order columns must make the rank deterministic (include a unique id
+  * as the last key).
   */
 object Rank {
 
@@ -40,12 +47,15 @@ object Rank {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val keys = (stratumCol +: orderCols).map(col)
     val ranged = df.repartitionByRange(parts, keys: _*)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid"), col(stratumCol))
-      .orderBy(orderCols.map(col): _*)
-    val local = ranged.withColumn("__lrk", row_number().over(wLocal))
-    // P×S-row side table: per-(partition, stratum) counts, exclusive
-    // prefix within each stratum, stratum totals — all tiny
+    // partition-local exclusive row counts per stratum — no window, no
+    // second corpus exchange
+    val local = Prefix.localScan(ranged, Some(stratumCol), keys, valCol = None)
+    // P×S-row side table derived from `local`, NOT from `ranged`: the
+    // object boundary under mapPartitions blocks column pruning, so
+    // both branches share an identical range-exchange subtree and
+    // ReuseExchange fires — deriving from `ranged` let pruning narrow
+    // the side branch's projection, which broke reuse and re-scanned
+    // + re-shuffled the corpus (caught by the PlanSpec pin)
     val counts = local.groupBy("__pid", stratumCol).agg(count(lit(1)).as("__cnt"))
     val wPrefix = Window.partitionBy(stratumCol).orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -54,9 +64,9 @@ object Rank {
       .withColumn("__n", sum("__cnt").over(Window.partitionBy(stratumCol)))
       .select(col("__pid"), col(stratumCol), col("__prefix"), col("__n"))
     local.join(broadcast(side), Seq("__pid", stratumCol))
-      .withColumn("rk", (col("__lrk") + col("__prefix")).cast("long"))
+      .withColumn("rk", (col("__local") + lit(1L) + col("__prefix")).cast("long"))
       .withColumn("n_stratum", col("__n").cast("long"))
-      .drop("__pid", "__lrk", "__prefix", "__n")
+      .drop("__pid", "__local", "__prefix", "__n")
   }
 
   /** Per-stratum EXCLUSIVE running sum of `valCol` in `orderCols`
@@ -78,14 +88,13 @@ object Rank {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val keys = (stratumCol +: orderCols).map(col)
     val ranged = df.repartitionByRange(parts, keys: _*)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid"), col(stratumCol))
-      .orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__local",
-      sum(col(valCol)).over(wLocal) - col(valCol))
+    val local = Prefix.localScan(ranged, Some(stratumCol), keys, Some(valCol))
+    // per-(partition, stratum) totals derived from `local` so the
+    // range-exchange subtree is identical in both branches and
+    // ReuseExchange fires (see stratifiedRank) — map-side partial agg,
+    // only P×S partials shuffle
     val totals = local.groupBy("__pid", stratumCol)
-      .agg(sum(col(valCol)).as("__tot"))
+      .agg(sum(col(valCol).cast("long")).as("__tot"))
     val wPrefix = Window.partitionBy(stratumCol).orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val side = totals

@@ -161,20 +161,29 @@ object Similarity {
 
   /** SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
     * deduplication — cluster the embedding space with the IVF coarse
-    * quantizer, then inside each cluster drop every vector that has a
-    * SMALLER-id neighbor at or above `threshold` cosine. Greedy
-    * keep-min-id is deterministic, and the kept set provably contains
-    * no intra-cluster pair ≥ threshold: if kept x < y had
-    * cos(x,y) ≥ t, x would have dropped y.
+    * quantizer, then inside each cluster run the paper's sequential
+    * greedy in id order: a vector is KEPT iff it has no already-KEPT
+    * smaller-id neighbor at or above `threshold` cosine. (This keeps
+    * strictly more data than "drop anything with ANY smaller-id
+    * near-duplicate": for a chain x<y<z with cos(x,y)≥t, cos(y,z)≥t,
+    * cos(x,z)<t the greedy keeps {x,z}, since y — the only vector
+    * close to z — was itself dropped.) The kept set provably contains
+    * no intra-cluster pair ≥ threshold: a kept y compared against
+    * every kept x < y before surviving. Requires a numeric id column.
     *
-    * Scale shape: the quadratic pass runs INSIDE clusters only. The
-    * assignment is a broadcast map-side argmin (no shuffle); the pair
-    * expansion shuffles (id, cell, vec) once and is guarded by
-    * `maxCell` — an oversized cell fails fast with the fix spelled out
-    * (raise `cells`; per-cell membership is corpus_size / cells in
-    * expectation, so the knob keeps the bound flat at any scale).
-    * Cosine rounds to 6 before the threshold compare so the drop
-    * decision and the verification contract see identical values.
+    * Scale shape: the quadratic pass runs INSIDE clusters only, as a
+    * per-cell sequential scan (`flatMapGroups`) whose memory is
+    * guarded by `maxCell` — an oversized cell fails fast with the fix
+    * spelled out (raise `cells`; per-cell membership is
+    * corpus_size / cells in expectation, so the knob keeps the bound
+    * flat at any scale). Assignment is a broadcast map-side argmin
+    * (no shuffle); the only shuffle carries (cell, id, vec) rows.
+    * Cosine rounds to 6 (HALF_UP, identical to Spark `round`) before
+    * the threshold compare so the drop decision and the verification
+    * contract see identical values. The kept-id set is checkpointed
+    * eagerly (ids only — 8 bytes/row) and the full assigned-corpus
+    * checkpoint is unpersisted before returning, so long-lived
+    * sessions accumulate only the id-sized blocks.
     */
   def semDedup(
       df: DataFrame,
@@ -184,25 +193,57 @@ object Similarity {
       threshold: Double,
       seed: Long = 42L,
       maxCell: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
     val index = IvfIndex.fit(df, vecCol, cells, seed)
     // checkpoint: fit already ran the upstream once for its sample; the
-    // guard count, both join sides, and the caller's action would
-    // otherwise each re-run it
+    // guard count and the greedy pass below would otherwise each re-run
+    // it. Unpersisted before return — only the id-sized kept set lives on.
     val assigned = index.assign(df, vecCol).localCheckpoint(true)
     val biggest = assigned.groupBy("cell").count()
       .agg(max("count")).collect()(0).getLong(0)
     require(biggest <= maxCell,
       s"semDedup: largest cluster has $biggest members > maxCell=$maxCell; " +
-        "raise `cells` so the per-cluster pairwise pass stays bounded")
-    val a = assigned.select(col(idCol).as("__id_a"), col("cell"),
-      col(vecCol).cast("array<double>").as("__va"))
-    val b = assigned.select(col(idCol).as("__id_b"), col("cell"),
-      col(vecCol).cast("array<double>").as("__vb"))
-    val drops = a.join(b, Seq("cell"))
-      .filter(col("__id_a") < col("__id_b"))
-      .filter(round(cosine(col("__va"), col("__vb")), 6) >= threshold)
-      .select(col("__id_b").as(idCol)).distinct()
-    assigned.join(drops, Seq(idCol), "left_anti")
+        "raise `cells` so the per-cluster greedy pass stays bounded")
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"semDedup requires a numeric id column; got ${df.schema(idCol).dataType}")
+    val members = assigned.select(col("cell"),
+      col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val keptIds = members.groupByKey((r: Row) => r.getInt(0))(Encoders.scalaInt)
+      .flatMapGroups { (_: Int, it: Iterator[Row]) =>
+        val buf = it.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+          .map(r => (r.getLong(1), r.getSeq[Double](2).toArray)).toArray
+        java.util.Arrays.sort(buf, Ordering.by[(Long, Array[Double]), Long](_._1))
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        buf.iterator.flatMap { case (id, v) =>
+          var nrm = 0.0
+          var i = 0
+          while (i < v.length) { nrm += v(i) * v(i); i += 1 }
+          val norm = math.sqrt(nrm)
+          val nearKept = kept.exists { case (_, kv, knorm) =>
+            if (kv.length != v.length) false
+            else {
+              var sab = 0.0; var j = 0
+              while (j < v.length) { sab += kv(j) * v(j); j += 1 }
+              val cos = sab / (knorm * norm)
+              !java.lang.Double.isNaN(cos) &&
+                java.math.BigDecimal.valueOf(cos)
+                  .setScale(6, java.math.RoundingMode.HALF_UP)
+                  .doubleValue() >= threshold
+            }
+          }
+          if (nearKept) Iterator.empty
+          else { kept += ((id, v, norm)); Iterator.single(id) }
+        }
+      }(Encoders.scalaLong)
+      .toDF("__kept_id")
+      .localCheckpoint(true) // eager: ids only, 8 bytes/row
+    assigned.unpersist()
+    // re-derive the assignment lazily for the caller (map-side argmin,
+    // one narrow pass) instead of keeping the corpus-sized checkpoint
+    index.assign(df, vecCol)
+      .join(keptIds, col(idCol) === col("__kept_id"), "left_semi")
   }
 
   /** Contrastive pair mining for embedding training: for each anchor,
@@ -242,6 +283,14 @@ object Similarity {
         "per-cluster (semDedup cells) or per-stratum batches instead")
     val anchors = aRows.filter(r => !r.isNullAt(2))
       .map(r => (r.getLong(0), r.getString(1), r.getSeq[Double](2).toArray))
+    // fail fast on a mixed-dimension corpus rather than silently
+    // skipping rows: every other Similarity op assumes one embedding
+    // dim, and a corrupt row vanishing from mining is invisible data
+    // loss (round-7 ADVICE)
+    val dims = anchors.map(_._3.length).distinct
+    require(dims.length <= 1,
+      s"contrastiveMine: anchors have mixed embedding dimensions ${dims.sorted.mkString(",")}")
+    val dim = if (anchors.nonEmpty) anchors.head._3.length else 0
     val ab = df.sparkSession.sparkContext.broadcast(anchors)
     // the knnJoin device, specialized to k=1 × two polarities: one
     // compiled pass over the corpus keeps (best cos, smallest id) per
@@ -266,13 +315,20 @@ object Similarity {
         it.foreach { row =>
           if (!row.isNullAt(2)) {
             val cv = row.getSeq[Double](2).toArray
+            // null vectors have an undefined (SQL-NULL) cosine and can
+            // never be an argmax — skipping them matches the oracle;
+            // a WRONG-dimension vector is corrupt data and throws
+            if (cv.length != dim)
+              throw new IllegalArgumentException(
+                s"contrastiveMine: embedding dimension ${cv.length} != $dim " +
+                  s"(row id ${row.getLong(0)}); clean mixed-dimension rows first")
             val cid = row.getLong(0)
             val cl = row.getString(1)
             var ai = 0
             while (ai < as.length) {
               val a = as(ai)
               val av = a._3
-              if (a._1 != cid && av.length == cv.length) {
+              if (a._1 != cid) {
                 // same one-pass accumulation as VectorKernels.cosine
                 var sab = 0.0; var saa = 0.0; var sbb = 0.0
                 var i = 0

@@ -18,6 +18,31 @@ class DedupSpec extends SparkSuite {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
   }
 
+  test("digest null-normalization: NULL position matters, null != empty, null keys dedup") {
+    // round-7 ADVICE: concat_ws skipped NULLs, so ('a',NULL,'b') and
+    // ('a','b',NULL) collided and a NULL single key digested as md5('')
+    val rows = Seq(
+      (1L, Some("a"), Option.empty[String], Some("b")),
+      (2L, Some("a"), Some("b"), Option.empty[String]),
+      (3L, Option.empty[String], Option.empty[String], Option.empty[String]),
+      (4L, Some(""), Some(""), Some("")),
+      (5L, Option.empty[String], Option.empty[String], Option.empty[String]) // dup of 3
+    ).toDF("id", "k1", "k2", "k3")
+    val dg = rows.select($"id", Dedup.contentDigest(Seq("k1", "k2", "k3")).as("d"))
+      .as[(Long, String)].collect().toMap
+    assert(dg(1L) != dg(2L), "NULL position must change the digest")
+    assert(dg(3L) != dg(4L), "all-NULL must differ from all-empty")
+    assert(dg(3L) == dg(5L), "identical null keys must share a digest")
+    val kept = Dedup.exact(rows, Seq("k1", "k2", "k3"), "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+    // dedupAgainst sees a previously-accepted null-key row
+    val seen = Dedup.digests(rows.filter($"id" === 3), Seq("k1", "k2", "k3"))
+    val out = Dedup.dedupAgainst(rows, seen, Seq("k1", "k2", "k3"), "id")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 4L), "null-key dup of the accepted corpus must drop")
+  }
+
   test("shingles builds distinct word n-grams; short docs collapse to whole text") {
     val sh = docs.filter($"doc_id" === 1)
       .select(explode(Dedup.shingles($"text", 3)).as("g"))

@@ -196,26 +196,51 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kb.size == 1)
   }
 
-  test("stratifiedRank plan: windows key on (__pid, stratum), never bare stratum over the corpus") {
-    import graft.ops.Rank
-    val df = (1L to 50L).map(i => (i, s"s${i % 2}")).toDF("id", "g")
-    val plan = Rank.stratifiedRank(df, "g", Seq("id"), numPartitions = 4)
-      .queryExecution.executedPlan.toString
-    // the corpus-side row_number window must be keyed by __pid too —
-    // a Window over [g] alone is one-task-per-stratum
-    val rowNumberWindows = "row_number\\(\\)".r.findAllIn(plan).size
-    assert(rowNumberWindows >= 1 && plan.contains("__pid"), plan)
+  // the AQE-final plan only — the printed executedPlan appends the
+  // pre-adaptive "Initial Plan", which still shows the un-reused
+  // duplicate exchanges
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
-  test("stratifiedPrefixSum plan: corpus running-sum window keyed by __pid; no internal columns leak") {
+  // The 100 TB contract of the two-phase prefix-sum device, post
+  // round-8: the corpus crosses exactly ONE exchange (the range
+  // partition); the partition-local half is an imperative scan (no
+  // window, so no Catalyst-inserted hashpartitioning(__pid, stratum)
+  // corpus re-exchange); the side table rides the SAME shuffle via
+  // ReuseExchange; and every hash exchange in the plan sits directly
+  // above an aggregate, i.e. carries only P×S partial rows.
+  private def assertOneCorpusShuffle(plan: String): Unit = {
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("row_number"), plan)
+    val rangeEx = "(?m)\\+\\- Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(rangeEx == 1, s"expected 1 live range exchange, got $rangeEx:\n$plan")
+    assert(plan.contains("ReusedExchange"), plan)
+    val lines = plan.linesIterator.toSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning")).foreach {
+      case (_, i) =>
+        assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
+          s"hash exchange not directly above an aggregate (line $i):\n$plan")
+    }
+  }
+
+  test("stratifiedRank plan: one corpus shuffle, imperative local rank, reused exchange") {
+    import graft.ops.Rank
+    val df = (1L to 50L).map(i => (i, s"s${i % 2}")).toDF("id", "g")
+    val out = Rank.stratifiedRank(df, "g", Seq("id"), numPartitions = 4)
+    assertOneCorpusShuffle(finalPlan(out))
+  }
+
+  test("stratifiedPrefixSum/tokenOffsets plans: one corpus shuffle; no internal columns leak") {
     import graft.ops.Rank
     val df = (1L to 50L).map(i => (i, s"s${i % 2}", i)).toDF("id", "g", "n")
     val out = Rank.stratifiedPrefixSum(df, "g", Seq("id"), "n", numPartitions = 4)
     assert(out.columns.toSeq == Seq("g", "id", "n", "prefix"))
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("__pid"), plan)
-    // Pack's contract too: offsets add exactly one column
+    assertOneCorpusShuffle(finalPlan(out))
+    // Pack's contract too: offsets add exactly one column, same shape
     val packed = Pack.tokenOffsets(df.select("id", "n"), "id", "n", 4)
     assert(packed.columns.toSeq == Seq("id", "n", "offset"))
+    assertOneCorpusShuffle(finalPlan(packed))
   }
 }

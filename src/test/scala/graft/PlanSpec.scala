@@ -183,6 +183,59 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  // AQE-final plan only (strip the appended pre-adaptive Initial Plan)
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q60 audit reads one bounded scan per table (pinned slice)") {
+    // round-7's genuine regression: the exact countDistinct/percentile
+    // audit ran full-corpus in two lineitem passes. Round 8 pins it to
+    // a deterministic slice (key % 8 = 0) with ALL lineitem metrics
+    // fused into one aggregate — each table is scanned exactly once
+    // and the slice predicate reaches the scan's data filters.
+    val p = finalPlan(SparkEntry.queries("q60_sketch_contracts")(spark, sfDir))
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("% 8"), p)
+  }
+
+  test("q76/q78/q81: the corpus crosses ONE exchange before the presentation sort") {
+    // the two-phase prefix-sum/rank device (round-8 form): imperative
+    // partition-local scan — no corpus window, no second corpus
+    // exchange; the side table reuses the range shuffle; every hash
+    // exchange sits directly above an aggregate (P×S partial rows).
+    // The only other live exchange is the final orderBy's range sort.
+    Seq("q76_quality_buckets", "q78_token_budget", "q81_curation_pipeline")
+      .foreach { q =>
+        val p = finalPlan(SparkEntry.queries(q)(spark, sfDir))
+        assert(p.contains("MapPartitions"), s"$q:\n$p")
+        assert(!p.contains("row_number"), s"$q:\n$p")
+        assert(p.contains("ReusedExchange"), s"$q:\n$p")
+        // device range exchange + presentation orderBy = 2 live range
+        // exchanges; nothing else touches corpus-sized data
+        val rangeEx = "(?m)\\+\\- Exchange rangepartitioning".r.findAllIn(p).size
+        assert(rangeEx == 2, s"$q: expected 2 live range exchanges, got $rangeEx:\n$p")
+        val lines = p.linesIterator.toSeq
+        lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning")).foreach {
+          case (_, i) =>
+            assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
+              s"$q: hash exchange not directly above an aggregate:\n$p")
+        }
+      }
+  }
+
+  test("q82 computes one broadcast-back aggregate — no second corpus shuffle, no sort-merge join") {
+    val p = finalPlan(SparkEntry.queries("q82_event_outliers")(spark, sfDir))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the per-type moments aggregate is the only hash exchange; the
+    // outer rangepartitioning is the presentation orderBy
+    val hashEx = "(?m)\\+\\- Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 live hash exchange, got $hashEx:\n$p")
+  }
+
   test("int8 quantization shuffles once, partitioned by vector id (q58)") {
     val df = graft.ops.Quantize.int8Rows(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding")

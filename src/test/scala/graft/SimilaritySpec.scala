@@ -153,6 +153,39 @@ class SimilaritySpec extends SparkSuite {
     assert(e.getMessage.contains("raise `cells`"))
   }
 
+  test("semDedup sequential greedy: a chain keeps both endpoints (paper semantics)") {
+    // round-7 ADVICE: x<y<z with cos(x,y)>=t, cos(y,z)>=t, cos(x,z)<t.
+    // Drop-any-smaller-id would keep only {x}; SemDeDup's sequential
+    // greedy keeps {x,z} because y — z's only near neighbor — was
+    // itself dropped by x and the kept set is what z compares against.
+    val x = Seq(1.0, 0.0)
+    val y = Seq(math.cos(0.35), math.sin(0.35)) // ~20° from x
+    val z = Seq(math.cos(0.70), math.sin(0.70)) // ~20° from y, ~40° from x
+    val t = 0.9 // cos(20°)≈0.9397 >= t; cos(40°)≈0.766 < t
+    val vecs = Seq((1L, x), (2L, y), (3L, z)).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(vecs, "vec_id", "embedding",
+      cells = 1, threshold = t)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("contrastiveMine fails fast on a dimension-mismatched vector") {
+    val rows = Seq(
+      (1L, "a", Seq(1.0, 0.0)), (2L, "a", Seq(0.9, 0.1)),
+      (3L, "b", Seq(0.0, 1.0))).toDF("id", "label", "vec")
+    val bad = rows.union(
+      Seq((4L, "b", Seq(0.1, 0.2, 0.3))).toDF("id", "label", "vec"))
+    // every row is an anchor here, so the mixed-dim require trips on
+    // the driver; a corpus-side straggler would surface the same
+    // message wrapped in a SparkException
+    val e = intercept[Exception] {
+      Similarity.contrastiveMine(bad, "id", "vec", "label").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dimension")))
+  }
+
   test("semDedup with real clusters only prunes within a cluster") {
     // two well-separated clusters; duplicates exist in each
     val vecs = Seq(
