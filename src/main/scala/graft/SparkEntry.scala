@@ -748,27 +748,28 @@ object SparkEntry {
       // computed over the same slice, so the error-bound check is
       // exact-vs-sketch on identical data while the exact side (a full
       // sort-based percentile + distinct in round 7, the slowest query
-      // in the suite) touches 1/8 of the corpus. All three lineitem
-      // metrics fuse into ONE agg — the Expand-based multi-distinct
-      // plan is cheaper than two extra scans at slice size, and the
-      // PlanSpec pin holds the audit to a single bounded lineitem scan.
+      // in the suite) touches 1/8 of the corpus. The distinct-count
+      // and percentile audits stay in SEPARATE lineitem passes:
+      // fusing them keys the partial phase by l_partkey (the
+      // multi-distinct Expand plan), replicating object percentile
+      // buffers per key — measured 12s vs ~1s as two clean sliced
+      // scans. PlanSpec pins both scans to the slice predicate.
       val docs = t(s, dir, "documents").filter(col("doc_id") % 8 === 0)
       val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 8 === 0)
       val hllDocs = docs.agg(
         approx_count_distinct(col("text")).cast("double").as("est"),
         countDistinct(col("text")).cast("double").as("exact"))
         .select(lit("hll_documents_text").as("metric"), col("est"), col("exact"))
-      val liBoth = li.agg(
-        approx_count_distinct(col("l_partkey")).cast("double").as("est_hll"),
-        countDistinct(col("l_partkey")).cast("double").as("exact_hll"),
+      val hllParts = li.agg(
+        approx_count_distinct(col("l_partkey")).cast("double").as("est"),
+        countDistinct(col("l_partkey")).cast("double").as("exact"))
+        .select(lit("hll_lineitem_partkey").as("metric"), col("est"), col("exact"))
+      val pct = li.agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .cast("double").as("est_p50"),
-        expr("percentile(l_extendedprice, 0.5)").cast("double").as("exact_p50"))
-        .select(expr(
-          """stack(2,
-            |  'hll_lineitem_partkey', est_hll, exact_hll,
-            |  'p50_extendedprice', est_p50, exact_p50)
-            |  AS (metric, est, exact)""".stripMargin))
+          .cast("double").as("est"),
+        expr("percentile(l_extendedprice, 0.5)").cast("double").as("exact"))
+        .select(lit("p50_extendedprice").as("metric"), col("est"), col("exact"))
+      val liBoth = hllParts.union(pct)
       // tolerance = max(5% relative, 16 absolute): the HLL++ rsd
       // guarantee is probabilistic and RELATIVE — at slice
       // cardinalities below ~1/rsd² (= 400) the sparse-mode estimate
@@ -1136,6 +1137,27 @@ object SparkEntry {
         queryFiles = Seq("nations.sql" ->
           "SELECT n_name, n_nationkey FROM nation WHERE n_regionkey = [[ .__METADATA__r_regionkey ]]")))
         .data.get.orderBy("n_nationkey")
+    }),
+
+    "q83_stream_incremental_dedup" -> ((s, dir) => {
+      // q77's rolling-corpus incremental dedup executed by the
+      // STREAMING runtime: the incoming batch arrives as a file
+      // stream, drops rows already in the persisted digest index via
+      // a stream-static anti join, then exact-dedups within the
+      // stream (keep-min-doc_id per digest) through the
+      // flatMapGroupsWithState marker state. Same oracle as q77 —
+      // batch/stream parity through the real streaming engine.
+      val raw = t(s, dir, "documents")
+      val seen = Dedup.digests(raw.filter(col("doc_id") % 3 =!= 1), Seq("text"))
+      val stream = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 3 === 1)
+      val kept = graft.streaming.StreamDedup.dedupAgainstIndex(
+        stream, seen, Seq("text"), "doc_id")
+      graft.streaming.StreamPipeline
+        .runToResultAppend(s, kept, "graft_q83")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
     }))
 
   // ------------------------------------------------------------------
@@ -2099,5 +2121,23 @@ object SparkEntry {
         |        (st.n - 1)), 6) AS z
         |  FROM events e JOIN st USING (event_type))
         |SELECT event_id, event_type, value, z
-        |FROM z WHERE ABS(z) > 3 ORDER BY event_id""".stripMargin)
+        |FROM z WHERE ABS(z) > 3 ORDER BY event_id""".stripMargin,
+
+    // q83: identical semantics to q77 — the streaming runtime must
+    // reproduce the batch rolling-corpus dedup exactly (same
+    // null-normalized digest key)
+    "q83_stream_incremental_dedup" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT md5(CASE WHEN text IS NULL THEN 'n' ELSE 'v' || text END)
+        |    AS digest FROM documents WHERE doc_id % 3 <> 1),
+        |batch AS (
+        |  SELECT doc_id, text,
+        |    md5(CASE WHEN text IS NULL THEN 'n' ELSE 'v' || text END) AS dg,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY md5(CASE WHEN text IS NULL THEN 'n' ELSE 'v' || text END)
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id, text
+        |FROM batch b ANTI JOIN seen s ON b.dg = s.digest
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 }

@@ -43,6 +43,64 @@ object StreamDedup {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming incremental dedup — the continuous-ingest composition
+    * of the batch rolling-corpus shape (ops/Dedup.dedupAgainst, q77):
+    *
+    *  1. records whose content digest is already in the PERSISTED
+    *     `seen` index drop via a stream-static LEFT ANTI join — the
+    *     index stays on the static side (broadcast when small), so no
+    *     index entry ever enters the stream's state store;
+    *  2. within the stream, exact dedup by digest via custom state:
+    *     per micro-batch each digest group emits its min-`tieBreak`
+    *     row on first sight (deterministic regardless of arrival order
+    *     inside the batch — the batch group is complete when the
+    *     function runs); later batches find the state marker and emit
+    *     nothing. Restarting from a checkpoint resumes the marker set,
+    *     so a re-ingested file cannot re-emit its keys.
+    *
+    * State is one empty marker per distinct NEW digest — the same
+    * 16-bytes-per-document budget as the batch index. At 100 TB-stream
+    * scale, bound it by periodically folding emitted digests into the
+    * persisted index and restarting with a fresh checkpoint (the
+    * rolling-corpus cycle), or use [[dedupWithinWatermark]] when a
+    * time horizon is acceptable.
+    */
+  def dedupAgainstIndex(
+      stream: DataFrame,
+      seen: DataFrame,
+      keyCols: Seq[String],
+      tieBreak: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val schema = stream.schema
+    val fresh = stream.join(seen.select(col("digest")),
+      graft.ops.Dedup.contentDigest(keyCols) === col("digest"), "left_anti")
+    val packed = fresh.select(
+      graft.ops.Dedup.contentDigest(keyCols).as("key"),
+      col(tieBreak).cast("long").as("tie"),
+      to_json(struct(fresh.columns.map(col).toIndexedSeq: _*)).as("payload"))
+      .as[IdxRecord]
+    val kept = packed.groupByKey(_.key)
+      .flatMapGroupsWithState[KeptMarker, IdxRecord](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            val best = rows.minBy(_.tie)
+            state.update(KeptMarker(best.tie))
+            Iterator.single(best)
+          }
+      }
+    kept.select(from_json(col("payload"), schema).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  case class IdxRecord(key: String, tie: Long, payload: String)
+  // carries the kept row's tie-break; also: a zero-field state class
+  // breaks FlatMapGroupsWithState's state manager (Nil.head on the
+  // empty schema), so the marker must hold at least one column
+  case class KeptMarker(tie: Long)
+
   /** Custom-state dedup tagging: all records flow through, stamped
     * with (seen_before, seen_count). Rows inside one micro-batch group
     * are processed in event-time order.

@@ -77,6 +77,23 @@ object StreamPipeline {
     spark.table(name)
   }
 
+  /** Append-mode twin of [[runToResult]] for stateful operators
+    * (flatMapGroupsWithState, dropDuplicates) whose output is a row
+    * stream, not a complete aggregate: the memory sink accumulates
+    * every appended micro-batch, so the returned table is the full
+    * emitted set over the AvailableNow run.
+    */
+  def runToResultAppend(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Multi-sink streaming write: one query, each micro-batch persisted
     * once then written to every sink — `foreachBatch` is the streaming
     * MultiSinkPipeline (D5).

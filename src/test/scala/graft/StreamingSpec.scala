@@ -160,6 +160,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedupAgainstIndex: index rows drop, min-id wins in-batch, restart keeps the marker state") {
+    import graft.streaming.StreamDedup
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_incdedup").toString
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    // persisted index already contains "indexed"
+    val seen = graft.ops.Dedup.digests(
+      Seq((100L, "indexed")).toDF("doc_id", "text"), Seq("text"))
+    // parquet sink: the one bundled sink that supports RESTARTING from
+    // a checkpoint (the memory sink refuses recovery), which is the
+    // property under test
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = StreamDedup.dedupAgainstIndex(stream, seen, Seq("text"), "doc_id")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def emitted(): Seq[(Long, String)] = spark.read.schema(schema)
+      .parquet(s"$dir/out")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // run 1: an index dup, an in-batch dup pair (7 < 9), a fresh row
+    Seq((5L, "indexed"), (9L, "twice"), (7L, "twice"), (3L, "fresh"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    runOnce()
+    assert(emitted() == Seq((3L, "fresh"), (7L, "twice")))
+    // restart from the checkpoint: a re-ingested dup of an emitted key
+    // must NOT re-emit (marker state survives); a new key flows
+    Seq((1L, "twice"), (2L, "brand_new")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/in")
+    runOnce()
+    assert(emitted() == Seq((2L, "brand_new"), (3L, "fresh"), (7L, "twice")),
+      s"restart must add only the new key, got ${emitted()}")
+  }
+
   test("text kernels ride a stream: quality gate + entropy + scrub per micro-batch") {
     // the whole curation scan stage (compiled kernels, zero shuffle)
     // composes with readStream unchanged — stateless map operators are
