@@ -16,12 +16,14 @@ import org.apache.spark.sql.types._
   * [[imageAHash]]); audio metadata decode and energy fingerprints are
   * real via `javax.sound.sampled`. VIDEO frame sampling is REAL for
   * two containers the JDK can handle without external codecs —
-  * animated GIF ([[gifFrames]]) and MJPEG AVI ([[aviMjpegFrames]]) —
-  * and a clearly-marked STUB for codec containers (mp4/webm: no
-  * decoders ship in this environment). Everything around the stub —
-  * schema, batch iteration, partition sizing, output shapes — is the
-  * real distributed plumbing and is tested; swapping in a codec
-  * changes only the fallback branch.
+  * animated GIF ([[gifFrames]]), MJPEG AVI ([[aviMjpegFrames]]), and
+  * MJPEG QuickTime/MP4 ([[movMjpegFrames]], ISO-BMFF atom walk) — and
+  * a clearly-marked STUB only for compressed codecs the JDK cannot
+  * decode (h264/vp9 in mp4/webm: permanently out of scope — the JDK
+  * ships no such codec and none can be vendored into this build).
+  * Everything around the stub — schema, batch iteration, partition
+  * sizing, output shapes — is the real distributed plumbing and is
+  * tested; swapping in a codec changes only the fallback branch.
   */
 object Multimodal {
 
@@ -390,12 +392,16 @@ object Multimodal {
     * stream — the 1→N shape of real frame extraction.
     *
     * REAL for animated GIF (frames composited onto the logical screen
-    * honoring per-frame offsets) and MJPEG AVI (RIFF chunk walk →
-    * per-frame JPEG decode, [[aviMjpegFrames]]) — both sampled evenly
-    * and re-encoded as PNG. For codec containers (mp4/webm — no
-    * decoders ship in this environment) the per-frame payload is a
-    * deterministic byte slice, clearly a STUB: swapping in a codec
-    * changes only the fallback branch, never the distributed shape.
+    * honoring per-frame offsets), MJPEG AVI (RIFF chunk walk →
+    * per-frame JPEG decode, [[aviMjpegFrames]]), and MJPEG
+    * QuickTime/MP4 (ISO-BMFF atom walk → sample table → per-sample
+    * JPEG decode, [[movMjpegFrames]]) — all sampled evenly and
+    * re-encoded as PNG. For compressed-codec payloads the JDK cannot
+    * decode (h264/vp9 in mp4/webm — permanently out of scope here: no
+    * codec ships in the JDK and none can be vendored) the per-frame
+    * payload is a deterministic byte slice, clearly a STUB: swapping
+    * in a codec changes only the fallback branch, never the
+    * distributed shape.
     */
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -415,9 +421,15 @@ object Multimodal {
         val isAvi = bytes != null && bytes.length > 12 &&
           bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
           bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+        val isBmff = bytes != null && bytes.length > 12 && {
+          val t = new String(bytes, 4, 4,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          Set("ftyp", "moov", "mdat", "wide", "free", "skip", "pnot")(t)
+        }
         val real =
           if (isGif) gifFrames(bytes, n)
           else if (isAvi) aviMjpegFrames(bytes, n)
+          else if (isBmff) movMjpegFrames(bytes, n)
           else Nil
         if (real.nonEmpty)
           real.zipWithIndex.map { case (png, i) => Row(id, i, png) }
@@ -524,6 +536,130 @@ object Multimodal {
       }
     }
   } catch { case _: Exception => Nil }
+
+  /** QuickTime / ISO-BMFF container walk — mov and mp4 share the atom
+    * grammar (ISO/IEC 14496-12, public spec): a file is a sequence of
+    * [size:u32be][type:4cc] atoms, size==1 → 64-bit size follows,
+    * size==0 → to end of enclosing box; moov/trak/mdia/minf/stbl are
+    * pure containers. Returns the FIRST video track's
+    * (codec fourcc, per-sample byte ranges), reconstructed from the
+    * sample table: stsd (codec), stsz (sizes), stsc (samples per
+    * chunk), stco/co64 (chunk offsets). Bounds-checked throughout;
+    * malformed input → None.
+    */
+  private[graft] def bmffVideoSamples(
+      bytes: Array[Byte]): Option[(String, IndexedSeq[(Long, Int)])] = try {
+    def be32(o: Long): Long =
+      ((bytes(o.toInt) & 0xffL) << 24) | ((bytes(o.toInt + 1) & 0xffL) << 16) |
+        ((bytes(o.toInt + 2) & 0xffL) << 8) | (bytes(o.toInt + 3) & 0xffL)
+    def fourcc(o: Long): String =
+      new String(bytes, o.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // direct children of [from, to): (type, payloadFrom, payloadEnd)
+    def children(from: Long, to: Long): Seq[(String, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      var o = from
+      var ok = true
+      while (ok && o + 8 <= to) {
+        var size = be32(o)
+        var hdr = 8L
+        if (size == 1 && o + 16 <= to) {
+          size = (be32(o + 8) << 32) | be32(o + 12); hdr = 16L
+        } else if (size == 0) size = to - o
+        if (size < hdr || o + size > to) ok = false
+        else {
+          out += ((fourcc(o + 4), o + hdr, o + size))
+          o += size
+        }
+      }
+      out.toSeq
+    }
+    def child(tpe: String, from: Long, to: Long): Option[(Long, Long)] =
+      children(from, to).collectFirst { case (t, f, e) if t == tpe => (f, e) }
+    val (moovF, moovE) = child("moov", 0L, bytes.length.toLong).getOrElse(return None)
+    children(moovF, moovE).collect { case ("trak", tf, te) => (tf, te) }
+      .iterator.flatMap { case (tf, te) =>
+        for {
+          (mdF, mdE) <- child("mdia", tf, te)
+          (hdF, _) <- child("hdlr", mdF, mdE)
+          // hdlr payload: ver/flags(4) pre_defined(4) handler_type(4)
+          if fourcc(hdF + 8) == "vide"
+          (mnF, mnE) <- child("minf", mdF, mdE)
+          (sbF, sbE) <- child("stbl", mnF, mnE)
+          (sdF, _) <- child("stsd", sbF, sbE)
+          // stsd payload: ver/flags(4) count(4) [entrySize(4) fourcc(4) ...]
+          codec = fourcc(sdF + 12)
+          (szF, _) <- child("stsz", sbF, sbE)
+          (scF, _) <- child("stsc", sbF, sbE)
+          co <- child("stco", sbF, sbE).map((_, 4))
+            .orElse(child("co64", sbF, sbE).map((_, 8)))
+        } yield {
+          val ((coF, _), coW) = co
+          val fixedSize = be32(szF + 4)
+          val nSamples = be32(szF + 8).toInt
+          val sizes: Int => Int =
+            if (fixedSize != 0) _ => fixedSize.toInt
+            else i => be32(szF + 12 + 4L * i).toInt
+          val nChunks = be32(coF + 4).toInt
+          val chunkOff: Int => Long =
+            if (coW == 4) i => be32(coF + 8 + 4L * i)
+            else i => (be32(coF + 8 + 8L * i) << 32) | be32(coF + 12 + 8L * i)
+          // stsc: (first_chunk, samples_per_chunk, desc) runs
+          val nRuns = be32(scF + 4).toInt
+          val runs = (0 until nRuns).map { i =>
+            (be32(scF + 8 + 12L * i).toInt, be32(scF + 12 + 12L * i).toInt)
+          }
+          val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+          var sample = 0
+          var chunk = 1
+          while (chunk <= nChunks && sample < nSamples) {
+            val spc = runs.takeWhile(_._1 <= chunk).lastOption.map(_._2).getOrElse(0)
+            var off = chunkOff(chunk - 1)
+            var k = 0
+            while (k < spc && sample < nSamples) {
+              val len = sizes(sample)
+              ranges += ((off, len))
+              off += len
+              sample += 1
+              k += 1
+            }
+            chunk += 1
+          }
+          (codec, ranges.toIndexedSeq)
+        }
+      }.nextOption()
+  } catch { case _: Exception => None }
+
+  /** Decode a QuickTime/MP4 container whose video track is
+    * MOTION-JPEG coded ('jpeg'/'mjpa'/'MJPG' sample descriptions —
+    * each sample is a plain JPEG the JDK decodes natively) and return
+    * up to `n` evenly-spaced frames as PNG bytes: the THIRD real
+    * container, via the same atom walk any mp4 tool uses. Non-JPEG
+    * codecs (avc1/hev1/vp09…) have no JDK decoder — the walker still
+    * parses their sample tables, but frame decode correctly yields
+    * nothing here.
+    */
+  private[ops] def movMjpegFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+    bmffVideoSamples(bytes) match {
+      case Some((codec, ranges))
+          if Set("jpeg", "mjpa", "mjpb", "MJPG", "mjpg")(codec) && ranges.nonEmpty =>
+        val count = ranges.length
+        val take = math.min(n, count)
+        val picks = (0 until take).map(k => k.toLong * count / take).map(_.toInt).distinct
+        picks.flatMap { i =>
+          val (off, len) = ranges(i)
+          if (off >= 0 && len > 0 && off + len <= bytes.length) {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)))
+            if (img == null) None
+            else {
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", baos)
+              Some(baos.toByteArray)
+            }
+          } else None
+        }
+      case _ => Nil
+    }
 
   private def frameOffset(reader: javax.imageio.ImageReader, i: Int): (Int, Int) =
     try {

@@ -153,6 +153,71 @@ class MultimodalSpec extends SparkSuite {
     assert((c2 & 0xFF) > 200 && ((c2 >> 16) & 0xFF) < 80, f"$c2%06x")        // blue
   }
 
+  test("REAL video frames: MJPEG QuickTime/MP4 sample-table walk decodes actual pixels") {
+    def solidJpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(x => (0 until 16).foreach(y => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def atom(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8 + body.length) ++ tpe.getBytes("ISO-8859-1") ++ body
+    }
+    // a minimal but spec-shaped QuickTime file: ftyp, mdat holding the
+    // JPEG samples back-to-back, moov with the full sample-table chain
+    def mov(jpegs: Seq[Array[Byte]], codec: String): Array[Byte] = {
+      val ftyp = atom("ftyp", "qt  ".getBytes, be32(0))
+      val mdatPayloadOff = ftyp.length + 8
+      val mdat = atom("mdat", jpegs.flatten.toArray)
+      val stsd = atom("stsd", be32(0), be32(1),
+        be32(16), codec.getBytes("ISO-8859-1"), new Array[Byte](8))
+      val stsz = atom("stsz", be32(0), be32(0), be32(jpegs.length),
+        jpegs.flatMap(j => be32(j.length)).toArray)
+      val stsc = atom("stsc", be32(0), be32(1), be32(1), be32(jpegs.length), be32(1))
+      val stco = atom("stco", be32(0), be32(1), be32(mdatPayloadOff))
+      val hdlr = atom("hdlr", be32(0), "mhlr".getBytes, "vide".getBytes,
+        new Array[Byte](12))
+      val moov = atom("moov", atom("trak", atom("mdia", hdlr,
+        atom("minf", atom("stbl", stsd, stsz, stsc, stco)))))
+      ftyp ++ mdat ++ moov
+    }
+    // red, green, blue, yellow — sampling 2 of 4 must hit frames 0 and 2
+    val jpegs = Seq(
+      solidJpeg(0xFF0000), solidJpeg(0x00FF00),
+      solidJpeg(0x0000FF), solidJpeg(0xFFFF00))
+    val df = Seq((1L, mov(jpegs, "jpeg"))).toDF("media_id", "content")
+    val frames = graft.ops.Multimodal.sampleFrames(df, 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 2)
+    def centerRgb(png: Array[Byte]): Int = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      img.getRGB(8, 8) & 0xFFFFFF
+    }
+    val c0 = centerRgb(frames(0).getAs[Array[Byte]](2))
+    val c2 = centerRgb(frames(1).getAs[Array[Byte]](2))
+    assert(((c0 >> 16) & 0xFF) > 200 && ((c0 >> 8) & 0xFF) < 80, f"$c0%06x") // red
+    assert((c2 & 0xFF) > 200 && ((c2 >> 16) & 0xFF) < 80, f"$c2%06x")        // blue
+    // the walker itself reports the codec + all four sample ranges
+    val parsed = graft.ops.Multimodal.bmffVideoSamples(mov(jpegs, "jpeg"))
+    assert(parsed.exists { case (codec, ranges) =>
+      codec == "jpeg" && ranges.length == 4 &&
+        ranges.map(_._2) == jpegs.map(_.length)
+    }, parsed.toString)
+    // a compressed codec (avc1): sample table still parses, but frame
+    // decode must NOT pretend — falls to the deterministic-slice stub
+    val avc = mov(jpegs, "avc1")
+    assert(graft.ops.Multimodal.bmffVideoSamples(avc).exists(_._1 == "avc1"))
+    val stubFrames = graft.ops.Multimodal.sampleFrames(
+      Seq((2L, avc)).toDF("media_id", "content"), 2).collect()
+    assert(stubFrames.length == 2)
+  }
+
   test("audio energy hash: resamples collide, reversed envelopes differ") {
     def wav(samples: Array[Double], rate: Float): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
