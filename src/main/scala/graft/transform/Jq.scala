@@ -1,5 +1,7 @@
 package graft.transform
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StructType}
@@ -25,6 +27,16 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *   - `del(.a, .b)` → drop columns
   *   - `. + {k: EXPR}` merge → withColumn
   *   - `f | g | h` pipes → sequential composition
+  *   - `..` recursive descent (stage position): every subvalue of the
+  *     record in jq's depth-first order, rendered as compact JSON —
+  *     the schema is static, so the enumeration is one map-only
+  *     concat/transform expression
+  *   - `try E catch C` / stage-position `try E`: exact for the
+  *     subset's one error source (`tonumber`, which errors in jq
+  *     exactly where the compiled cast yields null)
+  *   - `reduce .xs[] as $x (INIT; UPDATE)` → the `aggregate` HOF
+  *     (map-only fold; `.` = accumulator, `$x` = element; numeric
+  *     seeds accumulate in double, jq's number type)
   *   - predicates/exprs: == != < <= > >= and or not, + - * / %,
   *     string/number/bool/null literals, `length`, `ascii_downcase`,
   *     `ascii_upcase`, `tostring`, `tonumber`, `floor`, `fabs`
@@ -38,17 +50,21 @@ object Jq {
   // ---------------------------------------------------------------- AST
   sealed trait Expr
   case object Identity extends Expr
+  case object RecurseAll extends Expr // `..`
   case class FieldPath(path: Seq[String], iterate: Boolean = false,
       index: Option[Int] = None) extends Expr
   case class NumLit(v: Double) extends Expr
   case class StrLit(v: String) extends Expr
   case class BoolLit(v: Boolean) extends Expr
   case object NullLit extends Expr
+  case class VarRef(name: String) extends Expr // `$x` inside reduce
   case class BinOp(op: String, l: Expr, r: Expr) extends Expr
   case class Not(e: Expr) extends Expr
   case class Call(fn: String, args: Seq[Expr]) extends Expr
   case class ObjectLit(fields: Seq[(String, Expr)]) extends Expr
   case class Pipe(stages: Seq[Expr]) extends Expr
+  case class TryCatch(body: Expr, handler: Option[Expr]) extends Expr
+  case class Reduce(src: Expr, varName: String, init: Expr, update: Expr) extends Expr
 
   // ---------------------------------------------------------- tokenizer
   private sealed trait Tok
@@ -66,6 +82,13 @@ object Jq {
     while (i < s.length) {
       val c = s(i)
       if (c.isWhitespace) i += 1
+      else if (c == '.' && peek(1) == '.') { out += TSym(".."); i += 2 }
+      else if (c == '$') {
+        var j = i + 1
+        while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+        require(j > i + 1, s"bare '$$' in jq: $s")
+        out += TSym("$"); out += TIdent(s.substring(i + 1, j)); i = j
+      }
       else if (c == '.') {
         // field path: .a.b.c possibly ending []
         var j = i + 1
@@ -192,10 +215,43 @@ object Jq {
       case TField(p, it, ix) => FieldPath(p, it, ix)
       case TNum(v) => NumLit(v)
       case TStr(v) => StrLit(v)
+      case TSym("..") => RecurseAll
+      case TSym("$") => next() match {
+        case TIdent(n) => VarRef(n)
+        case other => throw new IllegalArgumentException(s"bad variable: $other")
+      }
       case TIdent("true") => BoolLit(true)
       case TIdent("false") => BoolLit(false)
       case TIdent("null") => NullLit
       case TIdent("not") => Not(Identity) // `.x | not`
+      case TIdent("try") =>
+        // `try E` / `try E catch C` — E is a postfix-tight expression
+        // (an atom, possibly a parenthesized program), C an atom
+        val body = parseAtom()
+        val handler = peek match {
+          case Some(TIdent("catch")) => next(); Some(parseAtom())
+          case _ => None
+        }
+        TryCatch(body, handler)
+      case TIdent("reduce") =>
+        // `reduce SRC as $v (INIT; UPDATE)` — jq's fold. SRC is the
+        // element stream (an iterated path), `.` inside UPDATE is the
+        // accumulator, `$v` the current element.
+        val src = parseAtom()
+        next() match {
+          case TIdent("as") => ()
+          case other => throw new IllegalArgumentException(s"reduce: expected 'as', got $other")
+        }
+        val varName = (next(), next()) match {
+          case (TSym("$"), TIdent(n)) => n
+          case other => throw new IllegalArgumentException(s"reduce: expected '$$var', got $other")
+        }
+        expect("(")
+        val init = parseProgram()
+        expect(";")
+        val update = parseProgram()
+        expect(")")
+        Reduce(src, varName, init, update)
       case TIdent(fn) =>
         peek match {
           case Some(TSym("(")) =>
@@ -247,8 +303,67 @@ object Jq {
   private def fieldCol(path: Seq[String]): Column =
     path.tail.foldLeft(col(s"`${path.head}`"))((c, f) => c.getField(f))
 
+  /** Lexical environment for lambda-scoped forms: `.` rebinds to the
+    * accumulator inside a `reduce` update, `$x` to the element.
+    */
+  private case class Env(dot: Option[Column], vars: Map[String, Column])
+  private val topEnv = Env(None, Map.empty)
+
+  /** Does this subtree contain an expression that ERRORS in jq where
+    * the compiled Column yields null (tonumber on null/garbage)? Such
+    * bodies make `try/catch` compilable as coalesce: jq's tonumber
+    * never returns null (it errors), so a null compiled value IS the
+    * error case.
+    */
+  private def errorProne(e: Expr): Boolean = e match {
+    case Call("tonumber", args) => true
+    case Call(_, args) => args.exists(errorProne)
+    case BinOp(_, l, r) => errorProne(l) || errorProne(r)
+    case Not(x) => errorProne(x)
+    case Pipe(ss) => ss.exists(errorProne)
+    case ObjectLit(fs) => fs.exists(f => errorProne(f._2))
+    case TryCatch(b, h) => errorProne(b) || h.exists(errorProne)
+    case Reduce(s, _, i, u) => errorProne(s) || errorProne(i) || errorProne(u)
+    case _ => false
+  }
+
   /** Compile a value-position expression to a Column. */
-  def toColumn(e: Expr): Column = e match {
+  def toColumn(e: Expr): Column = toColumn(e, topEnv)
+
+  private def toColumn(e: Expr, env: Env): Column = e match {
+    case Identity => env.dot.getOrElse(throw new IllegalArgumentException(
+      "bare '.' in value position is only supported inside reduce"))
+    case VarRef(n) => env.vars.getOrElse(n, throw new IllegalArgumentException(
+      s"unbound jq variable $$$n"))
+    case TryCatch(body, Some(handler)) =>
+      // jq: any error in body → handler. In the compiled subset the
+      // only error source is tonumber (errors on null/garbage where
+      // the Column cast yields null, and never legitimately yields
+      // null), so error ⇔ null and coalesce is exact. Bodies without
+      // an error source can't throw — the try is a no-op.
+      if (errorProne(body)) coalesce(toColumn(body, env), toColumn(handler, env))
+      else toColumn(body, env)
+    case TryCatch(body, None) =>
+      if (errorProne(body))
+        throw new IllegalArgumentException(
+          "`try E` without catch drops outputs on error — only supported " +
+            "as a whole stage, or use the JqEscapeHatch")
+      else toColumn(body, env)
+    case Reduce(src, v, init, update) =>
+      val arr = src match {
+        case FieldPath(p, true, _) if p.nonEmpty => fieldCol(p)
+        case other => throw new IllegalArgumentException(
+          s"reduce source must be an iterated path (.xs[]), got $other")
+      }
+      // jq numbers are IEEE doubles: a numeric-literal seed accumulates
+      // in double so `reduce .xs[] as $x (0; . + $x)` matches jq over
+      // any numeric element type
+      val zero = init match {
+        case NumLit(_) => toColumn(init, env).cast("double")
+        case _ => toColumn(init, env)
+      }
+      aggregate(arr, zero,
+        (acc, x) => toColumn(update, Env(Some(acc), env.vars + (v -> x))))
     case FieldPath(p, false, None) => fieldCol(p)
     case FieldPath(p, false, Some(i)) =>
       // jq indexing is 0-based, element_at is 1-based (negatives count
@@ -260,9 +375,9 @@ object Jq {
     case StrLit(v) => lit(v)
     case BoolLit(v) => lit(v)
     case NullLit => lit(null)
-    case Not(x) => !toColumn(x)
+    case Not(x) => !toColumn(x, env)
     case BinOp(op, l, r) =>
-      val (a, b) = (toColumn(l), toColumn(r))
+      val (a, b) = (toColumn(l, env), toColumn(r, env))
       op match {
         case "==" => a === b
         case "!=" => a =!= b
@@ -279,8 +394,8 @@ object Jq {
         case "%" => a % b
         case "//" => coalesce(a, b)
       }
-    case Pipe(Seq(inner, Call(fn, Nil))) => applyFn(fn, toColumn(inner))
-    case Call(fn, args) if args.nonEmpty => applyFn(fn, toColumn(args.head))
+    case Pipe(Seq(inner, Call(fn, Nil))) => applyFn(fn, toColumn(inner, env))
+    case Call(fn, args) if args.nonEmpty => applyFn(fn, toColumn(args.head, env))
     case Call(fn, Nil) => throw new IllegalArgumentException(
       s"jq function '$fn' needs a piped input in value position")
     case other => throw new IllegalArgumentException(s"unsupported jq value expr: $other")
@@ -291,7 +406,10 @@ object Jq {
     case "ascii_downcase" => lower(c)
     case "ascii_upcase" => upper(c)
     case "tostring" => c.cast("string")
-    case "tonumber" => c.cast("double")
+    // try_cast, not cast: ANSI mode throws on malformed strings, and
+    // the null-on-failure form is exactly the error⇔null mapping the
+    // compiled try/catch relies on
+    case "tonumber" => c.try_cast("double")
     case "floor" => floor(c)
     case "fabs" => abs(c)
     case other => throw new IllegalArgumentException(s"unsupported jq function: $other")
@@ -355,8 +473,52 @@ object Jq {
     case single => applyStage(df, single)
   }
 
+  /** One subvalue's compact-JSON rendering: `to_json` over a 1-field
+    * struct, with the `{"v":` wrapper stripped — uniform for every
+    * type (numbers, escaped strings, null, nested structs/arrays), so
+    * the `..` stream compares byte-for-byte with `jq -c`.
+    */
+  private def jsonVal(c: Column): Column = {
+    val j = to_json(struct(c.as("v")), Map("ignoreNullFields" -> "false").asJava)
+    // strip the 5-char `{"v":` prefix and the `}` suffix
+    j.substr(lit(6), length(j) - lit(6))
+  }
+
+  /** jq `recurse` enumeration order over a STATIC schema: the value
+    * itself, then each child in declaration order, depth-first. A NULL
+    * object/array is a leaf (jq does not descend into null).
+    */
+  private def enumSubvalues(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case st: StructType =>
+        val kids = st.fields.toSeq.map(f =>
+          enumSubvalues(c.getField(f.name), f.dataType))
+        when(c.isNull, array(jsonVal(c)))
+          .otherwise(concat((array(jsonVal(c)) +: kids): _*))
+      case ArrayType(et, _) =>
+        when(c.isNull, array(jsonVal(c)))
+          .otherwise(concat(array(jsonVal(c)),
+            flatten(transform(c, x => enumSubvalues(x, et)))))
+      case _ => array(jsonVal(c))
+    }
+
   private def applyStage(df: DataFrame, stage: Expr): DataFrame = stage match {
     case Identity => df
+    // `..` recursive descent: every subvalue of the record as a row of
+    // compact JSON, in jq's order (root, then depth-first children).
+    // The schema is static, so the enumeration compiles to one
+    // concat/transform expression — map-only, explode at the end.
+    case RecurseAll =>
+      val rootType = df.schema
+      val root = struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+      df.select(explode(enumSubvalues(root, rootType)).as("value"))
+    // `try E` as a whole stage: outputs drop on error. With tonumber
+    // as the only compiled error source (errors ⇔ compiled null, and
+    // tonumber never legitimately yields null), filtering nulls is
+    // exact jq semantics.
+    case TryCatch(body, None) if errorProne(body) =>
+      df.select(toColumn(body, topEnv).as("value"))
+        .filter(col("value").isNotNull)
     case Call("select", Seq(pred)) => df.filter(toColumn(pred))
     case Call("del", paths) =>
       df.drop(paths.collect { case FieldPath(p, _, _) => p.head }: _*)

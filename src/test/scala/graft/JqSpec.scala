@@ -122,6 +122,76 @@ class JqSpec extends SparkSuite {
     assert(parsed(1).get.toString.startsWith("2026-08-12 10:30:00"))
   }
 
+  // ------------------------------------------------------------------
+  // round-8 depth: `..`, try/catch, reduce — each compiled form is
+  // checked against the REAL jq binary (JqEscapeHatch) on the same
+  // records
+  // ------------------------------------------------------------------
+
+  test(".. recursive descent matches real jq byte-for-byte, in order") {
+    import graft.transform.JqEscapeHatch
+    val one = spark.range(1).selectExpr("1 AS id",
+      "named_struct('x', 3, 'tags', array('p', 'q')) AS obj",
+      "array(10, 20) AS nums")
+    val compiled = Jq.compile("..")(one).as[String].collect().toSeq
+    val real = JqEscapeHatch.rawApply(one.toJSON, "..").collect().toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+    // multi-row: per-record streams interleave across partitions —
+    // compare as multisets
+    val many = spark.range(5).selectExpr("id",
+      "named_struct('x', id * 2, 'tags', array(concat('t', id))) AS obj",
+      "array(id, id + 1) AS nums")
+    val c2 = Jq.compile("..")(many).as[String].collect().sorted.toSeq
+    val r2 = JqEscapeHatch.rawApply(many.toJSON, "..").collect().sorted.toSeq
+    assert(c2 == r2)
+  }
+
+  test("try/catch: tonumber errors hit the handler exactly like real jq") {
+    import graft.transform.JqEscapeHatch
+    val df = Seq(Some("5"), Some("abc"), None, Some("7.5"))
+      .toDF("s")
+    val prog = "{n: (try (.s | tonumber) catch -1)}"
+    val compiled = Jq.compile(prog)(df)
+      .select($"n".cast("double")).as[Double].collect().sorted.toSeq
+    val real = JqEscapeHatch(df, prog)
+      .select($"n".cast("double")).as[Double].collect().sorted.toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+    assert(compiled == Seq(-1.0, -1.0, 5.0, 7.5))
+    // stage-position `try E` drops erroring records, like jq
+    val stage = Jq.compile("try (.s | tonumber)")(df)
+      .as[Double].collect().sorted.toSeq
+    val realStage = JqEscapeHatch.rawApply(df.toJSON, "try (.s | tonumber)")
+      .collect().map(_.toDouble).sorted.toSeq
+    assert(stage == realStage)
+    assert(stage == Seq(5.0, 7.5))
+    // a non-erroring body makes try a no-op (null is a VALUE, not an
+    // error — the handler must not fire)
+    val noop = Jq.compile("{v: (try .s catch \"X\")}")(df)
+      .select("v").as[String].collect().toSeq
+    assert(noop.count(_ == null) == 1 && !noop.contains("X"))
+  }
+
+  test("reduce folds arrays with the aggregate HOF, matching real jq") {
+    import graft.transform.JqEscapeHatch
+    val df = spark.range(4).selectExpr("id",
+      "transform(sequence(1, cast(id + 1 AS int)), x -> cast(x AS long)) AS nums")
+    val prog = "{id, total: (reduce .nums[] as $x (0; . + $x))}"
+    val compiled = Jq.compile(prog)(df)
+      .select($"id", $"total".cast("double"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val real = JqEscapeHatch(df, prog)
+      .select($"id", $"total".cast("double"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+    assert(compiled.map(_._2) == Seq(1.0, 3.0, 6.0, 10.0))
+    // the variable participates in arbitrary update expressions
+    val mx = Jq.compile("{m: (reduce .nums[] as $x (0; . + $x * $x))}")(df)
+      .select($"m".cast("double")).as[Double].collect().sorted.toSeq
+    val realMx = JqEscapeHatch(df, "{m: (reduce .nums[] as $x (0; . + $x * $x))}")
+      .select($"m".cast("double")).as[Double].collect().sorted.toSeq
+    assert(mx == realMx)
+  }
+
   test("table sink coerces string timestamps through the ladder (K2 type coercion)") {
     val spark2 = spark
     import spark2.implicits._
