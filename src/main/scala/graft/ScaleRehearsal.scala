@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Measured scale rehearsal (round-8 VERDICT item 2): generate a
+  * deterministic corpus at N× the sf0.1 shape and time the headline
+  * dedup/ANN/curation chain at 1× and 10×, so the "scales linearly"
+  * design notes in SCALE.md are measurements, not arguments.
+  *
+  * `gen <dir> <scale> [seed]` — writes documents.parquet +
+  * embeddings.parquet mirroring the sf0.1 generator's shape: the same
+  * 31-word vocabulary, 8–100-word documents, the same language mix,
+  * ~8 exact-dup groups and ~8 near-dup (1-word-edit) groups per 5000
+  * documents, and 64-dim embeddings in 10 labeled Gaussian clusters
+  * with ~1% near-identical pairs. Seeded `scala.util.Random` —
+  * identical bytes on every run.
+  *
+  * `run <dir> [runs] [q1,q2,…]` — times the chain on `dir` (median of
+  * `runs`, noop-write like Bench) and prints one JSON line. Includes
+  * two production-shape ops that are not SparkEntry queries:
+  * `p26_minhash_only` (candidate generation without the exact-verify
+  * side that q26's oracle contract needs) and relies on
+  * q50_dup_components for the LSH→verify→CC production composition —
+  * the exact all-pairs forms (q25/q53/q26) are expected to scale
+  * super-linearly on this vocabulary and are kept to MEASURE that,
+  * with the linear production paths beside them.
+  */
+object ScaleRehearsal {
+
+  private val vocab = Array("a", "agg", "batch", "big", "column",
+    "customer", "data", "dup", "fast", "filter", "group", "hash", "join",
+    "key", "line", "merge", "order", "part", "query", "row", "scan",
+    "slow", "small", "sort", "spark", "stream", "table", "the", "value",
+    "vector", "window")
+  private val langs = Array("en", "zh", "es", "fr", "de")
+
+  def gen(spark: SparkSession, dir: String, scale: Int, seed: Long): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val nDocs = 5000 * scale
+    val nVecs = 2000 * scale
+
+    val texts = new Array[String](nDocs)
+    var i = 0
+    while (i < nDocs) {
+      val nw = 8 + rnd.nextInt(93)
+      val sb = new StringBuilder
+      var w = 0
+      while (w < nw) {
+        if (w > 0) sb += ' '
+        sb ++= vocab(rnd.nextInt(vocab.length))
+        w += 1
+      }
+      texts(i) = sb.toString
+      i += 1
+    }
+    // dup structure, proportional to corpus size: exact copies and
+    // single-word edits (the near-dup signal the jaccard/minhash chain
+    // must find)
+    (0 until 8 * scale).foreach { _ =>
+      val src = rnd.nextInt(nDocs); val dst = rnd.nextInt(nDocs)
+      if (src != dst) texts(dst) = texts(src)
+    }
+    (0 until 8 * scale).foreach { _ =>
+      val src = rnd.nextInt(nDocs); val dst = rnd.nextInt(nDocs)
+      val w = texts(src).split(' ')
+      if (src != dst && w.length > 3) {
+        w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.length))
+        texts(dst) = w.mkString(" ")
+      }
+    }
+    val docs = (0 until nDocs).map { id =>
+      val lang = { val p = rnd.nextInt(100); if (p < 40) "en" else langs(1 + p % 4) }
+      (id.toLong, texts(id), lang, s"src${id % 7}", texts(id).length.toLong)
+    }
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(math.max(4, 4 * scale))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val dim = 64
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = new Array[(Long, Array[Float], Int)](nVecs)
+    i = 0
+    while (i < nVecs) {
+      val c = rnd.nextInt(10)
+      vecs(i) = (i.toLong,
+        centers(c).map(v => (v + 0.3 * rnd.nextGaussian()).toFloat), c)
+      i += 1
+    }
+    // ~1% near-identical pairs — the semDedup/cosine-near-dup signal
+    (0 until nVecs / 100).foreach { _ =>
+      val src = rnd.nextInt(nVecs); val dst = rnd.nextInt(nVecs)
+      if (src != dst)
+        vecs(dst) = (vecs(dst)._1,
+          vecs(src)._2.map(v => v + 0.001f * rnd.nextGaussian().toFloat),
+          vecs(src)._3)
+    }
+    spark.createDataFrame(vecs.toIndexedSeq).toDF("vec_id", "embedding", "label")
+      .repartition(math.max(2, 2 * scale))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** Production-shape extras measured beside the SparkEntry forms. */
+  private val prodOps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p26_minhash_only" -> ((s, dir) =>
+      Dedup.minhashCandidates(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        numHashes = 64, bands = 32, shingleSize = 3)),
+    // q50's composition with 4-row bands (64 hashes / 16 bands): band
+    // false-positive probability drops from j² to j⁴, which is the
+    // knob that keeps the verify stage linear on low-entropy corpora
+    // where chance band collisions grow quadratically (measured: the
+    // 2-row form went 62× at 10× data on the 31-word-vocab corpus)
+    "p50_lsh_r4_components" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3)
+      val verified = Dedup.ngramJaccardPairs(
+        Dedup.candidateDocs(docs, "doc_id", cands),
+        "doc_id", "text", n = 3, threshold = 0.9,
+        maxDocFreq = Long.MaxValue)
+      Dedup.connectedComponents(verified)
+        .groupBy("comp").agg(count(lit(1)).cast("long").as("cluster_size"),
+          min(col("id")).as("representative"))
+    }))
+
+  private val defaultChain = Seq(
+    "q20_dedup_exact", "q77_incremental_dedup",
+    "p26_minhash_only", "q50_dup_components",
+    "q25_ngram_jaccard", "q26_minhash_candidates", "q53_jaccard_components",
+    "q61_corpus_pipeline", "q66_pack_sequences", "q74_semdedup",
+    "q76_quality_buckets", "q78_token_budget", "q81_curation_pipeline")
+
+  private def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
+    args.toList match {
+      case "gen" :: dir :: scale :: rest =>
+        gen(spark, dir, scale.toInt, rest.headOption.map(_.toLong).getOrElse(42L))
+        println(s"""{"gen":"$dir","scale":$scale}""")
+      case "run" :: dir :: rest =>
+        val runs = rest.headOption.map(_.toInt).getOrElse(1)
+        val names = rest.drop(1).headOption
+          .map(_.split(',').toSeq).getOrElse(defaultChain)
+        val results = names.map { name =>
+          val fn = prodOps.getOrElse(name, SparkEntry.queries(name))
+          val times = (0 until runs).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          name -> median(times)
+        }
+        println(results.map { case (n, t) => "\"" + n + "\":" + f"$t%.3f" }
+          .mkString(s"""{"dir":"$dir","runs":$runs,"times":{""", ",", "}}"))
+      case other => sys.error(s"usage: gen <dir> <scale> [seed] | run <dir> [runs] [names]; got $other")
+    }
+    spark.stop()
+  }
+}
