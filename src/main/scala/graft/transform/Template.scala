@@ -79,9 +79,9 @@ object Template {
   private val listFns = Set("list", "splitList", "sortAlpha", "uniq",
     "compact", "without", "append", "prepend", "rest", "initial",
     "until", "untilStep", "regexSplit", "keys", "values",
-    "pluck", "slice") // NOT `seq` — sprig's seq yields a plain string
+    "pluck", "slice", "regexFindAll") // NOT `seq` — sprig's seq yields a plain string
   private val dictFns = Set("dict", "merge", "mergeOverwrite", "pick",
-    "omit", "set", "unset", "urlParse")
+    "omit", "set", "unset", "urlParse", "split", "splitn")
 
   private def goStringCol(c: Column, ast: Ast): Column = ast match {
     case Call("chunk", _) => // list of lists
@@ -370,6 +370,88 @@ object Template {
           if (c.isUpper) c.toLower else if (c.isLower) c.toUpper else c)
         case "untitle" => show(a.head).split(" ", -1).map(w =>
           if (w.isEmpty) w else s"${w.head.toLower}${w.tail}").mkString(" ")
+
+        // --- round-8 breadth: date zones/durations, path, regex,
+        // wrap, flow control (sprig strings.go/date.go/paths.go) -----
+        case "dateInZone" =>
+          val fmt = new java.text.SimpleDateFormat(goLayoutToJava(show(a(0))))
+          fmt.setTimeZone(java.util.TimeZone.getTimeZone(show(a(2))))
+          fmt.format(java.util.Date.from(toInstant(a(1))))
+        case "htmlDate" =>
+          val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+          fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          fmt.format(java.util.Date.from(toInstant(a.head)))
+        case "htmlDateInZone" =>
+          val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+          fmt.setTimeZone(java.util.TimeZone.getTimeZone(show(a(1))))
+          fmt.format(java.util.Date.from(toInstant(a.head)))
+        case "duration" => goDurationString(asLong(a.head))
+        case "durationRound" =>
+          // largest non-zero unit only (sprig date.go: y/mo/d/h/m/s)
+          val secs = a.head match {
+            case n: Long => n
+            case n: Int => n.toLong
+            case s => goDurationSeconds(show(s))
+          }
+          val abs = math.abs(secs); val sign = if (secs < 0) "-" else ""
+          if (abs >= 365L * 86400) s"$sign${abs / (365L * 86400)}y"
+          else if (abs >= 30L * 86400) s"$sign${abs / (30L * 86400)}mo"
+          else if (abs >= 86400) s"$sign${abs / 86400}d"
+          else if (abs >= 3600) s"$sign${abs / 3600}h"
+          else if (abs >= 60) s"$sign${abs / 60}m"
+          else s"$sign${abs}s"
+        case "base" | "osBase" => pathBase(show(a.head))
+        case "dir" | "osDir" => pathDir(show(a.head))
+        case "ext" | "osExt" =>
+          val b = pathBase(show(a.head))
+          val d = b.lastIndexOf('.')
+          if (d < 0) "" else b.substring(d)
+        case "clean" | "osClean" => pathClean(show(a.head))
+        case "isAbs" | "osIsAbs" => show(a.head).startsWith("/")
+        case "regexFindAll" =>
+          val m = java.util.regex.Pattern.compile(show(a(0))).matcher(show(a(1)))
+          val n = asLong(a(2)).toInt
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (m.find() && (n < 0 || out.size < n)) out += m.group()
+          out.toSeq
+        case "regexReplaceAllLiteral" =>
+          show(a(1)).replaceAll(show(a(0)),
+            java.util.regex.Matcher.quoteReplacement(show(a(2))))
+        case "regexQuoteMeta" => show(a.head)
+          .replaceAll("([\\\\.+*?()|\\[\\]{}^$])", "\\\\$1")
+        case "wrap" => wordWrap(show(a(1)), asLong(a(0)).toInt, "\n")
+        case "wrapWith" => wordWrap(show(a(2)), asLong(a(0)).toInt, show(a(1)))
+        case "toDecimal" =>
+          try java.lang.Long.parseLong(show(a.head), 8)
+          catch { case _: NumberFormatException => 0L }
+        case "required" =>
+          if (isEmptyVal(a(1)))
+            throw new IllegalArgumentException(show(a(0)))
+          else a(1)
+        case "fail" => throw new IllegalArgumentException(show(a.head))
+        case "urlJoin" =>
+          val m = asMap(a.head)
+          def part(k: String) = m.get(k).map(show).filter(_.nonEmpty)
+          val auth = part("host").map(h =>
+            part("userinfo").map(_ + "@").getOrElse("") + h)
+          part("scheme").map(_ + "://").getOrElse("") +
+            auth.getOrElse("") + part("path").getOrElse("") +
+            part("query").map("?" + _).getOrElse("") +
+            part("fragment").map("#" + _).getOrElse("")
+        case "split" =>
+          show(a(1)).split(java.util.regex.Pattern.quote(show(a(0))), -1)
+            .zipWithIndex.map { case (s, i) => s"_$i" -> (s: Any) }.toMap
+        case "splitn" =>
+          show(a(2)).split(java.util.regex.Pattern.quote(show(a(0))),
+            asLong(a(1)).toInt)
+            .zipWithIndex.map { case (s, i) => s"_$i" -> (s: Any) }.toMap
+        case "len" => a.head match {
+          case it: Iterable[_] => it.size.toLong
+          case m: Array[_] => m.length.toLong
+          case s => show(s).length.toLong
+        }
+        case "kindOf" => kindOf(a.head)
+        case "kindIs" => kindOf(a(1)) == show(a(0))
         case "urlParse" =>
           val u = new java.net.URI(show(a.head))
           Map(
@@ -382,6 +464,79 @@ object Template {
 
         case other => throw new IllegalArgumentException(s"unsupported template function: $other")
       }
+  }
+
+  /** Go time.Duration.String for whole seconds: 1h0m0s / 1m5s / 5s / 0s. */
+  private def goDurationString(secs: Long): String = {
+    val sign = if (secs < 0) "-" else ""
+    val t = math.abs(secs)
+    val (h, m, s) = (t / 3600, t % 3600 / 60, t % 60)
+    if (h > 0) s"$sign${h}h${m}m${s}s"
+    else if (m > 0) s"$sign${m}m${s}s"
+    else s"$sign${s}s"
+  }
+
+  /** Go path.Base: strip trailing slashes, last element; "" → ".". */
+  private def pathBase(p: String): String = {
+    val t = p.reverse.dropWhile(_ == '/').reverse
+    if (p.isEmpty) "."
+    else if (t.isEmpty) "/"
+    else t.substring(t.lastIndexOf('/') + 1)
+  }
+
+  /** Go path.Dir: Clean of everything before the final element. */
+  private def pathDir(p: String): String = {
+    val t = p.reverse.dropWhile(_ == '/').reverse
+    val cut = t.lastIndexOf('/')
+    if (cut < 0) "."
+    else if (cut == 0) "/"
+    else pathClean(t.substring(0, cut))
+  }
+
+  /** Go path.Clean: resolve //, ., .. lexically; "" → ".". */
+  private def pathClean(p: String): String = {
+    if (p.isEmpty) return "."
+    val abs = p.startsWith("/")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    p.split('/').foreach {
+      case "" | "." => ()
+      case ".." =>
+        if (out.nonEmpty && out.last != "..") out.remove(out.size - 1)
+        else if (!abs) out += ".."
+      case seg => out += seg
+    }
+    val joined = out.mkString("/")
+    if (abs) "/" + joined
+    else if (joined.isEmpty) "."
+    else joined
+  }
+
+  /** Greedy word wrap at `width` columns (sprig's util.Wrap): words
+    * longer than the width stand alone on their line.
+    */
+  private def wordWrap(s: String, width: Int, sep: String): String = {
+    val words = s.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return s
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder(words.head)
+    words.tail.foreach { w =>
+      if (cur.length + 1 + w.length > width) { lines += cur.toString; cur.clear(); cur ++= w }
+      else { cur += ' '; cur ++= w }
+    }
+    lines += cur.toString
+    lines.mkString(sep)
+  }
+
+  /** sprig kindOf (Go reflect kinds for the template value model). */
+  private def kindOf(v: Any): String = v match {
+    case null => "invalid"
+    case _: String => "string"
+    case _: Long | _: Int => "int64"
+    case _: Double | _: Float => "float64"
+    case _: Boolean => "bool"
+    case _: Map[_, _] => "map"
+    case _: Iterable[_] | _: Array[_] => "slice"
+    case _ => "invalid"
   }
 
   private def asMap(v: Any): Map[String, Any] = v match {
@@ -920,8 +1075,140 @@ object Template {
             lit("fragment"), part("REF"),
             lit("userinfo"), part("USERINFO"))
 
+        // --- round-8 breadth (mirrors of the driver forms above) -------
+        case "dateInZone" => (args(0), args(2)) match {
+          case (StrLit(layout), StrLit(tz)) =>
+            date_format(from_utc_timestamp(a(1), tz), goLayoutToJava(layout))
+          case _ => throw new IllegalArgumentException(
+            "dateInZone needs literal layout and zone")
+        }
+        case "htmlDate" => date_format(a.head, "yyyy-MM-dd")
+        case "htmlDateInZone" => args(1) match {
+          case StrLit(tz) => date_format(from_utc_timestamp(a(0), tz), "yyyy-MM-dd")
+          case _ => throw new IllegalArgumentException("htmlDateInZone needs literal zone")
+        }
+        case "duration" =>
+          // Go time.Duration.String for whole seconds (sign carried)
+          val secs = a.head.cast("long")
+          val t = abs(secs)
+          val sign = when(secs < 0, lit("-")).otherwise(lit(""))
+          val h = (t / 3600).cast("long"); val m = (t % 3600 / 60).cast("long")
+          val s = (t % 60).cast("long")
+          concat(sign,
+            when(h > 0, concat(h, lit("h"), m, lit("m"), s, lit("s")))
+              .when(m > 0, concat(m, lit("m"), s, lit("s")))
+              .otherwise(concat(s, lit("s"))))
+        case "durationRound" =>
+          // numeric seconds on the Column path; duration STRINGS fold
+          // with literal args (driver mirror parses them)
+          val secs = a.head.cast("long")
+          val t = abs(secs)
+          val sign = when(secs < 0, lit("-")).otherwise(lit(""))
+          concat(sign,
+            when(t >= 365L * 86400, concat((t / (365L * 86400)).cast("long"), lit("y")))
+              .when(t >= 30L * 86400, concat((t / (30L * 86400)).cast("long"), lit("mo")))
+              .when(t >= 86400, concat((t / 86400).cast("long"), lit("d")))
+              .when(t >= 3600, concat((t / 3600).cast("long"), lit("h")))
+              .when(t >= 60, concat((t / 60).cast("long"), lit("m")))
+              .otherwise(concat(t.cast("long"), lit("s"))))
+        case "base" | "osBase" =>
+          val p = a.head.cast("string")
+          val t = regexp_replace(p, "/+$", "")
+          when(p === "", lit("."))
+            .when(t === "", lit("/"))
+            .otherwise(substring_index(t, "/", -1))
+        case "dir" | "osDir" =>
+          // assumes already-clean input on the Column path (the driver
+          // mirror runs full Go path.Clean; literal args fold there)
+          val p = a.head.cast("string")
+          val t = regexp_replace(p, "/+$", "")
+          val cut = regexp_replace(t, "/[^/]*$", "")
+          when(!t.contains("/"), lit("."))
+            .when(cut === "", lit("/"))
+            .otherwise(cut)
+        case "ext" | "osExt" =>
+          val p = a.head.cast("string")
+          val t = regexp_replace(p, "/+$", "")
+          val b = when(t === "", lit("/")).otherwise(substring_index(t, "/", -1))
+          when(b.contains("."), regexp_extract(b, "(\\.[^.]*)$", 1)).otherwise(lit(""))
+        case "isAbs" | "osIsAbs" => a.head.cast("string").startsWith("/")
+        case "regexFindAll" => (args(0), args(2)) match {
+          case (StrLit(pat), NumLit(n)) =>
+            val all = regexp_extract_all(a(1), lit(pat), lit(0))
+            if (n < 0) all else slice(all, 1, n.toInt)
+          case _ => throw new IllegalArgumentException(
+            "regexFindAll needs literal pattern and count")
+        }
+        case "regexReplaceAllLiteral" => (args(0), args(2)) match {
+          case (StrLit(pat), StrLit(repl)) => regexp_replace(a(1), pat,
+            java.util.regex.Matcher.quoteReplacement(repl))
+          case _ => throw new IllegalArgumentException(
+            "regexReplaceAllLiteral needs literal pattern and replacement")
+        }
+        case "regexQuoteMeta" =>
+          regexp_replace(a.head, "([\\\\.+*?()|\\[\\]{}^$])", "\\\\$1")
+        case "toDecimal" => conv(a.head, 8, 10).cast("long")
+        case "required" => args.head match {
+          case StrLit(msg) =>
+            when(isEmptyCol(a(1)), raise_error(lit(msg)))
+              .otherwise(a(1).cast("string"))
+          case _ => throw new IllegalArgumentException("required needs a literal message")
+        }
+        case "fail" => raise_error(a.head.cast("string"))
+        case "urlJoin" =>
+          def p(k: String) = coalesce(
+            try_element_at(a.head, lit(k)).cast("string"), lit(""))
+          concat(
+            when(p("scheme") =!= "", concat(p("scheme"), lit("://"))).otherwise(lit("")),
+            when(p("userinfo") =!= "" && p("host") =!= "",
+              concat(p("userinfo"), lit("@"))).otherwise(lit("")),
+            p("host"), p("path"),
+            when(p("query") =!= "", concat(lit("?"), p("query"))).otherwise(lit("")),
+            when(p("fragment") =!= "", concat(lit("#"), p("fragment"))).otherwise(lit("")))
+        case "split" | "splitn" =>
+          val (sepAst, nLim, subject) =
+            if (fn == "split") (args(0), -1, a(1))
+            else (args(0), args(1) match {
+              case NumLit(n) => n.toInt
+              case _ => throw new IllegalArgumentException("splitn needs literal count")
+            }, a(2))
+          val sep = sepAst match {
+            case StrLit(s) => s
+            case _ => throw new IllegalArgumentException(s"$fn needs literal separator")
+          }
+          val parts = split(subject.cast("string"),
+            java.util.regex.Pattern.quote(sep), nLim)
+          map_from_arrays(
+            transform(sequence(lit(0), size(parts) - 1),
+              i => concat(lit("_"), i.cast("string"))), parts)
+        case "len" =>
+          val isContainer = args.head match {
+            case Call(f, _) if listFns(f) || dictFns(f) || f == "chunk" => true
+            case _ => false
+          }
+          if (isContainer) size(a.head).cast("long")
+          else length(a.head.cast("string")).cast("long")
+        case "kindOf" => kindOfCol(a.head)
+        case "kindIs" => kindOfCol(a(1)) === a(0).cast("string")
+        case "wrap" | "wrapWith" | "clean" | "osClean" =>
+          throw new IllegalArgumentException(s"$fn is driver-complete: on " +
+            "the Column path it constant-folds with literal args only " +
+            "(record-field args are not supported)")
+
         case other => throw new IllegalArgumentException(s"unsupported template function: $other")
       }
+  }
+
+  /** sprig kindOf over a Column, via typeof (mirrors the driver map). */
+  private def kindOfCol(c: Column): Column = {
+    val t = call_function("typeof", c)
+    when(t === "string", "string")
+      .when(t.isin("tinyint", "smallint", "int", "bigint"), "int64")
+      .when(t.isin("float", "double") || t.startsWith("decimal"), "float64")
+      .when(t === "boolean", "bool")
+      .when(t.startsWith("map"), "map")
+      .when(t.startsWith("array"), "slice")
+      .otherwise("invalid")
   }
 
   // --- sprig/Go helpers -------------------------------------------------

@@ -359,4 +359,66 @@ class TemplateSpec extends SparkSuite {
       df.select(Template.compile("[[ adler32sum .x ]]")).collect())
     assert(e.getMessage.contains("driver-complete"))
   }
+
+  test("round-8 sprig breadth: zones/durations/paths/regex/flow, Column-driver parity") {
+    val df = Seq(("/a/b/c.tar.gz", 3723L, "x2y", "foo bar baz qux", "0755",
+      java.sql.Timestamp.valueOf("2026-08-12 10:30:00"),
+      "https://u@example.com/p?q=1#frag"))
+      .toDF("p", "secs", "s", "words", "oct", "ts", "u")
+    val vals = Map[String, Any]("p" -> "/a/b/c.tar.gz", "secs" -> 3723L,
+      "s" -> "x2y", "words" -> "foo bar baz qux", "oct" -> "0755",
+      "ts" -> java.time.Instant.parse("2026-08-12T10:30:00Z"),
+      "u" -> "https://u@example.com/p?q=1#frag")
+    def col(tpl: String): String =
+      df.select(Template.compile(tpl).as("o")).as[String].head()
+    def drv(tpl: String): String = Template.render(tpl, vals)
+    def both(tpl: String, want: String): Unit = {
+      assert(drv(tpl) == want, s"driver: $tpl")
+      assert(col(tpl) == want, s"column: $tpl")
+    }
+    // Go path family (field args exercise the Column mirrors)
+    both("[[ base .p ]]", "c.tar.gz")
+    both("[[ dir .p ]]", "/a/b")
+    both("[[ ext .p ]]", ".gz")
+    both("[[ isAbs .p ]]", "true")
+    both("[[ osBase .p ]]", "c.tar.gz")
+    both("[[ clean \"/a//b/../c/.\" ]]", "/a/c") // driver-complete, folds
+    both("[[ dir \"x\" ]]", ".")
+    // durations (Go time.Duration forms)
+    both("[[ duration .secs ]]", "1h2m3s")
+    both("[[ durationRound .secs ]]", "1h")
+    both("[[ duration 59 ]]", "59s")
+    assert(drv("[[ durationRound \"2h10m5s\" ]]") == "2h")
+    assert(col("[[ durationRound \"2h10m5s\" ]]") == "2h") // literal folds
+    // date zones (session tz is UTC; Jakarta = UTC+7)
+    both("[[ dateInZone \"2006-01-02 15:04\" .ts \"Asia/Jakarta\" ]]",
+      "2026-08-12 17:30")
+    both("[[ htmlDate .ts ]]", "2026-08-12")
+    both("[[ htmlDateInZone .ts \"Asia/Jakarta\" ]]", "2026-08-12")
+    // regex family
+    both("[[ regexFindAll \"[0-9]\" .s -1 ]]", "[2]")
+    both("[[ regexReplaceAllLiteral \"ba.\" .words \"Z\" ]]", "foo Z Z qux")
+    both("[[ regexQuoteMeta \"a.b*\" ]]", "a\\.b\\*")
+    // wrap (driver-complete; literals fold on the Column path)
+    both("[[ wrap 7 \"foo bar baz qux\" ]]", "foo bar\nbaz qux")
+    both("[[ wrapWith 7 \", \" \"foo bar baz qux\" ]]", "foo bar, baz qux")
+    assert(drv("[[ wrap 7 .words ]]") == "foo bar\nbaz qux")
+    // conversions / flow
+    both("[[ toDecimal .oct ]]", "493")
+    both("[[ required \"need p\" .p ]]", "/a/b/c.tar.gz")
+    val rq = intercept[IllegalArgumentException](
+      Template.render("[[ required \"need it\" \"\" ]]", vals))
+    assert(rq.getMessage == "need it")
+    intercept[Exception](col("[[ fail \"boom\" ]]"))
+    // urlJoin inverts urlParse on both paths
+    both("[[ urlJoin (urlParse .u) ]]", "https://u@example.com/p?q=1#frag")
+    // split/splitn dicts, len, kind introspection
+    both("[[ split \"2\" .s ]]", "map[_0:x _1:y]")
+    both("[[ splitn \"-\" 2 \"a-b-c\" ]]", "map[_0:a _1:b-c]")
+    both("[[ len .p ]]", "13")
+    both("[[ len (splitList \"2\" .s) ]]", "2")
+    both("[[ kindOf .secs ]]", "int64")
+    both("[[ kindOf .p ]]", "string")
+    both("[[ kindIs \"string\" .p ]]", "true")
+  }
 }
