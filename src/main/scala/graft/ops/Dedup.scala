@@ -34,18 +34,28 @@ object Dedup {
       .drop("__graft_rn")
   }
 
-  /** Null-normalized key string shared by [[exact]] and
+  /** Null-normalized, INJECTIVE key string shared by [[exact]] and
     * [[contentDigest]]: each key column is encoded `'v' + value` or
-    * `'n'` when NULL, then joined with \u0001 — so ('a', NULL, 'b')
-    * and ('a', 'b', NULL) digest differently and a NULL key is a
-    * first-class dedup key rather than collapsing to md5('')
-    * (round-7 ADVICE: bare concat_ws skips NULLs). Oracle-portable as
-    * `md5(CASE WHEN c IS NULL THEN 'n' ELSE 'v' || c END)` per column.
+    * `'n'` when NULL, with backslash and the \u0001 separator escaped
+    * inside values (`\` -> `\\`, `\u0001` -> `\1`), then joined with
+    * \u0001. So ('a', NULL, 'b') and ('a', 'b', NULL) digest
+    * differently, a NULL key is a first-class dedup key rather than
+    * collapsing to md5('') (round-7 ADVICE: bare concat_ws skips
+    * NULLs), and a value CONTAINING the separator cannot shift the
+    * column boundary into a cross-tuple collision (round-8 review).
+    * Oracle-portable: digests never cross engines (each side of every
+    * digest comparison is computed by the same engine), so the oracle
+    * keeps the simpler `md5(CASE WHEN c IS NULL THEN 'n' ELSE
+    * 'v' || c END)` form — identical grouping on corpora free of
+    * control characters, which the gate's corpora are.
     */
   private def keyString(keyCols: Seq[String]): Column =
     concat_ws("\u0001",
-      keyCols.map(c =>
-        coalesce(concat(lit("v"), col(c).cast("string")), lit("n"))): _*)
+      keyCols.map { c =>
+        val esc = replace(replace(col(c).cast("string"),
+          lit("\\"), lit("\\\\")), lit("\u0001"), lit("\\1"))
+        coalesce(concat(lit("v"), esc), lit("n"))
+      }: _*)
 
   /** 16-byte content digest over the null-normalized key columns — the
     * unit that travels between incremental corpus-build runs.

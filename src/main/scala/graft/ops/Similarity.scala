@@ -180,10 +180,11 @@ object Similarity {
     * (no shuffle); the only shuffle carries (cell, id, vec) rows.
     * Cosine rounds to 6 (HALF_UP, identical to Spark `round`) before
     * the threshold compare so the drop decision and the verification
-    * contract see identical values. The kept-id set is checkpointed
+    * contract see identical values. The dropped-id set is checkpointed
     * eagerly (ids only — 8 bytes/row) and the full assigned-corpus
     * checkpoint is unpersisted before returning, so long-lived
-    * sessions accumulate only the id-sized blocks.
+    * sessions accumulate only the id-sized blocks. Rows with a NULL id
+    * or NULL embedding pass through untouched (nothing to compare).
     */
   def semDedup(
       df: DataFrame,
@@ -210,7 +211,12 @@ object Similarity {
     val members = assigned.select(col("cell"),
       col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
-    val keptIds = members.groupByKey((r: Row) => r.getInt(0))(Encoders.scalaInt)
+    // emit the DROPPED ids (not the kept ones) and finish with a
+    // left_anti: rows with a NULL id or NULL embedding have no cosine
+    // to anything, can never be dropped, and so pass through — the
+    // same keep-the-undecidable behavior as the round-7 anti-join
+    // form (a left_semi on kept ids would silently delete them)
+    val droppedIds = members.groupByKey((r: Row) => r.getInt(0))(Encoders.scalaInt)
       .flatMapGroups { (_: Int, it: Iterator[Row]) =>
         val buf = it.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
           .map(r => (r.getLong(1), r.getSeq[Double](2).toArray)).toArray
@@ -233,17 +239,17 @@ object Similarity {
                   .doubleValue() >= threshold
             }
           }
-          if (nearKept) Iterator.empty
-          else { kept += ((id, v, norm)); Iterator.single(id) }
+          if (nearKept) Iterator.single(id)
+          else { kept += ((id, v, norm)); Iterator.empty }
         }
       }(Encoders.scalaLong)
-      .toDF("__kept_id")
+      .toDF("__dropped_id")
       .localCheckpoint(true) // eager: ids only, 8 bytes/row
     assigned.unpersist()
     // re-derive the assignment lazily for the caller (map-side argmin,
     // one narrow pass) instead of keeping the corpus-sized checkpoint
     index.assign(df, vecCol)
-      .join(keptIds, col(idCol) === col("__kept_id"), "left_semi")
+      .join(droppedIds, col(idCol) === col("__dropped_id"), "left_anti")
   }
 
   /** Contrastive pair mining for embedding training: for each anchor,
@@ -449,7 +455,10 @@ object Similarity {
       val n = df.count()
       val frac = math.min(1.0, maxSample.toDouble / math.max(n, 1L))
       val sampled = if (frac < 1.0) df.sample(frac, seed) else df
+      // NULL vectors carry no geometry — they can't inform centroids
+      // (and would NPE the collect)
       val vecs = sampled.select(col(vecCol).cast("array<double>"))
+        .filter(col(vecCol).isNotNull)
         .collect().map(_.getSeq[Double](0).toArray)
       require(vecs.nonEmpty, "cannot fit IVF on an empty corpus")
       val dim = vecs.head.length

@@ -73,6 +73,13 @@ object StreamDedup {
     val spark = stream.sparkSession
     import spark.implicits._
     val schema = stream.schema
+    // narrower than the batch twin (Dedup.exact orders by any type):
+    // the state row carries the tie-break as a long, so a string
+    // tie-break would cast to NULL and blow up the encoder mid-stream
+    require(schema(tieBreak).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"dedupAgainstIndex requires a numeric tieBreak column; " +
+        s"got ${schema(tieBreak).dataType}")
     val fresh = stream.join(seen.select(col("digest")),
       graft.ops.Dedup.contentDigest(keyCols) === col("digest"), "left_anti")
     val packed = fresh.select(

@@ -66,16 +66,8 @@ object StreamPipeline {
     * DuckDB-oracle correctness gate: the same windowed aggregation,
     * executed by the streaming runtime, must hash-match the oracle.
     */
-  def runToResult(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def runToResult(spark: SparkSession, stream: DataFrame, name: String): DataFrame =
+    runToMemory(spark, stream, name, OutputMode.Complete)
 
   /** Append-mode twin of [[runToResult]] for stateful operators
     * (flatMapGroupsWithState, dropDuplicates) whose output is a row
@@ -83,11 +75,16 @@ object StreamPipeline {
     * every appended micro-batch, so the returned table is the full
     * emitted set over the AvailableNow run.
     */
-  def runToResultAppend(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {
+  def runToResultAppend(spark: SparkSession, stream: DataFrame, name: String): DataFrame =
+    runToMemory(spark, stream, name, OutputMode.Append)
+
+  private def runToMemory(
+      spark: SparkSession, stream: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
     val q = stream.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode(OutputMode.Append)
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -313,7 +313,8 @@ object Jq {
     * the compiled Column yields null (tonumber on null/garbage)? Such
     * bodies make `try/catch` compilable as coalesce: jq's tonumber
     * never returns null (it errors), so a null compiled value IS the
-    * error case.
+    * error case — PROVIDED the null propagates to the top (see
+    * [[absorbsErrorNull]]).
     */
   private def errorProne(e: Expr): Boolean = e match {
     case Call("tonumber", args) => true
@@ -324,6 +325,27 @@ object Jq {
     case ObjectLit(fs) => fs.exists(f => errorProne(f._2))
     case TryCatch(b, h) => errorProne(b) || h.exists(errorProne)
     case Reduce(s, _, i, u) => errorProne(s) || errorProne(i) || errorProne(u)
+    case _ => false
+  }
+
+  /** The error⇔null mapping breaks when a non-null-strict operator
+    * sits ABOVE an error-prone subtree: SQL's `and`/`or` can absorb a
+    * NULL operand into false/true, and `//` (coalesce) swallows it —
+    * so the compiled value is a real value where jq raised, and the
+    * catch never fires. Such bodies are rejected (route through the
+    * escape hatch) rather than compiled wrong.
+    */
+  private def absorbsErrorNull(e: Expr): Boolean = e match {
+    case BinOp(op, l, r) if Seq("and", "or", "//").contains(op) =>
+      errorProne(l) || errorProne(r) || absorbsErrorNull(l) || absorbsErrorNull(r)
+    case BinOp(_, l, r) => absorbsErrorNull(l) || absorbsErrorNull(r)
+    case Not(x) => absorbsErrorNull(x)
+    case Call(_, args) => args.exists(absorbsErrorNull)
+    case Pipe(ss) => ss.exists(absorbsErrorNull)
+    case ObjectLit(fs) => fs.exists(f => absorbsErrorNull(f._2))
+    case Reduce(s, _, i, u) =>
+      absorbsErrorNull(s) || absorbsErrorNull(i) || absorbsErrorNull(u)
+    case TryCatch(b, h) => absorbsErrorNull(b) || h.exists(absorbsErrorNull)
     case _ => false
   }
 
@@ -339,9 +361,16 @@ object Jq {
       // jq: any error in body → handler. In the compiled subset the
       // only error source is tonumber (errors on null/garbage where
       // the Column cast yields null, and never legitimately yields
-      // null), so error ⇔ null and coalesce is exact. Bodies without
-      // an error source can't throw — the try is a no-op.
-      if (errorProne(body)) coalesce(toColumn(body, env), toColumn(handler, env))
+      // null), so error ⇔ null and coalesce is exact — unless an
+      // and/or/`//` above the tonumber absorbs the null (rejected).
+      // Bodies without an error source can't throw — the try is a
+      // no-op.
+      if (absorbsErrorNull(body))
+        throw new IllegalArgumentException(
+          "try/catch body mixes tonumber with and/or///, which absorbs the " +
+            "error marker — use the JqEscapeHatch for this program")
+      else if (errorProne(body))
+        coalesce(toColumn(body, env), toColumn(handler, env))
       else toColumn(body, env)
     case TryCatch(body, None) =>
       if (errorProne(body))
@@ -499,6 +528,12 @@ object Jq {
         when(c.isNull, array(jsonVal(c)))
           .otherwise(concat(array(jsonVal(c)),
             flatten(transform(c, x => enumSubvalues(x, et)))))
+      // a MapType column is a JSON object to jq: recurse into its
+      // values in entry order (matching to_json's key order)
+      case org.apache.spark.sql.types.MapType(_, vt, _) =>
+        when(c.isNull, array(jsonVal(c)))
+          .otherwise(concat(array(jsonVal(c)),
+            flatten(transform(map_values(c), x => enumSubvalues(x, vt)))))
       case _ => array(jsonVal(c))
     }
 
@@ -515,8 +550,12 @@ object Jq {
     // `try E` as a whole stage: outputs drop on error. With tonumber
     // as the only compiled error source (errors ⇔ compiled null, and
     // tonumber never legitimately yields null), filtering nulls is
-    // exact jq semantics.
+    // exact jq semantics — same absorption caveat as the value form.
     case TryCatch(body, None) if errorProne(body) =>
+      if (absorbsErrorNull(body))
+        throw new IllegalArgumentException(
+          "try body mixes tonumber with and/or///, which absorbs the " +
+            "error marker — use the JqEscapeHatch for this program")
       df.select(toColumn(body, topEnv).as("value"))
         .filter(col("value").isNotNull)
     case Call("select", Seq(pred)) => df.filter(toColumn(pred))

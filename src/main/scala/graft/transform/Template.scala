@@ -446,6 +446,7 @@ object Template {
             asLong(a(1)).toInt)
             .zipWithIndex.map { case (s, i) => s"_$i" -> (s: Any) }.toMap
         case "len" => a.head match {
+          case null => 0L // not the length of the "<no value>" placeholder
           case it: Iterable[_] => it.size.toLong
           case m: Array[_] => m.length.toLong
           case s => show(s).length.toLong
@@ -1187,7 +1188,18 @@ object Template {
             case _ => false
           }
           if (isContainer) size(a.head).cast("long")
-          else length(a.head.cast("string")).cast("long")
+          else {
+            // a container-typed record FIELD can't be measured here
+            // (size() needs a statically-array/map column, which a
+            // generic template compiler doesn't see) — fail loudly at
+            // runtime instead of returning the stringified length,
+            // which would silently diverge from the driver mirror
+            val t = call_function("typeof", a.head)
+            when(t.startsWith("array").or(t.startsWith("map")),
+              raise_error(lit("len of a container-typed record field is " +
+                "driver-complete; render via the driver path")))
+              .otherwise(length(a.head.cast("string")).cast("long"))
+          }
         case "kindOf" => kindOfCol(a.head)
         case "kindIs" => kindOfCol(a(1)) === a(0).cast("string")
         case "wrap" | "wrapWith" | "clean" | "osClean" =>

@@ -43,6 +43,23 @@ class DedupSpec extends SparkSuite {
     assert(out == Set(1L, 2L, 4L), "null-key dup of the accepted corpus must drop")
   }
 
+  test("digest encoding is injective when values contain the separator (round-8 review)") {
+    // ('a\u0001v','b') and ('a','\u0001vb') built identical unescaped
+    // key strings — the escaped encoding must keep them distinct
+    val rows = Seq(
+      (1L, "a\u0001v", "b"),
+      (2L, "a", "\u0001vb"),
+      (3L, "back\\slash", "x"),
+      (4L, "back", "\\slash\u0001x")
+    ).toDF("id", "k1", "k2")
+    val dg = rows.select($"id", Dedup.contentDigest(Seq("k1", "k2")).as("d"))
+      .as[(Long, String)].collect().toMap
+    assert(dg.values.toSet.size == 4, s"digest collision: $dg")
+    val kept = Dedup.exact(rows, Seq("k1", "k2"), "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+  }
+
   test("shingles builds distinct word n-grams; short docs collapse to whole text") {
     val sh = docs.filter($"doc_id" === 1)
       .select(explode(Dedup.shingles($"text", 3)).as("g"))

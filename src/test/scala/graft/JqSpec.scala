@@ -171,6 +171,33 @@ class JqSpec extends SparkSuite {
     assert(noop.count(_ == null) == 1 && !noop.contains("X"))
   }
 
+  test("try/catch rejects bodies where and/or/`//` would absorb the error marker") {
+    // SQL three-valued logic: (NULL > 0) AND false = false — the
+    // compiled form would return false where jq fires the catch, so
+    // these programs must refuse to compile (round-8 review)
+    val df = Seq(("abc", false)).toDF("s", "flag")
+    val e1 = intercept[IllegalArgumentException] {
+      Jq.compile("{ok: (try ((.s | tonumber) > 0 and .flag) catch \"E\")}")(df)
+    }
+    assert(e1.getMessage.contains("EscapeHatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      Jq.compile("try ((.s | tonumber) // 9)")(df)
+    }
+    assert(e2.getMessage.contains("EscapeHatch"))
+    // a strict-operator body still compiles
+    assert(Jq.compile("{n: (try ((.s | tonumber) + 1) catch -1)}")(df)
+      .select($"n".cast("double")).as[Double].head() == -1.0)
+  }
+
+  test(".. descends into map columns like jq descends into objects") {
+    import graft.transform.JqEscapeHatch
+    val one = spark.range(1).selectExpr("1 AS id",
+      "map('a', 1, 'b', 2) AS m")
+    val compiled = Jq.compile("..")(one).as[String].collect().toSeq
+    val real = JqEscapeHatch.rawApply(one.toJSON, "..").collect().toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+  }
+
   test("reduce folds arrays with the aggregate HOF, matching real jq") {
     import graft.transform.JqEscapeHatch
     val df = spark.range(4).selectExpr("id",

@@ -196,14 +196,6 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kb.size == 1)
   }
 
-  // the AQE-final plan only — the printed executedPlan appends the
-  // pre-adaptive "Initial Plan", which still shows the un-reused
-  // duplicate exchanges
-  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
-    df.collect()
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-  }
-
   // The 100 TB contract of the two-phase prefix-sum device, post
   // round-8: the corpus crosses exactly ONE exchange (the range
   // partition); the partition-local half is an imperative scan (no
@@ -211,18 +203,14 @@ class PipelineOpsSpec extends SparkSuite {
   // corpus re-exchange); the side table rides the SAME shuffle via
   // ReuseExchange; and every hash exchange in the plan sits directly
   // above an aggregate, i.e. carries only P×S partial rows.
+  // (finalPlan / assertHashExchangesAboveAggregates live in SparkSuite.)
   private def assertOneCorpusShuffle(plan: String): Unit = {
     assert(plan.contains("MapPartitions"), plan)
     assert(!plan.contains("row_number"), plan)
     val rangeEx = "(?m)\\+\\- Exchange rangepartitioning".r.findAllIn(plan).size
     assert(rangeEx == 1, s"expected 1 live range exchange, got $rangeEx:\n$plan")
     assert(plan.contains("ReusedExchange"), plan)
-    val lines = plan.linesIterator.toSeq
-    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning")).foreach {
-      case (_, i) =>
-        assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
-          s"hash exchange not directly above an aggregate (line $i):\n$plan")
-    }
+    assertHashExchangesAboveAggregates(plan, "prefix-sum device")
   }
 
   test("stratifiedRank plan: one corpus shuffle, imperative local rank, reused exchange") {

@@ -183,12 +183,6 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  // AQE-final plan only (strip the appended pre-adaptive Initial Plan)
-  private def finalPlan(df: DataFrame): String = {
-    df.collect()
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-  }
-
   test("q60 audit: every scan is slice-bounded; no per-key percentile buffers") {
     // round-7's genuine regression: the exact countDistinct/percentile
     // audit ran full-corpus. Round 8 pins it to a deterministic slice
@@ -222,12 +216,7 @@ class PlanSpec extends SparkSuite {
         // exchanges; nothing else touches corpus-sized data
         val rangeEx = "(?m)\\+\\- Exchange rangepartitioning".r.findAllIn(p).size
         assert(rangeEx == 2, s"$q: expected 2 live range exchanges, got $rangeEx:\n$p")
-        val lines = p.linesIterator.toSeq
-        lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning")).foreach {
-          case (_, i) =>
-            assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
-              s"$q: hash exchange not directly above an aggregate:\n$p")
-        }
+        assertHashExchangesAboveAggregates(p, q)
       }
   }
 

@@ -153,6 +153,18 @@ class SimilaritySpec extends SparkSuite {
     assert(e.getMessage.contains("raise `cells`"))
   }
 
+  test("semDedup passes NULL-embedding rows through untouched (round-8 review)") {
+    // a row with no vector can't be near anything — the round-7
+    // anti-join form kept it, and the greedy rewrite must too
+    val vecs = Seq(
+      (1L, Some(Seq(1.0, 0.0))), (2L, Some(Seq(1.0, 0.001))),
+      (3L, Option.empty[Seq[Double]])).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(vecs, "vec_id", "embedding",
+      cells = 1, threshold = 0.95)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L), s"null-embedding row must survive, got $kept")
+  }
+
   test("semDedup sequential greedy: a chain keeps both endpoints (paper semantics)") {
     // round-7 ADVICE: x<y<z with cos(x,y)>=t, cos(y,z)>=t, cos(x,z)<t.
     // Drop-any-smaller-id would keep only {x}; SemDeDup's sequential

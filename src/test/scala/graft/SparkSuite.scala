@@ -24,4 +24,26 @@ object SparkSuite {
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.spark
   val sfDir = "/root/testdata/sf0.001"
+
+  /** AQE-final plan only — the printed executedPlan appends the
+    * pre-adaptive "Initial Plan", which still shows un-reused
+    * duplicate exchanges (shared by the PlanSpec/PipelineOpsSpec
+    * plan pins).
+    */
+  protected def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  /** Pin: every hash exchange in the plan sits directly above an
+    * aggregate — i.e. it carries partial rows, never the raw corpus.
+    */
+  protected def assertHashExchangesAboveAggregates(plan: String, ctx: String): Unit = {
+    val lines = plan.linesIterator.toSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning")).foreach {
+      case (_, i) =>
+        assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
+          s"$ctx: hash exchange not directly above an aggregate (line $i):\n$plan")
+    }
+  }
 }

@@ -417,6 +417,17 @@ class TemplateSpec extends SparkSuite {
     both("[[ splitn \"-\" 2 \"a-b-c\" ]]", "map[_0:a _1:b-c]")
     both("[[ len .p ]]", "13")
     both("[[ len (splitList \"2\" .s) ]]", "2")
+    // a missing value has length 0, not the length of "<no value>"
+    assert(drv("[[ len .missing ]]") == "0")
+    // a container-typed record FIELD fails loudly on the Column path
+    // instead of silently measuring its stringified form
+    val arrDf = spark.range(1).selectExpr("array('a','b') AS tags")
+    val lenErr = intercept[Exception] {
+      arrDf.select(Template.compile("[[ len .tags ]]")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(lenErr).exists(_.contains("driver-complete")))
     both("[[ kindOf .secs ]]", "int64")
     both("[[ kindOf .p ]]", "string")
     both("[[ kindIs \"string\" .p ]]", "true")
