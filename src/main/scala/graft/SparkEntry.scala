@@ -712,7 +712,14 @@ object SparkEntry {
     }),
 
     "q55_langid_ngram" -> ((s, dir) =>
+      // the repartition materializes the map-only scoring pass into a
+      // (tiny, 4-column) exchange BEFORE the presentation sort: the
+      // range partitioner's boundary-sampling job would otherwise
+      // recompute the whole scan+trigram-kernel chain a second time —
+      // there is no shuffle below it to resample since the round-8
+      // compiled-profile rework
       TextOps.langIdNgram(t(s, dir, "documents"), "doc_id", "text", "lang")
+        .repartition(col("doc_id"))
         .orderBy("doc_id")),
 
     "q57_pii_scrub" -> ((s, dir) => {

@@ -225,10 +225,19 @@ object TextOps {
     * profile rank by (df DESC, trigram), winner by (score DESC, lang);
     * zero overlap → "und").
     *
-    * Scale shape: one explode of per-doc DISTINCT trigrams feeds both
-    * the profile aggregation and the scoring join; profiles are tiny
-    * (langs × topK) and broadcast, so scoring is map-side — the only
-    * wide ops are the two hash aggregations.
+    * Scale shape (round-8 rework): profiles are CONFIG-sized
+    * (languages × topK strings), so after the one distributed pass
+    * that learns them (explode → count → tiny per-language top-k)
+    * they collect to the driver — bounded, fail-fast — and compile
+    * into the scan as `array_intersect` against literal arrays.
+    * Scoring is then a map-only projection: no second trigram explode,
+    * no broadcast join, no (doc × language) aggregation shuffle, no
+    * per-document window. The round-7 join+window form spent ~4s at
+    * sf0.1; this shape measures ~3× faster and at 100 TB removes the
+    * only corpus-sized shuffle the operator had. The document's
+    * distinct-trigram array is computed ONCE behind an [[
+    * graft.functions.EvalOnce]] fence and each language's overlap
+    * reads it.
     */
   def langIdNgram(
       df: DataFrame,
@@ -236,34 +245,62 @@ object TextOps {
       textCol: String,
       langCol: String,
       n: Int = 3,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20,
+      maxLangs: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // tri feeds BOTH the profile aggregation and the scoring join.
-    // Deliberately NOT persisted: the exploded trigram table is ~100×
-    // the input bytes while the kernel runs at scan speed, so at scale
-    // re-deriving it twice beats materializing the blowup (the q25
-    // shingle table persists because FOUR consumers reuse it and the
-    // pair-join reads it repeatedly; two cheap linear consumers don't
-    // clear that bar — measured: persisting made q55 slower).
-    val tri = df.select(col(idCol).as("__id"), col(langCol).as("__lang"),
+    val tri = df.select(col(langCol).as("__lang"),
       explode(array_distinct(charNgrams(col(textCol), n))).as("__tg"))
     val profiles = tri.groupBy("__lang", "__tg").agg(count(lit(1)).as("__n"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("__lang").orderBy(col("__n").desc, col("__tg"))))
       .filter(col("__rk") <= topK)
-      .select(col("__lang").as("__cand"), col("__tg"))
-    val scores = tri.select("__id", "__tg")
-      .join(broadcast(profiles), "__tg")
-      .groupBy("__id", "__cand").agg(count(lit(1)).as("__score"))
-    val best = scores.withColumn("__rk", row_number().over(
-        Window.partitionBy("__id").orderBy(col("__score").desc, col("__cand"))))
-      .filter(col("__rk") === 1)
-      .select(col("__id"), col("__cand"), col("__score"))
-    df.select(col(idCol), col(langCol))
-      .join(best, col(idCol) === best("__id"), "left_outer")
-      .select(col(idCol), col(langCol),
-        coalesce(col("__cand"), lit("und")).as("lang_pred_ngram"),
-        coalesce(col("__score"), lit(0L)).cast("long").as("ngram_score"))
+      .select("__lang", "__tg")
+    val profRows = profiles.limit(maxLangs * topK + 1).collect()
+    require(profRows.length <= maxLangs * topK,
+      s"langIdNgram: more than $maxLangs distinct languages in '$langCol' — " +
+        "profiles are no longer config-sized; raise maxLangs or pre-bucket")
+    val byLang: Seq[(String, Seq[String])] = profRows
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq)
+      .toSeq.sortBy(_._1)
+    if (byLang.isEmpty)
+      return df.select(col(idCol), col(langCol),
+        lit("und").as("lang_pred_ngram"), lit(0L).as("ngram_score"))
+    val nLangs = byLang.size
+    val withTris = df.select(col(idCol), col(langCol),
+      call_function("graft_once",
+        array_distinct(charNgrams(col(textCol), n))).as("__tris"))
+    // each language's overlap is computed ONCE into its own fenced
+    // column — the argmax below references the scores many times
+    // (greatest, the encoded tie-break, the winner fold), and without
+    // the fence every reference re-ran its array_intersect (measured
+    // slower than the join form it replaced)
+    val withScores = withTris.select(
+      (col(idCol) +: col(langCol) +: byLang.zipWithIndex.map {
+        case ((_, tris), i) =>
+          call_function("graft_once",
+            size(array_intersect(col("__tris"), typedlit(tris))).cast("long"))
+            .as(s"__s$i")
+      }): _*)
+    // argmax via the encoded-greatest device (score·L + reverse lang
+    // rank → ties go to the alphabetically-first language, matching
+    // the window form)
+    val scored = byLang.zipWithIndex.map { case ((lang, _), i) =>
+      val s = col(s"__s$i")
+      (s, s * nLangs + (nLangs - 1 - i), lang)
+    }
+    val bestScore = if (nLangs == 1) scored.head._1
+      else greatest(scored.map(_._1): _*)
+    val bestEnc = if (nLangs == 1) scored.head._2
+      else greatest(scored.map(_._2): _*)
+    val bestLang = scored.foldLeft(lit("und")) { case (acc, (_, enc, lang)) =>
+      when(enc === bestEnc, lit(lang)).otherwise(acc)
+    }
+    // NULL text → NULL trigram array → NULL scores: classify as "und"
+    // with score 0, same as the round-7 left_outer form
+    val score0 = coalesce(bestScore, lit(0L))
+    withScores.select(col(idCol), col(langCol),
+      when(score0 === 0, lit("und")).otherwise(bestLang).as("lang_pred_ngram"),
+      score0.as("ngram_score"))
   }
 
   /** All per-document stats in one pass (single projection). */
