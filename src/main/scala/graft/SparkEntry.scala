@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Dedup, Pack, Rank, Sample, Similarity, TextOps}
+import graft.ops.{Dedup, KMeans, Pack, Rank, Sample, Similarity, TextOps}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -1165,7 +1165,47 @@ object SparkEntry {
         .runToResultAppend(s, kept, "graft_q83")
         .select("doc_id", "text")
         .orderBy("doc_id")
-    }))
+    }),
+
+    "q84_lm_perplexity" -> ((s, dir) =>
+      // CCNet-style LM quality scoring: bigram model learned from the
+      // 'en' reference slice, compiled into the scan as literal maps;
+      // scoring is map-only (no join, no shuffle). Round-6-LN ladder
+      // keeps the NLL sums engine-portable.
+      TextOps.bigramLmNll(t(s, dir, "documents"), "doc_id", "text",
+          refFilter = col("lang") === "en")
+        .orderBy("doc_id")),
+
+    "q85_kmeans_lloyd" -> ((s, dir) =>
+      // distributed Lloyd's k-means, 2 deterministic iterations:
+      // assignment is map-only against compiled centroid literals;
+      // the update shuffles only k × dims × partitions partial rows
+      // (map-side combine). Every arithmetic step rides the round-6
+      // DECIMAL ladder, so the full trajectory is oracle-checkable.
+      KMeans.lloyd(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .orderBy("vec_id")),
+
+    "q86_temperature_mixture" -> ((s, dir) =>
+      // temperature rebalancing with weights LEARNED from the stratum
+      // counts (α=0.5 square-root sampling): the dominant language is
+      // down-sampled toward the rarest, deterministically via the
+      // md5-prefix device. Counts + checksum pin the exact kept set.
+      TextOps.temperatureMixture(t(s, dir, "documents"), "doc_id", "lang",
+          alpha = 0.5)
+        .groupBy("lang")
+        .agg(max(col("n_stratum")).cast("long").as("n_stratum"),
+          max(col("weight")).as("weight"),
+          count(lit(1)).cast("long").as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy("lang")),
+
+    "q87_dup_ngram_fraction" -> ((s, dir) =>
+      // Gopher duplicate-ngram gates as a ZERO-shuffle projection:
+      // per-doc sorted-gram neighbor runs replace the explode +
+      // (doc, gram) re-group of the textbook form
+      TextOps.dupNgramStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -2146,5 +2186,152 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 3 = 1)
         |SELECT doc_id, text
         |FROM batch b ANTI JOIN seen s ON b.dg = s.digest
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q84: add-one-smoothed bigram NLL vs the 'en' reference slice;
+    // term = ln(c(w1)+V) - ln(c(w1 w2)+1), rounded to 6 decimals and
+    // summed as DECIMAL(18,6) (round-6-LN ladder). Docs with <2 tokens
+    // score NULL.
+    "q84_lm_perplexity" ->
+      """WITH rt AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE lang = 'en'),
+        |uni AS (
+        |  SELECT w, COUNT(*) AS cu
+        |  FROM (SELECT UNNEST(ws) AS w FROM rt) GROUP BY w),
+        |vocab AS (SELECT COUNT(*) AS v FROM uni),
+        |bi AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2, COUNT(*) AS cb
+        |  FROM rt, UNNEST(range(1, len(ws))) AS t(i)
+        |  GROUP BY 1, 2),
+        |db AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents),
+        |       UNNEST(range(1, len(ws))) AS t(i)),
+        |terms AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(LN(COALESCE(u.cu, 0) + v.v) - LN(COALESCE(b.cb, 0) + 1), 6)
+        |      AS DECIMAL(18,6)) AS term
+        |  FROM db
+        |  LEFT JOIN uni u ON u.w = db.w1
+        |  LEFT JOIN bi b ON b.w1 = db.w1 AND b.w2 = db.w2
+        |  CROSS JOIN vocab v),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    SUM(term) AS nll_sum
+        |  FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  ROUND(CAST(a.nll_sum AS DOUBLE), 6) AS nll,
+        |  ROUND(CAST(a.nll_sum AS DOUBLE) / a.n_bigrams, 6) AS avg_nll
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q85: the oracle replays the SAME deterministic 2-iteration Lloyd
+    // trajectory — init = first k by id, round-6 elements, DECIMAL
+    // distance sums, argmin tie-break on cluster id, round-6 centroid
+    // means — so assignment and distance hash-match across engines
+    "q85_kmeans_lloyd" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS xe
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, xe AS c
+        |  FROM e ORDER BY vec_id LIMIT 8),
+        |d1 AS (
+        |  SELECT e.vec_id, c0.cl,
+        |    SUM(CAST(ROUND((e.xe[i] - c0.c[i]) * (e.xe[i] - c0.c[i]), 6)
+        |      AS DECIMAL(18,6))) AS dist
+        |  FROM e CROSS JOIN c0, UNNEST(range(1, 65)) AS t(i)
+        |  GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT vec_id, cl,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |s1 AS (
+        |  SELECT a1.cl, t.i, SUM(CAST(e.xe[t.i] AS DECIMAL(18,6))) AS s,
+        |    COUNT(*) AS n
+        |  FROM e JOIN a1 USING (vec_id), UNNEST(range(1, 65)) AS t(i)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT cl, list(round(CAST(s AS DOUBLE) / n, 6) ORDER BY i) AS c
+        |  FROM s1 GROUP BY cl),
+        |d2 AS (
+        |  SELECT e.vec_id, c1.cl,
+        |    SUM(CAST(ROUND((e.xe[i] - c1.c[i]) * (e.xe[i] - c1.c[i]), 6)
+        |      AS DECIMAL(18,6))) AS dist
+        |  FROM e CROSS JOIN c1, UNNEST(range(1, 65)) AS t(i)
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, cl AS cluster, ROUND(CAST(dist AS DOUBLE), 6) AS dist2
+        |FROM (SELECT vec_id, cl, dist,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+        |      FROM d2) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    // q86: same md5-prefix device as q63, with the per-stratum weight
+    // DERIVED in SQL: w = round((nmin/ns)^0.5, 6), threshold =
+    // floor(w * 2^32) as 8 lowercase hex digits ('g' when w >= 1)
+    "q86_temperature_mixture" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(ns) AS nmin FROM c),
+        |thr AS (
+        |  SELECT lang, ns, w,
+        |    CASE WHEN w >= 1 THEN 'g'
+        |         ELSE lower(lpad(to_hex(CAST(FLOOR(w * 4294967296) AS BIGINT)),
+        |                         8, '0'))
+        |    END AS t
+        |  FROM (SELECT lang, ns,
+        |          ROUND(POW(CAST(nmin AS DOUBLE) / ns, 0.5e0), 6) AS w
+        |        FROM c CROSS JOIN m))
+        |SELECT d.lang, CAST(MAX(thr.ns) AS BIGINT) AS n_stratum,
+        |  MAX(thr.w) AS weight,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // q87: the oracle uses the textbook explode + (doc, gram) group —
+    // the Spark side's sorted-neighbor-run projection must reproduce
+    // it exactly (an occurrence is duplicated iff its gram count >= 2
+    // iff it touches an equal gram in sorted order)
+    "q87_dup_ngram_fraction" ->
+      """WITH dt AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |c2 AS (
+        |  SELECT doc_id, gram, COUNT(*) AS n FROM (
+        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+        |    FROM dt, UNNEST(range(1, len(ws))) AS t(i))
+        |  GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS bi_total,
+        |    CAST(COALESCE(SUM(n) FILTER (n >= 2), 0) AS BIGINT) AS bi_dup
+        |  FROM c2 GROUP BY 1),
+        |c3 AS (
+        |  SELECT doc_id, gram, COUNT(*) AS n FROM (
+        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |    FROM dt, UNNEST(range(1, len(ws) - 1)) AS t(i))
+        |  GROUP BY 1, 2),
+        |a3 AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tri_total,
+        |    CAST(COALESCE(SUM(n) FILTER (n >= 2), 0) AS BIGINT) AS tri_dup
+        |  FROM c3 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a2.bi_total, 0) AS BIGINT) AS bi_total,
+        |  CAST(COALESCE(a2.bi_dup, 0) AS BIGINT) AS bi_dup,
+        |  CASE WHEN COALESCE(a2.bi_total, 0) = 0 THEN NULL
+        |       ELSE ROUND(CAST(a2.bi_dup AS DOUBLE) / a2.bi_total, 6)
+        |  END AS bi_frac,
+        |  CAST(COALESCE(a3.tri_total, 0) AS BIGINT) AS tri_total,
+        |  CAST(COALESCE(a3.tri_dup, 0) AS BIGINT) AS tri_dup,
+        |  CASE WHEN COALESCE(a3.tri_total, 0) = 0 THEN NULL
+        |       ELSE ROUND(CAST(a3.tri_dup AS DOUBLE) / a3.tri_total, 6)
+        |  END AS tri_frac
+        |FROM documents d LEFT JOIN a2 USING (doc_id)
+        |               LEFT JOIN a3 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
 }

@@ -303,6 +303,129 @@ object TextOps {
       score0.as("ngram_score"))
   }
 
+  /** CCNet-style n-gram language-model quality scoring (Wenzek et al.
+    * 2020 §4.3): learn add-one-smoothed word-bigram probabilities from
+    * a reference slice of the corpus, then score every document by its
+    * total and per-bigram negative log-likelihood — high `avg_nll`
+    * flags text unlike the reference (boilerplate, noise, wrong
+    * domain), the standard perplexity-bucket filter of corpus
+    * curation.
+    *
+    * Model: `-ln p(w2|w1) = ln(c(w1) + V) - ln(c(w1 w2) + 1)` with
+    * counts from the reference slice and V its vocabulary size;
+    * unseen words/bigrams fall back to counts of 0, so the score is
+    * total (no OOV holes). Each term is rounded to 6 decimals and
+    * summed as DECIMAL(18,6) — the round-6-LN ladder, so the sum is
+    * order-independent and engine-portable. Documents with fewer than
+    * two tokens score NULL (no bigrams).
+    *
+    * Scale shape: the model is learned in two distributed
+    * aggregations over the reference slice (explode → count), then
+    * collected — bounded, fail-fast — and COMPILED into the scan as
+    * literal maps (the q55 device): scoring is a map-only projection
+    * reading each document once, with no join, no shuffle, and no
+    * second pass. In a real pipeline the reference is a curated
+    * sample (CCNet trains its KenLM on Wikipedia), so the model is
+    * config-sized by construction; above `maxVocab`/`maxBigrams` the
+    * require fires and the caller should prune the model (CCNet prunes
+    * its LM too) rather than let a corpus-sized literal into the plan.
+    */
+  def bigramLmNll(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      refFilter: Column,
+      maxVocab: Int = 4096,
+      maxBigrams: Int = 1 << 16): DataFrame = {
+    val refToks = df.filter(refFilter).select(tokens(col(textCol)).as("__ws"))
+    val uniRows = refToks.select(explode(col("__ws")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+      .limit(maxVocab + 1).collect()
+    require(uniRows.length <= maxVocab,
+      s"bigramLmNll: reference vocabulary exceeds $maxVocab words — " +
+        "prune the model (frequency cutoff) or raise maxVocab")
+    val biRows = refToks.select(explode(zip_with(
+        slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+        slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__cb"))
+      .limit(maxBigrams + 1).collect()
+    require(biRows.length <= maxBigrams,
+      s"bigramLmNll: reference bigram table exceeds $maxBigrams entries — " +
+        "prune the model or raise maxBigrams")
+    val uniMap: Map[String, Long] =
+      uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val biMap: Map[String, Long] =
+      biRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = uniMap.size.toLong
+    if (v == 0)
+      return df.select(col(idCol), lit(0L).as("n_bigrams"),
+        lit(null).cast("double").as("nll"),
+        lit(null).cast("double").as("avg_nll"))
+    val uniLit = typedlit(uniMap)
+    val biLit = typedlit(biMap)
+    // tokens computed once behind the fence; the two slices and the
+    // size all read the projected array
+    val withWs = df.select(col(idCol), once(tokens(col(textCol))).as("__ws"))
+    val ws = col("__ws")
+    // w2's unigram count is irrelevant: the term only conditions on w1
+    // (try_element_at: ANSI-safe NULL on a miss, coalesced to 0)
+    val terms = zip_with(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) =>
+        round(log(coalesce(try_element_at(uniLit, a), lit(0L)) + lit(v)) -
+              log(coalesce(try_element_at(biLit, concat(a, lit(" "), b)), lit(0L)) + lit(1L)),
+          6).cast("decimal(18,6)"))
+    val nllSum = aggregate(terms, lit(BigDecimal(0)).cast("decimal(18,6)"),
+      (acc, x) => (acc + x).cast("decimal(18,6)"))
+    val nb = coalesce((size(ws) - 1).cast("long"), lit(0L))
+    withWs.select(col(idCol), greatest(nb, lit(0L)).as("n_bigrams"),
+        when(greatest(nb, lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(round(nllSum.cast("double"), 6)).as("nll"),
+        when(greatest(nb, lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(round(nllSum.cast("double") / greatest(nb, lit(1L)), 6))
+          .as("avg_nll"))
+  }
+
+  /** Gopher-style within-document n-gram repetition signals (Rae et
+    * al. 2021 table A1): for n ∈ {2,3}, the fraction of n-gram
+    * occurrences whose gram appears more than once in the document —
+    * the "fraction of duplicate n-grams" gates that catch looping/
+    * boilerplate text that unigram stats ([[repetitionStats]]) miss.
+    *
+    * Scale shape: ZERO shuffles — where the textbook form explodes
+    * n-grams and re-groups by (doc, gram), this sorts each document's
+    * gram array in place and counts positions with an equal neighbor
+    * (same quantity: an occurrence is duplicated iff it touches an
+    * equal gram in sorted order). O(L log L) per document inside the
+    * scan stage; the whole operator is a projection.
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = col("__ws")
+    def grams(n: Int): Column = when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    def stats(g: Column, prefix: String): Seq[Column] = {
+      val s = once(array_sort(g))
+      val total = size(s).cast("long")
+      // try_element_at: NULL off either end, so the boundary terms
+      // resolve through OR's null semantics (filter keeps only TRUE)
+      val dup = when(total === 0, lit(0L)).otherwise(
+        size(filter(sequence(lit(1), size(s)), i =>
+          (element_at(s, i) === try_element_at(s, i - 1)) ||
+            (element_at(s, i) === try_element_at(s, i + 1)))).cast("long"))
+      val dupOnce = once(dup)
+      Seq(total.as(s"${prefix}_total"), dupOnce.as(s"${prefix}_dup"),
+        when(total === 0, lit(null).cast("double"))
+          .otherwise(round(dupOnce.cast("double") / total, 6))
+          .as(s"${prefix}_frac"))
+    }
+    df.select(col(idCol), once(tokens(col(textCol))).as("__ws"))
+      .select(col(idCol) +: (stats(grams(2), "bi") ++ stats(grams(3), "tri")): _*)
+  }
+
   /** All per-document stats in one pass (single projection). */
   def documentStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
@@ -369,6 +492,45 @@ object TextOps {
       case (acc, (k, w)) => when(col(stratumCol) === k, lit(hex8(w))).otherwise(acc)
     }
     df.filter(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8) < thr)
+  }
+
+  /** Temperature-scaled stratum rebalancing — [[mixtureSample]] with
+    * the weights LEARNED from the data instead of given: each stratum
+    * keeps `w = (n_min / n_s)^(1-alpha)` of its rows (α=1 keeps the
+    * natural distribution, α=0 equalizes all strata to the rarest),
+    * the multinomial temperature resampling used to stop a dominant
+    * language/domain from drowning the rest of a training corpus.
+    *
+    * The whole derivation stays IN the plan (no driver arithmetic):
+    * stratum counts → broadcast → per-row md5-prefix threshold, with
+    * the weight rounded to 6 decimals before the 2^32 scaling so the
+    * threshold string is engine-portable (the exponent is applied to
+    * a ratio of exact integers; one round(,6) absorbs libm pow
+    * last-ulp differences). Same determinism as [[mixtureSample]]:
+    * the kept set is a pure function of (id, counts, alpha).
+    *
+    * Scale shape: one map-side-combined count aggregate (strata-sized
+    * result) broadcast back to a scan-stage filter — the corpus is
+    * read once and never shuffles.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "temperatureMixture: alpha in [0,1]")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__ns"))
+    val nmin = counts.agg(min(col("__ns")).as("__nmin"))
+    val w = round(pow(col("__nmin").cast("double") / col("__ns"), 1.0 - alpha), 6)
+    val thr = counts.crossJoin(broadcast(nmin)).select(col(stratumCol),
+      col("__ns").as("n_stratum"), w.as("weight"),
+      when(w >= 1.0, lit("g")).otherwise(
+        lower(lpad(hex(floor(w * lit(4294967296d)).cast("long")), 8, "0")))
+        .as("__thr"))
+    df.join(broadcast(thr), stratumCol)
+      .filter(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8) <
+        col("__thr"))
+      .drop("__thr")
   }
 
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {

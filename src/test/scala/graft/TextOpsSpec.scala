@@ -159,4 +159,40 @@ class TextOpsSpec extends SparkSuite {
     assert(!row(4).getAs[Boolean]("keep"))
     assert(row(5).getAs[Boolean]("ends_punct") && row(5).getAs[Boolean]("keep"))
   }
+
+  test("bigram LM NLL: hand-computed model, OOV fallback, short-doc NULLs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b", "en"),   // ref: bigrams ab, ba, ab
+      (2L, "a b c", "en"),     // ref: ab, bc
+      (3L, "a b zz", "de"),    // scored only: ab known, (b,zz) OOV bigram
+      (4L, "solo", "de"),      // 1 token -> 0 bigrams, NULL scores
+      (5L, "", "de")           // split("") = [""] -> 1 token, NULL scores
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.bigramLmNll(d, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id").collect()
+    // model from docs 1,2: uni a=3 b=3 c=1, V=3; bi "a b"=3 "b a"=1 "b c"=1
+    def term(cu: Long, cb: Long): BigDecimal = BigDecimal(
+      math.log(cu + 3.0) - math.log(cb + 1.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val ab = term(3, 3); val ba = term(3, 1); val bzz = term(3, 0)
+    assert(r(0).getAs[Long]("n_bigrams") == 3L)
+    assert(r(0).getAs[Double]("nll") == (ab + ba + ab).toDouble)
+    assert(r(0).getAs[Double]("avg_nll") ==
+      BigDecimal((ab + ba + ab).toDouble / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 3: known bigram + OOV bigram with known w1
+    assert(r(2).getAs[Long]("n_bigrams") == 2L)
+    assert(r(2).getAs[Double]("nll") == (ab + bzz).toDouble)
+    // short docs: 0 bigrams, NULL nll/avg
+    assert(r(3).getAs[Long]("n_bigrams") == 0L && r(3).isNullAt(2) && r(3).isNullAt(3))
+    assert(r(4).getAs[Long]("n_bigrams") == 0L && r(4).isNullAt(2))
+    // empty reference slice -> all-NULL scores, no crash
+    val empty = TextOps.bigramLmNll(d, "doc_id", "text", col("lang") === "xx")
+      .orderBy("doc_id").collect()
+    assert(empty.length == 5 && empty.forall(_.isNullAt(2)))
+    // guard fires before a corpus-sized literal reaches the plan
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.bigramLmNll(d, "doc_id", "text", col("lang") === "en", maxVocab = 2)
+    }
+    assert(ex.getMessage.contains("vocabulary"))
+  }
 }
