@@ -410,12 +410,15 @@ object TextOps {
     def stats(g: Column, prefix: String): Seq[Column] = {
       val s = once(array_sort(g))
       val total = size(s).cast("long")
-      // try_element_at: NULL off either end, so the boundary terms
-      // resolve through OR's null semantics (filter keeps only TRUE)
+      // boundary terms are index-guarded with lazy `when` (no
+      // otherwise → NULL off either end, resolved through OR's null
+      // semantics; filter keeps only TRUE). `try_element_at` is NOT
+      // usable here: it suppresses out-of-bounds but still throws
+      // INVALID_INDEX_OF_ZERO at i-1 = 0.
       val dup = when(total === 0, lit(0L)).otherwise(
         size(filter(sequence(lit(1), size(s)), i =>
-          (element_at(s, i) === try_element_at(s, i - 1)) ||
-            (element_at(s, i) === try_element_at(s, i + 1)))).cast("long"))
+          (element_at(s, i) === when(i > 1, element_at(s, i - 1))) ||
+            (element_at(s, i) === when(i < size(s), element_at(s, i + 1))))).cast("long"))
       val dupOnce = once(dup)
       Seq(total.as(s"${prefix}_total"), dupOnce.as(s"${prefix}_dup"),
         when(total === 0, lit(null).cast("double"))
