@@ -1156,8 +1156,18 @@ object SparkEntry {
       // batch/stream parity through the real streaming engine.
       val raw = t(s, dir, "documents")
       val seen = Dedup.digests(raw.filter(col("doc_id") % 3 =!= 1), Seq("text"))
-      val stream = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      // directory-shaped parquet (part-files inside) streams from the
+      // table path; a single-file layout can't (FileStreamSource
+      // requires a directory basePath) and instead globs the leaf name
+      // from the parent — the glob alone would silently read ZERO rows
+      // from a directory layout (part-* leaves don't match), which is
+      // why the layout is branched on explicitly
+      val tablePath = s"$dir/documents.parquet"
+      val isDir = new java.io.File(tablePath.stripPrefix("file:")).isDirectory
+      val streamReader = s.readStream.schema(raw.schema)
+      val stream = (if (isDir) streamReader.parquet(tablePath)
+        else streamReader.option("pathGlobFilter", "documents.parquet")
+          .parquet(dir))
         .filter(col("doc_id") % 3 === 1)
       val kept = graft.streaming.StreamDedup.dedupAgainstIndex(
         stream, seen, Seq("text"), "doc_id")

@@ -3,7 +3,8 @@ package graft.functions
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, TernaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, GenericInternalRow, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
@@ -262,6 +263,52 @@ object TextKernels {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Add-one-smoothed bigram NLL against a hashed LM model
+    * ([[BigramLmModel]]): one compiled pass per document with O(1)
+    * HashMap lookups per bigram. Term = round6(ln(c(w1)+V) −
+    * ln(c(w1 w2)+1)) carried as a scale-6 fixed-point long, summed
+    * exactly, then decimal→double + round6 for `nll` and `avg_nll` —
+    * the same ladder the expression form used, so hashes are
+    * unchanged. Returns (n_bigrams, nll, avg_nll); docs with < 2
+    * tokens score (0, NULL, NULL).
+    */
+  def bigramNll(text: UTF8String,
+      model: graft.functions.BigramLmModel): InternalRow = {
+    val bytes = utf8Bytes(text)
+    val (bounds, cnt) = tokenize(bytes)
+    val nb = (cnt - 1).toLong
+    if (nb <= 0) return new GenericInternalRow(Array[Any](0L, null, null))
+    val uni = model.uniMap
+    val bi = model.biMap
+    val v = model.v
+    var sumScaled = 0L
+    var i = 0
+    while (i < cnt - 1) {
+      val w1 = UTF8String.fromBytes(bytes,
+        bounds(i * 2), bounds(i * 2 + 1) - bounds(i * 2))
+      val cuBox = uni.get(w1)
+      val cu = if (cuBox == null) 0L else cuBox.longValue()
+      val gram =
+        if (contiguous(bytes, bounds, i, 2))
+          UTF8String.fromBytes(bytes, bounds(i * 2),
+            bounds(i * 2 + 3) - bounds(i * 2))
+        else UTF8String.fromBytes(joinGram(bytes, bounds, i, 2))
+      val cbBox = bi.get(gram)
+      val cb = if (cbBox == null) 0L else cbBox.longValue()
+      sumScaled += java.math.BigDecimal
+        .valueOf(math.log(cu + v) - math.log(cb + 1L))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+      i += 1
+    }
+    val d = java.math.BigDecimal.valueOf(sumScaled, 6).doubleValue()
+    val nll = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    val avg = java.math.BigDecimal.valueOf(d / nb)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    new GenericInternalRow(Array[Any](nb, nll, avg))
   }
 
   /** Character-level Shannon entropy (nats) — the cheap "is this text

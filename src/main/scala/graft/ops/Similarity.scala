@@ -172,11 +172,19 @@ object Similarity {
     * every kept x < y before surviving. Requires a numeric id column.
     *
     * Scale shape: the quadratic pass runs INSIDE clusters only, as a
-    * per-cell sequential scan (`flatMapGroups`) whose memory is
-    * guarded by `maxCell` — an oversized cell fails fast with the fix
-    * spelled out (raise `cells`; per-cell membership is
-    * corpus_size / cells in expectation, so the knob keeps the bound
-    * flat at any scale). Assignment is a broadcast map-side argmin
+    * per-cell SEQUENTIAL scan (`flatMapGroups`): one executor thread
+    * holds every kept vector of its cell and pays O(B² · d) flops for
+    * a B-member cell — the paper's greedy is order-dependent, so the
+    * pass cannot be distributed within a cell. Both resources are
+    * guarded: `maxCell` bounds rows, and `maxCellBytes` bounds the
+    * kept-vector heap (rows × dims × 8B), so high-dimensional
+    * embeddings tighten the row bound automatically instead of
+    * silently multiplying the single-thread work. An oversized cell
+    * fails fast with the fix spelled out (raise `cells`; per-cell
+    * membership is corpus_size / cells in expectation, so the knob
+    * keeps the bound flat at any scale — size `cells` so the expected
+    * cell is well inside BOTH bounds). Assignment is a broadcast
+    * map-side argmin
     * (no shuffle); the only shuffle carries (cell, id, vec) rows.
     * Cosine rounds to 6 (HALF_UP, identical to Spark `round`) before
     * the threshold compare so the drop decision and the verification
@@ -193,7 +201,8 @@ object Similarity {
       cells: Int,
       threshold: Double,
       seed: Long = 42L,
-      maxCell: Long = 100000L): DataFrame = {
+      maxCell: Long = 100000L,
+      maxCellBytes: Long = 1L << 30): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     val index = IvfIndex.fit(df, vecCol, cells, seed)
     // checkpoint: fit already ran the upstream once for its sample; the
@@ -202,9 +211,21 @@ object Similarity {
     val assigned = index.assign(df, vecCol).localCheckpoint(true)
     val biggest = assigned.groupBy("cell").count()
       .agg(max("count")).collect()(0).getLong(0)
-    require(biggest <= maxCell,
-      s"semDedup: largest cluster has $biggest members > maxCell=$maxCell; " +
-        "raise `cells` so the per-cluster greedy pass stays bounded")
+    // the row bound alone under-guards high-dim embeddings (the greedy
+    // is O(B²·d) work and B×d×8 heap in ONE task), so the byte budget
+    // scales the effective bound down by the vector dimension
+    val dimsRow = assigned.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    val dims = if (dimsRow.isEmpty) 0 else dimsRow(0).getInt(0)
+    val effMax =
+      if (dims > 0) math.min(maxCell, maxCellBytes / (dims.toLong * 8L))
+      else maxCell
+    require(biggest <= effMax,
+      s"semDedup: largest cluster has $biggest members > effective bound " +
+        s"$effMax (min of maxCell=$maxCell rows and maxCellBytes=" +
+        s"$maxCellBytes / ${dims}d×8B vectors); raise `cells` so the " +
+        "single-threaded per-cluster greedy pass stays bounded in both " +
+        "heap and O(B²·d) work")
     require(df.schema(idCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"semDedup requires a numeric id column; got ${df.schema(idCol).dataType}")

@@ -321,10 +321,11 @@ object TextOps {
     *
     * Scale shape: the model is learned in two distributed
     * aggregations over the reference slice (explode → count), then
-    * collected — bounded, fail-fast — and COMPILED into the scan as
-    * literal maps (the q55 device): scoring is a map-only projection
-    * reading each document once, with no join, no shuffle, and no
-    * second pass. In a real pipeline the reference is a curated
+    * collected — bounded, fail-fast — and broadcast to executors as a
+    * HASHED model driving a compiled kernel ([[graft.functions.BigramNll]]):
+    * scoring is a map-only projection reading each document once, with
+    * no join, no shuffle, no second pass, and O(1) model lookups per
+    * bigram. In a real pipeline the reference is a curated
     * sample (CCNet trains its KenLM on Wikipedia), so the model is
     * config-sized by construction; above `maxVocab`/`maxBigrams` the
     * require fires and the caller should prune the model (CCNet prunes
@@ -353,39 +354,31 @@ object TextOps {
     require(biRows.length <= maxBigrams,
       s"bigramLmNll: reference bigram table exceeds $maxBigrams entries — " +
         "prune the model or raise maxBigrams")
-    val uniMap: Map[String, Long] =
-      uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val biMap: Map[String, Long] =
-      biRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val v = uniMap.size.toLong
+    val v = uniRows.length.toLong
     if (v == 0)
       return df.select(col(idCol), lit(0L).as("n_bigrams"),
         lit(null).cast("double").as("nll"),
         lit(null).cast("double").as("avg_nll"))
-    val uniLit = typedlit(uniMap)
-    val biLit = typedlit(biMap)
-    // tokens computed once behind the fence; the two slices and the
-    // size all read the projected array
-    val withWs = df.select(col(idCol), once(tokens(col(textCol))).as("__ws"))
-    val ws = col("__ws")
-    // w2's unigram count is irrelevant: the term only conditions on w1
-    // (try_element_at: ANSI-safe NULL on a miss, coalesced to 0)
-    val terms = zip_with(
-      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
-      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
-      (a, b) =>
-        round(log(coalesce(try_element_at(uniLit, a), lit(0L)) + lit(v)) -
-              log(coalesce(try_element_at(biLit, concat(a, lit(" "), b)), lit(0L)) + lit(1L)),
-          6).cast("decimal(18,6)"))
-    val nllSum = aggregate(terms, lit(BigDecimal(0)).cast("decimal(18,6)"),
-      (acc, x) => (acc + x).cast("decimal(18,6)"))
-    val nb = coalesce((size(ws) - 1).cast("long"), lit(0L))
-    withWs.select(col(idCol), greatest(nb, lit(0L)).as("n_bigrams"),
-        when(greatest(nb, lit(0L)) === 0, lit(null).cast("double"))
-          .otherwise(round(nllSum.cast("double"), 6)).as("nll"),
-        when(greatest(nb, lit(0L)) === 0, lit(null).cast("double"))
-          .otherwise(round(nllSum.cast("double") / greatest(nb, lit(1L)), 6))
-          .as("avg_nll"))
+    // model counts broadcast once per executor as HASHED maps: O(1)
+    // per bigram lookup, where the earlier typedlit-map form paid a
+    // linear scan of the literal per lookup (Catalyst GetMapValue
+    // walks ArrayBasedMapData) — tokens × |model| comparisons per doc
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val model = new graft.functions.BigramLmModel(
+      uniRows.map(_.getString(0).getBytes(utf8)), uniRows.map(_.getLong(1)),
+      biRows.map(_.getString(0).getBytes(utf8)), biRows.map(_.getLong(1)))
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    // null text scores like empty text — both have 0 bigrams — so the
+    // coalesce keeps the kernel on the simple nullSafeEval path
+    val score = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BigramNll(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          coalesce(col(textCol).cast("string"), lit(""))), bc))
+    df.select(col(idCol), once(score).as("__s"))
+      .select(col(idCol),
+        col("__s").getField("n_bigrams").as("n_bigrams"),
+        col("__s").getField("nll").as("nll"),
+        col("__s").getField("avg_nll").as("avg_nll"))
   }
 
   /** Gopher-style within-document n-gram repetition signals (Rae et
@@ -399,7 +392,14 @@ object TextOps {
     * gram array in place and counts positions with an equal neighbor
     * (same quantity: an occurrence is duplicated iff it touches an
     * equal gram in sorted order). O(L log L) per document inside the
-    * scan stage; the whole operator is a projection.
+    * scan stage; the whole operator is a chain of projections.
+    *
+    * The sorted arrays are MATERIALIZED as real columns (`once`-fenced
+    * so CollapseProject cannot inline them) before any lambda touches
+    * them: a HOF lambda body is evaluated per element, so an inline
+    * `array_sort(transform(...))` inside `filter` would re-build and
+    * re-sort the gram array for EVERY index — O(L² log L) per document
+    * (measured: 642 s at sf0.1 vs ~1 s materialized).
     */
   def dupNgramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = col("__ws")
@@ -407,26 +407,34 @@ object TextOps {
       transform(sequence(lit(1), size(ws) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
       .otherwise(array().cast("array<string>"))
-    def stats(g: Column, prefix: String): Seq[Column] = {
-      val s = once(array_sort(g))
-      val total = size(s).cast("long")
-      // boundary terms are index-guarded with lazy `when` (no
-      // otherwise → NULL off either end, resolved through OR's null
-      // semantics; filter keeps only TRUE). `try_element_at` is NOT
-      // usable here: it suppresses out-of-bounds but still throws
-      // INVALID_INDEX_OF_ZERO at i-1 = 0.
-      val dup = when(total === 0, lit(0L)).otherwise(
+    // dup count over a BOUND attribute (cheap per-element access).
+    // Boundary terms are index-guarded with lazy `when` (no otherwise
+    // → NULL off either end, resolved through OR's null semantics;
+    // filter keeps only TRUE). `try_element_at` is NOT usable here: it
+    // suppresses out-of-bounds but still throws INVALID_INDEX_OF_ZERO
+    // at i-1 = 0.
+    def dupCount(s: Column): Column =
+      when(size(s) === 0, lit(0L)).otherwise(
         size(filter(sequence(lit(1), size(s)), i =>
           (element_at(s, i) === when(i > 1, element_at(s, i - 1))) ||
             (element_at(s, i) === when(i < size(s), element_at(s, i + 1))))).cast("long"))
-      val dupOnce = once(dup)
-      Seq(total.as(s"${prefix}_total"), dupOnce.as(s"${prefix}_dup"),
-        when(total === 0, lit(null).cast("double"))
-          .otherwise(round(dupOnce.cast("double") / total, 6))
-          .as(s"${prefix}_frac"))
-    }
+    def frac(total: Column, dup: Column): Column =
+      when(total === 0L, lit(null).cast("double"))
+        .otherwise(round(dup.cast("double") / total, 6))
     df.select(col(idCol), once(tokens(col(textCol))).as("__ws"))
-      .select(col(idCol) +: (stats(grams(2), "bi") ++ stats(grams(3), "tri")): _*)
+      .select(col(idCol),
+        once(array_sort(grams(2))).as("__s2"),
+        once(array_sort(grams(3))).as("__s3"))
+      .select(col(idCol),
+        size(col("__s2")).cast("long").as("bi_total"),
+        once(dupCount(col("__s2"))).as("bi_dup"),
+        size(col("__s3")).cast("long").as("tri_total"),
+        once(dupCount(col("__s3"))).as("tri_dup"))
+      .select(col(idCol),
+        col("bi_total"), col("bi_dup"),
+        frac(col("bi_total"), col("bi_dup")).as("bi_frac"),
+        col("tri_total"), col("tri_dup"),
+        frac(col("tri_total"), col("tri_dup")).as("tri_frac"))
   }
 
   /** All per-document stats in one pass (single projection). */
@@ -525,15 +533,19 @@ object TextOps {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__ns"))
     val nmin = counts.agg(min(col("__ns")).as("__nmin"))
     val w = round(pow(col("__nmin").cast("double") / col("__ns"), 1.0 - alpha), 6)
-    val thr = counts.crossJoin(broadcast(nmin)).select(col(stratumCol),
+    val thr = counts.crossJoin(broadcast(nmin)).select(
+      col(stratumCol).as("__stratum"),
       col("__ns").as("n_stratum"), w.as("weight"),
       when(w >= 1.0, lit("g")).otherwise(
         lower(lpad(hex(floor(w * lit(4294967296d)).cast("long")), 8, "0")))
         .as("__thr"))
-    df.join(broadcast(thr), stratumCol)
+    // null-SAFE equality: a null stratum is a real stratum (counted by
+    // the groupBy above); a plain equi-join would silently drop every
+    // null-stratum row instead of sampling it at its learned weight
+    df.join(broadcast(thr), col(stratumCol) <=> col("__stratum"))
       .filter(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8) <
         col("__thr"))
-      .drop("__thr")
+      .drop("__stratum", "__thr")
   }
 
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {

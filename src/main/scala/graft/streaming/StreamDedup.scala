@@ -75,11 +75,18 @@ object StreamDedup {
     val schema = stream.schema
     // narrower than the batch twin (Dedup.exact orders by any type):
     // the state row carries the tie-break as a long, so a string
-    // tie-break would cast to NULL and blow up the encoder mid-stream
-    require(schema(tieBreak).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"dedupAgainstIndex requires a numeric tieBreak column; " +
-        s"got ${schema(tieBreak).dataType}")
+    // tie-break would cast to NULL and blow up the encoder mid-stream,
+    // and a FRACTIONAL one (double score, sub-second timestamp) would
+    // silently truncate — collapsing ties and letting minBy resolve by
+    // arrival order, i.e. non-deterministic kept rows
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(schema(tieBreak).dataType)
+    },
+      s"dedupAgainstIndex requires an integral tieBreak column " +
+        s"(byte/short/int/long — fractional values would truncate and " +
+        s"break deterministic tie-breaks); got ${schema(tieBreak).dataType}")
     val fresh = stream.join(seen.select(col("digest")),
       graft.ops.Dedup.contentDigest(keyCols) === col("digest"), "left_anti")
     val packed = fresh.select(

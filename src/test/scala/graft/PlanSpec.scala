@@ -242,4 +242,39 @@ class PlanSpec extends SparkSuite {
       spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding")
     assert(!plan(packed).contains("Exchange"), plan(packed))
   }
+
+  test("q84 LM scoring is a join/shuffle-free compiled-kernel scan") {
+    // the model is learned eagerly (bounded collect) and broadcast into
+    // a compiled BigramNll kernel — the SCORING plan must read the
+    // corpus once: no join, no hash exchange, no UDF; the only exchange
+    // is the presentation orderBy
+    val p = finalPlan(SparkEntry.queries("q84_lm_perplexity")(spark, sfDir))
+    assert(p.contains("graft_bigram_nll"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    val ex = "(?m)\\+\\- Exchange".r.findAllIn(p).size
+    assert(ex <= 1, s"expected only the presentation sort exchange:\n$p")
+  }
+
+  test("q85 k-means assignment is map-only against compiled centroid literals") {
+    // update-step shuffles happen eagerly inside lloyd() (k × dims ×
+    // partitions partial rows); the RETURNED assignment plan touches
+    // the corpus exactly once — no join, no hash exchange
+    val p = finalPlan(SparkEntry.queries("q85_kmeans_lloyd")(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    val ex = "(?m)\\+\\- Exchange".r.findAllIn(p).size
+    assert(ex <= 1, s"expected only the presentation sort exchange:\n$p")
+  }
+
+  test("q86 temperature mixture: one corpus count aggregate broadcast back, no corpus re-shuffle") {
+    // stratum counts are the only corpus-sized aggregation; the learned
+    // thresholds come back by broadcast join, so the corpus itself
+    // never hash-shuffles un-aggregated rows
+    val p = finalPlan(SparkEntry.queries("q86_temperature_mixture")(spark, sfDir))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assertHashExchangesAboveAggregates(p, "q86")
+  }
 }

@@ -40,7 +40,11 @@ trait SparkSuite extends AnyFunSuite {
     */
   protected def assertHashExchangesAboveAggregates(plan: String, ctx: String): Unit = {
     val lines = plan.linesIterator.toSeq
-    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning")).foreach {
+    // a ReusedExchange line NAMES its reused target ("ReusedExchange
+    // [...], Exchange hashpartitioning(...)") but performs no shuffle
+    lines.zipWithIndex.filter { case (l, _) =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")
+    }.foreach {
       case (_, i) =>
         assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
           s"$ctx: hash exchange not directly above an aggregate (line $i):\n$plan")

@@ -181,6 +181,13 @@ class StreamingSpec extends SparkSuite {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // termination is observable BEFORE the manager unregisters the
+      // query, so an immediate restart can trip the
+      // one-active-query-per-checkpoint guard — poll the active list
+      // until it drains
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.streams.active.exists(_.id == q.id) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
     }
     def emitted(): Seq[(Long, String)] = spark.read.schema(schema)
       .parquet(s"$dir/out")
@@ -197,6 +204,104 @@ class StreamingSpec extends SparkSuite {
     runOnce()
     assert(emitted() == Seq((2L, "brand_new"), (3L, "fresh"), (7L, "twice")),
       s"restart must add only the new key, got ${emitted()}")
+  }
+
+  test("late data beyond the watermark is dropped from q54-shaped hourly windows (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamPipeline.windowedCounts(events, "ts", "event_type",
+      windowLen = "1 hour", watermark = "2 hours")
+    // APPEND mode is where watermark semantics bite: a window emits
+    // exactly once, when the watermark passes its end, and later rows
+    // for it are dropped (complete mode — q54's gate config — keeps
+    // all state and can't show the drop)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      // batch 1: two on-time clicks in [00:00,01:00) and a 04:30 view
+      // that advances the watermark to 02:30 > 01:00, finalizing the
+      // click window (the trailing no-data micro-batch emits it)
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "click", 1.5),
+        (ts("2024-01-01 00:20:00"), "click", 2.5),
+        (ts("2024-01-01 04:30:00"), "view", 4.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("late_out")
+        .select("event_type", "n").as[(String, Long)].collect().toSet
+      assert(afterB1 == Set(("click", 2L)),
+        s"click window must finalize with 2 rows, got $afterB1")
+      // batch 2: a LATE click at 00:30 (event time < watermark 02:30)
+      // must be dropped — the finalized window must NOT re-emit or grow
+      input.addData((ts("2024-01-01 00:30:00"), "click", 99.0))
+      q.processAllAvailable()
+      val afterB2 = spark.table("late_out")
+        .select("event_type", "n", "total_value")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(afterB2.filter(_._1 == "click") == Seq(("click", 2L, 4.0)),
+        s"late row must be dropped, got $afterB2")
+    } finally q.stop()
+  }
+
+  test("dedupAgainstIndex: mid-batch crash (offsets written, commit missing) replays exactly-once") {
+    import graft.streaming.StreamDedup
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_midbatch").toString
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    val seen = graft.ops.Dedup.digests(
+      Seq((100L, "indexed")).toDF("doc_id", "text"), Seq("text"))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = StreamDedup.dedupAgainstIndex(stream, seen, Seq("text"), "doc_id")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // termination is observable BEFORE the manager unregisters the
+      // query, so an immediate restart can trip the
+      // one-active-query-per-checkpoint guard — poll the active list
+      // until it drains
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.streams.active.exists(_.id == q.id) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+    }
+    def emitted(): Seq[(Long, String)] = spark.read.schema(schema)
+      .parquet(s"$dir/out")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    Seq((5L, "indexed"), (9L, "twice"), (7L, "twice"), (3L, "fresh"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    runOnce()
+    val afterRun1 = emitted()
+    assert(afterRun1 == Seq((3L, "fresh"), (7L, "twice")))
+    // simulate the crash WINDOW inside a batch: the offset WAL entry is
+    // durable but the commit marker never landed — exactly the state a
+    // worker dies in after planning/while writing. Deleting the last
+    // commit file reproduces it bit-for-bit.
+    val commits = new java.io.File(s"$dir/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty, "expected at least one committed batch")
+    assert(commits.last.delete(), "failed to remove the last commit marker")
+    // Hadoop's local ChecksumFileSystem keeps a `.N.crc` sidecar; left
+    // behind, the replay's rename-into-place of the rewritten commit
+    // fails and surfaces as a bogus "multiple streaming queries" error
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete(), "failed to remove commit crc")
+    // restart: Spark must REPLAY the planned batch against the prior
+    // state-store version; the file sink's _spark_metadata transaction
+    // log hides any orphaned output, so the visible rows are unchanged
+    runOnce()
+    assert(emitted() == afterRun1,
+      s"replayed batch must be exactly-once, got ${emitted()}")
+    // and the replayed state is live, not corrupted: a dup of an
+    // emitted key stays suppressed, a new key flows
+    Seq((1L, "twice"), (2L, "brand_new")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/in")
+    runOnce()
+    assert(emitted() == Seq((2L, "brand_new"), (3L, "fresh"), (7L, "twice")))
   }
 
   test("text kernels ride a stream: quality gate + entropy + scrub per micro-batch") {

@@ -237,4 +237,42 @@ class TextOpsSpec extends SparkSuite {
     val x = rows(3)
     assert(x.getAs[Long]("bi_dup") == 3L && x.getAs[Double]("bi_frac") == 1.0)
   }
+
+  test("temperatureMixture: w>=1 clamp, alpha endpoints, null stratum") {
+    import spark.implicits._
+    // 40 'en' docs, 4 'de' docs, 2 null-stratum docs
+    val d = ((1L to 40L).map(i => (i, "en")) ++
+      (41L to 44L).map(i => (i, "de")) ++
+      Seq((45L, null.asInstanceOf[String]), (46L, null.asInstanceOf[String])))
+      .toDF("doc_id", "lang")
+
+    // the rarest stratum has weight 1 -> the "g" clamp keeps ALL its rows
+    // (every 8-hex md5 prefix sorts below "g")
+    val half = TextOps.temperatureMixture(d, "doc_id", "lang", alpha = 0.5)
+      .collect()
+    val nullKept = half.filter(_.isNullAt(1))
+    assert(nullKept.length == 2, "null stratum is the rarest: all rows kept")
+    assert(nullKept.forall(_.getAs[Double]("weight") == 1.0))
+    // dominant stratum is down-sampled: w = (2/40)^0.5 ~ 0.2236
+    val en = half.filter(r => !r.isNullAt(1) && r.getString(1) == "en")
+    assert(en.forall(_.getAs[Double]("weight") == 0.223607))
+    assert(en.length < 40 && en.nonEmpty)
+    assert(half.filter(r => !r.isNullAt(1) && r.getString(1) == "de")
+      .forall(_.getAs[Double]("weight") == 0.707107))
+
+    // alpha = 1: natural distribution, every weight clamps to 1, all kept
+    val nat = TextOps.temperatureMixture(d, "doc_id", "lang", alpha = 1.0)
+    assert(nat.count() == 46L)
+
+    // alpha = 0: full equalization, weight is exactly n_min / n_s
+    val eq = TextOps.temperatureMixture(d, "doc_id", "lang", alpha = 0.0)
+      .select("lang", "weight").distinct().collect()
+      .map(r => (if (r.isNullAt(0)) "NULL" else r.getString(0)) ->
+        r.getAs[Double]("weight")).toMap
+    assert(eq("en") == 0.05 && eq("de") == 0.5 && eq("NULL") == 1.0)
+
+    intercept[IllegalArgumentException] {
+      TextOps.temperatureMixture(d, "doc_id", "lang", alpha = 1.5)
+    }
+  }
 }
