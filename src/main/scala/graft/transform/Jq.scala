@@ -39,7 +39,19 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *     seeds accumulate in double, jq's number type)
   *   - predicates/exprs: == != < <= > >= and or not, + - * / %,
   *     string/number/bool/null literals, `length`, `ascii_downcase`,
-  *     `ascii_upcase`, `tostring`, `tonumber`, `floor`, `fabs`
+  *     `ascii_upcase`, `tostring`, `tonumber`, `floor`, `fabs`,
+  *     `first`, `last`
+  *   - string interpolation `"\(E)"` (strings raw, null → "null",
+  *     integral numbers bare like jq's shortest-print, everything
+  *     else compact JSON; schema-typed — an untypeable part is
+  *     rejected toward the escape hatch rather than rendered wrong)
+  *   - `["a", .b]` array construction (scalar items), `.x | split(s)`
+  *     / `join(s)` (literal separator, jq null→"" rendering)
+  *   - `getpath(["a","b",0])` (value or stage), `setpath(["a","b"]; E)`
+  *     (stage; intermediate structs must exist — the static-schema
+  *     analogue of jq's create-on-write), `paths` (stage: every
+  *     subvalue's path as compact JSON, root excluded, depth-first)
+  *   - `limit(n; .xs[])` / `first(.xs[])` / `last(.xs[])`
   *
   * Programs outside the subset should go through [[JqEscapeHatch]]
   * (mapPartitions over JSON strings, 0..N outputs per input — the
@@ -55,6 +67,11 @@ object Jq {
       index: Option[Int] = None) extends Expr
   case class NumLit(v: Double) extends Expr
   case class StrLit(v: String) extends Expr
+  /** `"a\(.x)b"` — alternating literal / embedded-program parts. */
+  case class StrInterp(parts: Seq[Either[String, Expr]]) extends Expr
+  /** `["a", .b]` array construction (scalar items — streams stay in
+    * stage position). */
+  case class ArrLit(items: Seq[Expr]) extends Expr
   case class BoolLit(v: Boolean) extends Expr
   case object NullLit extends Expr
   case class VarRef(name: String) extends Expr // `$x` inside reduce
@@ -71,6 +88,9 @@ object Jq {
   private case class TSym(s: String) extends Tok
   private case class TNum(v: Double) extends Tok
   private case class TStr(v: String) extends Tok
+  /** Interpolated string: Left = literal run, Right = embedded program
+    * text (parsed recursively at parse time). */
+  private case class TInterp(parts: Seq[Either[String, String]]) extends Tok
   private case class TIdent(s: String) extends Tok
   private case class TField(path: Seq[String], iterate: Boolean,
       index: Option[Int] = None) extends Tok
@@ -118,14 +138,53 @@ object Jq {
         out += TField(segs.toSeq, iter, idx)
         i = j
       } else if (c == '"') {
+        val parts = scala.collection.mutable.ListBuffer.empty[Either[String, String]]
         val sb = new StringBuilder
         var j = i + 1
         while (j < s.length && s(j) != '"') {
-          if (s(j) == '\\' && j + 1 < s.length) { sb += s(j + 1); j += 2 }
-          else { sb += s(j); j += 1 }
+          if (s(j) == '\\' && j + 1 < s.length) {
+            if (s(j + 1) == '(') {
+              // interpolation: scan the balanced-paren program text,
+              // skipping over nested strings (which may contain parens)
+              if (sb.nonEmpty) { parts += Left(sb.toString); sb.clear() }
+              var k = j + 2
+              var depth = 1
+              val sub = new StringBuilder
+              while (k < s.length && depth > 0) {
+                val ch = s(k)
+                if (ch == '(') { depth += 1; sub += ch; k += 1 }
+                else if (ch == ')') { depth -= 1; if (depth > 0) sub += ch; k += 1 }
+                else if (ch == '"') {
+                  sub += ch; k += 1
+                  var closed = false
+                  while (k < s.length && !closed) {
+                    if (s(k) == '\\' && k + 1 < s.length) {
+                      sub += s(k); sub += s(k + 1); k += 2
+                    } else { closed = s(k) == '"'; sub += s(k); k += 1 }
+                  }
+                } else { sub += ch; k += 1 }
+              }
+              require(depth == 0, s"unterminated \\( interpolation in jq: $s")
+              parts += Right(sub.toString)
+              j = k
+            } else {
+              sb += (s(j + 1) match {
+                case 'n' => '\n'
+                case 't' => '\t'
+                case 'r' => '\r'
+                case x => x // \" \\ \/ and friends: the char itself
+              })
+              j += 2
+            }
+          } else { sb += s(j); j += 1 }
         }
         require(j < s.length, s"unterminated string in jq: $s")
-        out += TStr(sb.toString); i = j + 1
+        if (parts.isEmpty) out += TStr(sb.toString)
+        else {
+          if (sb.nonEmpty) parts += Left(sb.toString)
+          out += TInterp(parts.toSeq)
+        }
+        i = j + 1
       } else if (c.isDigit || (c == '-' && peek(1).isDigit)) {
         val start = i
         i += 1
@@ -215,6 +274,22 @@ object Jq {
       case TField(p, it, ix) => FieldPath(p, it, ix)
       case TNum(v) => NumLit(v)
       case TStr(v) => StrLit(v)
+      case TInterp(parts) => StrInterp(parts.map {
+        case Left(litRun) => Left(litRun)
+        case Right(prog) =>
+          val sub = new Parser(tokenize(prog))
+          val e = sub.parseProgram()
+          require(sub.toks.isEmpty, s"trailing tokens in interpolation: $prog")
+          Right(e)
+      })
+      case TSym("[") =>
+        val items = scala.collection.mutable.ListBuffer.empty[Expr]
+        if (!peek.contains(TSym("]"))) {
+          items += parseOr()
+          while (peek.contains(TSym(","))) { next(); items += parseOr() }
+        }
+        expect("]")
+        ArrLit(items.toSeq)
       case TSym("..") => RecurseAll
       case TSym("$") => next() match {
         case TIdent(n) => VarRef(n)
@@ -306,7 +381,9 @@ object Jq {
   /** Lexical environment for lambda-scoped forms: `.` rebinds to the
     * accumulator inside a `reduce` update, `$x` to the element.
     */
-  private case class Env(dot: Option[Column], vars: Map[String, Column])
+  private case class Env(dot: Option[Column], vars: Map[String, Column],
+      inTry: Boolean = false,
+      schema: Option[StructType] = None)
   private val topEnv = Env(None, Map.empty)
 
   /** Does this subtree contain an expression that ERRORS in jq where
@@ -323,6 +400,8 @@ object Jq {
     case Not(x) => errorProne(x)
     case Pipe(ss) => ss.exists(errorProne)
     case ObjectLit(fs) => fs.exists(f => errorProne(f._2))
+    case StrInterp(ps) => ps.exists { case Right(x) => errorProne(x); case _ => false }
+    case ArrLit(items) => items.exists(errorProne)
     case TryCatch(b, h) => errorProne(b) || h.exists(errorProne)
     case Reduce(s, _, i, u) => errorProne(s) || errorProne(i) || errorProne(u)
     case _ => false
@@ -343,6 +422,10 @@ object Jq {
     case Call(_, args) => args.exists(absorbsErrorNull)
     case Pipe(ss) => ss.exists(absorbsErrorNull)
     case ObjectLit(fs) => fs.exists(f => absorbsErrorNull(f._2))
+    // interpolation renders via coalesce (null → "null"), which absorbs
+    // an error-null from an embedded tonumber the same way `//` does
+    case StrInterp(ps) => ps.exists { case Right(x) => errorProne(x) || absorbsErrorNull(x); case _ => false }
+    case ArrLit(items) => items.exists(absorbsErrorNull)
     case Reduce(s, _, i, u) =>
       absorbsErrorNull(s) || absorbsErrorNull(i) || absorbsErrorNull(u)
     case TryCatch(b, h) => absorbsErrorNull(b) || h.exists(absorbsErrorNull)
@@ -370,7 +453,7 @@ object Jq {
           "try/catch body mixes tonumber with and/or///, which absorbs the " +
             "error marker — use the JqEscapeHatch for this program")
       else if (errorProne(body))
-        coalesce(toColumn(body, env), toColumn(handler, env))
+        coalesce(toColumn(body, env.copy(inTry = true)), toColumn(handler, env))
       else toColumn(body, env)
     case TryCatch(body, None) =>
       if (errorProne(body))
@@ -402,6 +485,17 @@ object Jq {
       else call_function("try_element_at", fieldCol(p), lit(i))
     case NumLit(v) => if (v == math.floor(v) && !v.isInfinite) lit(v.toLong) else lit(v)
     case StrLit(v) => lit(v)
+    case StrInterp(parts) =>
+      concat(parts.map {
+        case Left(s) => lit(s)
+        case Right(x) => interpRender(x, env)
+      }: _*)
+    case ArrLit(items) => array(items.map(toColumn(_, env)): _*)
+    case Call("getpath", Seq(ArrLit(items))) => getPathCol(items)
+    case Call("first", Seq(FieldPath(p, true, _))) if p.nonEmpty =>
+      call_function("try_element_at", fieldCol(p), lit(1))
+    case Call("last", Seq(FieldPath(p, true, _))) if p.nonEmpty =>
+      call_function("try_element_at", fieldCol(p), lit(-1))
     case BoolLit(v) => lit(v)
     case NullLit => lit(null)
     case Not(x) => !toColumn(x, env)
@@ -423,25 +517,196 @@ object Jq {
         case "%" => a % b
         case "//" => coalesce(a, b)
       }
-    case Pipe(Seq(inner, Call(fn, Nil))) => applyFn(fn, toColumn(inner, env))
-    case Call(fn, args) if args.nonEmpty => applyFn(fn, toColumn(args.head, env))
+    // `.x | f | g("arg")` — fold piped calls left-to-right over the
+    // compiled input
+    case Pipe(stages) if stages.size >= 2 &&
+        stages.tail.forall(_.isInstanceOf[Call]) =>
+      // the fold carries (column, isArray): `split` is the only
+      // array-producing stage and jq's `length` is polymorphic
+      // (elements for arrays, codepoints for strings), so the compiled
+      // form must branch on the tracked kind — Spark's `length` only
+      // accepts strings
+      stages.tail.foldLeft((toColumn(stages.head, env), false)) {
+        case ((c, isArr), st) =>
+          st match {
+            // split on the LITERAL separator (jq semantics; Spark's
+            // split takes a regex, so quote it); -1 keeps trailing
+            // empty fields, matching jq — except the empty string,
+            // where jq yields [] and Spark [""]
+            case Call("split", Seq(StrLit(sep))) =>
+              (when(length(c) === 0, array().cast("array<string>"))
+                .otherwise(split(c, java.util.regex.Pattern.quote(sep), -1)),
+                true)
+            // join renders elements (numbers/bools → text) and joins,
+            // null elements becoming empty strings, like jq
+            case Call("join", Seq(StrLit(sep))) =>
+              (array_join(transform(c, x => x.cast("string")), sep, ""), false)
+            case Call("length", Nil) if isArr => (size(c), false)
+            case Call(fn, Nil) => (applyFn(fn, c, env.inTry), false)
+            case other => throw new IllegalArgumentException(
+              s"unsupported piped jq call: $other")
+          }
+      }._1
+    case Call(fn, args) if args.nonEmpty =>
+      applyFn(fn, toColumn(args.head, env), env.inTry)
     case Call(fn, Nil) => throw new IllegalArgumentException(
       s"jq function '$fn' needs a piped input in value position")
     case other => throw new IllegalArgumentException(s"unsupported jq value expr: $other")
   }
 
-  private def applyFn(fn: String, c: Column): Column = fn match {
+  private def applyFn(fn: String, c: Column, inTry: Boolean = false): Column = fn match {
     case "length" => length(c)
     case "ascii_downcase" => lower(c)
     case "ascii_upcase" => upper(c)
     case "tostring" => c.cast("string")
-    // try_cast, not cast: ANSI mode throws on malformed strings, and
-    // the null-on-failure form is exactly the error⇔null mapping the
-    // compiled try/catch relies on
-    case "tonumber" => c.try_cast("double")
+    // INSIDE try/catch: try_cast — null-on-failure IS the error⇔null
+    // mapping the compiled try/catch relies on. OUTSIDE: ANSI cast, so
+    // a malformed string FAILS the job the way jq raises an error,
+    // instead of silently nulling (e.g. `select(.x | tonumber > 5)`
+    // must not silently drop rows). Remaining divergence: a NULL input
+    // nulls through where jq errors ("null cannot be parsed") — nulls
+    // carry no malformed content, so the quiet path is safe.
+    case "tonumber" => if (inTry) c.try_cast("double") else c.cast("double")
     case "floor" => floor(c)
     case "fabs" => abs(c)
+    // jq `first`/`last` = `.[0]` / `.[-1]`: null on an empty array
+    case "first" => call_function("try_element_at", c, lit(1))
+    case "last" => call_function("try_element_at", c, lit(-1))
     case other => throw new IllegalArgumentException(s"unsupported jq function: $other")
+  }
+
+  /** `getpath(["a","b",0])` → the same access chain as `.a.b[0]` —
+    * string components index objects, number components arrays
+    * (0-based, negative from end, null out-of-range, like jq). */
+  private def getPathCol(items: Seq[Expr]): Column = {
+    val head = items.headOption match {
+      case Some(StrLit(s)) => col(s"`$s`")
+      case other => throw new IllegalArgumentException(
+        s"getpath needs a literal path starting with a field name, got $other")
+    }
+    items.tail.foldLeft(head) {
+      case (c, StrLit(s)) => c.getField(s)
+      case (c, NumLit(n)) =>
+        val i = n.toInt
+        call_function("try_element_at", c, lit(if (i >= 0) i + 1 else i))
+      case (_, other) => throw new IllegalArgumentException(
+        s"getpath path components must be literal strings/numbers, got $other")
+    }
+  }
+
+  /** Static render kind of an interpolated expression — decides how
+    * `"\(E)"` stringifies E (jq renders strings RAW, everything else
+    * as its JSON text). */
+  private sealed trait Kind
+  private case object KString extends Kind
+  private case object KNumeric extends Kind
+  private case object KBool extends Kind
+  private case object KNull extends Kind
+  private case object KJson extends Kind
+
+  private def pathType(schema: StructType, path: Seq[String],
+      index: Option[Int]): Option[org.apache.spark.sql.types.DataType] = {
+    var dt: org.apache.spark.sql.types.DataType = schema
+    for (seg <- path) dt match {
+      case st: StructType => st.fields.find(_.name == seg) match {
+        case Some(f) => dt = f.dataType
+        case None => return None
+      }
+      case _ => return None
+    }
+    index match {
+      case None => Some(dt)
+      case Some(_) => dt match {
+        case ArrayType(et, _) => Some(et)
+        case _ => None
+      }
+    }
+  }
+
+  private def kindOfType(dt: org.apache.spark.sql.types.DataType): Kind = dt match {
+    case org.apache.spark.sql.types.StringType => KString
+    case org.apache.spark.sql.types.BooleanType => KBool
+    case _: org.apache.spark.sql.types.NumericType => KNumeric
+    case _ => KJson
+  }
+
+  private def inferKind(e: Expr, env: Env): Option[Kind] = e match {
+    case StrLit(_) | StrInterp(_) => Some(KString)
+    case NumLit(_) => Some(KNumeric)
+    case BoolLit(_) => Some(KBool)
+    case NullLit => Some(KNull)
+    case Not(_) => Some(KBool)
+    case ArrLit(_) => Some(KJson)
+    case ObjectLit(_) => Some(KJson)
+    case BinOp(op, _, _) if Seq("==", "!=", "<", "<=", ">", ">=", "and", "or").contains(op) =>
+      Some(KBool)
+    case BinOp(op, _, _) if Seq("+", "-", "*", "/", "%").contains(op) =>
+      Some(KNumeric)
+    case BinOp("//", l, r) =>
+      (inferKind(l, env), inferKind(r, env)) match {
+        case (Some(a), Some(b)) if a == b => Some(a)
+        case (Some(KNull), b) => b
+        case (a, Some(KNull)) => a
+        case _ => None
+      }
+    case TryCatch(b, h) =>
+      val hk = h.map(inferKind(_, env)).getOrElse(inferKind(b, env))
+      (inferKind(b, env), hk) match {
+        case (Some(a), Some(c)) if a == c => Some(a)
+        case _ => None
+      }
+    case Call(fn, _) if Seq("tostring", "ascii_downcase", "ascii_upcase").contains(fn) =>
+      Some(KString)
+    case Call(fn, _) if Seq("length", "tonumber", "floor", "fabs").contains(fn) =>
+      Some(KNumeric)
+    case Call("getpath", Seq(ArrLit(items))) =>
+      // literal paths reduce to a FieldPath when all-string
+      if (items.forall(_.isInstanceOf[StrLit]))
+        inferKind(FieldPath(items.map(_.asInstanceOf[StrLit].v)), env)
+      else None
+    case Call(fn, Seq(FieldPath(p, true, _))) if Seq("first", "last").contains(fn) =>
+      env.schema.flatMap(s => pathType(s, p, Some(0))).map(kindOfType)
+    case FieldPath(p, false, ix) =>
+      env.schema.flatMap(s => pathType(s, p, ix)).map(kindOfType)
+    case Pipe(stages) if stages.size >= 2 =>
+      stages.last match {
+        case Call(fn, _) if Seq("tostring", "ascii_downcase", "ascii_upcase", "join").contains(fn) =>
+          Some(KString)
+        case Call(fn, _) if Seq("length", "tonumber", "floor", "fabs").contains(fn) =>
+          Some(KNumeric)
+        case Call("split", _) => Some(KJson)
+        case _ => None
+      }
+    case Reduce(_, _, init, _) => inferKind(init, env)
+    case _ => None
+  }
+
+  /** Stringify one `"\(E)"` part. jq: strings render raw, null renders
+    * "null", numbers/bools/arrays/objects render as their compact JSON.
+    * Integral floats normalize like jq (2.0 → "2"). Needs the record
+    * schema (compile via a DataFrame) for field-typed parts; an
+    * untypeable part is rejected toward the escape hatch rather than
+    * rendered wrong. */
+  private def interpRender(e: Expr, env: Env): Column = {
+    val c = toColumn(e, env)
+    inferKind(e, env) match {
+      case Some(KString) => coalesce(c, lit("null"))
+      case Some(KNull) => lit("null")
+      case Some(KBool) => coalesce(c.cast("string"), lit("null"))
+      case Some(KNumeric) =>
+        // jq numbers are IEEE doubles printed shortest: integral
+        // values drop the ".0" a plain double→string cast would keep
+        val d = c.cast("double")
+        when(c.isNull, lit("null"))
+          .when(!isnan(d) && d === floor(d) &&
+            abs(d) < lit(9.007199254740992e15), // 2^53: exact long range
+            d.cast("long").cast("string"))
+          .otherwise(c.cast("string"))
+      case Some(KJson) => jsonVal(c)
+      case None => throw new IllegalArgumentException(
+        s"cannot infer the render type of interpolated expression $e — " +
+          "use the JqEscapeHatch for this program")
+    }
   }
 
   /** Compile a whole program to a DataFrame→DataFrame transform. */
@@ -537,7 +802,14 @@ object Jq {
       case _ => array(jsonVal(c))
     }
 
-  private def applyStage(df: DataFrame, stage: Expr): DataFrame = stage match {
+  private def applyStage(df: DataFrame, stage: Expr): DataFrame = {
+    // the record schema rides the env so interpolation / getpath can
+    // type their field accesses
+    val env = topEnv.copy(schema = Some(df.schema))
+    applyStage(df, stage, env)
+  }
+
+  private def applyStage(df: DataFrame, stage: Expr, env: Env): DataFrame = stage match {
     case Identity => df
     // `..` recursive descent: every subvalue of the record as a row of
     // compact JSON, in jq's order (root, then depth-first children).
@@ -556,19 +828,54 @@ object Jq {
         throw new IllegalArgumentException(
           "try body mixes tonumber with and/or///, which absorbs the " +
             "error marker — use the JqEscapeHatch for this program")
-      df.select(toColumn(body, topEnv).as("value"))
+      df.select(toColumn(body, env.copy(inTry = true)).as("value"))
         .filter(col("value").isNotNull)
-    case Call("select", Seq(pred)) => df.filter(toColumn(pred))
+    case Call("select", Seq(pred)) => df.filter(toColumn(pred, env))
     case Call("del", paths) =>
       df.drop(paths.collect { case FieldPath(p, _, _) => p.head }: _*)
+    // `getpath(["a","b"])` as a stage: project to the addressed value
+    case Call("getpath", Seq(ArrLit(items))) =>
+      df.select(getPathCol(items).as(items.lastOption match {
+        case Some(StrLit(s)) => s
+        case _ => "value"
+      }))
+    // `setpath(["a","b"]; E)` — set a (possibly nested) field; the
+    // intermediate structs must exist in the schema (the static-schema
+    // analogue of jq, which would create them)
+    case Call("setpath", Seq(ArrLit(items), valueExpr))
+        if items.nonEmpty && items.forall(_.isInstanceOf[StrLit]) =>
+      val segs = items.map(_.asInstanceOf[StrLit].v)
+      val v = toColumn(valueExpr, env)
+      if (segs.size == 1) df.withColumn(segs.head, v)
+      else df.withColumn(segs.head,
+        col(s"`${segs.head}`").withField(segs.tail.mkString("."), v))
+    // `paths` — every subvalue's path (root excluded), depth-first,
+    // rendered as compact JSON arrays; static schema → one map-only
+    // enumeration expression, explode at the end (the `..` device)
+    case Call("paths", Nil) =>
+      val root = struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+      val rendered = transform(
+        enumPaths(root, df.schema, typedlit(Seq.empty[String])),
+        p => concat(lit("["), concat_ws(",", p), lit("]")))
+      df.select(explode(rendered).as("value"))
+    // `limit(n; .xs[])` — first n elements of the iterated stream
+    case Call("limit", Seq(NumLit(n), FieldPath(p, true, _))) if p.nonEmpty =>
+      val c = slice(fieldCol(p), 1, n.toInt)
+      df.schema(p.head).dataType match {
+        case _ if p.size > 1 => df.select(explode(c).as("value"))
+        case ArrayType(_: StructType, _) => df.select(inline(c))
+        case ArrayType(_, _) => df.select(explode(c).as("value"))
+        case other => throw new IllegalArgumentException(
+          s"cannot iterate non-array ${p.mkString(".")}: $other")
+      }
     case ObjectLit(fields) =>
-      df.select(fields.map { case (n, ex) => toColumn(ex).as(n) }: _*)
+      df.select(fields.map { case (n, ex) => toColumn(ex, env).as(n) }: _*)
     // `. + {k: expr}` / `{k: expr} + .` merge → withColumn
     case BinOp("+", Identity, ObjectLit(fields)) =>
-      fields.foldLeft(df) { case (d, (n, ex)) => d.withColumn(n, toColumn(ex)) }
+      fields.foldLeft(df) { case (d, (n, ex)) => d.withColumn(n, toColumn(ex, env)) }
     case BinOp("+", ObjectLit(fields), Identity) =>
       fields.foldLeft(df) { case (d, (n, ex)) =>
-        if (d.columns.contains(n)) d else d.withColumn(n, toColumn(ex))
+        if (d.columns.contains(n)) d else d.withColumn(n, toColumn(ex, env))
       }
     // `del(.a) + {b: .c}` composition
     case BinOp("+", l, r) => applyStage(applyStage(df, l), r)
@@ -592,6 +899,38 @@ object Jq {
         case _ => df.select(fieldCol(p).as(p.last))
       }
     case other => // predicate-shaped stage → treat as computed value named "value"
-      df.select(toColumn(other).as("value"))
+      df.select(toColumn(other, env).as("value"))
+  }
+
+  /** Every subvalue's path as array<string> of pre-rendered JSON
+    * components (quoted names / bare indexes), root excluded,
+    * depth-first like jq `paths`. A null object/array contributes its
+    * own path (emitted by its parent) but is not descended into. */
+  private def enumPaths(c: Column,
+      dt: org.apache.spark.sql.types.DataType, prefix: Column): Column = {
+    val none = typedlit(Seq.empty[Seq[String]])
+    dt match {
+      case st: StructType =>
+        val kids = st.fields.toSeq.map { f =>
+          val name = "\"" + f.name.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          val p = concat(prefix, array(lit(name)))
+          concat(array(p), enumPaths(c.getField(f.name), f.dataType, p))
+        }
+        if (kids.isEmpty) none
+        else when(c.isNull, none).otherwise(concat(kids: _*))
+      case ArrayType(et, _) =>
+        when(c.isNull, none).otherwise(
+          flatten(transform(c, (x, i) => {
+            val p = concat(prefix, array(i.cast("string")))
+            concat(array(p), enumPaths(x, et, p))
+          })))
+      case org.apache.spark.sql.types.MapType(_, vt, _) =>
+        when(c.isNull, none).otherwise(
+          flatten(transform(map_entries(c), e => {
+            val p = concat(prefix, array(jsonVal(e.getField("key").cast("string"))))
+            concat(array(p), enumPaths(e.getField("value"), vt, p))
+          })))
+      case _ => none
+    }
   }
 }

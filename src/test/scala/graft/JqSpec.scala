@@ -230,4 +230,87 @@ class JqSpec extends SparkSuite {
     assert(spark.table("graft_times").where("ts IS NOT NULL").count() == 2)
     spark.sql("DROP TABLE graft_times")
   }
+
+  test("string interpolation \"\\(...)\" renders like real jq") {
+    import graft.transform.JqEscapeHatch
+    val df = Seq(
+      (1L, "alice", 34L, true, 2.5),
+      (2L, "bob", 28L, false, 2.0)
+    ).toDF("id", "name", "age", "active", "score")
+    // strings raw, integers bare, integral doubles normalized (2.0 →
+    // "2"), booleans as text, arithmetic folded — all like jq
+    val prog = """{msg: "\(.name) is \(.age), next \(.age + 1), s=\(.score), a=\(.active)"}"""
+    val compiled = Jq.compile(prog)(df).select("msg").as[String].collect().sorted.toSeq
+    val real = JqEscapeHatch(df, prog).select("msg").as[String].collect().sorted.toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+    // null fields render "null"; arrays render as compact JSON
+    val df2 = Seq((Some("x"), Seq(1L, 2L)), (None, Seq.empty[Long]))
+      .toDF("s", "xs")
+    val prog2 = """{m: "s=\(.s) xs=\(.xs)"}"""
+    val c2 = Jq.compile(prog2)(df2).select("m").as[String].collect().sorted.toSeq
+    val r2 = JqEscapeHatch(df2, prog2).select("m").as[String].collect().sorted.toSeq
+    assert(c2 == r2, s"\ncompiled: $c2\nreal jq:  $r2")
+  }
+
+  test("split/join pipe like real jq, incl. trailing empty fields") {
+    import graft.transform.JqEscapeHatch
+    val df = Seq("a,b,c", "one", "x,,y,", "").toDF("text")
+    val prog = """{j: (.text | split(",") | join("-")), n: (.text | split(",") | length)}"""
+    val compiled = Jq.compile(prog)(df)
+      .selectExpr("concat(j, '#', n)").as[String].collect().sorted.toSeq
+    val real = JqEscapeHatch(df, prog)
+      .selectExpr("concat(j, '#', cast(n AS bigint))").as[String].collect().sorted.toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+  }
+
+  test("getpath/setpath address nested fields like real jq") {
+    import graft.transform.JqEscapeHatch
+    val one = spark.range(1).selectExpr("id",
+      "named_struct('x', 3L, 'ys', array(7L, 8L)) AS obj")
+    val get = """{a: getpath(["obj","x"]), b: getpath(["obj","ys",1])}"""
+    val cg = Jq.compile(get)(one).selectExpr("concat(a, '/', b)").as[String].head()
+    val rg = JqEscapeHatch(one, get)
+      .selectExpr("concat(cast(a AS bigint), '/', cast(b AS bigint))").as[String].head()
+    assert(cg == rg && cg == "3/8")
+    val set = """setpath(["obj","x"]; 99)"""
+    val cs = Jq.compile(set)(one).selectExpr("obj.x").as[Long].head()
+    val rs = JqEscapeHatch(one, set).selectExpr("cast(obj.x AS bigint)").as[Long].head()
+    assert(cs == rs && cs == 99L)
+  }
+
+  test("paths matches real jq byte-for-byte, in order") {
+    import graft.transform.JqEscapeHatch
+    val one = spark.range(1).selectExpr("1 AS id",
+      "named_struct('x', 3, 'tags', array('p', 'q')) AS obj",
+      "array(10, 20) AS nums")
+    val compiled = Jq.compile("paths")(one).as[String].collect().toSeq
+    val real = JqEscapeHatch.rawApply(one.toJSON, "paths").collect().toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+  }
+
+  test("limit/first/last over iterated arrays like real jq") {
+    import graft.transform.JqEscapeHatch
+    val one = spark.range(1).selectExpr("array(10L, 20L, 30L) AS nums")
+    val cl = Jq.compile("limit(2; .nums[])")(one)
+      .selectExpr("cast(value AS string)").as[String].collect().toSeq
+    val rl = JqEscapeHatch.rawApply(one.toJSON, "limit(2; .nums[])").collect().toSeq
+    assert(cl == rl && cl == Seq("10", "20"))
+    val fl = """{f: first(.nums[]), l: last(.nums[]), pf: (.nums | first), pl: (.nums | last)}"""
+    val cf = Jq.compile(fl)(one)
+      .selectExpr("concat(f, l, pf, pl)").as[String].head()
+    val rf = JqEscapeHatch(one, fl)
+      .selectExpr("concat(cast(f AS bigint), cast(l AS bigint), cast(pf AS bigint), cast(pl AS bigint))")
+      .as[String].head()
+    assert(cf == rf && cf == "10301030")
+    // empty array: first/last → null, like jq's .[0] on []
+    val empty = spark.range(1).selectExpr("array() AS nums")
+    assert(Jq.compile("{f: (.nums | first)}")(empty).select("f").head().isNullAt(0))
+  }
+
+  test("array construction [.a, .b] builds arrays") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val out = Jq.compile("{pair: [.a, .b], empty: []}")(df).collect()(0)
+    assert(out.getSeq[Long](0) == Seq(1L, 2L))
+    assert(out.getSeq[Any](1).isEmpty)
+  }
 }
