@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Dedup, KMeans, Pack, Rank, Sample, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, KMeans, Pack, Rank, Sample, Similarity, TextOps}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -1215,6 +1215,27 @@ object SparkEntry {
       // per-doc sorted-gram neighbor runs replace the explode +
       // (doc, gram) re-group of the textbook form
       TextOps.dupNgramStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q88_source_mix_report" -> ((s, dir) =>
+      // per-source curation health: digest shuffle for the shared-
+      // leading-segment signal, then one tiny source-keyed aggregate
+      Curation.sourceMixReport(t(s, dir, "documents"))
+        .orderBy("source")),
+
+    "q89_dsir_weights" -> ((s, dir) =>
+      // DSIR importance weights, target = the English slice: hashed
+      // unigram model learned in ONE bounded aggregation, compiled
+      // into a map-only scoring pass (array literal, O(1) lookups)
+      Curation.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+        .orderBy("doc_id")),
+
+    "q90_substring_dedup" -> ((s, dir) =>
+      // Lee et al. exact substring dedup: sliding 15-token windows,
+      // digest-only shuffle, per-doc coverage resolved with hash-set
+      // array_except (no per-position scans)
+      Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text", w = 15)
         .orderBy("doc_id")))
 
   // ------------------------------------------------------------------
@@ -2343,5 +2364,92 @@ object SparkEntry {
         |  END AS tri_frac
         |FROM documents d LEFT JOIN a2 USING (doc_id)
         |               LEFT JOIN a3 USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q88: leading-10-token-segment digests; shared segment across any
+    // two docs marks both as near-dup candidates
+    "q88_source_mix_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tokens
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, source, len(tokens) AS n_tok,
+        |    md5(array_to_string(tokens[1:10], ' ')) AS sd
+        |  FROM toks),
+        |dup AS (SELECT sd FROM seg GROUP BY sd HAVING COUNT(*) >= 2),
+        |fl AS (
+        |  SELECT s.source, s.n_tok, (d.sd IS NOT NULL) AS nd
+        |  FROM seg s LEFT JOIN dup d USING (sd))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN nd THEN 1 ELSE 0 END) AS BIGINT) AS neardup_docs,
+        |  ROUND(CAST(SUM(CASE WHEN nd THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+        |    AS neardup_frac,
+        |  ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+        |  (ROUND(CAST(SUM(CASE WHEN nd THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+        |     <= 0.3e0 AND COUNT(*) >= 10) AS keep
+        |FROM fl GROUP BY source ORDER BY source""".stripMargin,
+
+    // q89: the portable bucket hash is ('0x'||substr(md5,1,4))::INT %
+    // 1024 = Spark's conv(substring(md5,1,4),16,10) % 1024; per-bucket
+    // log-ratios round to 6 pre-sum and accumulate as DECIMAL(18,6)
+    // (the round-6-LN ladder). NULL-lang rows would count toward
+    // neither distribution on both engines (CASE WHEN three-valued).
+    "q89_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    (('0x' || substr(md5(tok), 1, 4))::INT % 1024) AS bk
+        |  FROM toks),
+        |cnt AS (
+        |  SELECT bk,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt,
+        |    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS r_cnt
+        |  FROM b GROUP BY bk),
+        |tot AS (SELECT SUM(t_cnt) AS nt, SUM(r_cnt) AS nr FROM cnt),
+        |lam AS (
+        |  SELECT bk, CAST(ROUND(
+        |    LN((t_cnt + 1.0) / (nt + 1024)) - LN((r_cnt + 1.0) / (nr + 1024)), 6)
+        |    AS DECIMAL(18,6)) AS lam
+        |  FROM cnt CROSS JOIN tot),
+        |score AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lam) AS s
+        |  FROM b JOIN lam USING (bk) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(s AS DOUBLE), 6) AS logw,
+        |  ROUND(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_logw
+        |FROM score ORDER BY doc_id""".stripMargin,
+
+    // q90: 15-token sliding windows (1-based inclusive slices); a
+    // window duplicated anywhere (>= 2 occurrences corpus-wide,
+    // within-doc included) covers its 15 positions; docs shorter than
+    // the window pass through untouched
+    "q90_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, i, md5(array_to_string(tokens[i:i+14], ' ')) AS h
+        |  FROM toks, UNNEST(range(1, len(tokens) - 13)) AS t(i)),
+        |dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2),
+        |dwin AS (SELECT w.doc_id, w.i FROM win w JOIN dup USING (h)),
+        |cov AS (SELECT DISTINCT doc_id, i + o AS p
+        |  FROM dwin, UNNEST(range(0, 15)) AS t(o)),
+        |pos AS (
+        |  SELECT doc_id, i AS p, tokens[i] AS tok
+        |  FROM toks, UNNEST(range(1, len(tokens) + 1)) AS t(i)),
+        |keptpos AS (
+        |  SELECT pos.doc_id, p, tok FROM pos ANTI JOIN cov USING (doc_id, p)),
+        |reasm AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+        |    CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM keptpos GROUP BY doc_id),
+        |full_len AS (SELECT doc_id, len(tokens) AS n_tok FROM toks)
+        |SELECT f.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  CAST(f.n_tok - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM full_len f LEFT JOIN reasm r USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin)
 }

@@ -485,6 +485,65 @@ object Dedup {
       .na.fill("", Seq("clean_text")).na.fill(0L, Seq("n_kept"))
   }
 
+  /** Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every token position
+    * covered by ANY `w`-token window whose content occurs ≥ 2 times in
+    * the corpus (all occurrences counted — within- and cross-document)
+    * is removed, and the surviving tokens reassemble in order. Where
+    * [[dedupSegments]] drops fixed non-overlapping segments duplicated
+    * across documents, this is the sliding-window form: repetition at
+    * ANY offset is caught, the way the paper's suffix-array pass
+    * removes verbatim substrings wherever they start.
+    *
+    * Scale shape: window digests are built in the scan stage as an
+    * array column (one md5 per start offset — O(L·w) per document,
+    * the same work the oracle pays); the only corpus-sized shuffle
+    * carries (digest, count) with map-side combine, and the
+    * duplicated-digest set joins back by digest (AQE broadcasts it
+    * when small). Coverage is resolved per document with NO
+    * per-position scan of the start list: duplicated starts
+    * flatten to covered positions, `array_except` (hash-set
+    * lookups) keeps the rest — O(L·w) worst case, not O(L²).
+    * Every intermediate (window array, coverage array, kept
+    * positions) is materialized as a `once`-fenced column BEFORE a
+    * lambda reads it — an inline expression would re-evaluate per
+    * element (the q87 lesson).
+    */
+  def substringDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 15): DataFrame = {
+    require(w >= 2, s"substringDedup: window must be >= 2 tokens, got $w")
+    val ws = col("__ws")
+    val docsT = df.select(col(idCol), TextOps.once(TextOps.tokens(col(textCol))).as("__ws"))
+    val winArr = when(size(ws) >= w,
+      transform(sequence(lit(1), size(ws) - (w - 1)),
+        i => md5(concat_ws(" ", slice(ws, i, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+    val wins = docsT
+      .select(col(idCol), TextOps.once(winArr).as("__wins"))
+      .select(col(idCol), posexplode(col("__wins")).as(Seq("__p0", "__h")))
+    val dupH = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__h")
+    val dstarts = wins.join(dupH, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__p0") + 1)).as("__starts"))
+    val covArr = array_distinct(flatten(transform(
+      coalesce(col("__starts"), array().cast("array<int>")),
+      s => sequence(s, s + (w - 1)))))
+    docsT.join(dstarts, Seq(idCol), "left")
+      .select(col(idCol), ws, TextOps.once(covArr).as("__cov"))
+      .select(col(idCol), ws,
+        TextOps.once(array_except(sequence(lit(1), size(ws)), col("__cov")))
+          .as("__kp"))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("__kp"), p => element_at(ws, p)))
+          .as("clean_text"),
+        size(col("__kp")).cast("long").as("n_kept"),
+        (size(ws) - size(col("__kp"))).cast("long").as("n_removed"))
+  }
+
   /** Restrict a corpus to the documents named by a candidate-pair edge
     * list — the step that makes verification scale-safe: exact n-gram
     * Jaccard after this touches only near-dup suspects, so a

@@ -217,4 +217,43 @@ class DedupSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("keep policy"))
   }
+
+  test("substringDedup matches a brute-force sliding-window oracle") {
+    // w=3 windows; corpus built so every interesting case occurs:
+    // cross-doc dup at different offsets, WITHIN-doc repetition,
+    // short doc (no windows), fully-covered doc, overlapping covered
+    // ranges that must merge
+    val corpus = Seq(
+      (1L, "a b c d e f g"),       // "c d e" shared with doc 2 (offset 3 vs 1)
+      (2L, "c d e x y z"),
+      (3L, "p q r p q r p q"),     // within-doc repetition of "p q r"
+      (4L, "one two"),             // shorter than the window: untouched
+      (5L, "m n o m n o"),         // fully covered -> empty clean_text
+      (6L, "m n o m n o")          // exact dup of 5
+    ).toDF("doc_id", "text")
+    val w = 3
+    val toks = Seq(
+      1L -> "a b c d e f g", 2L -> "c d e x y z", 3L -> "p q r p q r p q",
+      4L -> "one two", 5L -> "m n o m n o", 6L -> "m n o m n o"
+    ).map { case (id, s) => id -> s.split("\\s+").toSeq }
+    val winCounts = toks.flatMap { case (_, ts) =>
+      ts.sliding(w).filter(_.size == w).map(_.mkString(" "))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = toks.map { case (id, ts) =>
+      val starts = (0 to ts.size - w)
+        .filter(i => winCounts(ts.slice(i, i + w).mkString(" ")) >= 2)
+      val covered = starts.flatMap(s => s until s + w).toSet
+      val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      (id, kept.mkString(" "), kept.size.toLong, (ts.size - kept.size).toLong)
+    }.sortBy(_._1)
+    val out = Dedup.substringDedup(corpus, "doc_id", "text", w = w)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == expected)
+    // the fixture really exercised the edge cases it claims to
+    val byId = expected.map(e => e._1 -> e).toMap
+    assert(byId(4L)._4 == 0, "short doc must be untouched")
+    assert(byId(5L)._2 == "" && byId(5L)._3 == 0, "fully-covered doc -> empty")
+    assert(byId(3L)._4 > 0, "within-doc repetition must be removed")
+  }
 }
