@@ -1236,6 +1236,13 @@ object SparkEntry {
       // digest-only shuffle, per-doc coverage resolved with hash-set
       // array_except (no per-position scans)
       Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text", w = 15)
+        .orderBy("doc_id")),
+
+    "q91_top_ngram_fraction" -> ((s, dir) =>
+      // Gopher top-gram char fractions as a ZERO-shuffle projection:
+      // longest run in the sorted gram array replaces the explode +
+      // per-doc count window of the textbook form
+      TextOps.topNgramStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")))
 
   // ------------------------------------------------------------------
@@ -2451,5 +2458,49 @@ object SparkEntry {
         |  COALESCE(r.n_kept, 0) AS n_kept,
         |  CAST(f.n_tok - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
         |FROM full_len f LEFT JOIN reasm r USING (doc_id)
-        |ORDER BY f.doc_id""".stripMargin)
+        |ORDER BY f.doc_id""".stripMargin,
+
+    // q91: textbook derivation — explode grams, count per (doc, gram),
+    // ROW_NUMBER by (count DESC, gram ASC) picks the same top gram as
+    // the Spark side's longest-sorted-run fold; char denominator is
+    // the single-space-joined token text on both engines
+    "q91_top_ngram_fraction" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |chars AS (SELECT doc_id, len(array_to_string(ws, ' ')) AS n_chars FROM toks),
+        |g2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+        |c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, c, gram FROM (
+        |  SELECT doc_id, c, gram, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, gram ASC) AS rk FROM c2) WHERE rk = 1),
+        |g3 AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+        |t3 AS (SELECT doc_id, c, gram FROM (
+        |  SELECT doc_id, c, gram, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, gram ASC) AS rk FROM c3) WHERE rk = 1),
+        |g4 AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i) WHERE len(ws) >= 4),
+        |c4 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g4 GROUP BY 1, 2),
+        |t4 AS (SELECT doc_id, c, gram FROM (
+        |  SELECT doc_id, c, gram, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, gram ASC) AS rk FROM c4) WHERE rk = 1)
+        |SELECT ch.doc_id,
+        |  CAST(COALESCE(t2.c, 0) AS BIGINT) AS top2_count,
+        |  CASE WHEN t2.c IS NULL OR ch.n_chars = 0 THEN NULL
+        |       ELSE ROUND(CAST(t2.c * len(t2.gram) AS DOUBLE) / ch.n_chars, 6)
+        |  END AS top2_frac,
+        |  CAST(COALESCE(t3.c, 0) AS BIGINT) AS top3_count,
+        |  CASE WHEN t3.c IS NULL OR ch.n_chars = 0 THEN NULL
+        |       ELSE ROUND(CAST(t3.c * len(t3.gram) AS DOUBLE) / ch.n_chars, 6)
+        |  END AS top3_frac,
+        |  CAST(COALESCE(t4.c, 0) AS BIGINT) AS top4_count,
+        |  CASE WHEN t4.c IS NULL OR ch.n_chars = 0 THEN NULL
+        |       ELSE ROUND(CAST(t4.c * len(t4.gram) AS DOUBLE) / ch.n_chars, 6)
+        |  END AS top4_frac
+        |FROM chars ch LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |  LEFT JOIN t4 USING (doc_id)
+        |ORDER BY ch.doc_id""".stripMargin)
 }

@@ -437,6 +437,67 @@ object TextOps {
         frac(col("tri_total"), col("tri_dup")).as("tri_frac"))
   }
 
+  /** Gopher's OTHER within-document repetition family (Rae et al. 2021
+    * table A1): for n ∈ {2,3,4}, the fraction of the document's
+    * characters contained in occurrences of its single MOST FREQUENT
+    * word n-gram — `count(top gram) × chars(top gram) / chars(doc)`.
+    * Catches a document dominated by one repeated phrase, which the
+    * duplicate-occurrence fractions ([[dupNgramStats]]) under-weight
+    * when the rest of the text is clean. Ties on the count break to
+    * the lexicographically smallest gram (deterministic,
+    * oracle-checkable).
+    *
+    * Scale shape: ZERO shuffles — the textbook form explodes grams and
+    * ranks (doc, gram) counts through a window; this sorts each
+    * document's gram array (runs become contiguous) and takes the
+    * longest run in ONE `aggregate` fold per array. Scanning left to
+    * right and replacing the best only on a STRICTLY longer run keeps
+    * the smallest gram on ties for free. O(L log L) per document in
+    * the scan stage; sorted arrays are materialized as `once`-fenced
+    * columns before the fold lambda reads them (the q87 lesson).
+    */
+  def topNgramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = col("__ws")
+    def grams(n: Int): Column = when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    def topRun(s: Column): Column = aggregate(
+      s,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("bestRun"), lit("").as("bestGram")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          when(run > acc.getField("bestRun"), run)
+            .otherwise(acc.getField("bestRun")).as("bestRun"),
+          when(run > acc.getField("bestRun"), x)
+            .otherwise(acc.getField("bestGram")).as("bestGram"))
+      })
+    def outCols(prefix: String): Seq[Column] = {
+      val t = col(s"__t$prefix")
+      val cnt = t.getField("bestRun")
+      Seq(cnt.as(s"top${prefix}_count"),
+        when(cnt === 0L || col("__chars") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (cnt * length(t.getField("bestGram"))).cast("double") /
+              col("__chars"), 6))
+          .as(s"top${prefix}_frac"))
+    }
+    df.select(col(idCol), once(tokens(col(textCol))).as("__ws"))
+      .select(col(idCol), length(concat_ws(" ", ws)).as("__chars"),
+        once(array_sort(grams(2))).as("__s2"),
+        once(array_sort(grams(3))).as("__s3"),
+        once(array_sort(grams(4))).as("__s4"))
+      .select(col(idCol), col("__chars"),
+        once(topRun(col("__s2"))).as("__t2"),
+        once(topRun(col("__s3"))).as("__t3"),
+        once(topRun(col("__s4"))).as("__t4"))
+      .select(col(idCol) +:
+        (outCols("2") ++ outCols("3") ++ outCols("4")): _*)
+  }
+
   /** All per-document stats in one pass (single projection). */
   def documentStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -275,4 +275,52 @@ class TextOpsSpec extends SparkSuite {
       TextOps.temperatureMixture(d, "doc_id", "lang", alpha = 1.5)
     }
   }
+
+  test("topNgramStats matches brute-force top-gram fractions with lex tie-break") {
+    import spark.implicits._
+    val texts = Map(
+      1L -> "",                 // split(trim("")) = [""] -> 1 token, no grams
+      2L -> "solo",             // 1 token
+      3L -> "a b c d",          // all distinct: tie on count 1 -> smallest gram
+      4L -> "x x x x",          // one gram dominates at every n
+      5L -> "a b a b a c d c d" // top bigram "a b" (2) ties "c d" (2) -> "a b"
+    )
+    val d = texts.toSeq.sortBy(_._1).toDF("doc_id", "text")
+    def brute(text: String, n: Int): (Long, Option[Double]) = {
+      val ws = text.trim.split("\\s+")
+      val chars = ws.mkString(" ").length
+      val grams =
+        if (ws.length >= n) ws.sliding(n).map(_.mkString(" ")).toSeq else Seq.empty
+      if (grams.isEmpty) (0L, None)
+      else {
+        // max count, tie-break to the lexicographically smallest gram
+        val (gram, c) = grams.groupBy(identity).view.mapValues(_.size)
+          .toSeq.minBy { case (g, c) => (-c, g) }
+        val frac = if (chars == 0) None else Some(
+          BigDecimal(c.toDouble * gram.length / chars)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        (c.toLong, frac)
+      }
+    }
+    val rows = TextOps.topNgramStats(d, "doc_id", "text").orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      for (n <- Seq(2, 3, 4)) {
+        val (c, frac) = brute(texts(id), n)
+        assert(r.getAs[Long](s"top${n}_count") == c, s"doc $id top${n}_count")
+        frac match {
+          case None => assert(r.isNullAt(r.fieldIndex(s"top${n}_frac")),
+            s"doc $id top${n}_frac null")
+          case Some(f) => assert(r.getAs[Double](s"top${n}_frac") == f,
+            s"doc $id top${n}_frac")
+        }
+      }
+    }
+    // pin the tie-break explicitly: doc 5's "a b" and "c d" both occur twice
+    val r5 = rows(4)
+    // top2 = "a b" x2 over chars("a b a b a c d c d")=17 -> 2*3/17
+    assert(r5.getAs[Long]("top2_count") == 2L)
+    assert(r5.getAs[Double]("top2_frac") ==
+      BigDecimal(6.0 / 17).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
