@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Curation, Dedup, KMeans, Pack, Rank, Sample, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Events, KMeans, Pack, Rank, Sample, Similarity, TextOps}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -1243,7 +1243,20 @@ object SparkEntry {
       // longest run in the sorted gram array replaces the explode +
       // per-doc count window of the textbook form
       TextOps.topNgramStats(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    "q92_funnel" -> ((s, dir) =>
+      // ordered view→click→purchase funnel: scan-stage type filter,
+      // ONE user shuffle, greedy subsequence fold per user
+      Events.funnelStages(events(s, dir), "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"))
+        .orderBy("stage")),
+
+    "q93_retention_cohorts" -> ((s, dir) =>
+      // weekly retention triangle: one user-keyed aggregation computes
+      // cohort AND the calendar-bounded active-week set together
+      Events.retentionCohorts(events(s, dir), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -2502,5 +2515,45 @@ object SparkEntry {
         |  END AS top4_frac
         |FROM chars ch LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
         |  LEFT JOIN t4 USING (doc_id)
-        |ORDER BY ch.doc_id""".stripMargin)
+        |ORDER BY ch.doc_id""".stripMargin,
+
+    // q92: min-position chain derivation — stage k's earliest match is
+    // the min ROW_NUMBER (by ts, event_id) strictly after stage k-1's;
+    // equivalent to the Spark side's greedy subsequence fold
+    "q92_funnel" ->
+      """WITH pos AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+        |  FROM events WHERE event_type IN ('view','click','purchase')),
+        |u1 AS (SELECT user_id, MIN(p) AS p1 FROM pos
+        |  WHERE event_type='view' GROUP BY 1),
+        |u2 AS (SELECT pos.user_id, MIN(p) AS p2 FROM pos JOIN u1 USING (user_id)
+        |  WHERE event_type='click' AND p > p1 GROUP BY 1),
+        |u3 AS (SELECT pos.user_id, MIN(p) AS p3 FROM pos JOIN u2 USING (user_id)
+        |  WHERE event_type='purchase' AND p > p2 GROUP BY 1),
+        |c AS (SELECT (SELECT COUNT(*) FROM u1) AS c1,
+        |             (SELECT COUNT(*) FROM u2) AS c2,
+        |             (SELECT COUNT(*) FROM u3) AS c3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+        |    c1 AS n_users, CAST(NULL AS DOUBLE) AS conversion FROM c
+        |  UNION ALL
+        |  SELECT 2, 'click', c2,
+        |    ROUND(CAST(c2 AS DOUBLE)/NULLIF(c1,0), 6) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', c3,
+        |    ROUND(CAST(c3 AS DOUBLE)/NULLIF(c2,0), 6) FROM c)
+        |ORDER BY stage""".stripMargin,
+
+    "q93_retention_cohorts" ->
+      """WITH w AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |u AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY 1),
+        |a AS (SELECT DISTINCT w.user_id, u.cohort,
+        |        CAST(date_diff('day', u.cohort, w.wk) // 7 AS BIGINT)
+        |          AS week_offset
+        |      FROM w JOIN u USING (user_id))
+        |SELECT cohort AS cohort_week, week_offset, COUNT(*) AS n_users
+        |FROM a GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
 }

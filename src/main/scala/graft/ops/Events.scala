@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: ordered funnels and cohort retention.
+  * The reference's event pipelines stop at routing/aggregation
+  * (ref `pkg/component/component.go` source→sink loops); these are the
+  * sequence-aware reports a product-analytics or training-telemetry
+  * pipeline runs downstream of it.
+  */
+object Events {
+
+  /** Ordered conversion funnel: a user reaches stage k iff the stage
+    * types occur as a SUBSEQUENCE of their event stream (each stage
+    * strictly after the previous match, order by (ts, tieCol)).
+    * Greedy earliest matching — provably equivalent to the
+    * min-position chain (`t2 = min pos of stage2 after t1`, …) a SQL
+    * derivation uses, and deterministic because the sort key is
+    * unique.
+    *
+    * Returns one row per stage: `stage`, `stage_name`, `n_users`,
+    * `conversion` (fraction of the previous stage's users, NULL for
+    * stage 1).
+    *
+    * Scale shape: the stream is filtered to the funnel's event types
+    * in the scan stage (for a 3-stage funnel over 100 TB of telemetry
+    * this is usually a 10-100× cut before anything moves), then ONE
+    * shuffle groups by user; each user's filtered events are sorted
+    * and folded in a single `aggregate` pass carrying only the stage
+    * index — per-user memory is that user's funnel-type events, never
+    * the corpus. Stage counts come out of the same aggregation as
+    * k conditional sums (map-side combined), so the funnel table
+    * itself never shuffles again.
+    */
+  def funnelStages(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "funnelStages: stages must be non-empty and distinct")
+    val k = stages.size
+    val evs = events
+      .filter(col(typeCol).isin(stages.map(x => x: Any): _*))
+      .select(col(userCol).as("__u"),
+        struct(col(tsCol).as("ts"), col(tieCol).as("tie"),
+          col(typeCol).as("t")).as("__e"))
+    // greedy subsequence depth: fold the (ts, tie)-sorted stream,
+    // advancing the stage cursor when the next needed stage appears
+    val depth = aggregate(
+      array_sort(collect_list(col("__e"))),
+      lit(0),
+      (acc, x) => when(acc < k &&
+        x.getField("t") === element_at(typedlit(stages), acc + 1), acc + 1)
+        .otherwise(acc))
+    val perUser = evs.groupBy(col("__u")).agg(depth.as("__d"))
+    // coalesce: a global agg over ZERO users yields one all-NULL row,
+    // and the funnel must report 0 there
+    val cs = (1 to k).map(i =>
+      coalesce(sum(when(col("__d") >= i, 1L).otherwise(0L)), lit(0L))
+        .as(s"__c$i"))
+    val counts = perUser.agg(cs.head, cs.tail: _*)
+    // unpivot the single counts row into (stage, name, users, conversion)
+    val rows = explode(array((1 to k).map { i =>
+      struct(lit(i.toLong).as("stage"), lit(stages(i - 1)).as("stage_name"),
+        col(s"__c$i").as("n_users"),
+        (if (i == 1) lit(null).cast("double")
+         else round(col(s"__c$i").cast("double") /
+           nullif(col(s"__c${i - 1}"), lit(0L)), 6)).as("conversion"))
+    }: _*))
+    counts.select(rows.as("__r")).select(col("__r.*"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the ISO week of
+    * their first event; for each (cohort, week offset) the number of
+    * users active in that week. The classic retention triangle.
+    *
+    * Scale shape: ONE user-keyed shuffle — `min(week)` and the
+    * distinct-week set are computed in the same aggregation (both
+    * map-side combined; a user's distinct weeks are calendar-bounded,
+    * ~52/year, so the set never grows with event volume), then the
+    * exploded (cohort, offset) pairs collapse through a tiny
+    * cohort-keyed aggregate. The event table is read once and never
+    * joined back to itself.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val w = events.select(col(userCol).as("__u"),
+      date_trunc("week", col(tsCol)).cast("date").as("__wk"))
+    w.groupBy(col("__u"))
+      .agg(min(col("__wk")).as("__cohort"), collect_set(col("__wk")).as("__wks"))
+      .select(col("__cohort"), explode(col("__wks")).as("__wk"))
+      .groupBy(col("__cohort"),
+        (datediff(col("__wk"), col("__cohort")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumnRenamed("__cohort", "cohort_week")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.Events
+
+class EventsSpec extends SparkSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnelStages: order matters, greedy matching, tie-break on tieCol") {
+    import spark.implicits._
+    val evs = Seq(
+      // user 1: full funnel in order
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "purchase"),
+      // user 2: purchase BEFORE click -> stops at view
+      (2L, ts("2024-01-01 10:00:00"), 4L, "purchase"),
+      (2L, ts("2024-01-01 10:01:00"), 5L, "view"),
+      (2L, ts("2024-01-01 10:02:00"), 6L, "click"),
+      // user 3: view+click only
+      (3L, ts("2024-01-01 10:00:00"), 7L, "view"),
+      (3L, ts("2024-01-01 10:03:00"), 8L, "click"),
+      // user 4: simultaneous ts, tie col orders view(9) < click(10) -> both
+      (4L, ts("2024-01-01 10:00:00"), 9L, "view"),
+      (4L, ts("2024-01-01 10:00:00"), 10L, "click"),
+      // user 5: non-funnel events only -> in no stage
+      (5L, ts("2024-01-01 10:00:00"), 11L, "error"),
+      // user 6: repeated views then late purchase, no click
+      (6L, ts("2024-01-01 10:00:00"), 12L, "view"),
+      (6L, ts("2024-01-01 10:01:00"), 13L, "view"),
+      (6L, ts("2024-01-01 10:02:00"), 14L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.funnelStages(evs, "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click", "purchase"))
+      .orderBy("stage").collect()
+    // stage1: users 1,2,3,4,6; stage2: 1,2,3,4; stage3: 1
+    assert(out.map(_.getAs[Long]("n_users")).toSeq == Seq(5L, 4L, 1L))
+    assert(out(0).isNullAt(out(0).fieldIndex("conversion")))
+    assert(out(1).getAs[Double]("conversion") == 0.8)
+    assert(out(2).getAs[Double]("conversion") == 0.25)
+
+    // empty input -> one row per stage, all zero
+    val empty = Events.funnelStages(evs.filter("user_id < 0"), "user_id",
+      "ts", "event_id", "event_type", Seq("view", "click"))
+      .orderBy("stage").collect()
+    assert(empty.map(_.getAs[Long]("n_users")).toSeq == Seq(0L, 0L))
+
+    intercept[IllegalArgumentException] {
+      Events.funnelStages(evs, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "view"))
+    }
+  }
+
+  test("funnelStages plan: one user exchange, type filter in the scan stage") {
+    import spark.implicits._
+    val evs = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val plan = Events.funnelStages(evs, "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click")).queryExecution.optimizedPlan.toString
+    // the scan must be filtered before the aggregate (cheap pin: the
+    // isin filter survives optimization below the first aggregate)
+    assert(plan.contains("view"), s"type filter missing:\n$plan")
+  }
+
+  test("retentionCohorts: gaps, multiple cohorts, within-week dedup") {
+    import spark.implicits._
+    val evs = Seq(
+      // user 1: cohort week of Jan 1 (Mon), active offsets 0 and 2
+      (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-03 09:00:00")), // same week: counted once
+      (1L, ts("2024-01-16 09:00:00")),
+      // user 2: same cohort, offset 0 only
+      (2L, ts("2024-01-04 12:00:00")),
+      // user 3: cohort week of Jan 8, offsets 0 and 1
+      (3L, ts("2024-01-08 00:00:00")),
+      (3L, ts("2024-01-15 23:59:59"))
+    ).toDF("user_id", "ts")
+    val out = Events.retentionCohorts(evs, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
+}
