@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Curation, Dedup, Events, KMeans, Pack, Rank, Sample, Similarity, TextOps}
+import graft.ops.{CorpusStats, Curation, Dedup, Events, KMeans, Pack, Rank, Sample, Similarity, TextOps}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -1256,7 +1256,25 @@ object SparkEntry {
       // weekly retention triangle: one user-keyed aggregation computes
       // cohort AND the calendar-bounded active-week set together
       Events.retentionCohorts(events(s, dir), "user_id", "ts")
-        .orderBy("cohort_week", "week_offset")))
+        .orderBy("cohort_week", "week_offset")),
+
+    "q94_pmi_collocations" -> ((s, dir) =>
+      // collocation mining: gram-keyed map-side-combined counts,
+      // heavy-hitter filter BEFORE the unigram joins, TakeOrdered top-k
+      CorpusStats.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 5L, topK = 50)),
+
+    "q95_chunk_windows" -> ((s, dir) =>
+      // RAG chunking: map-only token-window explode, exact-size chunks
+      // with a tail window (HF stride convention)
+      TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        size = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")),
+
+    "q96_zipf_slope" -> ((s, dir) =>
+      // vocabulary power-law fit: counts shuffle once, rank window is
+      // bounded by topV, least squares on the round-6-ln DECIMAL ladder
+      CorpusStats.zipfSlope(t(s, dir, "documents"), "text", topV = 500)))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -2555,5 +2573,77 @@ object SparkEntry {
         |          AS week_offset
         |      FROM w JOIN u USING (user_id))
         |SELECT cohort AS cohort_week, week_offset, COUNT(*) AS n_users
-        |FROM a GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+        |FROM a GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // q94: PMI arithmetic is the same left-associated double expression
+    // on both engines; ln rounds to 6 decimals (round-6-LN device)
+    "q94_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |uni AS (SELECT w AS term, COUNT(*) AS c
+        |  FROM toks, UNNEST(ws) AS t(w) GROUP BY 1),
+        |nu AS (SELECT SUM(c) AS n_uni FROM uni),
+        |big AS (SELECT array_to_string(ws[i:i+1], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+        |bcall AS (SELECT gram, COUNT(*) AS cxy FROM big GROUP BY 1),
+        |nb AS (SELECT SUM(cxy) AS n_bi FROM bcall),
+        |bc AS (SELECT gram, cxy, split_part(gram, ' ', 1) AS x,
+        |         split_part(gram, ' ', 2) AS y
+        |       FROM bcall WHERE cxy >= 5)
+        |SELECT gram, cxy AS n_pair,
+        |  ROUND(LN(CAST(cxy AS DOUBLE) * nu.n_uni * nu.n_uni /
+        |    (CAST(nb.n_bi AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+        |FROM bc, nu, nb
+        |JOIN uni ux ON ux.term = bc.x
+        |JOIN uni uy ON uy.term = bc.y
+        |ORDER BY pmi DESC, gram ASC LIMIT 50""".stripMargin,
+
+    // q95: same start-position construction (regular strides whose
+    // window fits strictly inside, plus the tail window at n-size+1)
+    "q95_chunk_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |st AS (SELECT doc_id, ws,
+        |  CASE WHEN len(ws) <= 32 THEN [1]
+        |       ELSE list_filter(range(1, len(ws)+1, 24),
+        |              st -> st + 31 < len(ws)) || [len(ws) - 31]
+        |  END AS starts FROM toks)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+        |  CAST(starts[i] AS BIGINT) AS start_tok,
+        |  CAST(len(ws[starts[i]:least(starts[i]+31, len(ws))]) AS BIGINT)
+        |    AS n_tok,
+        |  array_to_string(ws[starts[i]:least(starts[i]+31, len(ws))], ' ')
+        |    AS chunk_text
+        |FROM st, UNNEST(range(1, len(starts)+1)) AS t(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q96: least squares on round-6-ln DECIMAL sums; the final slope/
+    // intercept divisions run on exact decimal-derived doubles
+    "q96_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |uni AS (SELECT w AS term, COUNT(*) AS c
+        |  FROM toks, UNNEST(ws) AS t(w) GROUP BY 1),
+        |top AS (SELECT term, c,
+        |    ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rk
+        |  FROM uni ORDER BY c DESC, term ASC LIMIT 500),
+        |pts AS (SELECT
+        |    CAST(ROUND(LN(CAST(rk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(ROUND(LN(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM top),
+        |s AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |  CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |  CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  CASE WHEN n * sxx - sx * sx = 0e0 THEN NULL
+        |    ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |  END AS slope,
+        |  CASE WHEN n * sxx - sx * sx = 0e0 THEN NULL
+        |    ELSE ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |      / n, 6)
+        |  END AS intercept
+        |FROM s""".stripMargin)
 }

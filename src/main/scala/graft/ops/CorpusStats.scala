@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps.{once, tokens}
+
+/** Corpus-level lexical statistics: collocation mining and
+  * vocabulary-distribution health. Both reduce the corpus to a
+  * vocab-sized table in ONE gram-keyed shuffle (map-side combined) and
+  * do every subsequent step on that tiny relation — the corpus itself
+  * is read once and never re-shuffled or self-joined.
+  */
+object CorpusStats {
+
+  /** Top collocations by pointwise mutual information:
+    * `pmi(x,y) = ln( p(xy) / (p(x) p(y)) )` over whitespace bigrams,
+    * restricted to pairs seen at least `minCount` times (PMI is
+    * unstable on rare pairs), top `topK` by (pmi desc, gram asc) —
+    * the phrase-mining pass a tokenizer- or vocab-construction
+    * pipeline runs over a corpus.
+    *
+    * Scale shape: bigram and unigram counts are each ONE map-side-
+    * combined shuffle keyed by the gram (distinct-gram-sized output,
+    * not corpus-sized); the `minCount` filter prunes the bigram table
+    * BEFORE it joins the unigram counts (heavy-hitter join inputs
+    * only), totals ride 1-row broadcasts, and the top-k is a
+    * distributed TakeOrdered — no full sort. The PMI arithmetic is a
+    * fixed left-associated double expression so the rounded values
+    * are engine-portable.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1,
+      "pmiCollocations: minCount and topK must be positive")
+    val ws = col("__ws")
+    val toks = df.select(once(tokens(col(textCol))).as("__ws"))
+    val uni = toks.select(explode(ws).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val bigrams = toks.select(explode(when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))).as("gram"))
+    val bcAll = bigrams.groupBy("gram").agg(count(lit(1)).as("cxy"))
+    // totals BEFORE the heavy-hitter filter: PMI normalizes by the
+    // whole corpus, not the surviving pairs
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val nBi = bcAll.agg(sum(col("cxy")).as("n_bi"))
+    val bc = bcAll.filter(col("cxy") >= minCount)
+      // tokens are whitespace-split, so the gram splits back losslessly
+      .withColumn("x", split(col("gram"), " ").getItem(0))
+      .withColumn("y", split(col("gram"), " ").getItem(1))
+    val ux = uni.select(col("term").as("x"), col("c").as("cx"))
+    val uy = uni.select(col("term").as("y"), col("c").as("cy"))
+    bc.join(ux, "x").join(uy, "y")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("gram"), col("cxy").as("n_pair"),
+        round(log(col("cxy").cast("double") * col("n_uni") * col("n_uni") /
+          (col("n_bi").cast("double") * col("cx") * col("cy"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("gram").asc)
+      .limit(topK)
+  }
+
+  /** Zipf's-law fit over the top `topV` vocabulary terms: least-squares
+    * slope and intercept of `ln(freq)` on `ln(rank)` (rank by count
+    * desc, term asc). A healthy natural-language corpus sits near
+    * slope −1; template/boilerplate-dominated or synthetic corpora
+    * flatten — a one-row corpus-health gate.
+    *
+    * Scale shape: term counts are one map-side-combined shuffle; the
+    * top-V cut is a distributed TakeOrdered, and the rank window runs
+    * over AT MOST `topV` rows (bounded by the parameter, never the
+    * corpus). Sums use the round-6-ln DECIMAL ladder so the closed-form
+    * slope is order-independent and engine-portable.
+    */
+  def zipfSlope(
+      df: DataFrame,
+      textCol: String,
+      topV: Int = 500): DataFrame = {
+    require(topV >= 2, "zipfSlope: need at least 2 ranks to fit a line")
+    val toks = df.select(once(tokens(col(textCol))).as("__ws"))
+    val uni = toks.select(explode(col("__ws")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val top = uni.orderBy(col("c").desc, col("term").asc).limit(topV)
+      // bounded single-partition window: at most topV rows reach it
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("term").asc)))
+    val d6 = "decimal(18,6)"
+    val pts = top.select(
+      round(log(col("rk").cast("double")), 6).cast(d6).as("x"),
+      round(log(col("c").cast("double")), 6).cast(d6).as("y"))
+    val s = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+    s.select(col("n").cast("long").as("n_terms"),
+      when(den === 0d, lit(null).cast("double"))
+        .otherwise(round(slope, 6)).as("slope"),
+      when(den === 0d, lit(null).cast("double"))
+        .otherwise(round((col("sy") - slope * col("sx")) / col("n"), 6))
+        .as("intercept"))
+  }
+}

@@ -498,6 +498,44 @@ object TextOps {
         (outCols("2") ++ outCols("3") ++ outCols("4")): _*)
   }
 
+  /** RAG-style overlapping token-window chunking: windows of `size`
+    * tokens every `stride` tokens, plus a tail window ending exactly at
+    * the last token (the HF-tokenizers stride convention) — every
+    * chunk has exactly `size` tokens unless the document itself is
+    * shorter (then one chunk of the whole document). Emits
+    * `(id, chunk_id, start_tok, n_tok, chunk_text)`; deterministic,
+    * no degenerate sub-chunk tails.
+    *
+    * Scale shape: map-only — the start positions are a tiny int
+    * sequence built per row and the slices are projections of the
+    * token array; the only row growth is the chunk fan-out itself
+    * (~n/stride per doc), which IS the output. No shuffle, no join;
+    * chunk ids are per-document positions, not a corpus window.
+    */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "chunkTokens: need 1 <= stride <= size")
+    val ws = col("__ws")
+    val n = org.apache.spark.sql.functions.size(ws)
+    val starts = when(n <= size, array(lit(1)))
+      .otherwise(concat(
+        filter(sequence(lit(1), n, lit(stride)), st => st + (size - 1) < n),
+        array(n - (size - 1))))
+    df.select(col(idCol), once(tokens(col(textCol))).as("__ws"))
+      .select(col(idCol), ws, posexplode(starts).as(Seq("__i", "__s")))
+      .select(col(idCol),
+        col("__i").cast("long").as("chunk_id"),
+        col("__s").cast("long").as("start_tok"),
+        org.apache.spark.sql.functions.size(slice(ws, col("__s"), lit(size)))
+          .cast("long").as("n_tok"),
+        concat_ws(" ", slice(ws, col("__s"), lit(size))).as("chunk_text"))
+  }
+
   /** All per-document stats in one pass (single projection). */
   def documentStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

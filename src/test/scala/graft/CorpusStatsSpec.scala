@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.{CorpusStats, TextOps}
+
+class CorpusStatsSpec extends SparkSuite {
+
+  test("pmiCollocations matches a brute-force PMI computation") {
+    import spark.implicits._
+    val docs = Seq(
+      "a b a b a b c",
+      "c d c d x y",
+      "x y x y x y a b"
+    ).toDF("text")
+    // brute force
+    val tokss = Seq("a b a b a b c", "c d c d x y", "x y x y x y a b")
+      .map(_.trim.split("\\s+").toSeq)
+    val unis = tokss.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = tokss.flatMap(ws => ws.sliding(2).map(_.mkString(" ")).toSeq)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nUni = unis.values.sum
+    val nBi = bis.values.sum
+    def pmi(g: String): Double = {
+      val Array(x, y) = g.split(" ")
+      val v = math.log(bis(g).toDouble * nUni * nUni / (nBi.toDouble * unis(x) * unis(y)))
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = bis.filter(_._2 >= 2).keys.toSeq
+      .map(g => (g, bis(g), pmi(g)))
+      .sortBy { case (g, _, p) => (-p, g) }
+    val out = CorpusStats.pmiCollocations(docs, "text", minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == expect.take(10), s"got $out\nexpected $expect")
+  }
+
+  test("pmiCollocations: minCount prunes rare pairs, topK caps output") {
+    import spark.implicits._
+    val docs = Seq("a b a b c d").toDF("text")
+    val out = CorpusStats.pmiCollocations(docs, "text", minCount = 2L, topK = 5)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a b")) // only "a b" twice
+    val capped = CorpusStats.pmiCollocations(docs, "text", minCount = 1L, topK = 2)
+      .collect()
+    assert(capped.length == 2)
+  }
+
+  test("zipfSlope: exact slope -1 on a constructed power-law vocabulary") {
+    import spark.implicits._
+    // counts c_r = 12/r for ranks 1,2,3,4 -> ln c = ln 12 - 1 * ln r
+    // terms named to force rank order on count ties (none here)
+    val words =
+      Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++ Seq.fill(4)("w3") ++
+        Seq.fill(3)("w4")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val r = CorpusStats.zipfSlope(docs, "text", topV = 10).collect()(0)
+    assert(r.getAs[Long]("n_terms") == 4L)
+    // slope is exactly -1 up to the 6-decimal ln rounding
+    assert(math.abs(r.getAs[Double]("slope") + 1.0) < 1e-5,
+      s"slope ${r.getAs[Double]("slope")}")
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(12)) < 1e-5)
+  }
+
+  test("zipfSlope: degenerate single-term corpus yields NULL fit") {
+    import spark.implicits._
+    val docs = Seq("same same same").toDF("text")
+    val r = CorpusStats.zipfSlope(docs, "text", topV = 10).collect()(0)
+    assert(r.getAs[Long]("n_terms") == 1L)
+    assert(r.isNullAt(r.fieldIndex("slope")) && r.isNullAt(r.fieldIndex("intercept")))
+  }
+
+  test("chunkTokens: HF stride convention, exact-size chunks, tail window") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10
+      (2L, "a b c"),                                  // n < size: one chunk
+      (3L, "")                                        // "" -> 1 empty token
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(docs, "doc_id", "text", size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // n=10, size=4, stride=3: regular starts 1,4 (end < 10), tail 7
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 1L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 7L, 4L, "t7 t8 t9 t10")))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 3L, "a b c")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 1L, 1L, "")))
+    // every chunk except short docs has exactly `size` tokens
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokens(docs, "doc_id", "text", size = 4, stride = 5)
+    }
+  }
+
+  test("corpus stats plans: counts shuffle once, chunking is map-only") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val chunkPlan = TextOps.chunkTokens(docs, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunkTokens must be map-only:\n$chunkPlan")
+  }
+}
