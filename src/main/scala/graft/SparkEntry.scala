@@ -1274,7 +1274,29 @@ object SparkEntry {
     "q96_zipf_slope" -> ((s, dir) =>
       // vocabulary power-law fit: counts shuffle once, rank window is
       // bounded by topV, least squares on the round-6-ln DECIMAL ladder
-      CorpusStats.zipfSlope(t(s, dir, "documents"), "text", topV = 500)))
+      CorpusStats.zipfSlope(t(s, dir, "documents"), "text", topV = 500)),
+
+    "q97_dim_standardize" -> ((s, dir) =>
+      // per-dim standardization model: posexplode + map-side-combined
+      // aggregate — shuffle carries dims × partitions partials only
+      graft.ops.Quantize.dimStats(t(s, dir, "embeddings"), "embedding")
+        .orderBy("dim")),
+
+    "q98_pivot_revenue" -> ((s, dir) => {
+      // nation × order-year revenue pivot: broadcast dims, one fact
+      // shuffle on the group key; DECIMAL(18,2) sums for hash parity
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val years = 1995 to 2001
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot(year(col("o_orderdate")), years.map(Integer.valueOf))
+        .agg(sum(dec(col("o_totalprice"))).cast("double"))
+        .select(col("n_name") +:
+          years.map(y => col(y.toString).as(s"y$y")): _*)
+        .orderBy("n_name")
+    }))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -2645,5 +2667,39 @@ object SparkEntry {
         |    ELSE ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
         |      / n, 6)
         |  END AS intercept
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin,
+
+    // q97: same DECIMAL ladder (round-6 values, round-12 squares,
+    // exact sums) and the same fixed double mean/std expressions
+    "q97_dim_standardize" ->
+      """WITH ex AS (
+        |  SELECT CAST(i AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+        |agg AS (SELECT dim, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sq
+        |  FROM ex GROUP BY dim)
+        |SELECT dim, CAST(n AS BIGINT) AS n, ROUND(sx / n, 6) AS mean,
+        |  ROUND(SQRT(GREATEST(sq / n - (sx / n) * (sx / n), 0e0)), 6) AS std
+        |FROM agg ORDER BY dim""".stripMargin,
+
+    "q98_pivot_revenue" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE year(o.o_orderdate)=1995) AS DOUBLE) AS y1995,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE year(o.o_orderdate)=1996) AS DOUBLE) AS y1996,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE year(o.o_orderdate)=1997) AS DOUBLE) AS y1997,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE year(o.o_orderdate)=1998) AS DOUBLE) AS y1998,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE year(o.o_orderdate)=1999) AS DOUBLE) AS y1999,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE year(o.o_orderdate)=2000) AS DOUBLE) AS y2000,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE year(o.o_orderdate)=2001) AS DOUBLE) AS y2001
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

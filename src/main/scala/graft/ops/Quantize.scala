@@ -58,4 +58,62 @@ object Quantize {
         when(col("amax") === 0d, lit(0L))
           .otherwise(round(col("x") * 127d / col("amax")).cast("long")).as("q"))
   }
+
+  /** Per-dimension corpus statistics — the standardization model a
+    * feature-normalization pass learns before training or indexing:
+    * one row per dimension with n, mean, std (population). Dims are
+    * 1-based to match SQL ordinality.
+    *
+    * Parity device: values and squares round to 6/12 decimals and sum
+    * as DECIMAL (exact, order-independent); mean/std derive from those
+    * exact sums in fixed double expressions.
+    *
+    * Scale shape: posexplode fans each vector into d rows, but the
+    * per-dim aggregate is map-side combined — the shuffle carries
+    * d × partitions partial rows (k-dims-bounded like the k-means
+    * update), never the corpus. The model output is d rows.
+    */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val ex = df.select(posexplode(col(vecCol)).as(Seq("__p", "__x0")))
+      .select((col("__p") + 1).cast("long").as("dim"),
+        col("__x0").cast("double").as("x"))
+    val sx = sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double")
+    val sq = sum(round(col("x") * col("x"), 12).cast("decimal(28,12)"))
+      .cast("double")
+    ex.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sx.as("__sx"), sq.as("__sq"))
+      .select(col("dim"), col("n"),
+        round(col("__sx") / col("n"), 6).as("mean"),
+        round(sqrt(greatest(col("__sq") / col("n") -
+          (col("__sx") / col("n")) * (col("__sx") / col("n")), lit(0d))), 6)
+          .as("std"))
+  }
+
+  /** Map-only standardization: `(x - mean_d) / std_d` with the learned
+    * model compiled into the scan as ARRAY literals (O(1) per-dim
+    * lookups). Zero-variance dims pass through centered only.
+    *
+    * Scale shape: the model is d rows collected once (fail-fast
+    * `maxDims` guard) and compiled as literals — the corpus is scanned
+    * once, no join, no shuffle; at 100 TB the same literals ride every
+    * executor's codegen'd projection.
+    */
+  def standardize(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxDims: Int = 8192): DataFrame = {
+    val stats = dimStats(df, vecCol).orderBy("dim").limit(maxDims + 1).collect()
+    require(stats.length <= maxDims,
+      s"standardize: vector dimensionality exceeds maxDims=$maxDims")
+    val means = stats.map(_.getAs[Double]("mean"))
+    val stds = stats.map(_.getAs[Double]("std"))
+    df.select(col(idCol),
+      transform(col(vecCol), (x, i) => {
+        val m = element_at(typedlit(means), i + 1)
+        val s = element_at(typedlit(stds), i + 1)
+        when(s === 0d, x.cast("double") - m)
+          .otherwise((x.cast("double") - m) / s)
+      }).as("vec_std"))
+  }
 }
