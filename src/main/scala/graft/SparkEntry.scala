@@ -1296,6 +1296,38 @@ object SparkEntry {
         .select(col("n_name") +:
           years.map(y => col(y.toString).as(s"y$y")): _*)
         .orderBy("n_name")
+    }),
+
+    "q99_interval_join" -> ((s, dir) => {
+      // time-window proximity as a bucketed EQUI join (no nested loop):
+      // errors vs purchases within ±300s across all users
+      val ev = events(s, dir)
+      Events.intervalJoinCount(
+        ev.filter(col("event_type") === "error"), "event_id", "ts",
+        ev.filter(col("event_type") === "purchase"), "ts", 300L)
+        .orderBy("event_id")
+    }),
+
+    "q100_cube_revenue" -> ((s, dir) => {
+      // CUBE over (nation, year) with grouping() sentinels instead of
+      // NULL subtotal keys (portable ordering, no null-order divergence)
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("__yr", year(col("o_orderdate")))
+        .cube(col("n_name"), col("__yr"))
+        // grouping() must be evaluated inside the cube aggregate
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          grouping(col("n_name")).as("__g1"),
+          grouping(col("__yr")).as("__g2"))
+        .select(
+          when(col("__g1") === 1, lit("(all)"))
+            .otherwise(col("n_name")).as("nation"),
+          when(col("__g2") === 1, lit(0L))
+            .otherwise(col("__yr").cast("long")).as("yr"),
+          col("revenue"))
+        .orderBy("nation", "yr")
     }))
 
   // ------------------------------------------------------------------
@@ -2701,5 +2733,29 @@ object SparkEntry {
         |    FILTER (WHERE year(o.o_orderdate)=2001) AS DOUBLE) AS y2001
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q99: textbook range-join derivation (DuckDB's IEJoin handles the
+    // non-equi predicate); proximity on exact epoch microseconds
+    "q99_interval_join" ->
+      """WITH l AS (SELECT event_id, epoch_us(ts) AS lus FROM events
+        |  WHERE event_type='error'),
+        |r AS (SELECT epoch_us(ts) AS rus FROM events
+        |  WHERE event_type='purchase')
+        |SELECT l.event_id, CAST(COUNT(r.rus) AS BIGINT) AS n_nearby
+        |FROM l LEFT JOIN r ON ABS(r.rus - l.lus) <= 300000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q100_cube_revenue" ->
+      """SELECT
+        |  CASE WHEN GROUPING(n.n_name)=1 THEN '(all)' ELSE n.n_name END
+        |    AS nation,
+        |  CASE WHEN GROUPING(year(o.o_orderdate))=1 THEN 0
+        |       ELSE year(o.o_orderdate) END AS yr,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey
+        |JOIN nation n ON c.c_nationkey=n.n_nationkey
+        |GROUP BY CUBE(n.n_name, year(o.o_orderdate))
+        |ORDER BY 1, 2""".stripMargin)
 }

@@ -74,6 +74,50 @@ object Events {
     counts.select(rows.as("__r")).select(col("__r.*"))
   }
 
+  /** Time-window interval join as an EQUI join: for every left row,
+    * the count of right rows with `|rightTs - leftTs| <= windowSec`
+    * (proximity on floor-microsecond timestamps, engine-exact). The
+    * naive Spark plan for this predicate is a broadcast nested loop or
+    * a cartesian product; this operator buckets time at the window
+    * width, explodes the RIGHT side to its three candidate buckets
+    * (b-1, b, b+1 — every within-window pair shares one of them, and
+    * the buckets are distinct so no pair double-counts), and joins on
+    * the bucket key with the exact range predicate as a post-filter.
+    *
+    * Scale shape: right side grows 3× (bounded, map-only), then ONE
+    * hash-partitioned equi join on the bucket key and one count keyed
+    * by the left id — all shuffle-parallel, no nested loop anywhere.
+    * Hot seconds (bucket skew) are the one failure mode at 100 TB:
+    * AQE skew-join splits oversized buckets, and a caller with a
+    * known-hot window should pre-filter or salt the bucket key.
+    */
+  def intervalJoinCount(
+      left: DataFrame,
+      leftId: String,
+      leftTs: String,
+      right: DataFrame,
+      rightTs: String,
+      windowSec: Long): DataFrame = {
+    require(windowSec >= 1, "intervalJoinCount: windowSec must be positive")
+    val w = windowSec * 1000000L
+    val l = left.select(col(leftId).as("__lid"),
+      unix_micros(col(leftTs)).as("__lus"))
+      .withColumn("__b", expr(s"__lus div ${w}L"))
+    val r = right.select(unix_micros(col(rightTs)).as("__rus"))
+      .withColumn("__rb", expr(s"__rus div ${w}L"))
+      .select(col("__rus"),
+        explode(array(col("__rb") - 1, col("__rb"), col("__rb") + 1))
+          .as("__b"))
+    // LEFT join + conditional count (not filter-then-count): a left row
+    // with bucket neighbors but no in-range ones must still emit 0
+    l.join(r, Seq("__b"), "left")
+      .groupBy(col("__lid"))
+      .agg(sum(when(col("__rus").isNotNull &&
+        abs(col("__rus") - col("__lus")) <= w, 1L).otherwise(0L))
+        .as("n_nearby"))
+      .withColumnRenamed("__lid", leftId)
+  }
+
   /** Weekly cohort retention: users are cohorted by the ISO week of
     * their first event; for each (cohort, week offset) the number of
     * users active in that week. The classic retention triangle.

@@ -64,6 +64,37 @@ class EventsSpec extends SparkSuite {
     assert(plan.contains("view"), s"type filter missing:\n$plan")
   }
 
+  test("intervalJoinCount matches brute force incl. bucket-boundary pairs") {
+    import spark.implicits._
+    // left at :00 of each minute; right placed to straddle bucket edges
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:10:00")),
+      (3L, ts("2024-01-01 10:20:00"))
+    ).toDF("event_id", "ts")
+    val right = Seq(
+      ts("2024-01-01 09:55:01"), // 299s before left1: in window
+      ts("2024-01-01 09:54:59"), // 301s before left1: out
+      ts("2024-01-01 10:05:00"), // exactly +300s from left1: in (<=)
+      ts("2024-01-01 10:09:30"), // 30s before left2: in
+      ts("2024-01-01 10:30:00")  // 600s after left3: out
+    ).toDF("ts")
+    val out = graft.ops.Events.intervalJoinCount(
+      left, "event_id", "ts", right, "ts", 300L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // brute force: l1 -> {09:55:01, 10:05:00}; l2 -> {10:05:00, 10:09:30};
+    // l3 -> none (10:30 is 600s away)
+    assert(out == Seq((1L, 2L), (2L, 2L), (3L, 0L)))
+    // plan: bucketed equi join, no nested loop / cartesian
+    val plan = graft.ops.Events.intervalJoinCount(
+      left, "event_id", "ts", right, "ts", 300L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join must stay an equi join:\n$plan")
+  }
+
   test("retentionCohorts: gaps, multiple cohorts, within-week dedup") {
     import spark.implicits._
     val evs = Seq(
