@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, GenericInternalRow, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Compiled text kernels for the dedup / text-analysis operators.
@@ -265,6 +265,55 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Single most frequent word n-gram of the document: returns
+    * `struct(cnt BIGINT, gram STRING)` with the count of the top gram
+    * and, among max-count grams, the BINARY-lexicographically smallest
+    * (UTF8String order — matching both `array_sort` and DuckDB's
+    * default collation). Fewer than `n` tokens yields (0, "").
+    * One pass, HashMap counts — replaces the interpreted
+    * sort + 4-field-struct HOF fold that made q91 the second-slowest
+    * query (3.8 s at sf0.1).
+    */
+  def topGram(text: UTF8String, n: Int): InternalRow = {
+    val bytes = utf8Bytes(text)
+    val (bounds, cnt) = tokenize(bytes)
+    if (cnt < n)
+      return new GenericInternalRow(Array[Any](0L, UTF8String.EMPTY_UTF8))
+    val toks = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) {
+      toks(i) = UTF8String.fromBytes(bytes, bounds(i * 2),
+        bounds(i * 2 + 1) - bounds(i * 2))
+      i += 1
+    }
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    val parts = new Array[UTF8String](2 * n - 1)
+    var j = 1
+    while (j < parts.length) { parts(j) = SPACE; j += 2 }
+    i = 0
+    while (i + n <= cnt) {
+      var k = 0
+      while (k < n) { parts(2 * k) = toks(i + k); k += 1 }
+      val gram = UTF8String.concat(parts: _*)
+      val c = counts.get(gram)
+      if (c == null) counts.put(gram, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    var bestC = 0L
+    var bestG: UTF8String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c > bestC || (c == bestC && e.getKey.compareTo(bestG) < 0)) {
+        bestC = c; bestG = e.getKey
+      }
+    }
+    new GenericInternalRow(Array[Any](bestC, bestG))
+  }
+
   /** Add-one-smoothed bigram NLL against a hashed LM model
     * ([[BigramLmModel]]): one compiled pass per document with O(1)
     * HashMap lookups per bigram. Term = round6(ln(c(w1)+V) −
@@ -416,6 +465,23 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
 }
 
+case class TopGramExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = TopGramExpr.schema
+  override def prettyName: String = "graft_top_gram"
+  override def nullSafeEval(t: Any, n: Any): Any =
+    TextKernels.topGram(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.TextKernels.topGram($t, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopGramExpr =
+    copy(left = l, right = r)
+}
+
+object TopGramExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("cnt", LongType, nullable = false),
+    StructField("gram", StringType, nullable = false)))
+}
+
 case class CharNgramsExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_char_ngrams"
@@ -438,6 +504,7 @@ object TextExprs {
       (es => ShingleMinHash(str(es(0)), int(es(1)), int(es(2)))),
     "graft_simhash" -> (es => SimHash64(str(es(0)))),
     "graft_char_ngrams" -> (es => CharNgramsExpr(str(es(0)), int(es(1)))),
+    "graft_top_gram" -> (es => TopGramExpr(str(es(0)), int(es(1)))),
     "graft_char_entropy" -> (es => CharEntropy(str(es(0)))))
 
   def register(spark: SparkSession): Unit = {

@@ -448,54 +448,32 @@ object TextOps {
     * oracle-checkable).
     *
     * Scale shape: ZERO shuffles — the textbook form explodes grams and
-    * ranks (doc, gram) counts through a window; this sorts each
-    * document's gram array (runs become contiguous) and takes the
-    * longest run in ONE `aggregate` fold per array. Scanning left to
-    * right and replacing the best only on a STRICTLY longer run keeps
-    * the smallest gram on ties for free. O(L log L) per document in
-    * the scan stage; sorted arrays are materialized as `once`-fenced
-    * columns before the fold lambda reads them (the q87 lesson).
+    * ranks (doc, gram) counts through a window; this scores each
+    * document in one compiled [[graft.functions.TextKernels.topGram]]
+    * pass (HashMap counts, binary-lex tie-break) inside the scan
+    * stage. O(L) per document; the first version used an interpreted
+    * sort + 4-field-struct HOF fold and was the suite's second-slowest
+    * query (3.8 s at sf0.1) — same results, compiled pass. Requires
+    * GraftFunctions.registerAll.
     */
   def topNgramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = col("__ws")
-    def grams(n: Int): Column = when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-    def topRun(s: Column): Column = aggregate(
-      s,
-      struct(lit("").as("prev"), lit(0L).as("run"),
-        lit(0L).as("bestRun"), lit("").as("bestGram")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          when(run > acc.getField("bestRun"), run)
-            .otherwise(acc.getField("bestRun")).as("bestRun"),
-          when(run > acc.getField("bestRun"), x)
-            .otherwise(acc.getField("bestGram")).as("bestGram"))
-      })
-    def outCols(prefix: String): Seq[Column] = {
-      val t = col(s"__t$prefix")
-      val cnt = t.getField("bestRun")
-      Seq(cnt.as(s"top${prefix}_count"),
+    def outCols(n: Int): Seq[Column] = {
+      val t = col(s"__t$n")
+      val cnt = t.getField("cnt")
+      Seq(cnt.as(s"top${n}_count"),
         when(cnt === 0L || col("__chars") === 0, lit(null).cast("double"))
           .otherwise(round(
-            (cnt * length(t.getField("bestGram"))).cast("double") /
+            (cnt * length(t.getField("gram"))).cast("double") /
               col("__chars"), 6))
-          .as(s"top${prefix}_frac"))
+          .as(s"top${n}_frac"))
     }
-    df.select(col(idCol), once(tokens(col(textCol))).as("__ws"))
-      .select(col(idCol), length(concat_ws(" ", ws)).as("__chars"),
-        once(array_sort(grams(2))).as("__s2"),
-        once(array_sort(grams(3))).as("__s3"),
-        once(array_sort(grams(4))).as("__s4"))
-      .select(col(idCol), col("__chars"),
-        once(topRun(col("__s2"))).as("__t2"),
-        once(topRun(col("__s3"))).as("__t3"),
-        once(topRun(col("__s4"))).as("__t4"))
+    df.select(col(idCol),
+      length(concat_ws(" ", tokens(col(textCol)))).as("__chars"),
+      call_function("graft_top_gram", col(textCol), lit(2)).as("__t2"),
+      call_function("graft_top_gram", col(textCol), lit(3)).as("__t3"),
+      call_function("graft_top_gram", col(textCol), lit(4)).as("__t4"))
       .select(col(idCol) +:
-        (outCols("2") ++ outCols("3") ++ outCols("4")): _*)
+        ((2 to 4).flatMap(outCols)): _*)
   }
 
   /** RAG-style overlapping token-window chunking: windows of `size`
