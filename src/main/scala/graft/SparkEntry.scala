@@ -1328,7 +1328,66 @@ object SparkEntry {
             .otherwise(col("__yr").cast("long")).as("yr"),
           col("revenue"))
         .orderBy("nation", "yr")
-    }))
+    }),
+
+    "q101_stream_funnel" -> ((s, dir) => {
+      // q92's funnel executed by the STREAMING runtime: per-user stage
+      // cursor in keyed state, batch/stream parity on ordered replay —
+      // same oracle as q92
+      val raw = t(s, dir, "events")
+      val tablePath = s"$dir/events.parquet"
+      val isDir = new java.io.File(tablePath.stripPrefix("file:")).isDirectory
+      val streamReader = s.readStream.schema(raw.schema)
+      val stream0 = if (isDir) streamReader.parquet(tablePath)
+        else streamReader.option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+      val stream = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => stream0
+      }
+      val stages = Seq("view", "click", "purchase")
+      val updates = graft.streaming.StreamFunnel.funnelDepthUpdates(
+        stream, "user_id", "ts", "event_id", "event_type", stages)
+      val perUser = graft.streaming.StreamPipeline
+        .runToResultAppend(s, updates.toDF(), "graft_q101")
+        .groupBy("user_id").agg(max(col("depth")).as("__d"))
+      Events.stageCounts(perUser, "__d", stages).orderBy("stage")
+    }),
+
+    "q102_weighted_sample" -> ((s, dir) =>
+      // Efraimidis-Spirakis A-RES weighted draw, md5-derived uniforms:
+      // map-only keys, TakeOrdered selection
+      Sample.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+        k = 100)
+        .orderBy(col("skey").desc, col("doc_id").asc)),
+
+    "q103_bm25" -> ((s, dir) =>
+      // BM25 retrieval for a fixed query: one-row stats broadcast,
+      // compiled wordHits tf, map-only scoring, TakeOrdered top-k
+      CorpusStats.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window"))
+        .orderBy(col("score").desc, col("doc_id").asc)),
+
+    "q104_rank_windows" -> ((s, dir) =>
+      // rank-function breadth: ntile/percent_rank/cume_dist per nation
+      // over a unique (acctbal desc, custkey) order — all deterministic
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+        .withColumn("quartile", ntile(4).over(
+          Window.partitionBy("c_nationkey")
+            .orderBy(col("bal").desc, col("c_custkey"))).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(
+          Window.partitionBy("c_nationkey")
+            .orderBy(col("bal").desc, col("c_custkey"))), 6))
+        .withColumn("cume", round(cume_dist().over(
+          Window.partitionBy("c_nationkey")
+            .orderBy(col("bal").desc, col("c_custkey"))), 6))
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("bal").cast("double").as("bal"),
+          col("quartile"), col("pct_rank"), col("cume"))
+        .orderBy("c_nationkey", "c_custkey")))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -2757,5 +2816,80 @@ object SparkEntry {
         |FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey
         |JOIN nation n ON c.c_nationkey=n.n_nationkey
         |GROUP BY CUBE(n.n_name, year(o.o_orderdate))
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q101: batch/stream parity — the streaming funnel must reproduce
+    // q92's batch result on an ordered replay, so the oracle is q92's
+    "q101_stream_funnel" ->
+      """WITH pos AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+        |  FROM events WHERE event_type IN ('view','click','purchase')),
+        |u1 AS (SELECT user_id, MIN(p) AS p1 FROM pos
+        |  WHERE event_type='view' GROUP BY 1),
+        |u2 AS (SELECT pos.user_id, MIN(p) AS p2 FROM pos JOIN u1 USING (user_id)
+        |  WHERE event_type='click' AND p > p1 GROUP BY 1),
+        |u3 AS (SELECT pos.user_id, MIN(p) AS p3 FROM pos JOIN u2 USING (user_id)
+        |  WHERE event_type='purchase' AND p > p2 GROUP BY 1),
+        |c AS (SELECT (SELECT COUNT(*) FROM u1) AS c1,
+        |             (SELECT COUNT(*) FROM u2) AS c2,
+        |             (SELECT COUNT(*) FROM u3) AS c3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+        |    c1 AS n_users, CAST(NULL AS DOUBLE) AS conversion FROM c
+        |  UNION ALL
+        |  SELECT 2, 'click', c2,
+        |    ROUND(CAST(c2 AS DOUBLE)/NULLIF(c1,0), 6) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', c3,
+        |    ROUND(CAST(c3 AS DOUBLE)/NULLIF(c2,0), 6) FROM c)
+        |ORDER BY stage""".stripMargin,
+
+    // q102: identical A-RES construction — exact integer uniform from
+    // the first 8 md5 hex digits, pow is the only libm call (round-6)
+    "q102_weighted_sample" -> {
+      val vv = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h,$i,1))-1)*${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, n_chars,
+         |  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |v AS (SELECT doc_id, n_chars, $vv AS vv,
+         |  GREATEST(n_chars, 1) AS w FROM b)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |  ROUND(POW((vv + 0.5e0)/4294967296e0, 1e0/w), 6) AS skey
+         |FROM v ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin
+    },
+
+    "q103_bm25" -> {
+      val terms = Seq("spark", "join", "window")
+      val dfs = terms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN ${sqlWordHits("text", t)} > 0 THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(",\n  ")
+      val contribs = terms.zipWithIndex.map { case (t, i) =>
+        s"""CAST(CASE WHEN ${sqlWordHits("d.text", t)} > 0 THEN ROUND(
+           |ROUND(LN((s.n - s.df$i + 0.5e0) / (s.df$i + 0.5e0) + 1e0), 6) *
+           |(CAST(${sqlWordHits("d.text", t)} AS DOUBLE) * (1.2e0 + 1e0)) /
+           |(CAST(${sqlWordHits("d.text", t)} AS DOUBLE) + 1.2e0 * (0.25e0 +
+           |0.75e0 * (CAST(${sqlTokenCount("d.text")} AS DOUBLE) /
+           |(CAST(s.tdl AS DOUBLE) / s.n)))), 6)
+           |ELSE 0 END AS DECIMAL(18,6))""".stripMargin
+      }.mkString(" + ")
+      s"""WITH s AS (SELECT COUNT(*) AS n, SUM(${sqlTokenCount("text")}) AS tdl,
+         |  $dfs FROM documents),
+         |sc AS (SELECT d.doc_id, CAST(($contribs) AS DOUBLE) AS score
+         |  FROM documents d, s)
+         |SELECT doc_id, score FROM sc WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    "q104_rank_windows" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin)
 }

@@ -65,6 +65,65 @@ object CorpusStats {
       .limit(topK)
   }
 
+  /** BM25 retrieval scoring of a fixed term query against the corpus
+    * (Robertson–Spärck Jones): per-document
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln((N − df + 0.5)/(df + 0.5) + 1)` (the Lucene form —
+    * non-negative). Term frequencies use the compiled
+    * [[graft.functions.TextKernels.wordHits]] kernel (exact,
+    * adjacent-repeat-correct). Top `topK` by (score desc, id asc).
+    *
+    * Parity: idf and each term's contribution round to 6 decimals
+    * (round-6-LN device), contributions sum as DECIMAL(18,6) —
+    * engine-exact; `avgdl` stays the single division
+    * `total_tokens / N` so both engines compute the same double.
+    *
+    * Scale shape: corpus statistics (N, total length, per-term doc
+    * freq) are ONE map-side-combined aggregate producing a single row,
+    * broadcast back with a cross join; scoring is a map-only
+    * projection (one compiled wordHits pass per term), and selection
+    * is a distributed TakeOrdered — the corpus is scanned twice (once
+    * for stats, once for scores) and never shuffled.
+    */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "bm25: terms must be non-empty and distinct")
+    val dl = TextOps.tokenCountArith(col(textCol))
+    val statCols =
+      Seq(count(lit(1)).as("__n"), sum(dl).as("__tdl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(TextOps.wordHits(col(textCol), t) > 0, 1L).otherwise(0L))
+            .as(s"__df$i")
+        }
+    val stats = df.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("__tdl").cast("double") / col("__n")
+    val contribs = terms.zipWithIndex.map { case (t, i) =>
+      val tf = TextOps.wordHits(col(textCol), t).cast("double")
+      val idf = round(log((col("__n") - col(s"__df$i") + 0.5) /
+        (col(s"__df$i") + 0.5) + 1.0), 6)
+      when(tf > 0,
+        round(idf * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) *
+            (dl.cast("double") / avgdl))), 6))
+        .otherwise(lit(0.0))
+        .cast("decimal(18,6)")
+    }
+    df.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        contribs.reduce(_ + _).cast("decimal(18,6)").cast("double")
+          .as("score"))
+      .filter(col("score") > 0d)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Zipf's-law fit over the top `topV` vocabulary terms: least-squares
     * slope and intercept of `ln(freq)` on `ln(rank)` (rank by count
     * desc, term asc). A healthy natural-language corpus sits near

@@ -57,12 +57,25 @@ object Events {
         x.getField("t") === element_at(typedlit(stages), acc + 1), acc + 1)
         .otherwise(acc))
     val perUser = evs.groupBy(col("__u")).agg(depth.as("__d"))
+    stageCounts(perUser, "__d", stages)
+  }
+
+  /** Collapse per-user funnel depths into the stage table: one row per
+    * stage with `n_users` (depth ≥ stage) and `conversion` from the
+    * previous stage. Shared by the batch fold and the streaming
+    * funnel's emitted depth updates.
+    */
+  def stageCounts(
+      perUserDepth: DataFrame,
+      depthCol: String,
+      stages: Seq[String]): DataFrame = {
+    val k = stages.size
     // coalesce: a global agg over ZERO users yields one all-NULL row,
     // and the funnel must report 0 there
     val cs = (1 to k).map(i =>
-      coalesce(sum(when(col("__d") >= i, 1L).otherwise(0L)), lit(0L))
+      coalesce(sum(when(col(depthCol) >= i, 1L).otherwise(0L)), lit(0L))
         .as(s"__c$i"))
-    val counts = perUser.agg(cs.head, cs.tail: _*)
+    val counts = perUserDepth.agg(cs.head, cs.tail: _*)
     // unpivot the single counts row into (stage, name, users, conversion)
     val rows = explode(array((1 to k).map { i =>
       struct(lit(i.toLong).as("stage"), lit(stages(i - 1)).as("stage_name"),

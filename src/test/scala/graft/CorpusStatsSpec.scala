@@ -91,6 +91,35 @@ class CorpusStatsSpec extends SparkSuite {
     }
   }
 
+  test("bm25 matches a hand-computed reference; zero-score docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join spark window fast"), // spark x2, join, window
+      (2L, "join table scan"),              // join only
+      (3L, "sort merge only"),              // no query terms -> dropped
+      (4L, "window window window window")   // window x4
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.bm25(docs, "doc_id", "text",
+      Seq("spark", "join", "window"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(!out.contains(3L), "doc without query terms must drop")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // reference: N=4, tdl=5+3+3+4=15, avgdl=15/4
+    val n = 4.0; val avgdl = 15.0 / 4.0
+    def idf(df: Int): Double = r6(math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+    def c(tf: Int, df: Int, dl: Int): BigDecimal =
+      if (tf == 0) BigDecimal(0).setScale(6)
+      else BigDecimal(r6(idf(df) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))).setScale(6)
+    val exp1 = (c(2, 1, 5) + c(1, 2, 5) + c(1, 2, 5)).toDouble
+    val exp2 = (c(0, 1, 3) + c(1, 2, 3) + c(0, 2, 3)).toDouble
+    val exp4 = (c(0, 1, 4) + c(0, 2, 4) + c(4, 2, 4)).toDouble
+    assert(out(1L) == exp1, s"doc1 ${out(1L)} vs $exp1")
+    assert(out(2L) == exp2)
+    assert(out(4L) == exp4)
+  }
+
   test("corpus stats plans: counts shuffle once, chunking is map-only") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")

@@ -231,4 +231,31 @@ class PipelineOpsSpec extends SparkSuite {
     assert(packed.columns.toSeq == Seq("id", "n", "offset"))
     assertOneCorpusShuffle(finalPlan(packed))
   }
+
+  test("weightedSample: A-RES keys match a driver-side replay; weight bias holds") {
+    val df = (1L to 300L).map(i => (i, if (i <= 150) 5L else 500L))
+      .toDF("id", "wt")
+    val out = Sample.weightedSample(df, "id", "wt", k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 50)
+    // driver-side replay of the exact construction
+    def key(id: Long, wt: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val v = (0 until 8).map(i =>
+        java.lang.Long.parseLong(h.substring(i, i + 1), 16) <<
+          (4 * (7 - i))).sum
+      val u = (v + 0.5) / 4294967296.0
+      BigDecimal(math.pow(u, 1.0 / math.max(wt, 1L).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (1L to 300L).map(i => (i, if (i <= 150) 5L else 500L))
+      .map { case (i, w) => (i, w, key(i, w)) }
+      .sortBy { case (i, _, s) => (-s, i) }.take(50)
+    assert(out.toSeq == expect,
+      s"head got ${out.take(3).toSeq} expected ${expect.take(3)}")
+    // heavy weights dominate the draw
+    assert(out.count(_._2 == 500L) > 40)
+  }
 }

@@ -333,4 +333,36 @@ class StreamingSpec extends SparkSuite {
       assert(rows(1)._3.contains("<EMAIL>"))
     } finally q.stop()
   }
+
+  test("streaming funnel: cursor survives batches, in-batch disorder repaired") {
+    import graft.streaming.StreamFunnel
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = input.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val out = StreamFunnel.funnelDepthUpdates(df, "user_id", "ts",
+      "event_id", "event_type", Seq("view", "click", "purchase"))
+    val q = out.toDF().writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 delivered OUT of ts order within the batch: the sort
+      // repairs it — user 1 reaches depth 2
+      input.addData(
+        (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+        (2L, ts("2024-01-01 10:00:00"), 3L, "purchase")) // wrong order
+      q.processAllAvailable()
+      val after1 = spark.table("funnel_out")
+        .as[(Long, Int)].collect().sorted.toSeq
+      assert(after1 == Seq((1L, 1), (1L, 2)), s"got $after1")
+      // batch 2: purchase arrives later -> user 1 completes; user 2's
+      // view starts their funnel (the earlier purchase cannot count)
+      input.addData(
+        (1L, ts("2024-01-01 10:02:00"), 4L, "purchase"),
+        (2L, ts("2024-01-01 10:03:00"), 5L, "view"))
+      q.processAllAvailable()
+      val after2 = spark.table("funnel_out")
+        .as[(Long, Int)].collect().sorted.toSeq
+      assert(after2 == Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1)), s"got $after2")
+    } finally q.stop()
+  }
 }
