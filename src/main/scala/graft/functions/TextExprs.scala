@@ -314,6 +314,46 @@ object TextKernels {
     new GenericInternalRow(Array[Any](bestC, bestG))
   }
 
+  /** Gopher duplicate n-gram counts: `struct(total BIGINT, dup BIGINT)`
+    * where total is the document's n-gram count and dup the number of
+    * occurrences whose gram appears ≥ 2 times (HashMap counts — the
+    * same quantity the sorted-neighbor HOF form computed, one compiled
+    * pass instead of sort + per-index filter).
+    */
+  def dupGrams(text: UTF8String, n: Int): InternalRow = {
+    val bytes = utf8Bytes(text)
+    val (bounds, cnt) = tokenize(bytes)
+    if (cnt < n) return new GenericInternalRow(Array[Any](0L, 0L))
+    val total = (cnt - n + 1).toLong
+    val toks = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) {
+      toks(i) = UTF8String.fromBytes(bytes, bounds(i * 2),
+        bounds(i * 2 + 1) - bounds(i * 2))
+      i += 1
+    }
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    val parts = new Array[UTF8String](2 * n - 1)
+    var j = 1
+    while (j < parts.length) { parts(j) = SPACE; j += 2 }
+    i = 0
+    while (i + n <= cnt) {
+      var k = 0
+      while (k < n) { parts(2 * k) = toks(i + k); k += 1 }
+      val gram = UTF8String.concat(parts: _*)
+      val c = counts.get(gram)
+      if (c == null) counts.put(gram, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c >= 2L) dup += c
+    }
+    new GenericInternalRow(Array[Any](total, dup))
+  }
+
   /** Add-one-smoothed bigram NLL against a hashed LM model
     * ([[BigramLmModel]]): one compiled pass per document with O(1)
     * HashMap lookups per bigram. Term = round6(ln(c(w1)+V) −
@@ -465,6 +505,23 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
 }
 
+case class DupGramsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DupGramsExpr.schema
+  override def prettyName: String = "graft_dup_grams"
+  override def nullSafeEval(t: Any, n: Any): Any =
+    TextKernels.dupGrams(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.TextKernels.dupGrams($t, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DupGramsExpr =
+    copy(left = l, right = r)
+}
+
+object DupGramsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("dup", LongType, nullable = false)))
+}
+
 case class TopGramExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = TopGramExpr.schema
   override def prettyName: String = "graft_top_gram"
@@ -505,6 +562,7 @@ object TextExprs {
     "graft_simhash" -> (es => SimHash64(str(es(0)))),
     "graft_char_ngrams" -> (es => CharNgramsExpr(str(es(0)), int(es(1)))),
     "graft_top_gram" -> (es => TopGramExpr(str(es(0)), int(es(1)))),
+    "graft_dup_grams" -> (es => DupGramsExpr(str(es(0)), int(es(1)))),
     "graft_char_entropy" -> (es => CharEntropy(str(es(0)))))
 
   def register(spark: SparkSession): Unit = {

@@ -388,48 +388,27 @@ object TextOps {
     * boilerplate text that unigram stats ([[repetitionStats]]) miss.
     *
     * Scale shape: ZERO shuffles — where the textbook form explodes
-    * n-grams and re-groups by (doc, gram), this sorts each document's
-    * gram array in place and counts positions with an equal neighbor
-    * (same quantity: an occurrence is duplicated iff it touches an
-    * equal gram in sorted order). O(L log L) per document inside the
-    * scan stage; the whole operator is a chain of projections.
-    *
-    * The sorted arrays are MATERIALIZED as real columns (`once`-fenced
-    * so CollapseProject cannot inline them) before any lambda touches
-    * them: a HOF lambda body is evaluated per element, so an inline
-    * `array_sort(transform(...))` inside `filter` would re-build and
-    * re-sort the gram array for EVERY index — O(L² log L) per document
-    * (measured: 642 s at sf0.1 vs ~1 s materialized).
+    * n-grams and re-groups by (doc, gram), each document is counted in
+    * one compiled [[graft.functions.TextKernels.dupGrams]] pass
+    * (HashMap counts) inside the scan stage. O(L) per document. The
+    * first version sorted gram arrays and counted equal sorted
+    * neighbors through HOF lambdas — same quantities, but interpreted
+    * per element (2.3 s at sf0.1 vs sub-second compiled; its
+    * INVALID_INDEX_OF_ZERO boundary crash was round 8's only red).
+    * Requires GraftFunctions.registerAll.
     */
   def dupNgramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = col("__ws")
-    def grams(n: Int): Column = when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-    // dup count over a BOUND attribute (cheap per-element access).
-    // Boundary terms are index-guarded with lazy `when` (no otherwise
-    // → NULL off either end, resolved through OR's null semantics;
-    // filter keeps only TRUE). `try_element_at` is NOT usable here: it
-    // suppresses out-of-bounds but still throws INVALID_INDEX_OF_ZERO
-    // at i-1 = 0.
-    def dupCount(s: Column): Column =
-      when(size(s) === 0, lit(0L)).otherwise(
-        size(filter(sequence(lit(1), size(s)), i =>
-          (element_at(s, i) === when(i > 1, element_at(s, i - 1))) ||
-            (element_at(s, i) === when(i < size(s), element_at(s, i + 1))))).cast("long"))
     def frac(total: Column, dup: Column): Column =
       when(total === 0L, lit(null).cast("double"))
         .otherwise(round(dup.cast("double") / total, 6))
-    df.select(col(idCol), once(tokens(col(textCol))).as("__ws"))
+    df.select(col(idCol),
+      call_function("graft_dup_grams", col(textCol), lit(2)).as("__d2"),
+      call_function("graft_dup_grams", col(textCol), lit(3)).as("__d3"))
       .select(col(idCol),
-        once(array_sort(grams(2))).as("__s2"),
-        once(array_sort(grams(3))).as("__s3"))
-      .select(col(idCol),
-        size(col("__s2")).cast("long").as("bi_total"),
-        once(dupCount(col("__s2"))).as("bi_dup"),
-        size(col("__s3")).cast("long").as("tri_total"),
-        once(dupCount(col("__s3"))).as("tri_dup"))
+        col("__d2").getField("total").as("bi_total"),
+        col("__d2").getField("dup").as("bi_dup"),
+        col("__d3").getField("total").as("tri_total"),
+        col("__d3").getField("dup").as("tri_dup"))
       .select(col(idCol),
         col("bi_total"), col("bi_dup"),
         frac(col("bi_total"), col("bi_dup")).as("bi_frac"),
