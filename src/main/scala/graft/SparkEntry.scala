@@ -1387,7 +1387,40 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_nationkey"),
           col("bal").cast("double").as("bal"),
           col("quartile"), col("pct_rank"), col("cume"))
-        .orderBy("c_nationkey", "c_custkey")))
+        .orderBy("c_nationkey", "c_custkey")),
+
+    "q105_stream_interval_join" -> ((s, dir) => {
+      // q99's bucketed interval join as a WATERMARKED stream-stream
+      // join: two event streams, per-bucket state matching, range
+      // predicate on the watermarked timestamps; zeros restored from
+      // the batch table after the run. Same oracle as q99.
+      val raw = t(s, dir, "events")
+      def mkStream(): DataFrame = {
+        val tablePath = s"$dir/events.parquet"
+        val isDir = new java.io.File(tablePath.stripPrefix("file:")).isDirectory
+        val streamReader = s.readStream.schema(raw.schema)
+        val s0 = if (isDir) streamReader.parquet(tablePath)
+          else streamReader.option("pathGlobFilter", "events.parquet")
+            .parquet(dir)
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => s0
+        }
+      }
+      val pairs = graft.streaming.StreamJoin.intervalPairs(
+        mkStream().filter(col("event_type") === "error"), "event_id", "ts",
+        mkStream().filter(col("event_type") === "purchase"), "ts", 300L)
+      val matched = graft.streaming.StreamPipeline
+        .runToResultAppend(s, pairs, "graft_q105")
+        .groupBy(col("__lid")).agg(count(lit(1)).as("__n"))
+      events(s, dir).filter(col("event_type") === "error")
+        .select(col("event_id"))
+        .join(matched, col("event_id") === col("__lid"), "left")
+        .select(col("event_id"),
+          coalesce(col("__n"), lit(0L)).as("n_nearby"))
+        .orderBy("event_id")
+    }))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -2891,5 +2924,16 @@ object SparkEntry {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey
         |  ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey)
-        |ORDER BY c_nationkey, c_custkey""".stripMargin)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    // q105: the streaming interval join must reproduce the batch
+    // result on a full replay, so the oracle is q99's
+    "q105_stream_interval_join" ->
+      """WITH l AS (SELECT event_id, epoch_us(ts) AS lus FROM events
+        |  WHERE event_type='error'),
+        |r AS (SELECT epoch_us(ts) AS rus FROM events
+        |  WHERE event_type='purchase')
+        |SELECT l.event_id, CAST(COUNT(r.rus) AS BIGINT) AS n_nearby
+        |FROM l LEFT JOIN r ON ABS(r.rus - l.lus) <= 300000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

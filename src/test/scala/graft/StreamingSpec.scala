@@ -334,6 +334,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: bucketed pairs match brute force") {
+    import graft.streaming.StreamJoin
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(Long, Timestamp)]
+    val ri = MemoryStream[Timestamp]
+    val pairs = StreamJoin.intervalPairs(
+      li.toDF().toDF("event_id", "ts"), "event_id", "ts",
+      ri.toDF().toDF("ts"), "ts", 300L, watermarkDelay = "1 hour")
+    val q = pairs.writeStream.format("memory").queryName("sjoin_out")
+      .outputMode("append").start()
+    try {
+      li.addData(
+        (1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:10:00")))
+      ri.addData(
+        ts("2024-01-01 09:55:01"), // in for 1 (299s), out for 2
+        ts("2024-01-01 10:05:00"), // exactly 300s from BOTH: in for both
+        ts("2024-01-01 10:20:00")) // out for 1 (1200s), out for 2 (600s)
+      q.processAllAvailable()
+      val got = spark.table("sjoin_out").select("__lid")
+        .as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 1L, 2L), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming funnel: cursor survives batches, in-batch disorder repaired") {
     import graft.streaming.StreamFunnel
     implicit val sqlCtx = spark.sqlContext
