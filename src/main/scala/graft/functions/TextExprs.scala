@@ -314,6 +314,42 @@ object TextKernels {
     new GenericInternalRow(Array[Any](bestC, bestG))
   }
 
+  private val UND = UTF8String.fromString("und")
+
+  /** Language overlap scoring against a hashed [[LangIdModel]]: one
+    * pass over the document's distinct character n-grams with O(1)
+    * gram → languages lookups; argmax keeps the first (alphabetical)
+    * language on ties, "und"/0 when nothing overlaps.
+    */
+  def langOverlap(text: UTF8String, model: LangIdModel): InternalRow = {
+    val grams = charNgrams(text, model.n)
+    val seen = new java.util.HashSet[UTF8String]()
+    val counts = new Array[Long](model.langs.length)
+    var i = 0
+    val ne = grams.numElements()
+    while (i < ne) {
+      val g = grams.getUTF8String(i)
+      if (seen.add(g)) {
+        val hit = model.map.get(g)
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+        }
+      }
+      i += 1
+    }
+    var maxC = 0L
+    var arg = -1
+    i = 0
+    while (i < counts.length) {
+      if (counts(i) > maxC) { maxC = counts(i); arg = i }
+      i += 1
+    }
+    if (arg < 0) new GenericInternalRow(Array[Any](UND, 0L))
+    else new GenericInternalRow(
+      Array[Any](UTF8String.fromString(model.langs(arg)), maxC))
+  }
+
   /** Gopher duplicate n-gram counts: `struct(total BIGINT, dup BIGINT)`
     * where total is the document's n-gram count and dup the number of
     * occurrences whose gram appears ≥ 2 times (HashMap counts — the

@@ -265,42 +265,22 @@ object TextOps {
     if (byLang.isEmpty)
       return df.select(col(idCol), col(langCol),
         lit("und").as("lang_pred_ngram"), lit(0L).as("ngram_score"))
-    val nLangs = byLang.size
-    val withTris = df.select(col(idCol), col(langCol),
-      call_function("graft_once",
-        array_distinct(charNgrams(col(textCol), n))).as("__tris"))
-    // each language's overlap is computed ONCE into its own fenced
-    // column — the argmax below references the scores many times
-    // (greatest, the encoded tie-break, the winner fold), and without
-    // the fence every reference re-ran its array_intersect (measured
-    // slower than the join form it replaced)
-    val withScores = withTris.select(
-      (col(idCol) +: col(langCol) +: byLang.zipWithIndex.map {
-        case ((_, tris), i) =>
-          call_function("graft_once",
-            size(array_intersect(col("__tris"), typedlit(tris))).cast("long"))
-            .as(s"__s$i")
-      }): _*)
-    // argmax via the encoded-greatest device (score·L + reverse lang
-    // rank → ties go to the alphabetically-first language, matching
-    // the window form)
-    val scored = byLang.zipWithIndex.map { case ((lang, _), i) =>
-      val s = col(s"__s$i")
-      (s, s * nLangs + (nLangs - 1 - i), lang)
-    }
-    val bestScore = if (nLangs == 1) scored.head._1
-      else greatest(scored.map(_._1): _*)
-    val bestEnc = if (nLangs == 1) scored.head._2
-      else greatest(scored.map(_._2): _*)
-    val bestLang = scored.foldLeft(lit("und")) { case (acc, (_, enc, lang)) =>
-      when(enc === bestEnc, lit(lang)).otherwise(acc)
-    }
-    // NULL text → NULL trigram array → NULL scores: classify as "und"
-    // with score 0, same as the round-7 left_outer form
-    val score0 = coalesce(bestScore, lit(0L))
-    withScores.select(col(idCol), col(langCol),
-      when(score0 === 0, lit("und")).otherwise(bestLang).as("lang_pred_ngram"),
-      score0.as("ngram_score"))
+    // profiles broadcast once per executor as a hashed gram → langs
+    // map inside the compiled LangOverlap kernel: ONE pass over each
+    // document's distinct grams with O(1) lookups, replacing an
+    // array_intersect (fresh hash set) per row × language — the q55
+    // 3.4 s residual. NULL text scores like empty text (whole-text ""
+    // gram, no overlap) → "und"/0, same as the expression form.
+    val model = graft.functions.LangIdModel(byLang, n)
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val scored = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.LangOverlap(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          coalesce(col(textCol).cast("string"), lit(""))), bc))
+    df.select(col(idCol), col(langCol), once(scored).as("__lo"))
+      .select(col(idCol), col(langCol),
+        col("__lo").getField("lang").as("lang_pred_ngram"),
+        col("__lo").getField("score").as("ngram_score"))
   }
 
   /** CCNet-style n-gram language-model quality scoring (Wenzek et al.
