@@ -1411,8 +1411,18 @@ object SparkEntry {
       val pairs = graft.streaming.StreamJoin.intervalPairs(
         mkStream().filter(col("event_type") === "error"), "event_id", "ts",
         mkStream().filter(col("event_type") === "purchase"), "ts", 300L)
-      val matched = graft.streaming.StreamPipeline
-        .runToResultAppend(s, pairs, "graft_q105")
+      // stateful-join cost is dominated by per-(partition × batch)
+      // state-store commits, not data volume: run the join with a
+      // bounded state partition count (the conf is captured at query
+      // START, so restoring it after the run is safe for later queries)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val matchedRows =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.StreamPipeline
+            .runToResultAppend(s, pairs, "graft_q105")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val matched = matchedRows
         .groupBy(col("__lid")).agg(count(lit(1)).as("__n"))
       events(s, dir).filter(col("event_type") === "error")
         .select(col("event_id"))
