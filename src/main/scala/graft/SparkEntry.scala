@@ -1430,6 +1430,58 @@ object SparkEntry {
         .select(col("event_id"),
           coalesce(col("__n"), lit(0L)).as("n_nearby"))
         .orderBy("event_id")
+    }),
+
+    "q106_group_percentiles" -> ((s, dir) => {
+      // EXACT group percentiles (sort-based, interpolated) — the
+      // complement of q60's approx-vs-exact contract: broadcast dims,
+      // one group shuffle, percentile buffers per group only
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          dec(col("o_totalprice")).cast("double").as("__p"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(expr("percentile(__p, 0.25)"), 6).as("p25"),
+          round(expr("percentile(__p, 0.5)"), 6).as("median"),
+          round(expr("percentile(__p, 0.75)"), 6).as("p75"))
+        .orderBy("n_name")
+    }),
+
+    "q107_price_histogram" -> ((s, dir) =>
+      // equi-width histogram: map-only clamped bucket id, one tiny
+      // 20-row aggregate — binning at scan speed
+      t(s, dir, "lineitem")
+        .select(
+          least(greatest(floor(col("l_extendedprice").cast("double") /
+            5000d), lit(0d)), lit(19d)).cast("long").as("bucket"),
+          dec(col("l_extendedprice")).as("__p"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(col("__p")).cast("double").as("total"))
+        .orderBy("bucket")),
+
+    "q108_corr_moments" -> ((s, dir) => {
+      // correlation/covariance from EXACT decimal moments (one
+      // map-side-combined aggregate) instead of the engines' streaming
+      // corr() — order-independent, engine-portable, same single pass
+      val x = dec(col("l_quantity")); val y = dec(col("l_extendedprice"))
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n").cast("double") * col("n")), 6).as("cov_pop"))
+        .orderBy("l_returnflag")
     }))
 
   // ------------------------------------------------------------------
@@ -2945,5 +2997,46 @@ object SparkEntry {
         |  WHERE event_type='purchase')
         |SELECT l.event_id, CAST(COUNT(r.rus) AS BIGINT) AS n_nearby
         |FROM l LEFT JOIN r ON ABS(r.rus - l.lus) <= 300000000
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q106: quantile_cont == Spark's exact interpolated percentile on
+    // identical DECIMAL(18,2)-derived doubles
+    "q106_group_percentiles" ->
+      """SELECT n.n_name, COUNT(*) AS n_orders,
+        |  ROUND(quantile_cont(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+        |    AS DOUBLE), 0.25e0), 6) AS p25,
+        |  ROUND(quantile_cont(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+        |    AS DOUBLE), 0.5e0), 6) AS median,
+        |  ROUND(quantile_cont(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+        |    AS DOUBLE), 0.75e0), 6) AS p75
+        |FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey
+        |JOIN nation n ON c.c_nationkey=n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q107_price_histogram" ->
+      """WITH b AS (SELECT
+        |  CAST(LEAST(GREATEST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 5000e0),
+        |    0e0), 19e0) AS BIGINT) AS bucket,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS p FROM lineitem)
+        |SELECT bucket, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q108: moments are exact DECIMAL sums; corr/cov derive in fixed
+    // double expressions — order-independent unlike streaming corr()
+    "q108_corr_moments" ->
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |    CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |    CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  ROUND((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) *
+        |    SQRT(n * syy - sy * sy)), 6) AS corr_qty_price,
+        |  ROUND((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 6) AS cov_pop
+        |FROM m ORDER BY 1""".stripMargin)
 }
