@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{CorpusStats, Curation, Dedup, Events, KMeans, Pack, Rank, Sample, Similarity, TextOps}
+import graft.ops.{Bpe, CorpusStats, Curation, Dedup, Events, KMeans, Pack, Rank, Sample, Similarity, TextOps}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -1482,7 +1482,14 @@ object SparkEntry {
           round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (col("n").cast("double") * col("n")), 6).as("cov_pop"))
         .orderBy("l_returnflag")
-    }))
+    }),
+
+    "q109_bpe_merges" -> ((s, dir) =>
+      // tokenizer induction: BPE merge table learned exactly on the
+      // bounded word-frequency table (the only corpus-scale step is
+      // the vocab aggregation)
+      Bpe.learnMerges(t(s, dir, "documents"), "text", iters = 5)
+        .orderBy("merge_rank")))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -3038,5 +3045,45 @@ object SparkEntry {
         |  ROUND((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) *
         |    SQRT(n * syy - sy * sy)), 6) AS corr_qty_price,
         |  ROUND((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 6) AS cov_pop
-        |FROM m ORDER BY 1""".stripMargin)
+        |FROM m ORDER BY 1""".stripMargin,
+
+    // q109: each merge replayed with the space-wrapped token encoding;
+    // REPLACE(' l r ' -> ' lr ') cannot cross token boundaries, and
+    // iterating it 4x reaches the leftmost-greedy fixpoint (adjacent
+    // occurrences share a delimiter space, so one pass takes every
+    // other match in a chain; word length bounds the chain)
+    "q109_bpe_merges" -> {
+      val iters = 5
+      val head =
+        """WITH toks AS (
+          |  SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+          |vocab AS (SELECT w, COUNT(*) AS freq
+          |  FROM toks, UNNEST(ws) AS t(w) GROUP BY 1),
+          |w0 AS (SELECT w, freq,
+          |  ' ' || array_to_string(list_transform(range(1, len(w)+1),
+          |    i -> substr(w, i, 1)), ' ') || ' ' AS s FROM vocab)""".stripMargin
+      val stages = (1 to iters).flatMap { i =>
+        val prev = s"w${i - 1}"
+        val pm =
+          s"""p$i AS (SELECT ws[i] AS l, ws[i+1] AS r, SUM(freq) AS c FROM (
+             |    SELECT freq, string_split(trim(s), ' ') AS ws FROM $prev) q,
+             |  UNNEST(range(1, len(ws))) AS t(i) GROUP BY 1, 2),
+             |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+        if (i == iters) Seq(pm)
+        else {
+          val pat = s"' ' || m$i.l || ' ' || m$i.r || ' '"
+          val rep = s"' ' || m$i.l || m$i.r || ' '"
+          val r4 = (1 to 4).foldLeft("s")((acc, _) => s"REPLACE($acc, $pat, $rep)")
+          Seq(pm, s"w$i AS (SELECT w, freq, $r4 AS s FROM $prev, m$i)")
+        }
+      }
+      val sel = (1 to iters)
+        .map(i => s"SELECT $i AS merge_rank, l, r, c FROM m$i")
+        .mkString(" UNION ALL ")
+      (head +: stages).mkString(",\n") +
+        s"""
+           |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, l AS lhs,
+           |  r AS rhs, CAST(c AS BIGINT) AS pair_count
+           |FROM ($sel) ORDER BY merge_rank""".stripMargin
+    })
 }

@@ -1,0 +1,91 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+  * tokenizer-induction pass of an LLM data pipeline: iteratively merge
+  * the most frequent adjacent symbol pair over the word-frequency
+  * table, recording the merge table that defines the subword
+  * vocabulary. Word-internal variant (no end-of-word marker); merges
+  * apply greedily left-to-right, non-overlapping, ties on the count
+  * break to the lexicographically smallest (left, right).
+  *
+  * Scale shape: the ONLY corpus-scale step is the word-frequency
+  * aggregation (one map-side-combined shuffle to a vocab-sized
+  * table, `maxVocab` fail-fast) — exactly how production BPE trains
+  * (on the vocab × freq table, not the raw corpus). The merge loop
+  * runs driver-side on that bounded table: `iters` passes over ≤
+  * maxVocab short words is millions of cheap operations, not a
+  * distributed job, and the result is a config-sized model (the
+  * engine's model-state rule).
+  */
+object Bpe {
+
+  /** Returns `(merge_rank, left, right, pair_count)`, one row per
+    * learned merge (fewer if the vocabulary runs out of pairs).
+    */
+  def learnMerges(
+      df: DataFrame,
+      textCol: String,
+      iters: Int = 5,
+      maxVocab: Int = 100000): DataFrame = {
+    require(iters >= 1 && iters <= 64, "learnMerges: iters in [1, 64]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocabRows = df
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .limit(maxVocab + 1).collect()
+    require(vocabRows.length <= maxVocab,
+      s"learnMerges: vocabulary exceeds maxVocab=$maxVocab — BPE trains " +
+        "on a bounded vocab table; raise the cap or pre-filter")
+    // split on code points (matches SQL substr's character semantics)
+    def codePoints(w: String): Array[String] = {
+      val out = mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    var vocab: Array[(Array[String], Long)] = vocabRows
+      .map(r => (codePoints(r.getString(0)), r.getLong(1)))
+    def mergePair(toks: Array[String], l: String, r: String): Array[String] = {
+      val out = mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toArray
+    }
+    val merges = mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var k = 1
+    var exhausted = false
+    while (k <= iters && !exhausted) {
+      val counts = mutable.HashMap[(String, String), Long]()
+      vocab.foreach { case (toks, f) =>
+        var i = 0
+        while (i + 1 < toks.length) {
+          val key = (toks(i), toks(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((k.toLong, l, r, c))
+        vocab = vocab.map { case (toks, f) => (mergePair(toks, l, r), f) }
+        k += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+}
