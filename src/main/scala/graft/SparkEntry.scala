@@ -42,6 +42,29 @@ object SparkEntry {
     }
   }
 
+  /** Streaming reader for a driver-generated parquet table — the one
+    * place the layout branch lives: a directory-shaped table (part-*
+    * leaves inside) streams from its own path (FileStreamSource needs
+    * a directory basePath); a single-file layout instead globs the
+    * leaf name from the parent, because the glob alone silently reads
+    * ZERO rows from a directory layout (part-* leaves don't match the
+    * table name). Long `ts` columns get the same nanos→micros
+    * normalization as [[events]].
+    */
+  private def streamT(s: SparkSession, dir: String, n: String): DataFrame = {
+    val raw = t(s, dir, n)
+    val tablePath = s"$dir/$n.parquet"
+    val isDir = new java.io.File(tablePath.stripPrefix("file:")).isDirectory
+    val reader = s.readStream.schema(raw.schema)
+    val s0 =
+      if (isDir) reader.parquet(tablePath)
+      else reader.option("pathGlobFilter", s"$n.parquet").parquet(dir)
+    if (raw.schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else s0
+  }
+
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
@@ -691,17 +714,7 @@ object SparkEntry {
       // the streaming runtime inside the correctness gate: same hourly
       // aggregation as q31, executed by Structured Streaming
       // (AvailableNow over the parquet files, complete-mode memory sink)
-      val raw = t(s, dir, "events")
-      // file-stream source wants a directory; pathGlobFilter narrows it
-      // to the events table
-      val stream0 = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val stream = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => stream0
-      }
-      val agg = stream
+      val agg = streamT(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
@@ -1156,18 +1169,7 @@ object SparkEntry {
       // batch/stream parity through the real streaming engine.
       val raw = t(s, dir, "documents")
       val seen = Dedup.digests(raw.filter(col("doc_id") % 3 =!= 1), Seq("text"))
-      // directory-shaped parquet (part-files inside) streams from the
-      // table path; a single-file layout can't (FileStreamSource
-      // requires a directory basePath) and instead globs the leaf name
-      // from the parent — the glob alone would silently read ZERO rows
-      // from a directory layout (part-* leaves don't match), which is
-      // why the layout is branched on explicitly
-      val tablePath = s"$dir/documents.parquet"
-      val isDir = new java.io.File(tablePath.stripPrefix("file:")).isDirectory
-      val streamReader = s.readStream.schema(raw.schema)
-      val stream = (if (isDir) streamReader.parquet(tablePath)
-        else streamReader.option("pathGlobFilter", "documents.parquet")
-          .parquet(dir))
+      val stream = streamT(s, dir, "documents")
         .filter(col("doc_id") % 3 === 1)
       val kept = graft.streaming.StreamDedup.dedupAgainstIndex(
         stream, seen, Seq("text"), "doc_id")
@@ -1334,18 +1336,7 @@ object SparkEntry {
       // q92's funnel executed by the STREAMING runtime: per-user stage
       // cursor in keyed state, batch/stream parity on ordered replay —
       // same oracle as q92
-      val raw = t(s, dir, "events")
-      val tablePath = s"$dir/events.parquet"
-      val isDir = new java.io.File(tablePath.stripPrefix("file:")).isDirectory
-      val streamReader = s.readStream.schema(raw.schema)
-      val stream0 = if (isDir) streamReader.parquet(tablePath)
-        else streamReader.option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-      val stream = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => stream0
-      }
+      val stream = streamT(s, dir, "events")
       val stages = Seq("view", "click", "purchase")
       val updates = graft.streaming.StreamFunnel.funnelDepthUpdates(
         stream, "user_id", "ts", "event_id", "event_type", stages)
@@ -1394,23 +1385,11 @@ object SparkEntry {
       // join: two event streams, per-bucket state matching, range
       // predicate on the watermarked timestamps; zeros restored from
       // the batch table after the run. Same oracle as q99.
-      val raw = t(s, dir, "events")
-      def mkStream(): DataFrame = {
-        val tablePath = s"$dir/events.parquet"
-        val isDir = new java.io.File(tablePath.stripPrefix("file:")).isDirectory
-        val streamReader = s.readStream.schema(raw.schema)
-        val s0 = if (isDir) streamReader.parquet(tablePath)
-          else streamReader.option("pathGlobFilter", "events.parquet")
-            .parquet(dir)
-        raw.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          case _ => s0
-        }
-      }
       val pairs = graft.streaming.StreamJoin.intervalPairs(
-        mkStream().filter(col("event_type") === "error"), "event_id", "ts",
-        mkStream().filter(col("event_type") === "purchase"), "ts", 300L)
+        streamT(s, dir, "events").filter(col("event_type") === "error"),
+        "event_id", "ts",
+        streamT(s, dir, "events").filter(col("event_type") === "purchase"),
+        "ts", 300L)
       // stateful-join cost is dominated by per-(partition × batch)
       // state-store commits, not data volume: run the join with a
       // bounded state partition count (the conf is captured at query
@@ -3047,11 +3026,13 @@ object SparkEntry {
         |  ROUND((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 6) AS cov_pop
         |FROM m ORDER BY 1""".stripMargin,
 
-    // q109: each merge replayed with the space-wrapped token encoding;
-    // REPLACE(' l r ' -> ' lr ') cannot cross token boundaries, and
-    // iterating it 4x reaches the leftmost-greedy fixpoint (adjacent
-    // occurrences share a delimiter space, so one pass takes every
-    // other match in a chain; word length bounds the chain)
+    // q109: each merge replayed over a DOUBLE-space token encoding
+    // ('  a  b  c  '): the pattern ' l  r ' consumes only the inner
+    // space of each boundary and the replacement ' lr ' restores it,
+    // so one left-to-right non-overlapping REPLACE pass IS the greedy
+    // leftmost merge — including self-pair chains ('a a a a a' ->
+    // 'aa aa a'), where a shared-delimiter single-space encoding
+    // skips every other match and fixpoints at the wrong tokens
     "q109_bpe_merges" -> {
       val iters = 5
       val head =
@@ -3060,21 +3041,20 @@ object SparkEntry {
           |vocab AS (SELECT w, COUNT(*) AS freq
           |  FROM toks, UNNEST(ws) AS t(w) GROUP BY 1),
           |w0 AS (SELECT w, freq,
-          |  ' ' || array_to_string(list_transform(range(1, len(w)+1),
-          |    i -> substr(w, i, 1)), ' ') || ' ' AS s FROM vocab)""".stripMargin
+          |  '  ' || array_to_string(list_transform(range(1, len(w)+1),
+          |    i -> substr(w, i, 1)), '  ') || '  ' AS s FROM vocab)""".stripMargin
       val stages = (1 to iters).flatMap { i =>
         val prev = s"w${i - 1}"
         val pm =
           s"""p$i AS (SELECT ws[i] AS l, ws[i+1] AS r, SUM(freq) AS c FROM (
-             |    SELECT freq, string_split(trim(s), ' ') AS ws FROM $prev) q,
+             |    SELECT freq, string_split_regex(trim(s), ' +') AS ws FROM $prev) q,
              |  UNNEST(range(1, len(ws))) AS t(i) GROUP BY 1, 2),
              |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
         if (i == iters) Seq(pm)
         else {
-          val pat = s"' ' || m$i.l || ' ' || m$i.r || ' '"
+          val pat = s"' ' || m$i.l || '  ' || m$i.r || ' '"
           val rep = s"' ' || m$i.l || m$i.r || ' '"
-          val r4 = (1 to 4).foldLeft("s")((acc, _) => s"REPLACE($acc, $pat, $rep)")
-          Seq(pm, s"w$i AS (SELECT w, freq, $r4 AS s FROM $prev, m$i)")
+          Seq(pm, s"w$i AS (SELECT w, freq, REPLACE(s, $pat, $rep) AS s FROM $prev, m$i)")
         }
       }
       val sel = (1 to iters)

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * table, recording the merge table that defines the subword
   * vocabulary. Word-internal variant (no end-of-word marker); merges
   * apply greedily left-to-right, non-overlapping, ties on the count
-  * break to the lexicographically smallest (left, right).
+  * break to the smallest (left, right) under UTF-8 byte order.
   *
   * Scale shape: the ONLY corpus-scale step is the word-frequency
   * aggregation (one map-side-combined shuffle to a vocab-sized
@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   * engine's model-state rule).
   */
 object Bpe {
+
+  /** Unsigned UTF-8 byte comparison — the tie-break must sort the way
+    * a SQL engine's binary collation does; JVM String ordering
+    * (UTF-16 code units) ranks supplementary-plane characters
+    * (surrogates, 0xD800+) BELOW U+E000..U+FFFF, where UTF-8 bytes
+    * rank them above.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    var c = 0
+    while (i < n && c == 0) {
+      c = (x(i) & 0xff) - (y(i) & 0xff)
+      i += 1
+    }
+    if (c != 0) c else x.length - y.length
+  }
 
   /** Returns `(merge_rank, left, right, pair_count)`, one row per
     * learned merge (fewer if the vocabulary runs out of pairs).
@@ -80,7 +99,14 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = counts.min(Ordering.fromLessThan[((String, String), Long)] {
+          case (((l1, r1), c1), ((l2, r2), c2)) =>
+            if (c1 != c2) c1 > c2
+            else {
+              val lc = utf8Compare(l1, l2)
+              if (lc != 0) lc < 0 else utf8Compare(r1, r2) < 0
+            }
+        })
         merges += ((k.toLong, l, r, c))
         vocab = vocab.map { case (toks, f) => (mergePair(toks, l, r), f) }
         k += 1

@@ -31,7 +31,6 @@ object Curation {
     */
   def sourceMixReport(
       df: DataFrame,
-      idCol: String = "doc_id",
       textCol: String = "text",
       srcCol: String = "source",
       segLen: Int = 10,
