@@ -1468,7 +1468,18 @@ object SparkEntry {
       // bounded word-frequency table (the only corpus-scale step is
       // the vocab aggregation)
       Bpe.learnMerges(t(s, dir, "documents"), "text", iters = 5)
-        .orderBy("merge_rank")))
+        .orderBy("merge_rank")),
+
+    "q110_bpe_encode" -> ((s, dir) => {
+      // tokenizer application: the merge table learned in the q109
+      // pass (bounded vocab aggregation), then every document encoded
+      // map-only by the compiled kernel — the learn/apply split of a
+      // production tokenizer run
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learnMergeList(docs, "text", iters = 5)
+        .map(m => (m._2, m._3))
+      Bpe.encodeStats(docs, "doc_id", "text", merges).orderBy("doc_id")
+    }))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -3035,35 +3046,65 @@ object SparkEntry {
     // skips every other match and fixpoints at the wrong tokens
     "q109_bpe_merges" -> {
       val iters = 5
-      val head =
-        """WITH toks AS (
-          |  SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
-          |vocab AS (SELECT w, COUNT(*) AS freq
-          |  FROM toks, UNNEST(ws) AS t(w) GROUP BY 1),
-          |w0 AS (SELECT w, freq,
-          |  '  ' || array_to_string(list_transform(range(1, len(w)+1),
-          |    i -> substr(w, i, 1)), '  ') || '  ' AS s FROM vocab)""".stripMargin
-      val stages = (1 to iters).flatMap { i =>
-        val prev = s"w${i - 1}"
-        val pm =
-          s"""p$i AS (SELECT ws[i] AS l, ws[i+1] AS r, SUM(freq) AS c FROM (
-             |    SELECT freq, string_split_regex(trim(s), ' +') AS ws FROM $prev) q,
-             |  UNNEST(range(1, len(ws))) AS t(i) GROUP BY 1, 2),
-             |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
-        if (i == iters) Seq(pm)
-        else {
-          val pat = s"' ' || m$i.l || '  ' || m$i.r || ' '"
-          val rep = s"' ' || m$i.l || m$i.r || ' '"
-          Seq(pm, s"w$i AS (SELECT w, freq, REPLACE(s, $pat, $rep) AS s FROM $prev, m$i)")
-        }
-      }
       val sel = (1 to iters)
         .map(i => s"SELECT $i AS merge_rank, l, r, c FROM m$i")
         .mkString(" UNION ALL ")
-      (head +: stages).mkString(",\n") +
+      bpeChainSql(iters) +
         s"""
            |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, l AS lhs,
            |  r AS rhs, CAST(c AS BIGINT) AS pair_count
            |FROM ($sel) ORDER BY merge_rank""".stripMargin
+    },
+
+    // q110: the q109 chain re-applied to every document — the encoded
+    // vocab table w{iters} carries each word's final tokenization, so
+    // per-doc stats are a word join + sum (the oracle mirror of the
+    // kernel's map-only pass); empty words count zero tokens
+    "q110_bpe_encode" -> {
+      val iters = 5
+      bpeChainSql(iters) +
+        s""",
+           |enc AS (SELECT w, CASE WHEN len(w) = 0 THEN 0
+           |    ELSE len(string_split_regex(trim(s), ' +')) END AS nt
+           |  FROM w$iters)
+           |SELECT t.doc_id, CAST(SUM(enc.nt) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(len(t.w)) AS BIGINT) AS n_chars,
+           |  CASE WHEN SUM(enc.nt) > 0
+           |    THEN ROUND(CAST(SUM(len(t.w)) AS DOUBLE) / SUM(enc.nt), 6)
+           |  END AS compression
+           |FROM (SELECT doc_id, w FROM toks, UNNEST(ws) AS u(w)) t
+           |JOIN enc USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
     })
+
+  /** The shared BPE WITH-chain: vocab → double-space encoding → per
+    * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The
+    * replay uses scalar subqueries + COALESCE so an exhausted merge
+    * stage (no pairs left) passes strings through unchanged, matching
+    * the learner's early stop.
+    */
+  private def bpeChainSql(iters: Int): String = {
+    val head =
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |vocab AS (SELECT w, COUNT(*) AS freq
+        |  FROM toks, UNNEST(ws) AS t(w) GROUP BY 1),
+        |w0 AS (SELECT w, freq,
+        |  '  ' || array_to_string(list_transform(range(1, len(w)+1),
+        |    i -> substr(w, i, 1)), '  ') || '  ' AS s FROM vocab)""".stripMargin
+    val stages = (1 to iters).flatMap { i =>
+      val prev = s"w${i - 1}"
+      val pm =
+        s"""p$i AS (SELECT ws[i] AS l, ws[i+1] AS r, SUM(freq) AS c FROM (
+           |    SELECT freq, string_split_regex(trim(s), ' +') AS ws FROM $prev) q,
+           |  UNNEST(range(1, len(ws))) AS t(i) GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+      val w =
+        s"""w$i AS (SELECT w, freq, coalesce(REPLACE(s,
+           |    (SELECT ' ' || l || '  ' || r || ' ' FROM m$i),
+           |    (SELECT ' ' || l || r || ' ' FROM m$i)), s) AS s FROM $prev)""".stripMargin
+      Seq(pm, w)
+    }
+    (head +: stages).mkString(",\n")
+  }
 }

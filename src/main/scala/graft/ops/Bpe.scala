@@ -51,9 +51,22 @@ object Bpe {
       textCol: String,
       iters: Int = 5,
       maxVocab: Int = 100000): DataFrame = {
-    require(iters >= 1 && iters <= 64, "learnMerges: iters in [1, 64]")
     val spark = df.sparkSession
     import spark.implicits._
+    learnMergeList(df, textCol, iters, maxVocab)
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Driver-side merge table: `(rank, left, right, pair_count)`. The
+    * model for [[encodeStats]] — config-sized by construction (≤
+    * `iters` rows).
+    */
+  def learnMergeList(
+      df: DataFrame,
+      textCol: String,
+      iters: Int = 5,
+      maxVocab: Int = 100000): Seq[(Long, String, String, Long)] = {
+    require(iters >= 1 && iters <= 64, "learnMerges: iters in [1, 64]")
     val vocabRows = df
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -112,6 +125,38 @@ object Bpe {
         k += 1
       }
     }
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    merges.toSeq
+  }
+
+  /** Per-document encoding statistics under a learned merge table:
+    * `(id, n_tokens, n_chars, compression)` where `n_tokens` counts
+    * subword tokens after applying the merges in rank order (greedy
+    * leftmost per word), `n_chars` counts code points, and
+    * `compression = round(n_chars / n_tokens, 6)` (NULL for empty
+    * docs).
+    *
+    * Scale shape: map-only — the merge table is config-sized and
+    * rides inside the compiled [[graft.functions.BpeEncodeStats]]
+    * kernel, so encoding is one scan-stage pass per document with a
+    * per-doc word memo; no join against the vocab table, no shuffle.
+    */
+  def encodeStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val model = new graft.functions.BpeMergeModel(
+      merges.map(_._1).toArray, merges.map(_._2).toArray)
+    val stats = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BpeEncodeStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          coalesce(col(textCol).cast("string"), lit(""))), model))
+    df.select(col(idCol), TextOps.once(stats).as("__s"))
+      .select(col(idCol),
+        col("__s").getField("n_tokens").as("n_tokens"),
+        col("__s").getField("n_chars").as("n_chars"))
+      .withColumn("compression",
+        when(col("n_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_tokens"), 6)))
   }
 }

@@ -55,6 +55,43 @@ class BpeSpec extends SparkSuite {
     assert(out.head == (("x", "�")), s"got ${out.head}")
   }
 
+  test("encodeStats: counts under the learned merges, hand-checked") {
+    import spark.implicits._
+    // learn on "aaaa"x3 "abab"x2 "ab"x5 (merges: (a,a),(a,b),(aa,aa))
+    val docs = Seq(
+      (1L, (Seq.fill(3)("aaaa") ++ Seq.fill(2)("abab") ++ Seq.fill(5)("ab"))
+        .mkString(" ")),
+      (2L, "aaaa ab"), // [aaaa] + [ab] -> 1 + 1 tokens, 6 chars
+      (3L, ""),        // empty doc: 0/0, NULL compression
+      (4L, "zzz")      // unseen at merge time? no — same corpus rule;
+                       // here: no merge applies -> 3 singles
+    ).toDF("doc_id", "text")
+    val merges = Bpe.learnMergeList(docs.filter($"doc_id" === 1L), "text",
+      iters = 3).map(m => (m._2, m._3))
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "aa")))
+    val out = Bpe.encodeStats(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    // doc1: aaaa->[aaaa] x3, abab->[ab,ab] x2, ab->[ab] x5 = 3+4+5=12
+    //       chars = 3*4 + 2*4 + 5*2 = 30
+    assert(out(0) == ((1L, 12L, 30L, 2.5)), s"doc1 ${out(0)}")
+    assert(out(1) == ((2L, 2L, 6L, 3.0)), s"doc2 ${out(1)}")
+    assert(out(2) == ((3L, 0L, 0L, null)), s"doc3 ${out(2)}")
+    assert(out(3) == ((4L, 3L, 3L, 1.0)), s"doc4 ${out(3)}")
+  }
+
+  test("encodeStats: null text encodes as empty; empty merge table is identity") {
+    import spark.implicits._
+    val docs = Seq((1L, Option("ab ba")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = Bpe.encodeStats(docs, "doc_id", "text", Seq.empty)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out(0) == ((1L, 4L, 4L)), s"identity ${out(0)}")
+    assert(out(1) == ((2L, 0L, 0L)), s"null-text ${out(1)}")
+  }
+
   test("learnMerges stops when no pairs remain; vocab guard fires") {
     import spark.implicits._
     val single = Seq("a b c").toDF("text") // all 1-char words
