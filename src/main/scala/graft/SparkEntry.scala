@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Bpe, CorpusStats, Curation, Dedup, Events, KMeans, Pack, Rank, Sample, Similarity, TextOps}
+import graft.ops.{Bpe, CorpusStats, Curation, Dedup, Events, Graph, KMeans, Pack, Rank, Sample, Similarity, TextOps}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -1479,6 +1479,26 @@ object SparkEntry {
       val merges = Bpe.learnMergeList(docs, "text", iters = 5)
         .map(m => (m._2, m._3))
       Bpe.encodeStats(docs, "doc_id", "text", merges).orderBy("doc_id")
+    }),
+
+    "q111_nation_pagerank" -> ((s, dir) => {
+      // link analysis over the trade graph: customer-nation →
+      // supplier-nation edges weighted by lineitem count (the
+      // corpus-scale aggregation), then 5 deterministic power
+      // iterations on the nation-sized rank table
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val ranks = Graph.weightedPageRank(edges, "src", "dst", "w",
+        nat.select("n_nationkey"), "n_nationkey", iters = 5)
+      nat.join(ranks, "n_nationkey")
+        .select(col("n_name").as("nation"), round(col("rank"), 6).as("pagerank"))
+        .orderBy("nation")
     }))
 
   // ------------------------------------------------------------------
@@ -3074,6 +3094,42 @@ object SparkEntry {
            |  END AS compression
            |FROM (SELECT doc_id, w FROM toks, UNNEST(ws) AS u(w)) t
            |JOIN enc USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // q111: power iterations unrolled as CTEs; every float literal is
+    // e0-suffixed (bare decimals are DECIMAL-typed in DuckDB and
+    // would switch the base term to decimal division), contributions
+    // round-12 doubles summed exactly as DECIMAL(28,12) — the same
+    // ladder the Spark side runs
+    "q111_nation_pagerank" -> {
+      val iters = 5
+      val head =
+        """WITH e0 AS (
+          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  GROUP BY 1, 2),
+          |outw AS (SELECT src, SUM(w) AS tw FROM e0 GROUP BY 1),
+          |e AS (SELECT e0.src, e0.dst, e0.w, outw.tw FROM e0 JOIN outw USING (src)),
+          |nn AS (SELECT COUNT(*) AS n FROM nation),
+          |r0 AS (SELECT n_nationkey AS id,
+          |  ROUND(1.0e0 / (SELECT n FROM nn), 12) AS r FROM nation)""".stripMargin
+      val its = (1 to iters).map { k =>
+        s"""s$k AS (SELECT e.dst AS id,
+           |    SUM(CAST(ROUND(r.r * e.w / e.tw, 12) AS DECIMAL(28,12))) AS s
+           |  FROM e JOIN r${k - 1} r ON e.src = r.id GROUP BY 1),
+           |r$k AS (SELECT n.n_nationkey AS id,
+           |    ROUND((1.0e0 - 0.85e0) / (SELECT n FROM nn) +
+           |      0.85e0 * CAST(COALESCE(s$k.s, 0) AS DOUBLE), 12) AS r
+           |  FROM nation n LEFT JOIN s$k ON n.n_nationkey = s$k.id)""".stripMargin
+      }
+      (head +: its).mkString(",\n") +
+        s"""
+           |SELECT n.n_name AS nation, ROUND(r$iters.r, 6) AS pagerank
+           |FROM nation n JOIN r$iters ON n.n_nationkey = r$iters.id
+           |ORDER BY 1""".stripMargin
     })
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.Graph
+
+class GraphSpec extends SparkSuite {
+
+  test("weightedPageRank: hand-computed two-iteration trajectory") {
+    import spark.implicits._
+    // A -> B (w 3), A -> C (w 1), B -> A (w 1); C dangling (no out)
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    // N=3, r0 = 1/3 ≈ 0.333333333333 (round 12)
+    // iter1 contributions: A→B 0.333333333333*3/4 = 0.25
+    //   A→C 0.333333333333/4 = 0.083333333333 (round 12)
+    //   B→A 0.333333333333
+    // r1(A) = 0.05 + 0.85*0.333333333333 = 0.333333333333
+    // r1(B) = 0.05 + 0.85*0.25 = 0.2625
+    // r1(C) = 0.05 + 0.85*0.083333333333 ≈ 0.120833333333
+    // C's mass drops (dangling, documented)
+    val r1 = Graph.weightedPageRank(edges, "src", "dst", "w", nodes, "id",
+      iters = 1).orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(r1(0) == ((1L, 0.333333333333)), s"A ${r1(0)}")
+    assert(r1(1) == ((2L, 0.2625)), s"B ${r1(1)}")
+    assert(r1(2) == ((3L, 0.120833333333)), s"C ${r1(2)}")
+    // iter2: A→B 0.333333333333*0.75=0.25, A→C 0.083333333333,
+    //   B→A 0.2625 → r2(A)=0.05+0.85*0.2625=0.273125
+    val r2 = Graph.weightedPageRank(edges, "src", "dst", "w", nodes, "id",
+      iters = 2).orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(r2(0) == ((1L, 0.273125)), s"A2 ${r2(0)}")
+    assert(r2(1) == ((2L, 0.2625)), s"B2 ${r2(1)}")
+    assert(r2(2) == ((3L, 0.120833333333)), s"C2 ${r2(2)}")
+  }
+
+  test("weightedPageRank: isolated node holds the base rank; guards fire") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val out = Graph.weightedPageRank(edges, "src", "dst", "w", nodes, "id",
+      iters = 3).orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // node 3 never receives mass: rank = (1-d)/N = 0.05 every iteration
+    assert(out(2) == ((3L, 0.05)), s"isolated ${out(2)}")
+    intercept[IllegalArgumentException] {
+      Graph.weightedPageRank(edges, "src", "dst", "w", nodes, "id", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.weightedPageRank(edges, "src", "dst", "w",
+        nodes.filter($"id" < 0L), "id", iters = 1)
+    }
+  }
+}
