@@ -1499,7 +1499,13 @@ object SparkEntry {
       nat.join(ranks, "n_nationkey")
         .select(col("n_name").as("nation"), round(col("rank"), 6).as("pagerank"))
         .orderBy("nation")
-    }))
+    }),
+
+    "q112_source_cap" -> ((s, dir) =>
+      // per-domain quota gate: admit the top-10 docs per source by
+      // token count; one range shuffle via the stratified-rank device
+      Curation.capPerSource(t(s, dir, "documents"), cap = 10L)
+        .orderBy("source")))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -3130,7 +3136,18 @@ object SparkEntry {
            |SELECT n.n_name AS nation, ROUND(r$iters.r, 6) AS pagerank
            |FROM nation n JOIN r$iters ON n.n_nationkey = r$iters.id
            |ORDER BY 1""".stripMargin
-    })
+    },
+
+    "q112_source_cap" ->
+      s"""WITH r AS (SELECT source, doc_id, ${sqlTokenCount("text")} AS nt,
+         |  ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY ${sqlTokenCount("text")} DESC, doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN rk > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(MIN(CASE WHEN rk <= 10 THEN nt END) AS BIGINT) AS min_kept_tokens
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

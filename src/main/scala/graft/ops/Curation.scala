@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextOps.{once, tokens}
+import graft.ops.TextOps.{once, tokenCountArith, tokens}
 
 /** Corpus-assembly operators above the single-document gates: per-source
   * health reporting and DSIR-style importance weighting. Both follow the
@@ -53,6 +53,42 @@ object Curation {
           .as("mean_tokens"))
       .withColumn("keep",
         col("neardup_frac") <= maxNeardupFrac && col("n_docs") >= minDocs)
+  }
+
+  /** Per-source document quota (the "at most N pages per domain" gate
+    * of CommonCrawl-style curation): rank every document inside its
+    * source by quality (token count desc, id asc — deterministic) and
+    * admit the top `cap`. Returns the per-source admission report:
+    * `(source, n_docs, n_kept, n_dropped, min_kept_tokens)` where
+    * `min_kept_tokens` is the admission threshold actually applied.
+    *
+    * Scale shape: rides [[Rank.stratifiedRank]] — ONE range shuffle of
+    * the corpus, partition-local ranking, a (partition × source) count
+    * table as the only twice-exchanged data; never one-task-per-source
+    * (a 100 TB mega-domain ranks across partitions), never a corpus
+    * window. The report aggregate is map-side-combined to
+    * source-cardinality rows.
+    */
+  def capPerSource(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      srcCol: String = "source",
+      cap: Long = 10L): DataFrame = {
+    require(cap >= 1L, "capPerSource: cap >= 1")
+    val scored = df
+      .select(col(srcCol), col(idCol),
+        once(tokenCountArith(col(textCol))).as("__nt"))
+      .withColumn("__negt", -col("__nt"))
+    val ranked = Rank.stratifiedRank(scored, srcCol, Seq("__negt", idCol))
+    ranked.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).cast("long")
+          .as("n_kept"),
+        sum(when(col("rk") > cap, 1L).otherwise(0L)).cast("long")
+          .as("n_dropped"),
+        min(when(col("rk") <= cap, col("__nt"))).cast("long")
+          .as("min_kept_tokens"))
   }
 
   /** Portable token→bucket hash shared with the DuckDB oracle:

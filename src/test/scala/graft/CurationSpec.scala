@@ -35,6 +35,34 @@ class CurationSpec extends SparkSuite {
     assert(out == Seq(("ok", 12L, 60L, 0L, 0.0, 5.0, true)))
   }
 
+  test("capPerSource: quota, tie-break to smallest id, threshold reported") {
+    // srcA: 4 docs, cap 2 — token counts 3,3,2,1: the two 3-token docs
+    // win; the TIE between docs 1 and 2 admits both (cap 2), so the
+    // threshold is 3. srcB: under quota, everything kept.
+    val docs = Seq(
+      (1L, "a b c", "srcA"),
+      (2L, "d e f", "srcA"),
+      (3L, "g h", "srcA"),
+      (4L, "i", "srcA"),
+      (5L, "one two", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.capPerSource(docs, cap = 2L)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("srcA", 4L, 2L, 2L, 3L),
+      ("srcB", 1L, 1L, 0L, 2L)))
+    // cap 1 must break the 3-token tie to the SMALLEST doc_id: the
+    // kept doc is #1, threshold still 3
+    val one = Curation.capPerSource(docs.filter($"source" === "srcA"), cap = 1L)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(one == (("srcA", 4L, 1L, 3L, 3L)))
+    intercept[IllegalArgumentException] {
+      Curation.capPerSource(docs, cap = 0L)
+    }
+  }
+
   test("dsirWeights matches a brute-force model replay; target scores above raw") {
     val buckets = 64
     val docs = Seq(
