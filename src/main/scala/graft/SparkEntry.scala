@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Bpe, CorpusStats, Curation, Dedup, Events, Graph, KMeans, Pack, Rank, Sample, Similarity, TextOps}
+import graft.ops.{Bpe, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Pack, Rank, Sample, Similarity, TextOps}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -1505,7 +1505,22 @@ object SparkEntry {
       // per-domain quota gate: admit the top-10 docs per source by
       // token count; one range shuffle via the stratified-rank device
       Curation.capPerSource(t(s, dir, "documents"), cap = 10L)
-        .orderBy("source")))
+        .orderBy("source")),
+
+    "q113_bloom_semi_join" -> ((s, dir) => {
+      // semi-join reduction: high-value order keys become a broadcast
+      // Bloom probe inside the lineitem scan; the exact semi join
+      // culls the (fpp) leakage, so the result is exactly the semi
+      // join while the shuffle carries only probable matches
+      val li = t(s, dir, "lineitem")
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      JoinReduce.bloomSemiJoin(li, "l_orderkey", hi, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("l_returnflag")
+    }))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -3147,7 +3162,15 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(SUM(CASE WHEN rk > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |  CAST(MIN(CASE WHEN rk <= 10 THEN nt END) AS BIGINT) AS min_kept_tokens
-         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q113_bloom_semi_join" ->
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM($rev) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+         |  WHERE o_totalprice > 400000)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The
