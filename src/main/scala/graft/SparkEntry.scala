@@ -1520,7 +1520,18 @@ object SparkEntry {
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
             .cast("double").as("revenue"))
         .orderBy("l_returnflag")
-    }))
+    }),
+
+    "q114_blocklist_gate" -> ((s, dir) =>
+      // multi-keyword content gate: one Aho-Corasick pass per doc
+      // (incl. the "scan"/"scan merge" prefix-overlap pair) where k
+      // contains-probes would re-scan the text k times
+      TextOps.blocklistScan(t(s, dir, "documents"), "doc_id", "text",
+        SparkEntry.blocklistKeywords).orderBy("doc_id")))
+
+  /** Shared with the q114 oracle's VALUES list. */
+  private val blocklistKeywords =
+    Seq("scan merge", "batch batch", "slow", "vector", "scan", "forbidden")
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -3170,7 +3181,28 @@ object SparkEntry {
          |FROM lineitem
          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
          |  WHERE o_totalprice > 400000)
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q114: position() is 1-based character (code-point) position —
+    // the kernel counts code points for exactly this parity; the
+    // first-hit tie breaks ORDER BY p, k under binary collation
+    "q114_blocklist_gate" -> {
+      val vals = blocklistKeywords.map(k => s"('$k')").mkString(", ")
+      s"""WITH kw(k) AS (VALUES $vals),
+         |hit AS (SELECT d.doc_id, kw.k, position(kw.k IN d.text) AS p
+         |  FROM documents d CROSS JOIN kw
+         |  WHERE position(kw.k IN d.text) > 0),
+         |agg AS (SELECT doc_id, COUNT(*) AS n FROM hit GROUP BY 1),
+         |frst AS (SELECT doc_id, k, p FROM (
+         |  SELECT doc_id, k, p,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p, k) AS rn
+         |  FROM hit) WHERE rn = 1)
+         |SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_kw,
+         |  CAST(frst.p AS BIGINT) AS first_pos, frst.k AS first_kw
+         |FROM documents d
+         |LEFT JOIN agg USING (doc_id) LEFT JOIN frst USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

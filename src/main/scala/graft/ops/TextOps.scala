@@ -377,6 +377,33 @@ object TextOps {
     * INVALID_INDEX_OF_ZERO boundary crash was round 8's only red).
     * Requires GraftFunctions.registerAll.
     */
+  /** Blocklist gate: one Aho-Corasick pass per document over a
+    * config-sized keyword list (substring semantics, code-point
+    * positions) returning the distinct-keyword hit count, the
+    * earliest match position and its keyword — where k `contains`
+    * probes would re-scan the text k times, and a regex alternation
+    * backtracks.
+    *
+    * Scale shape: map-only — the automaton is the model, rebuilt once
+    * per executor; scoring rides the scan. O(L + matches) per doc.
+    */
+  def blocklistScan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keywords: Seq[String]): DataFrame = {
+    val model = new graft.functions.AcModel(keywords.toArray)
+    val scanned = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BlocklistScan(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          coalesce(col(textCol).cast("string"), lit(""))), model))
+    df.select(col(idCol), once(scanned).as("__b"))
+      .select(col(idCol),
+        col("__b").getField("n_kw").as("n_kw"),
+        col("__b").getField("first_pos").as("first_pos"),
+        col("__b").getField("first_kw").as("first_kw"))
+  }
+
   def dupNgramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def frac(total: Column, dup: Column): Column =
       when(total === 0L, lit(null).cast("double"))
