@@ -1527,11 +1527,61 @@ object SparkEntry {
       // (incl. the "scan"/"scan merge" prefix-overlap pair) where k
       // contains-probes would re-scan the text k times
       TextOps.blocklistScan(t(s, dir, "documents"), "doc_id", "text",
-        SparkEntry.blocklistKeywords).orderBy("doc_id")))
+        SparkEntry.blocklistKeywords).orderBy("doc_id")),
+
+    "q115_inverted_index" -> ((s, dir) =>
+      // retrieval artifact: per-term document frequency + the first 8
+      // postings; the per-term cap rides the stratified-rank device so
+      // stopword-sized posting lists never concentrate in one task
+      CorpusStats.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+        cap = 8, minDf = 2L).orderBy("term")),
+
+    "q116_stream_sessions" -> ((s, dir) => {
+      // q32's sessionization through the REAL streaming runtime:
+      // session_window merging is end-INCLUSIVE (an event landing
+      // exactly on a session's end extends it), so gap 1800 s on
+      // second-truncated event time merges iff floor-second diff
+      // ≤ 1800 — the batch lag/cumsum split at > 1800. State carried
+      // by the session-window store across micro-batches,
+      // complete-mode collect. Same oracle as q32 — batch/stream
+      // parity (StreamingSpec pins the boundary semantics).
+      val stream = streamT(s, dir, "events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val sess = graft.streaming.StreamPipeline.sessionWindows(
+        stream, "ts", "user_id", gap = "1800 seconds")
+      graft.streaming.StreamPipeline.runToResult(s, sess, "graft_q116")
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"))
+        .orderBy("user_id")
+    }))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
     Seq("scan merge", "batch batch", "slow", "vector", "scan", "forbidden")
+
+  /** The gap > 1800 s sessionization oracle — shared by the batch
+    * lag/cumsum form (q32) and the streaming `session_window` twin
+    * (q116): `date_diff('second', ...)` is floor-difference, exactly
+    * the batch side's truncated-seconds cast AND the stream side's
+    * `date_trunc('second') + 1801 s gap` merge condition.
+    */
+  private val sessionizeOracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN prev_ts IS NULL
+      |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM (SELECT user_id, event_id, ts,
+      |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |        FROM events)),
+      |sess AS (
+      |  SELECT user_id, event_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (same column names; deterministic ORDER BY)
@@ -2152,22 +2202,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
-    "q32_sessionize" ->
-      """WITH flagged AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN prev_ts IS NULL
-        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
-        |  FROM (SELECT user_id, event_id, ts,
-        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |        FROM events)),
-        |sess AS (
-        |  SELECT user_id, event_id,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM flagged)
-        |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
-        |  COUNT(*) AS n_events
-        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q32_sessionize" -> sessionizeOracle,
 
     "q33_jq_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
@@ -3202,7 +3237,23 @@ object SparkEntry {
          |FROM documents d
          |LEFT JOIN agg USING (doc_id) LEFT JOIN frst USING (doc_id)
          |ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    "q115_inverted_index" ->
+      """WITH td AS (SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |agg AS (SELECT w AS term, COUNT(*) AS df FROM td GROUP BY 1),
+        |top AS (SELECT w, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id) AS rk FROM td),
+        |post AS (SELECT w AS term,
+        |    array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |  FROM top WHERE rk <= 8 GROUP BY 1)
+        |SELECT agg.term, CAST(agg.df AS BIGINT) AS df, post.postings
+        |FROM agg JOIN post USING (term) WHERE agg.df >= 2
+        |ORDER BY term""".stripMargin,
+
+    "q116_stream_sessions" -> sessionizeOracle)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

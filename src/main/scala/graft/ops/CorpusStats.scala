@@ -14,6 +14,40 @@ import graft.ops.TextOps.{once, tokens}
   */
 object CorpusStats {
 
+  /** Inverted-index build: `(term, df, postings)` where `postings` is
+    * the first `cap` doc ids per term (ascending, comma-joined) — the
+    * retrieval-side artifact a BM25/search pipeline materializes.
+    *
+    * Scale shape: per-doc term dedup + df counting is one shuffle
+    * keyed (term, doc); the per-term cap rides
+    * [[Rank.stratifiedRank]] (one range shuffle, never
+    * one-task-per-term — a stopword's 10⁹-doc posting list ranks
+    * across partitions and only `cap` rows survive to the
+    * `collect_list`, which is therefore bounded by construction).
+    */
+  def invertedIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cap: Int = 8,
+      minDf: Long = 2L): DataFrame = {
+    require(cap >= 1 && minDf >= 1, "invertedIndex: cap and minDf >= 1")
+    val td = df
+      .select(col(idCol).as("__doc"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val ranked = Rank.stratifiedRank(td, "term", Seq("__doc"))
+    ranked
+      .filter(col("rk") <= cap && col("n_stratum") >= minDf)
+      .groupBy("term")
+      .agg(max(col("n_stratum")).cast("long").as("df"),
+        // numeric sort FIRST, string cast after (lexicographic order
+        // would put doc 10 before doc 2)
+        array_join(transform(sort_array(collect_list(col("__doc"))),
+          _.cast("string")), ",").as("postings"))
+  }
+
   /** Top collocations by pointwise mutual information:
     * `pmi(x,y) = ln( p(xy) / (p(x) p(y)) )` over whitespace bigrams,
     * restricted to pairs seen at least `minCount` times (PMI is

@@ -4,6 +4,27 @@ import graft.ops.{CorpusStats, TextOps}
 
 class CorpusStatsSpec extends SparkSuite {
 
+  test("invertedIndex: in-doc dedup, df floor, capped ascending postings") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "apple apple banana"), // apple dedups within the doc
+      (2L, "apple cherry"),
+      (7L, "apple banana"),
+      (1L, "apple")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.CorpusStats
+      .invertedIndex(docs, "doc_id", "text", cap = 3, minDf = 2L)
+      .orderBy("term")
+      .as[(String, Long, String)].collect().toSeq
+    // apple df 4, cap 3 keeps ids 1,2,7 (ascending — numeric, so 7
+    // before 10); banana df 2; cherry df 1 < minDf drops
+    assert(out == Seq(("apple", 4L, "1,2,7"), ("banana", 2L, "7,10")),
+      s"got $out")
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusStats.invertedIndex(docs, "doc_id", "text", cap = 0)
+    }
+  }
+
   test("pmiCollocations matches a brute-force PMI computation") {
     import spark.implicits._
     val docs = Seq(

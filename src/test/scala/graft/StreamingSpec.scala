@@ -52,6 +52,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("session_window merging is end-inclusive: exact-gap events extend, gap+1 splits") {
+    // q116 leans on this: with gap = 1800 s, a floor-second diff of
+    // EXACTLY 1800 must merge (the batch q32 rule keeps diff ≤ 1800
+    // in-session; only > 1800 splits) and 1801 must split. If Spark's
+    // merge were end-exclusive this test fails and q116 needs 1801 s.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val sess = StreamPipeline.sessionWindows(events, "ts", "user_id",
+      gap = "1800 seconds")
+    val q = sess.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_edge").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:30:00"), 1L), // diff exactly 1800 s: merges
+        (ts("2024-01-01 00:00:00"), 2L),
+        (ts("2024-01-01 00:30:01"), 2L)) // diff 1801 s: splits
+      q.processAllAvailable()
+      val n = spark.table("sess_edge")
+        .groupBy("user_id").count().orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(n == Seq((1L, 1L), (2L, 2L)), s"got $n")
+    } finally q.stop()
+  }
+
   test("foreachBatch multi-sink fan-out writes each batch to all sinks") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Long]
