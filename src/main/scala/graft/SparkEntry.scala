@@ -1554,6 +1554,40 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_sessions"),
           sum(col("n_events")).cast("long").as("n_events"))
         .orderBy("user_id")
+    }),
+
+    "q117_snapshot_diff" -> ((s, dir) => {
+      // incremental corpus maintenance: old snapshot (some docs
+      // missing, some texts since edited) vs new snapshot (some docs
+      // retired) — the diff joins 16-byte digests only
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          upper(col("text"))).otherwise(col("text")))
+      val nw = docs.filter(col("doc_id") % 11 =!= 3)
+      graft.ops.Snapshot.diff(old, nw, "doc_id", Seq("text"))
+        .orderBy("doc_id")
+    }),
+
+    "q118_source_kl" -> ((s, dir) =>
+      // distribution drift per source: KL(source || corpus) on
+      // unigrams through the round-6-LN ladder
+      CorpusStats.sourceKl(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
+    "q119_salted_agg" -> ((s, dir) => {
+      // the skew device through the oracle gate: two-phase salted
+      // aggregation (partial keyed (flag, salt), merge keyed flag)
+      // must be value-identical to the plain GROUP BY
+      val li = t(s, dir, "lineitem")
+      graft.ops.Skew.saltedAgg(li, Seq("l_returnflag"), 16,
+        partial = Seq(count(lit(1)).as("c"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .as("s")),
+        merge = Seq(sum(col("c")).cast("long").as("n_items"),
+          sum(col("s")).cast("double").as("revenue")),
+        saltSource = Seq(col("l_orderkey"), col("l_linenumber")))
+        .orderBy("l_returnflag")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -3253,7 +3287,43 @@ object SparkEntry {
         |FROM agg JOIN post USING (term) WHERE agg.df >= 2
         |ORDER BY term""".stripMargin,
 
-    "q116_stream_sessions" -> sessionizeOracle)
+    "q116_stream_sessions" -> sessionizeOracle,
+
+    "q117_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN UPPER(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+        |ORDER BY 1""".stripMargin,
+
+    // q118: term = (cs/ts) · ln((cs·tc)/(ts·cc)) with fixed
+    // left-associated double arithmetic, round-6, exact DECIMAL sum
+    "q118_source_kl" ->
+      """WITH tok AS (SELECT source, w FROM (
+        |    SELECT source, UNNEST(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |sw AS (SELECT source, w, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, SUM(cs) AS ts FROM sw GROUP BY 1),
+        |cw AS (SELECT w, COUNT(*) AS cc FROM tok GROUP BY 1),
+        |ct AS (SELECT SUM(cc) AS tc FROM cw),
+        |term AS (SELECT sw.source,
+        |    CAST(ROUND((CAST(cs AS DOUBLE) / ts) *
+        |      LN((CAST(cs AS DOUBLE) * tc) / (CAST(ts AS DOUBLE) * cc)), 6)
+        |      AS DECIMAL(18,6)) AS t
+        |  FROM sw JOIN st USING (source) JOIN cw USING (w) CROSS JOIN ct)
+        |SELECT source, ROUND(CAST(SUM(t) AS DOUBLE), 6) AS kl
+        |FROM term GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q119_salted_agg" ->
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM($rev) AS DOUBLE) AS revenue
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

@@ -48,6 +48,40 @@ object CorpusStats {
           _.cast("string")), ",").as("postings"))
   }
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over unigram
+    * distributions — `Σ_w p_s(w) · ln(p_s(w) / p_c(w))`. No smoothing
+    * needed: every source token is a corpus token, so p_c(w) > 0
+    * wherever p_s(w) > 0. High KL flags template/boilerplate or
+    * off-domain sources; 0 means the source looks like the corpus.
+    *
+    * Scale shape: ONE corpus-scale map-side-combined shuffle to the
+    * (source, word) count table; source totals, corpus word counts and
+    * the grand total all derive from that table (vocab/domain-sized,
+    * AQE-broadcast joins). Terms are round-6 doubles summed exactly as
+    * DECIMAL(18,6) — the round-6-LN ladder.
+    */
+  def sourceKl(
+      df: DataFrame,
+      srcCol: String,
+      textCol: String): DataFrame = {
+    val tok = df
+      .select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("cs"))
+    val st = sw.groupBy("source").agg(sum(col("cs")).as("ts"))
+    val cw = tok.groupBy("w").agg(count(lit(1)).as("cc"))
+    val ct = cw.agg(sum(col("cc")).as("tc"))
+    val term = sw.join(st, "source").join(cw, "w").crossJoin(ct)
+      .select(col("source"),
+        round((col("cs").cast("double") / col("ts")) *
+          log((col("cs").cast("double") * col("tc")) /
+            (col("ts").cast("double") * col("cc"))), 6)
+          .cast("decimal(18,6)").as("t"))
+    term.groupBy("source")
+      .agg(round(sum(col("t")).cast("double"), 6).as("kl"))
+  }
+
   /** Top collocations by pointwise mutual information:
     * `pmi(x,y) = ln( p(xy) / (p(x) p(y)) )` over whitespace bigrams,
     * restricted to pairs seen at least `minCount` times (PMI is

@@ -25,6 +25,31 @@ class CorpusStatsSpec extends SparkSuite {
     }
   }
 
+  test("sourceKl matches a brute-force replay; identical sources score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      ("srcA", "x x x y"),
+      ("srcB", "x y y y"),
+      ("srcC", "x x y y") // exactly the corpus mix? no — compute below
+    ).toDF("source", "text")
+    val out = graft.ops.CorpusStats.sourceKl(docs, "source", "text")
+      .orderBy("source").as[(String, Double)].collect().toMap
+    // corpus: x=6, y=6, T=12 -> p_c(x)=p_c(y)=0.5
+    def term(cs: Long, ts: Long, cc: Long, tc: Long): BigDecimal =
+      BigDecimal((cs.toDouble / ts) *
+        math.log((cs.toDouble * tc) / (ts.toDouble * cc)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def kl(counts: Map[String, Long]): Double = {
+      val ts = counts.values.sum
+      val sum = counts.map { case (w, cs) => term(cs, ts, 6L, 12L) }.sum
+      sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out("srcA") == kl(Map("x" -> 3L, "y" -> 1L)), s"A ${out("srcA")}")
+    assert(out("srcB") == kl(Map("x" -> 1L, "y" -> 3L)), s"B ${out("srcB")}")
+    // srcC's mix (2:2) IS the corpus mix (6:6) -> every log term is 0
+    assert(out("srcC") == 0.0, s"C ${out("srcC")}")
+  }
+
   test("pmiCollocations matches a brute-force PMI computation") {
     import spark.implicits._
     val docs = Seq(
