@@ -1588,6 +1588,49 @@ object SparkEntry {
           sum(col("s")).cast("double").as("revenue")),
         saltSource = Seq(col("l_orderkey"), col("l_linenumber")))
         .orderBy("l_returnflag")
+    }),
+
+    "q120_grouping_sets" -> ((s, dir) => {
+      // the general GROUPING SETS form (rollup q39 / cube q100 are
+      // special cases): explicit set list + grouping_id sentinel
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val base = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .select(col("n_name").as("__nat"),
+          year(col("o_orderdate").cast("date")).as("__yr"),
+          dec(col("o_totalprice")).as("__tp"))
+      base.groupingSets(
+        Seq(Seq(col("__nat"), col("__yr")), Seq(col("__nat")),
+          Seq(col("__yr")), Seq.empty),
+        col("__nat"), col("__yr"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).cast("long").as("n_orders"),
+          sum(col("__tp")).cast("double").as("total"))
+        .select(coalesce(col("__nat"), lit("__ALL__")).as("nation"),
+          coalesce(col("__yr").cast("long"), lit(-1L)).as("yr"),
+          col("gid"), col("n_orders"), col("total"))
+        .orderBy("gid", "nation", "yr")
+    }),
+
+    "q121_range_window" -> ((s, dir) => {
+      // RANGE-frame window: trailing 7-day revenue per nation — the
+      // frame is value-based (calendar days), not row-based, so gap
+      // days genuinely age out of the window
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val daily = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          col("o_orderdate").cast("date").as("d"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val w = Window.partitionBy("nation")
+        .orderBy(unix_date(col("d")))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .select(col("nation"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+          sum(col("rev")).over(w).cast("double").as("rev7"))
+        .orderBy("nation", "day")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -3323,7 +3366,37 @@ object SparkEntry {
     "q119_salted_agg" ->
       s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
          |  CAST(SUM($rev) AS DOUBLE) AS revenue
-         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q120: gid = GROUPING(nation)·2 + GROUPING(year) — DuckDB's
+    // GROUPING() bits composed in Spark's grouping_id() MSB-first order
+    "q120_grouping_sets" ->
+      """SELECT COALESCE(n.n_name, '__ALL__') AS nation,
+        |  COALESCE(CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS BIGINT), -1) AS yr,
+        |  CAST(GROUPING(n.n_name) * 2 +
+        |    GROUPING(EXTRACT(year FROM CAST(o.o_orderdate AS DATE))) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY GROUPING SETS (
+        |  (n.n_name, EXTRACT(year FROM CAST(o.o_orderdate AS DATE))),
+        |  (n.n_name),
+        |  (EXTRACT(year FROM CAST(o.o_orderdate AS DATE))),
+        |  ())
+        |ORDER BY gid, nation, yr""".stripMargin,
+
+    "q121_range_window" ->
+      """WITH daily AS (
+        |  SELECT n.n_name AS nation, CAST(o.o_orderdate AS DATE) AS d,
+        |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, CAST(d AS VARCHAR) AS day,
+        |  CAST(SUM(rev) OVER (PARTITION BY nation ORDER BY d
+        |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev7
+        |FROM daily ORDER BY nation, day""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The
