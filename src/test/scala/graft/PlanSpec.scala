@@ -277,4 +277,55 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assertHashExchangesAboveAggregates(p, "q86")
   }
+
+  test("q110/q114: compiled text kernels ride the scan — no hash exchange, no join") {
+    // the merge-table/automaton models live inside the expression; the
+    // only exchange is the presentation sort
+    Seq("q110_bpe_encode" -> "graft_bpe_encode_stats",
+      "q114_blocklist_gate" -> "graft_blocklist_scan").foreach {
+      case (q, kernel) =>
+        val p = finalPlan(SparkEntry.queries(q)(spark, sfDir))
+        assert(p.contains(kernel), s"$q kernel missing:\n$p")
+        assert(!p.contains("Join"), s"$q:\n$p")
+        assert(!p.contains("Exchange hashpartitioning"), s"$q:\n$p")
+        val ex = "(?m)\\+\\- Exchange".r.findAllIn(p).size
+        assert(ex <= 1, s"$q: expected only the presentation sort:\n$p")
+    }
+  }
+
+  test("q112 source cap rides the stratified-rank device (no window, reused range exchange)") {
+    val p = finalPlan(SparkEntry.queries("q112_source_cap")(spark, sfDir))
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("ReusedExchange"), p)
+    assertHashExchangesAboveAggregates(p, "q112")
+  }
+
+  test("q117 snapshot diff exchanges digests, not text") {
+    val p = finalPlan(SparkEntry.queries("q117_snapshot_diff")(spark, sfDir))
+    assert(p.contains("FullOuter"), p)
+    // the md5 digest projections sit BELOW the join's exchanges: no
+    // exchange row carries the text column
+    val exLines = p.linesIterator.zipWithIndex.filter(_._1.contains("Exchange"))
+    exLines.foreach { case (l, i) =>
+      assert(!l.contains("text"), s"q117: exchange carries text (line $i):\n$p")
+    }
+  }
+
+  test("q118 source KL: corpus crosses one count shuffle; model joins broadcast") {
+    val p = finalPlan(SparkEntry.queries("q118_source_kl")(spark, sfDir))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assertHashExchangesAboveAggregates(p, "q118")
+  }
+
+  test("q111 pagerank iterations join broadcast against the persisted edge table") {
+    // the corpus-scale edge aggregation happens once (persisted); the
+    // per-iteration joins broadcast — hash exchanges may carry the
+    // |V|-row rank/node tables (not corpus data), so the
+    // above-aggregate rule is not asserted here
+    val p = finalPlan(SparkEntry.queries("q111_nation_pagerank")(spark, sfDir))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p) // edges persisted once
+  }
 }
