@@ -541,6 +541,36 @@ object Jq {
             // null elements becoming empty strings, like jq
             case Call("join", Seq(StrLit(sep))) =>
               (array_join(transform(c, x => x.cast("string")), sep, ""), false)
+            // prefix/suffix strip: unchanged when the literal is not
+            // present (jq never errors here); lengths in code points
+            // (Spark substring indexes code points, not UTF-16 units)
+            case Call("ltrimstr", Seq(StrLit(s))) =>
+              val n = s.codePointCount(0, s.length)
+              (when(c.startsWith(s), c.substr(lit(n + 1), length(c))).otherwise(c),
+                false)
+            case Call("rtrimstr", Seq(StrLit(s))) =>
+              val n = s.codePointCount(0, s.length)
+              (when(c.endsWith(s), c.substr(lit(1), length(c) - n)).otherwise(c),
+                false)
+            case Call("startswith", Seq(StrLit(s))) => (c.startsWith(s), false)
+            case Call("endswith", Seq(StrLit(s))) => (c.endsWith(s), false)
+            // regex test: compiled only for the Java≡Oniguruma-safe
+            // subset — inline groups/flags/lookaround `(?`, property
+            // classes `\p`, and octal/backref `\digit` are rejected
+            // toward the escape hatch rather than rendered wrong
+            case Call("test", Seq(StrLit(re))) =>
+              require(!re.contains("(?") && !re.contains("\\p") &&
+                !re.matches(".*\\\\\\d.*"),
+                s"jq test: pattern '$re' outside the portable regex subset")
+              (c.rlike(re), false)
+            // array stages: jq sort/unique SORT (nulls first — Spark's
+            // sort_array default matches); min/max are null on empty
+            case Call("reverse", Nil) if isArr => (reverse(c), true)
+            case Call("sort", Nil) if isArr => (sort_array(c), true)
+            case Call("unique", Nil) if isArr =>
+              (sort_array(array_distinct(c)), true)
+            case Call("min", Nil) if isArr => (array_min(c), false)
+            case Call("max", Nil) if isArr => (array_max(c), false)
             case Call("length", Nil) if isArr => (size(c), false)
             case Call(fn, Nil) => (applyFn(fn, c, env.inTry), false)
             case other => throw new IllegalArgumentException(

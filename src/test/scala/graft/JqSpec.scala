@@ -313,4 +313,50 @@ class JqSpec extends SparkSuite {
     assert(out.getSeq[Long](0) == Seq(1L, 2L))
     assert(out.getSeq[Any](1).isEmpty)
   }
+
+  test("ltrimstr/rtrimstr/startswith/endswith/test match real jq") {
+    import graft.transform.JqEscapeHatch
+    val df = Seq("prefix-body-suffix", "body", "prefix-", "-suffix", "",
+      "prefixprefix-x").toDF("text")
+    val prog = """{l: (.text | ltrimstr("prefix-")),
+      r: (.text | rtrimstr("-suffix")),
+      sw: (.text | startswith("prefix")),
+      ew: (.text | endswith("suffix")),
+      re: (.text | test("^pre.*fix$"))}""".replaceAll("\n\\s*", " ")
+    val sel = "concat(l, '#', r, '#', sw, '#', ew, '#', re)"
+    val compiled = Jq.compile(prog)(df)
+      .selectExpr(sel).as[String].collect().sorted.toSeq
+    val real = JqEscapeHatch(df, prog)
+      .selectExpr(sel).as[String].collect().sorted.toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+  }
+
+  test("sort/unique/min/max/reverse array stages match real jq") {
+    import graft.transform.JqEscapeHatch
+    val df = Seq("3,1,2,3", "9", "5,5,5", "2,10,1").toDF("text")
+    // numbers via split|map? map unsupported — drive with tonumber-free
+    // string arrays: jq sorts strings lexicographically, as does Spark
+    val prog = """{s: (.text | split(",") | sort | join("-")),
+      u: (.text | split(",") | unique | join("-")),
+      mn: (.text | split(",") | min),
+      mx: (.text | split(",") | max),
+      rv: (.text | split(",") | reverse | join("-"))}"""
+      .replaceAll("\n\\s*", " ")
+    val sel = "concat(s, '#', u, '#', mn, '#', mx, '#', rv)"
+    val compiled = Jq.compile(prog)(df)
+      .selectExpr(sel).as[String].collect().sorted.toSeq
+    val real = JqEscapeHatch(df, prog)
+      .selectExpr(sel).as[String].collect().sorted.toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+  }
+
+  test("test() outside the portable regex subset is rejected toward the hatch") {
+    val df = Seq("x").toDF("text")
+    intercept[IllegalArgumentException] {
+      Jq.compile("""{m: (.text | test("(?i)x"))}""")(df)
+    }
+    intercept[IllegalArgumentException] {
+      Jq.compile("""{m: (.text | test("(a)\\1"))}""")(df)
+    }
+  }
 }
