@@ -1631,6 +1631,22 @@ object SparkEntry {
         .select(col("nation"), date_format(col("d"), "yyyy-MM-dd").as("day"),
           sum(col("rev")).over(w).cast("double").as("rev7"))
         .orderBy("nation", "day")
+    }),
+
+    "q122_unicode_nfc" -> ((s, dir) => {
+      // canonicalization audit: decomposed text (synthesized by
+      // suffixing combining acutes, identically in the oracle) must
+      // compose back under NFC — changed flag + code-point lengths
+      val decomposed = regexp_replace(col("text"), "e", "é")
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.once(decomposed).as("__raw"))
+        .select(col("doc_id"), TextOps.once(TextOps.nfc(col("__raw"))).as("__n"),
+          col("__raw"))
+        .select(col("doc_id"),
+          (col("__n") =!= col("__raw")).as("changed"),
+          length(col("__raw")).cast("long").as("len_raw"),
+          length(col("__n")).cast("long").as("len_nfc"))
+        .orderBy("doc_id")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -3396,7 +3412,15 @@ object SparkEntry {
         |SELECT nation, CAST(d AS VARCHAR) AS day,
         |  CAST(SUM(rev) OVER (PARTITION BY nation ORDER BY d
         |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev7
-        |FROM daily ORDER BY nation, day""".stripMargin)
+        |FROM daily ORDER BY nation, day""".stripMargin,
+
+    "q122_unicode_nfc" ->
+      """WITH raw AS (SELECT doc_id,
+        |    REPLACE(text, 'e', 'e' || chr(769)) AS t FROM documents)
+        |SELECT doc_id, nfc_normalize(t) <> t AS changed,
+        |  CAST(LENGTH(t) AS BIGINT) AS len_raw,
+        |  CAST(LENGTH(nfc_normalize(t)) AS BIGINT) AS len_nfc
+        |FROM raw ORDER BY doc_id""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

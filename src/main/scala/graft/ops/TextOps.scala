@@ -404,6 +404,16 @@ object TextOps {
         col("__b").getField("first_kw").as("first_kw"))
   }
 
+  /** Column-level Unicode NFC canonical composition (compiled kernel;
+    * a no-op fast path for already-normalized text). Run BEFORE
+    * [[graft.ops.Dedup.contentDigest]] so visually-identical texts
+    * dedup together. Map-only by construction.
+    */
+  def nfc(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   def dupNgramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def frac(total: Column, dup: Column): Column =
       when(total === 0L, lit(null).cast("double"))

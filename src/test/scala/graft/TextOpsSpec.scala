@@ -5,6 +5,25 @@ import graft.ops.TextOps
 
 class TextOpsSpec extends SparkSuite {
 
+  test("nfc composes decomposed sequences; normalized text passes through untouched") {
+    import spark.implicits._
+    val decomposed = "café"          // e + combining acute
+    val composed = "café"             // precomposed é
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "ascii"), (4L, ""))
+      .toDF("id", "t")
+    val out = df.select($"id", graft.ops.TextOps.nfc($"t").as("n"),
+        length(graft.ops.TextOps.nfc($"t")).as("len"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == composed, "decomposed must compose")
+    assert(out(0).getInt(2) == 4, s"composed length ${out(0).getInt(2)}")
+    assert(out(1).getString(1) == composed)
+    assert(out(2).getString(1) == "ascii")
+    assert(out(3).getString(1) == "")
+    // null stays null
+    val n = df.select(graft.ops.TextOps.nfc(lit(null).cast("string"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("PII scrubbing redacts emails, URLs, IPs and long digit runs in order") {
     import spark.implicits._
     val df = Seq(
