@@ -29,18 +29,25 @@ object SparkEntry {
     s.read.parquet(s"$dir/$n.parquet")
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark reads as a
-    * nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong=true,
-    * set by Verify/Bench); normalize to a microsecond timestamp.
+  /** events.parquet has shipped `ts` two ways across driver testdata
+    * generations: TIMESTAMP(NANOS) (read as a nanos-since-epoch long
+    * under spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
+    * without UTC adjustment (read as TIMESTAMP_NTZ). Normalize both to
+    * a session-zone microsecond TIMESTAMP — all entrypoints pin the
+    * session zone to UTC, so the NTZ cast is value-preserving and
+    * matches DuckDB's naive reading of the same file.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val df = t(s, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+  private def events(s: SparkSession, dir: String): DataFrame =
+    normTs(t(s, dir, "events"))
+
+  private def normTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
-  }
 
   /** Streaming reader for a driver-generated parquet table — the one
     * place the layout branch lives: a directory-shaped table (part-*
@@ -59,10 +66,7 @@ object SparkEntry {
     val s0 =
       if (isDir) reader.parquet(tablePath)
       else reader.option("pathGlobFilter", s"$n.parquet").parquet(dir)
-    if (raw.schema.fields.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType))
-      s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else s0
+    normTs(s0)
   }
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
