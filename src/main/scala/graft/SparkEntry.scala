@@ -1651,6 +1651,84 @@ object SparkEntry {
           length(col("__raw")).cast("long").as("len_raw"),
           length(col("__n")).cast("long").as("len_nfc"))
         .orderBy("doc_id")
+    }),
+
+    "q123_cdc_latest_state" -> ((s, dir) => {
+      // changelog compaction: events are row-level upserts of a
+      // per-user value keyed by user_id, ordered by (ts, event_id); a
+      // terminal 'error' event tombstones the user out of the snapshot
+      val ev = events(s, dir)
+      graft.ops.Cdc.applyChangelog(ev, Seq("user_id"),
+        Seq("ts", "event_id"), tombstone = col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("last_ts"),
+          col("event_type").as("last_type"),
+          dec(col("value")).cast("double").as("last_value"))
+        .orderBy("user_id")
+    }),
+
+    "q124_winnow_fingerprints" -> ((s, dir) =>
+      // MOSS winnowing: per-doc distinct leftmost-min (md5-prefix,
+      // pos) selections over 4-gram windows of char 5-grams — the
+      // coverage-guaranteed fingerprint set, selected inside one
+      // compiled kernel pass (never an exploded gram stream)
+      TextOps.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, window = 4)
+        .orderBy("doc_id", "pos")),
+
+    "q125_bm25_batch" -> ((s, dir) =>
+      // batch retrieval: 3 queries scored in ONE corpus scan (stats
+      // for the union of terms = one broadcast row), per-query top-5
+      // via the stratified-rank range shuffle
+      CorpusStats.bm25Batch(t(s, dir, "documents"), "doc_id", "text",
+        Seq("q_exec" -> Seq("spark", "join", "window"),
+          "q_store" -> Seq("table", "row", "scan"),
+          "q_perf" -> Seq("slow", "fast")),
+        topK = 5)
+        .orderBy("query_id", "rank")),
+
+    "q126_triangle_count" -> ((s, dir) => {
+      // graph cohesion next to q111's centrality: the nation trade
+      // graph read undirected, edges gated on a DATA-DERIVED threshold
+      // (half the mean directed pair weight — scale-free, so every SF
+      // exercises a non-trivial graph), then per-nation triangle
+      // participation via the ordered a<b<c join
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val thr = e0.agg(
+        (sum(col("w")).cast("double") / count(lit(1)) * lit(0.5)).as("__thr"))
+      val edges = e0.crossJoin(broadcast(thr))
+        .filter(col("w") >= col("__thr"))
+      graft.ops.Graph.triangleParticipation(edges, "src", "dst")
+        .join(nat, col("id") === nat("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          col("n_triangles").cast("long").as("n_triangles"))
+        .orderBy("nation")
+    }),
+
+    "q127_index_compaction" -> ((s, dir) => {
+      // retention-aware incremental dedup: two index generations merge
+      // (max last_seen per digest), TTL-compact at cutoff 40, and the
+      // incoming batch anti-joins only the LIVE index — aged-out
+      // content is eligible again
+      val docs = t(s, dir, "documents")
+      val gen1 = Dedup.digestsWithSeen(
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .withColumn("seen", col("doc_id") % 97), Seq("text"), "seen")
+      val gen2 = Dedup.digestsWithSeen(
+        docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("seen", lit(50L) + col("doc_id") % 29), Seq("text"), "seen")
+      val live = Dedup.compactIndex(gen1.unionByName(gen2), lit(40L))
+      Dedup.dedupAgainst(docs, live, Seq("text"), tieBreak = "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_new"),
+          min(col("doc_id")).cast("long").as("first_id"))
+        .orderBy("source")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -3424,7 +3502,126 @@ object SparkEntry {
         |SELECT doc_id, nfc_normalize(t) <> t AS changed,
         |  CAST(LENGTH(t) AS BIGINT) AS len_raw,
         |  CAST(LENGTH(nfc_normalize(t)) AS BIGINT) AS len_nfc
-        |FROM raw ORDER BY doc_id""".stripMargin)
+        |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "q123_cdc_latest_state" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts,
+        |  event_type AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+        |FROM r WHERE rk = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    // q124: the winnowing selection replayed declaratively — per-gram
+    // md5-prefix hashes, window min over the fixed-width (hash ‖ pos)
+    // key (= leftmost-min on hash ties), full windows only except the
+    // m < w single-window document
+    "q124_winnow_fingerprints" ->
+      """WITH g AS (
+        |  SELECT doc_id, i,
+        |    substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15) AS h,
+        |    length(text) - 4 AS m
+        |  FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
+        |  WHERE length(text) >= 5),
+        |sel AS (
+        |  SELECT doc_id, i, m,
+        |    MIN(h || lpad(CAST(i AS VARCHAR), 9, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY i
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+        |  FROM g)
+        |SELECT DISTINCT doc_id,
+        |  CAST(substr(mk, 16, 9) AS BIGINT) AS pos,
+        |  substr(mk, 1, 15) AS fp
+        |FROM sel WHERE i <= GREATEST(1, m - 3)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q125_bm25_batch" -> {
+      val queries = Seq(
+        "q_exec" -> Seq("spark", "join", "window"),
+        "q_store" -> Seq("table", "row", "scan"),
+        "q_perf" -> Seq("slow", "fast"))
+      val allTerms = queries.flatMap(_._2).distinct
+      val idx = allTerms.zipWithIndex.toMap
+      val dfs = allTerms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN ${sqlWordHits("text", t)} > 0 THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(",\n  ")
+      def contrib(t: String): String = {
+        val i = idx(t)
+        s"""CAST(CASE WHEN ${sqlWordHits("d.text", t)} > 0 THEN ROUND(
+           |ROUND(LN((s.n - s.df$i + 0.5e0) / (s.df$i + 0.5e0) + 1e0), 6) *
+           |(CAST(${sqlWordHits("d.text", t)} AS DOUBLE) * (1.2e0 + 1e0)) /
+           |(CAST(${sqlWordHits("d.text", t)} AS DOUBLE) + 1.2e0 * (0.25e0 +
+           |0.75e0 * (CAST(${sqlTokenCount("d.text")} AS DOUBLE) /
+           |(CAST(s.tdl AS DOUBLE) / s.n)))), 6)
+           |ELSE 0 END AS DECIMAL(18,6))""".stripMargin
+      }
+      val scores = queries.map { case (q, ts) =>
+        s"CAST((${ts.map(contrib).mkString(" + ")}) AS DOUBLE) AS s_$q"
+      }.mkString(",\n  ")
+      val branches = queries.map { case (q, _) =>
+        s"SELECT doc_id, '$q' AS query_id, s_$q AS score FROM sc WHERE s_$q > 0"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT COUNT(*) AS n, SUM(${sqlTokenCount("text")}) AS tdl,
+         |  $dfs FROM documents),
+         |sc AS (SELECT d.doc_id, $scores FROM documents d, s),
+         |st AS ($branches),
+         |rnk AS (SELECT query_id, doc_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rn
+         |  FROM st)
+         |SELECT query_id, doc_id, score, CAST(rn AS BIGINT) AS "rank"
+         |FROM rnk WHERE rn <= 5
+         |ORDER BY query_id, "rank"""".stripMargin
+    },
+
+    // q126: undirected edge iff EITHER direction clears the
+    // data-derived threshold (half the mean directed pair weight —
+    // scale-free, so every SF exercises a non-trivial graph)
+    "q126_triangle_count" ->
+      """WITH e0 AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |  FROM e0 WHERE src <> dst
+        |    AND w >= (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) * 0.5e0 FROM e0)),
+        |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |  FROM e ab JOIN e bc ON ab.v = bc.u
+        |  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+        |part AS (SELECT x AS id FROM tri, UNNEST([a, b, c]) AS t(x))
+        |SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM part p JOIN nation n ON p.id = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q127_index_compaction" ->
+      """WITH g1 AS (
+        |  SELECT md5(CASE WHEN text IS NULL THEN 'n' ELSE 'v' || text END) AS digest,
+        |    MAX(doc_id % 97) AS last_seen
+        |  FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+        |g2 AS (
+        |  SELECT md5(CASE WHEN text IS NULL THEN 'n' ELSE 'v' || text END) AS digest,
+        |    MAX(50 + doc_id % 29) AS last_seen
+        |  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
+        |live AS (SELECT digest, MAX(last_seen) AS ls
+        |  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+        |  GROUP BY 1 HAVING MAX(last_seen) >= 40),
+        |batch AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN text IS NULL THEN 'n' ELSE 'v' || text END) AS dg,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY md5(CASE WHEN text IS NULL THEN 'n' ELSE 'v' || text END)
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_id
+        |FROM batch b ANTI JOIN live s ON b.dg = s.digest
+        |WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

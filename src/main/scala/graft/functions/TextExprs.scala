@@ -482,6 +482,89 @@ object TextKernels {
     java.math.BigDecimal.valueOf(-d)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
   }
+
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** MOSS winnowing fingerprints (Schleimer et al. 2003, SIGMOD —
+    * leftmost-min variant): character k-gram hashes `h(i)` = first 15
+    * hex chars of md5(gram UTF-8 bytes); every w-gram window selects
+    * its minimal `(h, i)` (lexicographic, so hash ties break to the
+    * earlier position — deterministic and engine-portable, unlike the
+    * original's rightmost rule which depends on scan direction); the
+    * DISTINCT selections are the document's fingerprints, guaranteeing
+    * a shared substring of length ≥ k + w − 1 yields a shared
+    * fingerprint. Positions are 1-based CODE POINTS (= DuckDB `substr`
+    * character positions). Fewer than w grams → the single
+    * whole-document minimum; fewer than k code points → no
+    * fingerprints. Selections are non-decreasing in position as the
+    * window slides, so consecutive-dedupe = global distinct.
+    * Returns `array<struct<pos BIGINT, fp STRING>>` ordered by pos.
+    * One compiled pass: O(L) md5 calls + an O(m) monotonic deque.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.codePointCount(0, s.length)
+    val m = n - k + 1
+    if (m <= 0 || k <= 0 || w <= 0)
+      return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](n + 1)
+    var ci = 0
+    var off = 0
+    while (ci < n) {
+      starts(ci) = off
+      off = s.offsetByCodePoints(off, 1)
+      ci += 1
+    }
+    starts(n) = s.length
+    val md = md5Local.get()
+    val hs = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val d = md.digest(s.substring(starts(i), starts(i + k))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(15)
+      var b = 0
+      while (sb.length < 15) {
+        val v = d(b) & 0xff
+        sb.append(Character.forDigit(v >> 4, 16))
+        if (sb.length < 15) sb.append(Character.forDigit(v & 0xf, 16))
+        b += 1
+      }
+      hs(i) = sb.toString
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val deque = new java.util.ArrayDeque[Int]()
+    // fill the first window [0, min(w, m) - 1]; strict pops keep the
+    // leftmost of equal hashes at the front
+    i = 0
+    while (i < math.min(w, m)) {
+      while (!deque.isEmpty && hs(deque.peekLast()) > hs(i)) deque.pollLast()
+      deque.addLast(i)
+      i += 1
+    }
+    var lastSel = -1
+    var sIdx = 0
+    val wins = math.max(1, m - w + 1)
+    while (sIdx < wins) {
+      while (deque.peekFirst() < sIdx) deque.pollFirst()
+      val sel = deque.peekFirst()
+      if (sel != lastSel) {
+        out += new GenericInternalRow(
+          Array[Any]((sel + 1).toLong, UTF8String.fromString(hs(sel))))
+        lastSel = sel
+      }
+      val nxt = sIdx + w
+      if (nxt < m) {
+        while (!deque.isEmpty && hs(deque.peekLast()) > hs(nxt)) deque.pollLast()
+        deque.addLast(nxt)
+      }
+      sIdx += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 case class WordHits(left: Expression, right: Expression) extends BinaryExpression {
@@ -586,6 +669,27 @@ case class CharNgramsExpr(left: Expression, right: Expression) extends BinaryExp
     copy(left = l, right = r)
 }
 
+case class WinnowExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = WinnowExpr.schema
+  override def prettyName: String = "graft_winnow"
+  override def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    TextKernels.winnow(t.asInstanceOf[UTF8String], k.asInstanceOf[Int],
+      w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, k, w) => s"graft.functions.TextKernels.winnow($t, $k, $w)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WinnowExpr =
+    copy(first = f, second = s, third = t)
+}
+
+object WinnowExpr {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("fp", StringType, nullable = false))), containsNull = false)
+}
+
 object TextExprs {
   private def str(e: Expression): Expression = Cast(e, StringType)
   private def int(e: Expression): Expression = Cast(e, IntegerType)
@@ -599,6 +703,7 @@ object TextExprs {
     "graft_char_ngrams" -> (es => CharNgramsExpr(str(es(0)), int(es(1)))),
     "graft_top_gram" -> (es => TopGramExpr(str(es(0)), int(es(1)))),
     "graft_dup_grams" -> (es => DupGramsExpr(str(es(0)), int(es(1)))),
+    "graft_winnow" -> (es => WinnowExpr(str(es(0)), int(es(1)), int(es(2)))),
     "graft_char_entropy" -> (es => CharEntropy(str(es(0)))))
 
   def register(spark: SparkSession): Unit = {

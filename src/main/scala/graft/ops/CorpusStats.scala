@@ -192,6 +192,77 @@ object CorpusStats {
       .limit(topK)
   }
 
+  /** Batch BM25 retrieval: score the corpus against MANY queries in
+    * one pass and return the per-query top-k. Same scoring + parity
+    * devices as [[bm25]] (round-6-LN idf, per-term round-6
+    * contributions summed as DECIMAL(18,6)); ranks break ties
+    * (score desc, id asc).
+    *
+    * Scale shape: this is why retrieval batches — corpus statistics
+    * for the UNION of query terms are ONE map-side-combined aggregate
+    * (a single broadcast row), every query's score is computed in the
+    * SAME scan (term tf kernels shared across queries via common
+    * subexpressions), and the per-query top-k rides
+    * [[Rank.stratifiedRank]]'s range shuffle over only the
+    * positive-scoring (id, query, score) rows. q queries cost one
+    * corpus scan + one slim shuffle, not q scans — per-query
+    * TakeOrdered would re-read the corpus per query.
+    */
+  def bm25Batch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(String, Seq[String])],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(queries.nonEmpty && queries.map(_._1).distinct.size == queries.size,
+      "bm25Batch: queries must be non-empty with distinct ids")
+    queries.foreach { case (q, ts) =>
+      require(ts.nonEmpty && ts.distinct.size == ts.size,
+        s"bm25Batch: query '$q' terms must be non-empty and distinct")
+    }
+    val allTerms = queries.flatMap(_._2).distinct
+    val dl = TextOps.tokenCountArith(col(textCol))
+    val statCols =
+      Seq(count(lit(1)).as("__n"), sum(dl).as("__tdl")) ++
+        allTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(TextOps.wordHits(col(textCol), t) > 0, 1L).otherwise(0L))
+            .as(s"__df$i")
+        }
+    val stats = df.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("__tdl").cast("double") / col("__n")
+    val termIdx = allTerms.zipWithIndex.toMap
+    def score(terms: Seq[String]): Column =
+      terms.map { t =>
+        val i = termIdx(t)
+        val tf = TextOps.wordHits(col(textCol), t).cast("double")
+        val idf = round(log((col("__n") - col(s"__df$i") + 0.5) /
+          (col(s"__df$i") + 0.5) + 1.0), 6)
+        when(tf > 0,
+          round(idf * (tf * lit(k1 + 1.0)) /
+            (tf + lit(k1) * (lit(1.0 - b) + lit(b) *
+              (dl.cast("double") / avgdl))), 6))
+          .otherwise(lit(0.0))
+          .cast("decimal(18,6)")
+      }.reduce(_ + _).cast("decimal(18,6)").cast("double")
+    val scored = df.crossJoin(broadcast(stats))
+      .select(col(idCol) +:
+        queries.map { case (q, ts) => score(ts).as(s"__s_$q") }: _*)
+      .select(col(idCol), explode(array(queries.map { case (q, _) =>
+        struct(lit(q).as("query_id"), col(s"__s_$q").as("score"))
+      }: _*)).as("__qs"))
+      .select(col(idCol),
+        col("__qs").getField("query_id").as("query_id"),
+        col("__qs").getField("score").as("score"))
+      .filter(col("score") > 0d)
+      .withColumn("__negs", -col("score"))
+    Rank.stratifiedRank(scored, "query_id", Seq("__negs", idCol))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col(idCol), col("score"),
+        col("rk").cast("long").as("rank"))
+  }
+
   /** Zipf's-law fit over the top `topV` vocabulary terms: least-squares
     * slope and intercept of `ln(freq)` on `ln(rank)` (rank by count
     * desc, term asc). A healthy natural-language corpus sits near

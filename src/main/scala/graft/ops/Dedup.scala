@@ -71,6 +71,35 @@ object Dedup {
   def digests(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.select(contentDigest(keyCols).as("digest")).distinct()
 
+  /** Digest index with recency: `(digest, last_seen)` where
+    * `last_seen` is the max of `seenCol` over the digest's rows. The
+    * retention-aware variant of [[digests]] for rolling corpus builds
+    * that age content out (robots re-crawls, licensing windows,
+    * freshness policies).
+    */
+  def digestsWithSeen(
+      df: DataFrame,
+      keyCols: Seq[String],
+      seenCol: String): DataFrame =
+    df.select(contentDigest(keyCols).as("digest"),
+      col(seenCol).as("last_seen"))
+      .groupBy("digest").agg(max("last_seen").as("last_seen"))
+
+  /** TTL compaction of a digest index: merge generations (max
+    * `last_seen` per digest — a digest re-seen in ANY generation is
+    * fresh) and drop digests not seen since `cutoff`. Run between
+    * ingest runs so the index stays O(live corpus), not O(all content
+    * ever seen) — an aged-out digest makes re-arriving old content
+    * eligible again, which is exactly the retention semantics.
+    *
+    * Scale shape: one shuffle on the 16-byte digest with map-side
+    * combine; the filter rides the aggregate. Compaction cost is the
+    * index size, never the corpus.
+    */
+  def compactIndex(index: DataFrame, cutoff: Column): DataFrame =
+    index.groupBy("digest").agg(max("last_seen").as("last_seen"))
+      .filter(col("last_seen") >= cutoff)
+
   /** Incremental dedup for rolling corpus builds: drop incoming rows
     * whose content digest is already in `seen` (a [[digests]] index
     * from previous runs), then exact-dedup the batch itself keeping

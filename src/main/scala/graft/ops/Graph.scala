@@ -69,4 +69,41 @@ object Graph {
     }
     r.select(col("__id").as(idCol), col("__r").as("rank"))
   }
+
+  /** Per-vertex triangle participation over a directed edge relation,
+    * read as an UNDIRECTED graph: self-loops drop, each {u,v} pair
+    * canonicalizes to (min, max) once, and each triangle {a<b<c} is
+    * enumerated exactly once by the ordered two-hop join
+    * (a,b)⋈(b,c)⋈(a,c). Returns `(id, n_triangles)` for every vertex
+    * in at least one triangle — the standard clustering/cohesion
+    * signal next to [[weightedPageRank]]'s centrality.
+    *
+    * Scale shape: the ordered join IS the compact form of the
+    * node-iterator algorithm — the canonical edge list E shuffles
+    * twice (on b for the wedge join, then on (a,c) for the closing
+    * join), and the a<b<c constraint means every wedge and triangle
+    * crosses the wire once, not 3–6×. Wedge count is Σ deg² — the
+    * usual skew concern; hub vertices are exactly what AQE skew
+    * splitting handles, and a degree cap upstream (drop super-hubs)
+    * is the standard mitigation the caller applies to `edges`.
+    */
+  def triangleParticipation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val ab = e.select(col("u").as("a"), col("v").as("b"))
+    val bc = e.select(col("u").as("b2"), col("v").as("c"))
+    val ac = e.select(col("u").as("a2"), col("v").as("c2"))
+    val tri = ab.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a2") && col("c") === col("c2"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -414,6 +414,36 @@ object TextOps {
       graft.functions.NfcNormalize(
         org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
+  /** MOSS winnowing fingerprints (Schleimer et al. 2003): per document,
+    * the distinct leftmost-min (md5-prefix hash, position) selections
+    * over every `window`-gram window of character `k`-grams — any
+    * shared substring of length ≥ k + window − 1 between two documents
+    * is GUARANTEED to surface as a shared fingerprint, at ~1/window
+    * the density of the full gram set. The selected fingerprints feed
+    * the same bucket-join near-dup path as minhash/simhash bands, with
+    * a coverage guarantee those sketches lack. Requires
+    * GraftFunctions.registerAll.
+    *
+    * Scale shape: map-only — selection happens inside the compiled
+    * [[graft.functions.TextKernels.winnow]] kernel (O(L) md5 calls +
+    * a monotonic deque), so the corpus never explodes to a gram stream
+    * and nothing shuffles until the (id, pos, fp) rows — m/window per
+    * doc — reach whatever join consumes them.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      window: Int = 4): DataFrame =
+    df.select(col(idCol),
+      explode(call_function("graft_winnow",
+        coalesce(col(textCol).cast("string"), lit("")),
+        lit(k), lit(window))).as("__f"))
+      .select(col(idCol),
+        col("__f").getField("pos").as("pos"),
+        col("__f").getField("fp").as("fp"))
+
   def dupNgramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def frac(total: Column, dup: Column): Column =
       when(total === 0L, lit(null).cast("double"))

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Cdc
+
+class CdcSpec extends SparkSuite {
+
+  test("applyChangelog: last upsert wins; tombstone deletes; key can recover") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, "upsert", 10.0), (1L, 2L, "upsert", 20.0), // latest wins
+      (2L, 3L, "upsert", 5.0), (2L, 4L, "delete", 0.0), // tombstoned out
+      (3L, 5L, "delete", 0.0), (3L, 6L, "upsert", 7.0) // delete then re-insert
+    ).toDF("key", "seq", "typ", "v")
+    val out = Cdc.applyChangelog(log, Seq("key"), Seq("seq"),
+      tombstone = col("typ") === "delete")
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, "upsert", 20.0), (3L, 6L, "upsert", 7.0)), out.toSeq)
+  }
+
+  test("applyChangelog: order-column suffix breaks same-timestamp ties") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 100L, 1L, "a"), (1L, 100L, 2L, "b"), // same ts — id 2 is later
+      (2L, 100L, 4L, "c"), (2L, 200L, 3L, "d") // later ts beats larger id
+    ).toDF("key", "ts", "id", "v")
+    val out = Cdc.applyChangelog(log, Seq("key"), Seq("ts", "id"),
+      tombstone = lit(false))
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(out.toSeq == Seq((1L, "b"), (2L, "d")), out.toSeq)
+  }
+
+  test("applyChangelog guards: empty key/order columns fail fast") {
+    import spark.implicits._
+    val df = Seq((1L, 1L)).toDF("key", "seq")
+    intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(df, Seq.empty, Seq("seq"), lit(false))
+    }
+    intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(df, Seq("key"), Seq.empty, lit(false))
+    }
+  }
+}

@@ -256,4 +256,34 @@ class DedupSpec extends SparkSuite {
     assert(byId(5L)._2 == "" && byId(5L)._3 == 0, "fully-covered doc -> empty")
     assert(byId(3L)._4 > 0, "within-doc repetition must be removed")
   }
+
+  test("digestsWithSeen takes the max recency per digest") {
+    import spark.implicits._
+    val df = Seq(("x", 10L), ("x", 30L), ("y", 5L)).toDF("text", "seen")
+    val idx = Dedup.digestsWithSeen(df, Seq("text"), "seen")
+      .orderBy("last_seen").collect().map(r => r.getLong(1))
+    assert(idx.toSeq == Seq(5L, 30L), idx.toSeq)
+  }
+
+  test("compactIndex merges generations by max last_seen and ages out below the cutoff") {
+    import spark.implicits._
+    val g1 = Seq(("a", 10L), ("b", 50L)).toDF("digest", "last_seen")
+    val g2 = Seq(("a", 60L), ("c", 30L)).toDF("digest", "last_seen")
+    val live = Dedup.compactIndex(g1.unionByName(g2), lit(40L))
+      .orderBy("digest").collect().map(r => (r.getString(0), r.getLong(1)))
+    // 'a' re-seen in gen2 is fresh (60); 'c' aged out; 'b' survives
+    assert(live.toSeq == Seq(("a", 60L), ("b", 50L)), live.toSeq)
+  }
+
+  test("aged-out digests make re-arriving content eligible again (q127 semantics)") {
+    import spark.implicits._
+    val docs = Seq((1L, "old content"), (2L, "fresh content")).toDF("doc_id", "text")
+    val idx = Dedup.digestsWithSeen(
+      docs.withColumn("seen", when($"doc_id" === 1L, 10L).otherwise(90L)),
+      Seq("text"), "seen")
+    val live = Dedup.compactIndex(idx, lit(40L))
+    val out = Dedup.dedupAgainst(docs, live, Seq("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L), s"only the aged-out doc re-admits: ${out.toSeq}")
+  }
 }

@@ -48,4 +48,27 @@ class GraphSpec extends SparkSuite {
         nodes.filter($"id" < 0L), "id", iters = 1)
     }
   }
+
+  test("triangleParticipation: K4 minus an edge, with noise edges") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} minus {3,4} → triangles {1,2,3} and {1,2,4};
+    // reversed duplicates, a self-loop and a dangling edge must not
+    // change the count
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), // duplicate in both directions
+      (1L, 3L), (3L, 1L),
+      (1L, 4L), (2L, 3L), (2L, 4L),
+      (5L, 5L), // self-loop drops
+      (4L, 9L) // dangling edge — no triangle
+    ).toDF("src", "dst")
+    val out = Graph.triangleParticipation(edges, "src", "dst")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 1L), (4L, 1L)), out.toSeq)
+  }
+
+  test("triangleParticipation: triangle-free graph returns empty") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleParticipation(path, "src", "dst").count() == 0L)
+  }
 }

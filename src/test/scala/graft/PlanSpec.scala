@@ -328,4 +328,42 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("InMemoryTableScan"), p) // edges persisted once
   }
+
+  test("q123 changelog compaction: one hash exchange on the key, no join") {
+    val p = finalPlan(SparkEntry.queries("q123_cdc_latest_state")(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    val hashEx = "(?m)\\+\\- Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange (the key window), got $hashEx:\n$p")
+  }
+
+  test("q124 winnowing selects fingerprints inside the scan (no gram-stream shuffle)") {
+    val p = finalPlan(SparkEntry.queries("q124_winnow_fingerprints")(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("graft_winnow"), p)
+  }
+
+  test("q125 batch retrieval: broadcast stats row; per-query top-k rides the stratified-rank device") {
+    val p = finalPlan(SparkEntry.queries("q125_bm25_batch")(spark, sfDir))
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row stats cross join
+    assert(p.contains("MapPartitions"), p)
+    assert(p.contains("ReusedExchange"), p)
+  }
+
+  test("q126 triangles: partial aggregation below every live hash exchange") {
+    val p = finalPlan(SparkEntry.queries("q126_triangle_count")(spark, sfDir))
+    // the corpus-scale step is the e0 aggregation; the triangle joins
+    // run over the nation-sized canonical edge list (broadcast here)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q127 index compaction: exchanges carry digests, never text") {
+    val p = finalPlan(SparkEntry.queries("q127_index_compaction")(spark, sfDir))
+    p.linesIterator.zipWithIndex.filter(_._1.contains("Exchange")).foreach {
+      case (l, i) =>
+        assert(!l.contains("text"), s"q127: exchange carries text (line $i):\n$p")
+    }
+  }
 }

@@ -342,4 +342,62 @@ class TextOpsSpec extends SparkSuite {
     assert(r5.getAs[Double]("top2_frac") ==
       BigDecimal(6.0 / 17).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  private def md5p15(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(15)
+
+  /** Independent brute-force winnowing (leftmost-min over every
+    * window, then distinct) — no deque, no sliding state.
+    */
+  private def bruteWinnow(text: String, k: Int, w: Int): Seq[(Long, String)] = {
+    val cps = text.codePoints().toArray
+    val m = cps.length - k + 1
+    if (m <= 0) return Seq.empty
+    val hs = (0 until m).map(i => md5p15(new String(cps, i, k)))
+    val wins = math.max(1, m - w + 1)
+    (0 until wins).map { s =>
+      val sel = (s until math.min(s + w, m)).minBy(i => (hs(i), i))
+      ((sel + 1).toLong, hs(sel))
+    }.distinct
+  }
+
+  test("winnow kernel matches the brute-force selection on varied docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaa"), // all grams identical — hash ties everywhere
+      (3L, "abcde"), // exactly one gram (m=1 < w)
+      (4L, "abcdefg"), // m=3 < w=4 — single whole-doc window
+      (5L, "abcd"), // shorter than k — no fingerprints
+      (6L, ""), // empty
+      (7L, "héllo wörld çafé crème") // non-ASCII code-point positions
+    )
+    val out = graft.ops.TextOps.winnowFingerprints(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k = 5, window = 4)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expected = docs.flatMap { case (id, t) =>
+      bruteWinnow(t, 5, 4).map { case (p, h) => (id, p, h) }
+    }.sortBy(x => (x._1, x._2))
+    assert(out.toSeq == expected, s"got ${out.toSeq}\nexp $expected")
+    assert(out.count(_._1 == 5L) == 0 && out.count(_._1 == 6L) == 0)
+    assert(out.count(_._1 == 3L) == 1 && out.count(_._1 == 4L) == 1)
+  }
+
+  test("winnow guarantee: a shared substring of length k+w-1 shares a fingerprint") {
+    import spark.implicits._
+    // k=5, w=4: any common substring of length >= 8 must surface in
+    // both documents' fingerprint sets
+    val common = "wxyzqprs"
+    val docs = Seq(
+      (1L, s"first document $common and unrelated tail"),
+      (2L, s"totally different head $common closing words")).toDF("doc_id", "text")
+    val fps = graft.ops.TextOps.winnowFingerprints(docs, "doc_id", "text", 5, 4)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val shared = fps.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(fps.filter(_._1 == 2L).map(_._2).toSet)
+    assert(shared.nonEmpty, s"no shared fingerprint: ${fps.toSeq}")
+  }
 }
