@@ -52,6 +52,13 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *     analogue of jq's create-on-write), `paths` (stage: every
   *     subvalue's path as compact JSON, root excluded, depth-first)
   *   - `limit(n; .xs[])` / `first(.xs[])` / `last(.xs[])`
+  *   - array pipe stages: `sort`, `unique`, `min`, `max`, `reverse`,
+  *     `map(E)` / `sort_by(E)` (`.` bound to the element, stable
+  *     ties), `add` (null on [], IEEE-double sum), `any`/`all`,
+  *     `flatten` (one static nesting level); a head path that is an
+  *     array by schema seeds array-ness without a `split`
+  *   - object (map-typed) pipe stages: `has("k")`, `keys` (sorted,
+  *     like jq), `to_entries`/`from_entries` ({key, value} structs)
   *
   * Programs outside the subset should go through [[JqEscapeHatch]]
   * (mapPartitions over JSON strings, 0..N outputs per input — the
@@ -476,13 +483,24 @@ object Jq {
       }
       aggregate(arr, zero,
         (acc, x) => toColumn(update, Env(Some(acc), env.vars + (v -> x))))
-    case FieldPath(p, false, None) => fieldCol(p)
+    // with `.` bound (inside map/sort_by lambdas and reduce updates)
+    // paths are RELATIVE to the bound value, like jq; at top level
+    // they address record columns
+    case FieldPath(p, false, None) =>
+      env.dot match {
+        case Some(d) => p.foldLeft(d)((c, f) => c.getField(f))
+        case None => fieldCol(p)
+      }
     case FieldPath(p, false, Some(i)) =>
       // jq indexing is 0-based, element_at is 1-based (negatives count
       // from the end in both once shifted); out-of-range yields null
       // via try_element_at, matching jq
-      if (i >= 0) call_function("try_element_at", fieldCol(p), lit(i + 1))
-      else call_function("try_element_at", fieldCol(p), lit(i))
+      val base = env.dot match {
+        case Some(d) => p.foldLeft(d)((c, f) => c.getField(f))
+        case None => fieldCol(p)
+      }
+      if (i >= 0) call_function("try_element_at", base, lit(i + 1))
+      else call_function("try_element_at", base, lit(i))
     case NumLit(v) => if (v == math.floor(v) && !v.isInfinite) lit(v.toLong) else lit(v)
     case StrLit(v) => lit(v)
     case StrInterp(parts) =>
@@ -526,7 +544,17 @@ object Jq {
       // (elements for arrays, codepoints for strings), so the compiled
       // form must branch on the tracked kind — Spark's `length` only
       // accepts strings
-      stages.tail.foldLeft((toColumn(stages.head, env), false)) {
+      // array-ness of the fold seed: a split stage sets it true, and a
+      // head path whose STATIC schema type is an array starts true, so
+      // `.xs | sort` works without a split in front
+      val headIsArr = stages.head match {
+        case FieldPath(p, false, None) =>
+          env.schema.exists(s =>
+            pathType(s, p, None).exists(_.isInstanceOf[ArrayType]))
+        case ArrLit(_) => true
+        case _ => false
+      }
+      stages.tail.foldLeft((toColumn(stages.head, env), headIsArr)) {
         case ((c, isArr), st) =>
           st match {
             // split on the LITERAL separator (jq semantics; Spark's
@@ -572,6 +600,46 @@ object Jq {
             case Call("min", Nil) if isArr => (array_min(c), false)
             case Call("max", Nil) if isArr => (array_max(c), false)
             case Call("length", Nil) if isArr => (size(c), false)
+            // map(E): E compiles with `.` bound to the element, so
+            // relative paths (`.price`) address element fields
+            case Call("map", Seq(body)) if isArr =>
+              (transform(c, x => toColumn(body, env.copy(dot = Some(x)))), true)
+            // sort_by(E): Schwartzian (key, original index, value) —
+            // the index keeps ties STABLE like jq's sort_by; struct
+            // sort_array orders by fields left-to-right, nulls first
+            // (jq sorts null lowest)
+            case Call("sort_by", Seq(body)) if isArr =>
+              (transform(
+                sort_array(transform(c, (x, i) => struct(
+                  toColumn(body, env.copy(dot = Some(x))).as("k"),
+                  i.as("i"), x.as("x")))),
+                s => s.getField("x")), true)
+            // add: null on [], else the numeric sum in IEEE double (jq
+            // numbers); a null ELEMENT nulls the sum where jq errors —
+            // the tonumber-style quiet divergence, documented
+            case Call("add", Nil) if isArr =>
+              (when(size(c) === 0, lit(null).cast("double"))
+                .otherwise(aggregate(c, lit(0.0),
+                  (a, x) => a + x.cast("double"))), false)
+            // any/all on boolean arrays: jq any([]) = false, all([]) =
+            // true — exactly exists/forall
+            case Call("any", Nil) if isArr =>
+              (exists(c, x => x.cast("boolean")), false)
+            case Call("all", Nil) if isArr =>
+              (forall(c, x => x.cast("boolean")), false)
+            // flatten: ONE nesting level (= full depth for
+            // array<array<scalar>> schemas; deeper static nesting
+            // would need jq's recursive default — escape hatch)
+            case Call("flatten", Nil) if isArr => (flatten(c), true)
+            // object (MapType) stages: `has` probes a literal key;
+            // `keys` sorts like jq (map_keys order is unspecified);
+            // to_entries/from_entries are map_entries/map_from_entries
+            // — entry structs carry jq's {key, value} field names
+            case Call("has", Seq(StrLit(k))) =>
+              (map_contains_key(c, lit(k)), false)
+            case Call("keys", Nil) => (sort_array(map_keys(c)), true)
+            case Call("to_entries", Nil) => (map_entries(c), true)
+            case Call("from_entries", Nil) => (map_from_entries(c), false)
             case Call(fn, Nil) => (applyFn(fn, c, env.inTry), false)
             case other => throw new IllegalArgumentException(
               s"unsupported piped jq call: $other")

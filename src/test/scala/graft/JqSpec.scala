@@ -359,4 +359,73 @@ class JqSpec extends SparkSuite {
       Jq.compile("""{m: (.text | test("(a)\\1"))}""")(df)
     }
   }
+
+  test("map/sort_by/add/any/all/flatten on array columns match real jq") {
+    import graft.transform.JqEscapeHatch
+    val df = spark.range(3).selectExpr("id",
+      "transform(sequence(1, cast(id + 2 AS int)), x -> cast(x * (3 - id) AS long)) AS nums")
+    // head path is an array BY SCHEMA — no split needed to seed the
+    // array stages; map binds `.` to the element
+    val prog = """{id, dbl: (.nums | map(. * 2) | join(",")),
+      tot: (.nums | add),
+      srt: (.nums | sort_by(. * -1) | join(",")),
+      anyBig: (.nums | map(. > 3) | any),
+      allPos: (.nums | map(. > 0) | all)}""".replaceAll("\n\\s*", " ")
+    val sel = Seq("id", "dbl", "cast(tot AS double) AS tot", "srt",
+      "cast(anyBig AS boolean) AS a", "cast(allPos AS boolean) AS b")
+    val compiled = Jq.compile(prog)(df).selectExpr(sel: _*)
+      .as[(Long, String, Double, String, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    val real = JqEscapeHatch(df, prog).selectExpr(sel: _*)
+      .as[(Long, String, Double, String, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+    // flatten: one static nesting level
+    val nested = spark.range(2).selectExpr("id",
+      "array(array(id, id + 1), array(id + 2)) AS xs")
+    val fProg = """{id, flat: (.xs | flatten | join("-"))}"""
+    val fc = Jq.compile(fProg)(nested).selectExpr("flat")
+      .as[String].collect().sorted.toSeq
+    val fr = JqEscapeHatch(nested, fProg).selectExpr("flat")
+      .as[String].collect().sorted.toSeq
+    assert(fc == fr, s"\ncompiled: $fc\nreal jq:  $fr")
+    // add on an empty array is null, like jq
+    val empty = spark.range(1)
+      .selectExpr("cast(array() AS array<long>) AS nums")
+    assert(Jq.compile("{t: (.nums | add)}")(empty)
+      .selectExpr("t IS NULL").as[Boolean].head())
+  }
+
+  test("map(.field) addresses element fields; sort_by keeps ties stable like jq") {
+    import graft.transform.JqEscapeHatch
+    val df = spark.range(1).selectExpr("1 AS id",
+      """array(named_struct('name', 'x', 'v', 3L),
+        named_struct('name', 'y', 'v', 1L),
+        named_struct('name', 'z', 'v', 3L)) AS items""".replaceAll("\n\\s*", " "))
+    val prog = """{names: (.items | sort_by(.v) | map(.name) | join(",")),
+      vals: (.items | map(.v) | join(","))}""".replaceAll("\n\\s*", " ")
+    val compiled = Jq.compile(prog)(df)
+      .selectExpr("concat(names, '#', vals)").as[String].collect().toSeq
+    val real = JqEscapeHatch(df, prog)
+      .selectExpr("concat(names, '#', vals)").as[String].collect().toSeq
+    // stable: x (v=3) stays before z (v=3) after the sort
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+    assert(compiled.head == "y,x,z#3,1,3")
+  }
+
+  test("has/keys/to_entries/from_entries on map columns match real jq") {
+    import graft.transform.JqEscapeHatch
+    val df = spark.range(1).selectExpr("map('b', 2L, 'a', 1L) AS m")
+    val prog = """{hasA: (.m | has("a")), hasZ: (.m | has("z")),
+      ks: (.m | keys | join(",")),
+      rt: (.m | to_entries | from_entries | keys | join(","))}"""
+      .replaceAll("\n\\s*", " ")
+    val sel = Seq("cast(hasA AS boolean)", "cast(hasZ AS boolean)", "ks", "rt")
+    val compiled = Jq.compile(prog)(df).selectExpr(sel: _*)
+      .as[(Boolean, Boolean, String, String)].collect().toSeq
+    val real = JqEscapeHatch(df, prog).selectExpr(sel: _*)
+      .as[(Boolean, Boolean, String, String)].collect().toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+    assert(compiled.head == ((true, false, "a,b", "a,b")))
+  }
 }
