@@ -1729,6 +1729,97 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_new"),
           min(col("doc_id")).cast("long").as("first_id"))
         .orderBy("source")
+    }),
+
+    "q128_stream_cdc" -> ((s, dir) => {
+      // q123's changelog compaction through the REAL streaming
+      // runtime: per-user winner state in flatMapGroupsWithState,
+      // update-mode emissions reduced to the final snapshot, tombstone
+      // filter downstream. Same oracle as q123 — batch/stream parity.
+      val stream = streamT(s, dir, "events")
+      val updates = graft.streaming.StreamCdc.latestState(
+        stream, "user_id", "ts", "event_id")
+      val tbl = graft.streaming.StreamPipeline
+        .runToResultUpdate(s, updates, "graft_q128")
+      graft.streaming.StreamCdc.materialize(tbl, stream.schema)
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("last_ts"),
+          col("event_type").as("last_type"),
+          dec(col("value")).cast("double").as("last_value"))
+        .orderBy("user_id")
+    }),
+
+    "q129_winnow_candidates" -> ((s, dir) =>
+      // the MOSS near-dup path end-to-end: selective 12-gram
+      // fingerprints (kernel, map-only) → boilerplate prune →
+      // shared-fp pairs. Candidates carry the coverage guarantee the
+      // minhash/simhash sketches lack.
+      Dedup.winnowCandidates(t(s, dir, "documents"), "doc_id", "text",
+        k = 12, window = 8, minShared = 3L, maxBucket = 100)
+        .orderBy("id_a", "id_b")),
+
+    "q130_attribution_asof" -> ((s, dir) => {
+      // last-touch attribution: each purchase joined to the user's
+      // latest prior marketing touch (click/signup) — the as-of
+      // composition over the event log; touches dedupe to a unique
+      // (user, ts) by max event_id for determinism
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val touches = ev.filter(col("event_type").isin("click", "signup"))
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("touch_id"),
+          max_by(col("event_type"), col("event_id")).as("touch_type"))
+      graft.ops.AsOf.asofJoin(purchases, touches, "user_id", "ts",
+        Seq("touch_id", "touch_type"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("pts"),
+          col("asof_touch_id"), col("asof_touch_type"))
+        .orderBy("event_id")
+    }),
+
+    "q131_hll_rollup" -> ((s, dir) => {
+      // MERGEABLE distinct sketches (DataSketches HLL): per-type user
+      // sketches union to the global estimate WITHOUT rescanning —
+      // the 100 TB rollup shape (per-partition sketches, merge-only
+      // combines). Contract query: estimates must land within
+      // max(5% relative, 16 absolute) of exact; violations pin empty.
+      val ev = events(s, dir)
+      val perType = ev.groupBy("event_type").agg(
+        hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).cast("double").as("exact"))
+      val typeRows = perType.select(
+        concat(lit("hll_users_"), col("event_type")).as("metric"),
+        hll_sketch_estimate(col("sk")).cast("double").as("est"),
+        col("exact"))
+      val globalRow = perType
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .cast("double").as("est"))
+        .crossJoin(broadcast(
+          ev.agg(countDistinct(col("user_id")).cast("double").as("exact"))))
+        .select(lit("hll_users_all").as("metric"), col("est"), col("exact"))
+      typeRows.union(globalRow)
+        .filter(abs(col("est") - col("exact")) >
+          greatest(col("exact") * 0.05, lit(16.0)))
+        .select(col("metric"))
+    }),
+
+    "q132_salted_join" -> ((s, dir) => {
+      // the JOIN-skew device through the oracle gate: fact salted on
+      // (key, linenumber), dim replicated × salts — must be
+      // value-identical to the plain join
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(li, hi, "k", 8,
+        bigSaltSource = Seq(col("k"), col("l_linenumber")))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("priority")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -3621,7 +3712,68 @@ object SparkEntry {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new,
         |  CAST(MIN(doc_id) AS BIGINT) AS first_id
         |FROM batch b ANTI JOIN live s ON b.dg = s.digest
-        |WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)
+        |WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q128: batch/stream parity — same oracle as q123
+    "q128_stream_cdc" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts,
+        |  event_type AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+        |FROM r WHERE rk = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q129_winnow_candidates" ->
+      """WITH g AS (
+        |  SELECT doc_id, i,
+        |    substr(md5(substr(text, CAST(i AS INT), 12)), 1, 15) AS h,
+        |    length(text) - 11 AS m
+        |  FROM documents, UNNEST(range(1, length(text) - 10)) AS t(i)
+        |  WHERE length(text) >= 12),
+        |sel AS (
+        |  SELECT doc_id, i, m,
+        |    MIN(h || lpad(CAST(i AS VARCHAR), 9, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY i
+        |            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mk
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, substr(mk, 1, 15) AS fp
+        |  FROM sel WHERE i <= GREATEST(1, m - 7)),
+        |keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 100),
+        |pr AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(COUNT(*) AS BIGINT) AS shared
+        |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q130_attribution_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, MAX(event_id) AS touch_id,
+        |    arg_max(event_type, event_id) AS touch_type
+        |  FROM events WHERE event_type IN ('click', 'signup')
+        |  GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, CAST(epoch_us(p.ts) AS BIGINT) AS pts,
+        |  t.touch_id AS asof_touch_id, t.touch_type AS asof_touch_type
+        |FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.user_id AND p.ts >= t.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // q131: derived-contract oracle (the q60 pattern) — the sketch
+    // union must land within bound, so violations pin empty
+    "q131_hll_rollup" ->
+      "SELECT CAST(NULL AS VARCHAR) AS metric WHERE 1 = 0",
+
+    "q132_salted_join" ->
+      s"""SELECT o.o_orderpriority AS priority,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM($rev) AS DOUBLE) AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_totalprice > 300000
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

@@ -169,6 +169,44 @@ object Dedup {
     * bands vs 9.2× (linear) with 4-row bands, identical recall on the
     * ≥0.9-jaccard pairs. Raise rows before raising `maxBucket`.
     */
+  /** Winnowing candidate pairs (the MOSS near-dup path): documents
+    * sharing ≥ `minShared` winnowing fingerprints
+    * ([[TextOps.winnowFingerprints]] — leftmost-min selections over
+    * `window`-gram windows of char `k`-grams). Where minhash/simhash
+    * SKETCH similarity, winnowing fingerprints carry a GUARANTEE: any
+    * shared substring of ≥ k + window − 1 code points surfaces as a
+    * shared fingerprint, so contiguous-plagiarism pairs cannot be
+    * missed. Use a k large enough that grams are selective (the
+    * boilerplate guard drops the rest).
+    *
+    * Scale shape: fingerprint selection is map-only (compiled kernel);
+    * the shuffle carries (id, fp) at ~m/window rows per doc. The
+    * fp-frequency prune (`maxBucket`) bounds the self-join exactly the
+    * way the LSH bucket guard does — a fingerprint appearing in more
+    * than `maxBucket` docs is boilerplate, not evidence.
+    */
+  def winnowCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 12,
+      window: Int = 8,
+      minShared: Long = 3L,
+      maxBucket: Int = 100): DataFrame = {
+    val fps = TextOps.winnowFingerprints(df, idCol, textCol, k, window)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+    val keep = fps.groupBy("fp")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("fp")
+    val pruned = fps.join(keep, "fp")
+    pruned.as("a").join(pruned.as("b"), "fp")
+      .filter(col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   def minhashCandidates(
       df: DataFrame,
       idCol: String,

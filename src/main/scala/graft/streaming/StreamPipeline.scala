@@ -78,6 +78,15 @@ object StreamPipeline {
   def runToResultAppend(spark: SparkSession, stream: DataFrame, name: String): DataFrame =
     runToMemory(spark, stream, name, OutputMode.Append)
 
+  /** Update-mode twin: for stateful operators that re-emit a key's
+    * CURRENT value as it changes (latest-state materialization). The
+    * memory sink appends every update row, so the returned table holds
+    * the update STREAM — the caller reduces to the final row per key
+    * (bounded by keys × batches).
+    */
+  def runToResultUpdate(spark: SparkSession, stream: DataFrame, name: String): DataFrame =
+    runToMemory(spark, stream, name, OutputMode.Update)
+
   private def runToMemory(
       spark: SparkSession, stream: DataFrame, name: String,
       mode: OutputMode): DataFrame = {

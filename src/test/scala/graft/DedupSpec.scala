@@ -257,6 +257,27 @@ class DedupSpec extends SparkSuite {
     assert(byId(3L)._4 > 0, "within-doc repetition must be removed")
   }
 
+  test("winnowCandidates: long shared substrings pair; boilerplate fingerprints prune") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"epsilon $shared zeta"),
+      (3L, "completely unrelated content with no common substrings at all here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidates(docs, "doc_id", "text",
+      k = 12, window = 8, minShared = 1L, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), pairs.toSeq)
+    // boilerplate: a substring shared by MORE than maxBucket docs is
+    // evidence of nothing — its fingerprints prune and no pairs emit
+    val boiler = (1L to 4L).map(i => (i, s"prefix$i $shared suffix$i"))
+      .toDF("doc_id", "text")
+    val pruned = Dedup.winnowCandidates(boiler, "doc_id", "text",
+      k = 12, window = 8, minShared = 1L, maxBucket = 2)
+    assert(pruned.count() == 0L, "over-shared fingerprints must prune")
+  }
+
   test("digestsWithSeen takes the max recency per digest") {
     import spark.implicits._
     val df = Seq(("x", 10L), ("x", 30L), ("y", 5L)).toDF("text", "seen")

@@ -359,6 +359,29 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q129 winnow candidates: fingerprint selection rides the scan; exchanges carry (id, fp)") {
+    val p = finalPlan(SparkEntry.queries("q129_winnow_candidates")(spark, sfDir))
+    assert(p.contains("graft_winnow"), p)
+    assert(!p.contains("Window"), p) // selection is in the kernel, not a window
+    p.linesIterator.zipWithIndex.filter(_._1.contains("Exchange")).foreach {
+      case (l, i) =>
+        assert(!l.contains("text"), s"q129: exchange carries text (line $i):\n$p")
+    }
+  }
+
+  test("q131 sketch rollup: the global estimate comes from the sketch UNION, not a rescan") {
+    val p = finalPlan(SparkEntry.queries("q131_hll_rollup")(spark, sfDir))
+    assert(p.contains("hll_union_agg"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assertHashExchangesAboveAggregates(p, "q131")
+  }
+
+  test("q132 salted join: the dim replicates via explode; the join keys include the salt") {
+    val p = finalPlan(SparkEntry.queries("q132_salted_join")(spark, sfDir))
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("__salt"), p)
+  }
+
   test("q127 index compaction: exchanges carry digests, never text") {
     val p = finalPlan(SparkEntry.queries("q127_index_compaction")(spark, sfDir))
     p.linesIterator.zipWithIndex.filter(_._1.contains("Exchange")).foreach {

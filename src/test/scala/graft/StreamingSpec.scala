@@ -416,4 +416,51 @@ class StreamingSpec extends SparkSuite {
       assert(after2 == Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1)), s"got $after2")
     } finally q.stop()
   }
+
+  test("streaming CDC: winner state survives batches; stale updates emit nothing") {
+    import graft.streaming.StreamCdc
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = StreamCdc.latestState(df, "user_id", "ts", "event_id")
+    val q = out.writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "upsert", 10.0),
+        (1L, ts("2024-01-01 10:05:00"), 2L, "upsert", 20.0),
+        (2L, ts("2024-01-01 10:01:00"), 3L, "upsert", 5.0))
+      q.processAllAvailable()
+      // batch 2: a STALE row for user 1 (earlier ts) must emit nothing;
+      // a fresh row for user 2 must emit the new winner
+      input.addData(
+        (1L, ts("2024-01-01 09:00:00"), 9L, "upsert", 99.0),
+        (2L, ts("2024-01-01 10:30:00"), 4L, "delete", 0.0))
+      q.processAllAvailable()
+      val updates = spark.table("cdc_out")
+      assert(updates.count() == 3L, s"2 first-batch winners + 1 fresh update: ${updates.count()}")
+      val snap = StreamCdc.materialize(updates, df.schema)
+      val rows = snap.orderBy("user_id")
+        .select("user_id", "event_id", "event_type", "value")
+        .as[(Long, Long, String, Double)].collect().toSeq
+      // user 1 keeps event 2 (the stale 99.0 row never won); user 2's
+      // final state is the delete row — the tombstone filter is the
+      // caller's downstream choice, like the batch form
+      assert(rows == Seq((1L, 2L, "upsert", 20.0), (2L, 4L, "delete", 0.0)), rows)
+      // microsecond timestamps survive the payload JSON round-trip
+      val mts = snap.where("user_id = 1").selectExpr("unix_micros(ts)")
+        .as[Long].head()
+      assert(mts == ts("2024-01-01 10:05:00").getTime * 1000L, s"micros: $mts")
+    } finally q.stop()
+  }
+
+  test("streaming CDC: fractional order columns are rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Long)]
+    val df = input.toDF().toDF("k", "score", "id")
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamCdc.latestState(df, "k", "score", "id")
+    }
+  }
 }
