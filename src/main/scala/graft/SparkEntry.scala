@@ -1820,6 +1820,70 @@ object SparkEntry {
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
             .cast("double").as("revenue"))
         .orderBy("priority")
+    }),
+
+    "q133_zorder_layout" -> ((s, dir) => {
+      // zone-map quality audit: the same fact laid out in arrival
+      // (orderkey-range) files vs Z-ORDER files — per-file (min, max)
+      // spans and the fraction of files a mid-range partkey band scan
+      // must touch. Bucketing is closed-form value ranges, so the
+      // audit is fully parallel (no global rank); the production
+      // writer is Layout.zorderRepartition (range exchange).
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val mx = li.agg(max(col("l_partkey")).as("pm"),
+        max(col("l_suppkey")).as("sm"), max(col("l_orderkey")).as("om"))
+      val base = li.crossJoin(broadcast(mx))
+        .select(col("l_partkey"), col("l_suppkey"), col("pm"), col("sm"),
+          expr("l_partkey * 1024L div (pm + 1)").as("xb"),
+          expr("l_suppkey * 1024L div (sm + 1)").as("yb"),
+          expr("l_orderkey * 256L div (om + 1)").as("nb"))
+        .withColumn("zk",
+          shiftright(graft.ops.Layout.zValue(col("xb"), col("yb"), 10), 12))
+      def layoutStats(bucketCol: String, name: String) = {
+        val perFile = base
+          .groupBy(col(bucketCol).as("bk"), col("pm"), col("sm"))
+          .agg(min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+            min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+          .select(col("pm"), col("sm"), col("pmin"), col("pmax"),
+            round((col("pmax") - col("pmin")).cast("double") / (col("pm") + 1), 6)
+              .cast("decimal(18,6)").as("pspan"),
+            round((col("smax") - col("smin")).cast("double") / (col("sm") + 1), 6)
+              .cast("decimal(18,6)").as("sspan"),
+            when(col("pmin") <= expr("(55 * (pm + 1)) div 100") &&
+              col("pmax") >= expr("(45 * (pm + 1)) div 100"), 1L)
+              .otherwise(0L).as("hit"))
+        perFile.agg(count(lit(1)).as("__n"), sum(col("pspan")).as("__ps"),
+          sum(col("sspan")).as("__ss"), sum(col("hit")).as("__h"))
+          .select(lit(name).as("layout"),
+            col("__n").cast("long").as("n_files"),
+            round(col("__ps").cast("double") / col("__n"), 6).as("avg_pk_span"),
+            round(col("__ss").cast("double") / col("__n"), 6).as("avg_sk_span"),
+            round(col("__h").cast("double") / col("__n"), 6).as("band_scan_frac"))
+      }
+      layoutStats("nb", "natural").unionByName(layoutStats("zk", "z-order"))
+        .orderBy("layout")
+    }),
+
+    "q134_winsorized_stats" -> ((s, dir) => {
+      // robust per-group aggregation: clamp to the exact [p05, p95]
+      // (sort-based percentiles, the q106 device), then a DECIMAL-
+      // ladder winsorized mean — outlier-insensitive stats without
+      // dropping rows
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          dec(col("l_extendedprice")).cast("double").as("v"))
+      val bounds = li.groupBy("flag").agg(
+        round(expr("percentile(v, 0.05)"), 6).as("lo"),
+        round(expr("percentile(v, 0.95)"), 6).as("hi"))
+      li.join(broadcast(bounds), "flag")
+        .select(col("flag"), col("lo"), col("hi"),
+          least(greatest(col("v"), col("lo")), col("hi"))
+            .cast("decimal(18,6)").as("w"))
+        .groupBy("flag", "lo", "hi")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("w")).cast("double") / count(lit(1)), 6).as("wmean"))
+        .orderBy("flag")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -3773,7 +3837,53 @@ object SparkEntry {
          |  CAST(SUM($rev) AS DOUBLE) AS revenue
          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |WHERE o.o_totalprice > 300000
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q133_zorder_layout" -> {
+      val zsql = graft.ops.Layout.zValueSql("xb", "yb", 10)
+      def layer(src: String, name: String) =
+        s"""SELECT '$name' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+           |  ROUND(CAST(SUM(CAST(ROUND(CAST(pmax - pmin AS DOUBLE) / (pm + 1), 6)
+           |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_pk_span,
+           |  ROUND(CAST(SUM(CAST(ROUND(CAST(smax - smin AS DOUBLE) / (sm + 1), 6)
+           |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_sk_span,
+           |  ROUND(CAST(SUM(CASE WHEN pmin <= (55 * (pm + 1)) // 100
+           |    AND pmax >= (45 * (pm + 1)) // 100 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*), 6) AS band_scan_frac
+           |FROM $src""".stripMargin
+      s"""WITH mx AS (SELECT MAX(l_partkey) AS pm, MAX(l_suppkey) AS sm,
+         |    MAX(l_orderkey) AS om FROM lineitem),
+         |b AS (SELECT l_partkey, l_suppkey, pm, sm,
+         |    (l_partkey * 1024) // (pm + 1) AS xb,
+         |    (l_suppkey * 1024) // (sm + 1) AS yb,
+         |    (l_orderkey * 256) // (om + 1) AS nb
+         |  FROM lineitem, mx),
+         |zb AS (SELECT *, ($zsql >> 12) AS zk FROM b),
+         |pz AS (SELECT zk, pm, sm, MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         |    MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+         |  FROM zb GROUP BY 1, 2, 3),
+         |pn AS (SELECT nb, pm, sm, MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         |    MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+         |  FROM zb GROUP BY 1, 2, 3)
+         |${layer("pn", "natural")}
+         |UNION ALL
+         |${layer("pz", "z-order")}
+         |ORDER BY layout""".stripMargin
+    },
+
+    "q134_winsorized_stats" ->
+      """WITH v AS (SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+        |  FROM lineitem),
+        |b AS (SELECT flag, ROUND(quantile_cont(v, 0.05), 6) AS lo,
+        |    ROUND(quantile_cont(v, 0.95), 6) AS hi
+        |  FROM v GROUP BY 1),
+        |w AS (SELECT v.flag, b.lo, b.hi,
+        |    CAST(LEAST(GREATEST(v.v, b.lo), b.hi) AS DECIMAL(18,6)) AS w
+        |  FROM v JOIN b USING (flag))
+        |SELECT flag, lo, hi, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS wmean
+        |FROM w GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The
