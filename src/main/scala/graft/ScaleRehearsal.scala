@@ -125,6 +125,35 @@ object ScaleRehearsal {
       Dedup.connectedComponents(verified)
         .groupBy("comp").agg(count(lit(1)).cast("long").as("cluster_size"),
           min(col("id")).as("representative"))
+    }),
+    // winnowing near-dup candidates on the rehearsal corpus: selective
+    // 12-gram fingerprints, boilerplate prune, shared-fp pairs
+    "p124_winnow_candidates" -> ((s, dir) =>
+      Dedup.winnowCandidates(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        k = 12, window = 8, minShared = 3L, maxBucket = 100)),
+    // the low-entropy guard knob: same op, maxBucket 20 — on a 31-word
+    // vocabulary, 12-gram fingerprints recur across unrelated docs and
+    // near-cap buckets expand quadratically; evidence-quality pairs
+    // live in SMALL buckets, so tightening the cap restores linearity
+    "p124_winnow_mb20" -> ((s, dir) =>
+      Dedup.winnowCandidates(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        k = 12, window = 8, minShared = 3L, maxBucket = 20)),
+    // recall contract for the tightened cap: every EXACT-dup pair
+    // (identical text ⇒ identical fingerprints) must still surface as
+    // a candidate — the pairs the cap may drop are cross-doc
+    // boilerplate, not duplicates
+    "p124_winnow_recall" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val dg = docs.select(col("doc_id"), md5(col("text")).as("dg"))
+      val pairs = dg.as("a").join(dg.as("b"), "dg")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val tight = Dedup.winnowCandidates(docs, "doc_id", "text",
+        k = 12, window = 8, minShared = 3L, maxBucket = 20)
+      pairs.join(tight, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("missed_exact_pairs"))
     }))
 
   private val defaultChain = Seq(

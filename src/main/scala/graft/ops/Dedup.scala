@@ -184,6 +184,16 @@ object Dedup {
     * fp-frequency prune (`maxBucket`) bounds the self-join exactly the
     * way the LSH bucket guard does — a fingerprint appearing in more
     * than `maxBucket` docs is boilerplate, not evidence.
+    *
+    * LOW-ENTROPY corpora (measured, SCALE.md round-9 rehearsal): short
+    * grams recur across unrelated documents, so near-cap buckets
+    * expand quadratically (k=12/maxBucket=100 went 17.7× at 10× data),
+    * while TIGHTENING the cap alone drops real duplicate pairs whose
+    * every fingerprint is over-shared (k=12/maxBucket=20 missed 20 of
+    * 84 exact-dup pairs). The selectivity knob is the GRAM LENGTH —
+    * k=20/maxBucket=20 ran linear at 10× with ZERO missed exact-dup
+    * pairs and 15× fewer candidates. Raise `k` before loosening
+    * `maxBucket`, the winnowing analogue of the LSH band-width rule.
     */
   def winnowCandidates(
       df: DataFrame,

@@ -385,6 +385,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched lefts null-extend after the watermark") {
+    import graft.streaming.StreamJoin
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(Long, Timestamp)]
+    val ri = MemoryStream[Timestamp]
+    val pairs = StreamJoin.intervalPairsLeftOuter(
+      li.toDF().toDF("event_id", "ts"), "event_id", "ts",
+      ri.toDF().toDF("ts"), "ts", 300L, watermarkDelay = "10 minutes")
+    val q = pairs.writeStream.format("memory").queryName("sjoin_lo_out")
+      .outputMode("append").start()
+    try {
+      // event 1 gets a response in-window; event 2 never does
+      li.addData(
+        (1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:10:00")))
+      ri.addData(ts("2024-01-01 10:02:00")) // matches 1 only (120 s)
+      q.processAllAvailable()
+      // event 2 must NOT have null-extended yet — a match could still
+      // arrive until the watermark passes 10:15 + delay
+      val early = spark.table("sjoin_lo_out")
+        .select("__lid", "right_us").as[(Long, Option[Long])]
+        .collect().toSeq
+      assert(early.forall(_._2.nonEmpty) && early.map(_._1) == Seq(1L),
+        s"premature null-extension: $early")
+      // advance the watermark far past event 2's window on BOTH sides
+      // (the join watermark is the min of the two input watermarks)
+      li.addData((9L, ts("2024-01-01 11:30:00")))
+      ri.addData(ts("2024-01-01 11:30:00"))
+      q.processAllAvailable()
+      // one more cycle so the aged state flushes its outer results
+      li.addData((10L, ts("2024-01-01 11:40:00")))
+      ri.addData(ts("2024-01-01 11:40:00"))
+      q.processAllAvailable()
+      val rows = spark.table("sjoin_lo_out")
+        .select("__lid", "right_us").as[(Long, Option[Long])]
+        .collect().toSeq
+      val unmatched = rows.filter(_._2.isEmpty).map(_._1)
+      assert(unmatched.contains(2L), s"event 2 must null-extend: $rows")
+      assert(rows.filter(_._1 == 1L).forall(_._2.nonEmpty),
+        s"matched lefts never null-extend: $rows")
+    } finally q.stop()
+  }
+
   test("streaming funnel: cursor survives batches, in-batch disorder repaired") {
     import graft.streaming.StreamFunnel
     implicit val sqlCtx = spark.sqlContext
