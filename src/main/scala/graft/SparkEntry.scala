@@ -1884,7 +1884,55 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n"),
           round(sum(col("w")).cast("double") / count(lit(1)), 6).as("wmean"))
         .orderBy("flag")
-    }))
+    }),
+
+    "q135_sliding_features" -> ((s, dir) => {
+      // per-event sliding ML features: count of the user's events in
+      // the STRICTLY-PRIOR hour and DECIMAL-exact value sum over the
+      // prior day — RANGE frames on event-time micros, so same-instant
+      // ties are handled by VALUE (both excluded), deterministic
+      // regardless of row order
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), dec(col("value")).as("v"))
+      val w1 = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, -1L)
+      val w24 = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-86400000000L, -1L)
+      ev.select(col("event_id"), col("user_id"), col("us"),
+        count(lit(1)).over(w1).cast("long").as("n_1h"),
+        coalesce(sum(col("v")).over(w24).cast("double"), lit(0.0))
+          .as("sum_24h"))
+        .orderBy("event_id")
+    }),
+
+    "q136_target_encoding" -> ((s, dir) => {
+      // leave-one-out mean target encoding: enc(row) = (S_g - v) /
+      // (n_g - 1) — the own-row exclusion that stops the feature
+      // leaking its label; singleton groups encode null. Group sums
+      // are EXACT DECIMAL broadcast back; one scan + one tiny join.
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("prio"), dec(col("o_totalprice")).as("v"))
+      val g = o.groupBy("prio")
+        .agg(sum(col("v")).as("S"), count(lit(1)).as("n"))
+      o.join(broadcast(g), "prio")
+        .select(col("o_orderkey"),
+          when(col("n") > 1,
+            round((col("S") - col("v")).cast("double") / (col("n") - 1), 6))
+            .otherwise(lit(null).cast("double")).as("loo_enc"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q137_dataset_split" -> ((s, dir) =>
+      // deterministic 80/10/10 split: md5-prefix thresholds, map-only,
+      // reproducible across engines/reruns/cluster sizes; an id keeps
+      // its split forever as the corpus grows
+      graft.ops.Split.assignSplit(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("doc_id")).cast("long").as("min_id"),
+          max(col("doc_id")).cast("long").as("max_id"))
+        .orderBy("split", "lang")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -3883,7 +3931,40 @@ object SparkEntry {
         |  FROM v JOIN b USING (flag))
         |SELECT flag, lo, hi, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS wmean
-        |FROM w GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)
+        |FROM w GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q135_sliding_features" ->
+      """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |  CAST(COUNT(*) OVER w1 AS BIGINT) AS n_1h,
+        |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w24
+        |    AS DOUBLE), 0) AS sum_24h
+        |FROM events
+        |WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING),
+        |  w24 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
+
+    "q136_target_encoding" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+        |g AS (SELECT prio, SUM(v) AS s, COUNT(*) AS n FROM o GROUP BY 1)
+        |SELECT o.o_orderkey,
+        |  CASE WHEN g.n > 1
+        |    THEN ROUND(CAST(g.s - o.v AS DOUBLE) / (g.n - 1), 6)
+        |    ELSE NULL END AS loo_enc
+        |FROM o JOIN g USING (prio)
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q137_dataset_split" -> {
+      val splitSql = graft.ops.Split.splitSql("doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""SELECT $splitSql AS split, lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+         |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    })
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The
