@@ -1932,7 +1932,24 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           min(col("doc_id")).cast("long").as("min_id"),
           max(col("doc_id")).cast("long").as("max_id"))
-        .orderBy("split", "lang")))
+        .orderBy("split", "lang")),
+
+    "q138_pareto_orders" -> ((s, dir) => {
+      // skyline / Pareto frontier (maximize price, maximize recency):
+      // two-phase partition-local sort-and-scan — never the textbook
+      // quadratic dominance self-join; tiny frontier broadcast back
+      // for the surviving rows (ties all survive)
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("price"),
+        col("o_orderdate").cast("date").as("od"))
+      val f = graft.ops.Skyline.frontierPoints2(o,
+        col("price"), unix_date(col("od")))
+      o.join(broadcast(f),
+        col("price") === col("x") && unix_date(col("od")) === col("y"))
+        .select(col("o_orderkey"), col("price"),
+          col("od").cast("string").as("od"))
+        .orderBy("o_orderkey")
+    }))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -3964,7 +3981,22 @@ object SparkEntry {
          |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
          |  CAST(MAX(doc_id) AS BIGINT) AS max_id
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    })
+    },
+
+    // q138: the frontier replayed declaratively — group max per x,
+    // running strictly-higher-x max over the distinct-x relation
+    "q138_pareto_orders" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS x,
+        |    CAST(o_orderdate AS DATE) AS y FROM orders),
+        |g AS (SELECT x, MAX(y) AS gy FROM o GROUP BY 1),
+        |w AS (SELECT x, gy, MAX(gy) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+        |  FROM g)
+        |SELECT o.o_orderkey, o.x AS price, CAST(o.y AS VARCHAR) AS od
+        |FROM o JOIN w USING (x)
+        |WHERE o.y = w.gy AND (w.mprev IS NULL OR w.mprev < o.y)
+        |ORDER BY o.o_orderkey""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The
