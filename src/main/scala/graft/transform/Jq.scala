@@ -58,7 +58,9 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *     `flatten` (one static nesting level); a head path that is an
   *     array by schema seeds array-ness without a `split`
   *   - object (map-typed) pipe stages: `has("k")`, `keys` (sorted,
-  *     like jq), `to_entries`/`from_entries` ({key, value} structs)
+  *     like jq), `to_entries`/`from_entries` ({key, value} structs),
+  *     `map_values(E)` (maps and arrays), `with_entries(E)` (`.` = the
+  *     entry struct); object construction `{k: E}` in value position
   *
   * Programs outside the subset should go through [[JqEscapeHatch]]
   * (mapPartitions over JSON strings, 0..N outputs per input — the
@@ -509,6 +511,11 @@ object Jq {
         case Right(x) => interpRender(x, env)
       }: _*)
     case ArrLit(items) => array(items.map(toColumn(_, env)): _*)
+    // object construction in VALUE position (inside map/with_entries
+    // bodies, array items, …) — a struct with jq's insertion-ordered
+    // field names, so JSON rendering matches jq object output
+    case ObjectLit(fields) =>
+      struct(fields.map { case (n, e) => toColumn(e, env).as(n) }: _*)
     case Call("getpath", Seq(ArrLit(items))) => getPathCol(items)
     case Call("first", Seq(FieldPath(p, true, _))) if p.nonEmpty =>
       call_function("try_element_at", fieldCol(p), lit(1))
@@ -640,6 +647,18 @@ object Jq {
             case Call("keys", Nil) => (sort_array(map_keys(c)), true)
             case Call("to_entries", Nil) => (map_entries(c), true)
             case Call("from_entries", Nil) => (map_from_entries(c), false)
+            // map_values(E): arrays behave like map; maps transform
+            // each value with `.` bound to it (jq keeps the key)
+            case Call("map_values", Seq(body)) if isArr =>
+              (transform(c, x => toColumn(body, env.copy(dot = Some(x)))), true)
+            case Call("map_values", Seq(body)) =>
+              (transform_values(c,
+                (_, v) => toColumn(body, env.copy(dot = Some(v)))), false)
+            // with_entries(E) = to_entries | map(E) | from_entries —
+            // `.` in E is the {key, value} entry struct
+            case Call("with_entries", Seq(body)) =>
+              (map_from_entries(transform(map_entries(c),
+                x => toColumn(body, env.copy(dot = Some(x))))), false)
             case Call(fn, Nil) => (applyFn(fn, c, env.inTry), false)
             case other => throw new IllegalArgumentException(
               s"unsupported piped jq call: $other")

@@ -428,4 +428,25 @@ class JqSpec extends SparkSuite {
     assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
     assert(compiled.head == ((true, false, "a,b", "a,b")))
   }
+
+  test("map_values/with_entries and value-position objects match real jq") {
+    import graft.transform.JqEscapeHatch
+    val df = spark.range(1).selectExpr("map('b', 2L, 'a', 1L) AS m",
+      "array(1L, 2L, 3L) AS xs")
+    // with_entries rebuilds each {key, value} entry; map_values
+    // transforms map values in place and arrays like map
+    val prog = """{doubled: (.m | map_values(. * 2) | to_entries
+      | map(.value) | join(",")),
+      renamed: (.m | with_entries({key: (.key | ascii_upcase),
+        value: (.value + 10)}) | keys | join(",")),
+      arr: (.xs | map_values(. + 1) | join(","))}"""
+      .replaceAll("\n\\s*", " ")
+    val sel = "concat(doubled, '#', renamed, '#', arr)"
+    val compiled = Jq.compile(prog)(df).selectExpr(sel)
+      .as[String].collect().toSeq
+    val real = JqEscapeHatch(df, prog).selectExpr(sel)
+      .as[String].collect().toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+    assert(compiled.head == "4,2#A,B#2,3,4")
+  }
 }
