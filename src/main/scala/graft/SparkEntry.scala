@@ -1949,6 +1949,63 @@ object SparkEntry {
         .select(col("o_orderkey"), col("price"),
           col("od").cast("string").as("od"))
         .orderBy("o_orderkey")
+    }),
+
+    "q139_ols_regression" -> ((s, dir) => {
+      // per-group closed-form OLS (price ~ quantity): slope =
+      // (n·Σxy − ΣxΣy) / (n·Σxx − (Σx)²), intercept from the means —
+      // the q108 exact-DECIMAL-moments device extended to regression;
+      // ONE map-side-combined pass, no iterative fitting
+      val x = dec(col("l_quantity")); val y = dec(col("l_extendedprice"))
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round(col("sy") / col("n") -
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) *
+              (col("sx") / col("n")), 6).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q140_ab_lift" -> ((s, dir) => {
+      // experiment readout: treatment = odd user_id, control = even;
+      // conversion = ever purchased. Lift and the two-proportion
+      // z-statistic from four counts — a 4-number driver-safe readout
+      // of an arbitrarily large event log
+      val ev = events(s, dir)
+      val users = ev.groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .select((col("user_id") % 2 === 1).as("treat"), col("conv"))
+      users.groupBy("treat")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .agg(
+          sum(when(col("treat"), col("n"))).as("nt"),
+          sum(when(col("treat"), col("c"))).as("ct"),
+          sum(when(!col("treat"), col("n"))).as("nc"),
+          sum(when(!col("treat"), col("c"))).as("cc"))
+        .select(col("nt").cast("long").as("n_treat"),
+          col("ct").cast("long").as("conv_treat"),
+          col("nc").cast("long").as("n_control"),
+          col("cc").cast("long").as("conv_control"),
+          round(col("ct").cast("double") / col("nt") -
+            col("cc").cast("double") / col("nc"), 6).as("lift"),
+          // degenerate experiment (pooled rate 0 or 1) has zero
+          // standard error — z is undefined, not infinite
+          when(col("ct") + col("cc") === 0 ||
+            col("ct") + col("cc") === col("nt") + col("nc"),
+            lit(null).cast("double"))
+            .otherwise(round((col("ct").cast("double") / col("nt") -
+              col("cc").cast("double") / col("nc")) /
+              sqrt(((col("ct") + col("cc")).cast("double") / (col("nt") + col("nc"))) *
+                (lit(1.0) - (col("ct") + col("cc")).cast("double") / (col("nt") + col("nc"))) *
+                (lit(1.0) / col("nt") + lit(1.0) / col("nc"))), 6)).as("z"))
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -3996,7 +4053,44 @@ object SparkEntry {
         |SELECT o.o_orderkey, o.x AS price, CAST(o.y AS VARCHAR) AS od
         |FROM o JOIN w USING (x)
         |WHERE o.y = w.gy AND (w.mprev IS NULL OR w.mprev < o.y)
-        |ORDER BY o.o_orderkey""".stripMargin)
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q139_ols_regression" ->
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  ROUND(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |    * (sx / n), 6) AS intercept
+        |FROM m ORDER BY 1""".stripMargin,
+
+    "q140_ab_lift" ->
+      """WITH u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT (user_id % 2 = 1) AS treat, COUNT(*) AS n,
+        |    SUM(conv) AS c FROM u GROUP BY 1),
+        |f AS (SELECT
+        |    SUM(CASE WHEN treat THEN n END) AS nt,
+        |    SUM(CASE WHEN treat THEN c END) AS ct,
+        |    SUM(CASE WHEN NOT treat THEN n END) AS nc,
+        |    SUM(CASE WHEN NOT treat THEN c END) AS cc
+        |  FROM t)
+        |SELECT CAST(nt AS BIGINT) AS n_treat, CAST(ct AS BIGINT) AS conv_treat,
+        |  CAST(nc AS BIGINT) AS n_control, CAST(cc AS BIGINT) AS conv_control,
+        |  ROUND(CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc, 6) AS lift,
+        |  CASE WHEN ct + cc = 0 OR ct + cc = nt + nc THEN NULL
+        |    ELSE ROUND((CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc) /
+        |      SQRT((CAST(ct + cc AS DOUBLE) / (nt + nc)) *
+        |        (1e0 - CAST(ct + cc AS DOUBLE) / (nt + nc)) *
+        |        (1e0 / nt + 1e0 / nc)), 6) END AS z
+        |FROM f""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The
