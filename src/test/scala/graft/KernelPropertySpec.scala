@@ -77,4 +77,70 @@ class KernelPropertySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     Seq(s).toDF("t").select(graft.ops.TextOps.fingerprint(col("t"))).as[Long].head()
   }
+
+  private def md5p15(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(15)
+
+  private def bruteWinnow(text: String, k: Int, w: Int): Seq[(Long, String)] = {
+    val cps = text.codePoints().toArray
+    val m = cps.length - k + 1
+    if (m <= 0) return Seq.empty
+    val hs = (0 until m).map(i => md5p15(new String(cps, i, k)))
+    (0 until math.max(1, m - w + 1)).map { s =>
+      val sel = (s until math.min(s + w, m)).minBy(i => (hs(i), i))
+      ((sel + 1).toLong, hs(sel))
+    }.distinct
+  }
+
+  private def kernelWinnow(text: String, k: Int, w: Int): Seq[(Long, String)] = {
+    val arr = TextKernels.winnow(u(text), k, w)
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2)
+      (r.getLong(0), r.getUTF8String(1).toString)
+    }
+  }
+
+  test("winnow: deque kernel == brute-force windows on random docs, 200 cases") {
+    (1 to 200).foreach { _ =>
+      val s = randText()
+      val k = 2 + rnd.nextInt(8)
+      val w = 1 + rnd.nextInt(8)
+      val got = kernelWinnow(s, k, w)
+      val exp = bruteWinnow(s, k, w)
+      assert(got == exp, s"k=$k w=$w '$s'\ngot $got\nexp $exp")
+    }
+  }
+
+  test("winnow: coverage guarantee and position density, 200 cases") {
+    (1 to 200).foreach { _ =>
+      val s = randText()
+      val (k, w) = (4, 5)
+      val fps = kernelWinnow(s, k, w)
+      val m = s.codePointCount(0, s.length) - k + 1
+      if (m >= 1) {
+        assert(fps.nonEmpty, s"non-empty doc must fingerprint: '$s'")
+        // winnowing guarantee: consecutive selections are < w apart,
+        // so no gap of w grams goes unrepresented
+        fps.map(_._1).sliding(2).foreach {
+          case Seq(a, b) => assert(b - a <= w, s"gap ${b - a} > $w in '$s'")
+          case _ =>
+        }
+        // strictly increasing positions within [1, m]
+        assert(fps.map(_._1) == fps.map(_._1).sorted.distinct)
+        assert(fps.head._1 >= 1 && fps.last._1 <= m)
+      } else assert(fps.isEmpty)
+    }
+  }
+
+  test("winnow: non-ASCII positions are code points, surrogate-safe") {
+    // U+1D11E (musical G clef) is a surrogate PAIR in UTF-16: code
+    // point positions must still advance by one per character
+    val s = "ab𝄞cd𝄞ef"
+    val got = kernelWinnow(s, 3, 2)
+    val exp = bruteWinnow(s, 3, 2)
+    assert(got == exp, s"got $got\nexp $exp")
+    assert(got.last._1 <= s.codePointCount(0, s.length) - 3 + 1)
+  }
 }
