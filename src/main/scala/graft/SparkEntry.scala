@@ -2006,6 +2006,49 @@ object SparkEntry {
               sqrt(((col("ct") + col("cc")).cast("double") / (col("nt") + col("nc"))) *
                 (lit(1.0) - (col("ct") + col("cc")).cast("double") / (col("nt") + col("nc"))) *
                 (lit(1.0) / col("nt") + lit(1.0) / col("nc"))), 6)).as("z"))
+    }),
+
+    "q141_incremental_view" -> ((s, dir) => {
+      // incremental view maintenance: a materialized per-flag revenue
+      // aggregate maintained by MERGING the base view with a delta
+      // batch's partial aggregate — the base is NEVER rescanned. The
+      // oracle is the full recompute: merge(base, delta) must be
+      // value-identical because count/sum are algebraic. This is the
+      // incremental form of the reference's REPLACE-table dance.
+      val li = t(s, dir, "lineitem")
+      def partial(df: DataFrame) = df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .as("rev"))
+      val base = partial(li.filter(col("l_orderkey") % 10 =!= 0))
+      val delta = partial(li.filter(col("l_orderkey") % 10 === 0))
+      base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(sum(col("n")).cast("long").as("n_items"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q142_decay_features" -> ((s, dir) => {
+      // recency-weighted user value: Σ value·w(Δ) at each user's LAST
+      // event, with HYPERBOLIC decay w = 1/(1 + Δdays/7) — chosen over
+      // exp(−Δ/τ) deliberately: IEEE +,/ are bit-exact across engines
+      // while libm exp() differs by ulps (measured: one round-6
+      // boundary flip in 20k rows at sf0.01), so the rational kernel
+      // keeps the fold engine-portable; per-term round-6 → DECIMAL sum
+      // keeps it order-independent
+      val ev = events(s, dir)
+      val last = ev.groupBy("user_id").agg(max(col("ts")).as("last_ts"))
+      ev.join(last, "user_id")
+        .select(col("user_id"),
+          round(dec(col("value")).cast("double") *
+            (lit(1.0) / (lit(1.0) +
+              (unix_micros(col("last_ts")) - unix_micros(col("ts")))
+                .cast("double") / lit(86400000000.0) / lit(7.0))), 6)
+            .cast("decimal(18,6)").as("term"))
+        .groupBy("user_id")
+        .agg(round(sum(col("term")).cast("double"), 6).as("decayed_value"))
+        .orderBy("user_id")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -4090,7 +4133,26 @@ object SparkEntry {
         |      SQRT((CAST(ct + cc AS DOUBLE) / (nt + nc)) *
         |        (1e0 - CAST(ct + cc AS DOUBLE) / (nt + nc)) *
         |        (1e0 / nt + 1e0 / nc)), 6) END AS z
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+
+    // q141: the oracle IS the full recompute — merge(base, delta)
+    // must be value-identical because count/sum are algebraic
+    "q141_incremental_view" ->
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM($rev) AS DOUBLE) AS revenue
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q142_decay_features" ->
+      """WITH last AS (SELECT user_id, MAX(ts) AS last_ts
+        |  FROM events GROUP BY 1),
+        |terms AS (SELECT e.user_id,
+        |    CAST(ROUND(CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) *
+        |      (1e0 / (1e0 +
+        |        CAST(epoch_us(l.last_ts) - epoch_us(e.ts) AS DOUBLE)
+        |        / 86400000000e0 / 7e0)), 6) AS DECIMAL(18,6)) AS term
+        |  FROM events e JOIN last l USING (user_id))
+        |SELECT user_id, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS decayed_value
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The
