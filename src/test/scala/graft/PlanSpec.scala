@@ -382,6 +382,34 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("__salt"), p)
   }
 
+  test("q138 skyline never plans the quadratic dominance join") {
+    val p = finalPlan(SparkEntry.queries("q138_pareto_orders")(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // tiny frontier joins back
+  }
+
+  test("q135 sliding features: one hash exchange (the user window), frames on micros") {
+    val p = finalPlan(SparkEntry.queries("q135_sliding_features")(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    val hashEx = "(?m)\\+\\- Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("q136/q142: group models broadcast back — no corpus sort-merge join") {
+    for (q <- Seq("q136_target_encoding", "q142_decay_features")) {
+      val p = finalPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q137 split assignment is a map-only projection feeding the aggregate") {
+    val p = finalPlan(SparkEntry.queries("q137_dataset_split")(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    assertHashExchangesAboveAggregates(p, "q137")
+  }
+
   test("q127 index compaction: exchanges carry digests, never text") {
     val p = finalPlan(SparkEntry.queries("q127_index_compaction")(spark, sfDir))
     p.linesIterator.zipWithIndex.filter(_._1.contains("Exchange")).foreach {
