@@ -2049,7 +2049,17 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(round(sum(col("term")).cast("double"), 6).as("decayed_value"))
         .orderBy("user_id")
-    }))
+    }),
+
+    "q143_embedding_outliers" -> ((s, dir) =>
+      // embedding-space curation QA: per-label centroid, exact
+      // DECIMAL-ladder distances, outliers above the exact p95
+      // distance — "this vector does not belong to its group"
+      graft.ops.Quantize.centroidOutliers(
+        t(s, dir, "embeddings").select(col("vec_id"),
+          col("embedding"), col("label").cast("long").as("label")),
+        "vec_id", "embedding", "label", p = 0.95)
+        .orderBy("label")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -4152,7 +4162,29 @@ object SparkEntry {
         |        / 86400000000e0 / 7e0)), 6) AS DECIMAL(18,6)) AS term
         |  FROM events e JOIN last l USING (user_id))
         |SELECT user_id, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS decayed_value
-        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q143_embedding_outliers" ->
+      """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(i AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+        |cent AS (SELECT label, dim,
+        |    ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*), 6) AS mu
+        |  FROM ex GROUP BY 1, 2),
+        |d AS (SELECT e.vec_id, e.label,
+        |    ROUND(CAST(SUM(CAST(ROUND((e.x - c.mu) * (e.x - c.mu), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS dist
+        |  FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+        |  GROUP BY 1, 2),
+        |thr AS (SELECT label, ROUND(quantile_cont(dist, 0.95), 6) AS thr
+        |  FROM d GROUP BY 1)
+        |SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN d.dist > t.thr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  t.thr, ROUND(MAX(d.dist), 6) AS max_dist
+        |FROM d JOIN thr t USING (label)
+        |GROUP BY 1, 4 ORDER BY 1""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

@@ -89,6 +89,52 @@ object Quantize {
           .as("std"))
   }
 
+  /** Embedding-space outlier detection per group: each group's
+    * centroid (per-dim DECIMAL-ladder means, the [[dimStats]] device),
+    * each vector's squared distance to ITS group centroid (per-dim
+    * round-12 terms summed exactly), and the per-group outlier count
+    * above the exact `p`-quantile distance — the curation signal for
+    * "this document's embedding does not belong to its source/cluster"
+    * (mislabeled, boilerplate, or off-distribution content).
+    *
+    * Scale shape: the centroid model is groups × dims rows (tiny —
+    * broadcast); the distance pass here keeps the declarative per-dim
+    * join for oracle parity, which shuffles vecs × dims term rows on
+    * the vector id. At 100 TB compile the centroids as literals into a
+    * scan-stage kernel instead (the [[standardize]] /
+    * `KMeans.lloyd`-assignment device) — distances then ride the scan
+    * and only (id, dist) reaches the quantile.
+    */
+  def centroidOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      groupCol: String,
+      p: Double = 0.95): DataFrame = {
+    val ex = df.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+      posexplode(col(vecCol)).as(Seq("__p", "__x0")))
+      .select(col("__id"), col("__g"),
+        (col("__p") + 1).cast("long").as("dim"),
+        col("__x0").cast("double").as("x"))
+    val cent = ex.groupBy("__g", "dim")
+      .agg(round(sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("mu"))
+    val dist = ex.join(broadcast(cent), Seq("__g", "dim"))
+      .groupBy("__id", "__g")
+      .agg(round(sum(round((col("x") - col("mu")) * (col("x") - col("mu")), 12)
+        .cast("decimal(28,12)")).cast("double"), 6).as("dist"))
+    val thr = dist.groupBy("__g")
+      .agg(round(expr(s"percentile(dist, $p)"), 6).as("thr"))
+    dist.join(broadcast(thr), "__g")
+      .groupBy(col("__g"), col("thr"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(when(col("dist") > col("thr"), 1L).otherwise(0L)).cast("long")
+          .as("n_outliers"),
+        round(max(col("dist")), 6).as("max_dist"))
+      .select(col("__g").as(groupCol), col("n_vecs"), col("n_outliers"),
+        col("thr"), col("max_dist"))
+  }
+
   /** Map-only standardization: `(x - mean_d) / std_d` with the learned
     * model compiled into the scan as ARRAY literals (O(1) per-dim
     * lookups). Zero-variance dims pass through centered only.

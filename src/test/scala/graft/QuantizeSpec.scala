@@ -49,4 +49,24 @@ class QuantizeSpec extends SparkSuite {
       Quantize.standardize(df, "vec_id", "embedding", maxDims = 1)
     }
   }
+
+  test("centroidOutliers: the planted off-cluster vector is the group's outlier") {
+    import spark.implicits._
+    // group 0 clusters tightly around (1, 1) with one far point;
+    // group 1 is tight with no outlier beyond its p95
+    val vecs = Seq(
+      (1L, 0L, Array(1.0f, 1.0f)), (2L, 0L, Array(1.1f, 0.9f)),
+      (3L, 0L, Array(0.9f, 1.1f)), (4L, 0L, Array(1.0f, 0.9f)),
+      (5L, 0L, Array(9.0f, 9.0f)), // planted outlier
+      (6L, 1L, Array(-1.0f, -1.0f)), (7L, 1L, Array(-1.0f, -1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Quantize.centroidOutliers(vecs, "vec_id", "embedding", "label")
+      .orderBy("label").collect()
+    assert(out.length == 2)
+    val g0 = out(0); val g1 = out(1)
+    assert(g0.getAs[Long]("n_vecs") == 5L && g0.getAs[Long]("n_outliers") == 1L, g0)
+    // the planted point dominates the max distance by far
+    assert(g0.getAs[Double]("max_dist") > 50.0, g0)
+    assert(g1.getAs[Long]("n_outliers") == 0L, g1)
+  }
 }
