@@ -2059,7 +2059,31 @@ object SparkEntry {
         t(s, dir, "embeddings").select(col("vec_id"),
           col("embedding"), col("label").cast("long").as("label")),
         "vec_id", "embedding", "label", p = 0.95)
-        .orderBy("label")))
+        .orderBy("label")),
+
+    "q144_corpus_build" -> ((s, dir) => {
+      // the round-9 capstone composition in ONE declarative plan:
+      // quality gate (scan stage) → exact dedup (digest shuffle) →
+      // per-source quota (stratified-rank range shuffle) → dataset
+      // split (map-only hash) → per-(split, source) report. Catalyst
+      // sees the whole chain; gates ride the scan, text never crosses
+      // an exchange after the digest stage.
+      val docs = t(s, dir, "documents")
+      val gated = docs.filter(TextOps.tokenCountArith(col("text")) >= 10)
+      val ded = Dedup.exact(gated, Seq("text"), "doc_id")
+      val scored = ded.select(col("source"), col("doc_id"),
+        TextOps.once(TextOps.tokenCountArith(col("text"))).as("__nt"))
+        .withColumn("__negt", -col("__nt"))
+      val capped = Rank.stratifiedRank(scored, "source", Seq("__negt", "doc_id"))
+        .filter(col("rk") <= 20)
+      graft.ops.Split.assignSplit(capped, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("__nt")).cast("long").as("n_tokens"),
+          min(col("doc_id")).cast("long").as("first_id"))
+        .orderBy("split", "source")
+    }))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -4184,7 +4208,25 @@ object SparkEntry {
         |    AS n_outliers,
         |  t.thr, ROUND(MAX(d.dist), 6) AS max_dist
         |FROM d JOIN thr t USING (label)
-        |GROUP BY 1, 4 ORDER BY 1""".stripMargin)
+        |GROUP BY 1, 4 ORDER BY 1""".stripMargin,
+
+    "q144_corpus_build" -> {
+      val splitSql = graft.ops.Split.splitSql("doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val tok = sqlTokenCount("text")
+      s"""WITH g AS (SELECT doc_id, source, text, $tok AS nt
+         |  FROM documents WHERE $tok >= 10),
+         |ded AS (SELECT * FROM (SELECT g.*, ROW_NUMBER() OVER (
+         |    PARTITION BY md5(CASE WHEN text IS NULL THEN 'n' ELSE 'v' || text END)
+         |    ORDER BY doc_id) AS rn FROM g) WHERE rn = 1),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY nt DESC, doc_id) AS rk FROM ded),
+         |sp AS (SELECT *, $splitSql AS split FROM r WHERE rk <= 20)
+         |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_id
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    })
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

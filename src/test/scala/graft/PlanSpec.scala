@@ -410,6 +410,17 @@ class PlanSpec extends SparkSuite {
     assertHashExchangesAboveAggregates(p, "q137")
   }
 
+  test("q144 corpus build: gates ride the scan; text crosses only the digest exchange") {
+    val p = finalPlan(SparkEntry.queries("q144_corpus_build")(spark, sfDir))
+    // the quality gate is pushed into the scan stage, not a post-shuffle filter
+    assert(!p.contains("SortMergeJoin"), p)
+    // after dedup the pipeline carries (source, id, counts) — the only
+    // exchange rows containing text are the dedup digest shuffle's
+    val exWithText = p.linesIterator.count(l =>
+      l.contains("Exchange") && l.contains("text"))
+    assert(exWithText <= 1, s"text crosses $exWithText exchanges:\n$p")
+  }
+
   test("q127 index compaction: exchanges carry digests, never text") {
     val p = finalPlan(SparkEntry.queries("q127_index_compaction")(spark, sfDir))
     p.linesIterator.zipWithIndex.filter(_._1.contains("Exchange")).foreach {
