@@ -2083,6 +2083,26 @@ object SparkEntry {
           sum(col("__nt")).cast("long").as("n_tokens"),
           min(col("doc_id")).cast("long").as("first_id"))
         .orderBy("split", "source")
+    }),
+
+    "q145_event_transitions" -> ((s, dir) => {
+      // first-order Markov behavior model: per-user consecutive-event
+      // pairs (lead over the (ts, event_id) total order — ONE user
+      // shuffle), counts into a |types|² matrix, row-normalized
+      // probabilities over the tiny aggregate
+      val ev = events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs.select(col("from_type"), col("to_type"),
+        col("n").cast("long").as("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("from_type")), 6).as("p"))
+        .orderBy("from_type", "to_type")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -4226,7 +4246,19 @@ object SparkEntry {
          |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
          |  CAST(MIN(doc_id) AS BIGINT) AS first_id
          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    })
+    },
+
+    "q145_event_transitions" ->
+      """WITH nx AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(n AS DOUBLE) /
+        |    SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c ORDER BY 1, 2""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The
