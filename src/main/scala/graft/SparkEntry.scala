@@ -2103,6 +2103,36 @@ object SparkEntry {
         round(col("n").cast("double") /
           sum(col("n")).over(Window.partitionBy("from_type")), 6).as("p"))
         .orderBy("from_type", "to_type")
+    }),
+
+    "q146_cluster_canonical" -> ((s, dir) => {
+      // near-dup clusters with QUALITY-BASED canonical selection: the
+      // q50 pipeline (LSH candidates → exact verify → components), but
+      // each cluster keeps its LONGEST member (tokens desc, id asc) —
+      // the RefinedWeb keep-the-longest policy lifted from exact-dup
+      // pairs to whole near-dup clusters. The rank window runs per
+      // component (cluster-sized groups, never the corpus).
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 64, bands = 32, shingleSize = 3)
+      val verified = Dedup.ngramJaccardPairs(
+        Dedup.candidateDocs(docs, "doc_id", cands),
+        "doc_id", "text", n = 3, threshold = 0.9,
+        maxDocFreq = Long.MaxValue)
+      val comps = Dedup.connectedComponents(verified)
+      val sized = comps.join(docs, col("id") === col("doc_id"))
+        .select(col("comp"), col("id"),
+          TextOps.once(TextOps.tokenCountArith(col("text"))).as("__nt"))
+      val w = Window.partitionBy("comp")
+        .orderBy(col("__nt").desc, col("id").asc)
+      sized.withColumn("__rk", row_number().over(w))
+        .groupBy("comp")
+        .agg(count(lit(1)).cast("long").as("cluster_size"),
+          max(when(col("__rk") === 1, col("id"))).cast("long")
+            .as("canonical_id"),
+          max(when(col("__rk") === 1, col("__nt"))).cast("long")
+            .as("canonical_tokens"))
+        .orderBy("comp")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -4258,7 +4288,41 @@ object SparkEntry {
         |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
         |  ROUND(CAST(n AS DOUBLE) /
         |    SUM(n) OVER (PARTITION BY from_type), 6) AS p
-        |FROM c ORDER BY 1, 2""".stripMargin)
+        |FROM c ORDER BY 1, 2""".stripMargin,
+
+    // q146: the q50 recursive-CTE fixpoint extended with the
+    // keep-the-longest canonical pick per component
+    "q146_cluster_canonical" ->
+      s"""WITH RECURSIVE sh AS (${sqlShingles(3)}),
+         |freq AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 1000000),
+         |pruned AS (SELECT sh.doc_id, sh.gram FROM sh JOIN freq USING (gram)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM pruned a JOIN pruned b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(i AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - i AS DOUBLE) >= 0.9e0),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |comps AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+         |sized AS (SELECT c.comp, c.id, ${sqlTokenCount("d.text")} AS nt,
+         |    ROW_NUMBER() OVER (PARTITION BY c.comp
+         |      ORDER BY ${sqlTokenCount("d.text")} DESC, c.id) AS rk
+         |  FROM comps c JOIN documents d ON c.id = d.doc_id)
+         |SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         |  CAST(MAX(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS canonical_id,
+         |  CAST(MAX(CASE WHEN rk = 1 THEN nt END) AS BIGINT) AS canonical_tokens
+         |FROM sized GROUP BY comp ORDER BY comp""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The
