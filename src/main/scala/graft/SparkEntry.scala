@@ -2133,6 +2133,60 @@ object SparkEntry {
           max(when(col("__rk") === 1, col("__nt"))).cast("long")
             .as("canonical_tokens"))
         .orderBy("comp")
+    }),
+
+    "q147_equidepth_histogram" -> ((s, dir) => {
+      // equi-DEPTH complement of q107's equi-width bins: exact decile
+      // boundaries (sort-based percentiles), then bucket counts — the
+      // boundary row convention pinned as half-open [lo, hi), last
+      // bucket closed
+      val li = t(s, dir, "lineitem")
+        .select(dec(col("l_extendedprice")).cast("double").as("v"))
+      val bcols = (1 to 9).map(d =>
+        round(expr(s"percentile(v, 0.$d)"), 6).as(s"b$d"))
+      val bounds = li.agg(bcols.head, bcols.tail: _*)
+      val bucket = (1 to 9).foldRight(lit(9L): Column) { (d, acc) =>
+        when(col("v") < col(s"b$d"), lit(d - 1).cast("long")).otherwise(acc)
+      }
+      li.crossJoin(broadcast(bounds))
+        .select(bucket.as("bucket"), col("v").cast("decimal(18,2)").as("__v"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n"),
+          min(col("__v")).cast("double").as("lo"),
+          max(col("__v")).cast("double").as("hi"))
+        .orderBy("bucket")
+    }),
+
+    "q148_source_ks_drift" -> ((s, dir) => {
+      // distribution drift beyond q118's KL: two-sample
+      // Kolmogorov–Smirnov statistic between each source's doc-length
+      // distribution and the whole corpus — max |ECDF difference| over
+      // the observed support. ECDFs come from cumulative counts over
+      // the (source × distinct length) grid, so the whole computation
+      // is counts + windows over a grid bounded by |sources| ×
+      // |distinct lengths|, never corpus-sized state.
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("len"))
+      val grid = docs.select("source").distinct()
+        .crossJoin(docs.select("len").distinct())
+      val perSrc = docs.groupBy("source", "len").agg(count(lit(1)).as("c"))
+      val srcTot = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+      val corpus = docs.groupBy("len").agg(count(lit(1)).as("cc"))
+      val nTot = docs.agg(count(lit(1)).as("nc"))
+      val wcum = Window.partitionBy("source").orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(perSrc, Seq("source", "len"), "left")
+        .join(broadcast(corpus), Seq("len"))
+        .join(broadcast(srcTot), Seq("source"))
+        .crossJoin(broadcast(nTot))
+        .select(col("source"), col("len"),
+          coalesce(col("c"), lit(0L)).as("c"),
+          col("cc"), col("ns"), col("nc"))
+        .withColumn("fs", sum(col("c")).over(wcum).cast("double") / col("ns"))
+        .withColumn("fc", sum(col("cc")).over(wcum).cast("double") / col("nc"))
+        .groupBy("source")
+        .agg(round(max(abs(col("fs") - col("fc"))), 6).as("ks"))
+        .orderBy("source")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -4322,7 +4376,47 @@ object SparkEntry {
          |SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size,
          |  CAST(MAX(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS canonical_id,
          |  CAST(MAX(CASE WHEN rk = 1 THEN nt END) AS BIGINT) AS canonical_tokens
-         |FROM sized GROUP BY comp ORDER BY comp""".stripMargin)
+         |FROM sized GROUP BY comp ORDER BY comp""".stripMargin,
+
+    "q147_equidepth_histogram" -> {
+      val bs = (1 to 9).map(d =>
+        s"ROUND(quantile_cont(v, 0.$d), 6) AS b$d").mkString(", ")
+      val cases = (1 to 9).map(d =>
+        s"WHEN t.v < b.b$d THEN ${d - 1}").mkString(" ")
+      s"""WITH t AS (SELECT
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+         |  FROM lineitem),
+         |b AS (SELECT $bs FROM t),
+         |u AS (SELECT CAST(CASE $cases ELSE 9 END AS BIGINT) AS bucket,
+         |    CAST(t.v AS DECIMAL(18,2)) AS vv
+         |  FROM t, b)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(vv) AS DOUBLE) AS lo, CAST(MAX(vv) AS DOUBLE) AS hi
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q148_source_ks_drift" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS len
+        |  FROM documents),
+        |grid AS (SELECT s.source, l.len
+        |  FROM (SELECT DISTINCT source FROM d) s,
+        |       (SELECT DISTINCT len FROM d) l),
+        |ps AS (SELECT source, len, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |st AS (SELECT source, COUNT(*) AS ns FROM d GROUP BY 1),
+        |co AS (SELECT len, COUNT(*) AS cc FROM d GROUP BY 1),
+        |nt AS (SELECT COUNT(*) AS nc FROM d),
+        |g AS (SELECT grid.source, grid.len, COALESCE(ps.c, 0) AS c,
+        |    co.cc, st.ns, nt.nc
+        |  FROM grid LEFT JOIN ps ON grid.source = ps.source AND grid.len = ps.len
+        |  JOIN co ON grid.len = co.len
+        |  JOIN st ON grid.source = st.source CROSS JOIN nt),
+        |e AS (SELECT source,
+        |    CAST(SUM(c) OVER w AS DOUBLE) / ns AS fs,
+        |    CAST(SUM(cc) OVER w AS DOUBLE) / nc AS fc
+        |  FROM g WINDOW w AS (PARTITION BY source ORDER BY len
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT source, ROUND(MAX(ABS(fs - fc)), 6) AS ks
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The
