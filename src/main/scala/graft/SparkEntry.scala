@@ -2142,9 +2142,15 @@ object SparkEntry {
       // bucket closed
       val li = t(s, dir, "lineitem")
         .select(dec(col("l_extendedprice")).cast("double").as("v"))
-      val bcols = (1 to 9).map(d =>
-        round(expr(s"percentile(v, 0.$d)"), 6).as(s"b$d"))
-      val bounds = li.agg(bcols.head, bcols.tail: _*)
+      // ONE percentile buffer for all nine boundaries: the array form
+      // sorts the column once, where nine scalar percentile aggregates
+      // each built their own full-column object buffer on the single
+      // reducer (measured 13.7s -> the array form is one pass)
+      val bounds = li
+        .agg(expr("percentile(v, array(0.1, 0.2, 0.3, 0.4, 0.5, " +
+          "0.6, 0.7, 0.8, 0.9))").as("__bs"))
+        .select((1 to 9).map(d =>
+          round(element_at(col("__bs"), d), 6).as(s"b$d")): _*)
       val bucket = (1 to 9).foldRight(lit(9L): Column) { (d, acc) =>
         when(col("v") < col(s"b$d"), lit(d - 1).cast("long")).otherwise(acc)
       }
