@@ -1416,20 +1416,25 @@ object SparkEntry {
     }),
 
     "q106_group_percentiles" -> ((s, dir) => {
-      // EXACT group percentiles (sort-based, interpolated) — the
-      // complement of q60's approx-vs-exact contract: broadcast dims,
-      // one group shuffle, percentile buffers per group only
+      // EXACT group percentiles (interpolated, quantile_cont) — the
+      // complement of q60's approx-vs-exact contract, computed by the
+      // DISTRIBUTED two-pass selection (approx brackets → exact rank
+      // pick, Percentiles.exact) instead of the builtin's
+      // single-reducer value-buffer merge; bit-identical results
+      // (PercentilesSpec), scale-safe shape
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
-      o.join(c, col("o_custkey") === col("c_custkey"))
+      val joined = o.join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"),
           dec(col("o_totalprice")).cast("double").as("__p"))
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("n_orders"),
-          round(expr("percentile(__p, 0.25)"), 6).as("p25"),
-          round(expr("percentile(__p, 0.5)"), 6).as("median"),
-          round(expr("percentile(__p, 0.75)"), 6).as("p75"))
+      graft.ops.Percentiles
+        .exact(joined, Seq("n_name"), "__p", Seq(0.25, 0.5, 0.75),
+          accuracy = 1000)
+        .select(col("n_name"), col("n").as("n_orders"),
+          round(element_at(col("pcts"), 1), 6).as("p25"),
+          round(element_at(col("pcts"), 2), 6).as("median"),
+          round(element_at(col("pcts"), 3), 6).as("p75"))
         .orderBy("n_name")
     }),
 
@@ -1873,9 +1878,11 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
           dec(col("l_extendedprice")).cast("double").as("v"))
-      val bounds = li.groupBy("flag").agg(
-        round(expr("percentile(v, 0.05)"), 6).as("lo"),
-        round(expr("percentile(v, 0.95)"), 6).as("hi"))
+      val bounds = graft.ops.Percentiles
+        .exact(li, Seq("flag"), "v", Seq(0.05, 0.95), accuracy = 1000)
+        .select(col("flag"),
+          round(element_at(col("pcts"), 1), 6).as("lo"),
+          round(element_at(col("pcts"), 2), 6).as("hi"))
       li.join(broadcast(bounds), "flag")
         .select(col("flag"), col("lo"), col("hi"),
           least(greatest(col("v"), col("lo")), col("hi"))
@@ -2142,15 +2149,16 @@ object SparkEntry {
       // bucket closed
       val li = t(s, dir, "lineitem")
         .select(dec(col("l_extendedprice")).cast("double").as("v"))
-      // ONE percentile buffer for all nine boundaries: the array form
-      // sorts the column once, where nine scalar percentile aggregates
-      // each built their own full-column object buffer on the single
-      // reducer (measured 13.7s -> the array form is one pass)
-      val bounds = li
-        .agg(expr("percentile(v, array(0.1, 0.2, 0.3, 0.4, 0.5, " +
-          "0.6, 0.7, 0.8, 0.9))").as("__bs"))
+      // nine decile boundaries from the DISTRIBUTED exact selection
+      // (Percentiles.exact: approx brackets → exact rank pick) — the
+      // round-9 array-percentile form was one pass but still merged a
+      // full value-distribution buffer on ONE reducer; this shape
+      // bounds every task by O(n/accuracy) while staying bit-identical
+      // to the builtin (PercentilesSpec)
+      val bounds = graft.ops.Percentiles
+        .exact(li, Nil, "v", (1 to 9).map(_ / 10.0), accuracy = 1000)
         .select((1 to 9).map(d =>
-          round(element_at(col("__bs"), d), 6).as(s"b$d")): _*)
+          round(element_at(col("pcts"), d), 6).as(s"b$d")): _*)
       val bucket = (1 to 9).foldRight(lit(9L): Column) { (d, acc) =>
         when(col("v") < col(s"b$d"), lit(d - 1).cast("long")).otherwise(acc)
       }

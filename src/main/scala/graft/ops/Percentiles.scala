@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT interpolated percentiles (SQL `percentile` /
+  * DuckDB `quantile_cont` semantics) without the single-reducer merge.
+  *
+  * Spark's builtin exact `percentile` merges every partition's
+  * value→count map on ONE reducer; the buffer is bounded by the number
+  * of DISTINCT values, so a high-cardinality column at 100 TB
+  * concentrates a multi-GB object buffer in one task. This operator
+  * keeps the exact interpolated answer but distributes the selection:
+  *
+  *  pass 1  — per group: `count(v)` plus `approx_percentile` brackets
+  *            around every requested boundary (one summary of size
+  *            O(accuracy), merged tree-wise with partial aggregation);
+  *  pass 2  — per group: exact `count(v < lo_i)` for each boundary
+  *            (conditional sums, map-side combined — tiny output);
+  *  pass 3  — rows are filtered to the union of the brackets (≤
+  *            ~8·n/accuracy ranks per boundary), exploded per matching
+  *            boundary, reduced to DISTINCT (group, boundary, value)
+  *            counts (map-side combined), and a cumulative window over
+  *            those few distinct values pins the exact floor/ceil rank
+  *            values for the interpolation.
+  *
+  * Every shuffle input is either O(groups × accuracy) (pass 1 partials),
+  * O(groups × boundaries) (pass 2 partials), or O(n/accuracy · boundaries)
+  * (pass 3 bracket rows) — nothing corpus-proportional ever lands on a
+  * single task. At n = 10^11 rows and the default accuracy 10^5 a
+  * bracket is ≤ ~8·10^6 ranks; size `accuracy ≈ n / 10^4` to keep the
+  * per-boundary window partition bounded.
+  *
+  * The interpolation replicates Spark's `Percentile.getPercentile`
+  * exactly — position `= (n-1)·p`, the `floor == ceil` and
+  * `lowerKey == higherKey` shortcuts, and the
+  * `(higher-pos)·lower + (pos-lower)·higher` formula — so results are
+  * bit-identical to the builtin (PercentilesSpec pins this
+  * property-style), and the DuckDB `quantile_cont` hash-match carries
+  * over unchanged.
+  *
+  * Bracket safety: `approx_percentile` at relative error ε = 1/accuracy
+  * returns a value whose true rank is within ε·n of the target, so
+  * querying at p ± 4ε brackets both interpolation ranks with ≥ 2ε·n
+  * ranks of slack. A bracket miss (only possible if the summary's
+  * error contract were violated) fails fast with `raise_error` rather
+  * than returning a silent null.
+  *
+  * Reference behavior: goto/optimus-any2any computes quantiles through
+  * its warehouse SQL passthrough (quantile_cont); this is the engine-
+  * native scale path for the same semantics.
+  */
+object Percentiles {
+
+  /** Exact per-group percentiles of `valueCol` (read as double) at
+    * `fractions`. Returns one row per group: the group columns,
+    * `n` (long, non-null count) and `pcts` (array<double> aligned with
+    * `fractions`). Groups are the rows of `df.select(groupCols)`;
+    * pass an empty `groupCols` for a global result (one row).
+    *
+    * `accuracy` is the `approx_percentile` accuracy for the bracketing
+    * pass — bracket width scales as ~8·n/accuracy ranks.
+    */
+  def exact(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      fractions: Seq[Double],
+      accuracy: Int = 100000): DataFrame = {
+    require(fractions.nonEmpty, "graft: at least one fraction")
+    require(fractions.forall(p => p >= 0.0 && p <= 1.0),
+      s"graft: fractions must be in [0,1]: $fractions")
+    require(accuracy >= 100, s"graft: accuracy too small: $accuracy")
+
+    val gs = groupCols.map(col)
+    // the empty-group case still needs a groupBy key for the window
+    // partitioning; a constant key keeps one code path
+    val gkeys = if (groupCols.nonEmpty) groupCols else Seq("__g")
+    val base0 = df.select(gs :+ col(valueCol).cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val base = if (groupCols.nonEmpty) base0 else base0.withColumn("__g", lit(0))
+
+    val eps = 1.0 / accuracy
+    val margin = 4 * eps
+    val k = fractions.length
+    // bracket fractions: [lo_0, hi_0, lo_1, hi_1, ...], clamped
+    val brFracs = fractions.flatMap { p =>
+      Seq(math.max(0.0, p - margin), math.min(1.0, p + margin))
+    }
+    val brSql = brFracs.map(f => s"${f}d").mkString("array(", ", ", ")")
+
+    // pass 1: count + approx brackets, one summary per group
+    // a group needs ~3·margin·n ≥ 1+p ranks of slack for the bracket
+    // guarantee to hold; below n = accuracy the group is small enough
+    // that the exact pass-3 selection can just take ALL of its values
+    // (full-range bracket) — the two regimes switch per group at runtime
+    val small = col("__n") < lit(accuracy.toLong)
+    val pass1 = base.groupBy(gkeys.map(col): _*)
+      .agg(count(col("__v")).as("__n"),
+        expr(s"approx_percentile(__v, $brSql, $accuracy)").as("__br"))
+      .select(gkeys.map(col) ++ Seq(col("__n")) ++ (0 until k).flatMap { i =>
+        Seq(when(small, lit(Double.NegativeInfinity))
+          .otherwise(element_at(col("__br"), 2 * i + 1)).as(s"__lo$i"),
+          when(small, lit(Double.PositiveInfinity))
+            .otherwise(element_at(col("__br"), 2 * i + 2)).as(s"__hi$i"))
+      }: _*)
+
+    // pass 2: exact counts strictly below each bracket's lower bound
+    val withBr = base.join(broadcast(pass1), gkeys)
+    val pass2 = withBr.groupBy(gkeys.map(col): _*)
+      .agg((0 until k).map { i =>
+        sum(when(col("__v") < col(s"__lo$i"), 1L).otherwise(0L))
+          .as(s"__clo$i")
+      }.head, (1 until k).map { i =>
+        sum(when(col("__v") < col(s"__lo$i"), 1L).otherwise(0L))
+          .as(s"__clo$i")
+      }: _*)
+
+    // per-(group, boundary) interpolation targets — tiny, broadcast back
+    val targets = pass1.join(pass2, gkeys)
+      .select(gkeys.map(col) ++ Seq(col("__n")) ++ (0 until k).map { i =>
+        struct(lit(i).as("__i"),
+          (lit(fractions(i)) * (col("__n") - 1).cast("double")).as("__pos"),
+          col(s"__lo$i").as("__lo"), col(s"__hi$i").as("__hi"),
+          col(s"__clo$i").as("__clo"))
+          .as(s"__t$i")
+      }: _*)
+      .select(gkeys.map(col) ++ Seq(col("__n"),
+        explode(array((0 until k).map(i => col(s"__t$i")): _*)).as("__t")): _*)
+      .select(gkeys.map(col) ++ Seq(col("__n"), col("__t.__i").as("__i"),
+        col("__t.__pos").as("__pos"),
+        floor(col("__t.__pos")).cast("long").as("__lower"),
+        ceil(col("__t.__pos")).cast("long").as("__higher"),
+        col("__t.__lo").as("__lo"), col("__t.__hi").as("__hi"),
+        col("__t.__clo").as("__clo")): _*)
+
+    // pass 3: bracket rows only → distinct (group, boundary, value)
+    // counts → cumulative ranks → the two interpolation values
+    val bracketRows = withBr
+      .select(gkeys.map(col) ++ Seq(col("__v"),
+        explode(filter(array((0 until k).map(i =>
+          when(col("__v") >= col(s"__lo$i") && col("__v") <= col(s"__hi$i"),
+            lit(i))): _*), x => x.isNotNull)).as("__i")): _*)
+    val distincts = bracketRows
+      .groupBy(gkeys.map(col) :+ col("__i") :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(gkeys.map(col) :+ col("__i"): _*)
+      .orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = distincts
+      .withColumn("__cumEnd", sum(col("__c")).over(wCum))
+      .join(broadcast(targets), gkeys :+ "__i")
+      .withColumn("__start", col("__clo") + col("__cumEnd") - col("__c"))
+      .withColumn("__end", col("__clo") + col("__cumEnd"))
+
+    val picked = ranked.groupBy(gkeys.map(col) :+ col("__i"): _*)
+      .agg(first(col("__n")).as("__n"), first(col("__pos")).as("__pos"),
+        first(col("__lower")).as("__lower"),
+        first(col("__higher")).as("__higher"),
+        max(when(col("__start") <= col("__lower") &&
+          col("__lower") < col("__end"), col("__v"))).as("__vlo"),
+        max(when(col("__start") <= col("__higher") &&
+          col("__higher") < col("__end"), col("__v"))).as("__vhi"))
+
+    // Spark Percentile.getPercentile, replicated branch-for-branch
+    val res = when(col("__vlo").isNull || col("__vhi").isNull,
+        raise_error(concat(lit("graft: percentile bracket miss at i="),
+          col("__i").cast("string"), lit(" — increase accuracy")))
+          .cast("double"))
+      .when(col("__higher") === col("__lower"), col("__vlo"))
+      .when(col("__vhi") === col("__vlo"), col("__vlo"))
+      .otherwise(
+        (col("__higher").cast("double") - col("__pos")) * col("__vlo") +
+          (col("__pos") - col("__lower").cast("double")) * col("__vhi"))
+
+    val out = picked.select(gkeys.map(col) ++
+        Seq(col("__n"), col("__i"), res.as("__res")): _*)
+      .groupBy(gkeys.map(col): _*)
+      .agg(first(col("__n")).as("n"),
+        array_sort(collect_list(struct(col("__i"), col("__res"))))
+          .getField("__res").as("pcts"))
+
+    if (groupCols.nonEmpty) out else out.drop("__g")
+  }
+
+  /** Convenience: one fraction → columns (`group…`, `n`, `pct`). */
+  def exactOne(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      fraction: Double, accuracy: Int = 100000): DataFrame =
+    exact(df, groupCols, valueCol, Seq(fraction), accuracy)
+      .withColumn("pct", element_at(col("pcts"), 1)).drop("pcts")
+}

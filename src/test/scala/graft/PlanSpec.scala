@@ -200,6 +200,26 @@ class PlanSpec extends SparkSuite {
       l.contains("percentile") && l.contains("keys=[l_partkey")), p)
   }
 
+  test("q106/q134/q147: exact percentiles are distributed — no single-reducer value buffer") {
+    // round-9's one real scale-killer: Spark's builtin exact
+    // `percentile` merges every partition's value→count map on ONE
+    // reducer. Round 10 replaces it with Percentiles.exact (approx
+    // brackets → exact distributed rank selection, bit-identical
+    // results pinned by PercentilesSpec). Pins: the builtin exact
+    // percentile aggregate is GONE, the bracket pass is map-side
+    // combined, and every hash exchange carries aggregated partials —
+    // nothing corpus-proportional lands on a single task.
+    Seq("q106_group_percentiles", "q134_winsorized_stats",
+      "q147_equidepth_histogram").foreach { q =>
+      val p = finalPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert("(?<!approx_)percentile\\(".r.findAllIn(p).isEmpty,
+        s"$q: builtin exact percentile still in the plan:\n$p")
+      assert(p.contains("partial_approx_percentile"),
+        s"$q: bracket pass not map-side combined:\n$p")
+      assertHashExchangesAboveAggregates(p, q)
+    }
+  }
+
   test("q76/q78/q81: the corpus crosses ONE exchange before the presentation sort") {
     // the two-phase prefix-sum/rank device (round-8 form): imperative
     // partition-local scan — no corpus window, no second corpus
