@@ -1755,10 +1755,13 @@ object SparkEntry {
     }),
 
     "q129_winnow_candidates" -> ((s, dir) =>
-      // the MOSS near-dup path end-to-end: selective 12-gram
-      // fingerprints (kernel, map-only) → boilerplate prune →
-      // shared-fp pairs. Candidates carry the coverage guarantee the
-      // minhash/simhash sketches lack.
+      // the MOSS near-dup path end-to-end: fingerprints (kernel,
+      // map-only) → boilerplate prune → shared-fp pairs. Candidates
+      // carry the coverage guarantee the minhash/simhash sketches
+      // lack. The oracle PINS the historical k=12/maxBucket=100
+      // explicitly (the gate corpus has short docs); production
+      // defaults are the measured-linear k=20/maxBucket=20
+      // (SCALE.md rehearsal table, DedupSpec recall replay).
       Dedup.winnowCandidates(t(s, dir, "documents"), "doc_id", "text",
         k = 12, window = 8, minShared = 3L, maxBucket = 100)
         .orderBy("id_a", "id_b")),

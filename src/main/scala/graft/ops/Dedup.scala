@@ -185,24 +185,30 @@ object Dedup {
     * way the LSH bucket guard does — a fingerprint appearing in more
     * than `maxBucket` docs is boilerplate, not evidence.
     *
-    * LOW-ENTROPY corpora (measured, SCALE.md round-9 rehearsal): short
-    * grams recur across unrelated documents, so near-cap buckets
-    * expand quadratically (k=12/maxBucket=100 went 17.7× at 10× data),
-    * while TIGHTENING the cap alone drops real duplicate pairs whose
-    * every fingerprint is over-shared (k=12/maxBucket=20 missed 20 of
-    * 84 exact-dup pairs). The selectivity knob is the GRAM LENGTH —
-    * k=20/maxBucket=20 ran linear at 10× with ZERO missed exact-dup
-    * pairs and 15× fewer candidates. Raise `k` before loosening
-    * `maxBucket`, the winnowing analogue of the LSH band-width rule.
+    * DEFAULTS follow the measured SCALE.md round-9 rehearsal on
+    * low-entropy corpora: short grams recur across unrelated
+    * documents, so near-cap buckets expand quadratically
+    * (k=12/maxBucket=100 went 17.7× at 10× data), while TIGHTENING
+    * the cap alone drops real duplicate pairs whose every fingerprint
+    * is over-shared (k=12/maxBucket=20 missed 20 of 84 exact-dup
+    * pairs). The selectivity knob is the GRAM LENGTH —
+    * k=20/maxBucket=20 (the default since round 10) ran linear at 10×
+    * with ZERO missed exact-dup pairs and 15× fewer candidates
+    * (DedupSpec replays the recall finding). Raise `k` before
+    * loosening `maxBucket`, the winnowing analogue of the LSH
+    * band-width rule. Note k=20 requires documents ≥ k+window−1 = 27
+    * code points to fingerprint at all; pass a smaller `k` explicitly
+    * for short-text corpora (q129's oracle keeps its historical
+    * k=12/maxBucket=100 pinned for exactly that reason).
     */
   def winnowCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 12,
+      k: Int = 20,
       window: Int = 8,
       minShared: Long = 3L,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 20): DataFrame = {
     val fps = TextOps.winnowFingerprints(df, idCol, textCol, k, window)
       .select(col(idCol).as("__id"), col("fp")).distinct()
     val keep = fps.groupBy("fp")

@@ -278,6 +278,45 @@ class DedupSpec extends SparkSuite {
     assert(pruned.count() == 0L, "over-shared fingerprints must prune")
   }
 
+  test("winnowCandidates defaults: zero exact-dup recall loss on the low-entropy corpus") {
+    // replays the SCALE.md round-9 rehearsal finding that set the
+    // round-10 defaults (k=20/maxBucket=20): on a 31-word-vocabulary
+    // corpus — the adversarial case where short grams recur across
+    // unrelated docs — the long-gram config must surface EVERY
+    // exact-dup pair (identical text ⇒ identical fingerprints) whose
+    // text is long enough to fingerprint at all (≥ k+window−1 cp),
+    // while k=12/maxBucket=20 measured 20/84 missed
+    import spark.implicits._
+    val vocab = Array("a", "agg", "batch", "big", "column", "customer",
+      "data", "dup", "fast", "filter", "group", "hash", "join", "key",
+      "line", "merge", "order", "part", "query", "row", "scan", "slow",
+      "small", "sort", "spark", "stream", "table", "the", "value",
+      "vector", "window")
+    val rnd = new scala.util.Random(41)
+    val texts = Array.fill(600) {
+      (0 until (8 + rnd.nextInt(93)))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    (0 until 25).foreach { _ =>
+      val src = rnd.nextInt(600); val dst = rnd.nextInt(600)
+      if (src != dst) texts(dst) = texts(src)
+    }
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+    val dg = docs.filter(length($"text") >= 27)
+      .select($"doc_id", md5($"text").as("dg"))
+    val exactPairs = dg.as("a").join(dg.as("b"), "dg")
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+    val nPairs = exactPairs.count()
+    assert(nPairs >= 20, s"fixture should plant >= 20 exact pairs, got $nPairs")
+    val missed = exactPairs
+      .join(Dedup.winnowCandidates(docs, "doc_id", "text"),
+        Seq("id_a", "id_b"), "left_anti")
+      .count()
+    assert(missed == 0L, s"default config missed $missed / $nPairs exact-dup pairs")
+  }
+
   test("digestsWithSeen takes the max recency per digest") {
     import spark.implicits._
     val df = Seq(("x", 10L), ("x", 30L), ("y", 5L)).toDF("text", "seen")
