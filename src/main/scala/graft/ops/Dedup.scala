@@ -512,11 +512,15 @@ object Dedup {
       .select(col("gram")).distinct().localCheckpoint(true)
     val bloom = evalGrams.stat.bloomFilter("gram", expectedGrams, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(bloom)
-    // UDF is warranted here: no Catalyst builtin probes a Bloom sketch,
-    // and the probe runs against broadcast bits (no per-row state)
-    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    // the probe is the repo's codegen'd BloomMightContain (the
+    // bloomSemiJoin primitive) — same broadcast bits, but it stays
+    // inside whole-stage codegen where a Scala udf would fence the
+    // gram filter stage with per-row lambda dispatch
+    val probe = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("gram")), bc))
     gramRows(train, idCol, textCol, n)
-      .filter(mightContain(col("gram")))
+      .filter(col("gram").isNotNull && probe)
       .join(evalGrams, Seq("gram")) // exact verify — kills false positives
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).cast("long").as("n_shared"))

@@ -200,6 +200,19 @@ class PlanSpec extends SparkSuite {
       l.contains("percentile") && l.contains("keys=[l_partkey")), p)
   }
 
+  test("q67 bloom probe is the compiled expression — no udf in the gram filter stage") {
+    // round-9 review: decontaminateBloom probed via a Scala udf while
+    // the repo owns the codegen'd BloomMightContain (bloomSemiJoin's
+    // primitive). A udf fences whole-stage codegen in the hottest
+    // stage of the op — the corpus gram filter.
+    val p = finalPlan(
+      SparkEntry.queries("q67_bloom_decontaminate")(spark, sfDir))
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+      s"q67: udf in the plan:\n$p")
+    assert(p.contains("graft_bloom_might_contain"),
+      s"q67: compiled bloom probe missing:\n$p")
+  }
+
   test("q106/q134/q147: exact percentiles are distributed — no single-reducer value buffer") {
     // round-9's one real scale-killer: Spark's builtin exact
     // `percentile` merges every partition's value→count map on ONE
