@@ -1394,10 +1394,14 @@ object SparkEntry {
         "event_id", "ts",
         streamT(s, dir, "events").filter(col("event_type") === "purchase"),
         "ts", 300L)
-      // stateful-join cost is dominated by per-(partition × batch)
-      // state-store commits, not data volume: run the join with a
-      // bounded state partition count (the conf is captured at query
-      // START, so restoring it after the run is safe for later queries)
+      // LOCAL-MODE cost note: with tiny state, per-(partition × batch)
+      // state-store commit overhead dominates, so the gate run bounds
+      // the state partition count (conf captured at query START;
+      // restoring after the run is safe). On a real cluster the right
+      // lever is NOT fewer partitions — it is the RocksDB provider +
+      // changelog checkpointing
+      // (StreamPipeline.withRocksDbStateStore), which makes the commit
+      // cost O(changed keys); StreamingSpec pins provider-equal rows.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val matchedRows =
         try {

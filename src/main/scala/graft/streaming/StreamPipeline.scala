@@ -100,6 +100,44 @@ object StreamPipeline {
     spark.table(name)
   }
 
+  /** The production state-store configuration for stateful streaming
+    * at scale: RocksDB provider + changelog checkpointing. The default
+    * HDFS-backed provider keeps every key in executor heap and
+    * snapshots the FULL store to the checkpoint each commit — at
+    * 100 TB-class state (large interval-join windows, high-cardinality
+    * dedup markers) that is both an OOM risk and a per-batch commit
+    * cost proportional to total state. RocksDB spills state off-heap /
+    * to local disk, and changelog checkpointing uploads only each
+    * batch's delta, turning the commit cost into O(changed keys).
+    *
+    * Results are provider-independent (StreamingSpec pins interval
+    * join, windowed counts and marker-state dedup byte-equal under
+    * both providers); the ONLY observable difference is cost shape.
+    * Local small-state runs (the oracle gate) keep the default
+    * provider — per-batch RocksDB instance spin-up dominates tiny
+    * state there; see q105's shuffle-partition note in SparkEntry.
+    */
+  val RocksDbConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
+  /** Run `body` with the RocksDB state store enabled, restoring the
+    * previous session confs afterwards. Streaming queries capture the
+    * provider at START, so wrapping the `.start()` call is sufficient
+    * and later queries on the session are unaffected.
+    */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val prev = RocksDbConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    RocksDbConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Multi-sink streaming write: one query, each micro-batch persisted
     * once then written to every sink — `foreachBatch` is the streaming
     * MultiSinkPipeline (D5).

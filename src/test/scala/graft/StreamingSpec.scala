@@ -13,6 +13,28 @@ class StreamingSpec extends SparkSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("RocksDB state store: q105/q116/q128 rows are provider-equal") {
+    // the 100 TB scale path for stateful streaming (RocksDB provider +
+    // changelog checkpointing — StreamPipeline.RocksDbConfs) must be a
+    // pure cost-shape change: the interval-join, session-window and
+    // CDC gate queries produce byte-equal rows under both providers.
+    // (The gate itself keeps the default provider: tiny local state is
+    // dominated by per-batch RocksDB instance spin-up.)
+    Seq("q105_stream_interval_join", "q116_stream_sessions",
+      "q128_stream_cdc").foreach { q =>
+      val base = SparkEntry.queries(q)(spark, sfDir).collect().toSeq
+      val rocks = StreamPipeline.withRocksDbStateStore(spark) {
+        SparkEntry.queries(q)(spark, sfDir).collect().toSeq
+      }
+      assert(base.nonEmpty, s"$q: empty base result")
+      assert(rocks == base,
+        s"$q: provider changed the rows — base ${base.size}, rocks ${rocks.size}")
+      // the session conf is restored afterwards
+      assert(!spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass").exists(_.contains("RocksDB")))
+    }
+  }
+
   test("windowed counts with watermark over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
