@@ -49,9 +49,12 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *     / `join(s)` (literal separator, jq null→"" rendering)
   *   - `getpath(["a","b",0])` (value or stage), `setpath(["a","b"]; E)`
   *     (stage; intermediate structs must exist — the static-schema
-  *     analogue of jq's create-on-write), `paths` (stage: every
-  *     subvalue's path as compact JSON, root excluded, depth-first)
-  *   - `limit(n; .xs[])` / `first(.xs[])` / `last(.xs[])`
+  *     analogue of jq's create-on-write), `delpaths([["a","b"],…])`
+  *     (stage; literal string components — numeric components shift
+  *     array siblings, escape hatch), `paths` (stage: every subvalue's
+  *     path as compact JSON, root excluded, depth-first)
+  *   - `limit(n; .xs[])` / `limit(n; ..)` / `limit(n; paths)` /
+  *     `first(.xs[])` / `last(.xs[])`
   *   - array pipe stages: `sort`, `unique`, `min`, `max`, `reverse`,
   *     `map(E)` / `sort_by(E)` (`.` bound to the element, stable
   *     ties), `add` (null on [], IEEE-double sum), `any`/`all`,
@@ -389,10 +392,18 @@ object Jq {
 
   /** Lexical environment for lambda-scoped forms: `.` rebinds to the
     * accumulator inside a `reduce` update, `$x` to the element.
+    * `dotType` carries the bound value's STATIC type where known
+    * (array element types through map/sort_by, map value types through
+    * map_values, entry structs through with_entries) so that
+    * lambda-relative paths — `map(.xs | sort)` — resolve array-ness
+    * from the element's type, never from a same-named ROOT column
+    * (round-9 review: the root-schema fallback misdetected exactly
+    * that case).
     */
   private case class Env(dot: Option[Column], vars: Map[String, Column],
       inTry: Boolean = false,
-      schema: Option[StructType] = None)
+      schema: Option[StructType] = None,
+      dotType: Option[org.apache.spark.sql.types.DataType] = None)
   private val topEnv = Env(None, Map.empty)
 
   /** Does this subtree contain an expression that ERRORS in jq where
@@ -552,17 +563,38 @@ object Jq {
       // form must branch on the tracked kind — Spark's `length` only
       // accepts strings
       // array-ness of the fold seed: a split stage sets it true, and a
-      // head path whose STATIC schema type is an array starts true, so
-      // `.xs | sort` works without a split in front
+      // head path whose STATIC type is an array starts true, so
+      // `.xs | sort` works without a split in front. When `.` is BOUND
+      // (inside map/sort_by/with_entries bodies) a relative head path
+      // resolves against the bound value's type — env.dotType — and
+      // NEVER against the root schema (a same-named root column must
+      // not leak array-ness into a lambda, round-9 review); top level
+      // keeps the root-schema resolution.
+      val headType: Option[org.apache.spark.sql.types.DataType] =
+        stages.head match {
+          case FieldPath(p, false, ix) =>
+            if (env.dot.isDefined)
+              env.dotType.flatMap {
+                case st: StructType => pathType(st, p, ix)
+                case _ => None
+              }
+            else env.schema.flatMap(s => pathType(s, p, ix))
+          case Identity => env.dotType
+          case _ => None
+        }
       val headIsArr = stages.head match {
-        case FieldPath(p, false, None) =>
-          env.schema.exists(s =>
-            pathType(s, p, None).exists(_.isInstanceOf[ArrayType]))
         case ArrLit(_) => true
-        case _ => false
+        case _ => headType.exists(_.isInstanceOf[ArrayType])
       }
-      stages.tail.foldLeft((toColumn(stages.head, env), headIsArr)) {
-        case ((c, isArr), st) =>
+      // the fold additionally threads the current value's static type
+      // where stages keep it derivable, so NESTED lambdas get a typed
+      // `.` binding too (map(.xs | map(.y)) and friends)
+      def elemOf(t: Option[org.apache.spark.sql.types.DataType]) = t.flatMap {
+        case ArrayType(et, _) => Some(et)
+        case _ => None
+      }
+      stages.tail.foldLeft((toColumn(stages.head, env), headIsArr, headType)) {
+        case ((c, isArr, curT), st) =>
           st match {
             // split on the LITERAL separator (jq semantics; Spark's
             // split takes a regex, so quote it); -1 keeps trailing
@@ -571,24 +603,28 @@ object Jq {
             case Call("split", Seq(StrLit(sep))) =>
               (when(length(c) === 0, array().cast("array<string>"))
                 .otherwise(split(c, java.util.regex.Pattern.quote(sep), -1)),
-                true)
+                true,
+                Some(ArrayType(org.apache.spark.sql.types.StringType)))
             // join renders elements (numbers/bools → text) and joins,
             // null elements becoming empty strings, like jq
             case Call("join", Seq(StrLit(sep))) =>
-              (array_join(transform(c, x => x.cast("string")), sep, ""), false)
+              (array_join(transform(c, x => x.cast("string")), sep, ""),
+                false, Some(org.apache.spark.sql.types.StringType))
             // prefix/suffix strip: unchanged when the literal is not
             // present (jq never errors here); lengths in code points
             // (Spark substring indexes code points, not UTF-16 units)
             case Call("ltrimstr", Seq(StrLit(s))) =>
               val n = s.codePointCount(0, s.length)
               (when(c.startsWith(s), c.substr(lit(n + 1), length(c))).otherwise(c),
-                false)
+                false, Some(org.apache.spark.sql.types.StringType))
             case Call("rtrimstr", Seq(StrLit(s))) =>
               val n = s.codePointCount(0, s.length)
               (when(c.endsWith(s), c.substr(lit(1), length(c) - n)).otherwise(c),
-                false)
-            case Call("startswith", Seq(StrLit(s))) => (c.startsWith(s), false)
-            case Call("endswith", Seq(StrLit(s))) => (c.endsWith(s), false)
+                false, Some(org.apache.spark.sql.types.StringType))
+            case Call("startswith", Seq(StrLit(s))) =>
+              (c.startsWith(s), false, None)
+            case Call("endswith", Seq(StrLit(s))) =>
+              (c.endsWith(s), false, None)
             // regex test: compiled only for the Java≡Oniguruma-safe
             // subset — inline groups/flags/lookaround `(?`, property
             // classes `\p`, and octal/backref `\digit` are rejected
@@ -597,69 +633,97 @@ object Jq {
               require(!re.contains("(?") && !re.contains("\\p") &&
                 !re.matches(".*\\\\\\d.*"),
                 s"jq test: pattern '$re' outside the portable regex subset")
-              (c.rlike(re), false)
+              (c.rlike(re), false, None)
             // array stages: jq sort/unique SORT (nulls first — Spark's
             // sort_array default matches); min/max are null on empty
-            case Call("reverse", Nil) if isArr => (reverse(c), true)
-            case Call("sort", Nil) if isArr => (sort_array(c), true)
+            case Call("reverse", Nil) if isArr => (reverse(c), true, curT)
+            case Call("sort", Nil) if isArr => (sort_array(c), true, curT)
             case Call("unique", Nil) if isArr =>
-              (sort_array(array_distinct(c)), true)
-            case Call("min", Nil) if isArr => (array_min(c), false)
-            case Call("max", Nil) if isArr => (array_max(c), false)
-            case Call("length", Nil) if isArr => (size(c), false)
-            // map(E): E compiles with `.` bound to the element, so
-            // relative paths (`.price`) address element fields
+              (sort_array(array_distinct(c)), true, curT)
+            case Call("min", Nil) if isArr => (array_min(c), false, elemOf(curT))
+            case Call("max", Nil) if isArr => (array_max(c), false, elemOf(curT))
+            case Call("length", Nil) if isArr => (size(c), false, None)
+            // map(E): E compiles with `.` bound to the element (typed
+            // from the array's element type where the schema knows it),
+            // so relative paths (`.price`) address element fields
             case Call("map", Seq(body)) if isArr =>
-              (transform(c, x => toColumn(body, env.copy(dot = Some(x)))), true)
+              (transform(c, x =>
+                toColumn(body, env.copy(dot = Some(x), dotType = elemOf(curT)))),
+                true, None)
             // sort_by(E): Schwartzian (key, original index, value) —
             // the index keeps ties STABLE like jq's sort_by; struct
             // sort_array orders by fields left-to-right, nulls first
-            // (jq sorts null lowest)
+            // (jq sorts null lowest). Elements pass through unchanged,
+            // so the tracked type survives.
             case Call("sort_by", Seq(body)) if isArr =>
               (transform(
                 sort_array(transform(c, (x, i) => struct(
-                  toColumn(body, env.copy(dot = Some(x))).as("k"),
+                  toColumn(body, env.copy(dot = Some(x), dotType = elemOf(curT)))
+                    .as("k"),
                   i.as("i"), x.as("x")))),
-                s => s.getField("x")), true)
+                s => s.getField("x")), true, curT)
             // add: null on [], else the numeric sum in IEEE double (jq
             // numbers); a null ELEMENT nulls the sum where jq errors —
             // the tonumber-style quiet divergence, documented
             case Call("add", Nil) if isArr =>
               (when(size(c) === 0, lit(null).cast("double"))
                 .otherwise(aggregate(c, lit(0.0),
-                  (a, x) => a + x.cast("double"))), false)
+                  (a, x) => a + x.cast("double"))), false,
+                Some(org.apache.spark.sql.types.DoubleType))
             // any/all on boolean arrays: jq any([]) = false, all([]) =
             // true — exactly exists/forall
             case Call("any", Nil) if isArr =>
-              (exists(c, x => x.cast("boolean")), false)
+              (exists(c, x => x.cast("boolean")), false,
+                Some(org.apache.spark.sql.types.BooleanType))
             case Call("all", Nil) if isArr =>
-              (forall(c, x => x.cast("boolean")), false)
+              (forall(c, x => x.cast("boolean")), false,
+                Some(org.apache.spark.sql.types.BooleanType))
             // flatten: ONE nesting level (= full depth for
             // array<array<scalar>> schemas; deeper static nesting
             // would need jq's recursive default — escape hatch)
-            case Call("flatten", Nil) if isArr => (flatten(c), true)
+            case Call("flatten", Nil) if isArr =>
+              (flatten(c), true, elemOf(curT).filter(_.isInstanceOf[ArrayType]))
             // object (MapType) stages: `has` probes a literal key;
             // `keys` sorts like jq (map_keys order is unspecified);
             // to_entries/from_entries are map_entries/map_from_entries
             // — entry structs carry jq's {key, value} field names
             case Call("has", Seq(StrLit(k))) =>
-              (map_contains_key(c, lit(k)), false)
-            case Call("keys", Nil) => (sort_array(map_keys(c)), true)
-            case Call("to_entries", Nil) => (map_entries(c), true)
-            case Call("from_entries", Nil) => (map_from_entries(c), false)
+              (map_contains_key(c, lit(k)), false,
+                Some(org.apache.spark.sql.types.BooleanType))
+            case Call("keys", Nil) =>
+              (sort_array(map_keys(c)), true, curT.collect {
+                case org.apache.spark.sql.types.MapType(kt, _, _) => ArrayType(kt)
+              })
+            case Call("to_entries", Nil) =>
+              (map_entries(c), true, curT.collect {
+                case org.apache.spark.sql.types.MapType(kt, vt, vn) =>
+                  ArrayType(entryStruct(kt, vt, vn))
+              })
+            case Call("from_entries", Nil) => (map_from_entries(c), false, None)
             // map_values(E): arrays behave like map; maps transform
             // each value with `.` bound to it (jq keeps the key)
             case Call("map_values", Seq(body)) if isArr =>
-              (transform(c, x => toColumn(body, env.copy(dot = Some(x)))), true)
+              (transform(c, x =>
+                toColumn(body, env.copy(dot = Some(x), dotType = elemOf(curT)))),
+                true, None)
             case Call("map_values", Seq(body)) =>
+              val vt = curT.collect {
+                case org.apache.spark.sql.types.MapType(_, v, _) => v
+              }
               (transform_values(c,
-                (_, v) => toColumn(body, env.copy(dot = Some(v)))), false)
+                (_, v) => toColumn(body, env.copy(dot = Some(v), dotType = vt))),
+                false, None)
             // with_entries(E) = to_entries | map(E) | from_entries —
             // `.` in E is the {key, value} entry struct
             case Call("with_entries", Seq(body)) =>
+              val et = curT.collect {
+                case org.apache.spark.sql.types.MapType(kt, vt, vn) =>
+                  entryStruct(kt, vt, vn)
+              }
               (map_from_entries(transform(map_entries(c),
-                x => toColumn(body, env.copy(dot = Some(x))))), false)
-            case Call(fn, Nil) => (applyFn(fn, c, env.inTry), false)
+                x => toColumn(body, env.copy(dot = Some(x), dotType = et)))),
+                false, None)
+            case Call(fn, Nil) => (applyFn(fn, c, env.inTry), false, None)
             case other => throw new IllegalArgumentException(
               s"unsupported piped jq call: $other")
           }
@@ -670,6 +734,16 @@ object Jq {
       s"jq function '$fn' needs a piped input in value position")
     case other => throw new IllegalArgumentException(s"unsupported jq value expr: $other")
   }
+
+  /** `map_entries`' element shape: {key, value} structs (jq's entry
+    * field names) — used to type the `.` binding inside
+    * with_entries bodies. */
+  private def entryStruct(kt: org.apache.spark.sql.types.DataType,
+      vt: org.apache.spark.sql.types.DataType,
+      valueNullable: Boolean): StructType =
+    StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", kt, nullable = false),
+      org.apache.spark.sql.types.StructField("value", vt, valueNullable)))
 
   private def applyFn(fn: String, c: Column, inTry: Boolean = false): Column = fn match {
     case "length" => length(c)
@@ -966,6 +1040,27 @@ object Jq {
       if (segs.size == 1) df.withColumn(segs.head, v)
       else df.withColumn(segs.head,
         col(s"`${segs.head}`").withField(segs.tail.mkString("."), v))
+    // `delpaths([["a","b"],["c"]])` — delete several (possibly nested)
+    // fields in one stage. Literal string components only: numeric
+    // components delete ARRAY slots, which shifts sibling indexes —
+    // jq resolves that by deleting deepest-first at runtime; the
+    // static compiler routes those to the escape hatch instead.
+    // Missing fields are a no-op, like jq.
+    case Call("delpaths", Seq(ArrLit(paths)))
+        if paths.nonEmpty && paths.forall {
+          case ArrLit(items) =>
+            items.nonEmpty && items.forall(_.isInstanceOf[StrLit])
+          case _ => false
+        } =>
+      val segss = paths.collect { case ArrLit(items) =>
+        items.collect { case StrLit(s) => s }
+      }
+      segss.foldLeft(df) { (d, segs) =>
+        if (segs.size == 1) d.drop(segs.head)
+        else if (!d.columns.contains(segs.head)) d
+        else d.withColumn(segs.head,
+          col(s"`${segs.head}`").dropFields(segs.tail.mkString(".")))
+      }
     // `paths` — every subvalue's path (root excluded), depth-first,
     // rendered as compact JSON arrays; static schema → one map-only
     // enumeration expression, explode at the end (the `..` device)
@@ -985,6 +1080,20 @@ object Jq {
         case other => throw new IllegalArgumentException(
           s"cannot iterate non-array ${p.mkString(".")}: $other")
       }
+    // `limit(n; ..)` / `limit(n; paths)` — the subset's other stream
+    // generators: both enumerate into one map-only array, so the limit
+    // is a slice before the explode (per input record, like jq applies
+    // limit per input)
+    case Call("limit", Seq(NumLit(n), RecurseAll)) =>
+      val root = struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+      df.select(explode(
+        slice(enumSubvalues(root, df.schema), 1, n.toInt)).as("value"))
+    case Call("limit", Seq(NumLit(n), Call("paths", Nil))) =>
+      val root = struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+      val rendered = transform(
+        enumPaths(root, df.schema, typedlit(Seq.empty[String])),
+        p => concat(lit("["), concat_ws(",", p), lit("]")))
+      df.select(explode(slice(rendered, 1, n.toInt)).as("value"))
     case ObjectLit(fields) =>
       df.select(fields.map { case (n, ex) => toColumn(ex, env).as(n) }: _*)
     // `. + {k: expr}` / `{k: expr} + .` merge → withColumn

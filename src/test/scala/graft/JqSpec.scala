@@ -449,4 +449,51 @@ class JqSpec extends SparkSuite {
     assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
     assert(compiled.head == "4,2#A,B#2,3,4")
   }
+
+  test("delpaths deletes nested + top-level fields like real jq; missing path is a no-op") {
+    import graft.transform.JqEscapeHatch
+    val one = spark.range(1).selectExpr("1 AS id",
+      "named_struct('x', 3L, 'y', 7L, 'z', named_struct('k', 1L)) AS obj",
+      "5L AS gone")
+    val prog = """delpaths([["obj","y"],["gone"],["nope"]])"""
+    val compiled = Jq.compile(prog)(one).toJSON.collect().toSeq
+    val real = JqEscapeHatch.rawApply(one.toJSON, prog).collect().toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+    assert(compiled == Seq("""{"id":1,"obj":{"x":3,"z":{"k":1}}}"""))
+  }
+
+  test("limit over the .. and paths streams matches real jq") {
+    import graft.transform.JqEscapeHatch
+    val one = spark.range(1).selectExpr("1 AS id",
+      "named_struct('x', 3L, 'tags', array('p', 'q')) AS obj")
+    Seq("limit(3; ..)", "limit(4; paths)").foreach { prog =>
+      val compiled = Jq.compile(prog)(one).as[String].collect().toSeq
+      val real = JqEscapeHatch.rawApply(one.toJSON, prog).collect().toSeq
+      assert(compiled == real, s"$prog:\ncompiled: $compiled\nreal jq:  $real")
+    }
+  }
+
+  test("lambda-relative head paths type from the bound element, not root columns") {
+    import graft.transform.JqEscapeHatch
+    // round-9 review: `map(.xs | sort)` seeded array-ness of the head
+    // path from the ROOT schema. Here the root has a SCALAR column
+    // named xs while the bound element's xs IS an array — the nested
+    // pipe must sort the element field
+    val one = spark.range(1).selectExpr("7L AS xs",
+      "array(named_struct('xs', array(3L, 1L, 2L))) AS rows_")
+    val prog = """{s: (.rows_ | map(.xs | sort))}"""
+    val compiled = Jq.compile(prog)(one)
+      .selectExpr("to_json(s)").as[String].head()
+    assert(compiled == "[[1,2,3]]", compiled)
+    val real = JqEscapeHatch.rawApply(one.toJSON, prog).collect().toSeq
+    assert(real == Seq("""{"s":[[1,2,3]]}"""), real)
+    // the inverse misdetection: root xs is an array, the element's xs
+    // is a scalar — must reject toward the escape hatch (sort over a
+    // scalar), not compile an array op against the wrong schema
+    val inv = spark.range(1).selectExpr("array(9L, 8L) AS xs",
+      "array(named_struct('xs', 5L)) AS rows_")
+    intercept[Exception] {
+      Jq.compile("""{s: (.rows_ | map(.xs | sort))}""")(inv).collect()
+    }
+  }
 }
