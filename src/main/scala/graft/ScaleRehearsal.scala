@@ -181,6 +181,46 @@ object ScaleRehearsal {
       case "gen" :: dir :: scale :: rest =>
         gen(spark, dir, scale.toInt, rest.headOption.map(_.toLong).getOrElse(42L))
         println(s"""{"gen":"$dir","scale":$scale}""")
+      case "ivf" :: dir :: rest =>
+        // IVF nprobe/recall×time rehearsal (round-10 VERDICT item 7):
+        // ground truth = exact brute-force cosine top-k per query;
+        // recall@k = |IVF ∩ brute| / k averaged over the query set.
+        // Deterministic: fixed query ids, seeded index fit.
+        val k = rest.headOption.map(_.toInt).getOrElse(10)
+        val nQ = rest.drop(1).headOption.map(_.toInt).getOrElse(20)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val n = emb.count()
+        val qIds = (0 until nQ).map(i => i.toLong * (n / nQ))
+        val queries = emb.filter(col("vec_id").isin(qIds: _*))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        import graft.ops.Similarity
+        val index = Similarity.IvfIndex.fit(emb, "v", cells = 64)
+        // localCheckpoint, not persist: the assignment lineage carries
+        // the cells×dim literal argmin expression, and every probe
+        // query would re-ANALYZE that tree (~1 s of driver time per
+        // query — measured dominating the probe itself); checkpointing
+        // materializes the cell column AND truncates the plan
+        val assigned = index.assign(emb, "v").localCheckpoint(true)
+        def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+          df.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        val t0 = System.nanoTime()
+        val truth = queries.map { case (qid, qv) =>
+          qid -> topIds(Similarity.cosineTopK(emb, "vec_id", "v", qv, k))
+        }.toMap
+        val bruteSec = (System.nanoTime() - t0) / 1e9
+        val rows = Seq(1, 2, 4, 8).map { nprobe =>
+          val t1 = System.nanoTime()
+          val hits = queries.map { case (qid, qv) =>
+            topIds(Similarity.ivfTopK(index, assigned, "vec_id", "v",
+              qv, k, nprobe)).intersect(truth(qid)).size
+          }.sum
+          val sec = (System.nanoTime() - t1) / 1e9
+          val recall = hits.toDouble / (queries.length * k)
+          f""""np$nprobe":{"recall":$recall%.4f,"sec":$sec%.2f}"""
+        }
+        println(s"""{"dir":"$dir","n":$n,"k":$k,"queries":${queries.length},""" +
+          f""""brute_sec":$bruteSec%.2f,""" + rows.mkString(",") + "}")
       case "run" :: dir :: rest =>
         val runs = rest.headOption.map(_.toInt).getOrElse(1)
         val names = rest.drop(1).headOption
