@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
   * Semantics: for each key, rows are ordered by `orderCols`
   * (lexicographic, last wins; make the suffix a unique id so the order
   * is total — a non-total order would make "latest" nondeterministic);
-  * if the winning row satisfies `tombstone` the key is DELETED from
-  * the snapshot, otherwise the winning row IS the snapshot row.
+  * a key SURVIVES only when the winning row satisfies `NOT tombstone`
+  * under SQL three-valued logic — so a tombstone predicate that
+  * evaluates to NULL on the winning row (e.g. `col("event_type") ===
+  * "error"` over a null event_type) also deletes the key, exactly like
+  * a SQL `WHERE NOT tombstone` would drop it (CdcSpec pins this).
+  * Callers who want null-winning rows KEPT must make the predicate
+  * null-safe: `coalesce(tombstone, lit(false))` or `<=>`.
   *
   * Scale shape: ONE shuffle on the key columns; `row_number` within
   * key groups (group size = updates per key, bounded in practice);

@@ -246,11 +246,18 @@ object CorpusStats {
           .otherwise(lit(0.0))
           .cast("decimal(18,6)")
       }.reduce(_ + _).cast("decimal(18,6)").cast("double")
+    // temp score columns are indexed by POSITION — a query id is only
+    // ever carried as a literal in the exploded struct, so ids with
+    // '.', backticks or other column-path metacharacters can't
+    // misparse or collide at analysis time (round-9 review)
     val scored = df.crossJoin(broadcast(stats))
       .select(col(idCol) +:
-        queries.map { case (q, ts) => score(ts).as(s"__s_$q") }: _*)
-      .select(col(idCol), explode(array(queries.map { case (q, _) =>
-        struct(lit(q).as("query_id"), col(s"__s_$q").as("score"))
+        queries.zipWithIndex.map { case ((_, ts), i) =>
+          score(ts).as(s"__s_$i")
+        }: _*)
+      .select(col(idCol), explode(array(queries.zipWithIndex.map {
+        case ((q, _), i) =>
+          struct(lit(q).as("query_id"), col(s"__s_$i").as("score"))
       }: _*)).as("__qs"))
       .select(col(idCol),
         col("__qs").getField("query_id").as("query_id"),

@@ -42,4 +42,23 @@ class CdcSpec extends SparkSuite {
       Cdc.applyChangelog(df, Seq("key"), Seq.empty, lit(false))
     }
   }
+
+  test("applyChangelog: NULL tombstone on the winning row deletes the key (3VL contract)") {
+    import spark.implicits._
+    // the documented SQL-WHERE semantics: NOT(null) = null → filtered.
+    // 'a' wins with a NULL type (deleted), 'b' with a real non-error
+    // type (kept); a null-safe predicate keeps 'a'
+    val df = Seq(
+      ("a", 1L, Some("ok")), ("a", 2L, Option.empty[String]),
+      ("b", 1L, Option.empty[String]), ("b", 2L, Some("ok"))
+    ).toDF("key", "seq", "event_type")
+    val strict = Cdc.applyChangelog(df, Seq("key"), Seq("seq"),
+      col("event_type") === "error")
+      .select("key").as[String].collect().toSet
+    assert(strict == Set("b"), s"null tombstone must delete: $strict")
+    val nullSafe = Cdc.applyChangelog(df, Seq("key"), Seq("seq"),
+      coalesce(col("event_type") === "error", lit(false)))
+      .select("key").as[String].collect().toSet
+    assert(nullSafe == Set("a", "b"), s"null-safe predicate must keep: $nullSafe")
+  }
 }

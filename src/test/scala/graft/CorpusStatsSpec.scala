@@ -166,6 +166,34 @@ class CorpusStatsSpec extends SparkSuite {
     assert(out(4L) == exp4)
   }
 
+  test("bm25Batch: metacharacter query ids don't misparse; scores match single-query bm25") {
+    import spark.implicits._
+    // round-9 review: temp score columns interpolated the query id
+    // into a column NAME resolved via col(...) — ids with '.', '`' or
+    // spaces would misparse at analysis time. Now positional.
+    val docs = Seq(
+      (1L, "spark join spark window fast"),
+      (2L, "join table scan"),
+      (4L, "window window window window")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.bm25Batch(docs, "doc_id", "text",
+      Seq("q.dot" -> Seq("spark", "join"), "q`tick y" -> Seq("window")),
+      topK = 10)
+      .select("query_id", "doc_id", "score")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(out.keySet.map(_._1) == Set("q.dot", "q`tick y"), out.keySet)
+    // per-query scores equal the single-query op on the same corpus
+    Seq("q.dot" -> Seq("spark", "join"), "q`tick y" -> Seq("window"))
+      .foreach { case (q, terms) =>
+        val single = CorpusStats.bm25(docs, "doc_id", "text", terms, topK = 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+        single.foreach { case (id, s) =>
+          assert(out((q, id)) == s, s"$q/$id: ${out.get((q, id))} vs $s")
+        }
+      }
+  }
+
   test("corpus stats plans: counts shuffle once, chunking is map-only") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
