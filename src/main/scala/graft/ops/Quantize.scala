@@ -119,12 +119,23 @@ object Quantize {
     val cent = ex.groupBy("__g", "dim")
       .agg(round(sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double") /
         count(lit(1)), 6).as("mu"))
+    // checkpoint: the per-vector distance table feeds the threshold
+    // selection (three bounded passes in Percentiles.exact) AND the
+    // final outlier count — without it the explode+join+agg lineage
+    // recomputes per consumer
     val dist = ex.join(broadcast(cent), Seq("__g", "dim"))
       .groupBy("__id", "__g")
       .agg(round(sum(round((col("x") - col("mu")) * (col("x") - col("mu")), 12)
         .cast("decimal(28,12)")).cast("double"), 6).as("dist"))
-    val thr = dist.groupBy("__g")
-      .agg(round(expr(s"percentile(dist, $p)"), 6).as("thr"))
+      .localCheckpoint(true)
+    // per-group EXACT p-quantile via the distributed two-pass
+    // selection (Percentiles.exact) — the builtin percentile would
+    // merge a per-group value buffer bounded by distinct distances
+    // (corpus-proportional at scale) on one reducer; bit-identical
+    // results, so the round-6 threshold is unchanged
+    val thr = Percentiles.exactOne(dist, Seq("__g"), "dist", p,
+        accuracy = 10000)
+      .select(col("__g"), round(col("pct"), 6).as("thr"))
     dist.join(broadcast(thr), "__g")
       .groupBy(col("__g"), col("thr"))
       .agg(count(lit(1)).cast("long").as("n_vecs"),

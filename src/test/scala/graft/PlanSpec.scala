@@ -231,6 +231,13 @@ class PlanSpec extends SparkSuite {
         s"$q: bracket pass not map-side combined:\n$p")
       assertHashExchangesAboveAggregates(p, q)
     }
+    // q143 reaches the same selection through centroidOutliers (the
+    // distance table is checkpointed, so only the percentile side is
+    // pinned here)
+    val p143 = finalPlan(
+      SparkEntry.queries("q143_embedding_outliers")(spark, sfDir))
+    assert("(?<!approx_)percentile\\(".r.findAllIn(p143).isEmpty, p143)
+    assert(p143.contains("partial_approx_percentile"), p143)
   }
 
   test("q76/q78/q81: the corpus crosses ONE exchange before the presentation sort") {
