@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Bpe, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Pack, Rank, Sample, Similarity, TextOps}
+import graft.ops.{Bpe, Cdc, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Linkage, Pack, Profile, Rank, Sample, Similarity, TextOps, TimeSeries}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -2208,7 +2208,88 @@ object SparkEntry {
         .groupBy("source")
         .agg(round(max(abs(col("fs") - col("fc"))), 6).as("ks"))
         .orderBy("source")
-    }))
+    }),
+
+    "q149_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: lexical BM25 (q103's scorer) and dense
+      // cosine ANN (q28's scorer) fused by reciprocal-rank fusion —
+      // rank-based, so the two systems' incomparable scores never
+      // need calibration. Both runs are top-20 TakeOrdered outputs,
+      // so the rank windows and the fusion aggregate run on ≤ 40 rows;
+      // the corpus-scale work keeps q103/q28's scan shapes.
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val bm = CorpusStats.bm25(docs, "doc_id", "text",
+        Seq("spark", "join", "window"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+      val cs = Similarity.cosineTopK(e, "vec_id", "embedding", qv, 20)
+        .select(col("vec_id").as("doc_id"), col("cos_sim"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+      CorpusStats.reciprocalRankFusion(
+        Seq(bm.select("doc_id", "rank"), cs.select("doc_id", "rank")),
+        "doc_id")
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+
+    "q150_blocked_er" -> ((s, dir) =>
+      // blocked entity resolution over product listings: compare only
+      // within (brand × name-noun) blocks, match at Levenshtein ≤ 5 —
+      // one hash shuffle on the block key, Σ|block|² comparisons
+      // instead of N²/2, skew-capped (ops/Linkage.scala)
+      Linkage.blockedPairs(t(s, dir, "part"), "p_partkey", "p_name",
+        struct(col("p_brand"),
+          regexp_extract(col("p_name"), "(\\S+)$", 1)),
+        maxDistance = 5)
+        .orderBy("id_a", "id_b")),
+
+    "q151_gap_fill" -> ((s, dir) =>
+      // resample the sparse high-value event stream to a DENSE hourly
+      // grid per type: gap hours appear with n=0 and the last observed
+      // hourly total carried forward (LOCF) — the regularization step
+      // before any fixed-step time-series model. Grid generation is
+      // map-side from per-key (min, max) rows; windows run over the
+      // aggregated series, never the corpus.
+      TimeSeries.gapFillHourly(
+        events(s, dir).filter(col("value") > 300),
+        "event_type", "ts", "value")
+        .orderBy("event_type", "hr")),
+
+    "q152_column_profile" -> ((s, dir) =>
+      // per-column completeness/cardinality profile in long format —
+      // the pre-ingest data-quality report. Oracle mode uses exact
+      // distinct counts; the 100 TB mode is the same call with
+      // exact=false (one pass, HLL counters, no Expand) — ProfileSpec
+      // pins both modes agree on this corpus.
+      Profile.columnProfile(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column_name")),
+
+    "q153_mean_shift" -> ((s, dir) =>
+      // two-window mean-shift changepoint score on the daily revenue
+      // series per event type: recent-7-day mean vs the prior 7 days,
+      // emitted only where both windows are full — pure window algebra
+      // over the (type × day) aggregate, no recursive state
+      TimeSeries.meanShiftDaily(events(s, dir), "event_type", "ts",
+        "value", w = 7)
+        .orderBy("event_type", "day")),
+
+    "q154_scd2_history" -> ((s, dir) =>
+      // SCD Type-2 dimension history from the event changelog: every
+      // change becomes a [valid_from, valid_to) version, open version
+      // flagged current — q123's compaction minus the keep-only-winner
+      // filter, same one-shuffle window plan
+      Cdc.scd2History(
+        events(s, dir)
+          .select("event_id", "user_id", "ts", "event_type"),
+        Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+        .orderBy("user_id", "valid_from_us", "event_id")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -4437,7 +4518,120 @@ object SparkEntry {
         |  FROM g WINDOW w AS (PARTITION BY source ORDER BY len
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT source, ROUND(MAX(ABS(fs - fc)), 6) AS ks
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q149: BM25 chain = q103's oracle verbatim; cosine chain = q28's;
+    // fusion terms round to 9 and sum as DECIMAL(18,9) (exact,
+    // order-independent), total rounds to 6 as a double
+    "q149_hybrid_rrf" -> {
+      val terms = Seq("spark", "join", "window")
+      val dfs = terms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN ${sqlWordHits("text", t)} > 0 THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(",\n  ")
+      val contribs = terms.zipWithIndex.map { case (t, i) =>
+        s"""CAST(CASE WHEN ${sqlWordHits("d.text", t)} > 0 THEN ROUND(
+           |ROUND(LN((s.n - s.df$i + 0.5e0) / (s.df$i + 0.5e0) + 1e0), 6) *
+           |(CAST(${sqlWordHits("d.text", t)} AS DOUBLE) * (1.2e0 + 1e0)) /
+           |(CAST(${sqlWordHits("d.text", t)} AS DOUBLE) + 1.2e0 * (0.25e0 +
+           |0.75e0 * (CAST(${sqlTokenCount("d.text")} AS DOUBLE) /
+           |(CAST(s.tdl AS DOUBLE) / s.n)))), 6)
+           |ELSE 0 END AS DECIMAL(18,6))""".stripMargin
+      }.mkString(" + ")
+      s"""WITH s AS (SELECT COUNT(*) AS n, SUM(${sqlTokenCount("text")}) AS tdl,
+         |  $dfs FROM documents),
+         |sc AS (SELECT d.doc_id, CAST(($contribs) AS DOUBLE) AS score
+         |  FROM documents d, s),
+         |bmtop AS (SELECT doc_id, score FROM sc WHERE score > 0
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |bm AS (SELECT doc_id,
+         |  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM bmtop),
+         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |      FROM embeddings WHERE vec_id = 0),
+         |cstop AS (SELECT vec_id AS doc_id, ROUND(
+         |  list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv) /
+         |  (SQRT(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         |                           list_transform(embedding, x -> CAST(x AS DOUBLE)))) *
+         |   SQRT(list_inner_product(qv, qv))), 6) AS cos_sim
+         |FROM embeddings, q
+         |ORDER BY cos_sim DESC, doc_id LIMIT 20),
+         |cs AS (SELECT doc_id,
+         |  ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rank FROM cstop),
+         |u AS (SELECT doc_id,
+         |    CAST(ROUND(1e0 / (60 + rank), 9) AS DECIMAL(18,9)) AS t FROM bm
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    CAST(ROUND(1e0 / (60 + rank), 9) AS DECIMAL(18,9)) AS t FROM cs)
+         |SELECT doc_id, ROUND(CAST(SUM(t) AS DOUBLE), 6) AS rrf_score,
+         |  CAST(COUNT(*) AS BIGINT) AS n_runs
+         |FROM u GROUP BY 1 ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    "q150_blocked_er" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand
+        | AND regexp_extract(a.p_name, '(\S+)$', 1) =
+        |     regexp_extract(b.p_name, '(\S+)$', 1)
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q151_gap_fill" ->
+      """WITH f AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS tot
+        |  FROM events WHERE value > 300 GROUP BY 1, 2),
+        |s AS (SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx FROM f GROUP BY 1),
+        |tl AS (SELECT event_type, UNNEST(generate_series(mn, mx)) AS hr FROM s)
+        |SELECT tl.event_type, tl.hr, COALESCE(f.n, 0) AS n,
+        |  CAST(LAST_VALUE(f.tot IGNORE NULLS) OVER (
+        |    PARTITION BY tl.event_type ORDER BY tl.hr) AS DOUBLE) AS filled_total
+        |FROM tl LEFT JOIN f ON tl.event_type = f.event_type AND tl.hr = f.hr
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q152_column_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_val,
+           |  CAST(MAX($c) AS VARCHAR) AS max_val
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    "q153_mean_shift" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS tot
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, tot,
+        |    COUNT(*) OVER wr AS nr, COUNT(*) OVER wp AS np,
+        |    SUM(tot) OVER wr AS sr, SUM(tot) OVER wp AS sp
+        |  FROM d
+        |  WINDOW wr AS (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |    wp AS (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING))
+        |SELECT event_type, day, CAST(tot AS DOUBLE) AS daily_total,
+        |  ROUND(CAST(sr AS DOUBLE) / 7, 6) AS ma_recent,
+        |  ROUND(CAST(sp AS DOUBLE) / 7, 6) AS ma_prior,
+        |  ROUND(CAST(sr AS DOUBLE) / 7 - CAST(sp AS DOUBLE) / 7, 6) AS shift
+        |FROM w WHERE nr = 7 AND np = 7
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q154_scd2_history" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+        |  CAST(LEAD(epoch_us(ts)) OVER w AS BIGINT) AS valid_to_us,
+        |  (LEAD(epoch_us(ts)) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

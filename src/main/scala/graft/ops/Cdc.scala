@@ -43,4 +43,34 @@ object Cdc {
       .drop("__rk")
       .filter(!tombstone)
   }
+
+  /** SCD Type-2 history build (Kimball): turn a change stream into a
+    * versioned dimension — every change row becomes a version with
+    * `[valid_from_us, valid_to_us)` effective bounds; the open version
+    * (`valid_to_us` null) is flagged `is_current`. The complement of
+    * [[applyChangelog]]: that keeps only the survivor, this keeps the
+    * full auditable timeline.
+    *
+    * Version order within a key is (`tsCol`, `tieCol`) — the tie
+    * column (a unique event id) makes the order total, so
+    * microsecond-identical changes still produce a deterministic
+    * chain. Bounds are epoch micros (engine-portable longs).
+    *
+    * Scale shape: ONE shuffle on the key; `lead` runs inside each
+    * key's window (group size = changes per key). Identical to the
+    * compaction plan — history is the same window pass minus the
+    * rank-1 filter.
+    */
+  def scd2History(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2History needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    df.withColumn("valid_from_us", unix_micros(col(tsCol)))
+      .withColumn("valid_to_us", lead(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
 }

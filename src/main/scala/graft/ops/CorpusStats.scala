@@ -313,4 +313,41 @@ object CorpusStats {
         .otherwise(round((col("sy") - slope * col("sx")) / col("n"), 6))
         .as("intercept"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR '09):
+    * merge several ranked retrieval runs — lexical BM25, dense ANN,
+    * metadata filters — into one list by
+    * `score(d) = Σ_runs 1 / (k + rank_run(d))`, the standard hybrid-
+    * search combiner (rank-based, so incomparable scores across
+    * systems never need calibration; k=60 per the paper).
+    *
+    * Each input must carry (`idCol`, `rank`) with rank 1-based. Output:
+    * `(idCol, rrf_score, n_runs)`, top `topK` by (score desc, id asc).
+    *
+    * Parity: each term is `1/(k+rank)` rounded to 9 decimals and
+    * summed as DECIMAL(18,9) — exact, order-independent — then the
+    * total rounds to 6 as a double.
+    *
+    * Scale shape: the inputs are already top-k run outputs (bounded —
+    * runs × k rows total), so the union + one aggregate here is
+    * negligible next to the retrieval itself; the expensive parts
+    * (BM25 corpus scan, ANN probe) keep their own documented shapes.
+    */
+  def reciprocalRankFusion(
+      runs: Seq[DataFrame],
+      idCol: String,
+      k: Int = 60,
+      topK: Int = 20): DataFrame = {
+    require(runs.size >= 2, "reciprocalRankFusion needs at least 2 runs")
+    require(k >= 0 && topK >= 1, "reciprocalRankFusion: k >= 0, topK >= 1")
+    val terms = runs.map(_.select(col(idCol),
+      round(lit(1.0) / (lit(k) + col("rank").cast("double")), 9)
+        .cast("decimal(18,9)").as("__t")))
+    terms.reduce(_ unionAll _)
+      .groupBy(idCol)
+      .agg(round(sum(col("__t")).cast("double"), 6).as("rrf_score"),
+        count(lit(1)).cast("long").as("n_runs"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked entity resolution (record linkage): find pairs of records
+  * that likely describe the same real-world entity — duplicate product
+  * listings, near-identical customer rows — without the O(N²) all-pairs
+  * comparison. The classic two-stage shape (Fellegi–Sunter matching
+  * over blocking keys; see also the sorted-neighborhood method of
+  * Hernández & Stolfo, SIGMOD '95):
+  *
+  *   1. BLOCK: records are grouped by a cheap deterministic key
+  *      (normalized name token, phonetic code, brand × category…);
+  *      only records sharing a block key are ever compared.
+  *   2. MATCH: within each block, pairwise edit-distance (Levenshtein)
+  *      with an `a < b` guard; pairs at or under `maxDistance` are
+  *      candidate matches.
+  *
+  * Scale shape: the corpus crosses ONE hash shuffle (on the block
+  * key); pair generation is a per-block double-explode bounded by
+  * `maxBlock` (the same fail-fast skew guard as
+  * [[Dedup.minhashCandidates]]'s bucket cap — an over-shared key like
+  * a missing-name sentinel would otherwise generate a quadratic
+  * bucket). Levenshtein runs inside whole-stage codegen (Spark
+  * builtin). At 100 TB the right blocking key keeps blocks in the
+  * hundreds, so the comparison cost is Σ|block|² ≪ N²; raise key
+  * selectivity (compound keys) before raising `maxBlock`, the same
+  * rule the winnowing/LSH rehearsals measured (SCALE.md).
+  */
+object Linkage {
+
+  /** Candidate duplicate pairs within blocks, at or under
+    * `maxDistance` Levenshtein on `nameCol`. Output:
+    * `(id_a, id_b, name_a, name_b, distance)` with `id_a < id_b`.
+    * Blocks larger than `maxBlock` are dropped (skew guard —
+    * documented, deliberate recall trade; the block key is the knob).
+    */
+  def blockedPairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockKey: Column,
+      maxDistance: Int,
+      maxBlock: Int = 1000): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val keyed = df.select(blockKey.as("__blk"),
+      struct(col(idCol).as("id"), col(nameCol).as("name")).as("__rec"))
+    // one shuffle: block key → bucket; sizes bounded by the guard
+    val blocks = keyed.groupBy("__blk")
+      .agg(collect_list("__rec").as("recs"))
+      .filter(size(col("recs")).between(2, maxBlock))
+    blocks
+      .select(explode(col("recs")).as("a"), col("recs"))
+      .select(col("a"), explode(col("recs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("distance"))
+      .filter(col("distance") <= maxDistance)
+      // the same (a, b) can share several block keys (compound
+      // blocking) — report each pair once with its one distance
+      .distinct()
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series operators over an irregular event stream:
+  * gap-filling (resample to a dense hourly grid with LOCF) and
+  * two-window mean-shift detection. Complements the event operators in
+  * [[Events]] (sessionize/funnel/retention act on the RAW stream; these
+  * act on its REGULARIZED aggregate series).
+  *
+  * Scale shape, both ops: the corpus crosses one hash shuffle to the
+  * (key, bucket) aggregate; everything after runs on the AGGREGATED
+  * series (keys × buckets rows — e.g. 5 types × 720 hours, never
+  * corpus-sized). The dense-grid explode generates `span` rows per key
+  * map-side from a 2-column (min, max) row; a `raise_error` guard
+  * fail-fasts a runaway span (a 1970 sentinel timestamp would
+  * otherwise explode ~500k rows per key). Per-key windows order by the
+  * bucket id over the aggregated series — group size = span, bounded
+  * by the guard.
+  */
+object TimeSeries {
+
+  /** Epoch-hour bucket id (hours since 1970-01-01 UTC) — integral and
+    * engine-portable (DuckDB: `epoch(date_trunc('hour', ts)) / 3600`).
+    * unix_seconds of a truncated hour is an exact multiple of 3600 and
+    * ≪ 2^53, so the double division is exact.
+    */
+  def epochHour(ts: Column): Column =
+    (unix_seconds(date_trunc("hour", ts)) / 3600).cast("long")
+
+  /** Epoch-day bucket id. */
+  def epochDay(ts: Column): Column =
+    (unix_seconds(date_trunc("day", ts)) / 86400).cast("long")
+
+  /** Resample an event stream to a DENSE per-key hourly grid:
+    * aggregate to (key, hour) buckets, generate every hour between
+    * each key's first and last active hour, and carry the last
+    * observed total forward across gaps (LOCF — last observation
+    * carried forward). Gap hours report `n = 0` and the carried
+    * `filled_total`; hours before a key's first observation cannot
+    * exist (the grid starts at the first active hour).
+    *
+    * Output: `(key, hr, n, filled_total)` — `hr` is [[epochHour]].
+    */
+  def gapFillHourly(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      maxSpanHours: Int = 200000): DataFrame = {
+    val hourly = df
+      .groupBy(col(keyCol), epochHour(col(tsCol)).as("hr"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__tot"))
+    val span = hourly.groupBy(keyCol)
+      .agg(min("hr").as("__mn"), max("hr").as("__mx"))
+      // fail-fast, map-side: a sentinel timestamp (1970/2999) in the
+      // input would silently explode the grid — surface it instead
+      .withColumn("__mx", when(col("__mx") - col("__mn") < maxSpanHours,
+        col("__mx")).otherwise(raise_error(concat(
+        lit(s"gapFillHourly: key span exceeds $maxSpanHours hours for "),
+        col(keyCol).cast("string")))))
+    val grid = span.select(col(keyCol),
+      explode(sequence(col("__mn"), col("__mx"))).as("hr"))
+    val wFill = Window.partitionBy(keyCol).orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq(keyCol, "hr"), "left")
+      .select(col(keyCol), col("hr"),
+        coalesce(col("__n"), lit(0L)).cast("long").as("n"),
+        last(col("__tot"), ignoreNulls = true).over(wFill)
+          .cast("double").as("filled_total"))
+  }
+
+  /** Two-window mean-shift detection over the per-key DAILY series:
+    * for each (key, day) with a full 14-day history, compare the mean
+    * of the most recent `w` days (ROWS -w+1..0) against the mean of
+    * the `w` days before them (ROWS -2w+1..-w). A large |shift| flags
+    * a level change — the windowed-baseline changepoint heuristic
+    * (CUSUM's two-sample cousin, expressible as pure window algebra —
+    * no recursive state, so it stays declarative and engine-portable).
+    *
+    * Output: `(key, day, daily_total, ma_recent, ma_prior, shift)` —
+    * only days where BOTH windows are full (2w days of history).
+    * Means divide DECIMAL sums as doubles, rounded to 6.
+    */
+  def meanShiftDaily(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      w: Int = 7): DataFrame = {
+    require(w >= 1, s"window must be >= 1 day, got $w")
+    val daily = df
+      .groupBy(col(keyCol), epochDay(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__tot"))
+    val ord = Window.partitionBy(keyCol).orderBy("day")
+    val wRecent = ord.rowsBetween(-(w - 1), 0)
+    val wPrior = ord.rowsBetween(-(2 * w - 1), -w)
+    daily
+      .withColumn("__nr", count(lit(1)).over(wRecent))
+      .withColumn("__np", count(lit(1)).over(wPrior))
+      .withColumn("__sr", sum(col("__tot")).over(wRecent))
+      .withColumn("__sp", sum(col("__tot")).over(wPrior))
+      // ROWS frames count PRESENT days only: a gap day would silently
+      // widen the time span, so demand full frames on a dense series
+      // (the daily grid here is dense whenever every day has events;
+      // compose with gapFillHourly-style densification when not)
+      .filter(col("__nr") === w && col("__np") === w)
+      .select(col(keyCol), col("day"),
+        col("__tot").cast("double").as("daily_total"),
+        round(col("__sr").cast("double") / w, 6).as("ma_recent"),
+        round(col("__sp").cast("double") / w, 6).as("ma_prior"),
+        round(col("__sr").cast("double") / w -
+          col("__sp").cast("double") / w, 6).as("shift"))
+  }
+}

@@ -61,4 +61,34 @@ class CdcSpec extends SparkSuite {
       .select("key").as[String].collect().toSet
     assert(nullSafe == Set("a", "b"), s"null-safe predicate must keep: $nullSafe")
   }
+
+  test("scd2History: versions chain contiguously, ties break on the tie column") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val changes = Seq(
+      ("k1", ts("2024-01-01 10:00:00"), 1L, "v1"),
+      ("k1", ts("2024-01-01 11:00:00"), 3L, "v2"),
+      // microsecond-identical pair: event id 4 then 5 orders the chain
+      ("k1", ts("2024-01-01 11:00:00"), 5L, "v4"),
+      ("k1", ts("2024-01-01 11:00:00"), 4L, "v3"),
+      ("k2", ts("2024-01-01 09:00:00"), 2L, "w1")
+    ).toDF("key", "ts", "eid", "payload")
+    val hist = Cdc.scd2History(changes, Seq("key"), "ts", "eid")
+      .orderBy("key", "valid_from_us", "eid")
+      .select("key", "payload", "valid_from_us", "valid_to_us", "is_current")
+      .as[(String, String, Long, Option[Long], Boolean)].collect().toSeq
+    // every non-current version's valid_to equals the NEXT valid_from
+    hist.groupBy(_._1).foreach { case (_, vs) =>
+      vs.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3),
+          s"chain must be contiguous: $a -> $b")
+        case _ =>
+      }
+      assert(vs.count(_._5) == 1, s"exactly one current version: $vs")
+      assert(vs.last._5 && vs.last._4.isEmpty, s"open tail: $vs")
+    }
+    // the tied trio ordered v2 (eid 3) -> v3 (eid 4) -> v4 (eid 5)
+    assert(hist.filter(_._1 == "k1").map(_._2) == Seq("v1", "v2", "v3", "v4"))
+  }
 }

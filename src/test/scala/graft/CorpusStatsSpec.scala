@@ -194,6 +194,30 @@ class CorpusStatsSpec extends SparkSuite {
       }
   }
 
+  test("reciprocalRankFusion: k=60 paper formula, overlap boosts, ties break by id") {
+    import spark.implicits._
+    val runA = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val runB = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("doc_id", "rank")
+    val out = CorpusStats.reciprocalRankFusion(Seq(runA, runB), "doc_id")
+      .as[(Long, Double, Long)].collect().toSeq
+    def t(r: Int) = math.rint(1e9 / (60 + r)) / 1e9
+    def s(rs: Int*) = math.rint(rs.map(t).sum * 1e6) / 1e6
+    // doc 20: ranks 2+1; doc 10: ranks 1+3; singles 30 (rank 3), 40 (2)
+    assert(out == Seq(
+      (20L, s(2, 1), 2L), (10L, s(1, 3), 2L),
+      (40L, s(2), 1L), (30L, s(3), 1L)), s"got $out")
+    // equal-score singles order by id: two docs at the same rank in
+    // different runs tie exactly (decimal sum — no fp-order wobble)
+    val tie = CorpusStats.reciprocalRankFusion(
+      Seq(Seq((7L, 5)).toDF("doc_id", "rank"),
+        Seq((3L, 5)).toDF("doc_id", "rank")), "doc_id")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(tie.map(_._1) == Seq(3L, 7L), s"id tie-break: $tie")
+    intercept[IllegalArgumentException] {
+      CorpusStats.reciprocalRankFusion(Seq(runA), "doc_id")
+    }
+  }
+
   test("corpus stats plans: counts shuffle once, chunking is map-only") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")

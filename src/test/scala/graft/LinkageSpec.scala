@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Linkage
+
+class LinkageSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val recs = Seq(
+    (1L, "acme corp", "x"),
+    (2L, "acme corp.", "x"),  // distance 1 from 1
+    (3L, "acme corporation", "x"), // distance 7 from 1 — over threshold
+    (4L, "zenith ltd", "y"),
+    (5L, "zenith ltd", "y"),  // exact dup of 4
+    (6L, "acme corp", "z")    // same name, different block: never compared
+  ).toDF("id", "name", "blk")
+
+  test("blockedPairs: compares within blocks only, a<b, distance filter") {
+    val out = Linkage.blockedPairs(recs, "id", "name", col("blk"),
+      maxDistance = 2)
+      .select("id_a", "id_b", "distance")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // (1,2) dist 1; (4,5) dist 0; (1,3)/(2,3) over threshold; 6 is
+    // alone in its block; cross-block (1,6) never generated
+    assert(out == Seq((1L, 2L, 1L), (4L, 5L, 0L)), s"got $out")
+  }
+
+  test("blockedPairs: oversized blocks drop via the skew cap") {
+    val big = (1L to 10L).map(i => (i, s"name$i", "hot")).toDF("id", "name", "blk")
+    val out = Linkage.blockedPairs(big, "id", "name", col("blk"),
+      maxDistance = 99, maxBlock = 5)
+    assert(out.count() == 0, "a block over the cap must be dropped whole")
+    val ok = Linkage.blockedPairs(big, "id", "name", col("blk"),
+      maxDistance = 99, maxBlock = 100)
+    assert(ok.count() == 45, "10-record block yields C(10,2) pairs")
+  }
+
+  test("blockedPairs: compound blocking reports a shared pair once") {
+    // same pair reachable through two block keys (multi-pass blocking
+    // unioned upstream) — the distinct collapses it
+    val two = Seq((1L, "ab", "k1"), (2L, "ab", "k1"),
+      (1L, "ab", "k2"), (2L, "ab", "k2")).toDF("id", "name", "blk")
+    val out = Linkage.blockedPairs(two, "id", "name", col("blk"), 0)
+    assert(out.count() == 1, "compound keys must not duplicate pairs")
+  }
+
+  test("blockedPairs: argument validation") {
+    intercept[IllegalArgumentException] {
+      Linkage.blockedPairs(recs, "id", "name", col("blk"), -1)
+    }
+    intercept[IllegalArgumentException] {
+      Linkage.blockedPairs(recs, "id", "name", col("blk"), 1, maxBlock = 1)
+    }
+  }
+}

@@ -468,4 +468,44 @@ class PlanSpec extends SparkSuite {
         assert(!l.contains("text"), s"q127: exchange carries text (line $i):\n$p")
     }
   }
+
+  test("q150 blocked ER: block-key shuffle, never a cross join") {
+    val p = finalPlan(SparkEntry.queries("q150_blocked_er")(spark, sfDir))
+    // the whole point of blocking: no all-pairs operator in the plan —
+    // pairs generate from per-block buckets after ONE corpus shuffle
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"pairs must come from bucket explode, not a self-join:\n$p")
+  }
+
+  test("q151 gap-fill: raw values never cross an exchange; grid generates map-side") {
+    val p = finalPlan(SparkEntry.queries("q151_gap_fill")(spark, sfDir))
+    // the corpus is reduced to (key, hr) partial aggregates before its
+    // one shuffle; the dense grid explodes from per-key (min,max) rows
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("value"), s"raw value crossed an exchange:\n$p")
+    }
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q153 mean-shift: windows run over the daily aggregate, not the corpus") {
+    val p = finalPlan(SparkEntry.queries("q153_mean_shift")(spark, sfDir))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("value"), s"raw value crossed an exchange:\n$p")
+    }
+  }
+
+  test("q154 SCD2 history: one hash exchange (the key window), no join") {
+    val p = finalPlan(SparkEntry.queries("q154_scd2_history")(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    val hashEx = "(?m)\\+\\- Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("q149 hybrid retrieval: both runs select via TakeOrdered; fusion has no UDF") {
+    val p = finalPlan(SparkEntry.queries("q149_hybrid_rrf")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
 }

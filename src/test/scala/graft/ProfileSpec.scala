@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.Profile
+
+class ProfileSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("columnProfile: exact counters on a fixture with nulls") {
+    val df = Seq(
+      (Some(1L), Some("a")),
+      (Some(2L), None),
+      (Some(2L), Some("b")),
+      (None, Some("a"))
+    ).toDF("id", "s")
+    val out = Profile.columnProfile(df, Seq("id", "s"))
+      .orderBy("column_name")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      ("id", 4L, 1L, 2L, "1", "2"),
+      ("s", 4L, 1L, 2L, "a", "b")), s"got $out")
+  }
+
+  test("columnProfile: approx mode matches exact within HLL error; no Expand in its plan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val exact = Profile.columnProfile(docs, cols).orderBy("column_name")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    val approx = Profile.columnProfile(docs, cols, exact = false)
+      .orderBy("column_name")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e._1 == a._1 && e._2 == a._2 && e._3 == a._3 &&
+        e._5 == a._5 && e._6 == a._6,
+        s"non-distinct counters must be identical: $e vs $a")
+      // approx_count_distinct default rsd = 5%
+      assert(math.abs(a._4 - e._4) <= math.max(1L, (e._4 * 0.1).toLong),
+        s"${e._1}: approx ${a._4} too far from exact ${e._4}")
+    }
+    // the scale claim: HLL mode plans ONE pass — exact count_distinct
+    // expands the scan per counted column, approx must not
+    val pApprox = Profile.columnProfile(docs, cols, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!pApprox.contains("Expand"), s"approx mode must not Expand:\n$pApprox")
+    val pExact = Profile.columnProfile(docs, cols)
+      .queryExecution.executedPlan.toString
+    assert(pExact.contains("Expand"), "exact mode pays the Expand (oracle mode)")
+  }
+
+  test("columnProfile: argument validation") {
+    intercept[IllegalArgumentException] {
+      Profile.columnProfile(Seq((1, 2)).toDF("a", "b"), Seq.empty)
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gapFillHourly: dense grid, n=0 gaps, LOCF totals") {
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:10:00"), 10.0),
+      ("a", ts("2024-01-01 00:40:00"), 5.0),
+      // hours 01 and 02 empty for a
+      ("a", ts("2024-01-01 03:20:00"), 7.0),
+      ("b", ts("2024-01-01 02:15:00"), 1.0)
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.gapFillHourly(ev, "k", "ts", "v")
+      .orderBy("k", "hr")
+      .select("k", "n", "filled_total")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 2L, 15.0), // hour 00: both events
+      ("a", 0L, 15.0), // gap: carried forward
+      ("a", 0L, 15.0),
+      ("a", 1L, 7.0),  // new observation replaces the carry
+      ("b", 1L, 1.0)   // single-hour key: one-row grid
+    ), s"got $out")
+  }
+
+  test("gapFillHourly: span guard surfaces sentinel timestamps") {
+    val ev = Seq(
+      ("a", ts("1970-01-01 00:00:00"), 1.0), // epoch sentinel
+      ("a", ts("2024-01-01 00:00:00"), 2.0)
+    ).toDF("k", "ts", "v")
+    val e = intercept[Exception] {
+      TimeSeries.gapFillHourly(ev, "k", "ts", "v", maxSpanHours = 1000)
+        .collect()
+    }
+    assert(e.getMessage.contains("span exceeds"), e.getMessage)
+  }
+
+  test("meanShiftDaily: emits only full double-frames; shift = recent - prior means") {
+    // 15 consecutive days for one key: values 1..10 then 21..25 —
+    // day 14 is the first with both 7-day frames full
+    val days = (1 to 15).map { d =>
+      val v = if (d <= 10) d.toDouble else 10.0 + d
+      ("k", ts(f"2024-01-${d}%02d 12:00:00"), v)
+    }.toDF("k", "ts", "v")
+    val out = TimeSeries.meanShiftDaily(days, "k", "ts", "v", w = 7)
+      .orderBy("day")
+      .select("daily_total", "ma_recent", "ma_prior", "shift")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    assert(out.size == 2, s"days 14 and 15 only, got ${out.size}")
+    // day 14: recent = mean(8,9,10,21,22,23,24), prior = mean(1..7)
+    val r14 = (8 + 9 + 10 + 21 + 22 + 23 + 24) / 7.0
+    assert(out.head._2 == math.rint(r14 * 1e6) / 1e6, s"got ${out.head}")
+    assert(out.head._3 == 4.0, s"prior mean(1..7) = 4, got ${out.head}")
+    assert(out.head._4 == math.rint((r14 - 4.0) * 1e6) / 1e6)
+    // a key with under 2w days emits nothing
+    val short = (1 to 13).map(d => ("s", ts(f"2024-02-${d}%02d 01:00:00"), 1.0))
+      .toDF("k", "ts", "v")
+    assert(TimeSeries.meanShiftDaily(short, "k", "ts", "v", 7).count() == 0)
+  }
+
+  test("epoch buckets are UTC-hour/day aligned longs") {
+    val one = Seq(("k", ts("2024-01-02 03:59:59"), 1.0)).toDF("k", "ts", "v")
+    val hr = one.select(TimeSeries.epochHour(col("ts"))).as[Long].head()
+    val day = one.select(TimeSeries.epochDay(col("ts"))).as[Long].head()
+    assert(hr == 473379L, s"hours since epoch, got $hr")   // 19724*24+3
+    assert(day == 19724L, s"days since epoch, got $day")
+  }
+}
