@@ -221,6 +221,54 @@ object ScaleRehearsal {
         }
         println(s"""{"dir":"$dir","n":$n,"k":$k,"queries":${queries.length},""" +
           f""""brute_sec":$bruteSec%.2f,""" + rows.mkString(",") + "}")
+      case "statestore" :: dir :: rest =>
+        // State-store provider rehearsal (round-10): the q83-shaped
+        // marker-state dedup (flatMapGroupsWithState, one marker per
+        // distinct key) driven through `batches` micro-batches of
+        // fresh keys, timed under the default HDFS-backed provider vs
+        // RocksDB + changelog checkpointing. The claim under test
+        // (StreamPipeline.RocksDbConfs): the HDFS provider keeps all
+        // state on-heap and snapshots the FULL store every commit —
+        // cost grows with TOTAL state × batches — while changelog
+        // checkpointing uploads only each batch's delta.
+        val keys = rest.headOption.map(_.toInt).getOrElse(100000)
+        val batches = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+        val in = s"$dir/ss_in_$keys"
+        val perBatch = keys / batches
+        org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(in), true)
+        (0 until batches).foreach { b =>
+          spark.range(b.toLong * perBatch, (b + 1L) * perBatch)
+            .select(col("id").as("doc_id"),
+              concat(lit("payload_"), col("id")).as("text"))
+            .coalesce(1).write.mode("append").parquet(in)
+        }
+        val schema = spark.read.parquet(in).schema
+        val seen = graft.ops.Dedup.digests(
+          spark.range(1).select(lit(-1L).as("doc_id"),
+            lit("never_matches").as("text")), Seq("text"))
+        def timeRun(tag: String): Double = {
+          val ckpt = s"$dir/ss_ckpt_${keys}_$tag"
+          org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(ckpt), true)
+          val t0 = System.nanoTime()
+          val stream = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+          val kept = graft.streaming.StreamDedup.dedupAgainstIndex(
+            stream, seen, Seq("text"), "doc_id")
+          val q = kept.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val hdfsSec = timeRun("hdfs")
+        val rocksSec = graft.streaming.StreamPipeline
+          .withRocksDbStateStore(spark)(timeRun("rocks"))
+        println(f"""{"keys":$keys,"batches":$batches,""" +
+          f""""hdfs_sec":$hdfsSec%.2f,"rocks_sec":$rocksSec%.2f}""")
       case "run" :: dir :: rest =>
         val runs = rest.headOption.map(_.toInt).getOrElse(1)
         val names = rest.drop(1).headOption
