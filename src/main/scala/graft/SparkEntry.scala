@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Bpe, Cdc, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Linkage, Pack, Profile, Rank, Sample, Similarity, TextOps, TimeSeries}
+import graft.ops.{Basket, Bpe, Cdc, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Linkage, Pack, Profile, Rank, Sample, Similarity, TextOps, TimeSeries}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -2289,7 +2289,25 @@ object SparkEntry {
         Seq("user_id"), "ts", "event_id")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("valid_from_us"), col("valid_to_us"), col("is_current"))
-        .orderBy("user_id", "valid_from_us", "event_id")))
+        .orderBy("user_id", "valid_from_us", "event_id")),
+
+    "q155_sorted_neighborhood" -> ((s, dir) =>
+      // the ER path when no equality blocking key exists: global sort
+      // by name, compare each record with its 10 successors — rank
+      // rides the stratified-rank device (one range shuffle, no
+      // single-task window), pairing buckets by floor(rank/window)
+      Linkage.sortedNeighborhoodPairs(t(s, dir, "part"),
+        "p_partkey", "p_name", col("p_name"),
+        window = 10, maxDistance = 4)
+        .orderBy("id_a", "id_b")),
+
+    "q156_market_basket" -> ((s, dir) =>
+      // pair supports for association mining: items co-bought in ≥ 2
+      // orders; one basket shuffle + bounded per-basket explode — no
+      // corpus self-join
+      Basket.cooccurrence(t(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", minSupport = 2L)
+        .orderBy("item_a", "item_b")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -4631,7 +4649,25 @@ object SparkEntry {
         |  (LEAD(epoch_us(ts)) OVER w IS NULL) AS is_current
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, valid_from_us, event_id""".stripMargin)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    "q155_sorted_neighborhood" ->
+      """WITH r AS (SELECT p_partkey AS id, p_name AS name,
+        |    ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rk FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+        |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 10
+        |WHERE levenshtein(a.name, b.name) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q156_market_basket" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_baskets
+        |FROM d a JOIN d b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY 1, 2""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

@@ -63,4 +63,49 @@ object Linkage {
       // blocking) — report each pair once with its one distance
       .distinct()
   }
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo): sort
+    * the corpus by a fuzzy key and compare each record only with its
+    * `window` successors in the global order. The ER path when no
+    * equality blocking key exists — a typo'd name lands NEXT TO its
+    * clean form in sort order even though no exact key matches it.
+    *
+    * Output: `(id_a, id_b, name_a, name_b, distance)` where b follows
+    * a within `window` positions and Levenshtein ≤ `maxDistance`.
+    *
+    * Scale shape: the global rank rides [[Rank.stratifiedRank]]'s
+    * two-phase device (one range shuffle, partition-local scan — a
+    * naive `Window.orderBy` would drag the corpus into ONE task);
+    * pairing shuffles the slim (id, name, rank) rows once on
+    * `floor(rank / window)` buckets — the left side duplicates into
+    * its own and the NEXT bucket, so every ≤-window pair meets in
+    * exactly one bucket and bucket population is ≤ 2·window. Total:
+    * two slim shuffles, comparisons N·window, no quadratic block risk
+    * regardless of key skew (the advantage over [[blockedPairs]]).
+    */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      sortKey: Column,
+      window: Int,
+      maxDistance: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    val keyed = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      sortKey.as("__sk"), lit(1).as("__all"))
+    val ranked = Rank.stratifiedRank(keyed, "__all", Seq("__sk", "id"))
+      .select(col("id"), col("name"), col("rk"))
+    val bucket = floor((col("rk") - 1) / window)
+    val right = ranked.select(bucket.as("__b"), col("id").as("id_b"),
+      col("name").as("name_b"), col("rk").as("rk_b"))
+    val left = ranked
+      .select(explode(array(bucket, bucket + 1)).as("__b"),
+        col("id").as("id_a"), col("name").as("name_a"), col("rk").as("rk_a"))
+    left.join(right, "__b")
+      .filter((col("rk_b") - col("rk_a")).between(1, window))
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("distance"))
+      .filter(col("distance") <= maxDistance)
+  }
 }

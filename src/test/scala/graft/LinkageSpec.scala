@@ -45,6 +45,31 @@ class LinkageSpec extends SparkSuite {
     assert(out.count() == 1, "compound keys must not duplicate pairs")
   }
 
+  test("sortedNeighborhoodPairs: window pairs across bucket boundaries, rank order") {
+    // names sort as n01..n12; window 3 must pair every (i, i+1..i+3)
+    // including pairs that straddle the floor(rank/3) bucket edges
+    val recs = (1 to 12).map(i => (i.toLong, f"n$i%02d")).toDF("id", "name")
+    val out = Linkage.sortedNeighborhoodPairs(recs, "id", "name",
+      col("name"), window = 3, maxDistance = 99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for (i <- 1 to 12; j <- i + 1 to math.min(12, i + 3))
+      yield (i.toLong, j.toLong)).toSet
+    assert(out == want,
+      s"missing ${want -- out}, extra ${out -- want}")
+  }
+
+  test("sortedNeighborhoodPairs: typo'd name pairs with its clean form without a block key") {
+    // the motivating case: no equality key survives the typo, but the
+    // sort places the variants adjacently
+    val recs = Seq((1L, "jonathan smith"), (2L, "jonathan smyth"),
+      (3L, "aaron brown"), (4L, "zoe chen")).toDF("id", "name")
+    val out = Linkage.sortedNeighborhoodPairs(recs, "id", "name",
+      col("name"), window = 1, maxDistance = 2)
+      .select("id_a", "id_b", "distance")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L)), s"got $out")
+  }
+
   test("blockedPairs: argument validation") {
     intercept[IllegalArgumentException] {
       Linkage.blockedPairs(recs, "id", "name", col("blk"), -1)

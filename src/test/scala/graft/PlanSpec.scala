@@ -503,6 +503,22 @@ class PlanSpec extends SparkSuite {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
   }
 
+  test("q156 market basket: no self-join — pairs explode from basket buckets") {
+    val p = finalPlan(SparkEntry.queries("q156_market_basket")(spark, sfDir))
+    assert(!p.contains("Join"),
+      s"co-occurrence must not plan the corpus self-join:\n$p")
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q155 sorted neighborhood: ranked pairing, never an all-pairs operator") {
+    val p = finalPlan(SparkEntry.queries("q155_sorted_neighborhood")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the global rank comes from the stratified-rank device: the
+    // corpus crosses a RANGE exchange, not a single-task global window
+    assert(p.contains("rangepartitioning"), p)
+  }
+
   test("q149 hybrid retrieval: both runs select via TakeOrdered; fusion has no UDF") {
     val p = finalPlan(SparkEntry.queries("q149_hybrid_rrf")(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p)
