@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Basket, Bpe, Cdc, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Linkage, Pack, Profile, Rank, Sample, Similarity, TextOps, TimeSeries}
+import graft.ops.{Basket, Bpe, Cdc, Concentration, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Linkage, Pack, Profile, Quality, Rank, Robust, Sample, Similarity, TextOps, TimeSeries}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -2307,7 +2307,68 @@ object SparkEntry {
       // corpus self-join
       Basket.cooccurrence(t(s, dir, "lineitem"), "l_orderkey",
         "l_partkey", minSupport = 2L)
-        .orderBy("item_a", "item_b")))
+        .orderBy("item_a", "item_b")),
+
+    "q157_association_rules" -> ((s, dir) =>
+      // confidence/lift rules over the q156 pair supports; lift in
+      // the factored overflow-free form (conf · N / n_cons) so the
+      // doubles are two IEEE ops both engines evaluate identically
+      Basket.associationRules(t(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", minSupport = 2L, minConfidence = 0.10)
+        .orderBy("antecedent", "consequent")),
+
+    "q158_mad_outliers" -> ((s, dir) =>
+      // robust outliers: |v − median| > 3·1.4826·MAD per event type —
+      // the 50%-breakdown-point complement of q82's z-scores; both
+      // selections run the distributed exact-percentile path
+      Robust.madOutliers(t(s, dir, "events"), Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"))
+        .orderBy("event_id")),
+
+    "q159_fk_audit" -> ((s, dir) =>
+      // cross-table data-quality audit: rows/null-keys/orphans per
+      // declared FK relation; parent keys deduped so the left join
+      // never multiplies, AQE broadcasts dimension-sized parents
+      Quality.fkAudit(Seq(
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+          t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        ("orders.o_custkey->customer.c_custkey",
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        ("customer.c_nationkey->nation.n_nationkey",
+          t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        ("events.user_id->customer.c_custkey",
+          t(s, dir, "events"), "user_id",
+          t(s, dir, "customer"), "c_custkey")))
+        .orderBy("relation")),
+
+    "q160_tree_closure" -> ((s, dir) =>
+      // hierarchy rollup by pointer doubling: a depth-D forest closes
+      // in ceil(log2 D) self-joins of the N-row jump relation, never
+      // D sequential joins and never a driver loop; the oracle walks
+      // the same derived forest with a recursive CTE
+      Graph.rootAndDepth(
+        t(s, dir, "customer").select(col("c_custkey").as("node"),
+          when(col("c_custkey") === 1, lit(null).cast("long"))
+            .otherwise(greatest(lit(1L),
+              expr("c_custkey div (2 + c_custkey % 5)"))).as("parent")),
+        "node", "parent", maxDepth = 64)
+        .orderBy("node")),
+
+    "q161_gini_concentration" -> ((s, dir) =>
+      // per-source char-mass inequality: exact DECIMAL rank-identity
+      // sums over the stratified-rank device, one range shuffle
+      Concentration.gini(t(s, dir, "documents"), "source", "n_chars",
+        "doc_id")
+        .withColumnRenamed("n", "n_docs")
+        .withColumnRenamed("total", "total_chars")
+        .orderBy("source")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -4667,7 +4728,110 @@ object SparkEntry {
         |FROM d a JOIN d b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q157_association_rules" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |tot AS (SELECT COUNT(DISTINCT b) AS n_total FROM d),
+        |isup AS (SELECT i, COUNT(*) AS ni FROM d GROUP BY 1),
+        |psup AS (SELECT a.i AS x, b.i AS y, COUNT(*) AS s
+        |  FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |rules AS (SELECT x AS antecedent, y AS consequent, s FROM psup
+        |  UNION ALL SELECT y, x, s FROM psup)
+        |SELECT r.antecedent, r.consequent, CAST(r.s AS BIGINT) AS n_pair,
+        |  CAST(ia.ni AS BIGINT) AS n_ante, CAST(ic.ni AS BIGINT) AS n_cons,
+        |  CAST(r.s AS DOUBLE) / CAST(ia.ni AS DOUBLE) AS confidence,
+        |  CAST(r.s AS DOUBLE) / CAST(ia.ni AS DOUBLE)
+        |    * CAST(tot.n_total AS DOUBLE) / CAST(ic.ni AS DOUBLE) AS lift
+        |FROM rules r
+        |JOIN isup ia ON ia.i = r.antecedent
+        |JOIN isup ic ON ic.i = r.consequent
+        |CROSS JOIN tot
+        |WHERE CAST(r.s AS DOUBLE) / CAST(ia.ni AS DOUBLE) >= 0.10
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q158_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |    ABS(e.value - m.med) AS d
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.event_id, dev.event_type, dev.value, dev.med, mad.mad
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE dev.d > (3.0 * 1.4826) * mad.mad
+        |ORDER BY event_id""".stripMargin,
+
+    "q159_fk_audit" ->
+      """WITH a AS (
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
+        |    COUNT(*) AS n_rows,
+        |    COUNT(*) FILTER (WHERE c.l_orderkey IS NULL) AS n_null,
+        |    COUNT(*) FILTER (WHERE c.l_orderkey IS NOT NULL AND p.k IS NULL) AS n_orphan
+        |  FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON c.l_orderkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part.p_partkey',
+        |    COUNT(*),
+        |    COUNT(*) FILTER (WHERE c.l_partkey IS NULL),
+        |    COUNT(*) FILTER (WHERE c.l_partkey IS NOT NULL AND p.k IS NULL)
+        |  FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON c.l_partkey = p.k
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer.c_custkey',
+        |    COUNT(*),
+        |    COUNT(*) FILTER (WHERE c.o_custkey IS NULL),
+        |    COUNT(*) FILTER (WHERE c.o_custkey IS NOT NULL AND p.k IS NULL)
+        |  FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON c.o_custkey = p.k
+        |  UNION ALL
+        |  SELECT 'customer.c_nationkey->nation.n_nationkey',
+        |    COUNT(*),
+        |    COUNT(*) FILTER (WHERE c.c_nationkey IS NULL),
+        |    COUNT(*) FILTER (WHERE c.c_nationkey IS NOT NULL AND p.k IS NULL)
+        |  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    ON c.c_nationkey = p.k
+        |  UNION ALL
+        |  SELECT 'events.user_id->customer.c_custkey',
+        |    COUNT(*),
+        |    COUNT(*) FILTER (WHERE c.user_id IS NULL),
+        |    COUNT(*) FILTER (WHERE c.user_id IS NOT NULL AND p.k IS NULL)
+        |  FROM events c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON c.user_id = p.k)
+        |SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_null AS BIGINT) AS n_null, CAST(n_orphan AS BIGINT) AS n_orphan
+        |FROM a ORDER BY relation""".stripMargin,
+
+    "q160_tree_closure" ->
+      """WITH RECURSIVE nodes AS (SELECT c_custkey AS node,
+        |    CASE WHEN c_custkey = 1 THEN NULL
+        |      ELSE GREATEST(1, c_custkey // (2 + c_custkey % 5)) END AS parent
+        |  FROM customer),
+        |walk AS (
+        |  SELECT node, node AS cur, 0 AS depth FROM nodes
+        |  UNION ALL
+        |  SELECT w.node, n.parent, w.depth + 1
+        |  FROM walk w JOIN nodes n ON n.node = w.cur
+        |  WHERE n.parent IS NOT NULL)
+        |SELECT node, cur AS root, CAST(depth AS BIGINT) AS depth FROM walk
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY depth DESC) = 1
+        |ORDER BY node""".stripMargin,
+
+    "q161_gini_concentration" ->
+      """WITH r AS (SELECT source, n_chars, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(19,0))) AS BIGINT) AS total_chars,
+        |  (2.0 * CAST(SUM(CAST(rk AS DECIMAL(19,0)) * CAST(n_chars AS DECIMAL(19,0))) AS DOUBLE)
+        |     - CAST(COUNT(*) + 1 AS DOUBLE)
+        |       * CAST(SUM(CAST(n_chars AS DECIMAL(19,0))) AS DOUBLE))
+        |  / (CAST(COUNT(*) AS DOUBLE)
+        |       * CAST(SUM(CAST(n_chars AS DECIMAL(19,0))) AS DOUBLE)) AS gini
+        |FROM r GROUP BY source
+        |ORDER BY source""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

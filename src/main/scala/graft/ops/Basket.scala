@@ -48,4 +48,59 @@ object Basket {
       .agg(count(lit(1)).cast("long").as("n_baskets"))
       .filter(col("n_baskets") >= minSupport)
   }
+
+  /** Association rules from pair supports: for every ordered pair
+    * `antecedent → consequent` whose UNordered pair support passes
+    * `minSupport`, emit
+    *
+    *   confidence = n_pair / n_ante
+    *   lift       = confidence · N / n_cons
+    *
+    * (Agrawal & Srikant 1994's confidence; lift in the
+    * overflow-free factored form — `n_pair·N / (n_ante·n_cons)`
+    * would overflow BIGINT once item supports pass ~3·10⁹, the
+    * factored form stays in two IEEE double ops and both engines
+    * evaluate the identical left-associated tree, so the doubles
+    * hash-match bit-for-bit).
+    *
+    * Scale shape: the corpus crosses (a) the basket shuffle inside
+    * [[cooccurrence]] and (b) one item-keyed map-side-combined
+    * support aggregate; N is a 1-row broadcast. The rule relation
+    * (≤ 2·|pairs| rows) joins the item-support relation twice on the
+    * item key — item supports are vocabulary-sized, never
+    * corpus-sized. At production scale persist the deduped
+    * (basket, item) relation so the two aggregates share one scan.
+    */
+  def associationRules(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long = 2L,
+      minConfidence: Double = 0.0,
+      maxBasket: Int = 10000): DataFrame = {
+    require(minConfidence >= 0.0 && minConfidence <= 1.0,
+      s"minConfidence must be in [0,1], got $minConfidence")
+    val d = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val pairs = cooccurrence(df, basketCol, itemCol, minSupport, maxBasket)
+    val isup = d.groupBy("i").agg(count(lit(1)).cast("long").as("ni"))
+    val total = d.agg(count_distinct(col("b")).cast("long").as("n_total"))
+    val rules = pairs
+      .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("n_baskets").as("n_pair"))
+      .unionAll(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_baskets").as("n_pair")))
+    val conf = col("n_pair").cast("double") / col("n_ante").cast("double")
+    rules
+      .join(isup.select(col("i").as("antecedent"), col("ni").as("n_ante")),
+        Seq("antecedent"))
+      .join(isup.select(col("i").as("consequent"), col("ni").as("n_cons")),
+        Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .withColumn("confidence", conf)
+      .withColumn("lift", col("confidence") * col("n_total").cast("double") /
+        col("n_cons").cast("double"))
+      .filter(col("confidence") >= minConfidence)
+      .select("antecedent", "consequent", "n_pair", "n_ante", "n_cons",
+        "confidence", "lift")
+  }
 }

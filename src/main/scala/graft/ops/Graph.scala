@@ -106,4 +106,56 @@ object Graph {
       .groupBy("id")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Root and depth for every node of a forest given as a
+    * `(node, parent)` relation (`parent` NULL ⇔ root) — the
+    * org-chart / category-tree / thread-ancestry rollup. Computed by
+    * POINTER DOUBLING (Wyllie 1979): the jump relation starts at one
+    * parent step and composes with itself each round, so reach grows
+    * as 2^i and a depth-D forest closes in ⌈log₂ D⌉ self-joins of N
+    * rows — never the D sequential joins of the naive walk, and never
+    * a driver-side loop over collected rows. Roots self-loop with
+    * d = 0, which makes them absorbing under composition (joining a
+    * closed chain with the root's entry adds nothing), so finished
+    * chains stay stable while deep ones keep jumping.
+    *
+    * Scale shape: each round is ONE equi-join of the N-row jump
+    * relation with itself on the ancestor key plus a projection —
+    * 2·⌈log₂ maxDepth⌉ shuffles of N rows total. Lineage grows
+    * linearly in rounds (≤ 6 at the default maxDepth 64, ≤ 20 hard
+    * cap ⇒ depth 2^20); co-partition by node for shuffle-free rounds
+    * on a bucketed table. A node whose chain has NOT reached a root
+    * after the rounds (depth > maxDepth, or a cycle — parent
+    * relations with cycles are invalid input) fails fast with
+    * `raise_error` instead of returning a wrong ancestor.
+    */
+  def rootAndDepth(
+      parents: DataFrame,
+      nodeCol: String,
+      parentCol: String,
+      maxDepth: Int = 64): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= (1 << 20),
+      s"graft: maxDepth must be in [1, 2^20], got $maxDepth")
+    val rounds =
+      (math.ceil(math.log(maxDepth.toDouble) / math.log(2.0))).toInt.max(1)
+    var jump = parents.select(
+      col(nodeCol).as("node"),
+      coalesce(col(parentCol), col(nodeCol)).as("anc"),
+      when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("d"))
+    for (_ <- 1 to rounds) {
+      jump = jump.as("a")
+        .join(jump.as("b"), col("a.anc") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.anc").as("anc"),
+          (col("a.d") + col("b.d")).as("d"))
+    }
+    val roots = parents.filter(col(parentCol).isNull)
+      .select(col(nodeCol).as("__root"))
+    jump.join(roots, col("anc") === col("__root"), "left")
+      .select(col("node"),
+        when(col("__root").isNotNull, col("anc")).otherwise(raise_error(
+          concat(lit(s"rootAndDepth: chain not closed after depth $maxDepth "
+            + "(raise maxDepth, or the parent relation has a cycle) at node "),
+            col("node").cast("string")))).as("root"),
+        col("d").as("depth"))
+  }
 }

@@ -71,4 +71,33 @@ class GraphSpec extends SparkSuite {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     assert(Graph.triangleParticipation(path, "src", "dst").count() == 0L)
   }
+
+  test("rootAndDepth: pointer doubling closes a two-root forest") {
+    import spark.implicits._
+    // forest: 1←2←4←5←6 (depths 1..4) and 1←3; 7 a lone root
+    val parents = Seq(
+      (1L, None), (2L, Some(1L)), (3L, Some(1L)), (4L, Some(2L)),
+      (5L, Some(4L)), (6L, Some(5L)), (7L, None)
+    ).toDF("node", "parent")
+    val out = Graph.rootAndDepth(parents, "node", "parent")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 1L),
+      (4L, 1L, 2L), (5L, 1L, 3L), (6L, 1L, 4L), (7L, 7L, 0L)), s"got $out")
+  }
+
+  test("rootAndDepth: unclosed chain (maxDepth too small / cycle) fails fast") {
+    import spark.implicits._
+    val deep = Seq((1L, None), (2L, Some(1L)), (3L, Some(2L)),
+      (4L, Some(3L)), (5L, Some(4L))).toDF("node", "parent")
+    // maxDepth 2 → one doubling round → depth-4 chain cannot close
+    val e = intercept[Exception] {
+      Graph.rootAndDepth(deep, "node", "parent", maxDepth = 2).collect()
+    }
+    assert(e.getMessage.contains("chain not closed"), e.getMessage)
+    val cycle = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("node", "parent")
+    val e2 = intercept[Exception] {
+      Graph.rootAndDepth(cycle, "node", "parent", maxDepth = 8).collect()
+    }
+    assert(e2.getMessage.contains("chain not closed"), e2.getMessage)
+  }
 }
