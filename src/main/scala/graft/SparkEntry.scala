@@ -2368,7 +2368,35 @@ object SparkEntry {
         "doc_id")
         .withColumnRenamed("n", "n_docs")
         .withColumnRenamed("total", "total_chars")
-        .orderBy("source")))
+        .orderBy("source")),
+
+    "q162_jaro_winkler_pairs" -> ((s, dir) =>
+      // name-comparator ER: brand-blocked pairs scored by the compiled
+      // graft_jaro_winkler kernel — bit-parity with DuckDB's
+      // jaro_winkler_similarity (pinned on 5000 randomized cases), so
+      // the ≥ τ cut selects identical pairs in both engines
+      Linkage.jaroWinklerPairs(t(s, dir, "part"),
+        "p_partkey", "p_name", col("p_brand"), minSimilarity = 0.90)
+        .orderBy("id_a", "id_b")),
+
+    "q163_funnel_latency" -> ((s, dir) => {
+      // time-to-convert: first signup → first subsequent purchase per
+      // user, exact p50/p90 of the latency via the distributed
+      // bracketed selection (no single-reducer percentile buffer)
+      val ev = events(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("su_us"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pu_us"))
+        .join(su, "user_id")
+        .filter(col("pu_us") >= col("su_us"))
+        .groupBy("user_id", "su_us").agg(min("pu_us").as("pu_us"))
+        .select((col("pu_us") - col("su_us")).cast("double").as("lat_us"))
+      graft.ops.Percentiles.exact(lat, Seq.empty, "lat_us", Seq(0.5, 0.9))
+        .select(col("n").as("n_converted"),
+          element_at(col("pcts"), 1).as("p50_us"),
+          element_at(col("pcts"), 2).as("p90_us"))
+    }))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -4831,7 +4859,28 @@ object SparkEntry {
         |  / (CAST(COUNT(*) AS DOUBLE)
         |       * CAST(SUM(CAST(n_chars AS DECIMAL(19,0))) AS DOUBLE)) AS gini
         |FROM r GROUP BY source
-        |ORDER BY source""".stripMargin)
+        |ORDER BY source""".stripMargin,
+
+    "q162_jaro_winkler_pairs" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS similarity
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.90
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q163_funnel_latency" ->
+      """WITH su AS (SELECT user_id, MIN(epoch_us(ts)) AS su_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (SELECT e.user_id, MIN(epoch_us(e.ts)) - su.su_us AS lat_us
+        |  FROM events e JOIN su USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.su_us
+        |  GROUP BY e.user_id, su.su_us)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  quantile_cont(CAST(lat_us AS DOUBLE), 0.5e0) AS p50_us,
+        |  quantile_cont(CAST(lat_us AS DOUBLE), 0.9e0) AS p90_us
+        |FROM conv""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

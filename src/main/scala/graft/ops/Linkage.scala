@@ -108,4 +108,46 @@ object Linkage {
         levenshtein(col("name_a"), col("name_b")).cast("long").as("distance"))
       .filter(col("distance") <= maxDistance)
   }
+
+  /** [[blockedPairs]] with Jaro–Winkler scoring instead of edit
+    * distance: `(id_a, id_b, name_a, name_b, similarity)` for
+    * same-block pairs at or above `minSimilarity`. Jaro–Winkler is
+    * the Fellegi–Sunter tradition's name comparator — insensitive to
+    * length (a 2-edit typo in a short name is a weak Levenshtein
+    * match but a strong JW one) and prefix-weighted, which fits
+    * person/product names where the head tokens carry the identity.
+    *
+    * Same scale shape as [[blockedPairs]]: one block-key shuffle,
+    * per-block explode under the `maxBlock` skew guard; the scorer is
+    * the compiled `graft_jaro_winkler` kernel (TextKernels, codegen'd,
+    * DuckDB-bit-parity for ASCII), so the match stage stays inside
+    * whole-stage codegen. Requires `GraftFunctions.registerAll` (or
+    * the `GraftExtensions` session extension).
+    */
+  def jaroWinklerPairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockKey: Column,
+      minSimilarity: Double,
+      maxBlock: Int = 1000): DataFrame = {
+    require(minSimilarity >= 0.0 && minSimilarity <= 1.0,
+      s"minSimilarity must be in [0,1], got $minSimilarity")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val keyed = df.select(blockKey.as("__blk"),
+      struct(col(idCol).as("id"), col(nameCol).as("name")).as("__rec"))
+    val blocks = keyed.groupBy("__blk")
+      .agg(collect_list("__rec").as("recs"))
+      .filter(size(col("recs")).between(2, maxBlock))
+    blocks
+      .select(explode(col("recs")).as("a"), col("recs"))
+      .select(col("a"), explode(col("recs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"),
+        call_function("graft_jaro_winkler",
+          col("a.name"), col("b.name")).as("similarity"))
+      .filter(col("similarity") >= minSimilarity)
+      .distinct()
+  }
 }

@@ -11,6 +11,28 @@ import graft.ops.{Dedup, Similarity, TextOps}
 class KernelSpec extends SparkSuite {
   import spark.implicits._
 
+  test("jaroWinkler kernel pins the DuckDB-parity reference values") {
+    import graft.functions.TextKernels
+    def jw(a: String, b: String): Double =
+      TextKernels.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // values produced by DuckDB jaro_winkler_similarity, bit-exact
+    assert(jw("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") == 0.8133333333333332)
+    assert(jw("JELLYFISH", "SMELLYFISH") == 0.8962962962962964)
+    assert(jw("CRATE", "TRACE") == 0.7333333333333334) // >0.7, prefix 0
+    assert(jw("DwAyNE", "DuANE") == 0.8400000000000001) // case-sensitive
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0)
+    assert(jw("", "") == 0.0) // DuckDB convention, not textbook 1
+    assert(jw("a", "b") == 0.0)
+    // SQL surface evaluates the same kernel
+    val viaSql = Seq(("MARTHA", "MARHTA")).toDF("a", "b")
+      .selectExpr("graft_jaro_winkler(a, b) AS s").as[Double].head()
+    assert(viaSql == 0.9611111111111111)
+  }
+
   test("wordHits counts adjacent repeats exactly") {
     val df = Seq("the the cat", "the cat the", "a the  the b", "nothe the").toDF("t")
     val got = df.select(TextOps.wordHits($"t", "the")).as[Long].collect().toSeq

@@ -70,6 +70,22 @@ class LinkageSpec extends SparkSuite {
     assert(out == Seq((1L, 2L, 1L)), s"got $out")
   }
 
+  test("jaroWinklerPairs: prefix-weighted scoring finds what Levenshtein ranks weakly") {
+    val recs2 = Seq(
+      (1L, "b1", "martha"), (2L, "b1", "marhta"), // transposition: JW 0.9611…
+      (3L, "b1", "zzzzzz"),
+      (4L, "b2", "alone")
+    ).toDF("id", "blk", "name")
+    val out = Linkage.jaroWinklerPairs(recs2, "id", "name", col("blk"),
+        minSimilarity = 0.9)
+      .select("id_a", "id_b", "similarity")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.9611111111111111)), s"got $out")
+    intercept[IllegalArgumentException] {
+      Linkage.jaroWinklerPairs(recs2, "id", "name", col("blk"), 1.5)
+    }
+  }
+
   test("blockedPairs: argument validation") {
     intercept[IllegalArgumentException] {
       Linkage.blockedPairs(recs, "id", "name", col("blk"), -1)
