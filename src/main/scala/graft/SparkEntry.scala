@@ -2396,6 +2396,37 @@ object SparkEntry {
         .select(col("n").as("n_converted"),
           element_at(col("pcts"), 1).as("p50_us"),
           element_at(col("pcts"), 2).as("p90_us"))
+    }),
+
+    "q164_sliding_distinct_users" -> ((s, dir) =>
+      // trailing-7-day active users, EXACT without per-day
+      // count_distinct: contribution explode over the deduped
+      // (user, day) relation, then plain map-side-combined counts
+      Events.slidingDistinctUsers(events(s, dir), "user_id", "ts",
+        windowDays = 7)
+        .orderBy("day")),
+
+    "q165_rolling_median" -> ((s, dir) =>
+      // rolling robust smoothing: exact trailing-7 median per user —
+      // ROWS-bounded frame, so the percentile buffer is constant-sized
+      // (the bounded-frame complement of the Percentiles.exact family)
+      TimeSeries.rollingMedian(events(s, dir), "user_id",
+        Seq("ts", "event_id"), "value", window = 7)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("med_7"))
+        .orderBy("event_id")),
+
+    "q166_psi_drift" -> ((s, dir) => {
+      // population-stability drift gate: first-half vs second-half
+      // event values over fixed-width buckets; round-6-LN ladder term
+      // sum keeps the statistic engine-portable
+      val ev = events(s, dir)
+        .select(unix_micros(col("ts")).as("us"), col("value"))
+      val mm = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val tagged = ev.crossJoin(broadcast(mm))
+      CorpusStats.psi(tagged,
+        col("us") <= expr("(lo + hi) div 2"),
+        least(lit(19L), floor(col("value") / lit(25.0)).cast("long")))
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -4880,7 +4911,47 @@ object SparkEntry {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
         |  quantile_cont(CAST(lat_us AS DOUBLE), 0.5e0) AS p50_us,
         |  quantile_cont(CAST(lat_us AS DOUBLE), 0.9e0) AS p90_us
-        |FROM conv""".stripMargin)
+        |FROM conv""".stripMargin,
+
+    "q164_sliding_distinct_users" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT days.day AS day,
+        |  CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_active_7d
+        |FROM days JOIN du ON du.day BETWEEN days.day - 6 AND days.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q165_rolling_median" ->
+      """SELECT event_id, user_id, value,
+        |  quantile_cont(value, 0.5e0) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_7
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q166_psi_drift" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |mm AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+        |tg AS (SELECT LEAST(19, CAST(FLOOR(value / 25.0e0) AS BIGINT)) AS bucket,
+        |    ev.us <= (mm.lo + mm.hi) // 2 AS is_ref
+        |  FROM ev, mm),
+        |b AS (SELECT bucket,
+        |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+        |    SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cc
+        |  FROM tg GROUP BY 1),
+        |n AS (SELECT SUM(cr) AS nr, SUM(cc) AS nc, COUNT(*) AS nb FROM b),
+        |t AS (SELECT nr, nc, nb,
+        |    CAST(ROUND((CAST(cr + 1 AS DOUBLE) / CAST(nr + nb AS DOUBLE)
+        |        - CAST(cc + 1 AS DOUBLE) / CAST(nc + nb AS DOUBLE))
+        |      * LN((CAST(cr + 1 AS DOUBLE) / CAST(nr + nb AS DOUBLE))
+        |          / (CAST(cc + 1 AS DOUBLE) / CAST(nc + nb AS DOUBLE))), 6)
+        |      AS DECIMAL(18,6)) AS term
+        |  FROM b, n)
+        |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+        |  CAST(nb AS BIGINT) AS n_buckets,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+        |FROM t GROUP BY 1, 2, 3""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

@@ -82,6 +82,43 @@ object CorpusStats {
       .agg(round(sum(col("t")).cast("double"), 6).as("kl"))
   }
 
+  /** Population stability index between a reference slice and the
+    * rest: `PSI = Σ_buckets (p_b − q_b)·ln(p_b/q_b)` over bucketed
+    * value distributions, the ML-ops drift gate (PSI < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted by the usual rule of thumb).
+    * Complements [[sourceKl]]: KL is asymmetric and unsmoothed; PSI
+    * is symmetric in sign contribution and Laplace-smoothed (+1 per
+    * observed bucket), so empty-on-one-side buckets stay finite.
+    *
+    * Scale shape: ONE map-side-combined aggregate keyed by the bucket
+    * (output is bucket-count-sized), a 1-row total broadcast back over
+    * that tiny relation, and a ≤buckets-row exact DECIMAL(18,6) term
+    * sum — the round-6-LN ladder, so the statistic hash-matches
+    * across engines. Rows where `isRef` is NULL count in neither
+    * slice (3VL: both conditional sums skip them); NULL buckets group
+    * together and count like any bucket.
+    */
+  def psi(df: DataFrame, isRef: Column, bucket: Column): DataFrame = {
+    val b = df.select(bucket.as("bucket"), isRef.as("__r"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__r"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("__r"), 1L).otherwise(0L)).as("cc"))
+    val n = b.agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"),
+      count(lit(1)).as("nb"))
+    val withN = b.crossJoin(broadcast(n))
+    val p = (col("cr") + lit(1L)).cast("double") /
+      (col("nr") + col("nb")).cast("double")
+    val q = (col("cc") + lit(1L)).cast("double") /
+      (col("nc") + col("nb")).cast("double")
+    val term = round((p - q) * log(p / q), 6).cast("decimal(18,6)")
+    withN.select(col("nr"), col("nc"), col("nb"), term.as("t"))
+      .groupBy("nr", "nc", "nb")
+      .agg(round(sum(col("t")).cast("double"), 6).as("psi"))
+      .select(col("nr").cast("long").as("n_ref"),
+        col("nc").cast("long").as("n_cur"),
+        col("nb").cast("long").as("n_buckets"), col("psi"))
+  }
+
   /** Top collocations by pointwise mutual information:
     * `pmi(x,y) = ln( p(xy) / (p(x) p(y)) )` over whitespace bigrams,
     * restricted to pairs seen at least `minCount` times (PMI is

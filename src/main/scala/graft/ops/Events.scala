@@ -158,4 +158,46 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
       .withColumnRenamed("__cohort", "cohort_week")
   }
+
+  /** Trailing `windowDays`-day distinct active users per observed day
+    * (the rolling-DAU/WAU/MAU metric) — EXACT, without a per-day
+    * `count_distinct` over the raw stream. Each (user, active-day)
+    * pair CONTRIBUTES to the `windowDays` days it keeps the user
+    * active in; deduplicating contributions leaves one row per
+    * (user, reported-day), so the final count is a plain map-side-
+    * combined `count`, not a distinct aggregate.
+    *
+    * Scale shape: distinct (user, day) is one shuffle of user-day
+    * pairs (≪ events); the explode is a constant `windowDays`× blowup
+    * of THAT deduped relation; the contribution dedup and the day
+    * count are two more keyed map-side-combined aggregates. No
+    * expansion ever multiplies the raw event stream, and no state
+    * grows with window width beyond the ×w factor. For wide windows
+    * (90d+) at 100 TB, the sketch alternative is per-day HLL sketches
+    * union-merged across the window (the q131 mergeable-rollup
+    * device) at ~1.5 KB/day instead of ×w rows — this operator is the
+    * exact path and the oracle for that one.
+    *
+    * Only days observed in the data are reported (a day with zero
+    * events emits no row, even inside another day's window).
+    */
+  def slidingDistinctUsers(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 3660,
+      s"graft: windowDays must be in [1, 3660], got $windowDays")
+    val du = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val observed = du.select(col("__d")).distinct()
+    du.select(col("__u"),
+        explode(sequence(col("__d"), date_add(col("__d"), windowDays - 1)))
+          .as("__d"))
+      .distinct()
+      .join(observed, Seq("__d"), "left_semi")
+      .groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).cast("long").as(s"n_active_${windowDays}d"))
+  }
 }

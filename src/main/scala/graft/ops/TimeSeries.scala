@@ -115,4 +115,38 @@ object TimeSeries {
         round(col("__sr").cast("double") / w -
           col("__sp").cast("double") / w, 6).as("shift"))
   }
+
+  /** Trailing exact median over the last `window` observations per
+    * key — rolling robust smoothing (the median filter signal
+    * processing runs before changepoint/outlier logic; unlike a
+    * moving average it ignores isolated spikes entirely). Appends
+    * `med_<window>` to every input row.
+    *
+    * Scale shape: ONE shuffle on the key; the frame is ROWS-bounded
+    * (`window` values), so the per-row aggregation buffer is
+    * constant-sized — the corpus-proportional-buffer concern of the
+    * exact-percentile family (Percentiles.scala) does not apply to
+    * bounded frames. Partitions are key-sized and the window exec
+    * spills; a single hot key is the usual skew caveat (pre-split hot
+    * keys upstream). The interpolated-median semantics match SQL
+    * `percentile` / DuckDB `quantile_cont` windows bit-for-bit.
+    * `orderCols` must totally order each key's rows (include a unique
+    * id last) or frame contents are nondeterministic.
+    */
+  def rollingMedian(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      window: Int = 7): DataFrame = {
+    require(window >= 1 && window <= 100000,
+      s"graft: window must be in [1, 1e5], got $window")
+    require(orderCols.nonEmpty, "graft: orderCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1), 0)
+    df.withColumn(s"med_$window",
+      expr(s"percentile($valueCol, 0.5)").over(w))
+  }
 }

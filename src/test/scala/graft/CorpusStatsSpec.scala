@@ -226,4 +226,31 @@ class CorpusStatsSpec extends SparkSuite {
     assert(!chunkPlan.contains("Exchange"),
       s"chunkTokens must be map-only:\n$chunkPlan")
   }
+
+  test("psi: identical slices score 0; a hand-computed shift matches the ladder") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val same = Seq((true, 0L), (true, 1L), (false, 0L), (false, 1L))
+      .toDF("r", "b")
+    val zero = CorpusStats.psi(same, col("r"), col("b"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(zero == ((2L, 2L, 2L, 0.0)), s"got $zero")
+
+    // ref: bucket0×3, bucket1×1; cur: bucket0×1, bucket1×3
+    val df = (Seq.fill(3)((true, 0L)) ++ Seq((true, 1L)) ++
+      Seq((false, 0L)) ++ Seq.fill(3)((false, 1L))).toDF("r", "b")
+    val got = CorpusStats.psi(df, col("r"), col("b"))
+      .as[(Long, Long, Long, Double)].head()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val t0 = r6((4.0 / 6 - 2.0 / 6) * math.log((4.0 / 6) / (2.0 / 6)))
+    val t1 = r6((2.0 / 6 - 4.0 / 6) * math.log((2.0 / 6) / (4.0 / 6)))
+    assert(got == ((4L, 4L, 2L, r6(t0 + t1))), s"got $got")
+
+    // a NULL slice tag lands in neither side
+    val withNull = Seq((Some(true), 0L), (Option.empty[Boolean], 0L),
+      (Some(false), 0L)).toDF("r", "b")
+    val nn = CorpusStats.psi(withNull, col("r"), col("b"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(nn._1 == 1L && nn._2 == 1L, s"got $nn")
+  }
 }

@@ -115,4 +115,24 @@ class EventsSpec extends SparkSuite {
       ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
       ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
   }
+
+  test("slidingDistinctUsers: trailing window membership, only observed days") {
+    import spark.implicits._
+    // u1 active Jan 1 and Jan 9; u2 active Jan 1 (twice — dedups)
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-09 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 23:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Events.slidingDistinctUsers(evs, "user_id", "ts", windowDays = 7)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    // Jan 1: both users; Jan 9: only u1 (Jan 1 is outside [Jan 3, Jan 9]);
+    // Jan 2–8 emit nothing (unobserved) even though windows cover them
+    assert(out == Seq(("2024-01-01", 2L), ("2024-01-09", 1L)), s"got $out")
+    intercept[IllegalArgumentException] {
+      Events.slidingDistinctUsers(evs, "user_id", "ts", windowDays = 0)
+    }
+  }
 }

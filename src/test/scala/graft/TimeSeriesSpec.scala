@@ -67,6 +67,23 @@ class TimeSeriesSpec extends SparkSuite {
     assert(TimeSeries.meanShiftDaily(short, "k", "ts", "v", 7).count() == 0)
   }
 
+  test("rollingMedian: bounded trailing frame, interpolated midpoint") {
+    val rows = Seq(
+      ("u", 1L, ts("2024-01-01 00:00:00"), 1.0),
+      ("u", 2L, ts("2024-01-01 01:00:00"), 100.0),
+      ("u", 3L, ts("2024-01-01 02:00:00"), 2.0),
+      ("u", 4L, ts("2024-01-01 03:00:00"), 3.0),
+      ("v", 5L, ts("2024-01-01 00:00:00"), 9.0)
+    ).toDF("k", "id", "ts", "v")
+    val out = TimeSeries.rollingMedian(rows, "k", Seq("ts", "id"), "v",
+        window = 3)
+      .select("id", "med_3").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    // frames: [1]→1, [1,100]→50.5, [1,100,2]→2, [100,2,3]→3; v: [9]→9
+    assert(out == Seq((1L, 1.0), (2L, 50.5), (3L, 2.0), (4L, 3.0),
+      (5L, 9.0)), s"got $out")
+    // the spike never dominates: a window mean would report 34.3 at id 3
+  }
+
   test("epoch buckets are UTC-hour/day aligned longs") {
     val one = Seq(("k", ts("2024-01-02 03:59:59"), 1.0)).toDF("k", "ts", "v")
     val hr = one.select(TimeSeries.epochHour(col("ts"))).as[Long].head()
