@@ -2427,7 +2427,35 @@ object SparkEntry {
       CorpusStats.psi(tagged,
         col("us") <= expr("(lo + hi) div 2"),
         least(lit(19L), floor(col("value") / lit(25.0)).cast("long")))
-    }))
+    }),
+
+    "q167_linear_attribution" -> ((s, dir) =>
+      // multi-touch credit: each purchase splits one unit across the
+      // user's click/view touches in the prior 7 days; untouched
+      // purchases credit '(none)' whole; round-6 DECIMAL credit sums
+      Events.linearAttribution(events(s, dir), "user_id", "ts",
+        "event_id", "event_type", conversionType = "purchase",
+        touchTypes = Seq("click", "view"), windowUs = 604800000000L)
+        .orderBy("channel")),
+
+    "q168_source_overlap" -> ((s, dir) =>
+      // corpus-provenance audit: which sources share identical
+      // leading-64-char segments — digest-only shuffle, group sets
+      // bounded by actual sharers, maxGroups fail-fast
+      Dedup.crossGroupOverlap(
+        t(s, dir, "documents")
+          .withColumn("seg", substring(col("text"), 1, 64)),
+        Seq("seg"), "source")
+        .orderBy("group_a", "group_b")),
+
+    "q169_woe_encoding" -> ((s, dir) =>
+      // weight-of-evidence table: error-vs-ok label over the q166
+      // value buckets, Laplace-smoothed; the IV statistic is q166's
+      // psi with slices = label classes
+      CorpusStats.woe(events(s, dir),
+        col("event_type") =!= "error",
+        least(lit(19L), floor(col("value") / lit(25.0)).cast("long")))
+        .orderBy("bucket")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -4951,7 +4979,46 @@ object SparkEntry {
         |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
         |  CAST(nb AS BIGINT) AS n_buckets,
         |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
-        |FROM t GROUP BY 1, 2, 3""".stripMargin)
+        |FROM t GROUP BY 1, 2, 3""".stripMargin,
+
+    "q167_linear_attribution" ->
+      """WITH conv AS (SELECT user_id AS u, epoch_us(ts) AS cus,
+        |    event_id AS cid FROM events WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id AS u, epoch_us(ts) AS tus,
+        |    event_type AS ch FROM events WHERE event_type IN ('click','view')),
+        |j AS (SELECT conv.cid, touch.ch FROM conv LEFT JOIN touch
+        |  ON conv.u = touch.u AND touch.tus >= conv.cus - 604800000000
+        |    AND touch.tus < conv.cus),
+        |n AS (SELECT cid, COUNT(ch) AS n FROM j GROUP BY 1),
+        |cr AS (SELECT COALESCE(j.ch, '(none)') AS channel,
+        |    CASE WHEN n.n > 0
+        |      THEN CAST(ROUND(1.0e0 / n.n, 6) AS DECIMAL(18,6))
+        |      ELSE CAST(1 AS DECIMAL(18,6)) END AS credit,
+        |    CASE WHEN j.ch IS NOT NULL THEN 1 ELSE 0 END AS is_touch
+        |  FROM j JOIN n USING (cid))
+        |SELECT channel, CAST(SUM(is_touch) AS BIGINT) AS n_touches,
+        |  ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS credit
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q168_source_overlap" ->
+      """WITH d AS (SELECT DISTINCT substr(text, 1, 64) AS seg, source
+        |  FROM documents)
+        |SELECT a.source AS group_a, b.source AS group_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM d a JOIN d b ON a.seg = b.seg AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q169_woe_encoding" ->
+      """WITH b AS (SELECT
+        |    LEAST(19, CAST(FLOOR(value / 25.0e0) AS BIGINT)) AS bucket,
+        |    SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS cg,
+        |    SUM(CASE WHEN NOT event_type <> 'error' THEN 1 ELSE 0 END) AS cb
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT SUM(cg) AS ng, SUM(cb) AS nbad, COUNT(*) AS nb FROM b)
+        |SELECT bucket, CAST(cg AS BIGINT) AS n_good, CAST(cb AS BIGINT) AS n_bad,
+        |  ROUND(LN((CAST(cg + 1 AS DOUBLE) / CAST(ng + nb AS DOUBLE))
+        |    / (CAST(cb + 1 AS DOUBLE) / CAST(nbad + nb AS DOUBLE))), 6) AS woe
+        |FROM b, n ORDER BY bucket""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

@@ -119,6 +119,36 @@ object CorpusStats {
         col("nb").cast("long").as("n_buckets"), col("psi"))
   }
 
+  /** Weight-of-evidence encoding table for a binary label over value
+    * buckets: `WOE_b = ln( (good_b/goods) / (bad_b/bads) )` with the
+    * same +1-per-observed-bucket Laplace smoothing as [[psi]] — the
+    * credit-scoring / feature-engineering transform that replaces a
+    * categorical or bucketed feature by its evidence weight (positive
+    * WOE ⇔ bucket over-represents the good class). The information
+    * value `IV = Σ (p_b − q_b)·WOE_b` is exactly [[psi]] with the
+    * slices set to good/bad — run both off the same bucket expression.
+    *
+    * Same scale shape as [[psi]]: one bucket-keyed map-side-combined
+    * aggregate, one 1-row total broadcast over the bucket-sized
+    * relation; WOE is a single `ln` of a ratio of two fixed divisions,
+    * rounded to 6 — no double summation, so no ladder needed.
+    */
+  def woe(df: DataFrame, isGood: Column, bucket: Column): DataFrame = {
+    val b = df.select(bucket.as("bucket"), isGood.as("__g"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__g"), 1L).otherwise(0L)).as("cg"),
+        sum(when(!col("__g"), 1L).otherwise(0L)).as("cb"))
+    val n = b.agg(sum(col("cg")).as("ng"), sum(col("cb")).as("nbad"),
+      count(lit(1)).as("nb"))
+    b.crossJoin(broadcast(n))
+      .select(col("bucket"), col("cg").cast("long").as("n_good"),
+        col("cb").cast("long").as("n_bad"),
+        round(log(((col("cg") + lit(1L)).cast("double") /
+          (col("ng") + col("nb")).cast("double")) /
+          ((col("cb") + lit(1L)).cast("double") /
+            (col("nbad") + col("nb")).cast("double"))), 6).as("woe"))
+  }
+
   /** Top collocations by pointwise mutual information:
     * `pmi(x,y) = ln( p(xy) / (p(x) p(y)) )` over whitespace bigrams,
     * restricted to pairs seen at least `minCount` times (PMI is

@@ -71,6 +71,50 @@ object Dedup {
   def digests(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.select(contentDigest(keyCols).as("digest")).distinct()
 
+  /** Cross-group contamination matrix: for every pair of groups
+    * (sources, datasets, snapshots), how many distinct documents they
+    * SHARE byte-for-byte — "which sources copy from each other", the
+    * corpus-provenance audit run before mixing sources into a
+    * training set (shared mass inflates a source's apparent volume
+    * and defeats per-source quotas).
+    *
+    * Output: `(group_a, group_b, n_shared)` with `group_a < group_b`,
+    * pairs sharing ≥ `minShared` distinct contents.
+    *
+    * Scale shape: one digest shuffle dedups (digest, group) — text
+    * never crosses the wire after the scan-stage md5; per-digest
+    * group sets are bounded by the groups that actually share that
+    * content (and the `maxGroups` fail-fast guards the
+    * boilerplate-everywhere digest that would explode quadratically,
+    * the q26/q150 bucket-cap device); the pair aggregate is
+    * map-side-combined and groups²-bounded.
+    */
+  def crossGroupOverlap(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      minShared: Long = 1L,
+      maxGroups: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
+    val ds = df.select(contentDigest(keyCols).as("digest"),
+      col(groupCol).as("__g")).distinct()
+    val sets = ds.groupBy("digest")
+      .agg(collect_set(col("__g")).as("__gs"))
+      .withColumn("__gs", when(size(col("__gs")) <= maxGroups, col("__gs"))
+        .otherwise(raise_error(concat(
+          lit(s"crossGroupOverlap: digest shared by more than $maxGroups "
+            + "groups: "), col("digest")))))
+      .filter(size(col("__gs")) >= 2)
+    sets
+      .select(explode(col("__gs")).as("group_a"), col("__gs"))
+      .select(col("group_a"), explode(col("__gs")).as("group_b"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Digest index with recency: `(digest, last_seen)` where
     * `last_seen` is the max of `seenCol` over the digest's rows. The
     * retention-aware variant of [[digests]] for rolling corpus builds

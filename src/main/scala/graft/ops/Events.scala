@@ -200,4 +200,62 @@ object Events {
       .groupBy(col("__d").as("day"))
       .agg(count(lit(1)).cast("long").as(s"n_active_${windowDays}d"))
   }
+
+  /** Linear multi-touch attribution: every conversion splits one unit
+    * of credit equally across the user's touch events inside the
+    * trailing `windowUs` lookback (strictly before the conversion);
+    * conversions with no touch in window credit the `(none)` channel
+    * whole. The marketing-analytics complement of q130's last-touch
+    * `asofJoin` — last-touch answers "what closed it", linear answers
+    * "what participated".
+    *
+    * Output: `(channel, n_touches, credit)` — touch count and exact
+    * credit sum per channel. Credit fractions `1/n` are IEEE doubles
+    * rounded to 6 decimals and summed as DECIMAL(18,6) (the round-6
+    * ladder), so totals are order-independent and engine-portable.
+    *
+    * Scale shape: conversions join touches on the USER key (one
+    * shuffle each side); the range predicate prunes to the lookback.
+    * Per-user cost is conversions×touches — bounded by per-user
+    * activity, the usual power-user skew handled by AQE skew splits;
+    * for pathological users apply an upstream per-user event cap. The
+    * per-conversion fan-in count and the channel rollup are both
+    * map-side-combined aggregates.
+    */
+  def linearAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      conversionType: String,
+      touchTypes: Seq[String],
+      windowUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "graft: touchTypes must be non-empty")
+    require(windowUs > 0, s"graft: windowUs must be positive, got $windowUs")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__cus"),
+        col(idCol).as("__cid"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__tus"),
+        col(typeCol).as("__ch"))
+    val joined = conv.join(touch,
+      conv("__u") === touch("__u") &&
+        col("__tus") >= col("__cus") - lit(windowUs) &&
+        col("__tus") < col("__cus"),
+      "left")
+    val perConv = joined.groupBy("__cid")
+      .agg(sum(when(col("__ch").isNotNull, 1L).otherwise(0L)).as("__n"),
+        collect_list(col("__ch")).as("__chs"))
+    val credited = perConv.select(col("__n"),
+      explode(when(col("__n") > 0, col("__chs"))
+        .otherwise(array(lit("(none)")))).as("channel"),
+      when(col("__n") > 0,
+        round(lit(1.0) / col("__n").cast("double"), 6))
+        .otherwise(lit(1.0)).cast("decimal(18,6)").as("__credit"))
+    credited.groupBy("channel")
+      .agg(sum(when(col("channel") =!= "(none)", 1L).otherwise(0L))
+        .cast("long").as("n_touches"),
+        round(sum(col("__credit")).cast("double"), 6).as("credit"))
+  }
 }

@@ -253,4 +253,21 @@ class CorpusStatsSpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].head()
     assert(nn._1 == 1L && nn._2 == 1L, s"got $nn")
   }
+
+  test("woe: smoothed evidence weights by hand; balanced bucket is 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // bucket 0: 3 good / 1 bad; bucket 1: 1 good / 3 bad → symmetric;
+    // bucket 2: 1 good / 1 bad → woe exactly 0 under equal totals
+    val df = (Seq.fill(3)((true, 0L)) ++ Seq((false, 0L)) ++
+      Seq((true, 1L)) ++ Seq.fill(3)((false, 1L)) ++
+      Seq((true, 2L), (false, 2L))).toDF("g", "b")
+    val out = CorpusStats.woe(df, col("g"), col("b"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // G = B = 5, nb = 3 → denominator 8 on both sides
+    val w0 = r6(math.log((4.0 / 8) / (2.0 / 8)))
+    assert(out == Seq((0L, 3L, 1L, w0), (1L, 1L, 3L, -w0),
+      (2L, 1L, 1L, 0.0)), s"got $out")
+  }
 }

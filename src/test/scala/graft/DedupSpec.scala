@@ -346,4 +346,25 @@ class DedupSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0))
     assert(out.toSeq == Seq(1L), s"only the aged-out doc re-admits: ${out.toSeq}")
   }
+
+  test("crossGroupOverlap: distinct shared contents per group pair, guard trips") {
+    import spark.implicits._
+    val docs = Seq(
+      ("x", "a"), ("x", "b"), ("x", "b"), // dup (content, group) counts once
+      ("y", "a"), ("y", "b"),
+      ("z", "a"), ("z", "c"),
+      ("only-b", "b")
+    ).toDF("text", "src")
+    val out = Dedup.crossGroupOverlap(docs, Seq("text"), "src")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // a∩b = {x, y}; a∩c = {z}; b∩c = ∅
+    assert(out == Seq(("a", "b", 2L), ("a", "c", 1L)), s"got $out")
+    val everywhere = Seq(("boiler", "a"), ("boiler", "b"), ("boiler", "c"))
+      .toDF("text", "src")
+    val e = intercept[Exception] {
+      Dedup.crossGroupOverlap(everywhere, Seq("text"), "src", maxGroups = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("shared by more than"), e.getMessage)
+  }
 }

@@ -135,4 +135,25 @@ class EventsSpec extends SparkSuite {
       Events.slidingDistinctUsers(evs, "user_id", "ts", windowDays = 0)
     }
   }
+
+  test("linearAttribution: equal split, lookback bounds, (none) fallback") {
+    import spark.implicits._
+    val evs = Seq(
+      // u1: click + view inside window, then converts → ½ each
+      (1L, ts("2024-01-01 00:00:00"), 10L, "click"),
+      (1L, ts("2024-01-01 01:00:00"), 11L, "view"),
+      (1L, ts("2024-01-01 02:00:00"), 12L, "purchase"),
+      // u1: a touch AT the conversion instant does not count (strict <)
+      (1L, ts("2024-01-01 02:00:00"), 13L, "click"),
+      // u2: touch outside the 1-hour window → (none)
+      (2L, ts("2024-01-01 00:00:00"), 20L, "click"),
+      (2L, ts("2024-01-01 03:00:00"), 21L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.linearAttribution(evs, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("click", "view"),
+        windowUs = 3600000000L * 2)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("(none)", 0L, 1.0), ("click", 1L, 0.5),
+      ("view", 1L, 0.5)), s"got $out")
+  }
 }
