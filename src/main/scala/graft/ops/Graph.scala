@@ -120,14 +120,18 @@ object Graph {
     * chains stay stable while deep ones keep jumping.
     *
     * Scale shape: each round is ONE equi-join of the N-row jump
-    * relation with itself on the ancestor key plus a projection —
-    * 2·⌈log₂ maxDepth⌉ shuffles of N rows total. Lineage grows
-    * linearly in rounds (≤ 6 at the default maxDepth 64, ≤ 20 hard
-    * cap ⇒ depth 2^20); co-partition by node for shuffle-free rounds
-    * on a bucketed table. A node whose chain has NOT reached a root
-    * after the rounds (depth > maxDepth, or a cycle — parent
-    * relations with cycles are invalid input) fails fast with
-    * `raise_error` instead of returning a wrong ancestor.
+    * relation with itself on the ancestor key plus a projection.
+    * Because the round composes the relation WITH ITSELF, a lazy
+    * plan would double its tree every round (2^rounds join nodes —
+    * the pin in PlanSpec caught exactly that); each round therefore
+    * MATERIALIZES via `localCheckpoint`, the GraphX/Pregel iteration
+    * pattern, keeping every round's plan one join deep and the total
+    * cost at 2·⌈log₂ maxDepth⌉ shuffles of N rows. Co-partition by
+    * node for shuffle-free rounds on a bucketed table. A node whose
+    * chain has NOT reached a root after the rounds (depth > maxDepth,
+    * or a cycle — parent relations with cycles are invalid input)
+    * fails fast with `raise_error` instead of returning a wrong
+    * ancestor.
     */
   def rootAndDepth(
       parents: DataFrame,
@@ -147,6 +151,7 @@ object Graph {
         .join(jump.as("b"), col("a.anc") === col("b.node"))
         .select(col("a.node").as("node"), col("b.anc").as("anc"),
           (col("a.d") + col("b.d")).as("d"))
+        .localCheckpoint(true) // cut the self-composed lineage per round
     }
     val roots = parents.filter(col(parentCol).isNull)
       .select(col(nodeCol).as("__root"))

@@ -524,4 +524,50 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
   }
+
+  test("q160 tree closure: per-round materialization keeps the plan shallow") {
+    // each doubling round self-composes the jump relation — without
+    // the per-round localCheckpoint the lazy tree holds 2^rounds join
+    // nodes (the bug this pin caught: 64 joins at maxDepth 64). The
+    // final plan must contain ONLY the root-check join over the last
+    // materialized round.
+    val df = SparkEntry.queries("q160_tree_closure")(spark, sfDir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(joins == 1, s"expected only the root join over the " +
+      s"checkpointed closure, got $joins")
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q161 gini: ranks ride the range exchange, sums aggregate partially") {
+    val p = finalPlan(SparkEntry.queries("q161_gini_concentration")(spark, sfDir))
+    assert(p.contains("rangepartitioning"),
+      s"stratified-rank device must range-partition:\n$p")
+    assert(p.contains("partial_"), s"stratum sums must map-side combine:\n$p")
+  }
+
+  test("q164 sliding distinct users: dedup-then-count, no distinct Expand") {
+    val p = finalPlan(
+      SparkEntry.queries("q164_sliding_distinct_users")(spark, sfDir))
+    assert(!p.contains("Expand"), s"no count_distinct expansion:\n$p")
+    assert(p.contains("Generate explode"),
+      s"window membership must come from the contribution explode:\n$p")
+  }
+
+  test("q165 rolling median: window partitions by key — no single-task window") {
+    val p = finalPlan(SparkEntry.queries("q165_rolling_median")(spark, sfDir))
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the window must partition on the key:\n$p")
+    assert(!p.contains("SinglePartition"), s"no global window:\n$p")
+  }
+
+  test("q167 attribution: conversions meet touches on the user equi-key") {
+    val p = finalPlan(SparkEntry.queries("q167_linear_attribution")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the lookback predicate must post-filter an equi join:\n$p")
+  }
 }
