@@ -49,7 +49,13 @@ object Bench {
           .cast("decimal(18,2)"))).collect()
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for local timing iteration
+    // (the driver always runs with no args → full suite)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(',').toSet) else None
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var ok = true
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
