@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Basket, Bpe, Cdc, Concentration, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Linkage, Pack, Profile, Quality, Rank, Robust, Sample, Similarity, TextOps, TimeSeries}
+import graft.ops.{Basket, Bpe, Cdc, Concentration, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Linkage, Pack, Profile, Quality, Rank, Robust, Sample, Similarity, Skew, TextOps, TimeSeries}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -2455,7 +2455,32 @@ object SparkEntry {
       CorpusStats.woe(events(s, dir),
         col("event_type") =!= "error",
         least(lit(19L), floor(col("value") / lit(25.0)).cast("long")))
-        .orderBy("bucket")))
+        .orderBy("bucket")),
+
+    "q170_prefix_filter_jaccard" -> ((s, dir) =>
+      // EXACT set-similarity self-join via prefix filtering (PPJoin
+      // family): candidates only where rarest-first prefixes collide,
+      // fail-fast bucket guard (completeness is the contract — no
+      // silent drops); oracle is the brute-force all-pairs spec
+      Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    "q171_heavy_hitters" -> ((s, dir) =>
+      // join-key skew diagnosis: exact top-20 keys with share and
+      // cumulative share; distinct-key-sized count shuffle, K-row
+      // window only
+      Skew.heavyHitterReport(t(s, dir, "lineitem"), "l_partkey",
+        topK = 20)
+        .orderBy("rank")),
+
+    "q172_peak_concurrency" -> ((s, dir) =>
+      // capacity planning by sweep line: max simultaneously-open
+      // 30-min event intervals per type + first instant of the peak;
+      // running concurrency rides the two-phase prefix-sum device
+      Events.peakConcurrency(events(s, dir), "event_type", "ts",
+        "event_id", durationUs = 1800000000L)
+        .orderBy("event_type")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5018,7 +5043,51 @@ object SparkEntry {
         |SELECT bucket, CAST(cg AS BIGINT) AS n_good, CAST(cb AS BIGINT) AS n_bad,
         |  ROUND(LN((CAST(cg + 1 AS DOUBLE) / CAST(ng + nb AS DOUBLE))
         |    / (CAST(cb + 1 AS DOUBLE) / CAST(nbad + nb AS DOUBLE))), 6) AS woe
-        |FROM b, n ORDER BY bucket""".stripMargin)
+        |FROM b, n ORDER BY bucket""".stripMargin,
+
+    // the brute-force all-pairs Jaccard is the SEMANTIC spec; the
+    // engine side must reproduce it exactly through prefix filtering
+    "q170_prefix_filter_jaccard" ->
+      s"""WITH sh AS (${sqlShingles(3)}),
+        |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |  CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN n na ON na.doc_id = ia
+        |JOIN n nb ON nb.doc_id = ib
+        |WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q171_heavy_hitters" ->
+      """WITH c AS (SELECT l_partkey AS key, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tot FROM c),
+        |k AS (SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank,
+        |    SUM(n) OVER (ORDER BY n DESC, key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c ORDER BY n DESC, key LIMIT 20)
+        |SELECT key, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank,
+        |  CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share,
+        |  CAST(cum AS DOUBLE) / CAST(t.tot AS DOUBLE) AS cum_share
+        |FROM k, t ORDER BY rank""".stripMargin,
+
+    "q172_peak_concurrency" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, epoch_us(ts) AS us, 1 AS d,
+        |    event_id AS id FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 1800000000, -1, event_id
+        |  FROM events),
+        |r AS (SELECT g, us, d, SUM(d) OVER (PARTITION BY g ORDER BY us, d, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM b),
+        |m AS (SELECT g, MAX(run) AS peak FROM r GROUP BY 1)
+        |SELECT r.g AS event_type, CAST(m.peak AS BIGINT) AS peak,
+        |  CAST(MIN(r.us) AS BIGINT) AS peak_us
+        |FROM r JOIN m ON r.g = m.g AND r.run = m.peak
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

@@ -192,6 +192,90 @@ object Dedup {
     df.select(col(idCol).as("__id"),
       explode(shingles(col(textCol), n)).as("gram"))
 
+  /** EXACT set-similarity self-join by PREFIX FILTERING (the
+    * PPJoin/AllPairs family — Chaudhuri et al. 2006, Xiao et al.
+    * 2008): all pairs with shingle-set Jaccard ≥ `threshold`, with a
+    * deterministic completeness guarantee — the LSH-free alternative
+    * to [[minhashCandidates]] when probabilistic recall is not
+    * acceptable (legal dedup obligations, eval-set decontamination).
+    *
+    * The filter: order every document's grams by ascending global
+    * document frequency (rarest first, gram string tie-break); two
+    * sets with Jaccard ≥ τ must overlap within their first
+    * `|x| − ⌈τ·|x|⌉ + 1` grams under ANY single global order, so only
+    * documents sharing a PREFIX gram are ever candidates — and prefix
+    * grams are by construction the rarest, so candidate buckets stay
+    * small exactly where all-gram bucketing ([[ngramJaccardPairs]])
+    * explodes on stop-shingles. A size-ratio filter
+    * (`min/max ≥ τ`) prunes before verification; verification is one
+    * exact intersection count per surviving candidate.
+    *
+    * Scale shape: gram table persists once (one corpus scan); global
+    * frequencies are one map-side-combined aggregate; the bucket join
+    * runs only on prefix rows. Because completeness is the CONTRACT,
+    * an over-`maxBucket` prefix bucket fail-fasts with `raise_error`
+    * (dropping it, as the LSH path legitimately does, would silently
+    * break exactness — raise τ or n instead).
+    */
+  def prefixFilterJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val sh = gramRows(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = sh.groupBy("gram").agg(count(lit(1)).as("__df"))
+    val perDoc = sh.join(freq, "gram")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("gram"))))
+        .as("__gs"), count(lit(1)).as("__n"))
+    // ε-nudge: at an exactly-integral τ·n, FP rounding of the product
+    // can land one ulp HIGH, making ceil one too big and the prefix
+    // one too SHORT — the unsafe direction for a completeness
+    // contract. Nudging down can only lengthen the prefix (safe).
+    val prefixLen = (col("__n") -
+      ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1).cast("int")
+    val prefixRows = perDoc
+      .select(col("__id"), col("__n"),
+        explode(slice(col("__gs"), lit(1), prefixLen)).as("__g"))
+      .select(col("__id"), col("__n"), col("__g.gram").as("gram"))
+    val buckets = prefixRows.groupBy("gram")
+      .agg(sort_array(collect_list(struct(col("__id"), col("__n"))))
+        .as("rs"))
+      .withColumn("rs", when(size(col("rs")) <= maxBucket, col("rs"))
+        .otherwise(raise_error(concat(
+          lit(s"prefixFilterJaccardPairs: prefix bucket over $maxBucket " +
+            "docs (completeness is the contract — raise threshold or n, " +
+            "or exact-dedup boilerplate first) for gram: "), col("gram")))))
+      .filter(size(col("rs")) >= 2)
+    val cand = buckets
+      .select(explode(col("rs")).as("a"), col("rs"))
+      .select(col("a"), explode(col("rs")).as("b"))
+      .filter(col("a.__id") < col("b.__id"))
+      // same ε-nudge: a boundary pair (min = τ·max exactly) must not
+      // be rejected because the product rounded one ulp high
+      .filter(least(col("a.__n"), col("b.__n")).cast("double") >=
+        lit(threshold) * greatest(col("a.__n"), col("b.__n")).cast("double")
+          - lit(1e-9))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__n").as("na"), col("b.__n").as("nb"))
+      .distinct()
+    val shA = sh.select(col("__id").as("id_a"), col("gram"))
+    val shB = sh.select(col("__id").as("id_b"), col("gram"))
+    cand.join(shA, "id_a").join(shB, Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash-LSH candidate pairs.
     *
     * Signature of `numHashes` minhashes split into `bands` bands of

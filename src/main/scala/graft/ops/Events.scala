@@ -258,4 +258,47 @@ object Events {
         .cast("long").as("n_touches"),
         round(sum(col("__credit")).cast("double"), 6).as("credit"))
   }
+
+  /** Peak concurrency per group by SWEEP LINE: each event contributes
+    * an interval `[ts, ts + durationUs)`; the answer is the maximum
+    * number of simultaneously-open intervals and the first instant it
+    * is reached — "how many sessions were open at the worst moment",
+    * the capacity-planning question. Boundaries (+1 at start, −1 at
+    * end) are ordered `(time, delta, id)`, so at a shared instant the
+    * −1 sorts first — exactly half-open semantics (an interval ending
+    * at t does not overlap one starting at t).
+    *
+    * Scale shape: the running concurrency is a per-group prefix sum
+    * over 2N boundary rows — it rides [[Rank.stratifiedPrefixSum]]'s
+    * two-phase device (ONE range shuffle, partition-local scans, a
+    * P×S-row broadcast side table; never a single-task global
+    * window). The peak extraction is a group-keyed max plus one
+    * boundary-relation re-scan for the argmin instant, both map-side
+    * combined.
+    */
+  def peakConcurrency(
+      events: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      idCol: String,
+      durationUs: Long): DataFrame = {
+    require(durationUs > 0, s"graft: durationUs must be positive")
+    val base = events.select(col(groupCol).as("__g"),
+      unix_micros(col(tsCol)).as("__us"), col(idCol).as("__id"))
+    val bounds = base
+      .select(col("__g"), col("__us"), lit(1L).as("__d"), col("__id"))
+      .unionAll(base.select(col("__g"),
+        (col("__us") + lit(durationUs)).as("__us"), lit(-1L).as("__d"),
+        col("__id")))
+    val run = Rank.stratifiedPrefixSum(bounds, "__g",
+        Seq("__us", "__d", "__id"), "__d")
+      .withColumn("__run", col("prefix") + col("__d"))
+    val peaks = run.groupBy("__g").agg(max(col("__run")).as("peak"))
+    run.join(peaks, Seq("__g"))
+      .filter(col("__run") === col("peak"))
+      .groupBy(col("__g"), col("peak"))
+      .agg(min(col("__us")).as("peak_us"))
+      .select(col("__g").as(groupCol), col("peak").cast("long").as("peak"),
+        col("peak_us").cast("long").as("peak_us"))
+  }
 }

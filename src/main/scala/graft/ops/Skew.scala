@@ -59,4 +59,42 @@ object Skew {
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Heavy-hitter diagnosis for a join/aggregation key: the top-K
+    * keys by row count with each key's share and cumulative share of
+    * the corpus — the report run BEFORE picking a skew mitigation
+    * (a 40%-share key wants [[saltedJoin]]; a long flat tail wants
+    * nothing). Exact, unlike the CMS sketch (q73), because the
+    * decision is about the head and the head is K-bounded.
+    *
+    * Scale shape: one map-side-combined count keyed by the key
+    * (distinct-key-sized), one 1-row total broadcast, distributed
+    * TakeOrdered for the top K; the rank/cumulative window runs on
+    * the K-row result only (K-bounded by construction — the
+    * single-partition window warning does not apply to a 20-row
+    * relation). Shares divide exact cumulative LONG counts once, so
+    * the doubles are single IEEE ops.
+    */
+  def heavyHitterReport(
+      df: DataFrame,
+      keyCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1 && topK <= 100000,
+      s"graft: topK must be in [1, 1e5], got $topK")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__tot"))
+    val top = counts.orderBy(col("n").desc, col("key")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .select(col("key"), col("n").cast("long").as("n"), col("rank"),
+        (col("n").cast("double") / col("__tot").cast("double")).as("share"),
+        (col("__cum").cast("double") / col("__tot").cast("double"))
+          .as("cum_share"))
+  }
 }

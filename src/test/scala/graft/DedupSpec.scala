@@ -367,4 +367,54 @@ class DedupSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("shared by more than"), e.getMessage)
   }
+
+  test("prefixFilterJaccardPairs: exact-boundary pair survives both ε-nudges") {
+    import spark.implicits._
+    // unigram sets {a,b,c,d} vs {a,b,c,d,e}: J = 4/5 = τ exactly, and
+    // the length filter sits at min = τ·max exactly — both the ceil
+    // and the ratio product must not round the pair away
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d e"),
+      (3L, "x y z w v")).toDF("doc_id", "text")
+    val out = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        n = 1, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.8)), s"got $out")
+  }
+
+  test("prefixFilterJaccardPairs: agrees with the all-gram bucket path") {
+    import spark.implicits._
+    // the prefix-filtered candidate scheme must lose NOTHING vs
+    // bucketing every gram (ngramJaccardPairs) — same pairs, same
+    // jaccard values, on a mixed near-dup fixture
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox leaps over the lazy dog tonight"),
+      (4L, "entirely different words compose this sentence here now"),
+      (5L, "entirely different words compose this sentence here today")
+    ).toDF("doc_id", "text")
+    for (tau <- Seq(0.3, 0.5, 0.7)) {
+      val viaPrefix = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val viaAllGrams = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(viaPrefix == viaAllGrams, s"tau=$tau: $viaPrefix != $viaAllGrams")
+      assert(viaPrefix.nonEmpty, s"fixture must produce pairs at tau=$tau")
+    }
+  }
+
+  test("prefixFilterJaccardPairs: over-cap prefix bucket fails fast, never drops") {
+    import spark.implicits._
+    // identical docs: the shared gram is in every prefix → bucket = N
+    val docs = (1L to 6L).map(i => (i, "same text everywhere"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", n = 1,
+        threshold = 0.9, maxBucket = 4).collect()
+    }
+    assert(e.getMessage.contains("completeness is the contract"),
+      e.getMessage)
+  }
 }

@@ -156,4 +156,24 @@ class EventsSpec extends SparkSuite {
     assert(out == Seq(("(none)", 0L, 1.0), ("click", 1L, 0.5),
       ("view", 1L, 0.5)), s"got $out")
   }
+
+  test("peakConcurrency: sweep line with half-open interval semantics") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new Timestamp(base.getTime + sec * 1000)
+    val evs = Seq(
+      // g1: starts at 0, 10, 20 with 15s duration → pairwise overlaps,
+      // never a triple: peak 2, first reached at t=10
+      ("g1", at(0), 1L), ("g1", at(10), 2L), ("g1", at(20), 3L),
+      // g2: second interval starts exactly when the first ENDS —
+      // half-open means they never overlap: peak 1 at t=0
+      ("g2", at(0), 4L), ("g2", at(15), 5L)
+    ).toDF("g", "ts", "id")
+    val out = Events.peakConcurrency(evs, "g", "ts", "id",
+        durationUs = 15000000L)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val baseUs = base.getTime * 1000
+    assert(out == Seq(("g1", 2L, baseUs + 10000000L), ("g2", 1L, baseUs)),
+      s"got $out")
+  }
 }

@@ -65,4 +65,17 @@ class ScaleToolsSpec extends SparkSuite {
     spark.sql("DROP TABLE graft_b_orders")
     spark.sql("DROP TABLE graft_b_lineitem")
   }
+
+  test("heavyHitterReport: exact head with shares and cumulative shares") {
+    // key a ×5, b ×3, c ×2 → total 10
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val out = Skew.heavyHitterReport(df, "k", topK = 2)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("a", 5L, 1L, 0.5, 0.5), ("b", 3L, 2L, 0.3, 0.8)),
+      s"got $out")
+    intercept[IllegalArgumentException] {
+      Skew.heavyHitterReport(df, "k", topK = 0)
+    }
+  }
 }
