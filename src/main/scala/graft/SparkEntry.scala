@@ -2480,7 +2480,60 @@ object SparkEntry {
       // running concurrency rides the two-phase prefix-sum device
       Events.peakConcurrency(events(s, dir), "event_type", "ts",
         "event_id", durationUs = 1800000000L)
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+
+    "q173_theil_sen_trend" -> ((s, dir) =>
+      // robust daily trend: median of pairwise slopes (29.3%
+      // breakdown) — the complement of q139's outlier-following OLS;
+      // slope median runs the distributed exact selection
+      TimeSeries.theilSenDaily(events(s, dir), "event_type", "ts")
+        .orderBy("event_type")),
+
+    "q174_twap" -> ((s, dir) =>
+      // time-weighted average value per type: each observation holds
+      // until the next; round-6 DECIMAL(28,6) term ladder, one key
+      // shuffle
+      TimeSeries.twap(events(s, dir), "event_type", "ts", "event_id",
+        "value")
+        .orderBy("event_type")),
+
+    "q175_sla_percentiles" -> ((s, dir) =>
+      // SLA matrix: exact p95/p99 of value per (type, day) — the
+      // exact-percentile path exercised at ~150-group granularity,
+      // small groups taking the full-range bracket regime
+      graft.ops.Percentiles.exact(
+        events(s, dir).select(col("event_type"),
+          TimeSeries.epochDay(col("ts")).as("day"), col("value")),
+        Seq("event_type", "day"), "value", Seq(0.95, 0.99))
+        .select(col("event_type"), col("day"), col("n"),
+          element_at(col("pcts"), 1).as("p95"),
+          element_at(col("pcts"), 2).as("p99"))
+        .orderBy("event_type", "day")),
+
+    "q176_diff_in_diff" -> ((s, dir) => {
+      // difference-in-differences readout: derived treatment
+      // (even user_id) × period (corpus midpoint); four exact
+      // DECIMAL(18,2) means, one fixed IEEE closing tree
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("value"))
+      val mm = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val tagged = ev.crossJoin(broadcast(mm))
+        .select((col("user_id") % 2 === 0).as("tr"),
+          (col("us") > expr("(lo + hi) div 2")).as("post"), col("value"))
+      def mean(t: Boolean, p: Boolean) =
+        sum(when(col("tr") === t && col("post") === p,
+          col("value").cast("decimal(18,2)"))).cast("double") /
+          sum(when(col("tr") === t && col("post") === p, 1L)).cast("double")
+      tagged.agg(
+        mean(true, false).as("mean_treat_pre"),
+        mean(true, true).as("mean_treat_post"),
+        mean(false, false).as("mean_ctrl_pre"),
+        mean(false, true).as("mean_ctrl_post"))
+        .withColumn("did",
+          (col("mean_treat_post") - col("mean_treat_pre")) -
+            (col("mean_ctrl_post") - col("mean_ctrl_pre")))
+    }))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5087,7 +5140,66 @@ object SparkEntry {
         |SELECT r.g AS event_type, CAST(m.peak AS BIGINT) AS peak,
         |  CAST(MIN(r.us) AS BIGINT) AS peak_us
         |FROM r JOIN m ON r.g = m.g AND r.run = m.peak
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q173_theil_sen_trend" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  quantile_cont(slope, 0.5e0) AS slope
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q174_twap" ->
+      """WITH o AS (SELECT event_type, epoch_us(ts) AS us, event_id, value
+        |  FROM events),
+        |l AS (SELECT event_type, us, value,
+        |    LEAD(us) OVER (PARTITION BY event_type ORDER BY us, event_id)
+        |      AS nxt FROM o),
+        |t AS (SELECT event_type, us,
+        |    CAST(ROUND(value * CAST(nxt - us AS DOUBLE), 6)
+        |      AS DECIMAL(28,6)) AS term FROM l)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |  CAST(SUM(term) AS DOUBLE)
+        |    / CAST(MAX(us) - MIN(us) AS DOUBLE) AS twap
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q175_sla_percentiles" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(COUNT(value) AS BIGINT) AS n,
+        |  quantile_cont(value, 0.95e0) AS p95,
+        |  quantile_cont(value, 0.99e0) AS p99
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q176_diff_in_diff" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |mm AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+        |tg AS (SELECT user_id % 2 = 0 AS tr,
+        |    ev.us > (mm.lo + mm.hi) // 2 AS post, value FROM ev, mm),
+        |g AS (SELECT
+        |    CAST(SUM(CASE WHEN tr AND NOT post
+        |        THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN tr AND NOT post THEN 1 END) AS DOUBLE)
+        |      AS mean_treat_pre,
+        |    CAST(SUM(CASE WHEN tr AND post
+        |        THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN tr AND post THEN 1 END) AS DOUBLE)
+        |      AS mean_treat_post,
+        |    CAST(SUM(CASE WHEN NOT tr AND NOT post
+        |        THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN NOT tr AND NOT post THEN 1 END) AS DOUBLE)
+        |      AS mean_ctrl_pre,
+        |    CAST(SUM(CASE WHEN NOT tr AND post
+        |        THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN NOT tr AND post THEN 1 END) AS DOUBLE)
+        |      AS mean_ctrl_post
+        |  FROM tg)
+        |SELECT mean_treat_pre, mean_treat_post, mean_ctrl_pre, mean_ctrl_post,
+        |  (mean_treat_post - mean_treat_pre)
+        |    - (mean_ctrl_post - mean_ctrl_pre) AS did
+        |FROM g""".stripMargin)
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

@@ -149,4 +149,87 @@ object TimeSeries {
     df.withColumn(s"med_$window",
       expr(s"percentile($valueCol, 0.5)").over(w))
   }
+
+  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise
+    * slopes `(n_j − n_i)/(day_j − day_i)` over the key's daily
+    * counts (Theil 1950 / Sen 1968) — a 29.3%-breakdown trend
+    * estimate that one anomalous day cannot drag, where the q139
+    * OLS slope follows every outlier. Returns
+    * `(key…, n_pairs, slope)`.
+    *
+    * Scale shape: the corpus collapses to (key × day) daily counts
+    * first (ONE map-side-combined shuffle); pairwise slopes are a
+    * per-key self-join of that tiny relation — |days|² per key,
+    * bounded by the observation span, never by corpus size, and
+    * `maxDays` fail-fasts a key that would expand quadratically
+    * beyond it. The median runs [[Percentiles.exact]]'s distributed
+    * selection; each slope is one IEEE division of integer
+    * differences, so values are engine-portable.
+    */
+  def theilSenDaily(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      maxDays: Int = 10000): DataFrame = {
+    require(maxDays >= 2, s"graft: maxDays must be >= 2, got $maxDays")
+    val daily = df.groupBy(col(keyCol).as("__k"),
+        epochDay(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__n"))
+    val spans = daily.groupBy("__k").agg(count(lit(1)).as("__days"))
+      .select(col("__k"),
+        when(col("__days") <= maxDays, col("__days"))
+          .otherwise(raise_error(concat(
+            lit(s"theilSenDaily: key exceeds $maxDays observed days: "),
+            col("__k").cast("string")))).as("__days"))
+    val a = daily.select(col("__k"), col("__day").as("__da"),
+      col("__n").as("__na"))
+    val b = daily.select(col("__k"), col("__day").as("__db"),
+      col("__n").as("__nb"))
+    val slopes = a.join(b, "__k").filter(col("__da") < col("__db"))
+      .join(broadcast(spans), "__k") // the guard evaluates per key
+      .select(col("__k"),
+        ((col("__nb") - col("__na")).cast("double") /
+          (col("__db") - col("__da")).cast("double")).as("__slope"))
+    Percentiles.exactOne(slopes, Seq("__k"), "__slope", 0.5)
+      .select(col("__k").as(keyCol), col("n").as("n_pairs"),
+        col("pct").as("slope"))
+  }
+
+  /** Time-weighted average (TWAP) per key: each observation holds its
+    * value until the NEXT observation, so the average is
+    * `Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first)` — the right mean for
+    * irregularly-sampled series (a price quoted once overnight must
+    * weigh the whole night, not one tick). Keys with a single
+    * observation have zero span and yield NULL.
+    *
+    * Scale shape: ONE key shuffle (the lead window); per-term
+    * products `round(v·Δus, 6)` accumulate as exact DECIMAL(28,6)
+    * (order-independent; 28 digits hold ~10²² µs-weighted mass,
+    * centuries of microseconds at price scale) and the closing
+    * division is one IEEE op.
+    */
+  def twap(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__us"), col("__id"))
+    val base = df.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__us"), col(idCol).as("__id"),
+      col(valueCol).cast("double").as("__v"))
+    base
+      .withColumn("__next", lead(col("__us"), 1).over(w))
+      .withColumn("__term",
+        round(col("__v") * (col("__next") - col("__us")).cast("double"), 6)
+          .cast("decimal(28,6)"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_obs"),
+        min(col("__us")).as("__t0"), max(col("__us")).as("__t1"),
+        sum(col("__term")).as("__wsum"))
+      .select(col(keyCol), col("n_obs"),
+        (col("__wsum").cast("double") /
+          (col("__t1") - col("__t0")).cast("double")).as("twap"))
+  }
 }

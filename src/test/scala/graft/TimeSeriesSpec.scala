@@ -84,6 +84,47 @@ class TimeSeriesSpec extends SparkSuite {
     // the spike never dominates: a window mean would report 34.3 at id 3
   }
 
+  test("theilSenDaily: median pairwise slope shrugs off the outlier day") {
+    // daily counts 1, 2, 10 → slopes 1, 4.5, 8 → median 4.5 (an OLS
+    // fit through the same points gives ~4.5 here too, but a 100-count
+    // day would drag OLS while the median stays put — second fixture)
+    def rows(k: String, day: Int, n: Int) = Seq.fill(n)(
+      (k, ts(f"2024-01-${day}%02d 12:00:00"), 1.0))
+    val df = (rows("k", 1, 1) ++ rows("k", 2, 2) ++ rows("k", 3, 10))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.theilSenDaily(df, "k", "ts")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("k", 3L, 4.5)), s"got $out")
+    // with a planted 100-count day the median slope stays bounded
+    val spiky = (rows("k", 1, 2) ++ rows("k", 2, 3) ++ rows("k", 3, 4) ++
+      rows("k", 4, 100)).toDF("k", "ts", "v")
+    val slope = TimeSeries.theilSenDaily(spiky, "k", "ts")
+      .select("slope").as[Double].head()
+    // pairwise slopes: 1,1,96,97/2=48.5,98/3,32.67 → median stays ~24.8
+    assert(slope < 50.0, s"median slope must not follow the spike: $slope")
+    intercept[IllegalArgumentException] {
+      TimeSeries.theilSenDaily(df, "k", "ts", maxDays = 1)
+    }
+  }
+
+  test("twap: holds each value until the next observation; singleton is null") {
+    val base = ts("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val df = Seq(
+      ("k", at(0), 1L, 10.0), ("k", at(10), 2L, 20.0), ("k", at(30), 3L, 99.0),
+      ("solo", at(0), 4L, 7.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeries.twap(df, "k", "ts", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1).toSeq
+    // k: 10·10s + 20·20s over 30s = 500/30 s-weighted; last value and
+    // the singleton never contribute (no next observation)
+    assert(out == Seq(
+      ("k", 3L, Some(500000000.0 / 30000000.0)),
+      ("solo", 1L, None)), s"got $out")
+  }
+
   test("epoch buckets are UTC-hour/day aligned longs") {
     val one = Seq(("k", ts("2024-01-02 03:59:59"), 1.0)).toDF("k", "ts", "v")
     val hr = one.select(TimeSeries.epochHour(col("ts"))).as[Long].head()
