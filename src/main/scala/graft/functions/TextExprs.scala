@@ -571,29 +571,31 @@ object TextKernels {
     * common-prefix boost `p·0.1·(1−jaro)` applied only above the
     * classic 0.7 threshold. One compiled pass per pair, O(|a|·window).
     *
-    * Cross-engine parity: char-level (UTF-16 units), which equals
-    * DuckDB's byte-level `jaro_winkler_similarity` for ASCII inputs;
-    * the IEEE operation order — `(m/|a| + m/|b| + (m−t)/m)/3`, then
-    * `s + (p·0.1)·(1−s)` — reproduces DuckDB bit-for-bit (pinned
-    * empirically on 5000 randomized cases incl. threshold and prefix
-    * boundaries). Empty strings score 0 (DuckDB's convention, not the
-    * textbook 1-for-both-empty), identical strings 1.
+    * Cross-engine parity: BYTE-level directly on the UTF8String
+    * buffers (no String materialization in the 8M-pairs-per-block hot
+    * path), matching DuckDB's byte-oriented
+    * `jaro_winkler_similarity`; the IEEE operation order —
+    * `(m/|a| + m/|b| + (m−t)/m)/3`, then `s + (p·0.1)·(1−s)` —
+    * reproduces DuckDB bit-for-bit (pinned empirically on 5000
+    * randomized cases incl. threshold and prefix boundaries). Empty
+    * strings score 0 (DuckDB's convention, not the textbook
+    * 1-for-both-empty), identical strings 1.
     */
-  def jaroWinkler(aU: UTF8String, bU: UTF8String): Double = {
-    val a = aU.toString; val b = bU.toString
-    val la = a.length; val lb = b.length
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val la = a.numBytes; val lb = b.numBytes
     if (la == 0 || lb == 0) return 0.0
-    if (a == b) return 1.0
+    if (a.equals(b)) return 1.0
     val window = math.max(0, math.max(la, lb) / 2 - 1)
     val am = new Array[Boolean](la); val bm = new Array[Boolean](lb)
     var m = 0
     var i = 0
     while (i < la) {
+      val ca = a.getByte(i)
       val hi = math.min(lb, i + window + 1)
       var j = math.max(0, i - window)
       var found = false
       while (j < hi && !found) {
-        if (!bm(j) && b.charAt(j) == a.charAt(i)) {
+        if (!bm(j) && b.getByte(j) == ca) {
           am(i) = true; bm(j) = true; m += 1; found = true
         }
         j += 1
@@ -606,7 +608,7 @@ object TextKernels {
     while (i < la) {
       if (am(i)) {
         while (!bm(j)) j += 1
-        if (a.charAt(i) != b.charAt(j)) t += 1
+        if (a.getByte(i) != b.getByte(j)) t += 1
         j += 1
       }
       i += 1
@@ -617,7 +619,7 @@ object TextKernels {
     if (s > 0.7) {
       val pmax = math.min(4, math.min(la, lb))
       var p = 0
-      while (p < pmax && a.charAt(p) == b.charAt(p)) p += 1
+      while (p < pmax && a.getByte(p) == b.getByte(p)) p += 1
       s = s + p * 0.1 * (1.0 - s)
     }
     s
