@@ -2533,6 +2533,54 @@ object SparkEntry {
         .withColumn("did",
           (col("mean_treat_post") - col("mean_treat_pre")) -
             (col("mean_ctrl_post") - col("mean_ctrl_pre")))
+    }),
+
+    "q177_mmr_rerank" -> ((s, dir) => {
+      // diversity re-ranking: corpus scoring + pool stay distributed;
+      // only the ≤ pool² scored matrix collects for the inherently
+      // sequential greedy (oracle unrolls the same 5 steps in SQL)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Similarity.mmrSelect(e, "vec_id", "embedding", q,
+        k = 5, poolSize = 20, lambda = 0.5)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("step")
+    }),
+
+    "q178_temporal_split" -> ((s, dir) => {
+      // leakage-safe ML eval split: everything after the exact p90
+      // timestamp is holdout (id-hash splits like q137 leak future
+      // events into training for time-series models); the boundary
+      // runs the distributed exact selection
+      val ev = events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val bnd = graft.ops.Percentiles.exactOne(ev, Seq.empty, "us", 0.9)
+        .select(col("pct").as("cut"))
+      ev.crossJoin(broadcast(bnd))
+        .groupBy(col("event_type"),
+          when(col("us").cast("double") <= col("cut"), "train")
+            .otherwise("holdout").as("split"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("event_type", "split")
+    }),
+
+    "q179_homoglyph_fold" -> ((s, dir) => {
+      // adversarial dedup: deterministically corrupt a third of the
+      // corpus with Cyrillic confusables, then show the fold restores
+      // byte-equality with the clean text — counts only, per source
+      val docs = t(s, dir, "documents")
+        .withColumn("adv", when(col("doc_id") % 3 === 0,
+          translate(col("text"), "aeo", "аео"))
+          .otherwise(col("text")))
+      docs.groupBy("source").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("adv") =!= col("text"), 1L).otherwise(0L))
+          .cast("long").as("n_corrupted"),
+        sum(when(TextOps.foldHomoglyphs(col("adv")) === col("text"), 1L)
+          .otherwise(0L)).cast("long").as("n_restored"))
+        .orderBy("source")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -5199,7 +5247,70 @@ object SparkEntry {
         |SELECT mean_treat_pre, mean_treat_post, mean_ctrl_pre, mean_ctrl_post,
         |  (mean_treat_post - mean_treat_pre)
         |    - (mean_ctrl_post - mean_ctrl_pre) AS did
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin,
+
+    "q177_mmr_rerank" -> mmrChainSql(k = 5, pool = 20),
+
+    "q178_temporal_split" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT quantile_cont(CAST(us AS DOUBLE), 0.9e0) AS cut FROM ev)
+        |SELECT event_type,
+        |  CASE WHEN CAST(us AS DOUBLE) <= b.cut THEN 'train'
+        |    ELSE 'holdout' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM ev, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q179_homoglyph_fold" ->
+      """WITH d AS (SELECT source, text,
+        |    CASE WHEN doc_id % 3 = 0 THEN translate(text, 'aeo', 'аео')
+        |      ELSE text END AS adv
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN adv <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupted,
+        |  CAST(SUM(CASE WHEN translate(adv,
+        |      'аеорсхіѕуАВЕКМНОРСТХ', 'aeopcxisyABEKMHOPCTX') = text
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_restored
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** The q177 oracle: the MMR greedy unrolled as k SQL stages (the
+    * q109 BPE-chain device) — step 1 is the relevance argmax, step i
+    * re-scores the remaining pool as `0.5·rel − 0.5·max(sim to the
+    * selected set)` and takes the (score DESC, vec_id) head.
+    */
+  private def mmrChainSql(k: Int, pool: Int): String = {
+    val cosOf = (a: String, b: String) =>
+      s"ROUND(list_inner_product($a, $b) / (SQRT(list_inner_product($a, $a))" +
+        s" * SQRT(list_inner_product($b, $b))), 6)"
+    val head =
+      s"""WITH base AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+         |scored AS (SELECT vec_id, ${cosOf("v", "qv")} AS rel, v
+         |  FROM base, q),
+         |cand AS (SELECT * FROM scored ORDER BY rel DESC, vec_id LIMIT $pool),
+         |sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    ${cosOf("a.v", "b.v")} AS sim
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id FROM s1)""".stripMargin
+    val stages = (2 to k).map { i =>
+      s"""p$i AS (SELECT c.vec_id, c.rel,
+         |    0.5e0 * c.rel - 0.5e0 * MAX(s.sim) AS score
+         |  FROM cand c JOIN sims s ON s.ia = c.vec_id
+         |    AND s.ib IN (SELECT vec_id FROM sel${i - 1})
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY 1, 2),
+         |s$i AS (SELECT vec_id, rel FROM p$i ORDER BY score DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id FROM sel${i - 1}
+         |  UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+    }
+    val tail = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, vec_id, rel FROM s$i")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+    (Seq(head) ++ stages).mkString(",\n") + "\n" + tail
+  }
 
   /** The shared BPE WITH-chain: vocab → double-space encoding → per
     * merge k: pair count (p_k), argmax merge (m_k), replay (w_k). The

@@ -48,6 +48,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedily pick `k` results from the relevance top-`poolSize`
+    * where each step maximizes `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`
+    * — the diversity pass a retrieval pipeline runs so the answer set
+    * is not five near-copies of the best hit. Returns
+    * `(step 1..k, id, rel)` in selection order.
+    *
+    * Scale shape: the CORPUS work — scoring every vector and keeping
+    * the relevance pool — is a map-only scan + distributed
+    * TakeOrdered; the pool's pairwise similarity matrix
+    * (≤ poolSize² round-6 cosines, compiled kernel) also computes
+    * distributed. Only the ≤ poolSize² SCORED matrix collects for the
+    * inherently-sequential greedy loop — a result-sized bounded
+    * collect (`poolSize ≤ 1000` enforced), the same class as the
+    * k-means centroid pull; the corpus never collects. All doubles
+    * (round-6 cosines, the λ-combination) use the identical IEEE
+    * trees the DuckDB oracle replays, so the selection is
+    * engine-deterministic; ties break toward the smaller id.
+    */
+  def mmrSelect(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int = 5,
+      poolSize: Int = 20,
+      lambda: Double = 0.5): DataFrame = {
+    require(poolSize >= 1 && poolSize <= 1000,
+      s"graft: poolSize must be in [1, 1000], got $poolSize")
+    require(k >= 1 && k <= poolSize,
+      s"graft: k must be in [1, poolSize], got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"graft: lambda must be in [0,1], got $lambda")
+    val spark = df.sparkSession
+    val q = array(query.map(lit): _*)
+    val pool = df.select(col(idCol).cast("long").as("id"),
+        round(cosine(col(vecCol), q), 6).as("rel"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("rel").isNotNull)
+      .orderBy(col("rel").desc, col("id"))
+      .limit(poolSize)
+      .persist()
+    val sims = pool.as("a").join(pool.as("b"),
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        round(cosine(col("a.__v"), col("b.__v")), 6).as("sim"))
+    // bounded collects: poolSize rows + poolSize² sims
+    val cand = pool.select("id", "rel").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val sim = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashSet(cand.toSeq: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val pick =
+        if (selected.isEmpty) remaining.head // pool is (rel desc, id) sorted
+        else remaining.maxBy { case (id, rel) =>
+          val maxSim = selected.map(s => sim((id, s._1))).max
+          // identical IEEE tree to the oracle: λ·rel − (1−λ)·maxSim
+          (lambda * rel - (1.0 - lambda) * maxSim, -id)
+        }
+      selected += pick
+      remaining -= pick
+    }
+    pool.unpersist()
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, rel), i) => (i + 1L, id, rel) }.toSeq
+      .toDF("step", "id", "rel")
+  }
+
   /** Random-hyperplane signature: bit i = sign of dot(vec, h_{offset+i})
     * where h_p is a deterministic pseudo-random hyperplane derived from
     * xxhash64(p, d). Map-only; vectors with equal/nearby signatures

@@ -414,6 +414,21 @@ object TextOps {
       graft.functions.NfcNormalize(
         org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
+  /** Cyrillic look-alikes folded to their Latin forms — the
+    * adversarial complement of [[nfc]]: NFC composes what Unicode
+    * DEFINES as canonically equal, while a spam/contamination evader
+    * swaps visually-identical but canonically-DISTINCT codepoints
+    * ("рaypal" with a Cyrillic р survives NFC, exact dedup, and every
+    * blocklist untouched). Covers the high-traffic Cyrillic↔Latin
+    * confusable pairs (Unicode TR39's cross-script set restricted to
+    * 1:1 lowercase+uppercase mappings so `translate` applies them in
+    * one codegen'd pass); extend `from`/`to` for other scripts.
+    */
+  val HomoglyphFrom: String = "аеорсхіѕу" + "АВЕКМНОРСТХ"
+  val HomoglyphTo: String = "aeopcxisy" + "ABEKMHOPCTX"
+  def foldHomoglyphs(c: Column): Column =
+    translate(c, HomoglyphFrom, HomoglyphTo)
+
   /** MOSS winnowing fingerprints (Schleimer et al. 2003): per document,
     * the distinct leftmost-min (md5-prefix hash, position) selections
     * over every `window`-gram window of character `k`-grams — any

@@ -19,6 +19,33 @@ class SimilaritySpec extends SparkSuite {
     assert(out == Seq(0L, 1L))
   }
 
+  test("mmrSelect diversifies: the near-copy of the best hit is passed over") {
+    // relevance order is a, b (a near-copy of a), c. Pure top-2
+    // returns the two near-copies; MMR's second pick must be the
+    // diverse c — b's ~0.9995 similarity to the selected a erases its
+    // relevance edge at λ = 0.5. (The query must NOT be parallel to
+    // a: with q ∥ a, rel(x) ≡ sim(x, a) and every MMR score
+    // degenerates to exactly 0.)
+    val df = Seq(
+      (10L, Seq(0.95f, 0.312f)),   // a: rel ≈ 0.950
+      (11L, Seq(0.94f, 0.341f)),   // b: near-copy of a, rel ≈ 0.940
+      (12L, Seq(0.9f, -0.436f))    // c: diverse, rel ≈ 0.900
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(df, "vec_id", "embedding",
+        query = Seq(1.0, 0.0), k = 2, poolSize = 3, lambda = 0.5)
+      .select("step", "id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 10L), (2L, 12L)), s"got $out")
+    // λ = 1 degenerates to pure relevance: picks the near-copy
+    val pure = Similarity.mmrSelect(df, "vec_id", "embedding",
+        query = Seq(1.0, 0.0), k = 2, poolSize = 3, lambda = 1.0)
+      .select("step", "id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(pure == Seq((1L, 10L), (2L, 11L)), s"got $pure")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(df, "vec_id", "embedding", Seq(1.0, 0.0),
+        k = 5, poolSize = 3)
+    }
+  }
+
   test("cosine of identical vectors is 1") {
     val out = Similarity.cosineTopK(vecs, "vec_id", "embedding",
       Seq(0.0, 0.0, 1.0), k = 1)

@@ -400,4 +400,22 @@ class TextOpsSpec extends SparkSuite {
       .intersect(fps.filter(_._1 == 2L).map(_._2).toSet)
     assert(shared.nonEmpty, s"no shared fingerprint: ${fps.toSeq}")
   }
+
+  test("foldHomoglyphs: Cyrillic confusables fold to Latin; NFC does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "рaypal" with a Cyrillic р: canonically DISTINCT from "paypal",
+    // so NFC leaves it alone — the fold is what restores equality
+    val evil = "рaypal scam" // Cyrillic er + Latin rest
+    val df = Seq((1L, evil), (2L, "paypal scam"), (3L, "МОСКВА"))
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+        TextOps.foldHomoglyphs(col("t")).as("f"),
+        TextOps.nfc(col("t")).as("n"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(out(0)._2 == "paypal scam", out(0))
+    assert(out(0)._3 == evil, "NFC must NOT fold confusables")
+    assert(out(1)._2 == "paypal scam")
+    assert(out(2)._2 == "MOCKBA", out(2)) // uppercase set folds too
+  }
 }
