@@ -126,6 +126,22 @@ object ScaleRehearsal {
         .groupBy("comp").agg(count(lit(1)).cast("long").as("cluster_size"),
           min(col("id")).as("representative"))
     }),
+    // the exact-recall alternative to LSH: prefix-filtered Jaccard
+    // self-join at the same τ = 0.9 the p50 verify stage uses — the
+    // interesting measurement is the candidate count vs the all-gram
+    // bucket path and whether the rarest-first prefixes stay
+    // sub-quadratic on THIS low-entropy corpus
+    "p170_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixFilterJaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        n = 3, threshold = 0.9, maxBucket = 100000)),
+    // the selectivity knob (the winnowing k-lesson applied to exact
+    // joins): longer grams shrink every prefix bucket on low-entropy
+    // corpora where trigram dfs grow with N
+    "p170_prefix_jaccard_n5" -> ((s, dir) =>
+      Dedup.prefixFilterJaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        n = 5, threshold = 0.9, maxBucket = 100000)),
     // winnowing near-dup candidates on the rehearsal corpus: selective
     // 12-gram fingerprints, boilerplate prune, shared-fp pairs
     "p124_winnow_candidates" -> ((s, dir) =>

@@ -216,6 +216,14 @@ object Dedup {
     * an over-`maxBucket` prefix bucket fail-fasts with `raise_error`
     * (dropping it, as the LSH path legitimately does, would silently
     * break exactness — raise τ or n instead).
+    *
+    * Gram-length knob (measured, SCALE.md round-10 table): on
+    * LOW-ENTROPY corpora trigram document frequencies grow with N, so
+    * even rarest-first prefix buckets fatten — n=3/τ=0.9 ran 23.2× at
+    * a 10× rehearsal while n=5 ran linear (8.6×) with the exactness
+    * contract intact (n only moves which shingle space τ is exact
+    * over). Use n≥5 for boilerplate-heavy corpora; the `maxBucket`
+    * raise_error is the tripwire that the knob is set wrong.
     */
   def prefixFilterJaccardPairs(
       df: DataFrame,
