@@ -2581,7 +2581,34 @@ object SparkEntry {
         sum(when(TextOps.foldHomoglyphs(col("adv")) === col("text"), 1L)
           .otherwise(0L)).cast("long").as("n_restored"))
         .orderBy("source")
-    }))
+    }),
+
+    "q180_kaplan_meier" -> ((s, dir) =>
+      // survival analysis: time to first purchase per user, users who
+      // never purchase right-censored at the corpus horizon; the life
+      // table after the per-user aggregate is span-days-sized
+      Events.kaplanMeier(events(s, dir), "user_id", "ts",
+        col("event_type") === "purchase")
+        .orderBy("day")),
+
+    "q181_chi_square" -> ((s, dir) =>
+      // corpus-composition gate: is language independent of source?
+      // cells-sized aggregate, one-row readout
+      CorpusStats.chiSquare(t(s, dir, "documents"), "lang", "source")),
+
+    "q182_mann_whitney" -> ((s, dir) =>
+      // nonparametric slice comparison: do purchase events carry
+      // stochastically larger values than the rest? rank sums in
+      // doubled-integer units on the distributed prefix device
+      Robust.mannWhitneyU(events(s, dir), "value",
+        col("event_type") === "purchase")),
+
+    "q183_source_jsd" -> ((s, dir) =>
+      // bounded symmetric drift: JSD(source || rest) on unigrams —
+      // finite even for vocabulary no other source shares, unlike
+      // q118's KL against the corpus
+      CorpusStats.sourceJsd(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5271,7 +5298,117 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN translate(adv,
         |      'аеорсхіѕуАВЕКМНОРСТХ', 'aeopcxisyABEKMHOPCTX') = text
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_restored
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q180: the cumulative product is a fixed left-to-right round-6
+    // chain — DuckDB's list_reduce seeds with the first element, Spark
+    // seeds with 1.0; equal because round-6 is idempotent on round-6
+    // doubles. '//' is floor division (both operands non-negative).
+    "q180_kaplan_meier" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |org AS (SELECT user_id, MIN(us) AS t0,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN us END) AS te
+        |  FROM ev GROUP BY 1),
+        |hz AS (SELECT MAX(us) AS h FROM ev),
+        |subj AS (SELECT (COALESCE(te, h) - t0) // 86400000000 AS dur,
+        |    CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS obs
+        |  FROM org, hz),
+        |lt AS (SELECT dur, SUM(obs) AS d, COUNT(*) AS c FROM subj GROUP BY 1),
+        |rk AS (SELECT dur, d, c,
+        |    SUM(c) OVER () - COALESCE(SUM(c) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS atrisk
+        |  FROM lt),
+        |f AS (SELECT dur, d, atrisk,
+        |    ROUND(1e0 - CAST(d AS DOUBLE) / atrisk, 6) AS factor
+        |  FROM rk WHERE d > 0),
+        |sarr AS (SELECT dur, d, atrisk, list(factor) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs FROM f)
+        |SELECT CAST(dur AS BIGINT) AS day, CAST(d AS BIGINT) AS deaths,
+        |  CAST(atrisk AS BIGINT) AS at_risk,
+        |  ROUND(list_reduce(fs, (a, b) -> ROUND(a * b, 6)), 6) AS survival
+        |FROM sarr ORDER BY day""".stripMargin,
+
+    "q181_chi_square" ->
+      """WITH cells AS (SELECT lang AS r, source AS c, COUNT(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rts AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY 1),
+        |cts AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY 1),
+        |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS nr,
+        |    COUNT(DISTINCT c) AS nc FROM cells),
+        |term AS (SELECT CAST(ROUND(
+        |      (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n) *
+        |      (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n) /
+        |      (CAST(rt AS DOUBLE) * ct / n), 6) AS DECIMAL(18,6)) AS t,
+        |    nr, nc, n
+        |  FROM cells JOIN rts USING (r) JOIN cts USING (c) CROSS JOIN tot)
+        |SELECT ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2,
+        |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+        |  CAST(nr AS BIGINT) AS n_rows, CAST(nc AS BIGINT) AS n_cols,
+        |  CAST(n AS BIGINT) AS n
+        |FROM term GROUP BY nr, nc, n""".stripMargin,
+
+    // q182: rank sums stay integral in doubled units (2·R1); decimal
+    // products on both sides so nothing touches BIGINT overflow; the
+    // only IEEE ops are the final divisions and the correctly-rounded
+    // sqrt.
+    "q182_mann_whitney" ->
+      """WITH base AS (SELECT value AS v, (event_type = 'purchase') AS a
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |vc AS (SELECT v, COUNT(*) AS c,
+        |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca FROM base GROUP BY 1),
+        |pre AS (SELECT v, c, ca, COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+        |  FROM vc),
+        |agg AS (SELECT
+        |    SUM(CAST(ca AS DECIMAL(18,0)) *
+        |      CAST(2 * cl + c + 1 AS DECIMAL(18,0))) AS two_r1,
+        |    SUM(ca) AS n1, SUM(c - ca) AS n2,
+        |    SUM(CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0)) *
+        |      CAST(c AS DECIMAL(12,0)) - CAST(c AS DECIMAL(12,0))) AS t
+        |  FROM pre),
+        |u AS (SELECT CAST(two_r1 - CAST(n1 AS DECIMAL(18,0)) *
+        |      CAST(n1 + 1 AS DECIMAL(18,0)) AS DOUBLE) / 2e0 AS u1,
+        |    n1, n2, t FROM agg)
+        |SELECT u1, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  ROUND(u1 / (CAST(n1 AS DOUBLE) * n2), 6) AS cles,
+        |  ROUND((u1 - CAST(n1 AS DOUBLE) * n2 / 2e0) /
+        |    SQRT((CAST(n1 AS DOUBLE) * n2 / 12e0) *
+        |      ((CAST(n1 + n2 AS DOUBLE) + 1e0) - CAST(t AS DOUBLE) /
+        |        (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1e0)))),
+        |    6) AS z
+        |FROM u""".stripMargin,
+
+    "q183_source_jsd" ->
+      """WITH tok AS (SELECT source, w FROM (
+        |    SELECT source, UNNEST(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |sw AS (SELECT source, w, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, SUM(cs) AS ts FROM sw GROUP BY 1),
+        |cw AS (SELECT w, SUM(cs) AS cc FROM sw GROUP BY 1),
+        |ct AS (SELECT SUM(cs) AS tc FROM sw),
+        |grid AS (SELECT st.source, cw.w, COALESCE(sw.cs, 0) AS cs,
+        |    st.ts, cw.cc, ct.tc
+        |  FROM st CROSS JOIN cw
+        |  LEFT JOIN sw ON sw.source = st.source AND sw.w = cw.w
+        |  CROSS JOIN ct),
+        |pq AS (SELECT source,
+        |    CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE) AS p,
+        |    CASE WHEN CAST(tc AS DOUBLE) > CAST(ts AS DOUBLE)
+        |      THEN (CAST(cc AS DOUBLE) - CAST(cs AS DOUBLE)) /
+        |        (CAST(tc AS DOUBLE) - CAST(ts AS DOUBLE))
+        |      ELSE 0e0 END AS q
+        |  FROM grid),
+        |term AS (SELECT source,
+        |    CAST(ROUND(CASE WHEN p > 0e0
+        |      THEN p * LN(p / ((p + q) / 2e0)) ELSE 0e0 END, 6)
+        |      AS DECIMAL(18,6)) AS tp,
+        |    CAST(ROUND(CASE WHEN q > 0e0
+        |      THEN q * LN(q / ((p + q) / 2e0)) ELSE 0e0 END, 6)
+        |      AS DECIMAL(18,6)) AS tq
+        |  FROM pq)
+        |SELECT source, ROUND(CAST(SUM(tp) + SUM(tq) AS DOUBLE) / 2e0, 6) AS jsd
+        |FROM term GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The q177 oracle: the MMR greedy unrolled as k SQL stages (the
     * q109 BPE-chain device) — step 1 is the relevance argmax, step i

@@ -417,4 +417,107 @@ object CorpusStats {
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns (the corpus-composition gate: "is language independent
+    * of source?" — a significant statistic means some source is
+    * skewing the language mix). Returns one row:
+    * `(chi2, dof, n_rows, n_cols, n)`.
+    *
+    * Arithmetic is a fixed portable chain: observed counts are exact
+    * longs; `expected = (rowTotal · colTotal) / N` as doubles (the
+    * long product overflows BIGINT once marginals pass ~3·10⁹, so
+    * both engines multiply in IEEE — two exact-until-2^53 ops);
+    * per-cell contributions round to 6 and sum as DECIMAL(18,6).
+    *
+    * Scale shape: ONE map-side-combined count aggregate keyed by the
+    * cell (output is cells-sized — categorical × categorical, not
+    * corpus-sized); marginals derive from the cell table; the final
+    * statistic is a cells-sized exact sum. Null categories count as a
+    * regular category (they group together), matching SQL GROUP BY.
+    */
+  def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val rt = cells.groupBy("__r").agg(sum(col("__o")).as("__rt"))
+    val ct = cells.groupBy("__c").agg(sum(col("__o")).as("__ct"))
+    val n = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__r")).as("__nr"),
+      countDistinct(col("__c")).as("__nc"))
+    val term = cells.join(rt, "__r").join(ct, "__c").crossJoin(broadcast(n))
+      .select(
+        round(
+          (col("__o").cast("double") -
+            col("__rt").cast("double") * col("__ct") / col("__n")) *
+          (col("__o").cast("double") -
+            col("__rt").cast("double") * col("__ct") / col("__n")) /
+          (col("__rt").cast("double") * col("__ct") / col("__n")), 6)
+          .cast("decimal(18,6)").as("__t"),
+        col("__nr"), col("__nc"), col("__n"))
+    term.groupBy("__nr", "__nc", "__n")
+      .agg(round(sum(col("__t")).cast("double"), 6).as("chi2"))
+      .select(col("chi2"),
+        ((col("__nr") - 1) * (col("__nc") - 1)).cast("long").as("dof"),
+        col("__nr").cast("long").as("n_rows"),
+        col("__nc").cast("long").as("n_cols"),
+        col("__n").cast("long").as("n"))
+  }
+
+  /** Jensen–Shannon divergence of each source's unigram distribution
+    * against the REST of the corpus — the symmetric, bounded
+    * ([0, ln 2]) complement of [[sourceKl]]: KL explodes on
+    * source-only words and is asymmetric; JSD compares against the
+    * mixture `M = (P+Q)/2`, so it is finite even when the other side
+    * has zero mass (a source full of vocabulary nobody else uses
+    * scores near ln 2 instead of ∞).
+    *
+    * `JSD = ½ Σ p·ln(p/m) + ½ Σ q·ln(q/m)`, zero-mass terms dropped
+    * (x·ln(x/m) → 0 as x → 0). Terms are round-6 doubles summed as
+    * DECIMAL(18,6) — the round-6-LN ladder of q96/q118/q166.
+    *
+    * Scale shape: identical to [[sourceKl]] — ONE corpus-scale
+    * map-side-combined shuffle to the (source, word) count table;
+    * rest-counts derive by subtraction from the corpus word counts
+    * (no second scan); everything after is vocab-sized.
+    */
+  def sourceJsd(
+      df: DataFrame,
+      srcCol: String,
+      textCol: String): DataFrame = {
+    val tok = df
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("cs"))
+    val st = sw.groupBy("source").agg(sum(col("cs")).as("ts"))
+    val cw = sw.groupBy("w").agg(sum(col("cs")).as("cc"))
+    val ct = sw.agg(sum(col("cs")).as("tc"))
+    // for every (source, word-of-corpus) pair with mass on either
+    // side: p = source freq, q = rest freq. sw only has p>0 rows, but
+    // q-only rows (word absent from the source) still contribute to
+    // the q sum — generate them by joining the corpus vocab per
+    // source and keeping rows where either side is positive.
+    val grid = cw.crossJoin(broadcast(st)) // vocab × sources: bounded, not corpus
+      .join(sw, Seq("source", "w"), "left")
+      .crossJoin(broadcast(ct))
+      .select(col("source"),
+        coalesce(col("cs"), lit(0L)).cast("double").as("__cs"),
+        col("ts").cast("double").as("__ts"),
+        col("cc").cast("double").as("__cc"),
+        col("tc").cast("double").as("__tc"))
+      .withColumn("__p", col("__cs") / col("__ts"))
+      // guard the degenerate single-source corpus (rest has no mass):
+      // q := 0 keeps the chain finite and scores the lone source ln 2
+      .withColumn("__q", when(col("__tc") > col("__ts"),
+        (col("__cc") - col("__cs")) / (col("__tc") - col("__ts")))
+        .otherwise(lit(0.0d)))
+      .withColumn("__m", (col("__p") + col("__q")) / lit(2.0d))
+    val term = grid.select(col("source"),
+      round(when(col("__p") > 0, col("__p") * log(col("__p") / col("__m")))
+        .otherwise(lit(0.0d)), 6).cast("decimal(18,6)").as("__tp"),
+      round(when(col("__q") > 0, col("__q") * log(col("__q") / col("__m")))
+        .otherwise(lit(0.0d)), 6).cast("decimal(18,6)").as("__tq"))
+    term.groupBy("source")
+      .agg(round((sum(col("__tp")) + sum(col("__tq"))).cast("double") / 2.0d, 6)
+        .as("jsd"))
+  }
 }

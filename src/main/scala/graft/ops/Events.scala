@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics: ordered funnels and cohort retention.
@@ -300,5 +301,70 @@ object Events {
       .agg(min(col("__us")).as("peak_us"))
       .select(col("__g").as(groupCol), col("peak").cast("long").as("peak"),
         col("peak_us").cast("long").as("peak_us"))
+  }
+
+  /** Kaplan–Meier product-limit estimator (Kaplan & Meier 1958) for
+    * time-to-event with right censoring — "time to first conversion"
+    * where subjects who never convert are censored at the observation
+    * horizon, the survival-analysis complement of [[retentionCohorts]]
+    * (retention conditions on calendar cohorts; KM handles subjects
+    * entering at different times and leaving unobserved).
+    *
+    * Per subject: origin = first event, event time = first row where
+    * `isEvent`; duration = whole days (integral microsecond division,
+    * engine-portable). Subjects without an event are censored at
+    * `max(ts)` over the corpus. Life table at each day with ≥1 event:
+    * `deaths`, `at_risk` (subjects with duration ≥ day), and
+    * `survival = Π (1 − d_i/n_i)` with each factor AND each partial
+    * product rounded to 6 decimals — a fixed left-to-right IEEE chain
+    * both engines reproduce (round-6 is idempotent on round-6
+    * doubles, so DuckDB's first-element-seeded `list_reduce` equals
+    * Spark's 1.0-seeded `aggregate`).
+    *
+    * Scale shape: one subject-key shuffle to the per-subject
+    * (duration, observed) relation; the life table after the day
+    * aggregate is TIME-SPAN-sized (≤ days in the corpus window — a
+    * decade of daily granularity is ~3.7k rows), so the unpartitioned
+    * windows over it are bounded by calendar time, not corpus size.
+    * The horizon is a 1-row broadcast. The cumulative-product array
+    * per row is ≤ span-days long (the q177 "collect only the bounded
+    * core" shape).
+    */
+  def kaplanMeier(
+      events: DataFrame,
+      subjectCol: String,
+      tsCol: String,
+      isEvent: Column): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val perSubj = events
+      .groupBy(col(subjectCol).as("__s"))
+      .agg(min(us).as("__t0"),
+        min(when(isEvent, us)).as("__te"))
+    val horizon = events.agg(max(us).as("__hz"))
+    val subj = perSubj.crossJoin(broadcast(horizon))
+      .select(col("__s"),
+        expr("(coalesce(__te, __hz) - __t0) div 86400000000").as("__dur"),
+        col("__te").isNotNull.cast("long").as("__obs"))
+    val lt = subj.groupBy("__dur")
+      .agg(sum(col("__obs")).as("__d"), count(lit(1)).as("__c"))
+    // span-days-sized from here on: unpartitioned windows are bounded
+    val wPrev = Window.orderBy("__dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("__dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = lt
+      .withColumn("__n", sum(col("__c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__atrisk", col("__n") - coalesce(sum(col("__c")).over(wPrev), lit(0L)))
+      .filter(col("__d") > 0)
+      .withColumn("__f",
+        round(lit(1.0) - col("__d").cast("double") / col("__atrisk"), 6))
+    risk
+      .withColumn("__fs", collect_list(col("__f")).over(wAll))
+      .select(col("__dur").cast("long").as("day"),
+        col("__d").cast("long").as("deaths"),
+        col("__atrisk").cast("long").as("at_risk"),
+        round(aggregate(col("__fs"), lit(1.0d),
+          (acc, x) => round(acc * x, 6)), 6).as("survival"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Robust (median/MAD) outlier detection — the outlier gate that does
@@ -45,5 +45,72 @@ object Robust {
     withMed.join(broadcast(mads), groupCols)
       .filter(col("__dev") > lit(k * 1.4826) * col("mad"))
       .drop("__dev")
+  }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947): does the
+    * `isA` slice's `valueCol` distribution stochastically dominate
+    * the rest? The nonparametric complement of a mean diff (q140's
+    * A/B readout) — rank-based, so one whale row cannot move it.
+    *
+    * Returns one row: `u1` (U of the A slice), `n1`, `n2`, `cles`
+    * (common-language effect size `U1/(n1·n2)` — P[random A > random
+    * B] counting ties half), and the tie-corrected normal
+    * approximation `z`. Rows where `isA` or the value is NULL are in
+    * neither slice (3VL).
+    *
+    * Parity chain: average ranks are kept INTEGRAL by working in
+    * doubled units — `2·R1 = Σ_values ca·(2·cntLess + c + 1)` as
+    * DECIMAL products (BIGINT overflows once rank sums pass ~3·10⁹
+    * rows²); the tie term `Σ(c³−c)` runs in DECIMAL(12,0)³ → (36,0)
+    * (per-value tie counts ≤ 10¹² documented); only the final
+    * `u1/cles/z` divisions are IEEE doubles (and √ is
+    * correctly-rounded per IEEE-754, unlike exp/ln — safe across
+    * engines).
+    *
+    * Scale shape: one map-side-combined aggregate to the DISTINCT-
+    * VALUE-sized (value, count, countA) table; cntLess is the
+    * two-phase distributed prefix sum ([[Rank.stratifiedPrefixSum]] —
+    * no corpus-sized single-partition window); the statistic is one
+    * more map-side-combined fold of that table.
+    */
+  def mannWhitneyU(
+      df: DataFrame,
+      valueCol: String,
+      isA: Column,
+      numPartitions: Int = 0): DataFrame = {
+    val d18 = "decimal(18,0)"
+    val d12 = "decimal(12,0)"
+    val vc = df
+      .filter(isA.isNotNull && col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"), isA.cast("boolean").as("__a"))
+      .groupBy("__v")
+      .agg(count(lit(1)).as("__c"), sum(col("__a").cast("long")).as("__ca"))
+    val pre = Rank.stratifiedPrefixSum(
+      vc.withColumn("__g", lit(1)), "__g", Seq("__v"), "__c", numPartitions)
+    val cc = col("__c").cast(d12)
+    val agg = pre.agg(
+      sum(col("__ca").cast(d18) *
+        (lit(2L) * col("prefix") + col("__c") + lit(1L)).cast(d18))
+        .as("__two_r1"),
+      sum(col("__ca")).as("__n1"),
+      sum(col("__c") - col("__ca")).as("__n2"),
+      sum(cc * cc * cc - cc).as("__t"))
+    agg.select(
+      ((col("__two_r1") -
+        col("__n1").cast(d18) * (col("__n1") + lit(1L)).cast(d18))
+        .cast("double") / lit(2.0d)).as("u1"),
+      col("__n1").cast("long").as("n1"),
+      col("__n2").cast("long").as("n2"),
+      col("__t").cast("double").as("__td"),
+      (col("__n1") + col("__n2")).cast("double").as("__nd"))
+      .select(col("u1"), col("n1"), col("n2"),
+        round(col("u1") / (col("n1").cast("double") * col("n2")), 6)
+          .as("cles"),
+        round(
+          (col("u1") - col("n1").cast("double") * col("n2") / lit(2.0d)) /
+          sqrt((col("n1").cast("double") * col("n2") / lit(12.0d)) *
+            ((col("__nd") + lit(1.0d)) -
+              col("__td") / (col("__nd") * (col("__nd") - lit(1.0d))))), 6)
+          .as("z"))
   }
 }

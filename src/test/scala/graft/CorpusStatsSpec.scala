@@ -270,4 +270,49 @@ class CorpusStatsSpec extends SparkSuite {
     assert(out == Seq((0L, 3L, 1L, w0), (1L, 1L, 3L, -w0),
       (2L, 1L, 1L, 0.0)), s"got $out")
   }
+
+  test("chiSquare: hand-computed 2x2 contingency") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // obs [[10,20],[20,10]]: all marginals 30, N = 60, exp = 15
+    // every cell: (|o-15|)² / 15 = 25/15 → round-6 1.666667 × 4 cells
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val out = CorpusStats.chiSquare(rows.toDF("r", "c"), "r", "c")
+      .as[(Double, Long, Long, Long, Long)].collect().head
+    assert(out == (6.666668, 1L, 2L, 2L, 60L), s"got $out")
+  }
+
+  test("chiSquare: independent columns score 0") {
+    import spark.implicits._
+    // perfectly proportional table → every cell matches expectation
+    val rows = Seq.fill(4)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(8)(("b", "x")) ++ Seq.fill(4)(("b", "y"))
+    val out = CorpusStats.chiSquare(rows.toDF("r", "c"), "r", "c")
+      .as[(Double, Long, Long, Long, Long)].collect().head
+    assert(out._1 == 0.0 && out._5 == 18L, s"got $out")
+  }
+
+  test("sourceJsd: identical distributions are 0; disjoint reach ln 2") {
+    import spark.implicits._
+    // s1 and s2 share one distribution → each vs rest is 0;
+    // s3's vocabulary is disjoint from s1+s2 → near ln 2 = 0.693147
+    val docs = Seq(
+      ("s1", "cat dog"), ("s1", "cat dog"),
+      ("s2", "cat dog"), ("s2", "cat dog"),
+      ("s3", "newt axolotl")
+    ).toDF("source", "text")
+    val out = CorpusStats.sourceJsd(docs, "source", "text")
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    // s1 vs rest: rest = s2 (same dist) + s3 (disjoint 2 of 10 tokens)
+    // — not exactly 0, but small; s3 vs rest is exactly ln 2 on every
+    // term (p or q zero everywhere)
+    assert(out.size == 3)
+    val m = out.toMap
+    assert(m("s1") == m("s2"), s"symmetry: $out")
+    assert(m("s1") < 0.2, s"same-dist slice should be near 0: $out")
+    // s3: every word has mass on exactly one side → each term is
+    // x·ln(x/(x/2)) = x·ln 2, totals 0.5·ln2 per side → jsd = ln 2
+    assert(math.abs(m("s3") - math.log(2)) < 2e-6, s"s3: ${m("s3")}")
+  }
 }

@@ -176,4 +176,43 @@ class EventsSpec extends SparkSuite {
     assert(out == Seq(("g1", 2L, baseUs + 10000000L), ("g2", 1L, baseUs)),
       s"got $out")
   }
+
+  test("kaplanMeier: hand-computed life table with right censoring") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    def day(d: Long) = new Timestamp(base.getTime + d * 86400000L)
+    // A and B convert on day 1; C never converts → censored at the
+    // corpus horizon (max ts = day 3, duration 3); D converts day 3.
+    // Life table: day 1: d=2, n=4, S=0.5; day 3: d=1, at risk =
+    // {C (dur 3, censored), D (dur 3)} = 2, S = 0.5·(1−1/2) = 0.25.
+    val evs = Seq(
+      (1L, day(0), "signup"), (1L, day(1), "purchase"),
+      (2L, day(0), "signup"), (2L, day(1), "purchase"),
+      (3L, day(0), "signup"), (3L, day(2), "click"),
+      (4L, day(0), "signup"), (4L, day(3), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Events.kaplanMeier(evs, "user_id", "ts",
+        org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, 4L, 0.5), (3L, 1L, 2L, 0.25)), s"got $out")
+  }
+
+  test("kaplanMeier: censored-only days get no row but stay at risk") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    def day(d: Long) = new Timestamp(base.getTime + d * 86400000L)
+    // horizon = day 4. A converts day 1; B censored (dur 4);
+    // C converts day 4. day 1: d=1 n=3 S=0.666667;
+    // day 4: d=1, at risk = {B, C} = 2 → S = round(0.666667·0.5, 6)
+    val evs = Seq(
+      (1L, day(0), "s"), (1L, day(1), "p"),
+      (2L, day(0), "s"), (2L, day(2), "x"),
+      (3L, day(0), "s"), (3L, day(4), "p")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Events.kaplanMeier(evs, "user_id", "ts",
+        org.apache.spark.sql.functions.col("event_type") === "p")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, 3L, 0.666667), (4L, 1L, 2L, 0.333334)),
+      s"got $out")
+  }
 }

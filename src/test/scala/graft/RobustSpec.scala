@@ -29,4 +29,28 @@ class RobustSpec extends SparkSuite {
       Robust.madOutliers(df, Seq("g"), "v", k = 0.0)
     }
   }
+
+  test("mannWhitneyU: separated samples give U1 = 0 and the textbook z") {
+    // A = {1,2,3}, B = {4,5,6}: R1 = 6, U1 = 0, cles = 0,
+    // z = (0 - 4.5)/sqrt(0.75·7) = -1.963961 (no ties, t-term 0)
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "a"),
+      (4.0, "b"), (5.0, "b"), (6.0, "b")).toDF("v", "g")
+    val r = Robust.mannWhitneyU(df, "v", $"g" === "a")
+      .as[(Double, Long, Long, Double, Double)].collect().head
+    assert(r._1 == 0.0 && r._2 == 3L && r._3 == 3L && r._4 == 0.0, s"got $r")
+    assert(math.abs(r._5 - -1.963961) < 1e-6, s"z: ${r._5}")
+  }
+
+  test("mannWhitneyU: ties use average ranks; nulls in neither slice") {
+    // A = {1,2}, B = {2,3}: ranks 1, 2.5 | 2.5, 4 → R1 = 3.5,
+    // U1 = 0.5, cles = 0.125
+    val df = Seq(
+      (Some(1.0), Some("a")), (Some(2.0), Some("a")),
+      (Some(2.0), Some("b")), (Some(3.0), Some("b")),
+      (None, Some("a")), (Some(9.0), None)
+    ).toDF("v", "g")
+    val r = Robust.mannWhitneyU(df, "v", $"g" === "a")
+      .as[(Double, Long, Long, Double, Double)].collect().head
+    assert(r._1 == 0.5 && r._2 == 2L && r._3 == 2L && r._4 == 0.125, s"got $r")
+  }
 }
