@@ -2608,7 +2608,43 @@ object SparkEntry {
       // finite even for vocabulary no other source shares, unlike
       // q118's KL against the corpus
       CorpusStats.sourceJsd(t(s, dir, "documents"), "source", "text")
-        .orderBy("source")))
+        .orderBy("source")),
+
+    "q184_readability" -> ((s, dir) =>
+      // Flesch–Kincaid grade per doc from regex-countable proxies —
+      // map-only scan-stage counters, the fluency gate next to q22's
+      // ratio gates
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCountArith(col("text")).as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"),
+          lit(0))), lit(1)).cast("long").as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+          lit(0))).cast("long").as("n_syllables"),
+        TextOps.readability(col("text")).as("fk_grade"))
+        .orderBy("doc_id")),
+
+    "q185_gram_novelty" -> ((s, dir) =>
+      // per-doc cross-corpus novelty: the N-way boilerplate readout
+      // pairwise dedup can't see; linear in grams, no pair join
+      Dedup.crossDocNovelty(t(s, dir, "documents"), "doc_id", "text",
+        n = 3)
+        .orderBy("doc_id")),
+
+    "q186_label_propagation" -> ((s, dir) => {
+      // community detection on the nation trade graph (q111's edges
+      // read undirected): 2 deterministic synchronous LPA rounds
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graph.labelPropagation(edges, "src", "dst", "w", rounds = 2)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("label"))
+        .orderBy("node")
+    }))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5408,7 +5444,60 @@ object SparkEntry {
         |      AS DECIMAL(18,6)) AS tq
         |  FROM pq)
         |SELECT source, ROUND(CAST(SUM(tp) + SUM(tq) AS DOUBLE) / 2e0, 6) AS jsd
-        |FROM term GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM term GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q184_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS w,
+        |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+        |  CAST(s AS BIGINT) AS n_sentences, CAST(y AS BIGINT) AS n_syllables,
+        |  ROUND(0.39e0 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) +
+        |    11.8e0 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59e0, 6)
+        |    AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q185_gram_novelty" ->
+      s"""WITH sh AS (${sqlShingles(3)}),
+         |freq AS (SELECT gram, COUNT(*) AS df FROM sh GROUP BY 1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    COUNT(*), 6) AS novelty
+         |FROM sh JOIN freq USING (gram)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q186: two synchronous LPA rounds unrolled as CTEs; scores are
+    // exact integer weight sums, so the (score DESC, label) argmax is
+    // engine-portable
+    "q186_label_propagation" ->
+      """WITH e0 AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |und AS (SELECT a, b, SUM(w) AS w FROM (
+        |    SELECT src AS a, dst AS b, w FROM e0 WHERE src <> dst
+        |    UNION ALL
+        |    SELECT dst AS a, src AS b, w FROM e0 WHERE src <> dst)
+        |  GROUP BY 1, 2),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        |n1 AS (SELECT und.a AS node, l0.label, SUM(und.w) AS score
+        |  FROM und JOIN l0 ON l0.node = und.b GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |    SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |      ORDER BY score DESC, label) AS rn FROM n1) WHERE rn = 1),
+        |n2 AS (SELECT und.a AS node, l1.label, SUM(und.w) AS score
+        |  FROM und JOIN l1 ON l1.node = und.b GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |    SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |      ORDER BY score DESC, label) AS rn FROM n2) WHERE rn = 1)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+        |FROM l2 ORDER BY node""".stripMargin)
 
   /** The q177 oracle: the MMR greedy unrolled as k SQL stages (the
     * q109 BPE-chain device) — step 1 is the relevance argmax, step i

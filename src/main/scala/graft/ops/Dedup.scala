@@ -284,6 +284,43 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Per-document cross-corpus novelty: how much of each document's
+    * distinct word-n-gram set appears NOWHERE else in the corpus
+    * (`df = 1`). The memorization-risk / boilerplate readout dual to
+    * pair-level dedup: `novelty ≈ 1` → unique content;
+    * `novelty ≈ 0` → the document is assembled from shared text, even
+    * if no single pair crosses a dedup threshold (N-way boilerplate
+    * spreads mass so thin pairwise Jaccard misses it).
+    *
+    * Returns `(idCol, n_grams, n_novel, novelty)` with
+    * `novelty = n_novel / n_grams` round-6.
+    *
+    * Scale shape: the gram table (compiled kernel, per-doc distinct)
+    * persists once and shuffles twice — by gram for corpus df, by doc
+    * for the readout — both map-side combined; no pair join exists
+    * anywhere, so unlike candidate generation there is no bucket to
+    * cap: cost is linear in total grams regardless of duplication
+    * structure.
+    */
+  def crossDocNovelty(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = gramRows(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = sh.groupBy("gram").agg(count(lit(1)).as("__df"))
+    sh.join(freq, "gram")
+      .groupBy("__id")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+      .select(col("__id").as(idCol), col("n_grams"), col("n_novel"),
+        col("novelty"))
+  }
+
   /** MinHash-LSH candidate pairs.
     *
     * Signature of `numHashes` minhashes split into `bands` bands of

@@ -163,4 +163,57 @@ object Graph {
             col("node").cast("string")))).as("root"),
         col("d").as("depth"))
   }
+
+  /** Synchronous weighted label propagation (Raghavan et al. 2007) for
+    * community detection: every node starts labeled with itself; each
+    * round it adopts the label with the highest incident edge-weight
+    * sum among its neighbors, ties broken by smallest label — a fully
+    * deterministic variant of the usually-randomized LPA (synchronous
+    * update + total tie order), so reruns and engines agree.
+    *
+    * Edges are read undirected (mirrored, self-loops dropped, parallel
+    * directed pairs weight-merged). Returns `(node, label)` after
+    * `rounds` rounds; nodes only ever hold labels from their
+    * connected component.
+    *
+    * Scale shape: per round, ONE edge-scale join (neighbor labels) +
+    * one map-side-combined (node, label) weight aggregate + a
+    * per-node top-1 window — all keyed shuffles, nothing global.
+    * Each round materializes via `localCheckpoint` so the plan stays
+    * one round deep (the q160 self-composition lesson: iterative
+    * plans must cut lineage or compile exponentially).
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"graft: rounds must be in [1,20], got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val dir0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(wCol).as("w"))
+      .filter(col("a") =!= col("b"))
+    val sym = dir0
+      .unionAll(dir0.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val neigh = sym
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(sum(col("w")).as("__score"))
+      val top = Window.partitionBy("node")
+        .orderBy(col("__score").desc, col("label").asc)
+      labels = neigh.withColumn("__rn", row_number().over(top))
+        .filter(col("__rn") === 1)
+        .select("node", "label")
+        .localCheckpoint()
+    }
+    sym.unpersist()
+    labels
+  }
 }

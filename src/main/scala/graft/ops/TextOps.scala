@@ -429,6 +429,31 @@ object TextOps {
   def foldHomoglyphs(c: Column): Column =
     translate(c, HomoglyphFrom, HomoglyphTo)
 
+  /** Flesch–Kincaid grade level (Kincaid et al. 1975) from three
+    * regex-countable proxies — words (space arithmetic, the
+    * [[tokenCountArith]] device), sentences (runs of `[.!?]`, floored
+    * at 1 so fragments stay finite), syllables (runs of vowels incl.
+    * y — the standard cheap approximation):
+    * `0.39·(W/S) + 11.8·(Y/W) − 15.59`, round-6.
+    *
+    * The curation use: a grade-level band is a cheap fluency gate
+    * (near-zero → word salad or markup; ≥ 20 → run-on boilerplate or
+    * OCR noise), orthogonal to [[qualityScore]]'s ratio gates and
+    * [[charEntropy]].
+    *
+    * Scale shape: map-only scan-stage counters (two regexp passes +
+    * length arithmetic per row); nothing shuffles.
+    */
+  def readability(text: Column): Column = {
+    val w = tokenCountArith(text).cast("double")
+    val s = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("double")
+    val y = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("double")
+    round(lit(0.39d) * (w / s) + lit(11.8d) * (y / w) - lit(15.59d), 6)
+  }
+
   /** MOSS winnowing fingerprints (Schleimer et al. 2003): per document,
     * the distinct leftmost-min (md5-prefix hash, position) selections
     * over every `window`-gram window of character `k`-grams — any

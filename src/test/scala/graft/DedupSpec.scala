@@ -417,4 +417,17 @@ class DedupSpec extends SparkSuite {
     assert(e.getMessage.contains("completeness is the contract"),
       e.getMessage)
   }
+
+  test("crossDocNovelty: duplicated docs score 0, unique docs 1, mixed between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), // every gram shared → 0
+      (3L, "x y z w"),                  // every gram unique → 1
+      (4L, "a b c q")                   // "a b c" shared, "b c q" novel
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocNovelty(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0),
+      (3L, 2L, 2L, 1.0), (4L, 2L, 1L, 0.5)), s"got $out")
+  }
 }

@@ -100,4 +100,33 @@ class GraphSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("chain not closed"), e2.getMessage)
   }
+
+  test("labelPropagation: two cliques joined by a weak bridge separate") {
+    import spark.implicits._
+    // clique {1,2,3} (w=10 edges), clique {4,5,6} (w=10), bridge
+    // 3–4 (w=1). After 2 rounds each side carries its min member.
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
+      (3L, 4L, 1L)
+    ).toDF("src", "dst", "w")
+    val out = Graph.labelPropagation(edges, "src", "dst", "w", rounds = 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)), s"got $out")
+  }
+
+  test("labelPropagation: ties adopt the smallest label; self-loops drop") {
+    import spark.implicits._
+    // node 2's neighbors 1 and 3 tie at w=5 → adopts label 1;
+    // the 9-weight self-loop must not override that
+    val edges = Seq((1L, 2L, 5L), (3L, 2L, 5L), (2L, 2L, 9L))
+      .toDF("src", "dst", "w")
+    val out = Graph.labelPropagation(edges, "src", "dst", "w", rounds = 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L), (3L, 2L)), s"got $out")
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(edges, "src", "dst", "w", rounds = 0)
+    }
+  }
 }

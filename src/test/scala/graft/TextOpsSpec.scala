@@ -418,4 +418,20 @@ class TextOpsSpec extends SparkSuite {
     assert(out(1)._2 == "paypal scam")
     assert(out(2)._2 == "MOCKBA", out(2)) // uppercase set folds too
   }
+
+  test("readability: hand-computed Flesch-Kincaid grade; fragments floor S at 1") {
+    import spark.implicits._
+    // "the cat sat." → W=3, S=1, Y=3 → 0.39·3 + 11.8·1 − 15.59 = −2.62
+    // "no punctuation here" → W=3, S=1 (floored), Y=7:
+    //   o, u-a-io (runs: u, a, io), e-e (e, e)... count runs:
+    //   "no"→o; "punctuation"→u,ua,io = 3; "here"→e,e = 2; total 6
+    //   → 0.39·3 + 11.8·(6/3) − 15.59 = 9.17
+    val df = Seq((1L, "the cat sat."), (2L, "no punctuation here"))
+      .toDF("id", "t")
+    val out = df.select(col("id"), TextOps.readability(col("t")).as("fk"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out == Seq((1L, r6(0.39 * 3 + 11.8 * (3.0 / 3) - 15.59)),
+      (2L, r6(0.39 * 3 + 11.8 * (6.0 / 3) - 15.59))), s"got $out")
+  }
 }
