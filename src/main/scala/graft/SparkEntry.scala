@@ -2644,7 +2644,24 @@ object SparkEntry {
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("label"))
         .orderBy("node")
-    }))
+    }),
+
+    "q187_sequence_patterns" -> ((s, dir) =>
+      // GSP-style support for every ordered event-type triple via the
+      // greedy min-chain (three subject-keyed joins, alphabet-bounded
+      // blow-up — never a cubic self-join)
+      Events.subsequenceSupport(events(s, dir), "user_id", "ts",
+        "event_type", minSupport = 5L)
+        .orderBy(col("n_subjects").desc, col("step1"), col("step2"),
+          col("step3"))),
+
+    "q188_quantile_normalize" -> ((s, dir) =>
+      // rank-uniform feature scaling per market segment: the
+      // normalization table (value → mid-rank quantile), integral
+      // numerator on the distributed prefix device
+      Rank.quantileNormalize(t(s, dir, "customer"), "c_mktsegment",
+        "c_acctbal")
+        .orderBy("c_mktsegment", "c_acctbal")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5497,7 +5514,38 @@ object SparkEntry {
         |    SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
         |      ORDER BY score DESC, label) AS rn FROM n2) WHERE rn = 1)
         |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
-        |FROM l2 ORDER BY node""".stripMargin)
+        |FROM l2 ORDER BY node""".stripMargin,
+
+    // q187: the greedy min-chain is support-equivalent to subsequence
+    // existence, so the oracle can use the same three joins
+    "q187_sequence_patterns" ->
+      """WITH ev AS (SELECT user_id AS s, event_type AS t, epoch_us(ts) AS us
+        |  FROM events WHERE event_type IS NOT NULL),
+        |s1 AS (SELECT s, t AS step1, MIN(us) AS t1 FROM ev GROUP BY 1, 2),
+        |s2 AS (SELECT ev.s, s1.step1, ev.t AS step2, MIN(ev.us) AS t2
+        |  FROM ev JOIN s1 ON s1.s = ev.s AND ev.us > s1.t1
+        |  GROUP BY 1, 2, 3),
+        |s3 AS (SELECT ev.s, s2.step1, s2.step2, ev.t AS step3,
+        |    MIN(ev.us) AS t3
+        |  FROM ev JOIN s2 ON s2.s = ev.s AND ev.us > s2.t2
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_subjects
+        |FROM s3 GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+        |ORDER BY n_subjects DESC, step1, step2, step3""".stripMargin,
+
+    "q188_quantile_normalize" ->
+      """WITH vc AS (SELECT c_mktsegment, c_acctbal, COUNT(*) AS c
+        |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1, 2),
+        |pre AS (SELECT c_mktsegment, c_acctbal, c,
+        |    COALESCE(SUM(c) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl,
+        |    SUM(c) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM vc)
+        |SELECT c_mktsegment, c_acctbal, CAST(c AS BIGINT) AS n_ties,
+        |  ROUND(CAST(2 * cl + c + 1 AS DOUBLE) / CAST(2 * n AS DOUBLE), 6)
+        |    AS qnorm
+        |FROM pre ORDER BY 1, 2""".stripMargin)
 
   /** The q177 oracle: the MMR greedy unrolled as k SQL stages (the
     * q109 BPE-chain device) — step 1 is the relevance argmax, step i

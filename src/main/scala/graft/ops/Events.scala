@@ -367,4 +367,52 @@ object Events {
         round(aggregate(col("__fs"), lit(1.0d),
           (acc, x) => round(acc * x, 6)), 6).as("survival"))
   }
+
+  /** Sequential-pattern support (the existence core of
+    * PrefixSpan/GSP, Agrawal & Srikant 1996): for every ordered
+    * event-type triple (a, b, c), how many subjects exhibit it as a
+    * strict-time subsequence `t_a < t_b < t_c`. Uses the greedy
+    * min-chain equivalence: a subsequence exists iff
+    * `t1 = min t(a)`, `t2 = min t(b) > t1`, `t3 = min t(c) > t2`
+    * succeeds — greedy-earliest matching never loses a later match,
+    * so three bounded joins replace a cubic self-join.
+    *
+    * Returns `(step1, step2, step3, n_subjects)` for triples with
+    * support ≥ `minSupport` — steps may repeat (a, a, b): the chain's
+    * strict `>` handles recurrence naturally.
+    *
+    * Scale shape: every join is subject-keyed; the blow-up factor is
+    * the TYPE alphabet, not the stream — stage i holds ≤ |types|^i
+    * rows per subject (alphabets are small by construction; gate
+    * upstream if not: `|types|² × subjects` must fit the shuffle).
+    * The corpus is scanned once per stage, filtered to min-chains
+    * map-side before each shuffle.
+    */
+  def subsequenceSupport(
+      events: DataFrame,
+      subjectCol: String,
+      tsCol: String,
+      typeCol: String,
+      minSupport: Long = 1L): DataFrame = {
+    val ev = events.select(col(subjectCol).as("__s"),
+      col(typeCol).as("__t"), unix_micros(col(tsCol)).as("__us"))
+      .filter(col("__t").isNotNull)
+    val s1 = ev.groupBy("__s", "__t")
+      .agg(min(col("__us")).as("__t1"))
+      .select(col("__s"), col("__t").as("step1"), col("__t1"))
+    val s2 = ev.join(s1, "__s")
+      .filter(col("__us") > col("__t1"))
+      .groupBy(col("__s"), col("step1"), col("__t").as("step2"))
+      .agg(min(col("__us")).as("__t2"))
+    val s3 = ev.join(s2, "__s")
+      .filter(col("__us") > col("__t2"))
+      .groupBy(col("__s"), col("step1"), col("step2"),
+        col("__t").as("step3"))
+      .agg(min(col("__us")).as("__t3"))
+    // s3 is already distinct per (subject, triple) — a plain count
+    // avoids the count-distinct Expand (the q164 lesson)
+    s3.groupBy("step1", "step2", "step3")
+      .agg(count(lit(1)).cast("long").as("n_subjects"))
+      .filter(col("n_subjects") >= minSupport)
+  }
 }

@@ -146,4 +146,44 @@ object Rank {
       .withColumn("bucket",
         expr(s"(rk - 1L) * ${nBuckets}L DIV n_stratum + 1L"))
   }
+
+  /** Rank-uniform (quantile) normalization per stratum: each distinct
+    * value maps to its mid-rank quantile
+    * `qnorm = (2·cntLess + ties + 1) / (2·n)` ∈ (0, 1] — the
+    * feature-scaling transform that is immune to outliers and
+    * monotone-invariant (any heavy-tailed score column becomes
+    * uniform; compose with an inverse-CDF for Gaussian targets).
+    * Ties share one mid-rank, so the map is a well-defined function
+    * of the value (not the row), making it joinable as a model.
+    *
+    * Returns the normalization TABLE `(stratum, value, n_ties,
+    * qnorm)` — distinct-value-sized, the broadcastable artifact to
+    * join back onto any relation carrying the column.
+    *
+    * Parity: the numerator stays integral (the q182 doubled-units
+    * device); the single division is IEEE, round-6.
+    *
+    * Scale shape: one map-side-combined aggregate to the
+    * distinct-value table, then the two-phase distributed prefix sum
+    * ([[stratifiedPrefixSum]]) — no corpus-sized single-partition
+    * window; stratum totals broadcast back.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val vc = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(stratumCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val pre = stratifiedPrefixSum(vc, stratumCol, Seq(valueCol), "__c",
+      numPartitions)
+    val n = vc.groupBy(stratumCol).agg(sum(col("__c")).as("__n"))
+    pre.join(broadcast(n), stratumCol)
+      .withColumn("qnorm", round(
+        (lit(2L) * col("prefix") + col("__c") + lit(1L)).cast("double") /
+          (lit(2L) * col("__n")).cast("double"), 6))
+      .select(col(stratumCol), col(valueCol),
+        col("__c").cast("long").as("n_ties"), col("qnorm"))
+  }
 }

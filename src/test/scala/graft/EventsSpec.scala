@@ -215,4 +215,20 @@ class EventsSpec extends SparkSuite {
     assert(out == Seq((1L, 1L, 3L, 0.666667), (4L, 1L, 2L, 0.333334)),
       s"got $out")
   }
+
+  test("subsequenceSupport: greedy min-chain finds triples incl. repeats") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new Timestamp(base.getTime + sec * 1000)
+    // user 1: a,b,c in order → only (a,b,c);
+    // user 2: a,a,b → only (a,a,b) — recurrence via strict >
+    val evs = Seq(
+      (1L, at(1), "a"), (1L, at(2), "b"), (1L, at(3), "c"),
+      (2L, at(1), "a"), (2L, at(2), "a"), (2L, at(3), "b")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Events.subsequenceSupport(evs, "user_id", "ts", "event_type")
+      .as[(String, String, String, Long)].collect()
+      .sortBy(r => (r._1, r._2, r._3)).toSeq
+    assert(out == Seq(("a", "a", "b", 1L), ("a", "b", "c", 1L)), s"got $out")
+  }
 }

@@ -173,6 +173,19 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("quantileNormalize: mid-rank quantiles by hand; ties share; nulls drop") {
+    import graft.ops.Rank
+    // stratum a: [1, 2, 2, 4] (n=4): 1 → (0+1+1)/8 = 0.25,
+    // 2 → (2+2+1)/8 = 0.625, 4 → (6+1+1)/8 = 1.0; null excluded
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(2.0)),
+      ("a", Some(4.0)), ("a", None), ("b", Some(7.0)))
+      .toDF("g", "v")
+    val out = Rank.quantileNormalize(df, "g", "v")
+      .as[(String, Double, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(("a", 1.0, 1L, 0.25), ("a", 2.0, 2L, 0.625),
+      ("a", 4.0, 1L, 1.0), ("b", 7.0, 1L, 1.0)), s"got $out")
+  }
+
   test("tokenBudgetSample: greedy-inclusive per stratum, deterministic") {
     import graft.ops.Rank
     val df = (1L to 60L).map(i => (i, if (i % 2 == 0) "en" else "de", 10L))
