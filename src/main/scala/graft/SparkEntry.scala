@@ -2661,7 +2661,27 @@ object SparkEntry {
       // numerator on the distributed prefix device
       Rank.quantileNormalize(t(s, dir, "customer"), "c_mktsegment",
         "c_acctbal")
-        .orderBy("c_mktsegment", "c_acctbal")))
+        .orderBy("c_mktsegment", "c_acctbal")),
+
+    "q189_rfm_segments" -> ((s, dir) =>
+      // behavioral segmentation: recency/frequency/monetary quintiles
+      // by the exact integral split, subject-id tie-breaks — the
+      // segmentation is a pure function of the data
+      Events.rfmSegments(events(s, dir), "user_id", "ts",
+        col("event_type") === "purchase", "value")
+        .orderBy("user_id")),
+
+    "q190_term_burstiness" -> ((s, dir) =>
+      // Church–Gale tf/df: within-doc repetition vs corpus spread —
+      // the boilerplate/content-word separator next to q65's tf-idf
+      CorpusStats.termBurstiness(t(s, dir, "documents"), "doc_id",
+        "text", minDf = 5L, topK = 50)),
+
+    "q191_benford" -> ((s, dir) =>
+      // first-digit law audit on order totals; expected shares are
+      // fixed round-6 constants so neither engine's log10 is compared
+      Profile.benford(t(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5545,7 +5565,64 @@ object SparkEntry {
         |SELECT c_mktsegment, c_acctbal, CAST(c AS BIGINT) AS n_ties,
         |  ROUND(CAST(2 * cl + c + 1 AS DOUBLE) / CAST(2 * n AS DOUBLE), 6)
         |    AS qnorm
-        |FROM pre ORDER BY 1, 2""".stripMargin)
+        |FROM pre ORDER BY 1, 2""".stripMargin,
+
+    // q189: '//' mirrors quantileBuckets' integral DIV split; every
+    // rank breaks ties by user id so both engines bucket identically
+    "q189_rfm_segments" ->
+      """WITH hz AS (SELECT MAX(epoch_us(ts)) AS h FROM events),
+        |per AS (SELECT user_id AS u,
+        |    (h - MAX(epoch_us(ts))) // 86400000000 AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events, hz WHERE event_type = 'purchase' GROUP BY u, h),
+        |b AS (SELECT u, recency_days, frequency, monetary,
+        |    ((ROW_NUMBER() OVER (ORDER BY recency_days, u) - 1) * 5)
+        |      // (COUNT(*) OVER ()) + 1 AS r_bucket,
+        |    ((ROW_NUMBER() OVER (ORDER BY frequency, u) - 1) * 5)
+        |      // (COUNT(*) OVER ()) + 1 AS f_bucket,
+        |    ((ROW_NUMBER() OVER (ORDER BY monetary, u) - 1) * 5)
+        |      // (COUNT(*) OVER ()) + 1 AS m_bucket
+        |  FROM per)
+        |SELECT u AS user_id, CAST(recency_days AS BIGINT) AS recency_days,
+        |  CAST(frequency AS BIGINT) AS frequency, monetary,
+        |  CAST(r_bucket AS BIGINT) AS r_bucket,
+        |  CAST(f_bucket AS BIGINT) AS f_bucket,
+        |  CAST(m_bucket AS BIGINT) AS m_bucket,
+        |  'r' || CAST(r_bucket AS VARCHAR) || 'f' || CAST(f_bucket AS VARCHAR)
+        |    || 'm' || CAST(m_bucket AS VARCHAR) AS segment
+        |FROM b ORDER BY user_id""".stripMargin,
+
+    "q190_term_burstiness" ->
+      """WITH dw AS (SELECT doc_id, w, COUNT(*) AS tfd FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE w <> '' GROUP BY 1, 2),
+        |term AS (SELECT w, SUM(tfd) AS tf, COUNT(*) AS df FROM dw GROUP BY 1)
+        |SELECT w AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  ROUND(CAST(tf AS DOUBLE) / df, 6) AS burstiness
+        |FROM term WHERE df >= 5
+        |ORDER BY burstiness DESC, w LIMIT 50""".stripMargin,
+
+    // q191: expected shares are the SAME Scala round-6 constants the
+    // Spark side compiles in (Profile.BenfordExpected) — no log10 from
+    // either engine enters the compare
+    "q191_benford" -> {
+      val cases = graft.ops.Profile.BenfordExpected
+        .map { case (d, e) => s"WHEN digit = $d THEN ${e}e0" }
+        .mkString(" ")
+      s"""WITH c AS (SELECT CAST(substr(CAST(CAST(FLOOR(
+         |      CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS VARCHAR), 1, 1)
+         |      AS INT) AS digit
+         |  FROM orders WHERE CAST(o_totalprice AS DOUBLE) >= 1e0),
+         |g AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY 1),
+         |t AS (SELECT SUM(n) AS tt FROM g)
+         |SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+         |  ROUND(CAST(n AS DOUBLE) / tt, 6) AS share,
+         |  CASE $cases END AS expected,
+         |  ROUND(ROUND(CAST(n AS DOUBLE) / tt, 6) - CASE $cases END, 6)
+         |    AS deviation
+         |FROM g, t ORDER BY digit""".stripMargin
+    })
 
   /** The q177 oracle: the MMR greedy unrolled as k SQL stages (the
     * q109 BPE-chain device) — step 1 is the relevance argmax, step i

@@ -520,4 +520,42 @@ object CorpusStats {
       .agg(round((sum(col("__tp")) + sum(col("__tq"))).cast("double") / 2.0d, 6)
         .as("jsd"))
   }
+
+  /** Church–Gale term burstiness (Church & Gale 1995): `tf / df` —
+    * the mean WITHIN-document repetition of a term across the
+    * documents that contain it. Content words are bursty (a document
+    * about a topic repeats its terms); function words and template
+    * residue sit near 1 spread thin across the corpus. High
+    * burstiness at high df flags boilerplate n-gram sources; the
+    * complement signal to [[tfidf]]'s rarity weighting.
+    *
+    * Returns the top `topK` terms with df ≥ `minDf` by
+    * (burstiness DESC, term) — `(term, tf, df, burstiness)` round-6.
+    *
+    * Scale shape: one (doc, word)-keyed map-side-combined aggregate
+    * (the same first shuffle every corpus stat here starts with),
+    * one word-keyed fold of it, and a TakeOrdered top-k — no sort of
+    * the vocabulary.
+    */
+  def termBurstiness(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    require(minDf >= 1 && topK >= 1, "termBurstiness: minDf, topK >= 1")
+    val dw = df
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("__id", "w").agg(count(lit(1)).as("__tfd"))
+    dw.groupBy("w")
+      .agg(sum(col("__tfd")).as("tf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("burstiness",
+        round(col("tf").cast("double") / col("df"), 6))
+      .orderBy(col("burstiness").desc, col("w"))
+      .limit(topK)
+      .select(col("w").as("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("burstiness"))
+  }
 }

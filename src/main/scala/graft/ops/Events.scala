@@ -415,4 +415,52 @@ object Events {
       .agg(count(lit(1)).cast("long").as("n_subjects"))
       .filter(col("n_subjects") >= minSupport)
   }
+
+  /** RFM behavioral segmentation (Hughes 1994): per subject, recency
+    * (whole days from last transaction to the corpus horizon),
+    * frequency (transaction count), monetary (DECIMAL(18,2) value
+    * sum), each quantile-bucketed 1..`nBuckets` by the exact integral
+    * split ([[Rank.quantileBuckets]]' `(rk−1)·B DIV n + 1` — same
+    * arithmetic on any engine and any partitioning; ranks break ties
+    * by subject id, so the segmentation is a pure function of the
+    * data). Bucket 1 = smallest metric (most recent / fewest / least
+    * valuable); the `segment` string is `r<R>f<F>m<M>`.
+    *
+    * Scale shape: one subject-keyed aggregate, then three
+    * stratified-rank passes over the SUBJECT-sized relation (each the
+    * two-phase range-shuffle device — no global window); the horizon
+    * is a 1-row broadcast.
+    */
+  def rfmSegments(
+      events: DataFrame,
+      subjectCol: String,
+      tsCol: String,
+      isTxn: Column,
+      valueCol: String,
+      nBuckets: Int = 5): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val horizon = events.agg(max(us).as("__hz"))
+    val per = events.filter(isTxn)
+      .groupBy(col(subjectCol).as("__u"))
+      .agg(max(us).as("__last"), count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__m"))
+      .crossJoin(broadcast(horizon))
+      .select(col("__u"),
+        expr("(__hz - __last) div 86400000000").as("recency_days"),
+        col("frequency").cast("long").as("frequency"),
+        col("__m").cast("double").as("monetary"))
+      .withColumn("__g", lit(1))
+    def bucketOf(metric: String, as: String)(df: DataFrame): DataFrame =
+      Rank.quantileBuckets(df, "__g", Seq(metric, "__u"), nBuckets)
+        .withColumnRenamed("bucket", as).drop("rk", "n_stratum")
+    val b = bucketOf("recency_days", "r_bucket")(
+      bucketOf("frequency", "f_bucket")(
+        bucketOf("monetary", "m_bucket")(per)))
+    b.select(col("__u").as(subjectCol), col("recency_days"),
+        col("frequency"), col("monetary"),
+        col("r_bucket").cast("long"), col("f_bucket").cast("long"),
+        col("m_bucket").cast("long"),
+        concat(lit("r"), col("r_bucket"), lit("f"), col("f_bucket"),
+          lit("m"), col("m_bucket")).as("segment"))
+  }
 }

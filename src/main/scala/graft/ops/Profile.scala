@@ -51,4 +51,56 @@ object Profile {
         (col("__n") - col("__nn")).cast("long").as("n_nulls"),
         col("n_distinct").cast("long"), col("min_val"), col("max_val"))
   }
+
+  /** Benford's-law expected first-digit shares `log10(1 + 1/d)`,
+    * round-6 — materialized as CONSTANTS (computed once here, echoed
+    * into the oracle SQL as literals) so neither engine's log10
+    * enters the comparison: the libm-parity rule of the round-6-LN
+    * ladder taken to its safest extreme for a fixed 9-value table.
+    */
+  val BenfordExpected: Seq[(Int, Double)] = (1 to 9).map { d =>
+    d -> math.rint(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6
+  }
+
+  /** Benford first-digit audit of a positive numeric column — the
+    * fabricated-data / unit-mixup tripwire: organically-grown
+    * magnitudes follow `P(d) = log10(1+1/d)`; price floors, synthetic
+    * fills, or a currency column in cents where dollars were expected
+    * all bend the curve. Values < 1 are excluded (their leading digit
+    * depends on decimal rendering, not magnitude).
+    *
+    * The digit is extracted arithmetically — `floor` → BIGINT →
+    * first character — because FLOOR is engine-portable while
+    * double→string rendering and double→int casts are not (DuckDB
+    * rounds, Spark truncates; the engine-parity rules at the top of
+    * SparkEntry).
+    *
+    * Returns one row per observed digit: `(digit, n, share,
+    * expected, deviation)`, shares round-6.
+    *
+    * Scale shape: one map-side-combined 9-bucket aggregate + a 1-row
+    * total broadcast back; the expected table is a 9-literal
+    * when-chain in the scan stage.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val digit = substring(
+      floor(v).cast("long").cast("string"), 1, 1).cast("int")
+    val counts = df.filter(v >= 1)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("__n"))
+    val total = counts.agg(sum(col("__n")).as("__t"))
+    val expected = BenfordExpected.tail.foldLeft(
+      when(col("digit") === BenfordExpected.head._1,
+        lit(BenfordExpected.head._2))) { case (acc, (d, e)) =>
+      acc.when(col("digit") === d, lit(e))
+    }
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("__n").cast("double") / col("__t"), 6))
+      .withColumn("expected", expected)
+      .withColumn("deviation", round(col("share") - col("expected"), 6))
+      .select(col("digit").cast("long").as("digit"),
+        col("__n").cast("long").as("n"), col("share"), col("expected"),
+        col("deviation"))
+  }
 }

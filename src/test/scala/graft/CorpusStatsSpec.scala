@@ -315,4 +315,19 @@ class CorpusStatsSpec extends SparkSuite {
     // x·ln(x/(x/2)) = x·ln 2, totals 0.5·ln2 per side → jsd = ln 2
     assert(math.abs(m("s3") - math.log(2)) < 2e-6, s"s3: ${m("s3")}")
   }
+
+  test("termBurstiness: tf/df separates repeated content from spread words") {
+    import spark.implicits._
+    // "topic" appears 3× in each of 2 docs (tf 6, df 2 → 3.0);
+    // "the" once in each of 3 docs (tf 3, df 3 → 1.0)
+    val docs = Seq(
+      (1L, "topic topic topic the"), (2L, "topic topic topic the"),
+      (3L, "the quiet word")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.termBurstiness(docs, "doc_id", "text",
+        minDf = 2L, topK = 10)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("topic", 6L, 2L, 3.0), ("the", 3L, 3L, 1.0)),
+      s"got $out")
+  }
 }

@@ -231,4 +231,25 @@ class EventsSpec extends SparkSuite {
       .sortBy(r => (r._1, r._2, r._3)).toSeq
     assert(out == Seq(("a", "a", "b", 1L), ("a", "b", "c", 1L)), s"got $out")
   }
+
+  test("rfmSegments: distinct metrics rank straight into buckets") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    def day(d: Long) = new Timestamp(base.getTime + d * 86400000L)
+    // 5 users; user i purchases i times on days 1..i with value 10·i.
+    // horizon = day 5 (user 5's last buy). recency: u1 = 4d ... u5 =
+    // 0d — so r_bucket is REVERSED vs f/m (most recent = rank 1).
+    val evs = (1L to 5L).flatMap { u =>
+      (1L to u).map(d => (u, day(d), "purchase", 10.0 * u))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val out = Events.rfmSegments(evs, "user_id", "ts",
+        org.apache.spark.sql.functions.col("event_type") === "purchase",
+        "value")
+      .select("user_id", "r_bucket", "f_bucket", "m_bucket", "segment")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 5L, 1L, 1L, "r5f1m1"), (2L, 4L, 2L, 2L, "r4f2m2"),
+      (3L, 3L, 3L, 3L, "r3f3m3"), (4L, 2L, 4L, 4L, "r2f4m4"),
+      (5L, 1L, 5L, 5L, "r1f5m5")), s"got $out")
+  }
 }

@@ -51,4 +51,16 @@ class ProfileSpec extends SparkSuite {
       Profile.columnProfile(Seq((1, 2)).toDF("a", "b"), Seq.empty)
     }
   }
+
+  test("benford: first digits by hand; sub-1 values excluded") {
+    // digits: 1 ×3 (1.5, 12, 199), 2 ×1 (250); 0.4 excluded
+    val df = Seq(1.5, 12.0, 199.0, 250.0, 0.4).toDF("v")
+    val out = Profile.benford(df, "v")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .sortBy(_._1).toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val e1 = r6(math.log10(2.0)); val e2 = r6(math.log10(1.5))
+    assert(out == Seq((1L, 3L, 0.75, e1, r6(0.75 - e1)),
+      (2L, 1L, 0.25, e2, r6(0.25 - e2))), s"got $out")
+  }
 }
