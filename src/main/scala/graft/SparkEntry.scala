@@ -2681,7 +2681,17 @@ object SparkEntry {
       // first-digit law audit on order totals; expected shares are
       // fixed round-6 constants so neither engine's log10 is compared
       Profile.benford(t(s, dir, "orders"), "o_totalprice")
-        .orderBy("digit")))
+        .orderBy("digit")),
+
+    "q192_centroid_cosine" -> ((s, dir) =>
+      // cluster-confusability matrix: pairwise cosine of per-label
+      // centroids — the shuffle carries (label, dim) partials, never
+      // vectors; the pair join is label-alphabet-bounded
+      Similarity.labelCentroidCosine(t(s, dir, "embeddings"), "label",
+        "embedding")
+        .select(col("label_a").cast("long").as("label_a"),
+          col("label_b").cast("long").as("label_b"), col("cosine"))
+        .orderBy("label_a", "label_b")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5622,7 +5632,30 @@ object SparkEntry {
          |  ROUND(ROUND(CAST(n AS DOUBLE) / tt, 6) - CASE $cases END, 6)
          |    AS deviation
          |FROM g, t ORDER BY digit""".stripMargin
-    })
+    },
+
+    // q192: the q97 per-dim ladder end-to-end — round-6 components,
+    // DECIMAL(18,6) dim sums, round-12/DECIMAL(28,12) pair terms
+    "q192_centroid_cosine" ->
+      """WITH ex AS (SELECT label, CAST(i - 1 AS BIGINT) AS d,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+        |cen AS (SELECT label, d,
+        |    ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*), 6) AS c
+        |  FROM ex GROUP BY 1, 2),
+        |pair AS (SELECT a.label AS la, b.label AS lb,
+        |    CAST(SUM(CAST(ROUND(a.c * b.c, 12) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS num,
+        |    CAST(SUM(CAST(ROUND(a.c * a.c, 12) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS na,
+        |    CAST(SUM(CAST(ROUND(b.c * b.c, 12) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS nb
+        |  FROM cen a JOIN cen b ON a.d = b.d AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
+        |  ROUND(num / (SQRT(na) * SQRT(nb)), 6) AS cosine
+        |FROM pair ORDER BY 1, 2""".stripMargin)
 
   /** The q177 oracle: the MMR greedy unrolled as k SQL stages (the
     * q109 BPE-chain device) — step 1 is the relevance argmax, step i

@@ -764,4 +764,50 @@ object Similarity {
     df.select(col(idCol),
       call_function("graft_random_project", col(vecCol), lit(k), lit(seed))
         .as("projected"))
+
+  /** Pairwise cosine similarity between per-label embedding
+    * CENTROIDS — the cluster-confusability readout ("which classes
+    * will a classifier mix up?", "which sources embed alike?") and
+    * the cheap pre-check before a full SemDeDup pass: label pairs
+    * with near-1 centroid cosine are where cross-label near-dups
+    * live.
+    *
+    * Parity chain (the q97 per-dim device end-to-end): components
+    * round-6 → DECIMAL(18,6) per-(label, dim) sums → round-6 IEEE
+    * mean; pair terms round-12 → DECIMAL(28,12) sums; final
+    * `num / (√na·√nb)` round-6 (√ is correctly-rounded IEEE).
+    *
+    * Scale shape: one corpus-scale posexplode feeding a map-side-
+    * combined (label, dim) aggregate — the shuffle carries
+    * labels × dims × partitions partials, never vectors; everything
+    * after runs on the labels × dims centroid table (the pair join
+    * is labels² × dims, bounded by the label alphabet).
+    */
+  def labelCentroidCosine(
+      df: DataFrame,
+      labelCol: String,
+      vecCol: String): DataFrame = {
+    val ex = df.select(col(labelCol).as("__l"),
+      posexplode(col(vecCol)).as(Seq("__d", "__x")))
+    val cen = ex.groupBy("__l", "__d")
+      .agg(round(
+        sum(round(col("__x").cast("double"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1)), 6).as("__c"))
+    val a = cen.select(col("__l").as("label_a"), col("__d"),
+      col("__c").as("__ca"))
+    val b = cen.select(col("__l").as("label_b"), col("__d"),
+      col("__c").as("__cb"))
+    a.join(b, Seq("__d")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(
+        sum(round(col("__ca") * col("__cb"), 12).cast("decimal(28,12)"))
+          .cast("double").as("__num"),
+        sum(round(col("__ca") * col("__ca"), 12).cast("decimal(28,12)"))
+          .cast("double").as("__na"),
+        sum(round(col("__cb") * col("__cb"), 12).cast("decimal(28,12)"))
+          .cast("double").as("__nb"))
+      .select(col("label_a"), col("label_b"),
+        round(col("__num") / (sqrt(col("__na")) * sqrt(col("__nb"))), 6)
+          .as("cosine"))
+  }
 }

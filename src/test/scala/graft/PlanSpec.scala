@@ -570,4 +570,43 @@ class PlanSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"the lookback predicate must post-filter an equi join:\n$p")
   }
+
+  test("q182 Mann-Whitney: value table aggregates partially; prefix is ranged") {
+    val p = finalPlan(SparkEntry.queries("q182_mann_whitney")(spark, sfDir))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"the distinct-value table must map-side combine:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"cntLess must ride the two-phase range device, not a global window:\n$p")
+  }
+
+  test("q185 gram novelty: no pair operator anywhere — linear in grams") {
+    val p = finalPlan(SparkEntry.queries("q185_gram_novelty")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty is df-count + readout, never a pair join:\n$p")
+  }
+
+  test("q187 sequence patterns: three equi joins, no cartesian triple") {
+    val p = finalPlan(SparkEntry.queries("q187_sequence_patterns")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the min-chain joins on the subject key:\n$p")
+    assert(!p.contains("Expand"), s"support counts without distinct Expand:\n$p")
+  }
+
+  test("q188 quantile normalize: prefix rides the range exchange") {
+    val p = finalPlan(
+      SparkEntry.queries("q188_quantile_normalize")(spark, sfDir))
+    assert(p.contains("rangepartitioning"),
+      s"the two-phase prefix sum must range-partition:\n$p")
+  }
+
+  test("q192 centroid cosine: vectors never shuffle — (label, dim) partials do") {
+    val p = finalPlan(SparkEntry.queries("q192_centroid_cosine")(spark, sfDir))
+    assert(p.contains("partial_sum") || p.contains("partial sum") ||
+      p.contains("partial_count") || p.contains("partial count"),
+      s"per-dim sums must map-side combine below the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the pair join is a dim equi-join over the bounded centroid table:\n$p")
+  }
 }

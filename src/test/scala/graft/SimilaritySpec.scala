@@ -276,4 +276,20 @@ class SimilaritySpec extends SparkSuite {
       .select("anchor_id").as[Long].collect().sorted.toSeq
     assert(out == Seq(1L, 2L)) // 3 has no positive, 4 has no label
   }
+
+  test("labelCentroidCosine: orthogonal, identical, and averaged centroids") {
+    import spark.implicits._
+    // label 0 centroid = mean([1,0],[1,0]) = [1,0]; label 1 = [0,1];
+    // label 2 = mean([2,0],[0,2]) = [1,1] → cos(0,1)=0,
+    // cos(0,2)=1/√2≈0.707107, cos(1,2)=0.707107
+    val df = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)),
+      (1, Seq(0.0f, 1.0f)),
+      (2, Seq(2.0f, 0.0f)), (2, Seq(0.0f, 2.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.labelCentroidCosine(df, "label", "embedding")
+      .as[(Int, Int, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq((0, 1, 0.0), (0, 2, 0.707107), (1, 2, 0.707107)),
+      s"got $out")
+  }
 }
