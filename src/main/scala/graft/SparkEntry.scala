@@ -2691,7 +2691,15 @@ object SparkEntry {
         "embedding")
         .select(col("label_a").cast("long").as("label_a"),
           col("label_b").cast("long").as("label_b"), col("cosine"))
-        .orderBy("label_a", "label_b")))
+        .orderBy("label_a", "label_b")),
+
+    "q193_holt_forecast" -> ((s, dir) =>
+      // double exponential smoothing per event type over daily
+      // DECIMAL totals; round-6 per step, (1-α) shared with the
+      // oracle as ONE Scala double (1 ulp from the 0.7 literal)
+      TimeSeries.holtLinear(events(s, dir), "event_type", "ts", "value",
+        alpha = 0.3, beta = 0.1, horizon = 7)
+        .orderBy("event_type")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5655,7 +5663,34 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
         |  ROUND(num / (SQRT(na) * SQRT(nb)), 6) AS cosine
-        |FROM pair ORDER BY 1, 2""".stripMargin)
+        |FROM pair ORDER BY 1, 2""".stripMargin,
+
+    // q193: the smoothing gains and their complements interpolate from
+    // the SAME Scala doubles the Spark fold compiles in — `0.7e0`
+    // would be one ulp off `1.0 - 0.3` and fork the chain
+    "q193_holt_forecast" -> {
+      import graft.ops.TimeSeries.holtOneMinus
+      val (a, b) = (0.3, 0.1)
+      val (a1, b1) = (holtOneMinus(a), holtOneMinus(b))
+      val lNext =
+        s"ROUND(${a}e0 * x[1] + ${a1}e0 * (acc[1] + COALESCE(acc[2], 0e0)), 6)"
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |ser AS (SELECT event_type, list(y ORDER BY day) AS ys,
+         |    COUNT(*) AS n FROM daily GROUP BY 1),
+         |f AS (SELECT event_type, n,
+         |    list_reduce(list_transform(ys, y -> [y]),
+         |      (acc, x) -> [$lNext,
+         |        ROUND(${b}e0 * ($lNext - acc[1])
+         |          + ${b1}e0 * COALESCE(acc[2], 0e0), 6)]) AS lb
+         |  FROM ser)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         |  lb[1] AS level, COALESCE(lb[2], 0e0) AS trend,
+         |  ROUND(lb[1] + 7.0e0 * COALESCE(lb[2], 0e0), 6) AS forecast
+         |FROM f ORDER BY event_type""".stripMargin
+    })
 
   /** The q177 oracle: the MMR greedy unrolled as k SQL stages (the
     * q109 BPE-chain device) — step 1 is the relevance argmax, step i

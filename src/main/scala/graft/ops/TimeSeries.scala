@@ -232,4 +232,69 @@ object TimeSeries {
         (col("__wsum").cast("double") /
           (col("__t1") - col("__t0")).cast("double")).as("twap"))
   }
+
+  /** Holt linear (double) exponential smoothing (Holt 1957) per key
+    * over daily totals, plus an `h`-day-ahead forecast
+    * `level + h·trend` — the trend-aware upgrade of q06's seasonal
+    * mean forecast for capacity planning over telemetry.
+    *
+    * Recurrence (α = level gain, β = trend gain), each value rounded
+    * to 6 per step so the chain is a fixed IEEE sequence both engines
+    * replay: `l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}`; seeded l₁ = y₁, b₁ = 0.
+    * CAUTION for parity: `1−α` is computed ONCE in Scala and embedded
+    * as a literal on both sides — `1.0 - 0.3` and the literal `0.7`
+    * are DIFFERENT doubles (1 ulp), which would silently fork the
+    * chain; the oracle SQL must interpolate
+    * [[holtOneMinus]](alpha/beta), not write `0.7e0`.
+    *
+    * Scale shape: one corpus-scale (key, day) DECIMAL aggregate
+    * (map-side combined); the fold then runs per key over the
+    * SPAN-DAYS-sized daily array (the q180 bounded-chain device —
+    * calendar-bounded, not corpus-bounded). Inherently sequential
+    * smoothing never touches more than one key's days in one task.
+    */
+  def holtLinear(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      alpha: Double = 0.3,
+      beta: Double = 0.1,
+      horizon: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      s"graft: alpha in (0,1], beta in [0,1], got $alpha, $beta")
+    require(horizon >= 0, s"graft: horizon must be >= 0, got $horizon")
+    val ca = lit(alpha); val c1a = lit(holtOneMinus(alpha))
+    val cb = lit(beta); val c1b = lit(holtOneMinus(beta))
+    val daily = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"),
+        to_date(date_trunc("DAY", col(tsCol))).as("__day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("__y"))
+    val ser = daily.groupBy("__k")
+      .agg(transform(
+        sort_array(collect_list(struct(col("__day"), col("__y")))),
+        s => s.getField("__y")).as("__ys"),
+        count(lit(1)).as("n_days"))
+    val fold = aggregate(
+      slice(col("__ys"), lit(2), greatest(size(col("__ys")) - 1, lit(0))),
+      array(element_at(col("__ys"), 1), lit(null).cast("double")),
+      (acc, x) => {
+        val prevL = element_at(acc, 1)
+        val prevB = coalesce(element_at(acc, 2), lit(0.0d))
+        val l = round(ca * x + c1a * (prevL + prevB), 6)
+        array(l, round(cb * (l - prevL) + c1b * prevB, 6))
+      })
+    ser.withColumn("__lb", fold)
+      .select(col("__k").as(keyCol), col("n_days").cast("long").as("n_days"),
+        element_at(col("__lb"), 1).as("level"),
+        coalesce(element_at(col("__lb"), 2), lit(0.0d)).as("trend"),
+        round(element_at(col("__lb"), 1) +
+          lit(horizon.toDouble) * coalesce(element_at(col("__lb"), 2),
+            lit(0.0d)), 6).as("forecast"))
+  }
+
+  /** `1 − x` computed once here so Spark literals and interpolated
+    * oracle SQL share the exact double (see [[holtLinear]]). */
+  def holtOneMinus(x: Double): Double = 1.0 - x
 }

@@ -132,4 +132,22 @@ class TimeSeriesSpec extends SparkSuite {
     assert(hr == 473379L, s"hours since epoch, got $hr")   // 19724*24+3
     assert(day == 19724L, s"days since epoch, got $day")
   }
+
+  test("holtLinear: hand-stepped recurrence; singleton day has zero trend") {
+    // k: days [10, 20] with α=β=0.5 (exact halves — no ulp games in
+    // the hand check): l2 = 0.5·20 + 0.5·10 = 15, b2 = 0.5·5 = 2.5,
+    // forecast(2) = 15 + 2·2.5 = 20. solo: level = y, trend = 0.
+    val df = Seq(
+      ("k", ts("2024-01-01 05:00:00"), 4.0),
+      ("k", ts("2024-01-01 09:00:00"), 6.0),   // day 1 total 10
+      ("k", ts("2024-01-02 01:00:00"), 20.0),  // day 2 total 20
+      ("solo", ts("2024-01-01 00:00:00"), 7.0)
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.holtLinear(df, "k", "ts", "v",
+        alpha = 0.5, beta = 0.5, horizon = 2)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(out == Seq(("k", 2L, 15.0, 2.5, 20.0),
+      ("solo", 1L, 7.0, 0.0, 7.0)), s"got $out")
+  }
 }
