@@ -2699,7 +2699,15 @@ object SparkEntry {
       // oracle as ONE Scala double (1 ulp from the 0.7 literal)
       TimeSeries.holtLinear(events(s, dir), "event_type", "ts", "value",
         alpha = 0.3, beta = 0.1, horizon = 7)
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+
+    "q194_feature_hashing" -> ((s, dir) =>
+      // vocabulary-free signed sparse vectorization (the hashing
+      // trick) on the portable md5 device — map-only hash, one
+      // (doc, dim) aggregate, no fitted state
+      TextOps.featureHash(t(s, dir, "documents"), "doc_id", "text",
+        dims = 256)
+        .orderBy("doc_id", "dim")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5690,7 +5698,22 @@ object SparkEntry {
          |  lb[1] AS level, COALESCE(lb[2], 0e0) AS trend,
          |  ROUND(lb[1] + 7.0e0 * COALESCE(lb[2], 0e0), 6) AS forecast
          |FROM f ORDER BY event_type""".stripMargin
-    })
+    },
+
+    // q194: dim/sign from independent hex digits of one md5 — the q89
+    // portable bucket-hash device; zero-sum cells drop on both sides
+    "q194_feature_hashing" ->
+      """WITH toks AS (SELECT doc_id,
+        |    UNNEST(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    CAST((('0x' || substr(md5(w), 1, 4))::INT % 256) AS BIGINT) AS dim,
+        |    CASE WHEN ('0x' || substr(md5(w), 5, 1))::INT % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM toks WHERE w <> '')
+        |SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS value
+        |FROM h GROUP BY 1, 2 HAVING SUM(s) <> 0
+        |ORDER BY doc_id, dim""".stripMargin)
 
   /** The q177 oracle: the MMR greedy unrolled as k SQL stages (the
     * q109 BPE-chain device) — step 1 is the relevance argmax, step i

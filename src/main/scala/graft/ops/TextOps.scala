@@ -429,6 +429,44 @@ object TextOps {
   def foldHomoglyphs(c: Column): Column =
     translate(c, HomoglyphFrom, HomoglyphTo)
 
+  /** The hashing trick (Weinberger et al. 2009): signed sparse
+    * bag-of-words in a fixed `dims`-dimensional space with NO
+    * vocabulary pass — `dim = h(w) mod dims`, `sign = ±1` from an
+    * independent hash bit, value = signed collision sum. The
+    * vectorizer for streaming/one-pass featurization where a fitted
+    * vocabulary (q65's tf-idf) is impossible; sign-summing keeps
+    * collision noise zero-mean.
+    *
+    * Hashes ride the portable md5 device (Curation.bucketOf memo):
+    * dim from hex chars 1–4, sign parity from char 5 — independent
+    * digits of one md5, one hash call per token. Zero-sum cells drop
+    * (exact ± cancellation), matching sparse-vector semantics.
+    *
+    * Scale shape: map-only hashing in the scan stage, ONE
+    * (doc, dim)-keyed map-side-combined aggregate; output ≤ dims
+    * rows/doc. No vocabulary state anywhere — the property that makes
+    * the trick work at 100 TB.
+    */
+  def featureHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int = 1024): DataFrame = {
+    require(dims >= 2, s"graft: dims must be >= 2, got $dims")
+    val h = md5(col("w"))
+    df.select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("__id"),
+        pmod(conv(substring(h, 1, 4), 16, 10).cast("int"), lit(dims))
+          .cast("long").as("dim"),
+        when(pmod(conv(substring(h, 5, 1), 16, 10).cast("int"),
+          lit(2)) === 0, 1L).otherwise(-1L).as("__s"))
+      .groupBy("__id", "dim")
+      .agg(sum(col("__s")).cast("long").as("value"))
+      .filter(col("value") =!= 0)
+      .select(col("__id").as(idCol), col("dim"), col("value"))
+  }
+
   /** Flesch–Kincaid grade level (Kincaid et al. 1975) from three
     * regex-countable proxies — words (space arithmetic, the
     * [[tokenCountArith]] device), sentences (runs of `[.!?]`, floored

@@ -434,4 +434,23 @@ class TextOpsSpec extends SparkSuite {
     assert(out == Seq((1L, r6(0.39 * 3 + 11.8 * (3.0 / 3) - 15.59)),
       (2L, r6(0.39 * 3 + 11.8 * (6.0 / 3) - 15.59))), s"got $out")
   }
+
+  test("featureHash: dims/signs match a JVM md5 replay; repeats sum") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def dimOf(w: String, dims: Int) =
+      java.lang.Long.parseLong(md5hex(w).substring(0, 4), 16) % dims
+    def signOf(w: String) =
+      if (java.lang.Long.parseLong(md5hex(w).substring(4, 5), 16) % 2 == 0)
+        1L else -1L
+    val df = Seq((1L, "alpha alpha beta")).toDF("doc_id", "text")
+    val out = TextOps.featureHash(df, "doc_id", "text", dims = 1024)
+      .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    val want = Seq(
+      (1L, dimOf("alpha", 1024), 2L * signOf("alpha")),
+      (1L, dimOf("beta", 1024), signOf("beta"))).sortBy(_._2)
+    assert(out == want, s"got $out want $want")
+  }
 }
