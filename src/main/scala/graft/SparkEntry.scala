@@ -2707,7 +2707,57 @@ object SparkEntry {
       // (doc, dim) aggregate, no fitted state
       TextOps.featureHash(t(s, dir, "documents"), "doc_id", "text",
         dims = 256)
-        .orderBy("doc_id", "dim")))
+        .orderBy("doc_id", "dim")),
+
+    "q195_spearman" -> ((s, dir) =>
+      // monotone association per return flag on the doubled-mid-rank
+      // integral device — the whale-proof complement of q108's
+      // moment-exact Pearson
+      Robust.spearman(t(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+    "q196_autocorrelation" -> ((s, dir) =>
+      // lag-1..7 ACF of daily totals per event type: exact decimal
+      // moments + one fixed double expression — decides whether
+      // q193's trend smoothing is warranted
+      TimeSeries.autocorr(events(s, dir), "event_type", "ts", "value",
+        maxLag = 7)
+        .orderBy("event_type", "lag")),
+
+    "q197_key_skew_audit" -> ((s, dir) =>
+      // pre-join skew audit of the orders→customer key: multiplicity
+      // percentiles ride the bracketed two-pass exact selection;
+      // `skew` is the q132 salting trigger
+      Profile.keySkew(t(s, dir, "orders"), "o_custkey")),
+
+    "q198_cramers_v" -> ((s, dir) => {
+      // association STRENGTH across three differently-sized
+      // contingency tables — χ² alone grows with n and cannot rank
+      // them; V is the [0,1] readout that can
+      def one(pair: String, df: DataFrame, r: String, c: String) =
+        CorpusStats.cramersV(df, r, c).select(lit(pair).as("pair"),
+          col("chi2"), col("dof"), col("n"), col("v"))
+      one("docs_lang_source", t(s, dir, "documents"), "lang", "source")
+        .unionByName(one("orders_status_priority", t(s, dir, "orders"),
+          "o_orderstatus", "o_orderpriority"))
+        .unionByName(one("customer_segment_nation", t(s, dir, "customer"),
+          "c_mktsegment", "c_nationkey"))
+        .orderBy("pair")
+    }),
+
+    "q199_anova_f" -> ((s, dir) =>
+      // one-way ANOVA over event values by type — the k-sample
+      // extension of q140's two-arm readout, one map-side-combined
+      // aggregate to the k-row table
+      Robust.anovaF(events(s, dir), "event_type", "value")),
+
+    "q200_dow_profile" -> ((s, dir) =>
+      // day-of-week seasonality shares from the portable epoch-day
+      // weekday (never an engine DOW builtin — Spark and DuckDB
+      // disagree on week origin)
+      TimeSeries.dowProfile(events(s, dir), "event_type", "ts", "value")
+        .orderBy("event_type", "isodow")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5428,18 +5478,20 @@ object SparkEntry {
         |FROM sarr ORDER BY day""".stripMargin,
 
     "q181_chi_square" ->
-      """WITH cells AS (SELECT lang AS r, source AS c, COUNT(*) AS o
+      """WITH obs AS (SELECT lang AS r, source AS c, COUNT(*) AS o
         |  FROM documents GROUP BY 1, 2),
-        |rts AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY 1),
-        |cts AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY 1),
+        |rts AS (SELECT r, SUM(o) AS rt FROM obs GROUP BY 1),
+        |cts AS (SELECT c, SUM(o) AS ct FROM obs GROUP BY 1),
+        |cells AS (SELECT r, c, rt, ct, COALESCE(o, 0) AS o
+        |  FROM rts CROSS JOIN cts LEFT JOIN obs USING (r, c)),
         |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS nr,
-        |    COUNT(DISTINCT c) AS nc FROM cells),
+        |    COUNT(DISTINCT c) AS nc FROM obs),
         |term AS (SELECT CAST(ROUND(
         |      (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n) *
         |      (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n) /
         |      (CAST(rt AS DOUBLE) * ct / n), 6) AS DECIMAL(18,6)) AS t,
         |    nr, nc, n
-        |  FROM cells JOIN rts USING (r) JOIN cts USING (c) CROSS JOIN tot)
+        |  FROM cells CROSS JOIN tot)
         |SELECT ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2,
         |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
         |  CAST(nr AS BIGINT) AS n_rows, CAST(nc AS BIGINT) AS n_cols,
@@ -5713,7 +5765,199 @@ object SparkEntry {
         |  FROM toks WHERE w <> '')
         |SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS value
         |FROM h GROUP BY 1, 2 HAVING SUM(s) <> 0
-        |ORDER BY doc_id, dim""".stripMargin)
+        |ORDER BY doc_id, dim""".stripMargin,
+
+    // q195: the q182 doubled-units device twice over — mid-ranks stay
+    // integral (2·cntLess + c + 1 = 2·rank + c − 1); sums in
+    // DECIMAL(19,0)-product exactness, the n·Sxy − Sx·Sy combinations
+    // in HUGEINT (DuckDB sums HUGEINT to DOUBLE, so sum decimal, then
+    // cast); only the final ratio and the correctly-rounded √ are
+    // IEEE doubles
+    "q195_spearman" ->
+      """WITH base AS (SELECT l_returnflag AS g, l_quantity AS x,
+        |    l_extendedprice AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_returnflag IS NOT NULL),
+        |r AS (SELECT g,
+        |    2 * rank() OVER (PARTITION BY g ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY g, x) - 1 AS dx,
+        |    2 * rank() OVER (PARTITION BY g ORDER BY y)
+        |      + COUNT(*) OVER (PARTITION BY g, y) - 1 AS dy
+        |  FROM base),
+        |a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(CAST(dx AS DECIMAL(19,0))) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(dy AS DECIMAL(19,0))) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(dx AS DECIMAL(19,0)) * dx) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(dy AS DECIMAL(19,0)) * dy) AS HUGEINT) AS syy,
+        |    CAST(SUM(CAST(dx AS DECIMAL(19,0)) * dy) AS HUGEINT) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS rho
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // q196: daily totals / squares / lag cross-products are exact
+    // DECIMALs; the estimator is ONE fixed double expression over
+    // those scalars — no order-dependent double summation; the CASE
+    // mirrors the constant-series NULL guard
+    "q196_autocorrelation" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |stats AS (SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(y) AS DECIMAL(28,2)) AS s,
+        |    CAST(SUM(y * y) AS DECIMAL(38,4)) AS syy
+        |  FROM daily GROUP BY 1),
+        |pairs AS (SELECT a.g, CAST(b.d - a.d AS BIGINT) AS lag,
+        |    COUNT(*) AS m,
+        |    CAST(SUM(a.y * b.y) AS DECIMAL(38,4)) AS sxy,
+        |    CAST(SUM(a.y) AS DECIMAL(28,2)) AS sh,
+        |    CAST(SUM(b.y) AS DECIMAL(28,2)) AS st
+        |  FROM daily a JOIN daily b
+        |    ON a.g = b.g AND b.d - a.d BETWEEN 1 AND 7
+        |  GROUP BY 1, 2)
+        |SELECT p.g AS event_type, lag, CAST(n AS BIGINT) AS n_days,
+        |  CAST(m AS BIGINT) AS n_pairs,
+        |  CASE WHEN CAST(syy AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n > 0 THEN
+        |    ROUND((CAST(sxy AS DOUBLE)
+        |        - (CAST(s AS DOUBLE) / n)
+        |          * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))
+        |        + m * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        |      / (CAST(syy AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6)
+        |  END AS acf
+        |FROM pairs p JOIN stats USING (g)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q197: quantile_cont interpolates exactly like the bracketed
+    // exact selection; round-6 on both sides absorbs the one-ulp
+    // association gap (the q106 precedent)
+    "q197_key_skew_audit" ->
+      """WITH counts AS (SELECT o_custkey AS k, COUNT(*) AS cnt
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |agg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    COUNT(*) AS n_keys, CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+        |    ROUND(quantile_cont(CAST(cnt AS DOUBLE), 0.5e0), 6) AS p50_cnt,
+        |    ROUND(quantile_cont(CAST(cnt AS DOUBLE), 0.99e0), 6) AS p99_cnt
+        |  FROM counts)
+        |SELECT n_rows, CAST(n_keys AS BIGINT) AS n_keys, max_cnt,
+        |  p50_cnt, p99_cnt,
+        |  ROUND(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top1_share,
+        |  ROUND(CAST(max_cnt AS DOUBLE) /
+        |    (CAST(n_rows AS DOUBLE) / n_keys), 6) AS skew
+        |FROM agg""".stripMargin,
+
+    // q198: three q181 χ² blocks (decimal term sums), each normalized
+    // to V = √(χ²/(n·min(r−1, c−1))) — χ² is already a round-6
+    // double, so V adds one division and a correctly-rounded √
+    "q198_cramers_v" -> cramersVSql(Seq(
+      ("docs_lang_source", "documents", "lang", "source"),
+      ("orders_status_priority", "orders", "o_orderstatus",
+        "o_orderpriority"),
+      ("customer_segment_nation", "customer", "c_mktsegment",
+        "c_nationkey"))),
+
+    // q199: per-group sums/squares exact decimal; each group's s²/n
+    // term is a round-6 double summed as DECIMAL(28,6) (the q181
+    // term-sum device); F is then a fixed function of exact scalars
+    "q199_anova_f" ->
+      """WITH byg AS (SELECT event_type AS g, COUNT(*) AS ng,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sg,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))
+        |      * CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ssg
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |term AS (SELECT g, ng, sg, ssg,
+        |    CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng, 6)
+        |      AS DECIMAL(28,6)) AS t
+        |  FROM byg),
+        |agg AS (SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(sg) AS DECIMAL(28,2)) AS s,
+        |    CAST(SUM(ssg) AS DECIMAL(38,4)) AS ss,
+        |    SUM(t) AS a2
+        |  FROM term)
+        |SELECT CAST(k AS BIGINT) AS k, n,
+        |  CASE WHEN k > 1 AND n > k THEN
+        |    ROUND(((CAST(a2 AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1))
+        |      / ((CAST(ss AS DOUBLE) - CAST(a2 AS DOUBLE)) / (n - k)), 6)
+        |  END AS f,
+        |  ROUND((CAST(a2 AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |    / (CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6) AS eta_sq
+        |FROM agg""".stripMargin,
+
+    // q200: weekday from epoch-day arithmetic (DATE − DATE is integer
+    // days in DuckDB, datediff on the Spark side) — never an engine
+    // DOW builtin; shares/ratios are single divisions of exact
+    // decimal totals
+    "q200_dow_profile" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |dd AS (SELECT g,
+        |    ((CAST(d - DATE '1970-01-01' AS BIGINT) + 3) % 7) + 1 AS isodow,
+        |    y FROM daily),
+        |bydow AS (SELECT g, isodow, COUNT(*) AS nd,
+        |    CAST(SUM(y) AS DECIMAL(28,2)) AS t
+        |  FROM dd GROUP BY 1, 2),
+        |tot AS (SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(y) AS DECIMAL(28,2)) AS s FROM dd GROUP BY 1)
+        |SELECT b.g AS event_type, CAST(isodow AS BIGINT) AS isodow,
+        |  CAST(nd AS BIGINT) AS n_days, CAST(t AS DOUBLE) AS total,
+        |  ROUND(CAST(t AS DOUBLE) / CAST(s AS DOUBLE), 6) AS share,
+        |  ROUND((CAST(t AS DOUBLE) / nd) / (CAST(s AS DOUBLE) / n), 6)
+        |    AS rel_mean
+        |FROM bydow b JOIN tot USING (g) ORDER BY 1, 2""".stripMargin)
+
+  /** The q198 oracle: one q181-shaped χ² CTE block per contingency
+    * pair (suffixed so the three WITH chains coexist), each closed
+    * with the Cramér's V normalization and UNION ALL'd.
+    */
+  private def cramersVSql(pairs: Seq[(String, String, String, String)])
+      : String = {
+    val blocks = pairs.zipWithIndex.map { case ((_, tbl, r, c), i) =>
+      val x = i + 1
+      s"""obs$x AS (SELECT $r AS r, $c AS c, COUNT(*) AS o
+         |  FROM $tbl GROUP BY 1, 2),
+         |rts$x AS (SELECT r, SUM(o) AS rt FROM obs$x GROUP BY 1),
+         |cts$x AS (SELECT c, SUM(o) AS ct FROM obs$x GROUP BY 1),
+         |cells$x AS (SELECT r, c, rt, ct, COALESCE(o, 0) AS o
+         |  FROM rts$x CROSS JOIN cts$x LEFT JOIN obs$x USING (r, c)),
+         |tot$x AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS nr,
+         |    COUNT(DISTINCT c) AS nc FROM obs$x),
+         |term$x AS (SELECT CAST(ROUND(
+         |      (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n) *
+         |      (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n) /
+         |      (CAST(rt AS DOUBLE) * ct / n), 6) AS DECIMAL(18,6)) AS t,
+         |    nr, nc, n
+         |  FROM cells$x CROSS JOIN tot$x),
+         |chi$x AS (SELECT ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2,
+         |    CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof, nr, nc,
+         |    CAST(n AS BIGINT) AS n
+         |  FROM term$x GROUP BY nr, nc, n)""".stripMargin
+    }
+    val selects = pairs.zipWithIndex.map { case ((pair, _, _, _), i) =>
+      val x = i + 1
+      s"""SELECT '$pair' AS pair, chi2, dof, n,
+         |  CASE WHEN n > 0 AND LEAST(nr, nc) > 1 THEN
+         |    ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) * (LEAST(nr, nc) - 1))), 6)
+         |  END AS v
+         |FROM chi$x""".stripMargin
+    }
+    "WITH " + blocks.mkString(",\n") + "\n" +
+      selects.mkString("\nUNION ALL\n") + "\nORDER BY 1"
+  }
 
   /** The q177 oracle: the MMR greedy unrolled as k SQL stages (the
     * q109 BPE-chain device) — step 1 is the relevance argmax, step i

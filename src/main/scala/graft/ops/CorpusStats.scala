@@ -433,18 +433,29 @@ object CorpusStats {
     * Scale shape: ONE map-side-combined count aggregate keyed by the
     * cell (output is cells-sized — categorical × categorical, not
     * corpus-sized); marginals derive from the cell table; the final
-    * statistic is a cells-sized exact sum. Null categories count as a
-    * regular category (they group together), matching SQL GROUP BY.
+    * statistic is a cells-sized exact sum. Rows with a NULL in either
+    * category are excluded (a NULL join key would silently drop out
+    * of the marginal joins anyway — excluding up front makes the
+    * contract explicit).
     */
   def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
-    val cells = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+    val observed = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
       .agg(count(lit(1)).as("__o"))
-    val rt = cells.groupBy("__r").agg(sum(col("__o")).as("__rt"))
-    val ct = cells.groupBy("__c").agg(sum(col("__o")).as("__ct"))
-    val n = cells.agg(sum(col("__o")).as("__n"),
+    val rt = observed.groupBy("__r").agg(sum(col("__o")).as("__rt"))
+    val ct = observed.groupBy("__c").agg(sum(col("__o")).as("__ct"))
+    // dense completion: a structural ZERO cell still contributes its
+    // expected count to χ² ((0−e)²/e = e) — summing observed cells
+    // only understates χ² on sparse tables. The cross join is
+    // marginal×marginal (nr·nc rows), never data-sized.
+    val cells = rt.crossJoin(broadcast(ct))
+      .join(observed, Seq("__r", "__c"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val n = observed.agg(sum(col("__o")).as("__n"),
       countDistinct(col("__r")).as("__nr"),
       countDistinct(col("__c")).as("__nc"))
-    val term = cells.join(rt, "__r").join(ct, "__c").crossJoin(broadcast(n))
+    val term = cells.crossJoin(broadcast(n))
       .select(
         round(
           (col("__o").cast("double") -
@@ -462,6 +473,23 @@ object CorpusStats {
         col("__nc").cast("long").as("n_cols"),
         col("__n").cast("long").as("n"))
   }
+
+  /** Cramér's V over a [[chiSquare]] contingency readout: the
+    * [0, 1]-normalized association strength
+    * `√(χ² / (n · min(r−1, c−1)))` (Cramér 1946) — χ² grows with n,
+    * V answers "how strongly" so different-sized tables compare.
+    * Parity: χ² is already a round-6 double with a decimal term sum;
+    * V adds one division and a correctly-rounded √ of exact scalars.
+    * Output: `(chi2, dof, n, v)`, one row.
+    */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame =
+    chiSquare(df, rowCol, colCol)
+      .select(col("chi2"), col("dof"), col("n"),
+        when(col("n") > 0 && least(col("n_rows"), col("n_cols")) > 1,
+          round(sqrt(col("chi2") /
+            (col("n").cast("double") *
+              (least(col("n_rows"), col("n_cols")) - 1).cast("double"))), 6))
+          .as("v"))
 
   /** Jensen–Shannon divergence of each source's unigram distribution
     * against the REST of the corpus — the symmetric, bounded

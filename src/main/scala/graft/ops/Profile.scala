@@ -103,4 +103,43 @@ object Profile {
         col("__n").cast("long").as("n"), col("share"), col("expected"),
         col("deviation"))
   }
+
+  /** Join-key skew audit: the distribution of per-key multiplicities
+    * for `keyCol` — the pre-flight check that decides whether a join
+    * on this key needs q132's salting path. One row out: `n_rows`,
+    * `n_keys`, `max_cnt`, exact `p50_cnt`/`p99_cnt` of the
+    * multiplicity distribution, `top1_share` (heaviest key's row
+    * share) and `skew` (max/mean multiplicity — the salting
+    * trigger). NULL keys are excluded (a join drops them anyway).
+    *
+    * Scale shape: one map-side-combined aggregate to the
+    * DISTINCT-KEY table; the percentiles ride
+    * [[Percentiles.exact]]'s bracketed two-pass selection (nothing
+    * corpus- or key-proportional on one task); the final readout is
+    * a one-row fold. The ratios are single double divisions of
+    * exact longs, rounded to 6 — engine-portable.
+    */
+  def keySkew(df: DataFrame, keyCol: String,
+      accuracy: Int = 100000): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val pcts = Percentiles.exact(counts, Seq.empty, "cnt",
+      Seq(0.5, 0.99), accuracy)
+      // round-6 absorbs the one-ulp interpolation-association gap
+      // between this device and quantile_cont (the q106 precedent)
+      .select(round(element_at(col("pcts"), 1), 6).as("p50_cnt"),
+        round(element_at(col("pcts"), 2), 6).as("p99_cnt"))
+    val agg = counts.agg(
+      sum(col("cnt")).cast("long").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).cast("long").as("max_cnt"))
+    agg.crossJoin(broadcast(pcts))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        col("p50_cnt"), col("p99_cnt"),
+        round(col("max_cnt").cast("double") /
+          col("n_rows").cast("double"), 6).as("top1_share"),
+        round(col("max_cnt").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")), 6)
+          .as("skew"))
+  }
 }

@@ -113,4 +113,111 @@ object Robust {
               col("__td") / (col("__nd") * (col("__nd") - lit(1.0d))))), 6)
           .as("z"))
   }
+
+  /** Spearman rank correlation ρ between `xCol` and `yCol` per
+    * `groupCol` (Spearman 1904): Pearson correlation of the mid-rank
+    * transforms — the monotone-association readout one whale row
+    * cannot move, the rank complement of q108's moment-exact Pearson.
+    *
+    * Parity chain (the [[mannWhitneyU]] doubled-units device, applied
+    * twice): per (group, value) the DOUBLED mid-rank
+    * `2·cntLess + c + 1` stays integral; the five sums
+    * Σdx, Σdy, Σdx², Σdy², Σdx·dy run in DECIMAL(38,0) (the dx·dy
+    * products pass BIGINT once rank sums reach ~3·10⁹ rows; the
+    * n·Σxy − Σx·Σy combinations stay exact inside DECIMAL(38,0) up to
+    * ~10⁹ rows per group — document-scale groups, not corpus scale);
+    * only the final ratio and the correctly-rounded √ are IEEE
+    * doubles, so ρ is engine-portable. Degenerate groups (a constant
+    * side) yield NULL, mirrored by the oracle's CASE guard.
+    *
+    * Scale shape: each side reduces to its DISTINCT-VALUE table
+    * (map-side combined), ranks ride the two-phase distributed prefix
+    * sum ([[Rank.stratifiedPrefixSum]] — no corpus-sized
+    * single-partition window), and the rank join back onto the corpus
+    * shuffles on (group, value) — skew bounded by value multiplicity,
+    * not group size. One more map-side-combined fold ends it.
+    */
+  def spearman(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val d38 = "decimal(38,0)"
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).as("__x"),
+        col(yCol).as("__y"))
+    def doubledRanks(vcol: String, out: String): DataFrame = {
+      val vc = base.groupBy(col("__g"), col(vcol))
+        .agg(count(lit(1)).as("__c"))
+      Rank.stratifiedPrefixSum(vc, "__g", Seq(vcol), "__c", numPartitions)
+        .select(col("__g"), col(vcol),
+          (lit(2L) * col("prefix") + col("__c") + lit(1L)).as(out))
+    }
+    val ranked = base
+      .join(doubledRanks("__x", "__dx"), Seq("__g", "__x"))
+      .join(doubledRanks("__y", "__dy"), Seq("__g", "__y"))
+    val (dx, dy) = (col("__dx").cast(d19), col("__dy").cast(d19))
+    val agg = ranked.groupBy("__g").agg(
+      count(lit(1)).as("__n"),
+      sum(dx).cast(d38).as("__sx"), sum(dy).cast(d38).as("__sy"),
+      sum(dx * dx).cast(d38).as("__sxx"),
+      sum(dy * dy).cast(d38).as("__syy"),
+      sum(dx * dy).cast(d38).as("__sxy"))
+    val n = col("__n").cast(d38)
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val v1 = n * col("__sxx") - col("__sx") * col("__sx")
+    val v2 = n * col("__syy") - col("__sy") * col("__sy")
+    agg.select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
+      when(v1 > lit(0) && v2 > lit(0),
+        round(num.cast("double") /
+          sqrt(v1.cast("double") * v2.cast("double")), 6)).as("rho"))
+  }
+
+  /** One-way ANOVA over `valueCol` by `groupCol` (Fisher): does the
+    * group structure explain the variance? The k-sample extension of
+    * q140's two-arm readout. Returns one row: `k`, `n`, `f` and the
+    * effect size `eta_sq` (SSB/SST).
+    *
+    * Parity chain: per-group sums and squared sums are exact
+    * DECIMAL(18,2)/(37,4); each group's `s²/n` term is an IEEE double
+    * rounded to 6 dp and summed as DECIMAL(18,6) (the q181 χ²
+    * term-sum device — double addition is order-dependent, decimal
+    * addition is not), so F is a fixed function of exact scalars.
+    * Null values and null groups are excluded (3VL).
+    *
+    * Scale shape: ONE map-side-combined aggregate to the k-row group
+    * table; everything after is k-sized arithmetic.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val byG = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ng"),
+        sum(v).cast("decimal(18,2)").as("__sg"),
+        sum(v * v).as("__ssg"))
+    val term = round(
+      col("__sg").cast("double") * col("__sg").cast("double") /
+        col("__ng").cast("double"), 6).cast("decimal(28,6)")
+    val agg = byG.agg(
+      count(lit(1)).as("__k"), sum(col("__ng")).as("__n"),
+      sum(col("__sg")).cast("decimal(28,2)").as("__s"),
+      sum(col("__ssg")).cast("decimal(38,4)").as("__ss"),
+      sum(term).as("__a"))
+    val (nD, kD) = (col("__n").cast("double"), col("__k").cast("double"))
+    val sst = col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD
+    val ssb = col("__a").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD
+    val ssw = col("__ss").cast("double") - col("__a").cast("double")
+    agg.select(col("__k").cast("long").as("k"),
+      col("__n").cast("long").as("n"),
+      when(col("__k") > 1 && col("__n") > col("__k"),
+        round((ssb / (kD - lit(1.0d))) / (ssw / (nD - kD)), 6)).as("f"),
+      round(ssb / sst, 6).as("eta_sq"))
+  }
 }

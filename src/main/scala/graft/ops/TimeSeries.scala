@@ -297,4 +297,112 @@ object TimeSeries {
   /** `1 − x` computed once here so Spark literals and interpolated
     * oracle SQL share the exact double (see [[holtLinear]]). */
   def holtOneMinus(x: Double): Double = 1.0 - x
+
+  /** Sample autocorrelation of the daily `valCol` total at lags
+    * 1..`maxLag`, per `groupCol` (Box–Jenkins): the
+    * is-yesterday-predictive readout that decides whether q193's
+    * trend smoothing is even warranted. Uses the full-series-mean
+    * estimator `Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)²` over the lag-k day
+    * pairs that exist (missing days simply pair with nothing —
+    * identical on both engines).
+    *
+    * Parity chain: daily totals, their squares, and the lag cross
+    * products are exact DECIMALs ((18,2) totals, (37,4) products);
+    * the estimator is then ONE fixed double expression over those
+    * exact scalars — `(sxy − ȳ·(sh+st) + m·ȳ²)/(syy − s²/n)` — with
+    * no order-dependent double summation anywhere. Lag rows with a
+    * non-positive variance denominator yield NULL (constant series),
+    * mirrored by the oracle's CASE guard.
+    *
+    * Scale shape: the corpus collapses in ONE map-side-combined
+    * aggregate to the (group × day) table; the lag pairing is an
+    * EQUI-join (the lag index explodes 1..maxLag on the right side,
+    * joining on `date_sub(day, k)` — never a range/theta join) over
+    * that tiny table, and the stats join back via broadcast.
+    */
+  def autocorr(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val daily = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg(sum(col(valCol).cast("decimal(18,2)")).cast("decimal(18,2)")
+        .as("__y"))
+    val stats = daily.groupBy("__g").agg(
+      count(lit(1)).as("__n"),
+      sum(col("__y")).cast("decimal(28,2)").as("__s"),
+      sum(col("__y") * col("__y")).cast("decimal(38,4)").as("__syy"))
+    val rhs = daily
+      .select(col("__g").as("__g2"), col("__d").as("__d2"),
+        col("__y").as("__yb"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .withColumn("__da", date_sub(col("__d2"), col("lag")))
+    val pairs = daily
+      .join(rhs, col("__g") === col("__g2") && col("__d") === col("__da"))
+      .groupBy(col("__g"), col("lag"))
+      .agg(count(lit(1)).as("__m"),
+        sum(col("__y") * col("__yb")).cast("decimal(38,4)").as("__sxy"),
+        sum(col("__y")).cast("decimal(28,2)").as("__sh"),
+        sum(col("__yb")).cast("decimal(28,2)").as("__st"))
+    val joined = pairs.join(broadcast(stats), "__g")
+    val nD = col("__n").cast("double")
+    val ybar = col("__s").cast("double") / nD
+    val num = col("__sxy").cast("double") -
+      ybar * (col("__sh").cast("double") + col("__st").cast("double")) +
+      col("__m").cast("double") * ybar * ybar
+    val den = col("__syy").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD
+    joined.select(col("__g").as(groupCol), col("lag").cast("long").as("lag"),
+      col("__n").cast("long").as("n_days"),
+      col("__m").cast("long").as("n_pairs"),
+      when(den > lit(0.0d), round(num / den, 6)).as("acf"))
+  }
+
+  /** Day-of-week seasonality profile of the daily `valCol` total per
+    * `groupCol`: each ISO weekday's share of the group's total and
+    * its mean-vs-overall-daily-mean ratio — the calendar complement
+    * of [[autocorr]] (lag-7 structure read directly). Weekday is
+    * computed from the epoch-day index (`((ed + 3) mod 7) + 1`,
+    * 1 = Monday) — portable arithmetic, never an engine DOW builtin
+    * (Spark's `dayofweek` is 1 = Sunday, DuckDB's is 0 = Sunday).
+    *
+    * Parity chain: daily and weekday totals are exact DECIMALs; the
+    * share and ratio are single double divisions of exact scalars,
+    * rounded to 6. Scale shape: the corpus collapses in one
+    * map-side-combined aggregate to (group × day); everything after
+    * is (group × 7)-sized with the group totals broadcast back.
+    */
+  def dowProfile(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg(sum(col(valCol).cast("decimal(18,2)")).cast("decimal(18,2)")
+        .as("__y"))
+      .withColumn("__dow",
+        ((datediff(col("__d"), to_date(lit("1970-01-01"))) + lit(3)) % 7 +
+          lit(1)).cast("long"))
+    val byDow = daily.groupBy("__g", "__dow")
+      .agg(count(lit(1)).as("__nd"),
+        sum(col("__y")).cast("decimal(28,2)").as("__t"))
+    val tot = daily.groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__y")).cast("decimal(28,2)").as("__s"))
+    byDow.join(broadcast(tot), "__g")
+      .select(col("__g").as(groupCol), col("__dow").as("isodow"),
+        col("__nd").cast("long").as("n_days"),
+        col("__t").cast("double").as("total"),
+        round(col("__t").cast("double") / col("__s").cast("double"), 6)
+          .as("share"),
+        round((col("__t").cast("double") / col("__nd").cast("double")) /
+          (col("__s").cast("double") / col("__n").cast("double")), 6)
+          .as("rel_mean"))
+  }
 }

@@ -330,4 +330,16 @@ class CorpusStatsSpec extends SparkSuite {
     assert(out == Seq(("topic", 6L, 2L, 3.0), ("the", 3L, 3L, 1.0)),
       s"got $out")
   }
+
+  test("cramersV: perfect 2×2 association → 1; independence → 0") {
+    import spark.implicits._
+    val perfect = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2)).toDF("r", "c")
+    val p = CorpusStats.cramersV(perfect, "r", "c")
+      .as[(Double, Long, Long, Option[Double])].collect().head
+    assert(p == ((4.0, 1L, 4L, Some(1.0))), s"got $p")
+    val indep = Seq(("x", 1), ("x", 2), ("y", 1), ("y", 2)).toDF("r", "c")
+    val i = CorpusStats.cramersV(indep, "r", "c")
+      .as[(Double, Long, Long, Option[Double])].collect().head
+    assert(i == ((0.0, 1L, 4L, Some(0.0))), s"got $i")
+  }
 }

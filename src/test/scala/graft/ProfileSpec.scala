@@ -63,4 +63,15 @@ class ProfileSpec extends SparkSuite {
     assert(out == Seq((1L, 3L, 0.75, e1, r6(0.75 - e1)),
       (2L, 1L, 0.25, e2, r6(0.25 - e2))), s"got $out")
   }
+
+  test("keySkew: multiplicities (4,2,1,1) by hand; nulls excluded") {
+    // counts sorted (1,1,2,4): p50 pos 1.5 → 1.5; p99 pos 2.97 →
+    // 2 + 0.97·2 = 3.94; mean 2 → skew 2.0; top1 4/8 = 0.5
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .map(Option(_)).:+(None).toDF("k")
+    val r = Profile.keySkew(df, "k")
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(r == ((8L, 4L, 4L, 1.5, 3.94, 0.5, 2.0)), s"got $r")
+  }
 }

@@ -53,4 +53,40 @@ class RobustSpec extends SparkSuite {
       .as[(Double, Long, Long, Double, Double)].collect().head
     assert(r._1 == 0.5 && r._2 == 2L && r._3 == 2L && r._4 == 0.125, s"got $r")
   }
+
+  test("spearman: monotone ±1, tie-cancelled 0, constant side NULL") {
+    // a: perfectly increasing → 1; b: perfectly decreasing → −1;
+    // c: x ties (1,1,2) vs y (5,7,6) → doubled ranks dx (3,3,6),
+    //    dy (2,6,4): 3·48 − 12·12 = 0 → ρ = 0;
+    // d: constant x → zero variance → NULL
+    val df = Seq(
+      ("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 30.0),
+      ("b", 1.0, 30.0), ("b", 2.0, 20.0), ("b", 3.0, 10.0),
+      ("c", 1.0, 5.0), ("c", 1.0, 7.0), ("c", 2.0, 6.0),
+      ("d", 1.0, 2.0), ("d", 1.0, 3.0)
+    ).toDF("g", "x", "y")
+    val out = Robust.spearman(df, "g", "x", "y")
+      .orderBy("g")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(("a", 3L, Some(1.0)), ("b", 3L, Some(-1.0)),
+      ("c", 3L, Some(0.0)), ("d", 2L, None)), s"got $out")
+  }
+
+  test("anovaF: two groups by hand; F and eta_sq exact") {
+    // a: (1,2,3), b: (2,3,4) → A = 12 + 27 = 39, S = 15, SS = 43,
+    // SST = 5.5, SSB = 1.5, SSW = 4 → F = (1.5/1)/(4/4) = 1.5,
+    // eta² = 1.5/5.5 = 0.272727
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val r = Robust.anovaF(df, "g", "v")
+      .as[(Long, Long, Option[Double], Double)].collect().head
+    assert(r == ((2L, 6L, Some(1.5), 0.272727)), s"got $r")
+  }
+
+  test("anovaF: one group yields NULL F (no between-group df)") {
+    val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val r = Robust.anovaF(df, "g", "v")
+      .as[(Long, Long, Option[Double], Double)].collect().head
+    assert(r._1 == 1L && r._3.isEmpty, s"got $r")
+  }
 }

@@ -150,4 +150,43 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out == Seq(("k", 2L, 15.0, 2.5, 20.0),
       ("solo", 1L, 7.0, 0.0, 7.0)), s"got $out")
   }
+
+  test("autocorr: y = 1,2,3,4 on consecutive days — hand ACF") {
+    // ȳ = 2.5, den = 30 − 25 = 5; lag 1: num = 20 − 2.5·15 + 3·6.25
+    // = 1.25 → 0.25; lag 2: num = 11 − 25 + 12.5 = −1.5 → −0.3
+    val df = Seq(
+      ("g", ts("2024-01-01 05:00:00"), 1.0),
+      ("g", ts("2024-01-02 06:00:00"), 2.0),
+      ("g", ts("2024-01-03 07:00:00"), 3.0),
+      ("g", ts("2024-01-04 08:00:00"), 4.0)
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.autocorr(df, "k", "ts", "v", maxLag = 2)
+      .orderBy("lag")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(("g", 1L, 4L, 3L, Some(0.25)),
+      ("g", 2L, 4L, 2L, Some(-0.3))), s"got $out")
+  }
+
+  test("autocorr: constant series yields NULL (zero variance guard)") {
+    val df = Seq(("g", ts("2024-01-01 05:00:00"), 2.0),
+      ("g", ts("2024-01-02 06:00:00"), 2.0)).toDF("k", "ts", "v")
+    val out = TimeSeries.autocorr(df, "k", "ts", "v", maxLag = 1)
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(("g", 1L, 2L, 1L, None)), s"got $out")
+  }
+
+  test("dowProfile: ISO weekday from epoch-day arithmetic; shares by hand") {
+    // 2024-01-01 and 2024-01-08 are Mondays (isodow 1), 2024-01-02 a
+    // Tuesday; Mon total 30 over 2 days, Tue 30 over 1; grand 60/3
+    val df = Seq(
+      ("g", ts("2024-01-01 05:00:00"), 10.0),
+      ("g", ts("2024-01-08 06:00:00"), 20.0),
+      ("g", ts("2024-01-02 07:00:00"), 30.0)
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.dowProfile(df, "k", "ts", "v")
+      .orderBy("isodow")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("g", 1L, 2L, 30.0, 0.5, 0.75),
+      ("g", 2L, 1L, 30.0, 0.5, 1.5)), s"got $out")
+  }
 }
