@@ -601,6 +601,31 @@ class PlanSpec extends SparkSuite {
       s"the two-phase prefix sum must range-partition:\n$p")
   }
 
+  test("q195 spearman: rank device is ranged; value tables map-side combine") {
+    val p = finalPlan(SparkEntry.queries("q195_spearman")(spark, sfDir))
+    assert(p.contains("rangepartitioning"),
+      s"mid-ranks must ride the two-phase range device, not a global window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"the distinct-value tables must map-side combine:\n$p")
+  }
+
+  test("q196 autocorr: lag pairing is an equi-join over the daily table") {
+    val p = finalPlan(
+      SparkEntry.queries("q196_autocorrelation")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the exploded lag index must equi-join on date_sub, never theta:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      s"daily totals must map-side combine:\n$p")
+  }
+
+  test("q197 key skew: multiplicity table aggregates partially") {
+    val p = finalPlan(
+      SparkEntry.queries("q197_key_skew_audit")(spark, sfDir))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"the per-key counts must map-side combine before any exchange:\n$p")
+  }
+
   test("q192 centroid cosine: vectors never shuffle — (label, dim) partials do") {
     val p = finalPlan(SparkEntry.queries("q192_centroid_cosine")(spark, sfDir))
     assert(p.contains("partial_sum") || p.contains("partial sum") ||
