@@ -2757,7 +2757,21 @@ object SparkEntry {
       // weekday (never an engine DOW builtin — Spark and DuckDB
       // disagree on week origin)
       TimeSeries.dowProfile(events(s, dir), "event_type", "ts", "value")
-        .orderBy("event_type", "isodow")))
+        .orderBy("event_type", "isodow")),
+
+    "q201_cohort_ltv" -> ((s, dir) =>
+      // the monetary extension of q93's retention: cumulative
+      // per-user revenue by acquisition week × age — decimal-exact
+      // up to the final per-user division
+      Events.cohortLtv(events(s, dir), "user_id", "ts", "value")
+        .orderBy("cohort_week", "age_week")),
+
+    "q202_equal_width_histogram" -> ((s, dir) =>
+      // fixed-grid complement of q147's equi-depth: bin index in
+      // integer cents (never an IEEE division on a bin boundary)
+      Profile.equalWidthHistogram(t(s, dir, "orders"), "o_totalprice",
+        bins = 20)
+        .orderBy("bin")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5918,7 +5932,47 @@ object SparkEntry {
         |  ROUND(CAST(t AS DOUBLE) / CAST(s AS DOUBLE), 6) AS share,
         |  ROUND((CAST(t AS DOUBLE) / nd) / (CAST(s AS DOUBLE) / n), 6)
         |    AS rel_mean
-        |FROM bydow b JOIN tot USING (g) ORDER BY 1, 2""".stripMargin)
+        |FROM bydow b JOIN tot USING (g) ORDER BY 1, 2""".stripMargin,
+
+    // q201: weekly sums and the triangle cumulative stay DECIMAL on
+    // both sides; (wk − cohort) is always a multiple of 7 (both dates
+    // are week-truncated), so DuckDB's rounding int-cast and Spark's
+    // truncation agree on age_week
+    "q201_cohort_ltv" ->
+      """WITH base AS (SELECT user_id AS u,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    COALESCE(CAST(value AS DECIMAL(18,2)),
+        |      CAST(0 AS DECIMAL(18,2))) AS v
+        |  FROM events),
+        |coh AS (SELECT u, MIN(wk) AS cohort FROM base GROUP BY 1),
+        |sizes AS (SELECT cohort, COUNT(*) AS n_users FROM coh GROUP BY 1),
+        |weekly AS (SELECT cohort,
+        |    CAST((b.wk - cohort) / 7 AS BIGINT) AS age_week,
+        |    CAST(SUM(v) AS DECIMAL(28,2)) AS rev
+        |  FROM base b JOIN coh USING (u) GROUP BY 1, 2),
+        |cum AS (SELECT cohort, age_week, rev,
+        |    CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age_week
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(38,2)) AS c
+        |  FROM weekly)
+        |SELECT cohort AS cohort_week, age_week,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(rev AS DOUBLE) AS week_rev, CAST(c AS DOUBLE) AS cum_rev,
+        |  ROUND(CAST(c AS DOUBLE) / n_users, 6) AS ltv_per_user
+        |FROM cum JOIN sizes USING (cohort) ORDER BY 1, 2""".stripMargin,
+
+    // q202: the bin index runs entirely in integer cents — `div` /
+    // `//` integer division on both engines; floor((v−min)/width)
+    // would put a one-ulp IEEE boundary under every bin edge
+    "q202_equal_width_histogram" ->
+      """WITH cents AS (SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |stats AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM cents)
+        |SELECT ((c - mn) * 20) // (mx - mn + 1) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n, mn AS min_cents, mx AS max_cents
+        |FROM cents CROSS JOIN stats
+        |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

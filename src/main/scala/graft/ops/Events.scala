@@ -463,4 +463,55 @@ object Events {
         concat(lit("r"), col("r_bucket"), lit("f"), col("f_bucket"),
           lit("m"), col("m_bucket")).as("segment"))
   }
+
+  /** Cohort LTV triangle: cumulative per-user revenue by acquisition
+    * week × weeks-since-acquisition — the MONETARY extension of
+    * [[retentionCohorts]] (retention answers "do they come back",
+    * this answers "what are they worth by age"). `valueCol` rows with
+    * NULL contribute nothing; a user's cohort is the week of their
+    * FIRST event of any kind.
+    *
+    * Output per (cohort week, age week): `n_users` (cohort size —
+    * constant down the row), `week_rev`, `cum_rev`, and
+    * `ltv_per_user` (= cum/size, round 6).
+    *
+    * Parity chain: weekly revenue sums are exact DECIMAL(18,2); the
+    * cumulative is a window over the cohort×age table (weeks², never
+    * data-sized) summing decimals — order-free; only the final
+    * per-user division is a double, rounded 6.
+    *
+    * Scale shape: one user-keyed aggregate for cohorts (map-side
+    * combined), one broadcast-back join, one (cohort, age) aggregate;
+    * the cumulative window runs on the weeks²-sized triangle.
+    */
+  def cohortLtv(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val base = events.select(col(userCol).as("__u"),
+      date_trunc("week", col(tsCol)).cast("date").as("__wk"),
+      coalesce(col(valueCol).cast("decimal(18,2)"),
+        lit(0).cast("decimal(18,2)")).as("__v"))
+    val cohorts = base.groupBy("__u").agg(min(col("__wk")).as("__cohort"))
+    val sizes = cohorts.groupBy("__cohort")
+      .agg(countDistinct(col("__u")).as("__n_users"))
+    val weekly = base.join(cohorts, "__u")
+      .groupBy(col("__cohort"),
+        (datediff(col("__wk"), col("__cohort")) / 7).cast("long")
+          .as("age_week"))
+      .agg(sum(col("__v")).cast("decimal(28,2)").as("__rev"))
+    val wCum = Window.partitionBy("__cohort").orderBy("age_week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("__cum", sum(col("__rev")).over(wCum)
+        .cast("decimal(38,2)"))
+      .join(broadcast(sizes), "__cohort")
+      .select(col("__cohort").as("cohort_week"), col("age_week"),
+        col("__n_users").cast("long").as("n_users"),
+        col("__rev").cast("double").as("week_rev"),
+        col("__cum").cast("double").as("cum_rev"),
+        round(col("__cum").cast("double") /
+          col("__n_users").cast("double"), 6).as("ltv_per_user"))
+  }
 }

@@ -142,4 +142,44 @@ object Profile {
           (col("n_rows").cast("double") / col("n_keys").cast("double")), 6)
           .as("skew"))
   }
+
+  /** Equal-WIDTH histogram of `valueCol` in `bins` buckets — the
+    * fixed-grid complement of the q147 equi-depth histogram (depth
+    * answers "where are the quantiles", width answers "what does the
+    * shape look like"). Empty bins are not emitted.
+    *
+    * The bin index is computed ENTIRELY in integer cents —
+    * `(c − min)·bins div (max − min + 1)` — because the obvious
+    * `floor((v − min)/width)` puts an IEEE division on every bin
+    * boundary, and a one-ulp flip moves a row across bins (and the
+    * engines' float→int casts disagree: DuckDB rounds, Spark
+    * truncates). Integer div is exact on both engines (`div` here,
+    * `//` in DuckDB); the `+ 1` keeps the max value inside the last
+    * bin. Bin bounds are reported back in cents (exact longs).
+    *
+    * Scale shape: one min/max aggregate (map-side combined,
+    * broadcast back as a 1-row stats join — the q132-style
+    * broadcast crossJoin), then one map-side-combined count per bin;
+    * bins-sized output.
+    */
+  def equalWidthHistogram(
+      df: DataFrame,
+      valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val cents = df.filter(col(valueCol).isNotNull)
+      .select((col(valueCol).cast("decimal(18,2)") * 100)
+        .cast("long").as("__c"))
+    val stats = cents.agg(min(col("__c")).as("__min"),
+      max(col("__c")).as("__max"))
+    cents.crossJoin(broadcast(stats))
+      .select(expr(s"(__c - __min) * ${bins}L div (__max - __min + 1L)")
+        .cast("long").as("bin"),
+        col("__min"), col("__max"))
+      .groupBy("bin", "__min", "__max")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), col("n").cast("long").as("n"),
+        col("__min").cast("long").as("min_cents"),
+        col("__max").cast("long").as("max_cents"))
+  }
 }

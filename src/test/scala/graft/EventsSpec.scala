@@ -252,4 +252,27 @@ class EventsSpec extends SparkSuite {
       (3L, 3L, 3L, 3L, "r3f3m3"), (4L, 2L, 4L, 4L, "r2f4m4"),
       (5L, 1L, 5L, 5L, "r1f5m5")), s"got $out")
   }
+
+  test("cohortLtv: two-week triangle by hand; null value counts 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), Some(10.0)),
+      ("u1", ts("2024-01-09 10:00:00"), Some(20.0)),
+      ("u2", ts("2024-01-02 10:00:00"), Some(5.0)),
+      ("u2", ts("2024-01-09 11:00:00"), None), // null revenue, age 1
+      ("u3", ts("2024-01-10 10:00:00"), Some(7.0))
+    ).toDF("user_id", "ts", "value")
+    val out = Events.cohortLtv(ev, "user_id", "ts", "value")
+      .orderBy("cohort_week", "age_week")
+      .select(col("cohort_week").cast("string"), col("age_week"),
+        col("n_users"), col("week_rev"), col("cum_rev"),
+        col("ltv_per_user"))
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0L, 2L, 15.0, 15.0, 7.5),
+      ("2024-01-01", 1L, 2L, 20.0, 35.0, 17.5),
+      ("2024-01-08", 0L, 1L, 7.0, 7.0, 7.0)), s"got $out")
+  }
 }

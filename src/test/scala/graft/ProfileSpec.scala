@@ -74,4 +74,15 @@ class ProfileSpec extends SparkSuite {
       .collect().head
     assert(r == ((8L, 4L, 4L, 1.5, 3.94, 0.5, 2.0)), s"got $r")
   }
+
+  test("equalWidthHistogram: integer-cents bins by hand; max in last bin") {
+    // cents 100..500, 4 bins, range+1 = 401:
+    // (c−100)·4 div 401 → 100→0, 200→0, 300→1, 400→2, 500→3
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    val out = Profile.equalWidthHistogram(df, "v", bins = 4)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L, 100L, 500L), (1L, 1L, 100L, 500L),
+      (2L, 1L, 100L, 500L), (3L, 1L, 100L, 500L)), s"got $out")
+  }
 }
