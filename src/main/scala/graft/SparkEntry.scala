@@ -2771,7 +2771,17 @@ object SparkEntry {
       // integer cents (never an IEEE division on a bin boundary)
       Profile.equalWidthHistogram(t(s, dir, "orders"), "o_totalprice",
         bins = 20)
-        .orderBy("bin")))
+        .orderBy("bin")),
+
+    "q203_debounce" -> ((s, dir) =>
+      // one-hour per-user throttle before sessionization — retry
+      // storms and double-fires drop out on the q32 floor-seconds
+      // device; (ts, event_type) is a total per-user order here
+      Events.debounce(events(s, dir), Seq("user_id"), "ts",
+        Seq("event_type"), minGapSeconds = 3600L)
+        .select(col("user_id"), col("ts").cast("long").as("ts_sec"),
+          col("event_type"))
+        .orderBy("user_id", "ts_sec", "event_type")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5972,7 +5982,23 @@ object SparkEntry {
         |SELECT ((c - mn) * 20) // (mx - mn + 1) AS bin,
         |  CAST(COUNT(*) AS BIGINT) AS n, mn AS min_cents, mx AS max_cents
         |FROM cents CROSS JOIN stats
-        |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin)
+        |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
+
+    // q203: both the gap and the output timestamp ride the q32
+    // floor-seconds device (date_diff counts boundary crossings =
+    // Spark's timestamp→long truncation); lag-to-previous-EVENT
+    // semantics, identically one row back on both engines
+    "q203_debounce" ->
+      """WITH w AS (SELECT user_id, ts, event_type,
+        |    date_diff('second',
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type),
+        |      ts) AS gap
+        |  FROM events)
+        |SELECT user_id,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_sec,
+        |  event_type
+        |FROM w WHERE gap IS NULL OR gap > 3600
+        |ORDER BY 1, 2, 3""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

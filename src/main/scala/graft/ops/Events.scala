@@ -484,6 +484,42 @@ object Events {
     * combined), one broadcast-back join, one (cohort, age) aggregate;
     * the cumulative window runs on the weeks²-sized triangle.
     */
+  /** Burst throttling (debounce): drop an event when ANOTHER event of
+    * the same key precedes it within `minGapSeconds` — the telemetry
+    * rate-limit pass that runs before sessionization so retry storms
+    * and double-fires don't inflate counts. Stateless lag-to-previous-
+    * EVENT semantics (each row looks one row back, kept or not); the
+    * chained keep-anchored form needs per-key state — that is the
+    * streaming dedup family's job (q83), not a batch window's.
+    *
+    * The gap is the floor-seconds difference (timestamp→long cast =
+    * DuckDB `date_diff('second', …)` boundary counting — the q32
+    * sessionize device), so the kept set is engine-portable;
+    * `orderCols` must make the per-key order total.
+    *
+    * Scale shape: ONE window partitioned by the key (user-cardinality
+    * partitions — never a global window); filter runs in the same
+    * stage.
+    */
+  def debounce(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      orderCols: Seq[String],
+      minGapSeconds: Long): DataFrame = {
+    require(minGapSeconds >= 0,
+      s"minGapSeconds must be >= 0, got $minGapSeconds")
+    require(keyCols.nonEmpty, "debounce needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol) +: orderCols.map(col)): _*)
+    val secs = col(tsCol).cast("long")
+    val prev = lag(secs, 1).over(w)
+    events
+      .withColumn("__gap", secs - prev)
+      .filter(col("__gap").isNull || col("__gap") > lit(minGapSeconds))
+      .drop("__gap")
+  }
+
   def cohortLtv(
       events: DataFrame,
       userCol: String,

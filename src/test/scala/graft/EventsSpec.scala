@@ -275,4 +275,27 @@ class EventsSpec extends SparkSuite {
       ("2024-01-01", 1L, 2L, 20.0, 35.0, 17.5),
       ("2024-01-08", 0L, 1L, 7.0, 7.0, 7.0)), s"got $out")
   }
+
+  test("debounce: lag-to-previous-event, not previous-kept; per-key windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1 at 0s, 30s, 50s with gap 40: 30s drops (30−0 ≤ 40); 50s ALSO
+    // drops (50−30 = 20 ≤ 40 — the previous EVENT, kept or not,
+    // anchors); u1 at 100s keeps (100−50 = 50 > 40); u2 independent
+    val ev = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), "a"),
+      ("u1", ts("2024-01-01 00:00:30"), "a"),
+      ("u1", ts("2024-01-01 00:00:50"), "a"),
+      ("u1", ts("2024-01-01 00:01:40"), "a"),
+      ("u2", ts("2024-01-01 00:00:10"), "a")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Events.debounce(ev, Seq("user_id"), "ts",
+        Seq("event_type"), minGapSeconds = 40L)
+      .select(col("user_id"), col("ts").cast("string"))
+      .as[(String, String)].collect().toSeq.sorted
+    assert(out == Seq(("u1", "2024-01-01 00:00:00"),
+      ("u1", "2024-01-01 00:01:40"), ("u2", "2024-01-01 00:00:10")),
+      s"got $out")
+  }
 }
