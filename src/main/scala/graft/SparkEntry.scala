@@ -2781,7 +2781,21 @@ object SparkEntry {
         Seq("event_type"), minGapSeconds = 3600L)
         .select(col("user_id"), col("ts").cast("long").as("ts_sec"),
           col("event_type"))
-        .orderBy("user_id", "ts_sec", "event_type")))
+        .orderBy("user_id", "ts_sec", "event_type")),
+
+    "q204_length_entropy_spearman" -> ((s, dir) => {
+      // composition capstone: does character diversity scale with
+      // length per source? The compiled entropy kernel (q72) feeds
+      // the doubled-mid-rank Spearman device (q195) — ranks consume
+      // only the ORDER of the round-6 entropy values, which the q72
+      // oracle already pins value-exact
+      val docs = t(s, dir, "documents").filter(length(col("text")) > 0)
+      val scored = docs.select(col("source"),
+        length(col("text")).cast("long").as("len"),
+        TextOps.charEntropy(col("text")).as("ent"))
+      Robust.spearman(scored, "source", "len", "ent")
+        .orderBy("source")
+    }))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5998,7 +6012,48 @@ object SparkEntry {
         |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_sec,
         |  event_type
         |FROM w WHERE gap IS NULL OR gap > 3600
-        |ORDER BY 1, 2, 3""".stripMargin)
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q204: the q72 entropy ladder feeds the q195 rank device — the
+    // entropy CTE is value-pinned by q72's own oracle, and ranks
+    // consume only its order
+    "q204_length_entropy_spearman" ->
+      """WITH chars AS (
+        |  SELECT doc_id, SUBSTR(text, CAST(i AS INT), 1) AS ch
+        |  FROM documents, UNNEST(RANGE(1, CAST(LENGTH(text) AS BIGINT) + 1)) AS t(i)
+        |  WHERE LENGTH(text) > 0),
+        |cnts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, SUM(c) AS L FROM cnts GROUP BY doc_id),
+        |terms AS (
+        |  SELECT cnts.doc_id, c, L,
+        |    CAST(ROUND(LN(CAST(c AS DOUBLE) / L), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM cnts JOIN tot ON cnts.doc_id = tot.doc_id),
+        |ent AS (SELECT doc_id, CAST(MAX(L) AS BIGINT) AS x,
+        |    ROUND(-(CAST(SUM(c * lp) AS DOUBLE) / MAX(L)), 6) AS y
+        |  FROM terms GROUP BY doc_id),
+        |base AS (SELECT d.source AS g, e.x, e.y
+        |  FROM ent e JOIN documents d USING (doc_id)
+        |  WHERE d.source IS NOT NULL),
+        |r AS (SELECT g,
+        |    2 * rank() OVER (PARTITION BY g ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY g, x) - 1 AS dx,
+        |    2 * rank() OVER (PARTITION BY g ORDER BY y)
+        |      + COUNT(*) OVER (PARTITION BY g, y) - 1 AS dy
+        |  FROM base),
+        |a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(CAST(dx AS DECIMAL(19,0))) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(dy AS DECIMAL(19,0))) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(dx AS DECIMAL(19,0)) * dx) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(dy AS DECIMAL(19,0)) * dy) AS HUGEINT) AS syy,
+        |    CAST(SUM(CAST(dx AS DECIMAL(19,0)) * dy) AS HUGEINT) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT g AS source, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS rho
+        |FROM a ORDER BY 1""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed
