@@ -2795,7 +2795,25 @@ object SparkEntry {
         TextOps.charEntropy(col("text")).as("ent"))
       Robust.spearman(scored, "source", "len", "ent")
         .orderBy("source")
-    }))
+    }),
+
+    "q205_robust_shape" -> ((s, dir) =>
+      // whale-immune distribution shape per priority class: Bowley
+      // skew + Moors kurtosis from the seven exact octiles (one
+      // bracketed-selection pass serves all seven boundaries)
+      Robust.robustShape(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          dec(col("o_totalprice")).cast("double").as("__p")),
+        Seq("o_orderpriority"), "__p")
+        .orderBy("o_orderpriority")),
+
+    "q206_lorenz_curve" -> ((s, dir) =>
+      // the curve behind q161's Gini scalar: cumulative value share
+      // at each population decile, integer-cents exact up to the two
+      // closing share divisions
+      Concentration.lorenzDeciles(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice", "o_orderkey")
+        .orderBy("o_orderpriority", "bucket")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -6053,7 +6071,62 @@ object SparkEntry {
         |      SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
         |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |  END AS rho
-        |FROM a ORDER BY 1""".stripMargin)
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // q205: octiles round to 6 BEFORE the ratios (the q106 precedent
+    // absorbing the interpolation-association gap); both statistics
+    // are then fixed double expressions of the shared values
+    "q205_robust_shape" ->
+      """WITH q AS (SELECT o_orderpriority, COUNT(*) AS n,
+        |    ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      AS DOUBLE), 0.125e0), 6) AS e1,
+        |    ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      AS DOUBLE), 0.25e0), 6) AS e2,
+        |    ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      AS DOUBLE), 0.375e0), 6) AS e3,
+        |    ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      AS DOUBLE), 0.5e0), 6) AS e4,
+        |    ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      AS DOUBLE), 0.625e0), 6) AS e5,
+        |    ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      AS DOUBLE), 0.75e0), 6) AS e6,
+        |    ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      AS DOUBLE), 0.875e0), 6) AS e7
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  e2 AS q1, e4 AS median, e6 AS q3,
+        |  CASE WHEN e6 - e2 > 0 THEN
+        |    ROUND((e6 + e2 - 2.0e0 * e4) / (e6 - e2), 6) END AS bowley_skew,
+        |  CASE WHEN e6 - e2 > 0 THEN
+        |    ROUND(((e7 - e5) + (e3 - e1)) / (e6 - e2), 6)
+        |  END AS moors_kurtosis
+        |FROM q ORDER BY 1""".stripMargin,
+
+    // q206: bucket cut by exact integer rank arithmetic; bucket sums
+    // and cumulatives are exact integers in cents; only the two
+    // closing share divisions are doubles
+    "q206_lorenz_curve" ->
+      """WITH base AS (SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    o_orderkey AS id
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |rk AS (SELECT g, c,
+        |    row_number() OVER (PARTITION BY g ORDER BY c, id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY g) AS n FROM base),
+        |b AS (SELECT g, ((rk - 1) * 10) // n AS bucket, COUNT(*) AS bn,
+        |    SUM(c) AS bt FROM rk GROUP BY 1, 2),
+        |cum AS (SELECT g, bucket, bn,
+        |    SUM(bn) OVER (PARTITION BY g ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |    SUM(bt) OVER (PARTITION BY g ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+        |  FROM b),
+        |tot AS (SELECT g, SUM(bn) AS tn, SUM(bt) AS ts FROM b GROUP BY 1)
+        |SELECT g AS o_orderpriority, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(bn AS BIGINT) AS n,
+        |  ROUND(CAST(cn AS DOUBLE) / tn, 6) AS cum_pop_share,
+        |  ROUND(CAST(ct AS DOUBLE) / CAST(ts AS DOUBLE), 6) AS cum_value_share
+        |FROM cum JOIN tot USING (g) ORDER BY 1, 2""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

@@ -220,4 +220,42 @@ object Robust {
         round((ssb / (kD - lit(1.0d))) / (ssw / (nD - kD)), 6)).as("f"),
       round(ssb / sst, 6).as("eta_sq"))
   }
+
+  /** Quantile-based distribution shape per group: Bowley skewness
+    * `(Q3 + Q1 − 2·median)/(Q3 − Q1)` (Bowley 1901) and Moors
+    * kurtosis `((E7−E5) + (E3−E1))/(E6−E2)` over the octiles
+    * (Moors 1988) — the outlier-immune complement of moment skew/
+    * kurtosis (a third/fourth moment is a whale amplifier; these are
+    * pure quantile ratios with bounded influence).
+    *
+    * Parity chain: the seven octiles come from
+    * [[Percentiles.exact]]'s bracketed selection and are rounded to
+    * 6 dp first (absorbing the quantile-interpolation association
+    * gap vs `quantile_cont` — the q106 precedent); both statistics
+    * are then fixed double expressions of those shared values,
+    * rounded 6. Degenerate groups (zero IQR) yield NULL.
+    *
+    * Scale shape: one [[Percentiles.exact]] pass (all seven
+    * boundaries share its two corpus passes); everything after is
+    * group-sized.
+    */
+  def robustShape(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      accuracy: Int = 100000): DataFrame = {
+    val oct = Percentiles.exact(df, groupCols, valueCol,
+      (1 to 7).map(_ / 8.0), accuracy)
+    def e(i: Int) = round(element_at(col("pcts"), i), 6)
+    val iqr = e(6) - e(2)
+    oct.select(groupCols.map(col) ++ Seq(
+      col("n").cast("long").as("n"),
+      e(2).as("q1"), e(4).as("median"), e(6).as("q3"),
+      when(iqr > 0,
+        round((e(6) + e(2) - lit(2.0d) * e(4)) / iqr, 6))
+        .as("bowley_skew"),
+      when(iqr > 0,
+        round(((e(7) - e(5)) + (e(3) - e(1))) / iqr, 6))
+        .as("moors_kurtosis")): _*)
+  }
 }

@@ -28,4 +28,18 @@ class ConcentrationSpec extends SparkSuite {
     val gb = Concentration.gini(b, "g", "v", "id").select("gini").as[Double].head()
     assert(ga == gb, s"$ga != $gb")
   }
+
+  test("lorenzDeciles: 5 values, 5 buckets — exact cumulative shares") {
+    import spark.implicits._
+    // cents 100..500, total 1500; cum value 100,300,600,1000,1500
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0),
+      ("g", 4L, 4.0), ("g", 5L, 5.0)).toDF("g", "id", "v")
+    val out = Concentration.lorenzDeciles(df, "g", "v", "id", buckets = 5)
+      .orderBy("bucket")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("g", 0L, 1L, 0.2, 0.066667), ("g", 1L, 1L, 0.4, 0.2),
+      ("g", 2L, 1L, 0.6, 0.4), ("g", 3L, 1L, 0.8, 0.666667),
+      ("g", 4L, 1L, 1.0, 1.0)), s"got $out")
+  }
 }

@@ -89,4 +89,18 @@ class RobustSpec extends SparkSuite {
       .as[(Long, Long, Option[Double], Double)].collect().head
     assert(r._1 == 1L && r._3.isEmpty, s"got $r")
   }
+
+  test("robustShape: uniform 1..8 is Bowley-symmetric with Moors 1.0") {
+    // octiles at 7p: e1..e7 = 1.875, 2.75, 3.625, 4.5, 5.375, 6.25,
+    // 7.125 → IQR 3.5, bowley 0, moors (1.75 + 1.75)/3.5 = 1
+    val df = ((1 to 8).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 5.0), ("b", 5.0), ("b", 5.0))).toDF("g", "v")
+    val out = Robust.robustShape(df, Seq("g"), "v")
+      .orderBy("g")
+      .as[(String, Long, Double, Double, Double, Option[Double],
+        Option[Double])].collect().toSeq
+    assert(out == Seq(
+      ("a", 8L, 2.75, 4.5, 6.25, Some(0.0), Some(1.0)),
+      ("b", 3L, 5.0, 5.0, 5.0, None, None)), s"got $out")
+  }
 }
