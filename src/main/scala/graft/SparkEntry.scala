@@ -2813,7 +2813,21 @@ object SparkEntry {
       // closing share divisions
       Concentration.lorenzDeciles(t(s, dir, "orders"),
         "o_orderpriority", "o_totalprice", "o_orderkey")
-        .orderBy("o_orderpriority", "bucket")))
+        .orderBy("o_orderpriority", "bucket")),
+
+    "q207_vocab_stats" -> ((s, dir) =>
+      // vocabulary richness per source: TTR + hapax share — the
+      // low-TTR boilerplate smell next to q96's Zipf slope, one
+      // vocabulary-sized aggregate
+      CorpusStats.vocabStats(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
+    "q208_growth_accounting" -> ((s, dir) =>
+      // weekly new/retained/resurrected/churned ledger — the
+      // decomposition behind q93's retention; churn bounded to the
+      // observed weeks
+      Events.growthAccounting(events(s, dir), "user_id", "ts")
+        .orderBy("week")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -6126,7 +6140,54 @@ object SparkEntry {
         |  CAST(bn AS BIGINT) AS n,
         |  ROUND(CAST(cn AS DOUBLE) / tn, 6) AS cum_pop_share,
         |  ROUND(CAST(ct AS DOUBLE) / CAST(ts AS DOUBLE), 6) AS cum_value_share
-        |FROM cum JOIN tot USING (g) ORDER BY 1, 2""".stripMargin)
+        |FROM cum JOIN tot USING (g) ORDER BY 1, 2""".stripMargin,
+
+    // q207: counts only (the q65 whitespace-token device); the two
+    // ratios are single double divisions
+    "q207_vocab_stats" ->
+      """WITH toks AS (SELECT source AS g,
+        |    UNNEST(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT g, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |a AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS types,
+        |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax
+        |  FROM wc GROUP BY 1)
+        |SELECT g AS source, n_tokens, CAST(types AS BIGINT) AS n_types,
+        |  CAST(hapax AS BIGINT) AS n_hapax,
+        |  ROUND(CAST(types AS DOUBLE) / n_tokens, 6) AS ttr,
+        |  ROUND(CAST(hapax AS DOUBLE) / types, 6) AS hapax_share
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // q208: distinct (user, week) + per-user lag/lead; week-truncated
+    // date differences are exact multiples of 7 on both engines;
+    // churn lands on prev+7, bounded to observed weeks
+    "q208_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |sq AS (SELECT u, wk,
+        |    lag(wk) OVER (PARTITION BY u ORDER BY wk) AS prev,
+        |    lead(wk) OVER (PARTITION BY u ORDER BY wk) AS next FROM uw),
+        |mx AS (SELECT MAX(wk) AS maxwk FROM uw),
+        |cls AS (SELECT wk,
+        |    SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+        |    SUM(CASE WHEN prev IS NOT NULL AND wk - prev = 7
+        |      THEN 1 ELSE 0 END) AS n_retained,
+        |    SUM(CASE WHEN prev IS NOT NULL AND wk - prev > 7
+        |      THEN 1 ELSE 0 END) AS n_resurrected
+        |  FROM sq GROUP BY 1),
+        |churn AS (SELECT wk + 7 AS wk, COUNT(*) AS n_churned
+        |  FROM sq CROSS JOIN mx
+        |  WHERE (next IS NULL OR next - wk > 7) AND wk + 7 <= maxwk
+        |  GROUP BY 1)
+        |SELECT COALESCE(c.wk, h.wk) AS week,
+        |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM cls c FULL OUTER JOIN churn h ON c.wk = h.wk
+        |ORDER BY 1""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

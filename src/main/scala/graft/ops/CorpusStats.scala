@@ -491,6 +491,36 @@ object CorpusStats {
               (least(col("n_rows"), col("n_cols")) - 1).cast("double"))), 6))
           .as("v"))
 
+  /** Vocabulary profile per group: token count, type (distinct-word)
+    * count, type–token ratio, and hapax-legomena share (words seen
+    * once) — the vocabulary-richness readout next to q96's Zipf slope
+    * (a boilerplate-heavy source shows low TTR and low hapax share
+    * long before a dedup pass names the culprit). Whitespace
+    * tokenization (the q48/q65 device).
+    *
+    * Parity: counts only; the two closing ratios are single double
+    * divisions, rounded 6. Scale shape: one (group, word) map-side-
+    * combined aggregate — vocabulary-sized, not corpus-sized — then a
+    * group fold.
+    */
+  def vocabStats(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(groupCol).as("__g"),
+      explode(TextOps.tokens(col(textCol))).as("__w"))
+    toks.groupBy("__g", "__w").agg(count(lit(1)).as("__c"))
+      .groupBy("__g").agg(
+        sum(col("__c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("__types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("__hapax"))
+      .select(col("__g").as(groupCol), col("n_tokens"),
+        col("__types").cast("long").as("n_types"),
+        col("__hapax").cast("long").as("n_hapax"),
+        round(col("__types").cast("double") /
+          col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("__hapax").cast("double") /
+          col("__types").cast("double"), 6).as("hapax_share"))
+  }
+
   /** Jensen–Shannon divergence of each source's unigram distribution
     * against the REST of the corpus — the symmetric, bounded
     * ([0, ln 2]) complement of [[sourceKl]]: KL explodes on

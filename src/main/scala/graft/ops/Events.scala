@@ -464,6 +464,66 @@ object Events {
           lit("m"), col("m_bucket")).as("segment"))
   }
 
+  /** Weekly growth accounting (the new/retained/resurrected/churned
+    * decomposition): every active (user, week) is classified as
+    * `new` (first-ever week), `retained` (also active the
+    * immediately preceding week) or `resurrected` (active before,
+    * but not last week); `churned` at week w counts users active in
+    * w−1 and not in w. Identity per week:
+    * `active(w) = new + retained + resurrected` and
+    * `retained(w) = active(w−1) − churned(w)` — the growth ledger
+    * behind q93's retention triangle.
+    *
+    * Churn attribution is bounded to observed weeks: a user's
+    * silence after the last week in the data is not yet churn.
+    *
+    * Scale shape: one distinct (user, week) aggregate, one per-user
+    * window (user-cardinality partitions) for the previous/next
+    * active week, one broadcast of the 1-row max-week stats, one
+    * (week, class) count — nothing corpus-sized past the first
+    * aggregate.
+    */
+  def growthAccounting(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val uw = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).cast("date").as("__wk"))
+      .distinct()
+    val w = Window.partitionBy("__u").orderBy("__wk")
+    val seq0 = uw
+      .withColumn("__prev", lag(col("__wk"), 1).over(w))
+      .withColumn("__next", lead(col("__wk"), 1).over(w))
+    val maxWk = uw.agg(max(col("__wk")).as("__maxwk"))
+    val cls = seq0.select(col("__wk"),
+      when(col("__prev").isNull, lit("new"))
+        .when(datediff(col("__wk"), col("__prev")) === 7, lit("retained"))
+        .otherwise(lit("resurrected")).as("__cls"))
+      .groupBy("__wk")
+      .agg(sum(when(col("__cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("__cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    // a churn event lands on week prev+7 — emit it there, bounded to
+    // the observed range
+    val churn = seq0.crossJoin(broadcast(maxWk))
+      .filter((col("__next").isNull ||
+        datediff(col("__next"), col("__wk")) > 7) &&
+        date_add(col("__wk"), 7) <= col("__maxwk"))
+      .select(date_add(col("__wk"), 7).as("__wk"))
+      .groupBy("__wk").agg(count(lit(1)).as("n_churned"))
+    cls.join(churn, Seq("__wk"), "full_outer")
+      .select(col("__wk").as("week"),
+        coalesce(col("n_new"), lit(0L)).cast("long").as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).cast("long").as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).cast("long")
+          .as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).cast("long").as("n_churned"))
+  }
+
   /** Cohort LTV triangle: cumulative per-user revenue by acquisition
     * week × weeks-since-acquisition — the MONETARY extension of
     * [[retentionCohorts]] (retention answers "do they come back",

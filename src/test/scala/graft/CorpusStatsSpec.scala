@@ -331,6 +331,18 @@ class CorpusStatsSpec extends SparkSuite {
       s"got $out")
   }
 
+  test("vocabStats: types, hapax and ratios by hand") {
+    import spark.implicits._
+    // a: tokens the×3, cat, dog, fish → 6 tokens, 4 types, 3 hapax
+    val docs = Seq(("a", "the cat the dog"), ("a", "the fish"),
+      ("b", "solo")).toDF("source", "text")
+    val out = CorpusStats.vocabStats(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("a", 6L, 4L, 3L, 0.666667, 0.75),
+      ("b", 1L, 1L, 1L, 1.0, 1.0)), s"got $out")
+  }
+
   test("cramersV: perfect 2×2 association → 1; independence → 0") {
     import spark.implicits._
     val perfect = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2)).toDF("r", "c")

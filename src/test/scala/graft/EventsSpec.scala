@@ -253,6 +253,32 @@ class EventsSpec extends SparkSuite {
       (5L, 1L, 5L, 5L, "r1f5m5")), s"got $out")
   }
 
+  test("growthAccounting: new/retained/resurrected/churned ledger by hand") {
+    import spark.implicits._
+    // u1: W1, W2, W4 → new, retained, resurrected; churns at W3
+    // u2: W1 only → new; churns at W2
+    // u3: W4 only → new; silence past W4 (max week) is not churn
+    val ev = Seq(
+      ("u1", ts("2024-01-01 10:00:00")), ("u1", ts("2024-01-09 10:00:00")),
+      ("u1", ts("2024-01-23 10:00:00")),
+      ("u2", ts("2024-01-02 10:00:00")),
+      ("u3", ts("2024-01-24 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Events.growthAccounting(ev, "user_id", "ts")
+      .orderBy("week")
+      .select(org.apache.spark.sql.functions.col("week").cast("string"),
+        org.apache.spark.sql.functions.col("n_new"),
+        org.apache.spark.sql.functions.col("n_retained"),
+        org.apache.spark.sql.functions.col("n_resurrected"),
+        org.apache.spark.sql.functions.col("n_churned"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 2L, 0L, 0L, 0L),
+      ("2024-01-08", 0L, 1L, 0L, 1L),
+      ("2024-01-15", 0L, 0L, 0L, 1L),
+      ("2024-01-22", 1L, 0L, 1L, 0L)), s"got $out")
+  }
+
   test("cohortLtv: two-week triangle by hand; null value counts 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
