@@ -2827,7 +2827,44 @@ object SparkEntry {
       // decomposition behind q93's retention; churn bounded to the
       // observed weeks
       Events.growthAccounting(events(s, dir), "user_id", "ts")
-        .orderBy("week")))
+        .orderBy("week")),
+
+    "q209_session_stats" -> ((s, dir) => {
+      // composition: the q32 sessionize device feeds per-session
+      // durations (floor-seconds, exact longs) into the bracketed
+      // exact-percentile selection — the session-quality readout
+      // (p50/p90 duration, events/session) product teams watch
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val sess = events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (col("ts").cast("long") - col("prev_ts").cast("long")) > 1800,
+            1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg((max(col("ts").cast("long")) - min(col("ts").cast("long")))
+          .as("dur"), count(lit(1)).as("ne"))
+      val pct = graft.ops.Percentiles
+        .exact(sess.select(col("dur").cast("double").as("dur")),
+          Seq.empty, "dur", Seq(0.5, 0.9))
+        .select(round(element_at(col("pcts"), 1), 6).as("p50_duration_s"),
+          round(element_at(col("pcts"), 2), 6).as("p90_duration_s"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+        sum(col("ne")).as("n_events"), sum(col("dur")).as("sum_dur"))
+        .crossJoin(broadcast(pct))
+        .select(col("n_sessions").cast("long").as("n_sessions"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("n_events").cast("double") /
+            col("n_sessions").cast("double"), 6).as("events_per_session"),
+          round(col("sum_dur").cast("double") /
+            col("n_sessions").cast("double"), 6).as("mean_duration_s"),
+          col("p50_duration_s"), col("p90_duration_s"))
+    }))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -6187,7 +6224,39 @@ object SparkEntry {
         |  CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
         |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
         |FROM cls c FULL OUTER JOIN churn h ON c.wk = h.wk
-        |ORDER BY 1""".stripMargin)
+        |ORDER BY 1""".stripMargin,
+
+    // q209: the q32 session CTEs; durations are floor-seconds exact
+    // longs (max − min of the epoch-diff device), so the percentile
+    // inputs and both means are functions of exact integers
+    "q209_session_stats" ->
+      """WITH w AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800
+        |      THEN 1 ELSE 0 END AS ns FROM w),
+        |s AS (SELECT user_id, ts,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |sess AS (SELECT user_id, sid,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', MAX(ts))
+        |      - date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |          MIN(ts)) AS dur,
+        |    COUNT(*) AS ne
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(ne) AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(ne) AS DOUBLE) / COUNT(*), 6)
+        |    AS events_per_session,
+        |  ROUND(CAST(SUM(dur) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_duration_s,
+        |  ROUND(quantile_cont(CAST(dur AS DOUBLE), 0.5e0), 6)
+        |    AS p50_duration_s,
+        |  ROUND(quantile_cont(CAST(dur AS DOUBLE), 0.9e0), 6)
+        |    AS p90_duration_s
+        |FROM sess""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed
