@@ -2864,6 +2864,44 @@ object SparkEntry {
           round(col("sum_dur").cast("double") /
             col("n_sessions").cast("double"), 6).as("mean_duration_s"),
           col("p50_duration_s"), col("p90_duration_s"))
+    }),
+
+    "q210_prefix_cluster_sizes" -> ((s, dir) =>
+      // how templated is the corpus? — boilerplate-opening clusters:
+      // documents sharing their first five lowercased tokens, sized
+      // and summed into the rows a prefix-dedup pass would shed
+      // (md5(text) clusters are all singletons in this corpus — the
+      // PREFIX key is what catches templated openings); two keyed
+      // map-side-combined aggregates
+      t(s, dir, "documents")
+        .groupBy(array_join(
+          slice(TextOps.tokens(lower(col("text"))), 1, 5), " ").as("__p"))
+        .agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size").cast("long").as("cluster_size"),
+          col("n_clusters").cast("long").as("n_clusters"),
+          ((col("cluster_size") - 1) * col("n_clusters")).cast("long")
+            .as("n_removable"))
+        .orderBy("cluster_size")),
+
+    "q211_cross_source_prefix_dups" -> ((s, dir) => {
+      // cross-source boilerplate leakage: the same five-token opening
+      // under TWO sources — the contamination count that decides
+      // whether source-level splits are independent. The pair join
+      // runs on the DISTINCT (prefix, source) relation, bounded by
+      // sources² per prefix, never |docs|²
+      val ds = t(s, dir, "documents")
+        .select(array_join(
+          slice(TextOps.tokens(lower(col("text"))), 1, 5), " ").as("__p"),
+          col("source")).distinct()
+      val a = ds.select(col("__p"), col("source").as("source_a"))
+      val b = ds.select(col("__p"), col("source").as("source_b"))
+      a.join(b, Seq("__p"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared_prefixes"))
+        .orderBy("source_a", "source_b")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -6256,7 +6294,30 @@ object SparkEntry {
         |    AS p50_duration_s,
         |  ROUND(quantile_cont(CAST(dur AS DOUBLE), 0.9e0), 6)
         |    AS p90_duration_s
-        |FROM sess""".stripMargin)
+        |FROM sess""".stripMargin,
+
+    // q210: the five-token lowercased opening is the cluster key
+    // (list slice + join mirrors slice/array_join); counts only
+    "q210_prefix_cluster_sizes" ->
+      """WITH cl AS (SELECT array_to_string(
+        |    string_split_regex(trim(lower(text)), '\s+')[1:5], ' ') AS p,
+        |    COUNT(*) AS sz
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_removable
+        |FROM cl GROUP BY sz ORDER BY 1""".stripMargin,
+
+    // q211: pair join on the DISTINCT (prefix, source) relation
+    "q211_cross_source_prefix_dups" ->
+      """WITH ds AS (SELECT DISTINCT array_to_string(
+        |    string_split_regex(trim(lower(text)), '\s+')[1:5], ' ') AS p,
+        |    source
+        |  FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared_prefixes
+        |FROM ds a JOIN ds b ON a.p = b.p AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed
