@@ -2902,7 +2902,30 @@ object SparkEntry {
         .groupBy("source_a", "source_b")
         .agg(count(lit(1)).as("n_shared_prefixes"))
         .orderBy("source_a", "source_b")
-    }))
+    }),
+
+    "q212_norm_profile" -> ((s, dir) =>
+      // are the embeddings normalized, and uniformly so per label? —
+      // the sanity gate before any cosine/IVF work (an unnormalized
+      // slice silently reweights every dot product). Per-row norms
+      // via the compiled dot kernel, round-6 into DECIMAL so the
+      // mean's summation is order-free
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          round(graft.ops.Similarity.norm(
+            col("embedding").cast("array<double>")), 6)
+            .cast("decimal(18,6)").as("__nm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), min(col("__nm")).as("__mn"),
+          max(col("__nm")).as("__mx"),
+          sum(col("__nm")).as("__s"))
+        .select(col("label").cast("long").as("label"),
+          col("n").cast("long").as("n"),
+          col("__mn").cast("double").as("min_norm"),
+          col("__mx").cast("double").as("max_norm"),
+          round(col("__s").cast("double") / col("n").cast("double"), 6)
+            .as("mean_norm"))
+        .orderBy("label")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -6317,7 +6340,23 @@ object SparkEntry {
         |SELECT a.source AS source_a, b.source AS source_b,
         |  CAST(COUNT(*) AS BIGINT) AS n_shared_prefixes
         |FROM ds a JOIN ds b ON a.p = b.p AND a.source < b.source
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q212: graft_dot ≙ list_inner_product (both sequential folds,
+    // the q177 precedent); round-6 norms sum as DECIMAL(18,6)
+    "q212_norm_profile" ->
+      """WITH nm AS (SELECT label,
+        |    CAST(ROUND(SQRT(list_inner_product(
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)
+        |      AS DECIMAL(18,6)) AS v
+        |  FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(v) AS DOUBLE) AS min_norm,
+        |  CAST(MAX(v) AS DOUBLE) AS max_norm,
+        |  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_norm
+        |FROM nm GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed
