@@ -71,6 +71,46 @@ object Bench {
     }
     def jmap(f: ((String, Double, Double, Boolean)) => Double): String =
       results.map(r => "\"" + r._1 + "\":" + f"${f(r)}%.3f").mkString("{", ",", "}")
+    // Reference-parity baseline workload (BASELINE.md): the 1M-record
+    // NDJSON file→file pass-through — the reference's ONLY published
+    // end-to-end number (7.319 s, 137k rec/s, single core) — run
+    // through the same Pipeline path as the CLI. Input is generated
+    // once (deterministic, ~45 B/record ≈ the RFC's 39 MB corpus);
+    // the reported time is the MIN of two runs (same contended-box
+    // methodology as the quiet bench). Skipped under a query filter
+    // (local iteration) or SPARK_GRAFT_BENCH_TRANSFER=0.
+    val transferJson: String =
+      if (only.isDefined ||
+          sys.env.get("SPARK_GRAFT_BENCH_TRANSFER").contains("0")) ""
+      else {
+        val dir = java.nio.file.Paths.get("target/bench_transfer")
+        java.nio.file.Files.createDirectories(dir)
+        val in = dir.resolve("in.json")
+        val nRec = 1000000
+        if (!java.nio.file.Files.exists(in)) {
+          val w = new java.io.BufferedWriter(
+            new java.io.FileWriter(in.toFile), 1 << 20)
+          var i = 0
+          while (i < nRec) {
+            w.write(s"""{"id":$i,"name":"user_${i % 100000}","age":${18 + i % 60}}""")
+            w.write("\n")
+            i += 1
+          }
+          w.close()
+        }
+        val times = (0 until 2).map { r =>
+          val out = dir.resolve(s"out$r").toString
+          val t0 = System.nanoTime()
+          graft.pipeline.Pipeline.run(spark, graft.pipeline.Pipeline.Spec(
+            from = "FILE", to = Seq("FILE"),
+            env = Map("FILE__SOURCE_URI" -> in.toString,
+              "FILE__DESTINATION_URI" -> out)))
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sec = times.min
+        f""","transfer":{"rows":$nRec,"sec":$sec%.3f,""" +
+          s""""rec_per_sec":${(nRec / sec).toInt}}"""
+      }
     // a query that threw must not fold its (fast-failure) wall time into
     // the headline total — broken must not read as fast round-over-round
     val total = results.filter(_._4).map(_._2).sum
@@ -81,11 +121,13 @@ object Bench {
     // truncated away two rounds running (BENCH_r04/r05 parsed:null).
     // stdout carries the parseable essentials; the full artifact
     // including the cold map goes to target/bench.json.
+    // transfer goes LAST on the line: the driver keeps the stdout TAIL,
+    // so the baseline figure must sit at the end to survive truncation
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"$transferJson}"""
     println(json)
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"$transferJson}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))

@@ -212,12 +212,10 @@ object ScaleRehearsal {
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
         import graft.ops.Similarity
         val index = Similarity.IvfIndex.fit(emb, "v", cells = 64)
-        // localCheckpoint, not persist: the assignment lineage carries
-        // the cells×dim literal argmin expression, and every probe
-        // query would re-ANALYZE that tree (~1 s of driver time per
-        // query — measured dominating the probe itself); checkpointing
-        // materializes the cell column AND truncates the plan
-        val assigned = index.assign(emb, "v").localCheckpoint(true)
+        // the truncation lives in the op now (round-11): repeated
+        // probing goes through assignForProbing, which checkpoints
+        // the cell column and cuts the cells×dim argmin lineage
+        val assigned = index.assignForProbing(emb, "v")
         def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
           df.select(col("vec_id")).collect().map(_.getLong(0)).toSet
         val t0 = System.nanoTime()

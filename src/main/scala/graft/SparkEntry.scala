@@ -2925,7 +2925,16 @@ object SparkEntry {
           col("__mx").cast("double").as("max_norm"),
           round(col("__s").cast("double") / col("n").cast("double"), 6)
             .as("mean_norm"))
-        .orderBy("label")))
+        .orderBy("label")),
+
+    "q213_winnow_default" -> ((s, dir) =>
+      // the PRODUCTION winnow path: shipped defaults only (k=20,
+      // window=8, minShared=3, maxBucket=20 — the measured-linear
+      // config from the SCALE.md round-9/10 rehearsals), no pinned
+      // args. q129 keeps the historical k=12/maxBucket=100 pinned for
+      // its short-doc reading; THIS row is the one a user copies.
+      Dedup.winnowCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -5647,7 +5656,8 @@ object SparkEntry {
 
     "q181_chi_square" ->
       """WITH obs AS (SELECT lang AS r, source AS c, COUNT(*) AS o
-        |  FROM documents GROUP BY 1, 2),
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
         |rts AS (SELECT r, SUM(o) AS rt FROM obs GROUP BY 1),
         |cts AS (SELECT c, SUM(o) AS ct FROM obs GROUP BY 1),
         |cells AS (SELECT r, c, rt, ct, COALESCE(o, 0) AS o
@@ -6052,15 +6062,19 @@ object SparkEntry {
         |    SUM(t) AS a2
         |  FROM term)
         |SELECT CAST(k AS BIGINT) AS k, n,
-        |  CASE WHEN k > 1 AND n > k THEN
+        |  CASE WHEN k > 1 AND n > k
+        |      AND (CAST(ss AS DOUBLE) - CAST(a2 AS DOUBLE)) > 0 THEN
         |    ROUND(((CAST(a2 AS DOUBLE)
         |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1))
         |      / ((CAST(ss AS DOUBLE) - CAST(a2 AS DOUBLE)) / (n - k)), 6)
         |  END AS f,
-        |  ROUND((CAST(a2 AS DOUBLE)
-        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-        |    / (CAST(ss AS DOUBLE)
-        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6) AS eta_sq
+        |  CASE WHEN (CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) > 0 THEN
+        |    ROUND((CAST(a2 AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |      / (CAST(ss AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6)
+        |  END AS eta_sq
         |FROM agg""".stripMargin,
 
     // q200: weekday from epoch-day arithmetic (DATE − DATE is integer
@@ -6097,7 +6111,7 @@ object SparkEntry {
         |    CAST(date_trunc('week', ts) AS DATE) AS wk,
         |    COALESCE(CAST(value AS DECIMAL(18,2)),
         |      CAST(0 AS DECIMAL(18,2))) AS v
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |coh AS (SELECT u, MIN(wk) AS cohort FROM base GROUP BY 1),
         |sizes AS (SELECT cohort, COUNT(*) AS n_users FROM coh GROUP BY 1),
         |weekly AS (SELECT cohort,
@@ -6356,7 +6370,32 @@ object SparkEntry {
         |  CAST(MIN(v) AS DOUBLE) AS min_norm,
         |  CAST(MAX(v) AS DOUBLE) AS max_norm,
         |  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_norm
-        |FROM nm GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM nm GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q213: the q129 winnow replay at the SHIPPED defaults — gram
+    // length 20, window 8, bucket cap 20, minShared 3
+    "q213_winnow_default" ->
+      """WITH g AS (
+        |  SELECT doc_id, i,
+        |    substr(md5(substr(text, CAST(i AS INT), 20)), 1, 15) AS h,
+        |    length(text) - 19 AS m
+        |  FROM documents, UNNEST(range(1, length(text) - 18)) AS t(i)
+        |  WHERE length(text) >= 20),
+        |sel AS (
+        |  SELECT doc_id, i, m,
+        |    MIN(h || lpad(CAST(i AS VARCHAR), 9, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY i
+        |            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mk
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, substr(mk, 1, 15) AS fp
+        |  FROM sel WHERE i <= GREATEST(1, m - 7)),
+        |keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 20),
+        |pr AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(COUNT(*) AS BIGINT) AS shared
+        |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY 1, 2""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed
@@ -6367,7 +6406,8 @@ object SparkEntry {
     val blocks = pairs.zipWithIndex.map { case ((_, tbl, r, c), i) =>
       val x = i + 1
       s"""obs$x AS (SELECT $r AS r, $c AS c, COUNT(*) AS o
-         |  FROM $tbl GROUP BY 1, 2),
+         |  FROM $tbl
+         |  WHERE $r IS NOT NULL AND $c IS NOT NULL GROUP BY 1, 2),
          |rts$x AS (SELECT r, SUM(o) AS rt FROM obs$x GROUP BY 1),
          |cts$x AS (SELECT c, SUM(o) AS ct FROM obs$x GROUP BY 1),
          |cells$x AS (SELECT r, c, rt, ct, COALESCE(o, 0) AS o

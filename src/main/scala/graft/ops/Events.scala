@@ -524,26 +524,6 @@ object Events {
         coalesce(col("n_churned"), lit(0L)).cast("long").as("n_churned"))
   }
 
-  /** Cohort LTV triangle: cumulative per-user revenue by acquisition
-    * week × weeks-since-acquisition — the MONETARY extension of
-    * [[retentionCohorts]] (retention answers "do they come back",
-    * this answers "what are they worth by age"). `valueCol` rows with
-    * NULL contribute nothing; a user's cohort is the week of their
-    * FIRST event of any kind.
-    *
-    * Output per (cohort week, age week): `n_users` (cohort size —
-    * constant down the row), `week_rev`, `cum_rev`, and
-    * `ltv_per_user` (= cum/size, round 6).
-    *
-    * Parity chain: weekly revenue sums are exact DECIMAL(18,2); the
-    * cumulative is a window over the cohort×age table (weeks², never
-    * data-sized) summing decimals — order-free; only the final
-    * per-user division is a double, rounded 6.
-    *
-    * Scale shape: one user-keyed aggregate for cohorts (map-side
-    * combined), one broadcast-back join, one (cohort, age) aggregate;
-    * the cumulative window runs on the weeks²-sized triangle.
-    */
   /** Burst throttling (debounce): drop an event when ANOTHER event of
     * the same key precedes it within `minGapSeconds` — the telemetry
     * rate-limit pass that runs before sessionization so retry storms
@@ -580,12 +560,36 @@ object Events {
       .drop("__gap")
   }
 
+  /** Cohort LTV triangle: cumulative per-user revenue by acquisition
+    * week × weeks-since-acquisition — the MONETARY extension of
+    * [[retentionCohorts]] (retention answers "do they come back",
+    * this answers "what are they worth by age"). `valueCol` rows with
+    * NULL contribute nothing; a user's cohort is the week of their
+    * FIRST event of any kind. NULL users are excluded entirely (the
+    * [[growthAccounting]] contract — an anonymous sentinel is not a
+    * cohort member, and counting it would skew `ltv_per_user`).
+    *
+    * Output per (cohort week, age week): `n_users` (cohort size —
+    * constant down the row), `week_rev`, `cum_rev`, and
+    * `ltv_per_user` (= cum/size, round 6).
+    *
+    * Parity chain: weekly revenue sums are exact DECIMAL(18,2); the
+    * cumulative is a window over the cohort×age table (weeks², never
+    * data-sized) summing decimals — order-free; only the final
+    * per-user division is a double, rounded 6.
+    *
+    * Scale shape: one user-keyed aggregate for cohorts (map-side
+    * combined), one broadcast-back join, one (cohort, age) aggregate;
+    * the cumulative window runs on the weeks²-sized triangle.
+    */
   def cohortLtv(
       events: DataFrame,
       userCol: String,
       tsCol: String,
       valueCol: String): DataFrame = {
-    val base = events.select(col(userCol).as("__u"),
+    val base = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"),
       date_trunc("week", col(tsCol)).cast("date").as("__wk"),
       coalesce(col(valueCol).cast("decimal(18,2)"),
         lit(0).cast("decimal(18,2)")).as("__v"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Blocked entity resolution (record linkage): find pairs of records
@@ -30,11 +30,43 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
+  /** Builds the per-block record lists (the ONE shuffle of the
+    * blocked-ER family) and applies the `maxBlock` skew guard. When
+    * `audit` is supplied, the drop is OBSERVED on the same pass via
+    * `Dataset.observe` — zero extra scans, the metrics ride the
+    * query's own execution: `n_blocks` (comparable blocks, size ≥ 2),
+    * `dropped_blocks` and `dropped_rows` (over-cap). At 100 TB this
+    * is the auditability the silent filter lacked: a run reports HOW
+    * MUCH the recall trade cut, per execution, from the driver's
+    * `Observation.get` after any action on the result.
+    */
+  private def guardedBlocks(
+      keyed: DataFrame,
+      maxBlock: Int,
+      audit: Option[Observation]): DataFrame = {
+    val blocks0 = keyed.groupBy("__blk")
+      .agg(collect_list("__rec").as("recs"))
+    val sz = size(col("recs"))
+    val observed = audit match {
+      case Some(obs) => blocks0.observe(obs,
+        sum(when(sz >= 2 && sz <= maxBlock, 1L).otherwise(0L))
+          .as("n_blocks"),
+        sum(when(sz > maxBlock, 1L).otherwise(0L)).as("dropped_blocks"),
+        sum(when(sz > maxBlock, sz.cast("long")).otherwise(0L))
+          .as("dropped_rows"))
+      case None => blocks0
+    }
+    observed.filter(size(col("recs")).between(2, maxBlock))
+  }
+
   /** Candidate duplicate pairs within blocks, at or under
     * `maxDistance` Levenshtein on `nameCol`. Output:
     * `(id_a, id_b, name_a, name_b, distance)` with `id_a < id_b`.
     * Blocks larger than `maxBlock` are dropped (skew guard —
     * documented, deliberate recall trade; the block key is the knob).
+    * Pass an [[org.apache.spark.sql.Observation]] as `audit` to get
+    * the dropped-blocks/dropped-rows counts of a run (see
+    * [[guardedBlocks]]) — the cut is never silent when audited.
     */
   def blockedPairs(
       df: DataFrame,
@@ -42,15 +74,14 @@ object Linkage {
       nameCol: String,
       blockKey: Column,
       maxDistance: Int,
-      maxBlock: Int = 1000): DataFrame = {
+      maxBlock: Int = 1000,
+      audit: Option[Observation] = None): DataFrame = {
     require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
     require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
     val keyed = df.select(blockKey.as("__blk"),
       struct(col(idCol).as("id"), col(nameCol).as("name")).as("__rec"))
     // one shuffle: block key → bucket; sizes bounded by the guard
-    val blocks = keyed.groupBy("__blk")
-      .agg(collect_list("__rec").as("recs"))
-      .filter(size(col("recs")).between(2, maxBlock))
+    val blocks = guardedBlocks(keyed, maxBlock, audit)
     blocks
       .select(explode(col("recs")).as("a"), col("recs"))
       .select(col("a"), explode(col("recs")).as("b"))
@@ -130,15 +161,14 @@ object Linkage {
       nameCol: String,
       blockKey: Column,
       minSimilarity: Double,
-      maxBlock: Int = 1000): DataFrame = {
+      maxBlock: Int = 1000,
+      audit: Option[Observation] = None): DataFrame = {
     require(minSimilarity >= 0.0 && minSimilarity <= 1.0,
       s"minSimilarity must be in [0,1], got $minSimilarity")
     require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
     val keyed = df.select(blockKey.as("__blk"),
       struct(col(idCol).as("id"), col(nameCol).as("name")).as("__rec"))
-    val blocks = keyed.groupBy("__blk")
-      .agg(collect_list("__rec").as("recs"))
-      .filter(size(col("recs")).between(2, maxBlock))
+    val blocks = guardedBlocks(keyed, maxBlock, audit)
     blocks
       .select(explode(col("recs")).as("a"), col("recs"))
       .select(col("a"), explode(col("recs")).as("b"))

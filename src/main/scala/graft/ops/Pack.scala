@@ -43,8 +43,8 @@ object Pack {
     // no second corpus exchange
     val local = Prefix.localScan(ranged, stratumCol = None,
       sortCols = Seq(col(idCol)), valCol = Some(nTokCol))
-    // P-row totals derived from `local` so ReuseExchange shares the
-    // one range shuffle (see Rank.stratifiedRank); the
+    // P-row totals derived from `local`'s pinned checkpoint (see
+    // Prefix.localScan — one execution, one __pid space); the
     // single-partition window here scans P values, not the corpus
     // (P = shuffle partitions, i.e. thousands at most)
     val totals = local.groupBy("__pid")

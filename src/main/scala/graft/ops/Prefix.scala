@@ -36,6 +36,21 @@ private[ops] object Prefix {
     * (prefix-sum device). A NULL value yields a NULL `__local` and
     * does not advance the total — the same semantics as the windowed
     * `sum(c) - c` it replaces, where sum skips NULLs.
+    *
+    * PINNED to one physical execution (lazy `localCheckpoint`):
+    * every caller joins this output back to an aggregate DERIVED from
+    * it on `__pid`, so the correctness of the whole device hinges on
+    * both consumers seeing the SAME partition layout. Through round
+    * 10 that was delegated to ReuseExchange — best-effort, and it
+    * silently failed when the upstream was a cached relation: the two
+    * branch executions each re-sampled range boundaries over a
+    * nondeterministically-ordered child, assigned rows to DIFFERENT
+    * partitions, and the `__pid` join silently mismatched (caught
+    * round 11 — q195 over a persisted projection produced wrong,
+    * run-to-run-varying rank sums). The checkpoint executes the
+    * range shuffle + scan ONCE and hands every consumer the same
+    * pinned RDD partitions; it also converts the old double
+    * execution of this subtree into block reads.
     */
   def localScan(
       ranged: DataFrame,
@@ -71,5 +86,6 @@ private[ops] object Prefix {
         Row.fromSeq(r.toSeq :+ pid :+ local)
       }
     }(Encoders.row(schema))
+      .localCheckpoint(eager = false)
   }
 }

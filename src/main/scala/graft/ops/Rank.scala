@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   *      (__pid, stratum) because Catalyst cannot see that
   *      spark_partition_id is already clustered);
   *   3. (partition × stratum) count table — at most P·S tiny rows,
-  *      aggregated map-side off the SAME range exchange (ReuseExchange
-  *      dedupes the scan) — prefix-scanned per stratum and broadcast
-  *      back.
+  *      aggregated map-side off the SAME pinned scan output
+  *      ([[Prefix.localScan]] checkpoints its one execution, so the
+  *      `__pid` spaces of the row side and the count side are
+  *      identical BY CONSTRUCTION — round 10 relied on ReuseExchange
+  *      for this, which silently failed over cached inputs) —
+  *      prefix-scanned per stratum and broadcast back.
   *
   * Only the count table crosses a partition boundary twice; the corpus
   * itself sees one range shuffle, and PlanSpec pins exactly that.
@@ -50,12 +53,9 @@ object Rank {
     // partition-local exclusive row counts per stratum — no window, no
     // second corpus exchange
     val local = Prefix.localScan(ranged, Some(stratumCol), keys, valCol = None)
-    // P×S-row side table derived from `local`, NOT from `ranged`: the
-    // object boundary under mapPartitions blocks column pruning, so
-    // both branches share an identical range-exchange subtree and
-    // ReuseExchange fires — deriving from `ranged` let pruning narrow
-    // the side branch's projection, which broke reuse and re-scanned
-    // + re-shuffled the corpus (caught by the PlanSpec pin)
+    // P×S-row side table derived from `local`'s PINNED output (one
+    // checkpointed execution — see Prefix.localScan), so the __pid
+    // spaces of the row side and the count side agree by construction
     val counts = local.groupBy("__pid", stratumCol).agg(count(lit(1)).as("__cnt"))
     val wPrefix = Window.partitionBy(stratumCol).orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -89,10 +89,8 @@ object Rank {
     val keys = (stratumCol +: orderCols).map(col)
     val ranged = df.repartitionByRange(parts, keys: _*)
     val local = Prefix.localScan(ranged, Some(stratumCol), keys, Some(valCol))
-    // per-(partition, stratum) totals derived from `local` so the
-    // range-exchange subtree is identical in both branches and
-    // ReuseExchange fires (see stratifiedRank) — map-side partial agg,
-    // only P×S partials shuffle
+    // per-(partition, stratum) totals off `local`'s pinned output
+    // (see stratifiedRank) — map-side partial agg, P×S partials only
     val totals = local.groupBy("__pid", stratumCol)
       .agg(sum(col(valCol).cast("long")).as("__tot"))
     val wPrefix = Window.partitionBy(stratumCol).orderBy("__pid")

@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   * Scale shape: two [[Percentiles.exact]] passes (each a distributed
   * bracketed selection — nothing corpus-proportional on one task,
   * see Percentiles.scala) plus two broadcast joins of group-sized
-  * stats back onto the scan. The corpus is read twice (med, then
-  * MAD over |v − med|) — at production scale persist the projected
-  * (group, value) relation so both passes share one materialization.
+  * stats back onto the scan. `persistProjection = true` caches the
+  * projected (group, value) relation so both selection passes share
+  * ONE materialization — MEASURED round 11: at sf0.1 (1M rows, narrow
+  * pushed-down parquet scans) the cached variant is ~2× SLOWER
+  * (4.4–5.4s vs 2.1–2.4s warm; materialization + InMemoryTableScan
+  * reads cost more than the cheap re-scans), so the default is OFF;
+  * flip it when the upstream is an expensive computed relation or a
+  * wide scan where re-reading dominates (the 100 TB shape).
   *
   * Reference behavior: the reference pushes outlier predicates to the
   * warehouse as SQL text (ext/maxcompute/source.go:135-247); this is
@@ -34,15 +39,28 @@ object Robust {
       groupCols: Seq[String],
       valueCol: String,
       k: Double = 3.0,
-      accuracy: Int = 100000): DataFrame = {
+      accuracy: Int = 100000,
+      persistProjection: Boolean = false): DataFrame = {
     require(k > 0.0, s"graft: k must be positive, got $k")
-    val meds = Percentiles.exactOne(df, groupCols, valueCol, 0.5, accuracy)
+    // opt-in: both selection passes (and each pass's internal
+    // re-reads) hit one cached projection instead of re-scanning the
+    // base — a loss on cheap narrow scans (see scaladoc measurement),
+    // a win when the upstream is expensive to recompute
+    val proj0 = df.select(groupCols.map(col) :+
+      col(valueCol).cast("double").as("__v"): _*)
+    val proj =
+      if (persistProjection)
+        proj0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else proj0
+    val meds = Percentiles.exactOne(proj, groupCols, "__v", 0.5, accuracy)
       .select(groupCols.map(col) :+ col("pct").as("med"): _*)
-    val withMed = df.join(broadcast(meds), groupCols)
-      .withColumn("__dev", abs(col(valueCol).cast("double") - col("med")))
-    val mads = Percentiles.exactOne(withMed, groupCols, "__dev", 0.5, accuracy)
+    val devs = proj.join(broadcast(meds), groupCols)
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val mads = Percentiles.exactOne(devs, groupCols, "__dev", 0.5, accuracy)
       .select(groupCols.map(col) :+ col("pct").as("mad"): _*)
-    withMed.join(broadcast(mads), groupCols)
+    df.join(broadcast(meds), groupCols)
+      .join(broadcast(mads), groupCols)
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("med")))
       .filter(col("__dev") > lit(k * 1.4826) * col("mad"))
       .drop("__dev")
   }
@@ -142,14 +160,23 @@ object Robust {
       groupCol: String,
       xCol: String,
       yCol: String,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      persistProjection: Boolean = false): DataFrame = {
     val d19 = "decimal(19,0)"
     val d38 = "decimal(38,0)"
-    val base = df
+    // opt-in (same measured trade as madOutliers): three readers (two
+    // rank devices + the rank join) share one materialization of the
+    // slim (group, x, y) projection — neutral at sf0.1 over a cheap
+    // parquet scan, a win over expensive upstreams
+    val base0 = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
         col(groupCol).isNotNull)
       .select(col(groupCol).as("__g"), col(xCol).as("__x"),
         col(yCol).as("__y"))
+    val base =
+      if (persistProjection)
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
     def doubledRanks(vcol: String, out: String): DataFrame = {
       val vc = base.groupBy(col("__g"), col(vcol))
         .agg(count(lit(1)).as("__c"))
@@ -184,7 +211,7 @@ object Robust {
     *
     * Parity chain: per-group sums and squared sums are exact
     * DECIMAL(18,2)/(37,4); each group's `s²/n` term is an IEEE double
-    * rounded to 6 dp and summed as DECIMAL(18,6) (the q181 χ²
+    * rounded to 6 dp and summed as DECIMAL(28,6) (the q181 χ²
     * term-sum device — double addition is order-dependent, decimal
     * addition is not), so F is a fixed function of exact scalars.
     * Null values and null groups are excluded (3VL).
@@ -216,9 +243,12 @@ object Robust {
     val ssw = col("__ss").cast("double") - col("__a").cast("double")
     agg.select(col("__k").cast("long").as("k"),
       col("__n").cast("long").as("n"),
-      when(col("__k") > 1 && col("__n") > col("__k"),
+      // ssw = 0 (perfect within-group fit) would put 0 in the F
+      // denominator — NULL, not an ANSI divide-by-zero or IEEE inf
+      when(col("__k") > 1 && col("__n") > col("__k") && ssw > lit(0.0d),
         round((ssb / (kD - lit(1.0d))) / (ssw / (nD - kD)), 6)).as("f"),
-      round(ssb / sst, 6).as("eta_sq"))
+      // an all-constant valueCol gives sst = 0 → NULL, never 0/0 NaN
+      when(sst > lit(0.0d), round(ssb / sst, 6)).as("eta_sq"))
   }
 
   /** Quantile-based distribution shape per group: Bowley skewness

@@ -504,6 +504,20 @@ object Similarity {
     def assign(df: DataFrame, vecCol: String): DataFrame =
       df.withColumn("cell", cellCol(col(vecCol)))
 
+    /** [[assign]] with the plan TRUNCATED (eager `localCheckpoint`):
+      * the assignment lineage carries the cells×dim literal argmin
+      * tree, and every downstream probe re-ANALYZES it (~1 s of
+      * driver time per probe batch at 64 cells — measured dominating
+      * the probe itself in the round-10 rehearsal, SCALE.md).
+      * Checkpointing materializes the cell column once and hands
+      * probes a flat scan. Use this for repeated probing without a
+      * persisted index; a one-shot consumer can keep the lazy
+      * [[assign]], and inter-run state should go through
+      * [[IvfIndex.save]] + a written-out assignment instead.
+      */
+    def assignForProbing(df: DataFrame, vecCol: String): DataFrame =
+      assign(df, vecCol).localCheckpoint(true)
+
     /** nearest `nprobe` cells for a constant query vector (driver-side). */
     def probeCells(query: Seq[Double], nprobe: Int): Seq[Int] =
       centroids.zipWithIndex.map { case (c, i) =>

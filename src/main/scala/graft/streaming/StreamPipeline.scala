@@ -116,6 +116,18 @@ object StreamPipeline {
     * Local small-state runs (the oracle gate) keep the default
     * provider — per-batch RocksDB instance spin-up dominates tiny
     * state there; see q105's shuffle-partition note in SparkEntry.
+    *
+    * WHEN TO SWITCH (measured, SCALE.md round-10 state-store
+    * rehearsal): the providers break even around ~50k total state
+    * keys on this harness; RocksDB's advantage then WIDENS with state
+    * size (1.33× at 50k keys → 1.76× at 2M keys, and the HDFS
+    * provider's full-store snapshot keeps growing linearly past
+    * that). Rule of thumb for a production caller: expected steady
+    * state under ~10⁴ keys per query → keep the default provider;
+    * 10⁵ keys or more, or unbounded growth (dedup markers over an
+    * open key space) → wrap the `.start()` in
+    * [[withRocksDbStateStore]]. There is no results risk in switching
+    * late — only the commit-cost shape changes.
     */
   val RocksDbConfs: Map[String, String] = Map(
     "spark.sql.streaming.stateStore.providerClass" ->

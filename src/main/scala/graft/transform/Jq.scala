@@ -554,9 +554,15 @@ object Jq {
         case "//" => coalesce(a, b)
       }
     // `.x | f | g("arg")` — fold piped calls left-to-right over the
-    // compiled input
-    case Pipe(stages) if stages.size >= 2 &&
-        stages.tail.forall(_.isInstanceOf[Call]) =>
+    // compiled input. A pipe whose HEAD is itself a call with `.`
+    // bound (`map(.v) | join("")` as a lambda body) normalizes to
+    // `. | map(.v) | join("")` so the head seeds from the bound value.
+    case Pipe(stages0) if stages0.size >= 2 &&
+        stages0.tail.forall(_.isInstanceOf[Call]) =>
+      val stages =
+        if (stages0.head.isInstanceOf[Call] && env.dot.isDefined)
+          Identity +: stages0
+        else stages0
       // the fold carries (column, isArray): `split` is the only
       // array-producing stage and jq's `length` is polymorphic
       // (elements for arrays, codepoints for strings), so the compiled
@@ -662,6 +668,28 @@ object Jq {
                     .as("k"),
                   i.as("i"), x.as("x")))),
                 s => s.getField("x")), true, curT)
+            // group_by(E): jq sorts GROUPS by key (null lowest — the
+            // sort_array default), elements inside a group keep their
+            // original order. Compiled as sorted-distinct keys ×
+            // order-preserving filter (null-safe equality so a null
+            // key forms its own group like jq, never a dropped one).
+            case Call("group_by", Seq(body)) if isArr =>
+              def keyOf(x: Column) =
+                toColumn(body, env.copy(dot = Some(x), dotType = elemOf(curT)))
+              (transform(
+                sort_array(array_distinct(transform(c, x => keyOf(x)))),
+                kv => filter(c, x => keyOf(x) <=> kv)),
+                true, curT.map(ArrayType(_, containsNull = true)))
+            // unique_by(E) = group_by(E)[] | .[0] (the jq builtin
+            // definition): first element IN ORIGINAL ORDER per
+            // distinct key, keys ascending
+            case Call("unique_by", Seq(body)) if isArr =>
+              def keyOf(x: Column) =
+                toColumn(body, env.copy(dot = Some(x), dotType = elemOf(curT)))
+              (transform(
+                sort_array(array_distinct(transform(c, x => keyOf(x)))),
+                kv => element_at(filter(c, x => keyOf(x) <=> kv), 1)),
+                true, curT)
             // add: null on [], else the numeric sum in IEEE double (jq
             // numbers); a null ELEMENT nulls the sum where jq errors —
             // the tonumber-style quiet divergence, documented
@@ -728,6 +756,14 @@ object Jq {
               s"unsupported piped jq call: $other")
           }
       }._1
+    // with `.` BOUND, a bare call in value position applies to `.`
+    // (jq: `map(join("-"))` pipes each element into join) — rewrite
+    // to `. | call` so the fold's stage vocabulary handles it. Only
+    // no-arg calls and the piped-stage names rewrite; other arg-ful
+    // calls keep the legacy argument-application path below.
+    case c0 @ Call(fn, args) if env.dot.isDefined &&
+        (args.isEmpty || pipedStageFns(fn)) =>
+      toColumn(Pipe(Seq(Identity, c0)), env)
     case Call(fn, args) if args.nonEmpty =>
       applyFn(fn, toColumn(args.head, env), env.inTry)
     case Call(fn, Nil) => throw new IllegalArgumentException(
@@ -744,6 +780,15 @@ object Jq {
     StructType(Seq(
       org.apache.spark.sql.types.StructField("key", kt, nullable = false),
       org.apache.spark.sql.types.StructField("value", vt, valueNullable)))
+
+  /** Arg-ful calls that are PIPE STAGES (input flows in from the
+    * left), used to rewrite dot-bound value-position calls to
+    * `. | call`; arg-ful calls outside this set keep the legacy
+    * argument-application path. */
+  private val pipedStageFns: Set[String] = Set(
+    "split", "join", "ltrimstr", "rtrimstr", "startswith", "endswith",
+    "test", "map", "sort_by", "group_by", "unique_by", "map_values",
+    "with_entries", "has")
 
   private def applyFn(fn: String, c: Column, inTry: Boolean = false): Column = fn match {
     case "length" => length(c)

@@ -413,6 +413,41 @@ class JqSpec extends SparkSuite {
     assert(compiled.head == "y,x,z#3,1,3")
   }
 
+  test("group_by/unique_by compile and match real jq, incl. null keys") {
+    import graft.transform.JqEscapeHatch
+    val df = spark.range(1).selectExpr("1 AS id",
+      """array(named_struct('k', 2L, 'v', 'a'),
+        named_struct('k', 1L, 'v', 'b'),
+        named_struct('k', 2L, 'v', 'c'),
+        named_struct('k', cast(null AS bigint), 'v', 'd'),
+        named_struct('k', 1L, 'v', 'e')) AS items"""
+        .replaceAll("\n\\s*", " "))
+    // groups sorted by key null-lowest; in-group ORIGINAL order; the
+    // unique_by pick = first element in original order per key
+    val prog = """{gs: (.items | group_by(.k)
+        | map(map(.v) | join("")) | join(",")),
+      u: (.items | unique_by(.k) | map(.v) | join(","))}"""
+      .replaceAll("\n\\s*", " ")
+    val compiled = Jq.compile(prog)(df)
+      .selectExpr("concat(gs, '#', u)").as[String].collect().toSeq
+    val real = JqEscapeHatch(df, prog)
+      .selectExpr("concat(gs, '#', u)").as[String].collect().toSeq
+    assert(compiled == real, s"\ncompiled: $compiled\nreal jq:  $real")
+    assert(compiled.head == "d,be,ac#d,b,a")
+    // scalar elements with `.` as the key (the jq unique_by identity
+    // degenerates to unique-with-first-occurrence)
+    val nums = spark.range(1).selectExpr(
+      "cast(array(5, 3, 5, 1) AS array<long>) AS nums")
+    val prog2 = """{g: (.nums | group_by(.) | map(join("-")) | join(",")),
+      u: (.nums | unique_by(.) | join(","))}""".replaceAll("\n\\s*", " ")
+    val c2 = Jq.compile(prog2)(nums)
+      .selectExpr("concat(g, '#', u)").as[String].collect().toSeq
+    val r2 = JqEscapeHatch(nums, prog2)
+      .selectExpr("concat(g, '#', u)").as[String].collect().toSeq
+    assert(c2 == r2, s"\ncompiled: $c2\nreal jq:  $r2")
+    assert(c2.head == "1,3,5-5#1,3,5")
+  }
+
   test("has/keys/to_entries/from_entries on map columns match real jq") {
     import graft.transform.JqEscapeHatch
     val df = spark.range(1).selectExpr("map('b', 2L, 'a', 1L) AS m")

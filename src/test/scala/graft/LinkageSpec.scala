@@ -86,6 +86,33 @@ class LinkageSpec extends SparkSuite {
     }
   }
 
+  test("audit observation reports dropped blocks/rows on the run itself") {
+    import org.apache.spark.sql.Observation
+    // one hot block of 7 (over cap 5, dropped), one comparable block
+    // of 2, one singleton (neither comparable nor dropped)
+    val mixed = ((1L to 7L).map(i => (i, s"name$i", "hot")) ++
+      Seq((8L, "acme", "ok"), (9L, "acme", "ok"), (10L, "solo", "one")))
+      .toDF("id", "name", "blk")
+    val obs = Observation("linkage_audit")
+    val out = Linkage.blockedPairs(mixed, "id", "name", col("blk"),
+      maxDistance = 99, maxBlock = 5, audit = Some(obs))
+    assert(out.count() == 1, "only the ok-block pair survives")
+    val m = obs.get
+    assert(m("n_blocks") == 1L, s"comparable blocks: $m")
+    assert(m("dropped_blocks") == 1L, s"dropped blocks: $m")
+    assert(m("dropped_rows") == 7L, s"dropped rows: $m")
+    // same audit surface on the JW scorer path
+    val obs2 = Observation("linkage_audit_jw")
+    Linkage.jaroWinklerPairs(mixed, "id", "name", col("blk"),
+      minSimilarity = 0.0, maxBlock = 5, audit = Some(obs2)).count()
+    val m2 = obs2.get
+    assert(m2("dropped_blocks") == 1L && m2("dropped_rows") == 7L, s"$m2")
+    // unaudited call: plan unchanged (no CollectMetrics node)
+    val plain = Linkage.blockedPairs(mixed, "id", "name", col("blk"), 99)
+    assert(!plain.queryExecution.analyzed.toString
+      .contains("CollectMetrics"), "default path must not observe")
+  }
+
   test("blockedPairs: argument validation") {
     intercept[IllegalArgumentException] {
       Linkage.blockedPairs(recs, "id", "name", col("blk"), -1)

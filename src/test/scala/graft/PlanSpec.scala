@@ -241,21 +241,24 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q76/q78/q81: the corpus crosses ONE exchange before the presentation sort") {
-    // the two-phase prefix-sum/rank device (round-8 form): imperative
-    // partition-local scan — no corpus window, no second corpus
-    // exchange; the side table reuses the range shuffle; every hash
-    // exchange sits directly above an aggregate (P×S partial rows).
-    // The only other live exchange is the final orderBy's range sort.
+    // the two-phase prefix-sum/rank device (round-11 form): the one
+    // range shuffle + imperative partition-local scan execute INSIDE
+    // the pinned checkpoint (Prefix.localScan), so BOTH consumers —
+    // the row side and the P×S side table — read the same
+    // `Scan ExistingRDD` and pid alignment is structural (round 10
+    // delegated it to ReuseExchange, which silently broke over cached
+    // inputs). The visible plan: no corpus window, side table joins
+    // broadcast, every hash exchange sits directly above an aggregate
+    // (P×S partial rows), and the only live range exchange is the
+    // final orderBy's presentation sort.
     Seq("q76_quality_buckets", "q78_token_budget", "q81_curation_pipeline")
       .foreach { q =>
         val p = finalPlan(SparkEntry.queries(q)(spark, sfDir))
-        assert(p.contains("MapPartitions"), s"$q:\n$p")
+        assert(p.contains("Scan ExistingRDD"), s"$q:\n$p")
         assert(!p.contains("row_number"), s"$q:\n$p")
-        assert(p.contains("ReusedExchange"), s"$q:\n$p")
-        // device range exchange + presentation orderBy = 2 live range
-        // exchanges; nothing else touches corpus-sized data
+        assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
         val rangeEx = "(?m)\\+\\- Exchange rangepartitioning".r.findAllIn(p).size
-        assert(rangeEx == 2, s"$q: expected 2 live range exchanges, got $rangeEx:\n$p")
+        assert(rangeEx == 1, s"$q: expected 1 live range exchange, got $rangeEx:\n$p")
         assertHashExchangesAboveAggregates(p, q)
       }
   }
@@ -333,11 +336,10 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("q112 source cap rides the stratified-rank device (no window, reused range exchange)") {
+  test("q112 source cap rides the stratified-rank device (no window, pinned scan)") {
     val p = finalPlan(SparkEntry.queries("q112_source_cap")(spark, sfDir))
-    assert(p.contains("MapPartitions"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("row_number"), p)
-    assert(p.contains("ReusedExchange"), p)
     assertHashExchangesAboveAggregates(p, "q112")
   }
 
@@ -387,9 +389,17 @@ class PlanSpec extends SparkSuite {
   test("q125 batch retrieval: broadcast stats row; per-query top-k rides the stratified-rank device") {
     val p = finalPlan(SparkEntry.queries("q125_bm25_batch")(spark, sfDir))
     assert(!p.contains("row_number"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row stats cross join
-    assert(p.contains("MapPartitions"), p)
-    assert(p.contains("ReusedExchange"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // rank device's pinned scan
+    // the 1-row stats cross join now executes inside the rank
+    // device's checkpoint (invisible post-pin), so the broadcast
+    // contract is pinned on the single-query scorer, which shares
+    // the scoring stage
+    val scored = graft.ops.CorpusStats.bm25(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      Seq("spark", "join"), topK = 5)
+    val ps = plan(scored)
+    assert(ps.contains("BroadcastNestedLoopJoin") ||
+      ps.contains("Scan ExistingRDD"), ps)
   }
 
   test("q126 triangles: partial aggregation below every live hash exchange") {
@@ -573,10 +583,16 @@ class PlanSpec extends SparkSuite {
 
   test("q182 Mann-Whitney: value table aggregates partially; prefix is ranged") {
     val p = finalPlan(SparkEntry.queries("q182_mann_whitney")(spark, sfDir))
-    assert(p.contains("partial_count") || p.contains("partial count"),
-      s"the distinct-value table must map-side combine:\n$p")
-    assert(p.contains("rangepartitioning"),
-      s"cntLess must ride the two-phase range device, not a global window:\n$p")
+    // the distinct-value groupBy + range shuffle live inside the
+    // device's pinned checkpoint; the visible plan reads that scan,
+    // map-side combines the statistic fold, and has no corpus window
+    assert(p.contains("partial_sum"),
+      s"the statistic fold must map-side combine:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"cntLess must ride the two-phase device's pinned scan, " +
+        s"not a global window:\n$p")
+    assert(!p.contains("row_number"),
+      s"no corpus-sized rank window:\n$p")
   }
 
   test("q185 gram novelty: no pair operator anywhere — linear in grams") {

@@ -90,6 +90,39 @@ class RobustSpec extends SparkSuite {
     assert(r._1 == 1L && r._3.isEmpty, s"got $r")
   }
 
+  test("anovaF: all-constant values yield NULL eta_sq, never NaN") {
+    val df = Seq(("a", 7.0), ("a", 7.0), ("b", 7.0), ("b", 7.0))
+      .toDF("g", "v")
+    val r = Robust.anovaF(df, "g", "v")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    // sst = 0: both f's ssw/(n-k) = 0 division and eta's 0/0 guard
+    assert(r._4.isEmpty, s"eta_sq must be NULL on zero variance, got $r")
+  }
+
+  test("madOutliers: opt-in persistProjection shares one cached scan") {
+    val df = ((1 to 40).map(i => ("a", i.toDouble)) :+ (("a", 1000.0)))
+      .toDF("g", "v")
+    val out = Robust.madOutliers(df, Seq("g"), "v",
+      persistProjection = true)
+    // the planted spike still flags (behavior unchanged by the persist)
+    assert(out.select("v").as[Double].collect().toSeq == Seq(1000.0))
+    // plan pin: with the opt-in, the med and MAD passes read the
+    // InMemoryRelation of the slim projection (checked on the
+    // optimized logical plan — a LocalRelation fixture's cached scan
+    // prints as LocalTableScan physically)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("InMemoryRelation"),
+      s"selection passes must read the persisted projection:\n$plan")
+    // default path: identical flags, no cache node (clear the session
+    // cache first — the cache manager would otherwise substitute the
+    // opt-in run's still-cached identical projection fragment)
+    spark.catalog.clearCache()
+    val plain = Robust.madOutliers(df, Seq("g"), "v")
+    assert(plain.select("v").as[Double].collect().toSeq == Seq(1000.0))
+    assert(!plain.queryExecution.optimizedPlan.toString
+      .contains("InMemoryRelation"), "default must not persist")
+  }
+
   test("robustShape: uniform 1..8 is Bowley-symmetric with Moors 1.0") {
     // octiles at 7p: e1..e7 = 1.875, 2.75, 3.625, 4.5, 5.375, 6.25,
     // 7.125 → IQR 3.5, bowley 0, moors (1.75 + 1.75)/3.5 = 1
