@@ -2934,7 +2934,83 @@ object SparkEntry {
       // args. q129 keeps the historical k=12/maxBucket=100 pinned for
       // its short-doc reading; THIS row is the one a user copies.
       Dedup.winnowCandidates(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("id_a", "id_b")))
+        .orderBy("id_a", "id_b")),
+
+    "q214_gate_agreement" -> ((s, dir) => {
+      // do the two cheap curation gates agree beyond chance? — the
+      // C4 rule gate (q71) vs the heuristic quality gate (q76 score
+      // ≥ 0.75), audited with Cohen's κ and McNemar's χ² on the
+      // discordant cells; one map-side-combined corpus aggregate
+      val gated = TextOps.c4Rules(t(s, dir, "documents"), "doc_id",
+        "text", passthrough = Seq("text"))
+      graft.ops.Eval.gateAgreement(gated, col("keep"),
+        TextOps.qualityScore(col("text")) >= 0.75)
+    }),
+
+    "q215_roc_curve" -> ((s, dir) => {
+      // stopword share as an is-English detector: the binned ROC
+      // curve (10 equal-width score bands, q202 integer device);
+      // exact tie-averaged AUC is q182's cles — this is the SHAPE
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        round(TextOps.stopwordHits(col("text")).cast("double") /
+          TextOps.tokenCountArith(col("text")).cast("double"), 6)
+          .as("score"),
+        col("lang"))
+      graft.ops.Eval.rocCurve(scored, "score", col("lang") === "en",
+        points = 10).orderBy(col("band").desc)
+    }),
+
+    "q216_calibration_bins" -> ((s, dir) => {
+      // does a stopword share of 0.3 MEAN P(en) ≈ 0.3? — the
+      // reliability table behind ECE; fixed [0,1] bands in integer
+      // micro-units, confidence summed as DECIMAL
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        round(TextOps.stopwordHits(col("text")).cast("double") /
+          TextOps.tokenCountArith(col("text")).cast("double"), 6)
+          .as("score"),
+        col("lang"))
+      graft.ops.Eval.calibrationBins(scored, "score",
+        col("lang") === "en", bins = 10).orderBy("bin")
+    }),
+
+    "q217_cusum_shift" -> ((s, dir) =>
+      // largest sustained level shift of daily revenue per event
+      // type (Page's CUSUM via the exact running-min/max identity —
+      // n-scaled integer-cents walk, zero libm); the changepoint
+      // screen before trusting q148-style drift stats
+      TimeSeries.cusum(events(s, dir), "event_type", "ts", "value")
+        .orderBy("event_type")),
+
+    "q218_cross_correlation" -> ((s, dir) =>
+      // do clicks lead purchases? CCF at lags −7..7 between the two
+      // daily revenue series — exact decimal pair moments per lag,
+      // one fixed double expression each
+      TimeSeries.crossCorr(events(s, dir), "ts", "value",
+        col("event_type") === "click", col("event_type") === "purchase",
+        maxLag = 7).orderBy("lag")),
+
+    "q219_vocab_growth" -> ((s, dir) =>
+      // Heaps-law read: cumulative vocabulary at 10 equal-document
+      // checkpoints in doc_id order — flattening = boilerplate/dup
+      // smell; document positions ride the stratified-rank device,
+      // first-occurrence buckets are pure integer arithmetic
+      CorpusStats.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+        steps = 10).orderBy("step")),
+
+    "q220_jq_group_by" -> ((s, dir) =>
+      // the round-11 compiled jq group_by/unique_by forms end-to-end:
+      // distinct-word count and top word-run per document, entirely
+      // inside codegen HOFs (sorted-distinct keys × order-preserving
+      // filter — no escape hatch, byte-matched vs real jq in JqSpec)
+      graft.transform.Jq.compile(
+        """{id: .doc_id,
+          |  n_uniq: (.text | split(" ") | unique_by(.) | length),
+          |  top_run: (.text | split(" ") | group_by(.) | map(length) | max)}"""
+          .stripMargin.replaceAll("\n\\s*", " "))(
+        t(s, dir, "documents").filter(length(col("text")) > 0))
+        .select(col("id"), col("n_uniq").cast("long").as("n_uniq"),
+          col("top_run").cast("long").as("top_run"))
+        .orderBy("id")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -6395,7 +6471,212 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS shared
         |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q214: the 2×2 cells are exact longs; po/pe/κ/χ² are the SAME
+    // double expression trees on both engines (products + divisions
+    // only, no libm), rounded 6
+    "q214_gate_agreement" ->
+      s"""WITH sig AS (
+         |  SELECT text,
+         |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         |    ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE) /
+         |      (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 6) AS mean_word_len,
+         |    CAST(LIST_MAX(LIST_TRANSFORM(string_split_regex(TRIM(text), '\\s+'),
+         |      w -> LENGTH(w))) AS BIGINT) AS max_word_len,
+         |    (text LIKE '%{%' OR text LIKE '%}%') AS has_brace,
+         |    LOWER(text) LIKE '%lorem ipsum%' AS has_lorem
+         |  FROM documents),
+         |g AS (SELECT
+         |    (n_tokens >= 5 AND mean_word_len BETWEEN 3.0 AND 10.0
+         |      AND max_word_len <= 30 AND NOT has_brace AND NOT has_lorem) AS a,
+         |    (${sqlQuality("text")} >= 0.75e0) AS b
+         |  FROM sig),
+         |c AS (SELECT
+         |    SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS bp,
+         |    SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS oa,
+         |    SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS ob,
+         |    SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS ne
+         |  FROM g),
+         |d AS (SELECT bp, oa, ob, ne,
+         |    CAST(bp + oa + ob + ne AS DOUBLE) AS n,
+         |    CAST(bp + ne AS DOUBLE) / CAST(bp + oa + ob + ne AS DOUBLE) AS po,
+         |    CAST(bp + oa AS DOUBLE) / CAST(bp + oa + ob + ne AS DOUBLE) AS pa1,
+         |    CAST(bp + ob AS DOUBLE) / CAST(bp + oa + ob + ne AS DOUBLE) AS pb1
+         |  FROM c),
+         |e AS (SELECT *, pa1 * pb1 + (1e0 - pa1) * (1e0 - pb1) AS pe FROM d)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(bp AS BIGINT) AS both_pass,
+         |  CAST(oa AS BIGINT) AS only_a, CAST(ob AS BIGINT) AS only_b,
+         |  CAST(ne AS BIGINT) AS neither,
+         |  ROUND(po, 6) AS agreement,
+         |  CASE WHEN pe < 1e0 THEN ROUND((po - pe) / (1e0 - pe), 6) END AS kappa,
+         |  CASE WHEN CAST(oa + ob AS DOUBLE) > 0e0 THEN
+         |    ROUND(CAST(oa - ob AS DOUBLE) * CAST(oa - ob AS DOUBLE) /
+         |      CAST(oa + ob AS DOUBLE), 6) END AS mcnemar_chi2
+         |FROM e""".stripMargin,
+
+    // q215/q216: the round-6 score → DECIMAL(18,6) → ×10⁶ BIGINT
+    // micro device (a double round-trip could truncate one ulp under
+    // the integer); band/bin indices are pure integer `//`
+    "q215_roc_curve" ->
+      s"""WITH sc AS (SELECT
+         |    ROUND(CAST(${sqlStopwordHits("text")} AS DOUBLE) /
+         |      CAST(${sqlTokenCount("text")} AS DOUBLE), 6) AS s,
+         |    (lang = 'en') AS y
+         |  FROM documents),
+         |mc AS (SELECT CAST(CAST(s AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS c, y
+         |  FROM sc WHERE s IS NOT NULL AND y IS NOT NULL),
+         |st AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM mc),
+         |bn AS (SELECT ((c - mn) * 10) // (mx - mn + 1) AS band, mn, mx,
+         |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+         |    SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS neg
+         |  FROM mc CROSS JOIN st GROUP BY 1, 2, 3),
+         |cum AS (SELECT band, mn, mx,
+         |    SUM(pos) OVER (ORDER BY band DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |    SUM(neg) OVER (ORDER BY band DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+         |    SUM(pos) OVER () AS p, SUM(neg) OVER () AS f
+         |  FROM bn)
+         |SELECT CAST(band AS BIGINT) AS band,
+         |  CAST(mn + (band * (mx - mn + 1)) // 10 AS BIGINT)
+         |    AS threshold_lo_micro,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CASE WHEN p > 0 THEN ROUND(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6)
+         |    END AS tpr,
+         |  CASE WHEN f > 0 THEN ROUND(CAST(fp AS DOUBLE) / CAST(f AS DOUBLE), 6)
+         |    END AS fpr
+         |FROM cum ORDER BY band DESC""".stripMargin,
+
+    "q216_calibration_bins" ->
+      s"""WITH sc AS (SELECT
+         |    ROUND(CAST(${sqlStopwordHits("text")} AS DOUBLE) /
+         |      CAST(${sqlTokenCount("text")} AS DOUBLE), 6) AS s,
+         |    (lang = 'en') AS y
+         |  FROM documents),
+         |mc AS (SELECT CAST(CAST(s AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS c, y
+         |  FROM sc WHERE s IS NOT NULL AND y IS NOT NULL),
+         |b AS (SELECT (c * 10) // 1000001 AS bin, COUNT(*) AS n,
+         |    SUM(CAST(c AS DECIMAL(18,0))) AS sc2,
+         |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+         |  FROM mc GROUP BY 1)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+         |  ROUND(CAST(sc2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000e0), 6)
+         |    AS confidence,
+         |  ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+         |  ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) -
+         |    CAST(sc2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000e0), 6) AS gap
+         |FROM b ORDER BY bin""".stripMargin,
+
+    // q217: every intermediate of the n-scaled deviation walk is an
+    // exact integer (HUGEINT here, DECIMAL(38,0) Spark-side); the
+    // argmax ties break on (excursion, −epoch day) struct order
+    "q217_cusum_shift" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      * 100 AS HUGEINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |st AS (SELECT g, COUNT(*) AS n, SUM(c) AS s FROM daily GROUP BY 1),
+        |wk AS (SELECT g, d, c, n, s,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS t,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM daily JOIN st USING (g)),
+        |w2 AS (SELECT g, d, n, s, cum * n - t * s AS w FROM wk),
+        |c2 AS (SELECT g, d, n, s, w,
+        |    w - MIN(w) OVER (PARTITION BY g ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+        |    MAX(w) OVER (PARTITION BY g ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS cneg,
+        |    CAST(d - DATE '1970-01-01' AS INTEGER) AS ed
+        |  FROM w2)
+        |SELECT g AS event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+        |  ROUND(CAST(MAX(s) AS DOUBLE) /
+        |    (CAST(MAX(n) AS DOUBLE) * 100e0), 6) AS mean_daily,
+        |  ROUND(CAST(MAX(cpos) AS DOUBLE) /
+        |    (CAST(MAX(n) AS DOUBLE) * 100e0), 6) AS max_cusum_pos,
+        |  arg_max(d, cpos * 1000000 - ed) AS day_pos,
+        |  ROUND(CAST(MAX(cneg) AS DOUBLE) /
+        |    (CAST(MAX(n) AS DOUBLE) * 100e0), 6) AS max_cusum_neg,
+        |  arg_max(d, cneg * 1000000 - ed) AS day_neg
+        |FROM c2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q218: pairwise-complete Pearson per lag — decimal pair moments,
+    // one fixed double expression + correctly-rounded √ each
+    "q218_cross_correlation" ->
+      """WITH a AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS va
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS vb
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |sh AS (SELECT b.d AS db, vb, CAST(i AS INTEGER) AS lag
+        |  FROM b CROSS JOIN UNNEST(range(-7, 8)) AS t(i)),
+        |pr AS (SELECT lag, COUNT(*) AS m,
+        |    CAST(SUM(va) AS DECIMAL(28,2)) AS sa,
+        |    CAST(SUM(vb) AS DECIMAL(28,2)) AS sb,
+        |    CAST(SUM(va * va) AS DECIMAL(38,4)) AS saa,
+        |    CAST(SUM(vb * vb) AS DECIMAL(38,4)) AS sbb,
+        |    CAST(SUM(va * vb) AS DECIMAL(38,4)) AS sab
+        |  FROM a JOIN sh ON a.d = sh.db - lag GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+        |  CASE WHEN m > 1
+        |      AND (CAST(m AS DOUBLE) * CAST(saa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0e0
+        |      AND (CAST(m AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0e0 THEN
+        |    ROUND((CAST(m AS DOUBLE) * CAST(sab AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+        |      SQRT((CAST(m AS DOUBLE) * CAST(saa AS DOUBLE)
+        |          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+        |        (CAST(m AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+        |  END AS ccf
+        |FROM pr ORDER BY lag""".stripMargin,
+
+    // q219: document positions are row_number by id (ranks are unique
+    // — the Spark side rides the stratified-rank device); buckets are
+    // pure integer `//`
+    "q219_vocab_growth" ->
+      """WITH rk AS (SELECT doc_id, text,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents),
+        |db AS (SELECT ((rk - 1) * 10) // n AS step0, COUNT(*) AS docs
+        |  FROM rk GROUP BY 1),
+        |wd AS (SELECT w, MIN(rk) AS fr, MAX(n) AS n FROM (
+        |    SELECT rk, n,
+        |      UNNEST(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM rk) t
+        |  WHERE w <> '' GROUP BY 1),
+        |wb AS (SELECT ((fr - 1) * 10) // n AS step0, COUNT(*) AS nw
+        |  FROM wd GROUP BY 1),
+        |j AS (SELECT db.step0, docs, COALESCE(nw, 0) AS nw
+        |  FROM db LEFT JOIN wb USING (step0))
+        |SELECT CAST(step0 + 1 AS BIGINT) AS step,
+        |  CAST(SUM(docs) OVER (ORDER BY step0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS docs_cum,
+        |  CAST(nw AS BIGINT) AS new_words,
+        |  CAST(SUM(nw) OVER (ORDER BY step0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab_cum
+        |FROM j ORDER BY step""".stripMargin,
+
+    // q220: jq group_by/unique_by ≙ per-doc word-count relation —
+    // split on the literal single space keeps empty fields on both
+    // engines (empty TEXT is filtered: jq yields [], DuckDB [''])
+    "q220_jq_group_by" ->
+      """WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        |  FROM documents WHERE LENGTH(text) > 0),
+        |per AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+        |SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_uniq,
+        |  CAST(MAX(c) AS BIGINT) AS top_run
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

@@ -616,4 +616,65 @@ object CorpusStats {
       .select(col("w").as("term"), col("tf").cast("long").as("tf"),
         col("df").cast("long").as("df"), col("burstiness"))
   }
+
+  /** Vocabulary growth curve (the empirical side of Heaps' law,
+    * Herdan 1960): cumulative distinct-word count as the corpus
+    * grows document by document in `idCol` order, read at `steps`
+    * equal-document checkpoints — a flattening curve says new data
+    * repeats the old vocabulary (boilerplate/dup smell next to
+    * q96's Zipf slope); a straight one says the corpus keeps
+    * bringing new surface forms.
+    *
+    * EXACT integral device: each document's position is its
+    * [[Rank.stratifiedRank]] rank by id (never a global window); a
+    * word's FIRST position is `min(rank)` over its postings; its
+    * checkpoint bucket is `(first−1)·steps div n` — pure integer
+    * arithmetic, so the curve is engine-portable. Cumulatives run
+    * over the steps-sized table.
+    *
+    * Output per step 1..steps: `docs_cum` (documents inside the
+    * checkpoint), `new_words`, `vocab_cum`. Steps whose document
+    * slice brings no new words still appear (docs side outer-joins
+    * the words side).
+    *
+    * Scale shape: one rank-device pass over documents (the one
+    * range shuffle), one (word, doc) distinct + min-rank aggregate
+    * — vocabulary-sized, map-side combined — then steps-sized
+    * windows.
+    */
+  def vocabGrowth(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      steps: Int = 10): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val ranked = Rank.stratifiedRank(
+      df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+        .withColumn("__all", lit(1)),
+      "__all", Seq("__id"))
+      .select(col("__id"), col("__text"), col("rk"), col("n_stratum"))
+    def bucketOf(rkCol: String, nCol: String) =
+      expr(s"($rkCol - 1L) * ${steps}L div $nCol").cast("long")
+    val docBuckets = ranked
+      .groupBy(bucketOf("rk", "n_stratum").as("step0"))
+      .agg(count(lit(1)).as("__docs"))
+    val firstRank = ranked
+      .select(col("rk"), col("n_stratum"),
+        explode(tokens(col("__text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w")
+      .agg(min(col("rk")).as("__first"), max(col("n_stratum")).as("__n"))
+    val wordBuckets = firstRank
+      .groupBy(bucketOf("__first", "__n").as("step0"))
+      .agg(count(lit(1)).as("__new"))
+    val wCum = Window.orderBy("step0")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docBuckets.join(wordBuckets, Seq("step0"), "left_outer")
+      .withColumn("__dc", sum(col("__docs")).over(wCum))
+      .withColumn("__vc", sum(coalesce(col("__new"), lit(0L))).over(wCum))
+      .select((col("step0") + 1).cast("long").as("step"),
+        col("__dc").cast("long").as("docs_cum"),
+        coalesce(col("__new"), lit(0L)).cast("long").as("new_words"),
+        col("__vc").cast("long").as("vocab_cum"))
+  }
 }

@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier/gate evaluation readouts for data-curation pipelines:
+  * when a cheap rule gate or a score column stands in for a quality
+  * classifier (the q71 C4 gate, the q76 heuristic score), these are
+  * the standard audits — do two gates agree beyond chance (Cohen's
+  * κ), is one systematically stricter (McNemar), how does a score
+  * trade recall for precision (ROC), and do its values mean what
+  * they claim (calibration)? The reference has no evaluation surface
+  * (its transforms are jq programs, ext/jq/connector.go:23-98);
+  * these are north-star scope for a 100 TB training-data engine,
+  * where gate disagreement IS the curation error budget.
+  *
+  * Every readout is ONE map-side-combined corpus aggregate (plus
+  * bin-sized arithmetic) — nothing here shuffles corpus rows.
+  */
+object Eval {
+
+  /** Agreement audit between two boolean gates (Cohen 1960; McNemar
+    * 1947): the 2×2 confusion counts plus
+    *
+    *   - `agreement` — raw P(observed) = (both + neither)/n,
+    *   - `kappa` — chance-corrected agreement
+    *     `(po − pe)/(1 − pe)` with `pe` from the marginals,
+    *   - `mcnemar_chi2` — `(b − c)²/(b + c)` over the discordant
+    *     cells: is one gate systematically stricter, not just noisy?
+    *
+    * Rows where either gate is NULL are excluded (3VL). Degenerate
+    * cases yield NULL (κ when pe = 1 — e.g. a constant gate;
+    * McNemar when b + c = 0, i.e. no discordant pairs).
+    *
+    * Parity chain: all four cells are exact longs; po/pe/κ/χ² are
+    * fixed double expressions of those longs rounded to 6 — no libm.
+    *
+    * Scale shape: ONE map-side-combined aggregate to a single row;
+    * both gate expressions evaluate inside the scan stage.
+    */
+  def gateAgreement(df: DataFrame, gateA: Column, gateB: Column): DataFrame = {
+    val a = gateA.cast("boolean")
+    val b = gateB.cast("boolean")
+    val agg = df
+      .filter(a.isNotNull && b.isNotNull)
+      .agg(
+        sum(when(a && b, 1L).otherwise(0L)).as("both_pass"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("only_a"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("only_b"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("neither"))
+    val n = (col("both_pass") + col("only_a") + col("only_b") +
+      col("neither")).cast("double")
+    val po = (col("both_pass") + col("neither")).cast("double") / n
+    // chance agreement from the marginals: P(A=1)P(B=1) + P(A=0)P(B=0)
+    val pa1 = (col("both_pass") + col("only_a")).cast("double") / n
+    val pb1 = (col("both_pass") + col("only_b")).cast("double") / n
+    val pe = pa1 * pb1 + (lit(1.0d) - pa1) * (lit(1.0d) - pb1)
+    val disc = (col("only_a") + col("only_b")).cast("double")
+    val diff = (col("only_a") - col("only_b")).cast("double")
+    agg.select(
+      n.cast("long").as("n"),
+      col("both_pass").cast("long").as("both_pass"),
+      col("only_a").cast("long").as("only_a"),
+      col("only_b").cast("long").as("only_b"),
+      col("neither").cast("long").as("neither"),
+      round(po, 6).as("agreement"),
+      when(pe < lit(1.0d), round((po - pe) / (lit(1.0d) - pe), 6))
+        .as("kappa"),
+      when(disc > lit(0.0d), round(diff * diff / disc, 6))
+        .as("mcnemar_chi2"))
+  }
+
+  /** Binned ROC curve of `scoreCol` against boolean `labelCol`:
+    * `points` equal-width score bands (the q202 integer-cents device
+    * — the band index is pure integer arithmetic, so no IEEE
+    * boundary sits under a band edge), each row the operating point
+    * "predict positive when the score lands in this band or above":
+    * `(band, threshold_lo, tp, fp, tpr, fpr)`, bands descending by
+    * threshold so the curve reads left-to-right from (0,0).
+    *
+    * The EXACT (unbinned, tie-averaged) area under the curve is
+    * [[Robust.mannWhitneyU]]'s `cles` — AUC ≡ U₁/(n₁·n₂); this
+    * readout is the curve SHAPE at a bounded number of points, which
+    * the rank statistic alone doesn't give.
+    *
+    * Rows with a NULL score or label are excluded. Scores enter as
+    * micro-units (`round(score, 6) · 10⁶` — exact for any 6-dp
+    * score).
+    *
+    * Scale shape: one min/max aggregate (broadcast back), ONE
+    * map-side-combined aggregate to ≤ `points` rows, then a
+    * bin-sized cumulative window.
+    */
+  def rocCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: Column,
+      points: Int = 10): DataFrame = {
+    require(points >= 2, s"points must be >= 2, got $points")
+    val lbl = labelCol.cast("boolean")
+    // micro-units through DECIMAL — `round(s,6)*1e6` in doubles can
+    // land one ulp under the integer and truncate a unit away
+    val micro = (round(col(scoreCol).cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000).cast("long")
+    val base = df.filter(col(scoreCol).isNotNull && lbl.isNotNull)
+      .select(micro.as("__c"), lbl.as("__y"))
+    val stats = base.agg(min(col("__c")).as("__mn"), max(col("__c")).as("__mx"))
+    val binned = base.crossJoin(broadcast(stats))
+      .groupBy(
+        expr(s"(__c - __mn) * ${points}L div (__mx - __mn + 1L)")
+          .cast("long").as("band"),
+        col("__mn"), col("__mx"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__neg"))
+    // descending cumulative over the ≤ points-sized band table: TP at
+    // a band = positives in this band or any higher band
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    binned
+      .withColumn("__tp", sum(col("__pos")).over(w))
+      .withColumn("__fp", sum(col("__neg")).over(w))
+      .withColumn("__p", sum(col("__pos")).over(tot))
+      .withColumn("__f", sum(col("__neg")).over(tot))
+      .select(col("band").cast("long").as("band"),
+        (col("__mn") +
+          expr(s"band * (__mx - __mn + 1L) div ${points}L"))
+          .cast("long").as("threshold_lo_micro"),
+        col("__tp").cast("long").as("tp"),
+        col("__fp").cast("long").as("fp"),
+        when(col("__p") > 0,
+          round(col("__tp").cast("double") / col("__p").cast("double"), 6))
+          .as("tpr"),
+        when(col("__f") > 0,
+          round(col("__fp").cast("double") / col("__f").cast("double"), 6))
+          .as("fpr"))
+  }
+
+  /** Calibration (reliability) bins of a [0,1] `scoreCol` against
+    * boolean `labelCol`: per equal-width score band, the count, mean
+    * claimed score (`confidence`), observed positive rate
+    * (`accuracy`), and the signed gap — the table behind a
+    * reliability diagram and the per-bin terms of ECE (expected
+    * calibration error = Σ n_b/n · |gap_b|).
+    *
+    * Band index runs in integer micro-units over the FIXED [0,1]
+    * domain — `(micro · bins) div 1000001` (score 1.0 lands in the
+    * top band; q202's no-IEEE-boundary device). Mean score sums as
+    * DECIMAL so the confidence is order-free.
+    *
+    * Scale shape: ONE map-side-combined aggregate to ≤ `bins` rows.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val lbl = labelCol.cast("boolean")
+    val micro = (round(col(scoreCol).cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000).cast("long")
+    df.filter(col(scoreCol).isNotNull && lbl.isNotNull)
+      .select(micro.as("__c"), lbl.as("__y"))
+      .groupBy(expr(s"__c * ${bins}L div 1000001L").cast("long").as("bin"))
+      .agg(count(lit(1)).as("__n"),
+        sum((col("__c").cast("decimal(18,0)"))).as("__sc"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+      .select(col("bin"),
+        col("__n").cast("long").as("n"),
+        round(col("__sc").cast("double") /
+          (col("__n").cast("double") * lit(1000000.0d)), 6)
+          .as("confidence"),
+        round(col("__pos").cast("double") / col("__n").cast("double"), 6)
+          .as("accuracy"),
+        round(col("__pos").cast("double") / col("__n").cast("double") -
+          col("__sc").cast("double") /
+            (col("__n").cast("double") * lit(1000000.0d)), 6)
+          .as("gap"))
+  }
+}

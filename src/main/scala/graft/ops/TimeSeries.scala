@@ -405,4 +405,135 @@ object TimeSeries {
           (col("__s").cast("double") / col("__n").cast("double")), 6)
           .as("rel_mean"))
   }
+
+  /** CUSUM level-shift scan (Page 1954) over the daily `valCol`
+    * total per `groupCol`: the largest positive and negative
+    * cumulative excursions of the deviation-from-mean walk, and the
+    * day each peaks — the changepoint screen run before trusting a
+    * drift statistic like q148's PSI (a mean shift mid-window
+    * poisons both halves of a two-sample comparison).
+    *
+    * EXACT integral device: with target μ = mean daily total, the
+    * classic recursions `C⁺_t = max(0, C⁺_{t-1} + x_t − μ)` /
+    * `C⁻_t = max(0, C⁻_{t-1} + μ − x_t)` equal the running-min/max
+    * identities `C⁺_t = W_t − min_{j≤t} W_j`,
+    * `C⁻_t = max_{j≤t} W_j − W_t` over the walk
+    * `W_t = Σ_{j≤t}(x_j − μ)`. Scaling by n removes the division:
+    * `n·W_t = n·S_t − t·S_n` in integer cents — every intermediate
+    * is an exact DECIMAL(38,0); the only doubles are the final
+    * `/(n·100)` readouts, rounded 6. No fold, no libm — the whole
+    * scan is two windows over the (group × day) relation.
+    *
+    * Ties break to the EARLIEST peak day: the argmax key is the
+    * single integral `excursion·10⁶ − epoch_day` (DuckDB's arg_max
+    * takes no struct keys; the 10⁶ multiplier dominates any epoch
+    * day through year ~4707, so the encoding is exactly the
+    * (excursion, −day) lexicographic order) — engine-portable.
+    *
+    * Scale shape: one map-side-combined aggregate to (group × day);
+    * the windows partition by group over day-count-bounded rows;
+    * group stats broadcast back.
+    */
+  def cusum(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg((sum(col(valCol).cast("decimal(18,2)")) * 100)
+        .cast("decimal(38,0)").as("__c"))
+    val stats = daily.groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__c")).cast("decimal(38,0)").as("__s"))
+    val wOrd = Window.partitionBy("__g").orderBy("__d")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = daily.join(broadcast(stats), "__g")
+      .withColumn("__t", count(lit(1)).over(wRun))
+      .withColumn("__w",
+        (sum(col("__c")).over(wRun) * col("__n") -
+          col("__t") * col("__s")).cast("decimal(38,0)"))
+    val cused = walked
+      .withColumn("__cpos", (col("__w") - min(col("__w")).over(wRun))
+        .cast("decimal(38,0)"))
+      .withColumn("__cneg", (max(col("__w")).over(wRun) - col("__w"))
+        .cast("decimal(38,0)"))
+      .withColumn("__ed", datediff(col("__d"), to_date(lit("1970-01-01"))))
+    val den = col("__nn").cast("double") * lit(100.0d)
+    cused.groupBy("__g")
+      .agg(max(col("__n")).as("__nn"), max(col("__s")).as("__ss"),
+        max(col("__cpos")).as("__mp"), max(col("__cneg")).as("__mn"),
+        max_by(col("__d"),
+          (col("__cpos") * 1000000 - col("__ed")).cast("decimal(38,0)"))
+          .as("__dp"),
+        max_by(col("__d"),
+          (col("__cneg") * 1000000 - col("__ed")).cast("decimal(38,0)"))
+          .as("__dn"))
+      .select(col("__g").as(groupCol),
+        col("__nn").cast("long").as("n_days"),
+        round(col("__ss").cast("double") /
+          (col("__nn").cast("double") * lit(100.0d)), 6).as("mean_daily"),
+        round(col("__mp").cast("double") / den, 6).as("max_cusum_pos"),
+        col("__dp").as("day_pos"),
+        round(col("__mn").cast("double") / den, 6).as("max_cusum_neg"),
+        col("__dn").as("day_neg"))
+  }
+
+  /** Cross-correlation function between two daily series drawn from
+    * the same event log (Box & Jenkins): Pearson r between series A
+    * at day d and series B at day d + lag, for lag in
+    * [−maxLag, maxLag] — the lead/lag readout between two event
+    * types ("do clicks lead purchases, and by how many days?"),
+    * the cross-series complement of [[autocorr]].
+    *
+    * Each lag's correlation is the plain Pearson of the ALIGNED
+    * pairs (pairwise-complete; days missing from either series drop
+    * out of that lag). Parity chain: daily totals exact
+    * DECIMAL(18,2); the five pair sums in DECIMAL(38,4)/( 28,2);
+    * one fixed double expression + correctly-rounded √ per lag,
+    * round 6. Degenerate lags (constant side, < 2 pairs) are NULL.
+    *
+    * Scale shape: two map-side-combined daily aggregates; the lag
+    * pairing is an equi-join on the shifted date over day-count ×
+    * (2·maxLag+1) rows; everything after is lag-sized.
+    */
+  def crossCorr(
+      df: DataFrame,
+      tsCol: String,
+      valCol: String,
+      aFilter: Column,
+      bFilter: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    def daily(f: Column, out: String) =
+      df.filter(f && col(valCol).isNotNull)
+        .groupBy(to_date(date_trunc("day", col(tsCol))).as("__d"))
+        .agg(sum(col(valCol).cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as(out))
+    val a = daily(aFilter, "__a")
+    val b = daily(bFilter, "__b")
+      .select(col("__d").as("__db"), col("__b"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .withColumn("__da", date_sub(col("__db"), col("lag")))
+    val pairs = a.join(b, col("__d") === col("__da"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("__m"),
+        sum(col("__a")).cast("decimal(28,2)").as("__sa"),
+        sum(col("__b")).cast("decimal(28,2)").as("__sb"),
+        sum(col("__a") * col("__a")).cast("decimal(38,4)").as("__saa"),
+        sum(col("__b") * col("__b")).cast("decimal(38,4)").as("__sbb"),
+        sum(col("__a") * col("__b")).cast("decimal(38,4)").as("__sab"))
+    val m = col("__m").cast("double")
+    val num = m * col("__sab").cast("double") -
+      col("__sa").cast("double") * col("__sb").cast("double")
+    val va = m * col("__saa").cast("double") -
+      col("__sa").cast("double") * col("__sa").cast("double")
+    val vb = m * col("__sbb").cast("double") -
+      col("__sb").cast("double") * col("__sb").cast("double")
+    pairs.select(col("lag").cast("long").as("lag"),
+      col("__m").cast("long").as("n_pairs"),
+      when(col("__m") > 1 && va > lit(0.0d) && vb > lit(0.0d),
+        round(num / sqrt(va * vb), 6)).as("ccf"))
+  }
 }

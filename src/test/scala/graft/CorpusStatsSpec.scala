@@ -354,4 +354,18 @@ class CorpusStatsSpec extends SparkSuite {
       .as[(Double, Long, Long, Option[Double])].collect().head
     assert(i == ((0.0, 1L, 4L, Some(0.0))), s"got $i")
   }
+
+  test("vocabGrowth: first-occurrence buckets; no-new-word steps persist") {
+    import spark.implicits._
+    // docs in id order: {a b}, {a c}, {c}, {d d}, {a} — firsts:
+    // a,b@1, c@2, d@4; 5 docs × 5 steps = one doc per step
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "c"), (4L, "d d"),
+      (5L, "a")).toDF("doc_id", "text")
+    val out = CorpusStats.vocabGrowth(docs, "doc_id", "text", steps = 5)
+      .orderBy("step")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, 2L), (2L, 2L, 1L, 3L), (3L, 3L, 0L, 3L),
+      (4L, 4L, 1L, 4L), (5L, 5L, 0L, 4L)), s"got $out")
+  }
 }

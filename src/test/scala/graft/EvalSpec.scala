@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Eval
+
+class EvalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("gateAgreement: hand-computed kappa and McNemar; NULL gates excluded") {
+    // 2x2: both=4, only_a=2, only_b=1, neither=3 → n=10
+    // po = 0.7; pa1 = 0.6, pb1 = 0.5 → pe = 0.3 + 0.2 = 0.5
+    // kappa = (0.7-0.5)/0.5 = 0.4; mcnemar = (2-1)²/3 = 0.333333
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(3)((false, false))
+    val df = (rows.map { case (a, b) => (Some(a), Some(b)) } :+
+      ((Option.empty[Boolean], Some(true)))).toDF("a", "b")
+    val r = Eval.gateAgreement(df, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Double, Option[Double],
+        Option[Double])].collect().head
+    assert(r == ((10L, 4L, 2L, 1L, 3L, 0.7, Some(0.4), Some(0.333333))),
+      s"got $r")
+  }
+
+  test("gateAgreement: constant gates → NULL kappa; no discord → NULL chi2") {
+    val df = Seq.fill(5)((true, true)).toDF("a", "b")
+    val r = Eval.gateAgreement(df, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Double, Option[Double],
+        Option[Double])].collect().head
+    assert(r._6 == 1.0 && r._7.isEmpty && r._8.isEmpty, s"got $r")
+  }
+
+  test("rocCurve: ten one-score bands, cumulative-from-top operating points") {
+    // scores 0.0..0.9, positives at >= 0.5 — a perfect detector at
+    // threshold band 5: tpr=1, fpr=0
+    val df = (0 until 10).map(i => (i / 10.0, i >= 5)).toDF("score", "y")
+    val out = Eval.rocCurve(df, "score", col("y"), points = 10)
+      .orderBy(col("band").desc)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out.size == 10)
+    val byBand = out.map(r => r._1 -> r).toMap
+    assert(byBand(9L)._3 == 1L && byBand(9L)._4 == 0L)
+    // band 5 = operating point "score >= 0.45..": all 5 pos, 0 neg
+    assert(byBand(5L)._3 == 5L && byBand(5L)._4 == 0L)
+    assert(byBand(5L)._5 == 1.0 && byBand(5L)._6 == 0.0)
+    // bottom band captures everything
+    assert(byBand(0L)._3 == 5L && byBand(0L)._4 == 5L)
+    assert(byBand(0L)._5 == 1.0 && byBand(0L)._6 == 1.0)
+    // thresholds: band b starts at b*(mx-mn+1) div 10 micro
+    assert(byBand(5L)._2 == 450000L, s"got ${byBand(5L)._2}")
+  }
+
+  test("calibrationBins: confidence vs accuracy per fixed [0,1] band") {
+    val df = Seq((0.05, false), (0.05, true), (0.95, true), (0.95, true))
+      .toDF("score", "y")
+    val out = Eval.calibrationBins(df, "score", col("y"), bins = 10)
+      .orderBy("bin")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 0.05, 0.5, 0.45),
+      (9L, 2L, 0.95, 1.0, 0.05)), s"got $out")
+  }
+}

@@ -189,4 +189,41 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out == Seq(("g", 1L, 2L, 30.0, 0.5, 0.75),
       ("g", 2L, 1L, 30.0, 0.5, 1.5)), s"got $out")
   }
+
+  test("cusum: hand-computed excursions; ties break to the earliest day") {
+    // daily totals 1,1,5,1 → μ=2; walk n·S_t − t·S: [-400,-800,400,0]
+    // (cents·n); C⁺ peaks 1200 at day 3 (→ 3.0 units); C⁻ ties 400 at
+    // days 2 and 4 → earliest day 2 (→ 1.0 units)
+    val ev = Seq(
+      ("g", ts("2024-01-01 10:00:00"), 1.0),
+      ("g", ts("2024-01-02 10:00:00"), 1.0),
+      ("g", ts("2024-01-03 10:00:00"), 5.0),
+      ("g", ts("2024-01-04 10:00:00"), 1.0)).toDF("g", "ts", "v")
+    val out = TimeSeries.cusum(ev, "g", "ts", "v")
+      .as[(String, Long, Double, Double, java.sql.Date, Double,
+        java.sql.Date)].collect().head
+    assert(out == (("g", 4L, 2.0, 3.0, java.sql.Date.valueOf("2024-01-03"),
+      1.0, java.sql.Date.valueOf("2024-01-02"))), s"got $out")
+  }
+
+  test("crossCorr: exact r=1 at the true lag; shorter overlaps off-lag") {
+    // B is A shifted one day later (×10): lag +1 aligns perfectly
+    val ev = (Seq(1.0, 2.0, 3.0, 5.0).zipWithIndex.map { case (v, i) =>
+      ("a", ts(f"2024-01-${i + 1}%02d 01:00:00"), v)
+    } ++ Seq(1.0, 2.0, 3.0, 5.0).zipWithIndex.map { case (v, i) =>
+      ("b", ts(f"2024-01-${i + 2}%02d 01:00:00"), v * 10)
+    }).toDF("t", "ts", "v")
+    val out = TimeSeries.crossCorr(ev, "ts", "v",
+      col("t") === "a", col("t") === "b", maxLag = 2)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((4L, Some(1.0))), s"got ${out(1L)}")
+    // lag 0 overlaps days 2-4: a=[2,3,5] vs b=[10,20,30] — monotone
+    // but not affine → r < 1
+    assert(out(0L)._1 == 3L && out(0L)._2.exists(r => r < 1.0 && r > 0.9),
+      s"got ${out(0L)}")
+    // lag −2: b two days EARLIER than a — only a day 4 ↔ b day 2
+    // aligns → a single pair, degenerate → NULL ccf
+    assert(out(-2L) == ((1L, None)), s"got ${out(-2L)}")
+  }
 }
