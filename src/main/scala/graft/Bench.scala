@@ -78,10 +78,12 @@ object Bench {
     // once (deterministic, ~45 B/record ≈ the RFC's 39 MB corpus);
     // the reported time is the MIN of two runs (same contended-box
     // methodology as the quiet bench). Skipped under a query filter
-    // (local iteration) or SPARK_GRAFT_BENCH_TRANSFER=0.
+    // (local iteration; force with SPARK_GRAFT_BENCH_TRANSFER=1) or
+    // SPARK_GRAFT_BENCH_TRANSFER=0.
+    val transferEnv = sys.env.get("SPARK_GRAFT_BENCH_TRANSFER")
     val transferJson: String =
-      if (only.isDefined ||
-          sys.env.get("SPARK_GRAFT_BENCH_TRANSFER").contains("0")) ""
+      if (transferEnv.contains("0") ||
+          (only.isDefined && !transferEnv.contains("1"))) ""
       else {
         val dir = java.nio.file.Paths.get("target/bench_transfer")
         java.nio.file.Files.createDirectories(dir)

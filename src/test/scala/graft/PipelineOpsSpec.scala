@@ -218,12 +218,44 @@ class PipelineOpsSpec extends SparkSuite {
   // above an aggregate, i.e. carries only P×S partial rows.
   // (finalPlan / assertHashExchangesAboveAggregates live in SparkSuite.)
   private def assertOneCorpusShuffle(plan: String): Unit = {
-    assert(plan.contains("MapPartitions"), plan)
+    // round-11 shape: the device's one range shuffle + local scan run
+    // inside the pinned checkpoint (Prefix.localScan) — both the row
+    // side and the side table read the same `Scan ExistingRDD`, so
+    // pid alignment is structural instead of ReuseExchange-dependent
+    assert(plan.contains("Scan ExistingRDD"), plan)
     assert(!plan.contains("row_number"), plan)
     val rangeEx = "(?m)\\+\\- Exchange rangepartitioning".r.findAllIn(plan).size
-    assert(rangeEx == 1, s"expected 1 live range exchange, got $rangeEx:\n$plan")
-    assert(plan.contains("ReusedExchange"), plan)
+    assert(rangeEx == 0, s"expected the range exchange pinned inside " +
+      s"the checkpoint, got $rangeEx live:\n$plan")
     assertHashExchangesAboveAggregates(plan, "prefix-sum device")
+  }
+
+  test("prefix device over a CACHED input: pids stay aligned (round-11 regression)") {
+    import graft.ops.Rank
+    import org.apache.spark.sql.expressions.Window
+    // the round-11 bug scenario: a persisted upstream made the two
+    // executions of the device's subtree sample DIFFERENT range
+    // boundaries (nondeterministic aggregate output order), so the
+    // __pid join between the row side and the side table silently
+    // mismatched — wrong, run-to-run-varying prefix sums. The pinned
+    // checkpoint makes this impossible; replay the scenario and
+    // compare against the window oracle, twice.
+    val base = (1L to 400L).map(i => (i, s"g${i % 3}", (i * 7919) % 97 + 1))
+      .toDF("id", "g", "n").repartition(13)
+      .persist()
+    try {
+      val vc = base.groupBy("g", "id").agg(sum("n").cast("long").as("c"))
+      (1 to 2).foreach { _ =>
+        val got = Rank.stratifiedPrefixSum(vc, "g", Seq("id"), "c")
+          .select("id", "prefix").as[(Long, Long)].collect().sortBy(_._1).toSeq
+        val w = Window.partitionBy("g").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val want = vc.withColumn("prefix",
+          coalesce(sum("c").over(w), lit(0L)).cast("long"))
+          .select("id", "prefix").as[(Long, Long)].collect().sortBy(_._1).toSeq
+        assert(got == want, "prefix sums must not depend on cache/AQE layout")
+      }
+    } finally base.unpersist()
   }
 
   test("stratifiedRank plan: one corpus shuffle, imperative local rank, reused exchange") {

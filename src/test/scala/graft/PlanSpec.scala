@@ -595,6 +595,32 @@ class PlanSpec extends SparkSuite {
       s"no corpus-sized rank window:\n$p")
   }
 
+  test("q214-q216 eval readouts: one corpus pass, gates inside the scan, no join on rows") {
+    val p214 = finalPlan(SparkEntry.queries("q214_gate_agreement")(spark, sfDir))
+    assert(!p214.contains("Join"), s"q214 is one aggregate:\n$p214")
+    assert(!p214.contains("ScalaUDF"), p214)
+    // roc/calibration: the only joins are the broadcast 1-row stats
+    val p215 = finalPlan(SparkEntry.queries("q215_roc_curve")(spark, sfDir))
+    assert(!p215.contains("SortMergeJoin"), p215)
+    assert(!p215.contains("row_number"), p215)
+    val p216 = finalPlan(SparkEntry.queries("q216_calibration_bins")(spark, sfDir))
+    assert(!p216.contains("Join"), s"q216 is one grouped aggregate:\n$p216")
+  }
+
+  test("q217 cusum: windows partition by group — never a corpus-global window") {
+    val p = finalPlan(SparkEntry.queries("q217_cusum_shift")(spark, sfDir))
+    assert(p.contains("windowspecdefinition(__g"),
+      s"walk windows must partition by the group key:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"group stats broadcast back:\n$p")
+  }
+
+  test("q219 vocab growth: positions ride the pinned rank device, no corpus window") {
+    val p = finalPlan(SparkEntry.queries("q219_vocab_growth")(spark, sfDir))
+    assert(p.contains("Scan ExistingRDD"), s"rank device's pinned scan:\n$p")
+    assert(!p.contains("row_number"), s"no corpus-global row_number:\n$p")
+  }
+
   test("q185 gram novelty: no pair operator anywhere — linear in grams") {
     val p = finalPlan(SparkEntry.queries("q185_gram_novelty")(spark, sfDir))
     assert(!p.contains("CartesianProduct") &&
