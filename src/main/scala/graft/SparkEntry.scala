@@ -3010,7 +3010,71 @@ object SparkEntry {
         t(s, dir, "documents").filter(length(col("text")) > 0))
         .select(col("id"), col("n_uniq").cast("long").as("n_uniq"),
           col("top_run").cast("long").as("top_run"))
-        .orderBy("id")))
+        .orderBy("id")),
+
+    "q221_gain_curve" -> ((s, dir) => {
+      // "keep only the top-scored X% — how much English survives?":
+      // cumulative gains/lift by score decile, the rank-based
+      // complement of q215's threshold view; deciles via the exact
+      // integral quantileBuckets cuts on the two-phase rank device
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        round(TextOps.stopwordHits(col("text")).cast("double") /
+          TextOps.tokenCountArith(col("text")).cast("double"), 6)
+          .as("score"),
+        col("lang"))
+      graft.ops.Eval.gainCurve(scored, "score", col("lang") === "en",
+        "doc_id", buckets = 10).orderBy("bucket")
+    }),
+
+    "q222_fd_audit" -> ((s, dir) => {
+      // functional-dependency audit: the key FD custkey → nationkey
+      // must be clean (violations 0); custkey → orderpriority is a
+      // false assumption the audit should expose. One det-key
+      // shuffle each.
+      val clean = graft.ops.Profile.fdAudit(
+        t(s, dir, "customer"), "c_custkey", "c_nationkey")
+        .select(lit("c_custkey->c_nationkey").as("fd"), col("*"))
+      val dirty = graft.ops.Profile.fdAudit(
+        t(s, dir, "orders"), "o_custkey", "o_orderpriority")
+        .select(lit("o_custkey->o_orderpriority").as("fd"), col("*"))
+      clean.unionByName(dirty).orderBy("fd")
+    }),
+
+    "q223_interarrival" -> ((s, dir) => {
+      // inter-event gap profile per event type (retry-storm /
+      // bot-cadence smell): floor-seconds gaps per (type, user) via
+      // the q32 device, then count/mean + exact p50/p90 through the
+      // distributed bracketed selection
+      val ev = events(s, dir).filter(col("user_id").isNotNull)
+      val w = Window.partitionBy("event_type", "user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = ev
+        .withColumn("__gap",
+          col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w))
+        .filter(col("__gap").isNotNull)
+      val stats = gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("__gap")).cast("decimal(28,0)").as("__s"))
+      val pcts = graft.ops.Percentiles.exact(
+        gaps, Seq("event_type"), "__gap", Seq(0.5, 0.9))
+        .select(col("event_type"),
+          round(element_at(col("pcts"), 1), 6).as("p50"),
+          round(element_at(col("pcts"), 2), 6).as("p90"))
+      stats.join(pcts, "event_type")
+        .select(col("event_type"), col("n_gaps").cast("long").as("n_gaps"),
+          round(col("__s").cast("double") / col("n_gaps").cast("double"), 6)
+            .as("mean_gap"),
+          col("p50"), col("p90"))
+        .orderBy("event_type")
+    }),
+
+    "q224_dim_correlation" -> ((s, dir) =>
+      // embedding redundancy probe: top-10 most-correlated dimension
+      // pairs — dim-level moments in one posexplode aggregate, cross
+      // terms partial-aggregated straight to the 2016-pair table
+      Similarity.dimCorrelation(t(s, dir, "embeddings"), "embedding",
+        dims = 64, topK = 10)
+        .orderBy("i", "j")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -6676,7 +6740,127 @@ object SparkEntry {
         |per AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
         |SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_uniq,
         |  CAST(MAX(c) AS BIGINT) AS top_run
-        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q221: the ranking key is the NEGATED round-6 micro score (an
+    // integral BIGINT — a negated double key would put ±0.0 under the
+    // engines' differing float total orders); decile cuts are the
+    // quantileBuckets integral arithmetic
+    "q221_gain_curve" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    ROUND(CAST(${sqlStopwordHits("text")} AS DOUBLE) /
+         |      CAST(${sqlTokenCount("text")} AS DOUBLE), 6) AS s,
+         |    (lang = 'en') AS y
+         |  FROM documents),
+         |r AS (SELECT doc_id, y,
+         |    ROW_NUMBER() OVER (ORDER BY
+         |      -(CAST(CAST(s AS DECIMAL(18,6)) * 1000000 AS BIGINT)),
+         |      doc_id) AS rk,
+         |    COUNT(*) OVER () AS n
+         |  FROM sc WHERE s IS NOT NULL AND y IS NOT NULL),
+         |b AS (SELECT ((rk - 1) * 10) // n + 1 AS bucket, COUNT(*) AS nb,
+         |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+         |  FROM r GROUP BY 1),
+         |c AS (SELECT bucket, nb, pos,
+         |    SUM(nb) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         |    SUM(pos) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         |    SUM(nb) OVER () AS tn, SUM(pos) OVER () AS tp
+         |  FROM b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(nb AS BIGINT) AS n,
+         |  CAST(pos AS BIGINT) AS n_pos,
+         |  CASE WHEN tp > 0 THEN
+         |    ROUND(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE), 6)
+         |  END AS cum_share_pos,
+         |  CASE WHEN tp > 0 THEN
+         |    ROUND((CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)) /
+         |      (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+         |  END AS cum_lift
+         |FROM c ORDER BY bucket""".stripMargin,
+
+    "q222_fd_audit" ->
+      """WITH a AS (SELECT c_custkey AS det, COUNT(DISTINCT c_nationkey) AS d
+        |  FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+        |ar AS (SELECT 'c_custkey->c_nationkey' AS fd,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(MAX(d) AS BIGINT) AS max_distinct,
+        |    CASE WHEN COUNT(*) > 0 THEN
+        |      ROUND(CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) END AS violation_rate
+        |  FROM a),
+        |b AS (SELECT o_custkey AS det,
+        |    COUNT(DISTINCT o_orderpriority) AS d
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |br AS (SELECT 'o_custkey->o_orderpriority' AS fd,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(MAX(d) AS BIGINT) AS max_distinct,
+        |    CASE WHEN COUNT(*) > 0 THEN
+        |      ROUND(CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) END AS violation_rate
+        |  FROM b)
+        |SELECT * FROM ar UNION ALL SELECT * FROM br ORDER BY fd""".stripMargin,
+
+    // q223: floor-seconds gaps (the q32 sessionize device); exact
+    // p50/p90 ≙ quantile_cont (the q106 precedent)
+    "q223_interarrival" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
+        |      LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER (
+        |        PARTITION BY event_type, user_id
+        |        ORDER BY ts, event_id) AS gap
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  ROUND(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_gap,
+        |  ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.5e0), 6) AS p50,
+        |  ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.9e0), 6) AS p90
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q224: per-element terms round to 6 and sum as DECIMAL on both
+    // engines; each pair's r is one fixed double expression; top-10
+    // by |r| with (i, j) ties, re-sorted (i, j) for the differ
+    "q224_dim_correlation" ->
+      """WITH e AS (SELECT
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |ds AS (SELECT i, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(v[CAST(i + 1 AS INT)], 6)
+        |      AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s,
+        |    CAST(SUM(CAST(ROUND(v[CAST(i + 1 AS INT)] *
+        |      v[CAST(i + 1 AS INT)], 6) AS DECIMAL(18,6)))
+        |      AS DECIMAL(38,6)) AS ss
+        |  FROM e, UNNEST(range(0, 64)) AS t(i) GROUP BY 1),
+        |ps AS (SELECT i, j,
+        |    CAST(SUM(CAST(ROUND(v[CAST(i + 1 AS INT)] *
+        |      v[CAST(j + 1 AS INT)], 6) AS DECIMAL(18,6)))
+        |      AS DECIMAL(38,6)) AS sp
+        |  FROM e, UNNEST(range(0, 63)) AS t1(i),
+        |    UNNEST(range(i + 1, 64)) AS t2(j)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT ps.i, ps.j, a.n,
+        |    CASE WHEN (CAST(a.n AS DOUBLE) * CAST(a.ss AS DOUBLE)
+        |        - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)) > 0e0
+        |      AND (CAST(a.n AS DOUBLE) * CAST(b.ss AS DOUBLE)
+        |        - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)) > 0e0 THEN
+        |      ROUND((CAST(a.n AS DOUBLE) * CAST(sp AS DOUBLE)
+        |          - CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE)) /
+        |        SQRT((CAST(a.n AS DOUBLE) * CAST(a.ss AS DOUBLE)
+        |            - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)) *
+        |          (CAST(a.n AS DOUBLE) * CAST(b.ss AS DOUBLE)
+        |            - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE))), 6)
+        |    END AS corr
+        |  FROM ps JOIN ds a ON ps.i = a.i JOIN ds b ON ps.j = b.i),
+        |topk AS (SELECT * FROM r WHERE corr IS NOT NULL
+        |  ORDER BY ABS(corr) DESC, i, j LIMIT 10)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  CAST(n AS BIGINT) AS n, corr
+        |FROM topk ORDER BY i, j""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

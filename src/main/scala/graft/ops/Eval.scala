@@ -181,4 +181,71 @@ object Eval {
             (col("__n").cast("double") * lit(1000000.0d)), 6)
           .as("gap"))
   }
+
+  /** Cumulative gains / lift by score decile: rank the corpus by
+    * `scoreCol` DESCENDING (ties broken by `idCol`, so the ranking
+    * is a total order and engine-portable), cut into `buckets`
+    * equal-population ranks, and read per bucket how much of the
+    * positive class the top slices capture — the curation question
+    * "if I keep only the best-scored X%, how much good data
+    * survives?", the rank-based complement of [[rocCurve]]'s
+    * threshold view.
+    *
+    * Output per bucket 1..buckets (1 = best scores): `n`, `n_pos`,
+    * `cum_share_pos` (positives captured through this bucket / all
+    * positives) and `cum_lift` (capture rate of the top slice vs the
+    * base rate; bucket `buckets` is always lift 1).
+    *
+    * Parity chain: the ranking key is the NEGATED round-6 micro-unit
+    * score (an integral long — a negated double key would put ±0.0
+    * under the engines' differing float total orders); bucket cuts
+    * are [[Rank.quantileBuckets]]' exact integral arithmetic over
+    * the two-phase rank device (never a corpus window); counts are
+    * exact longs; the two readouts are single double divisions,
+    * round 6.
+    *
+    * Scale shape: one rank-device pass (one range shuffle), one
+    * bucket-sized aggregate + cumulative window; totals broadcast
+    * back via a window over the bucket table.
+    */
+  def gainCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: Column,
+      idCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val lbl = labelCol.cast("boolean")
+    val micro = (round(col(scoreCol).cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000).cast("long")
+    val base = df.filter(col(scoreCol).isNotNull && lbl.isNotNull)
+      .select((-micro).as("__negs"),
+        col(idCol).as("__id"), lbl.as("__y"), lit(1).as("__all"))
+    val bucketed = Rank.quantileBuckets(base, "__all",
+      Seq("__negs", "__id"), buckets)
+    val agg = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    agg
+      .withColumn("__cn", sum(col("__n")).over(w))
+      .withColumn("__cp", sum(col("__pos")).over(w))
+      .withColumn("__tn", sum(col("__n")).over(tot))
+      .withColumn("__tp", sum(col("__pos")).over(tot))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("__n").cast("long").as("n"),
+        col("__pos").cast("long").as("n_pos"),
+        when(col("__tp") > 0,
+          round(col("__cp").cast("double") / col("__tp").cast("double"), 6))
+          .as("cum_share_pos"),
+        when(col("__tp") > 0,
+          round((col("__cp").cast("double") / col("__cn").cast("double")) /
+            (col("__tp").cast("double") / col("__tn").cast("double")), 6))
+          .as("cum_lift"))
+  }
 }

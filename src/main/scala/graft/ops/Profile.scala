@@ -182,4 +182,42 @@ object Profile {
         col("__min").cast("long").as("min_cents"),
         col("__max").cast("long").as("max_cents"))
   }
+
+  /** Functional-dependency audit: does `detCol` determine `depCol`?
+    * The data-quality probe behind "is this column a safe join/merge
+    * key for that attribute" — a clean FD (every determinant value
+    * maps to ONE dependent value) means the pair can be normalized
+    * out or used as a lookup; violations are either dirty data or a
+    * false assumption. One row:
+    *
+    *   - `n_keys` — distinct determinant values (NULL determinants
+    *     excluded, 3VL),
+    *   - `n_violating` — keys mapping to ≥ 2 distinct non-NULL
+    *     dependents,
+    *   - `max_distinct` — the worst key's dependent count,
+    *   - `violation_rate` — n_violating / n_keys, round 6.
+    *
+    * NULL dependents don't count as a distinct value (a missing
+    * attribute is not a conflicting one — `COUNT(DISTINCT dep)`
+    * semantics on both engines).
+    *
+    * Scale shape: ONE hash shuffle on the determinant key with
+    * map-side partial count-distinct, then a one-row fold of the
+    * key-sized table.
+    */
+  def fdAudit(df: DataFrame, detCol: String, depCol: String): DataFrame = {
+    val keys = df.filter(col(detCol).isNotNull)
+      .groupBy(col(detCol))
+      .agg(countDistinct(col(depCol)).as("__d"))
+    keys.agg(
+      count(lit(1)).as("__k"),
+      sum(when(col("__d") >= 2, 1L).otherwise(0L)).as("__v"),
+      max(col("__d")).as("__m"))
+      .select(col("__k").cast("long").as("n_keys"),
+        col("__v").cast("long").as("n_violating"),
+        col("__m").cast("long").as("max_distinct"),
+        when(col("__k") > 0,
+          round(col("__v").cast("double") / col("__k").cast("double"), 6))
+          .as("violation_rate"))
+  }
 }

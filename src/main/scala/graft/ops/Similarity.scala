@@ -824,4 +824,79 @@ object Similarity {
         round(col("__num") / (sqrt(col("__na")) * sqrt(col("__nb"))), 6)
           .as("cosine"))
   }
+
+  /** Most-correlated embedding-dimension pairs: Pearson r between
+    * dimensions i < j across the corpus, top `topK` by |r| — the
+    * redundancy probe before quantization/projection (two dimensions
+    * at |r| ≈ 1 carry one dimension of information; random
+    * projections and PCA both feed on this structure, and a healthy
+    * learned embedding should show LOW pairwise correlation).
+    *
+    * Parity chain: per-element terms round to 6 and sum as
+    * DECIMAL(18,6)/(38,6) (order-free); each pair's r is one fixed
+    * double expression + correctly-rounded √. Zero-variance
+    * dimensions yield NULL r and drop from the ranking; ties break
+    * (i, j).
+    *
+    * Scale shape: the dim-level moments are one posexplode +
+    * 64-group aggregate (map-side combined); the cross terms explode
+    * dims·(dims−1)/2 products PER ROW via nested HOFs — a dims²/2
+    * in-stage inflation that partial-aggregates straight down to the
+    * pair-count-sized table (2016 groups at 64 dims), so the shuffle
+    * carries pairs × partitions partials, never row-level products.
+    * Both dim tables broadcast back onto the pair table. `dims`
+    * bounds the blowup explicitly; at 100 TB the knob to watch is
+    * dims² × row-count lambda evaluations (HOFs are interpreted) —
+    * sample the corpus first if dims is large.
+    */
+  def dimCorrelation(
+      df: DataFrame,
+      vecCol: String,
+      dims: Int,
+      topK: Int = 10): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val v = col(vecCol).cast("array<double>")
+    val base = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(v.as("__v"))
+    val d186 = "decimal(18,6)"
+    val elem = (idx: Column) =>
+      call_function("element_at", col("__v"), (idx + 1).cast("int"))
+    val dimStats = base
+      .select(posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy(col("__i"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("__x"), 6).cast(d186)).cast("decimal(38,6)").as("__s"),
+        sum(round(col("__x") * col("__x"), 6).cast(d186))
+          .cast("decimal(38,6)").as("__ss"))
+    val pairSums = base
+      .select(explode(flatten(
+        transform(sequence(lit(0), lit(dims - 2)), i =>
+          transform(sequence(i + 1, lit(dims - 1)), j =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              round(elem(i) * elem(j), 6).cast(d186).as("p"))))))
+        .as("__e"))
+      .select(col("__e.i").as("i"), col("__e.j").as("j"), col("__e.p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p")).cast("decimal(38,6)").as("__sp"))
+    val a = dimStats.select(col("__i").as("i"), col("__n").as("__na"),
+      col("__s").as("__sa"), col("__ss").as("__ssa"))
+    val b = dimStats.select(col("__i").as("j"), col("__s").as("__sb"),
+      col("__ss").as("__ssb"))
+    val n = col("__na").cast("double")
+    val num = n * col("__sp").cast("double") -
+      col("__sa").cast("double") * col("__sb").cast("double")
+    val va = n * col("__ssa").cast("double") -
+      col("__sa").cast("double") * col("__sa").cast("double")
+    val vb = n * col("__ssb").cast("double") -
+      col("__sb").cast("double") * col("__sb").cast("double")
+    pairSums.join(broadcast(a), "i").join(broadcast(b), "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("__na").cast("long").as("n"),
+        when(va > lit(0.0d) && vb > lit(0.0d),
+          round(num / sqrt(va * vb), 6)).as("corr"))
+      .filter(col("corr").isNotNull)
+      .orderBy(abs(col("corr")).desc, col("i"), col("j"))
+      .limit(topK)
+  }
 }

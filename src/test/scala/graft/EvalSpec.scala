@@ -50,6 +50,22 @@ class EvalSpec extends SparkSuite {
     assert(byBand(5L)._2 == 450000L, s"got ${byBand(5L)._2}")
   }
 
+  test("gainCurve: hand-computed capture shares and lift; last bucket lift 1") {
+    // ids 1..10, scores descending (1.0 … 0.1); positives 1,2,3,10
+    val df = (1 to 10).map(i =>
+      (i.toLong, (11 - i) / 10.0, Set(1, 2, 3, 10).contains(i)))
+      .toDF("id", "score", "y")
+    val out = Eval.gainCurve(df, "score", col("y"), "id", buckets = 5)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 0.5, 2.5),       // top 20% captures 2/4 → lift 2.5
+      (2L, 2L, 1L, 0.75, 1.875),
+      (3L, 2L, 0L, 0.75, 1.25),
+      (4L, 2L, 0L, 0.75, 0.9375),
+      (5L, 2L, 1L, 1.0, 1.0)), s"got $out")
+  }
+
   test("calibrationBins: confidence vs accuracy per fixed [0,1] band") {
     val df = Seq((0.05, false), (0.05, true), (0.95, true), (0.95, true))
       .toDF("score", "y")

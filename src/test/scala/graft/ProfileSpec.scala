@@ -85,4 +85,23 @@ class ProfileSpec extends SparkSuite {
     assert(out == Seq((0L, 2L, 100L, 500L), (1L, 1L, 100L, 500L),
       (2L, 1L, 100L, 500L), (3L, 1L, 100L, 500L)), s"got $out")
   }
+
+  test("fdAudit: violating keys by hand; NULL dets excluded, NULL deps uncounted") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Some("a"), Some("x")),
+      (Some("b"), Some("x")), (Some("b"), Some("y")),
+      (Some("c"), Some("x")), (Some("c"), Some("y")), (Some("c"), Some("z")),
+      (Some("d"), Option.empty[String]),   // NULL dep: 0 distinct → clean
+      (Option.empty[String], Some("q")))   // NULL det: excluded entirely
+      .toDF("det", "dep")
+    val r = Profile.fdAudit(df, "det", "dep")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(r == ((4L, 2L, 3L, Some(0.5))), s"got $r")
+    // a clean key FD reads zero violations
+    val clean = Seq((1, "x"), (2, "y"), (3, "y")).toDF("det", "dep")
+    val c = Profile.fdAudit(clean, "det", "dep")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(c == ((3L, 0L, 1L, Some(0.0))), s"got $c")
+  }
 }

@@ -292,4 +292,21 @@ class SimilaritySpec extends SparkSuite {
     assert(out == Seq((0, 1, 0.0), (0, 2, 0.707107), (1, 2, 0.707107)),
       s"got $out")
   }
+
+  test("dimCorrelation: exact ±1 pairs; constant dimensions drop as NULL") {
+    // dims: (x, 2x, −x) → all three pairs perfectly correlated
+    val df = (1 to 4).map(x =>
+      Seq(x.toDouble, 2.0 * x, -x.toDouble)).toDF("v")
+    val out = Similarity.dimCorrelation(df, "v", dims = 3, topK = 3)
+      .orderBy("i", "j")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 1L, 4L, 1.0), (0L, 2L, 4L, -1.0),
+      (1L, 2L, 4L, -1.0)), s"got $out")
+    // a constant dimension has zero variance: its pairs are NULL and
+    // never reach the ranking
+    val const = (1 to 4).map(x => Seq(x.toDouble, 2.0 * x, 7.0)).toDF("v")
+    val out2 = Similarity.dimCorrelation(const, "v", dims = 3, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out2 == Seq((0L, 1L, 4L, 1.0)), s"got $out2")
+  }
 }
