@@ -6821,25 +6821,24 @@ object SparkEntry {
         |  ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.9e0), 6) AS p90
         |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // q224: per-element terms round to 6 and sum as DECIMAL on both
-    // engines; each pair's r is one fixed double expression; top-10
-    // by |r| with (i, j) ties, re-sorted (i, j) for the differ
+    // q224: the quantized-view contract — every element rounds ONCE
+    // to micro units (HALF_UP ×10⁶, exact integers), so all three
+    // moment families are integral (HUGEINT here, long partials +
+    // DECIMAL merge Spark-side); each pair's r is one fixed double
+    // expression over those integers; top-10 by |r| with (i, j) ties,
+    // re-sorted (i, j) for the differ
     "q224_dim_correlation" ->
-      """WITH e AS (SELECT
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      """WITH e AS (SELECT list_transform(embedding, x ->
+        |      CAST(CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))
+        |        * 1000000 AS HUGEINT)) AS m
         |  FROM embeddings
         |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
         |ds AS (SELECT i, COUNT(*) AS n,
-        |    CAST(SUM(CAST(ROUND(v[CAST(i + 1 AS INT)], 6)
-        |      AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s,
-        |    CAST(SUM(CAST(ROUND(v[CAST(i + 1 AS INT)] *
-        |      v[CAST(i + 1 AS INT)], 6) AS DECIMAL(18,6)))
-        |      AS DECIMAL(38,6)) AS ss
+        |    SUM(m[CAST(i + 1 AS INT)]) AS s,
+        |    SUM(m[CAST(i + 1 AS INT)] * m[CAST(i + 1 AS INT)]) AS ss
         |  FROM e, UNNEST(range(0, 64)) AS t(i) GROUP BY 1),
         |ps AS (SELECT i, j,
-        |    CAST(SUM(CAST(ROUND(v[CAST(i + 1 AS INT)] *
-        |      v[CAST(j + 1 AS INT)], 6) AS DECIMAL(18,6)))
-        |      AS DECIMAL(38,6)) AS sp
+        |    SUM(m[CAST(i + 1 AS INT)] * m[CAST(j + 1 AS INT)]) AS sp
         |  FROM e, UNNEST(range(0, 63)) AS t1(i),
         |    UNNEST(range(i + 1, 64)) AS t2(j)
         |  GROUP BY 1, 2),

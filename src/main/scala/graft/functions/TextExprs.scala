@@ -804,6 +804,7 @@ object GraftFunctions {
       TextExprs.register(spark)
       GoFloatString.register(spark)
       EvalOnce.register(spark)
+      GroupRuns.register(spark)
     }
   }
 
@@ -813,7 +814,7 @@ object GraftFunctions {
   private[functions] def allBuilders
       : Seq[(String, Seq[Expression] => Expression)] =
     VectorExprs.builders ++ TextExprs.builders ++
-      GoFloatString.builders ++ EvalOnce.builders
+      GoFloatString.builders ++ EvalOnce.builders ++ GroupRuns.builders
 }
 
 /** `spark.sql.extensions`-style entry point: inject every graft

@@ -832,22 +832,26 @@ object Similarity {
     * projections and PCA both feed on this structure, and a healthy
     * learned embedding should show LOW pairwise correlation).
     *
-    * Parity chain: per-element terms round to 6 and sum as
-    * DECIMAL(18,6)/(38,6) (order-free); each pair's r is one fixed
-    * double expression + correctly-rounded √. Zero-variance
-    * dimensions yield NULL r and drop from the ranking; ties break
-    * (i, j).
+    * Computed over the ROUND-6 element values in integer micro-units
+    * (the quantized view — statistically identical for a redundancy
+    * probe, and it makes EVERY moment exact): each element rounds
+    * once (HALF_UP, = Spark/DuckDB `round`) to `micro = r6(x)·10⁶`;
+    * Σmicroᵢ, Σmicroᵢ², Σmicroᵢ·microⱼ are exact integers, and each
+    * pair's r is one fixed double expression + correctly-rounded √
+    * over those integers. Zero-variance dimensions yield NULL r and
+    * drop from the ranking; ties break (i, j).
     *
-    * Scale shape: the dim-level moments are one posexplode +
-    * 64-group aggregate (map-side combined); the cross terms explode
-    * dims·(dims−1)/2 products PER ROW via nested HOFs — a dims²/2
-    * in-stage inflation that partial-aggregates straight down to the
-    * pair-count-sized table (2016 groups at 64 dims), so the shuffle
-    * carries pairs × partitions partials, never row-level products.
-    * Both dim tables broadcast back onto the pair table. `dims`
-    * bounds the blowup explicitly; at 100 TB the knob to watch is
-    * dims² × row-count lambda evaluations (HOFs are interpreted) —
-    * sample the corpus first if dims is large.
+    * Scale shape: ONE imperative `mapPartitions` fold (the
+    * documented last-resort case — dims²/2 products per row through
+    * any declarative explode/HOF was measured 6.4 s at sf0.1 from
+    * interpreted lambdas and 20M-row in-stage inflation; the fold is
+    * plain long arithmetic with ZERO row inflation) emitting one
+    * partial-moment row per partition; the partials (partitions ×
+    * (dims²/2 + 2·dims) longs) explode to (idx, value) and reduce in
+    * DECIMAL — nothing row-count-sized crosses the shuffle. Per-term
+    * magnitudes: |micro| ≤ 10⁶·|x| keeps partition-local pair sums
+    * inside a long up to ~10⁶ rows/partition at unit-norm inputs;
+    * the cross-partition merge is DECIMAL(38,0).
     */
   def dimCorrelation(
       df: DataFrame,
@@ -856,32 +860,78 @@ object Similarity {
       topK: Int = 10): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val v = col(vecCol).cast("array<double>")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val nPairs = dims * (dims - 1) / 2
     val base = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
-      .select(v.as("__v"))
-    val d186 = "decimal(18,6)"
-    val elem = (idx: Column) =>
-      call_function("element_at", col("__v"), (idx + 1).cast("int"))
-    val dimStats = base
-      .select(posexplode(col("__v")).as(Seq("__i", "__x")))
+      .select(col(vecCol).cast("array<double>").as("__v"))
+    val partialSchema = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("s1", ArrayType(LongType, containsNull = false)),
+      StructField("s2", ArrayType(LongType, containsNull = false)),
+      StructField("sp", ArrayType(LongType, containsNull = false))))
+    val partials = base.mapPartitions { it =>
+      val s1 = new Array[Long](dims)
+      val s2 = new Array[Long](dims)
+      val sp = new Array[Long](nPairs)
+      val micro = new Array[Long](dims)
+      var n = 0L
+      it.foreach { r =>
+        val v = r.getSeq[Double](0)
+        var i = 0
+        while (i < dims) {
+          // exact HALF_UP round-6 of the double's binary value, then
+          // ×10⁶ — identical to round(x, 6) on both engines
+          micro(i) = java.math.BigDecimal.valueOf(v(i))
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .movePointRight(6).longValueExact()
+          s1(i) += micro(i)
+          s2(i) += micro(i) * micro(i)
+          i += 1
+        }
+        var p = 0
+        i = 0
+        while (i < dims - 1) {
+          var j = i + 1
+          val mi = micro(i)
+          while (j < dims) {
+            sp(p) += mi * micro(j)
+            p += 1
+            j += 1
+          }
+          i += 1
+        }
+        n += 1L
+      }
+      if (n == 0L) Iterator.empty
+      else Iterator.single(Row(n, s1.toSeq, s2.toSeq, sp.toSeq))
+    }(Encoders.row(partialSchema))
+    // merge the per-partition moment vectors: partitions × array rows
+    // explode to (idx, value) and reduce in DECIMAL — tiny relation
+    val dimAgg = partials
+      .select(col("n"), posexplode(arrays_zip(col("s1"), col("s2")))
+        .as(Seq("__i", "__z")))
       .groupBy(col("__i"))
-      .agg(count(lit(1)).as("__n"),
-        sum(round(col("__x"), 6).cast(d186)).cast("decimal(38,6)").as("__s"),
-        sum(round(col("__x") * col("__x"), 6).cast(d186))
-          .cast("decimal(38,6)").as("__ss"))
-    val pairSums = base
-      .select(explode(flatten(
-        transform(sequence(lit(0), lit(dims - 2)), i =>
-          transform(sequence(i + 1, lit(dims - 1)), j =>
-            struct(i.cast("int").as("i"), j.cast("int").as("j"),
-              round(elem(i) * elem(j), 6).cast(d186).as("p"))))))
-        .as("__e"))
-      .select(col("__e.i").as("i"), col("__e.j").as("j"), col("__e.p"))
-      .groupBy("i", "j")
-      .agg(sum(col("p")).cast("decimal(38,6)").as("__sp"))
-    val a = dimStats.select(col("__i").as("i"), col("__n").as("__na"),
+      .agg(sum(col("n")).as("__n"),
+        sum(col("__z.s1").cast("decimal(38,0)")).as("__s"),
+        sum(col("__z.s2").cast("decimal(38,0)")).as("__ss"))
+    // row-major upper-triangle index → (i, j): an exact driver-built
+    // dims²/2-row lookup, broadcast (a closed-form sqrt inversion
+    // risks one-ulp boundary flips)
+    val idxRows = (for {
+      i <- 0 until dims - 1; j <- i + 1 until dims
+    } yield (i, j)).zipWithIndex.map { case ((i, j), p) => (p, i, j) }
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val idxDf = idxRows.toDF("__p", "i", "j")
+    val pairAgg = partials
+      .select(posexplode(col("sp")).as(Seq("__p", "__v")))
+      .groupBy(col("__p"))
+      .agg(sum(col("__v").cast("decimal(38,0)")).as("__sp"))
+      .join(broadcast(idxDf), "__p")
+    val a = dimAgg.select(col("__i").as("i"), col("__n").as("__na"),
       col("__s").as("__sa"), col("__ss").as("__ssa"))
-    val b = dimStats.select(col("__i").as("j"), col("__s").as("__sb"),
+    val b = dimAgg.select(col("__i").as("j"), col("__s").as("__sb"),
       col("__ss").as("__ssb"))
     val n = col("__na").cast("double")
     val num = n * col("__sp").cast("double") -
@@ -890,7 +940,7 @@ object Similarity {
       col("__sa").cast("double") * col("__sa").cast("double")
     val vb = n * col("__ssb").cast("double") -
       col("__sb").cast("double") * col("__sb").cast("double")
-    pairSums.join(broadcast(a), "i").join(broadcast(b), "j")
+    pairAgg.join(broadcast(a), "i").join(broadcast(b), "j")
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         col("__na").cast("long").as("n"),
         when(va > lit(0.0d) && vb > lit(0.0d),
