@@ -3070,11 +3070,162 @@ object SparkEntry {
 
     "q224_dim_correlation" -> ((s, dir) =>
       // embedding redundancy probe: top-10 most-correlated dimension
-      // pairs — dim-level moments in one posexplode aggregate, cross
-      // terms partial-aggregated straight to the 2016-pair table
+      // pairs — ONE imperative mapPartitions fold over integral
+      // micro-units (zero row inflation; partials are 2144 longs per
+      // partition merged in DECIMAL)
       Similarity.dimCorrelation(t(s, dir, "embeddings"), "embedding",
         dims = 64, topK = 10)
-        .orderBy("i", "j")))
+        .orderBy("i", "j")),
+
+    "q225_session_paths" -> ((s, dir) => {
+      // path analysis: top-10 event-type TRIGRAMS inside sessions
+      // (the q32 gap device) — the "what do users actually do"
+      // readout behind funnel design; leads stay inside the
+      // (user, session) window, so no trigram crosses a session edge
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val sess = events(s, dir)
+        .filter(col("event_type").isNotNull)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (col("ts").cast("long") - col("prev_ts").cast("long")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bySess = Window.partitionBy("user_id", "session_id")
+        .orderBy(col("ts"), col("event_id"))
+      sess
+        .withColumn("e2", lead(col("event_type"), 1).over(bySess))
+        .withColumn("e3", lead(col("event_type"), 2).over(bySess))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+        .select(col("path"), col("n").cast("long").as("n"))
+    }),
+
+    "q226_stream_dedup_watermark" -> ((s, dir) => {
+      // the BUILT-IN streaming dedup surface next to q83's custom
+      // marker state: dropDuplicatesWithinWatermark through the real
+      // runtime (RocksDB-compatible state, watermark-bounded); the
+      // emitted KEY SET is arrival-order-free, so batch parity pins
+      // on the distinct keys
+      val stream = streamT(s, dir, "events")
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      graft.streaming.StreamPipeline
+        .runToResultAppend(s, stream, "graft_q226")
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    }),
+
+    "q227_info_gain" -> ((s, dir) => {
+      // does source predict language? information gain of the source
+      // split over the lang label — the feature-selection screen for
+      // stratified curation. The q72 entropy ladder (round-6 LN
+      // carried as DECIMAL term sums) twice: marginal and
+      // source-conditional.
+      val d = t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+      val cells = d.groupBy("source", "lang").agg(count(lit(1)).as("__c"))
+      val srcTot = cells.groupBy("source").agg(sum(col("__c")).as("__ns"))
+      val hCond = cells.join(broadcast(srcTot), "source")
+        .agg(sum(col("__c").cast("decimal(18,0)") *
+          round(log(col("__c").cast("double") / col("__ns").cast("double")),
+            6).cast("decimal(18,6)")).as("__hc"))
+      val byLang = d.groupBy("lang").agg(count(lit(1)).as("__cl"))
+      val nTot = byLang.agg(sum(col("__cl")).as("__n"))
+      val hTot = byLang.crossJoin(broadcast(nTot))
+        .agg(max(col("__n")).as("__n"),
+          sum(col("__cl").cast("decimal(18,0)") *
+            round(log(col("__cl").cast("double") / col("__n").cast("double")),
+              6).cast("decimal(18,6)")).as("__hl"))
+      hTot.crossJoin(hCond)
+        .select(col("__n").cast("long").as("n"),
+          round(-(col("__hl").cast("double")) / col("__n").cast("double"), 6)
+            .as("h_label"),
+          round(-(col("__hc").cast("double")) / col("__n").cast("double"), 6)
+            .as("h_conditional"),
+          round(-(col("__hl").cast("double")) / col("__n").cast("double") -
+            (-(col("__hc").cast("double")) / col("__n").cast("double")), 6)
+            .as("info_gain"))
+    }),
+
+    "q228_cross_source_neardups" -> ((s, dir) => {
+      // which sources copy from each other? near-dup LEAKAGE matrix:
+      // q213's production winnow candidates mapped back to their
+      // sources — the contamination ledger that decides whether
+      // source-level splits are independent (the sketch-level
+      // complement of q211's exact prefix match)
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.winnowCandidates(docs, "doc_id", "text")
+      val src = docs.select(col("doc_id"), col("source"))
+      cands
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("__sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("__sb")), "id_b")
+        .select(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    "q229_confusion_matrix" -> ((s, dir) =>
+      // the q55 language detector audited as a classifier: actual ×
+      // predicted confusion counts — one map-only kernel pass + one
+      // 25-cell aggregate
+      t(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("lang").as("actual"),
+          TextOps.langId(col("text")).as("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")),
+
+    "q230_class_prf" -> ((s, dir) => {
+      // per-class precision/recall/F1 of the q55 detector — the
+      // eval-family readout over the q229 cells (never the corpus
+      // twice: both marginals derive from the tiny cell table)
+      val cells = t(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("lang").as("actual"),
+          TextOps.langId(col("text")).as("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(count(lit(1)).as("__n"))
+      val tp = cells.filter(col("actual") === col("predicted"))
+        .select(col("actual").as("cls"), col("__n").as("__tp"))
+      val act = cells.groupBy(col("actual").as("cls"))
+        .agg(sum(col("__n")).as("__a"))
+      val pred = cells.groupBy(col("predicted").as("cls"))
+        .agg(sum(col("__n")).as("__p"))
+      act.join(pred, Seq("cls"), "full_outer")
+        .join(tp, Seq("cls"), "left_outer")
+        .select(col("cls"),
+          coalesce(col("__tp"), lit(0L)).cast("long").as("tp"),
+          coalesce(col("__a"), lit(0L)).cast("long").as("n_actual"),
+          coalesce(col("__p"), lit(0L)).cast("long").as("n_predicted"))
+        .withColumn("precision",
+          when(col("n_predicted") > 0,
+            round(col("tp").cast("double") /
+              col("n_predicted").cast("double"), 6)))
+        .withColumn("recall",
+          when(col("n_actual") > 0,
+            round(col("tp").cast("double") /
+              col("n_actual").cast("double"), 6)))
+        .withColumn("f1",
+          when(col("precision").isNotNull && col("recall").isNotNull &&
+            (col("precision") + col("recall")) > 0,
+            round(lit(2.0d) * col("precision") * col("recall") /
+              (col("precision") + col("recall")), 6)))
+        .orderBy("cls")
+    }))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -6859,7 +7010,129 @@ object SparkEntry {
         |  ORDER BY ABS(corr) DESC, i, j LIMIT 10)
         |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
         |  CAST(n AS BIGINT) AS n, corr
-        |FROM topk ORDER BY i, j""".stripMargin)
+        |FROM topk ORDER BY i, j""".stripMargin,
+
+    // q225: the q32 sessionize device + in-session leads; floor-second
+    // gap ≙ date_diff('second'); NULL event types excluded up front on
+    // both sides so session boundaries agree
+    "q225_session_paths" ->
+      """WITH base AS (SELECT user_id, event_id, ts, event_type
+        |  FROM events WHERE event_type IS NOT NULL),
+        |flagged AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0
+        |    END AS ns
+        |  FROM (SELECT user_id, event_id, ts, event_type,
+        |      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        AS prev_ts
+        |    FROM base)),
+        |sess AS (SELECT user_id, event_id, ts, event_type,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |tri AS (SELECT event_type AS e1,
+        |    LEAD(event_type, 1) OVER w AS e2,
+        |    LEAD(event_type, 2) OVER w AS e3
+        |  FROM sess
+        |  WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    // q226: dropDuplicatesWithinWatermark emits an arrival-order-free
+    // KEY SET on this bounded corpus — batch parity is DISTINCT
+    "q226_stream_dedup_watermark" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q227: the q72 entropy ladder twice (round-6 LN → DECIMAL term
+    // sums); IG is a fixed double expression of the two ladders
+    "q227_info_gain" ->
+      """WITH d AS (SELECT source, lang FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT source, lang, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |st AS (SELECT source, SUM(c) AS ns FROM cells GROUP BY 1),
+        |hc AS (SELECT SUM(CAST(c AS DECIMAL(18,0)) *
+        |    CAST(ROUND(LN(CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) AS hcv
+        |  FROM cells JOIN st USING (source)),
+        |bl AS (SELECT lang, COUNT(*) AS cl FROM d GROUP BY 1),
+        |nt AS (SELECT SUM(cl) AS n FROM bl),
+        |ht AS (SELECT MAX(n) AS n, SUM(CAST(cl AS DECIMAL(18,0)) *
+        |    CAST(ROUND(LN(CAST(cl AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) AS hlv
+        |  FROM bl CROSS JOIN nt)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  ROUND(-(CAST(hlv AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS h_label,
+        |  ROUND(-(CAST(hcv AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        |    AS h_conditional,
+        |  ROUND(-(CAST(hlv AS DOUBLE)) / CAST(n AS DOUBLE) -
+        |    (-(CAST(hcv AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS info_gain
+        |FROM ht CROSS JOIN hc""".stripMargin,
+
+    // q228: the q213 winnow replay joined back to sources — the
+    // near-dup leakage matrix
+    "q228_cross_source_neardups" ->
+      """WITH g AS (
+        |  SELECT doc_id, i,
+        |    substr(md5(substr(text, CAST(i AS INT), 20)), 1, 15) AS h,
+        |    length(text) - 19 AS m
+        |  FROM documents, UNNEST(range(1, length(text) - 18)) AS t(i)
+        |  WHERE length(text) >= 20),
+        |sel AS (
+        |  SELECT doc_id, i, m,
+        |    MIN(h || lpad(CAST(i AS VARCHAR), 9, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY i
+        |            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mk
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, substr(mk, 1, 15) AS fp
+        |  FROM sel WHERE i <= GREATEST(1, m - 7)),
+        |keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 20),
+        |pr AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp)),
+        |wp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |m2 AS (SELECT LEAST(da.source, db.source) AS source_a,
+        |    GREATEST(da.source, db.source) AS source_b
+        |  FROM wp JOIN documents da ON wp.id_a = da.doc_id
+        |    JOIN documents db ON wp.id_b = db.doc_id)
+        |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM m2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q229_confusion_matrix" ->
+      s"""SELECT lang AS actual, ${sqlLangId("text")} AS predicted,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM documents WHERE lang IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q230_class_prf" ->
+      s"""WITH cells AS (SELECT lang AS actual,
+         |    ${sqlLangId("text")} AS predicted, COUNT(*) AS c
+         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+         |tp AS (SELECT actual AS cls, c AS tp FROM cells
+         |  WHERE actual = predicted),
+         |act AS (SELECT actual AS cls, SUM(c) AS a FROM cells GROUP BY 1),
+         |pred AS (SELECT predicted AS cls, SUM(c) AS p FROM cells
+         |  GROUP BY 1),
+         |j AS (SELECT COALESCE(act.cls, pred.cls) AS cls,
+         |    COALESCE(tp.tp, 0) AS tp, COALESCE(a, 0) AS a,
+         |    COALESCE(p, 0) AS p
+         |  FROM act FULL OUTER JOIN pred ON act.cls = pred.cls
+         |  LEFT JOIN tp ON COALESCE(act.cls, pred.cls) = tp.cls),
+         |k AS (SELECT cls, tp, a, p,
+         |    CASE WHEN p > 0 THEN
+         |      ROUND(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6) END AS prc,
+         |    CASE WHEN a > 0 THEN
+         |      ROUND(CAST(tp AS DOUBLE) / CAST(a AS DOUBLE), 6) END AS rcl
+         |  FROM j)
+         |SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(a AS BIGINT) AS n_actual,
+         |  CAST(p AS BIGINT) AS n_predicted,
+         |  prc AS "precision", rcl AS recall,
+         |  CASE WHEN prc IS NOT NULL AND rcl IS NOT NULL
+         |      AND (prc + rcl) > 0 THEN
+         |    ROUND(2e0 * prc * rcl / (prc + rcl), 6) END AS f1
+         |FROM k ORDER BY cls""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed
