@@ -3225,7 +3225,53 @@ object SparkEntry {
             round(lit(2.0d) * col("precision") * col("recall") /
               (col("precision") + col("recall")), 6)))
         .orderBy("cls")
-    }))
+    }),
+
+    "q231_deseasonalized_acf" -> ((s, dir) => {
+      // is there autocorrelation BEYOND the weekly cycle? q200's DOW
+      // means removed from the daily series (2-dp decimal residuals),
+      // then q196's ACF over the residual — the composition that
+      // separates "weekends repeat" from genuine momentum
+      val daily = events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type").as("__g"),
+          to_date(date_trunc("day", col("ts"))).as("__d"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("long").as("__c"))
+        .withColumn("__dow",
+          (datediff(col("__d"), to_date(lit("1970-01-01"))) + lit(3)) % 7)
+      // EVERYTHING in integer cents: the DOW mean rounds to a whole
+      // cent via round(double, 0) — the only rounding in the chain,
+      // and a .5-of-integer boundary is exactly representable so both
+      // engines decide it identically (round-2 of a wide decimal mean
+      // flipped a half boundary between the engines); the residual is
+      // then an exact integer and every ACF moment stays integral
+      val dowMean = daily.groupBy("__g", "__dow")
+        .agg(round(sum(col("__c")).cast("double") /
+          count(lit(1)).cast("double"), 0).cast("long").as("__dm"))
+      val resid = daily.join(dowMean, Seq("__g", "__dow"))
+        .select(col("__g").as("event_type"),
+          col("__d").cast("timestamp").as("ts"),
+          (col("__c") - col("__dm")).cast("decimal(18,2)").as("resid"))
+      TimeSeries.autocorr(resid, "event_type", "ts", "resid", maxLag = 7)
+        .orderBy("event_type", "lag")
+    }),
+
+    "q232_dim_discrimination" -> ((s, dir) =>
+      // which embedding dimensions SEPARATE the labels? per-dim ANOVA
+      // F on the quantized view — the Fisher screen run before
+      // projection spends budget (the complement of q224's
+      // redundancy probe); one posexplode to a 640-cell moment table
+      Similarity.dimDiscrimination(t(s, dir, "embeddings"), "embedding",
+        "label", dims = 64, topK = 10)
+        .orderBy("dim")),
+
+    "q233_readability" -> ((s, dir) =>
+      // Coleman–Liau reading level per source (no syllable dictionary
+      // — pure letter/word/sentence arithmetic on the scan); the
+      // register profile next to q207's vocabulary stats
+      TextOps.colemanLiau(t(s, dir, "documents"), Seq("source"), "text")
+        .orderBy("source")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -7132,7 +7178,118 @@ object SparkEntry {
          |  CASE WHEN prc IS NOT NULL AND rcl IS NOT NULL
          |      AND (prc + rcl) > 0 THEN
          |    ROUND(2e0 * prc * rcl / (prc + rcl), 6) END AS f1
-         |FROM k ORDER BY cls""".stripMargin)
+         |FROM k ORDER BY cls""".stripMargin,
+
+    // q231: DOW means at 2 dp re-enter as DECIMAL so the residual
+    // series is exact, then scale to integer CENTS — all ACF moments
+    // become integral and their double casts exact on both engines
+    // (wide-decimal casts double-round; one flipped a round-6 half
+    // boundary); the ACF ratio is scale-invariant, the chain is
+    // q196's verbatim
+    "q231_deseasonalized_acf" ->
+      """WITH daily0 AS (SELECT event_type AS g,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |dw AS (SELECT g, d, c,
+        |    ((CAST(d - DATE '1970-01-01' AS BIGINT) + 3) % 7) AS dow
+        |  FROM daily0),
+        |dm AS (SELECT g, dow,
+        |    CAST(ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 0)
+        |      AS BIGINT) AS mu
+        |  FROM dw GROUP BY 1, 2),
+        |daily AS (SELECT dw.g, d,
+        |    CAST(dw.c - mu AS DECIMAL(18,2)) AS y
+        |  FROM dw JOIN dm ON dw.g = dm.g AND dw.dow = dm.dow),
+        |stats AS (SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(y) AS DECIMAL(28,2)) AS s,
+        |    CAST(SUM(y * y) AS DECIMAL(38,4)) AS syy
+        |  FROM daily GROUP BY 1),
+        |pairs AS (SELECT a.g, CAST(b.d - a.d AS BIGINT) AS lag,
+        |    COUNT(*) AS m,
+        |    CAST(SUM(a.y * b.y) AS DECIMAL(38,4)) AS sxy,
+        |    CAST(SUM(a.y) AS DECIMAL(28,2)) AS sh,
+        |    CAST(SUM(b.y) AS DECIMAL(28,2)) AS st
+        |  FROM daily a JOIN daily b
+        |    ON a.g = b.g AND b.d - a.d BETWEEN 1 AND 7
+        |  GROUP BY 1, 2)
+        |SELECT p.g AS event_type, lag, CAST(n AS BIGINT) AS n_days,
+        |  CAST(m AS BIGINT) AS n_pairs,
+        |  CASE WHEN CAST(syy AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n > 0 THEN
+        |    ROUND((CAST(sxy AS DOUBLE)
+        |        - (CAST(s AS DOUBLE) / n)
+        |          * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))
+        |        + m * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        |      / (CAST(syy AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6)
+        |  END AS acf
+        |FROM pairs p JOIN stats USING (g)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q232: the q224 micro device + the q199 ANOVA ladder per dim
+    "q232_dim_discrimination" ->
+      """WITH e AS (SELECT label, list_transform(embedding, x ->
+        |      CAST(CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))
+        |        * 1000000 AS HUGEINT)) AS m
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND label IS NOT NULL AND len(embedding) = 64),
+        |cells AS (SELECT i, label, COUNT(*) AS ng,
+        |    SUM(m[CAST(i + 1 AS INT)]) AS sg,
+        |    SUM(m[CAST(i + 1 AS INT)] * m[CAST(i + 1 AS INT)]) AS ssg
+        |  FROM e, UNNEST(range(0, 64)) AS t(i) GROUP BY 1, 2),
+        |agg AS (SELECT i, COUNT(*) AS k, SUM(ng) AS n,
+        |    SUM(sg) AS s, SUM(ssg) AS ss,
+        |    SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE), 6) AS DECIMAL(38,6))) AS a2
+        |  FROM cells GROUP BY 1),
+        |f AS (SELECT i, k, n,
+        |    CASE WHEN k > 1 AND n > k
+        |        AND (CAST(ss AS DOUBLE) - CAST(a2 AS DOUBLE)) > 0 THEN
+        |      ROUND(((CAST(a2 AS DOUBLE) - CAST(s AS DOUBLE)
+        |          * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (k - 1))
+        |        / ((CAST(ss AS DOUBLE) - CAST(a2 AS DOUBLE)) / (n - k)), 6)
+        |    END AS f
+        |  FROM agg),
+        |topk AS (SELECT * FROM f WHERE f IS NOT NULL
+        |  ORDER BY f DESC, i LIMIT 10)
+        |SELECT CAST(i AS BIGINT) AS dim, CAST(k AS BIGINT) AS n_classes,
+        |  CAST(n AS BIGINT) AS n, f
+        |FROM topk ORDER BY dim""".stripMargin,
+
+    // q233: letter/word/sentence-run counts are pure length
+    // arithmetic; CLI is one fixed double expression per doc, round-6
+    // into DECIMAL so the per-source means are order-free
+    "q233_readability" ->
+      s"""WITH d AS (SELECT source, text FROM documents
+         |  WHERE text IS NOT NULL AND LENGTH(text) > 0),
+         |per AS (SELECT source,
+         |    CAST(LENGTH(text) -
+         |      LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g'))
+         |      AS BIGINT) AS l,
+         |    ${sqlTokenCount("text")} AS w,
+         |    GREATEST(CAST(LENGTH(REGEXP_REPLACE(text, '[.!?]+', '.', 'g'))
+         |      - LENGTH(REGEXP_REPLACE(text, '[.!?]+', '', 'g'))
+         |      AS BIGINT), 1) AS sn
+         |  FROM d),
+         |cli AS (SELECT source, l, w, sn,
+         |    CAST(ROUND(0.0588e0 * (CAST(l AS DOUBLE) * 100e0
+         |        / CAST(w AS DOUBLE))
+         |      - 0.296e0 * (CAST(sn AS DOUBLE) * 100e0 / CAST(w AS DOUBLE))
+         |      - 15.8e0, 6) AS DECIMAL(18,6)) AS c
+         |  FROM per)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  ROUND(CAST(SUM(l) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS mean_letters,
+         |  ROUND(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS mean_words,
+         |  ROUND(CAST(SUM(sn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS mean_sentences,
+         |  ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS mean_cli
+         |FROM cli GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

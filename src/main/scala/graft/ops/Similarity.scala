@@ -949,4 +949,66 @@ object Similarity {
       .orderBy(abs(col("corr")).desc, col("i"), col("j"))
       .limit(topK)
   }
+
+  /** Most label-DISCRIMINATIVE embedding dimensions: the one-way
+    * ANOVA F of each dimension's values across the label classes
+    * (between-class / within-class variance — the Fisher screen
+    * behind LDA), top `topK` by F. The complement of
+    * [[dimCorrelation]]: that one asks which dims REPEAT each other,
+    * this one asks which dims SEPARATE the classes — the two screens
+    * a projection/quantization pass runs before spending budget.
+    *
+    * Same quantized-view contract as [[dimCorrelation]]: elements
+    * round once to micro units, so every per-(dim, label) moment is
+    * an exact integer; each dim's F then follows q199's ANOVA ladder
+    * (per-class s²/n terms rounded 6, summed as DECIMAL, one fixed
+    * double expression). Degenerate dims (zero within-class
+    * variance, or a single class) yield NULL and drop.
+    *
+    * Scale shape: ONE posexplode to (dim, label, micro) with map-side
+    * combine straight down to the (dims × labels)-sized moment table;
+    * everything after is dims-sized arithmetic. No pair blowup at
+    * all — this is the cheap screen; run it before [[dimCorrelation]].
+    */
+  def dimDiscrimination(
+      df: DataFrame,
+      vecCol: String,
+      labelCol: String,
+      dims: Int,
+      topK: Int = 10): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val micro = (round(col("__x"), 6).cast("decimal(18,6)") * 1000000)
+      .cast("long")
+    val cells = df
+      .filter(col(vecCol).isNotNull && col(labelCol).isNotNull &&
+        size(col(vecCol)) === dims)
+      .select(col(labelCol).as("__l"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+      .select(col("__l"), col("__i"), micro.as("__m"))
+      .groupBy("__i", "__l")
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("__m")).cast("decimal(38,0)").as("__sg"),
+        sum(col("__m") * col("__m")).cast("decimal(38,0)").as("__ssg"))
+    val term = round(
+      col("__sg").cast("double") * col("__sg").cast("double") /
+        col("__ng").cast("double"), 6).cast("decimal(38,6)")
+    val agg = cells.groupBy("__i").agg(
+      count(lit(1)).as("__k"), sum(col("__ng")).as("__n"),
+      sum(col("__sg")).cast("decimal(38,0)").as("__s"),
+      sum(col("__ssg")).cast("decimal(38,0)").as("__ss"),
+      sum(term).as("__a"))
+    val (nD, kD) = (col("__n").cast("double"), col("__k").cast("double"))
+    val ssb = col("__a").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD
+    val ssw = col("__ss").cast("double") - col("__a").cast("double")
+    agg.select(col("__i").cast("long").as("dim"),
+      col("__k").cast("long").as("n_classes"),
+      col("__n").cast("long").as("n"),
+      when(col("__k") > 1 && col("__n") > col("__k") && ssw > lit(0.0d),
+        round((ssb / (kD - lit(1.0d))) / (ssw / (nD - kD)), 6)).as("f"))
+      .filter(col("f").isNotNull)
+      .orderBy(col("f").desc, col("dim"))
+      .limit(topK)
+  }
 }

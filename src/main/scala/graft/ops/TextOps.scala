@@ -746,4 +746,54 @@ object TextOps {
         (-col("__top.negn")).cast("long").as("top_token_n"),
         ((-col("__top.negn")).cast("double") / col("n_tokens")).as("top_token_share"))
   }
+
+  /** Coleman–Liau readability index (Coleman & Liau 1975) — the
+    * reading-level screen that needs NO syllable dictionary:
+    * `0.0588·L − 0.296·S − 15.8` with L = letters per 100 words and
+    * S = sentences per 100 words. Letters count `[A-Za-z]`,
+    * sentences count terminal `[.!?]` runs collapsed to one (an
+    * ellipsis is one boundary), floored at 1 so fragments still
+    * grade. Per `groupCols`: document count, mean letters/words/
+    * sentences and the mean index.
+    *
+    * Parity chain: per-document L/S/CLI are fixed double expressions
+    * of exact counts rounded 6, summed as DECIMAL (order-free), one
+    * final division each. Everything runs inside the scan — counts
+    * are `length(regexp_replace(...))` arithmetic, no UDF, no
+    * explode.
+    */
+  def colemanLiau(
+      df: DataFrame,
+      groupCols: Seq[String],
+      textCol: String): DataFrame = {
+    val text = col(textCol)
+    val letters = (length(text) -
+      length(regexp_replace(text, "[A-Za-z]", ""))).cast("long")
+    val words = tokenCountArith(text)
+    val sentences = greatest(
+      (length(regexp_replace(text, "[.!?]+", ".")) -
+        length(regexp_replace(text, "[.!?]+", ""))).cast("long"), lit(1L))
+    val lPer100 = letters.cast("double") * lit(100.0d) / words.cast("double")
+    val sPer100 = sentences.cast("double") * lit(100.0d) / words.cast("double")
+    val cli = round(lit(0.0588d) * lPer100 - lit(0.296d) * sPer100 -
+      lit(15.8d), 6)
+    df.filter(text.isNotNull && length(text) > 0)
+      .select(groupCols.map(col) ++ Seq(
+        letters.as("__l"), words.as("__w"), sentences.as("__s"),
+        cli.cast("decimal(18,6)").as("__cli")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__l")).as("__sl"), sum(col("__w")).as("__sw"),
+        sum(col("__s")).as("__ss"), sum(col("__cli")).as("__scli"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_docs").cast("long").as("n_docs"),
+        round(col("__sl").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_letters"),
+        round(col("__sw").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_words"),
+        round(col("__ss").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_sentences"),
+        round(col("__scli").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_cli")): _*)
+  }
 }

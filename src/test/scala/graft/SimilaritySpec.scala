@@ -309,4 +309,17 @@ class SimilaritySpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(out2 == Seq((0L, 1L, 4L, 1.0)), s"got $out2")
   }
+
+  test("dimDiscrimination: hand ANOVA F per dim; constant dims drop") {
+    // dim0 separates a/b (F = 32), dim1 constant (ssw = 0 → drops),
+    // dim2 identical across labels (F = 0)
+    val df = Seq(
+      ("a", Seq(1.0, 7.0, 1.0)), ("a", Seq(2.0, 7.0, 2.0)),
+      ("b", Seq(5.0, 7.0, 1.0)), ("b", Seq(6.0, 7.0, 2.0)))
+      .toDF("label", "v")
+    val out = Similarity.dimDiscrimination(df, "v", "label",
+      dims = 3, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 2L, 4L, 32.0), (2L, 2L, 4L, 0.0)), s"got $out")
+  }
 }

@@ -453,4 +453,25 @@ class TextOpsSpec extends SparkSuite {
       (1L, dimOf("beta", 1024), signOf("beta"))).sortBy(_._2)
     assert(out == want, s"got $out want $want")
   }
+
+  test("colemanLiau: hand counts; sentence runs collapse; fragments floor at 1") {
+    import graft.ops.TextOps
+    import org.apache.spark.sql.functions.col
+    // "The cat. A dog!": 10 letters, 4 tokens, 2 sentence runs →
+    // L=250, S=50, CLI = 0.0588*250 - 0.296*50 - 15.8 = -15.9
+    val docs = Seq(("s1", "The cat. A dog!"),
+      ("s2", "no terminal punctuation here")).toDF("src", "text")
+    val out = TextOps.colemanLiau(docs, Seq("src"), "text")
+      .orderBy("src")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out.head == (("s1", 1L, 10.0, 4.0, 2.0, -15.9)), s"got $out")
+    // fragment: sentences floor at 1 so the index still grades
+    val frag = out(1)
+    assert(frag._5 == 1.0, s"sentence floor: $frag")
+    // an ellipsis run counts once
+    val ell = Seq(("s", "Wait... what")).toDF("src", "text")
+    val e = TextOps.colemanLiau(ell, Seq("src"), "text")
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    assert(e._5 == 1.0, s"ellipsis run: $e")
+  }
 }
