@@ -3271,7 +3271,65 @@ object SparkEntry {
       // — pure letter/word/sentence arithmetic on the scan); the
       // register profile next to q207's vocabulary stats
       TextOps.colemanLiau(t(s, dir, "documents"), Seq("source"), "text")
-        .orderBy("source")))
+        .orderBy("source")),
+
+    "q234_table_checksums" -> ((s, dir) => {
+      // transfer-validation fingerprints (the reference's job IS
+      // moving tables between systems): per table — row count,
+      // distinct keys, and an order-free md5-prefix checksum of the
+      // key column (sum of the first 8 hex digits as an integer);
+      // one scan per table, nothing but the digest sum shuffles
+      val tables = Seq(
+        ("region", "r_regionkey"), ("nation", "n_nationkey"),
+        ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+        ("part", "p_partkey"))
+      tables.map { case (tbl, key) =>
+        t(s, dir, tbl).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col(key)).as("n_keys"),
+          sum(conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
+            .cast("decimal(18,0)")).cast("decimal(28,0)").as("__ck"))
+          .select(lit(tbl).as("table_name"),
+            col("n_rows").cast("long").as("n_rows"),
+            col("n_keys").cast("long").as("n_keys"),
+            col("__ck").cast("long").as("key_checksum"))
+      }.reduce(_ unionByName _).orderBy("table_name")
+    }),
+
+    "q235_weekly_value_profile" -> ((s, dir) => {
+      // distribution drift over time: weekly n/mean/p50/p90 of order
+      // totals — "are orders getting bigger, or just more skewed" —
+      // exact percentiles per week through the bracketed selection
+      val o = t(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull)
+        .withColumn("week",
+          date_trunc("week", col("o_orderdate")).cast("date"))
+        .withColumn("__v",
+          col("o_totalprice").cast("decimal(18,2)").cast("double"))
+      // the mean's numerator enters as integer CENTS — a wide-decimal
+      // sum cast to double double-rounds in DuckDB and flipped a
+      // round-6 half boundary at sf0.01 (the q231 hazard)
+      val stats = o.groupBy("week")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("__sc"))
+      val pcts = graft.ops.Percentiles.exact(
+        o, Seq("week"), "__v", Seq(0.5, 0.9))
+        .select(col("week"),
+          round(element_at(col("pcts"), 1), 6).as("p50"),
+          round(element_at(col("pcts"), 2), 6).as("p90"))
+      // the 6-dp mean rounds in INTEGERS: mean divisions land on
+      // exact .5 micro boundaries (n divides binary-friendly cents),
+      // where DuckDB's double ROUND and Spark's decimal-expansion
+      // ROUND disagree — half-up integer division
+      // `(2a + b) div (2b)` is boundary-exact on both engines
+      stats.join(pcts, "week")
+        .select(col("week"), col("n_orders").cast("long").as("n_orders"),
+          (expr("(2L * __sc * 10000L + n_orders) div (2L * n_orders)")
+            .cast("double") / lit(1000000.0d)).as("mean_price"),
+          col("p50"), col("p90"))
+        .orderBy("week")
+    }))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -7289,7 +7347,41 @@ object SparkEntry {
          |    AS mean_sentences,
          |  ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
          |    AS mean_cli
-         |FROM cli GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM cli GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q234: order-free digest checksum — DuckDB has no CONV, so the
+    // 8 hex digits expand to a strpos polynomial (same integer)
+    "q234_table_checksums" -> {
+      val tables = Seq(
+        ("region", "r_regionkey"), ("nation", "n_nationkey"),
+        ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+        ("part", "p_partkey"))
+      def hex8(keyExpr: String): String =
+        (1 to 8).map { i =>
+          s"(strpos('0123456789abcdef', substr(md5(CAST($keyExpr AS " +
+            s"VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+        }.mkString("(", " + ", ")")
+      tables.map { case (tbl, key) =>
+        s"""SELECT '$tbl' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(DISTINCT $key) AS BIGINT) AS n_keys,
+           |  CAST(SUM(${hex8(key)}) AS BIGINT) AS key_checksum
+           |FROM $tbl""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
+
+    // q235: quantile_cont ≙ the bracketed exact selection (q106)
+    "q235_weekly_value_profile" ->
+      """WITH o AS (SELECT
+        |    CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT week, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST((2 * CAST(CAST(SUM(p) AS DECIMAL(28,2)) * 100 AS BIGINT)
+        |      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+        |    / 1000000e0 AS mean_price,
+        |  ROUND(quantile_cont(CAST(p AS DOUBLE), 0.5e0), 6) AS p50,
+        |  ROUND(quantile_cont(CAST(p AS DOUBLE), 0.9e0), 6) AS p90
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed
