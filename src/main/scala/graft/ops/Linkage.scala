@@ -148,8 +148,10 @@ object Linkage {
     * match but a strong JW one) and prefix-weighted, which fits
     * person/product names where the head tokens carry the identity.
     *
-    * Same scale shape as [[blockedPairs]]: one block-key shuffle,
-    * per-block explode under the `maxBlock` skew guard; the scorer is
+    * Same scale shape (and the same optional `audit` Observation for
+    * dropped-block counts) as [[blockedPairs]]: one block-key
+    * shuffle, per-block explode under the `maxBlock` skew guard; the
+    * scorer is
     * the compiled `graft_jaro_winkler` kernel (TextKernels, codegen'd,
     * DuckDB-bit-parity for ASCII), so the match stage stays inside
     * whole-stage codegen. Requires `GraftFunctions.registerAll` (or
