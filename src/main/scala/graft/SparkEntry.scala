@@ -3329,6 +3329,26 @@ object SparkEntry {
             .cast("double") / lit(1000000.0d)).as("mean_price"),
           col("p50"), col("p90"))
         .orderBy("week")
+    }),
+
+    "q236_curriculum_interleave" -> ((s, dir) => {
+      // mixture-preserving training order: every prefix of the
+      // serialized corpus carries each source in ≈ its corpus share
+      // (mid-quantile interleave over two rank-device passes — a
+      // plain sort clumps, a shuffle is non-reproducible). Readout:
+      // source counts per position decile — the mixture must be FLAT
+      // down the schedule.
+      val ordered = graft.ops.Layout.proportionalInterleave(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", Seq("doc_id"))
+      ordered
+        .select(col("source"),
+          expr("(position - 1L) * 10L div n_total").as("decile"))
+        .groupBy("decile", "source")
+        .agg(count(lit(1)).as("n"))
+        .select(col("decile").cast("long").as("decile"), col("source"),
+          col("n").cast("long").as("n"))
+        .orderBy("decile", "source")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -7381,7 +7401,25 @@ object SparkEntry {
         |    / 1000000e0 AS mean_price,
         |  ROUND(quantile_cont(CAST(p AS DOUBLE), 0.5e0), 6) AS p50,
         |  ROUND(quantile_cont(CAST(p AS DOUBLE), 0.9e0), 6) AS p90
-        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q236: the mid-quantile key (2r−1)/(2n_s) is the same double on
+    // both engines; the global order ties through (key, source, id)
+    "q236_curriculum_interleave" ->
+      """WITH r1 AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS ns
+        |  FROM documents),
+        |keyed AS (SELECT doc_id, source,
+        |    CAST(2 * rk - 1 AS DOUBLE) / CAST(2 * ns AS DOUBLE) AS k
+        |  FROM r1),
+        |pos AS (SELECT source,
+        |    ROW_NUMBER() OVER (ORDER BY k, source, doc_id) AS p,
+        |    COUNT(*) OVER () AS n
+        |  FROM keyed)
+        |SELECT CAST((p - 1) * 10 // n AS BIGINT) AS decile, source,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pos GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

@@ -50,4 +50,48 @@ object Layout {
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
   }
+
+  /** Mixture-preserving training order (proportional interleave):
+    * assign every row a global `position` such that EVERY PREFIX of
+    * the order carries each stratum in ≈ its corpus proportion — the
+    * deterministic, shuffle-free answer to "serialize this mixed
+    * corpus for training without clumping a source" (a plain sort by
+    * source clumps; a random shuffle is non-reproducible; this is
+    * the low-discrepancy ordering both avoid). Works for curriculum
+    * schedules too: make `orderCols` the difficulty order and each
+    * stratum streams easy→hard while the stratum MIX stays flat.
+    *
+    * Device: within-stratum rank r (the two-phase rank device) maps
+    * to the mid-quantile key `(2r − 1) / (2·n_s)` — stratum s's rows
+    * sit at evenly-spaced points of [0, 1), so sorting by the key
+    * interleaves strata proportionally (the same mid-rank device as
+    * quantile normalization, used as a SCHEDULE); the global
+    * position is a second rank pass over (key, stratum, order…) —
+    * total order, engine-portable (identical doubles sort
+    * identically; ties cannot cross strata at the same key unless
+    * n_s coincide, and then the stratum column breaks them).
+    *
+    * Scale shape: two rank-device passes = two range shuffles of the
+    * slim keyed projection, no global window, no data movement of
+    * payload columns (join the position back by id if the full rows
+    * are wide).
+    */
+  def proportionalInterleave(
+      df: DataFrame,
+      strataCol: String,
+      orderCols: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "proportionalInterleave needs order columns")
+    val ranked = Rank.stratifiedRank(df, strataCol, orderCols, numPartitions)
+      .withColumn("__key",
+        (lit(2L) * col("rk") - 1).cast("double") /
+          (lit(2L) * col("n_stratum")).cast("double"))
+      .drop("rk", "n_stratum")
+    Rank.stratifiedRank(
+      ranked.withColumn("__all", lit(1)),
+      "__all", Seq("__key", strataCol) ++ orderCols, numPartitions)
+      .withColumnRenamed("rk", "position")
+      .withColumnRenamed("n_stratum", "n_total")
+      .drop("__all", "__key")
+  }
 }

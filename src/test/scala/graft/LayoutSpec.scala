@@ -47,4 +47,23 @@ class LayoutSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("proportionalInterleave: mid-quantile schedule by hand; prefixes stay mixed") {
+    import spark.implicits._
+    import graft.ops.Layout
+    // a has 4 rows (keys 1/8, 3/8, 5/8, 7/8), b has 2 (1/4, 3/4) →
+    // order a b a a b a: no prefix clumps a source
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 10L), ("b", 11L)).toDF("src", "id")
+    val out = Layout.proportionalInterleave(df, "src", Seq("id"))
+      .orderBy("position")
+      .select("src", "id", "position", "n_total")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq("a", "b", "a", "a", "b", "a"),
+      s"schedule: $out")
+    assert(out.map(_._3) == (1L to 6L) && out.forall(_._4 == 6L),
+      s"positions: $out")
+    // within a stratum the order respects orderCols (curriculum)
+    assert(out.filter(_._1 == "a").map(_._2) == Seq(1L, 2L, 3L, 4L))
+  }
 }
