@@ -3349,6 +3349,52 @@ object SparkEntry {
         .select(col("decile").cast("long").as("decile"), col("source"),
           col("n").cast("long").as("n"))
         .orderBy("decile", "source")
+    }),
+
+    "q237_packing_efficiency" -> ((s, dir) => {
+      // the efficiency audit of q66's concat-and-chunk packer: how
+      // full is the last pack, and how many documents straddle a
+      // pack boundary (a split doc pays cross-chunk attention loss) —
+      // per budget, from pure offset arithmetic on the prefix device
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      Seq(256L, 512L, 1024L).map { budget =>
+        Pack.contiguous(docs, "doc_id", "n_tokens", budget)
+          .agg(count(lit(1)).as("__n"),
+            sum(col("n_tokens")).as("__tok"),
+            max(col("pack_last")).as("__lastpack"),
+            sum(when(col("pack_last") > col("pack_first"), 1L)
+              .otherwise(0L)).as("__split"))
+          .select(lit(budget).as("budget"),
+            col("__n").cast("long").as("n_docs"),
+            col("__tok").cast("long").as("n_tokens"),
+            (col("__lastpack") + 1).cast("long").as("n_packs"),
+            col("__split").cast("long").as("n_docs_split"),
+            round(col("__tok").cast("double") /
+              ((col("__lastpack") + 1).cast("double") *
+                lit(budget.toDouble)), 6).as("fill_rate"))
+      }.reduce(_ unionByName _).orderBy("budget")
+    }),
+
+    "q238_contamination_report" -> ((s, dir) => {
+      // q67's Bloom decontamination turned into the per-source LEDGER:
+      // which sources leak eval content, and how much — the report a
+      // curation run publishes next to the filtered corpus
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val contam = Dedup.decontaminateBloom(train,
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 7, expectedGrams = 100000L, fpp = 0.01)
+        .select(col("doc_id"))
+      val tot = train.groupBy("source").agg(count(lit(1)).as("__n"))
+      val con = train.join(contam, "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("__c"))
+      tot.join(con, Seq("source"), "left_outer")
+        .select(col("source"), col("__n").cast("long").as("n_docs"),
+          coalesce(col("__c"), lit(0L)).cast("long").as("n_contaminated"),
+          round(coalesce(col("__c"), lit(0L)).cast("double") /
+            col("__n").cast("double"), 6).as("contamination_rate"))
+        .orderBy("source")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -7419,7 +7465,54 @@ object SparkEntry {
         |  FROM keyed)
         |SELECT CAST((p - 1) * 10 // n AS BIGINT) AS decile, source,
         |  CAST(COUNT(*) AS BIGINT) AS n
-        |FROM pos GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM pos GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q237: pure integer offset arithmetic per budget (q66's device)
+    "q237_packing_efficiency" -> {
+      def block(b: Long): String =
+        s"""SELECT ${b} AS budget, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+           |  CAST(MAX(pl) + 1 AS BIGINT) AS n_packs,
+           |  CAST(SUM(CASE WHEN pl > pf THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_docs_split,
+           |  ROUND(CAST(SUM(n) AS DOUBLE) /
+           |    (CAST(MAX(pl) + 1 AS DOUBLE) * ${b}e0), 6) AS fill_rate
+           |FROM (SELECT n, o // ${b} AS pf,
+           |    (o + GREATEST(n, 1) - 1) // ${b} AS pl
+           |  FROM (SELECT n, COALESCE(SUM(n) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+           |    FROM (SELECT doc_id,
+           |        CAST(len(string_split_regex(trim(text), '\\s+'))
+           |          AS BIGINT) AS n
+           |      FROM documents)))""".stripMargin
+      Seq(256L, 512L, 1024L).map(block)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY budget")
+    },
+
+    // q238: the q67 exact-overlap contract rolled up per source
+    "q238_contamination_report" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tokens
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, array_to_string(tokens[i:i+6], ' ') AS gram
+        |    FROM toks, UNNEST(range(1, len(tokens) - 5)) AS t(i)
+        |    UNION ALL
+        |    SELECT doc_id, array_to_string(tokens, ' ') AS gram
+        |    FROM toks WHERE len(tokens) < 7)),
+        |ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 10 = 0),
+        |cont AS (SELECT DISTINCT tr.doc_id
+        |  FROM (SELECT doc_id, gram FROM sh WHERE doc_id % 10 <> 0) tr
+        |  JOIN ev USING (gram)),
+        |tr2 AS (SELECT doc_id, source FROM documents WHERE doc_id % 10 <> 0),
+        |tc AS (SELECT source, COUNT(*) AS n FROM tr2 GROUP BY 1),
+        |cc AS (SELECT source, COUNT(*) AS c FROM tr2
+        |  JOIN cont USING (doc_id) GROUP BY 1)
+        |SELECT tc.source, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(c, 0) AS BIGINT) AS n_contaminated,
+        |  ROUND(CAST(COALESCE(c, 0) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS contamination_rate
+        |FROM tc LEFT JOIN cc ON tc.source = cc.source
+        |ORDER BY 1""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed
