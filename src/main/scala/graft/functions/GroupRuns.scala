@@ -63,6 +63,12 @@ case class GroupRuns(child: Expression)
     var first = true
     var idx = 0
     while (idx < n) {
+      // the jq compiler's Schwartzian transform never emits null
+      // elements; fail loudly rather than mis-group if a direct SQL
+      // caller passes one
+      if (arr.isNullAt(idx))
+        throw new IllegalArgumentException(
+          "graft_group_runs: null keyed element at index " + idx)
       val row = arr.getStruct(idx, 3)
       val k = row.get(0, keyType)
       val boundary = !first && !(
