@@ -71,10 +71,10 @@ object Layout {
     * identically; ties cannot cross strata at the same key unless
     * n_s coincide, and then the stratum column breaks them).
     *
-    * Scale shape: two rank-device passes = two range shuffles of the
-    * slim keyed projection, no global window, no data movement of
-    * payload columns (join the position back by id if the full rows
-    * are wide).
+    * Scale shape: two rank-device passes = two range shuffles of
+    * WHATEVER `df` carries — project down to (id, stratum, order
+    * keys) before calling and join `position` back by id if the full
+    * rows are wide; no global window anywhere.
     */
   def proportionalInterleave(
       df: DataFrame,
