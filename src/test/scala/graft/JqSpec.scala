@@ -448,6 +448,31 @@ class JqSpec extends SparkSuite {
     assert(c2.head == "1,3,5-5#1,3,5")
   }
 
+  test("group_by/unique_by: 30 randomized corpora byte-match real jq") {
+    import graft.transform.JqEscapeHatch
+    // small vocabulary forces heavy key duplication; exercises the
+    // native run-splitting kernel across many run shapes
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "b", "c", "dd", "e", "ff", "g")
+    val rows = (1 to 30).map { i =>
+      (i.toLong,
+        Seq.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+          .mkString(" "))
+    }
+    val df = rows.toDF("id", "text")
+    val prog = """{id,
+      g: (.text | split(" ") | group_by(.) | map(join("-")) | join(",")),
+      u: (.text | split(" ") | unique_by(.) | join(","))}"""
+      .replaceAll("\n\\s*", " ")
+    val sel = Seq("id", "concat(g, '#', u) AS gu")
+    val compiled = Jq.compile(prog)(df).selectExpr(sel: _*)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val real = JqEscapeHatch(df, prog).selectExpr(sel: _*)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(compiled == real,
+      s"\nfirst diff: ${compiled.zip(real).find(p => p._1 != p._2)}")
+  }
+
   test("has/keys/to_entries/from_entries on map columns match real jq") {
     import graft.transform.JqEscapeHatch
     val df = spark.range(1).selectExpr("map('b', 2L, 'a', 1L) AS m")
