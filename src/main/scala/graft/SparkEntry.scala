@@ -3113,7 +3113,12 @@ object SparkEntry {
       // marker state: dropDuplicatesWithinWatermark through the real
       // runtime (RocksDB-compatible state, watermark-bounded); the
       // emitted KEY SET is arrival-order-free, so batch parity pins
-      // on the distinct keys
+      // on the distinct keys. The trailing .distinct() keeps that
+      // contract EXPLICIT: keys whose duplicates arrive more than the
+      // watermark apart are legitimately re-emitted by the operator
+      // (state expired), so the raw append stream is only
+      // duplicate-free per batching accident — the pinned invariant
+      // is the key SET, robust to corpus/microbatch changes.
       val stream = streamT(s, dir, "events")
         .withWatermark("ts", "1 day")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -3121,6 +3126,7 @@ object SparkEntry {
       graft.streaming.StreamPipeline
         .runToResultAppend(s, stream, "graft_q226")
         .select("user_id", "event_type")
+        .distinct()
         .orderBy("user_id", "event_type")
     }),
 

@@ -152,6 +152,13 @@ object Eval {
     * top band; q202's no-IEEE-boundary device). Mean score sums as
     * DECIMAL so the confidence is order-free.
     *
+    * Out-of-domain scores CLAMP to the edge bins (score < 0 → bin 0,
+    * score > 1 → bin `bins−1`) rather than minting phantom negative /
+    * overflow bin indices; their raw (unclamped) score still feeds
+    * `confidence`, so a polluted input shows up as an edge bin whose
+    * confidence escapes [0,1] — visible, not silently renumbered.
+    * Callers wanting a hard contract should filter the domain first.
+    *
     * Scale shape: ONE map-side-combined aggregate to ≤ `bins` rows.
     */
   def calibrationBins(
@@ -165,7 +172,9 @@ object Eval {
       .cast("decimal(18,6)") * 1000000).cast("long")
     df.filter(col(scoreCol).isNotNull && lbl.isNotNull)
       .select(micro.as("__c"), lbl.as("__y"))
-      .groupBy(expr(s"__c * ${bins}L div 1000001L").cast("long").as("bin"))
+      .groupBy(greatest(lit(0L),
+        least(lit(bins - 1L), expr(s"__c * ${bins}L div 1000001L")))
+        .cast("long").as("bin"))
       .agg(count(lit(1)).as("__n"),
         sum((col("__c").cast("decimal(18,0)"))).as("__sc"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))

@@ -22,7 +22,22 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * claim: the corpus crosses exactly ONE exchange, and PlanSpec pins
   * it.
   */
-private[ops] object Prefix {
+private[graft] object Prefix {
+
+  /** Escape hatch for the lineage trade-off of the default
+    * `localCheckpoint` pinning (see [[localScan]]): when `true`,
+    * [[localScan]] pins via RELIABLE `checkpoint` instead —
+    * materialized to `spark.sparkContext.setCheckpointDir` storage, so
+    * blocks survive executor failure and dynamic-allocation
+    * decommission, at the cost of a distributed-FS write. Flip this
+    * for long multi-stage production jobs on clusters with dynamic
+    * allocation; the default stays local (zero-FS-dependency, right
+    * for bounded interactive jobs and `local[*]`). A plain `persist`
+    * is NOT a valid third option: an evicted cached block recomputes
+    * through the nondeterministic range sampling and re-introduces
+    * the exact pid-misalignment bug this pinning exists to prevent.
+    */
+  @volatile var useReliableCheckpoint: Boolean = false
 
   /** Adds `__pid` (physical partition id) and `__local` (exclusive
     * partition-local running total in row order) to an ALREADY
@@ -51,6 +66,18 @@ private[ops] object Prefix {
     * range shuffle + scan ONCE and hands every consumer the same
     * pinned RDD partitions; it also converts the old double
     * execution of this subtree into block reads.
+    *
+    * LINEAGE TRADE-OFF: `localCheckpoint` truncates lineage — a
+    * checkpoint block lost to executor failure or dynamic-allocation
+    * decommission CANNOT be recomputed, so the query fails (and
+    * reruns from the top) instead of retrying the lost task. That is
+    * the deliberate price of by-construction pid alignment: a
+    * recomputed block would re-sample range boundaries and corrupt
+    * results silently, which is strictly worse than a loud failure.
+    * On clusters where executor loss is routine (dynamic allocation,
+    * spot instances), set [[useReliableCheckpoint]] `= true` to pin
+    * via reliable `checkpoint` (requires `setCheckpointDir`): same
+    * single-execution guarantee, blocks survive executor loss.
     */
   def localScan(
       ranged: DataFrame,
@@ -85,7 +112,9 @@ private[ops] object Prefix {
         }
         Row.fromSeq(r.toSeq :+ pid :+ local)
       }
-    }(Encoders.row(schema))
-      .localCheckpoint(eager = false)
+    }(Encoders.row(schema)) match {
+      case mapped if useReliableCheckpoint => mapped.checkpoint(eager = false)
+      case mapped => mapped.localCheckpoint(eager = false)
+    }
   }
 }

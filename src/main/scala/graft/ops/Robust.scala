@@ -19,13 +19,46 @@ import org.apache.spark.sql.functions._
   * (4.4–5.4s vs 2.1–2.4s warm; materialization + InMemoryTableScan
   * reads cost more than the cheap re-scans), so the default is OFF;
   * flip it when the upstream is an expensive computed relation or a
-  * wide scan where re-reading dominates (the 100 TB shape).
+  * wide scan where re-reading dominates (the 100 TB shape). The
+  * returned DataFrame is lazy, so the cache must outlive this call —
+  * opted-in projections register in a queue and the CALLER releases
+  * them with [[Robust.unpersistPersisted]] after materializing.
   *
   * Reference behavior: the reference pushes outlier predicates to the
   * warehouse as SQL text (ext/maxcompute/source.go:135-247); this is
   * the corresponding native plan.
   */
 object Robust {
+
+  /** Projections persisted by `persistProjection = true`, in creation
+    * order. The returned DataFrames are lazy, so the operator cannot
+    * unpersist for the caller (the cache must survive until the
+    * caller materializes the result) — instead every persisted
+    * projection registers here and the caller releases with
+    * [[unpersistPersisted]] once done. Unreleased entries otherwise
+    * accumulate cached blocks across repeated calls in a long-lived
+    * session.
+    */
+  private val persistedProjections =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def registerPersisted(df: DataFrame): DataFrame = {
+    persistedProjections.add(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    df
+  }
+
+  /** Unpersists every projection cached by `persistProjection = true`
+    * since the last call and returns how many were released. Call
+    * after materializing the results of madOutliers/spearman runs
+    * that opted in.
+    */
+  def unpersistPersisted(blocking: Boolean = false): Int = {
+    var n = 0
+    var d = persistedProjections.poll()
+    while (d != null) { d.unpersist(blocking); n += 1; d = persistedProjections.poll() }
+    n
+  }
 
   /** Rows whose `|value − median(group)|` exceeds `k · 1.4826 ·
     * MAD(group)`, with the per-group `med`/`mad` attached. Null
@@ -49,9 +82,7 @@ object Robust {
     val proj0 = df.select(groupCols.map(col) :+
       col(valueCol).cast("double").as("__v"): _*)
     val proj =
-      if (persistProjection)
-        proj0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else proj0
+      if (persistProjection) registerPersisted(proj0) else proj0
     val meds = Percentiles.exactOne(proj, groupCols, "__v", 0.5, accuracy)
       .select(groupCols.map(col) :+ col("pct").as("med"): _*)
     val devs = proj.join(broadcast(meds), groupCols)
@@ -174,9 +205,7 @@ object Robust {
       .select(col(groupCol).as("__g"), col(xCol).as("__x"),
         col(yCol).as("__y"))
     val base =
-      if (persistProjection)
-        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else base0
+      if (persistProjection) registerPersisted(base0) else base0
     def doubledRanks(vcol: String, out: String): DataFrame = {
       val vc = base.groupBy(col("__g"), col(vcol))
         .agg(count(lit(1)).as("__c"))

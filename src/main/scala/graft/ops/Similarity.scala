@@ -988,8 +988,17 @@ object Similarity {
       .select(col("__l"), col("__i"), micro.as("__m"))
       .groupBy("__i", "__l")
       .agg(count(lit(1)).as("__ng"),
-        sum(col("__m")).cast("decimal(38,0)").as("__sg"),
-        sum(col("__m") * col("__m")).cast("decimal(38,0)").as("__ssg"))
+        // Per-term DECIMAL, not long: micro values are bounded by the
+        // decimal(18,6) quantized view at |m| < 1e18, so m*m (< 1e36)
+        // would silently wrap a 64-bit product for |x| >= ~3037 and the
+        // long SUM itself wraps past ~9.2e18 under non-ANSI Spark.
+        // decimal(19,0) terms make the product decimal(38,0) — exact for
+        // the full quantized domain, matching the HUGEINT oracle.
+        sum(col("__m").cast("decimal(19,0)")).cast("decimal(38,0)")
+          .as("__sg"),
+        sum(col("__m").cast("decimal(19,0)") *
+            col("__m").cast("decimal(19,0)")).cast("decimal(38,0)")
+          .as("__ssg"))
     val term = round(
       col("__sg").cast("double") * col("__sg").cast("double") /
         col("__ng").cast("double"), 6).cast("decimal(38,6)")

@@ -76,4 +76,17 @@ class EvalSpec extends SparkSuite {
       (0L, 2L, 0.05, 0.5, 0.45),
       (9L, 2L, 0.95, 1.0, 0.05)), s"got $out")
   }
+
+  test("calibrationBins: out-of-domain scores clamp to edge bins") {
+    // scores below 0 / above 1 must land in bins 0 / bins-1 — never
+    // phantom negative or >= bins indices; the raw score still feeds
+    // confidence so pollution is visible (confidence escapes [0,1])
+    val df = Seq((-0.3, false), (1.7, true), (0.5, true))
+      .toDF("score", "y")
+    val out = Eval.calibrationBins(df, "score", col("y"), bins = 10)
+      .orderBy("bin")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0L, 4L, 9L), s"got $out")
+    assert(out.head._3 == -0.3 && out.last._3 == 1.7, s"got $out")
+  }
 }

@@ -258,6 +258,29 @@ class PipelineOpsSpec extends SparkSuite {
     } finally base.unpersist()
   }
 
+  test("prefix device: reliable-checkpoint escape hatch matches default pinning") {
+    import graft.ops.{Prefix, Rank}
+    import org.apache.spark.sql.expressions.Window
+    // useReliableCheckpoint = true pins via reliable checkpoint
+    // (survives executor loss; for dynamic-allocation clusters) —
+    // values must be identical to the localCheckpoint default
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val vc = (1L to 300L).map(i => (i, s"g${i % 4}", (i * 31) % 17 + 1))
+      .toDF("id", "g", "c")
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = vc.withColumn("prefix",
+      coalesce(sum("c").over(w), lit(0L)).cast("long"))
+      .select("id", "prefix").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    spark.sparkContext.setCheckpointDir(dir)
+    Prefix.useReliableCheckpoint = true
+    try {
+      val got = Rank.stratifiedPrefixSum(vc, "g", Seq("id"), "c")
+        .select("id", "prefix").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want, "reliable pinning must not change values")
+    } finally Prefix.useReliableCheckpoint = false
+  }
+
   test("stratifiedRank plan: one corpus shuffle, imperative local rank, reused exchange") {
     import graft.ops.Rank
     val df = (1L to 50L).map(i => (i, s"s${i % 2}")).toDF("id", "g")

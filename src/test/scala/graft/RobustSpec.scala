@@ -121,6 +121,11 @@ class RobustSpec extends SparkSuite {
     assert(plain.select("v").as[Double].collect().toSeq == Seq(1000.0))
     assert(!plain.queryExecution.optimizedPlan.toString
       .contains("InMemoryRelation"), "default must not persist")
+    // the opt-in projection registered for caller-side release (the
+    // returned DF is lazy so the operator can't unpersist itself);
+    // unpersistPersisted drains the queue exactly once
+    assert(Robust.unpersistPersisted(blocking = true) >= 1)
+    assert(Robust.unpersistPersisted() == 0, "queue must drain")
   }
 
   test("robustShape: uniform 1..8 is Bowley-symmetric with Moors 1.0") {
