@@ -3401,6 +3401,36 @@ object SparkEntry {
           round(coalesce(col("__c"), lit(0L)).cast("double") /
             col("__n").cast("double"), 6).as("contamination_rate"))
         .orderBy("source")
+    }),
+
+    "q239_ivf_batch" -> ((s, dir) => {
+      // Batch-probe equivalence contract: ivfSearchBatch (ONE pass
+      // over the probed-cell union, default assignForProbing wiring)
+      // must return EXACTLY what a per-query ivfTopK loop returns for
+      // the same index/nprobe/k — same ids, same round-6 cosines,
+      // same ranks. Violations = symmetric difference; oracle pins
+      // empty.
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+      val idx = Similarity.IvfIndex.fit(e, "embedding", cells = 8)
+      val batch = Similarity.ivfSearchBatch(idx, e, "vec_id", "embedding",
+        queries, k = 10, nprobe = 2)
+        .select(col("query_id"), col("corpus_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+      val assigned = idx.assign(e, "embedding")
+      val loop = queries.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("__q")).collect()
+        .map { r =>
+          Similarity.ivfTopK(idx, assigned, "vec_id", "embedding",
+            r.getSeq[Double](1), k = 10, nprobe = 2)
+            .select(lit(r.getLong(0)).as("query_id"),
+              col("vec_id").as("corpus_id"), col("cos_sim"),
+              row_number().over(Window.orderBy(col("cos_sim").desc,
+                col("vec_id"))).cast("long").as("rank"))
+        }.reduce(_.union(_))
+      batch.exceptAll(loop).withColumn("side", lit("batch_only"))
+        .union(loop.exceptAll(batch).withColumn("side", lit("loop_only")))
+        .orderBy("side", "query_id", "rank")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -7518,7 +7548,13 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(c, 0) AS DOUBLE) / CAST(n AS DOUBLE), 6)
         |    AS contamination_rate
         |FROM tc LEFT JOIN cc ON tc.source = cc.source
-        |ORDER BY 1""".stripMargin)
+        |ORDER BY 1""".stripMargin,
+
+    // q239 batch-probe ≡ probe-loop equivalence contract — empty.
+    "q239_ivf_batch" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS corpus_id,
+        |  CAST(NULL AS DOUBLE) AS cos_sim, CAST(NULL AS BIGINT) AS rank,
+        |  CAST(NULL AS VARCHAR) AS side WHERE FALSE""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

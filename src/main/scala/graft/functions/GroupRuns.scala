@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
@@ -25,8 +25,7 @@ import org.apache.spark.sql.types._
   * interpreted ordering `sort_array` used to sort the input, so run
   * boundaries agree exactly with the sort.
   */
-case class GroupRuns(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class GroupRuns(child: Expression) extends UnaryExpression {
 
   private lazy val elemStruct: StructType =
     child.dataType.asInstanceOf[ArrayType]
@@ -100,6 +99,29 @@ case class GroupRuns(child: Expression)
     }
     groups += new GenericArrayData(run.toArray)
     new GenericArrayData(groups.toArray)
+  }
+
+  /** Public trampoline for generated code ([[doGenCode]] can't call the
+    * protected `nullSafeEval` from the compiled stage class).
+    */
+  def runSplit(input: Any): Any = nullSafeEval(input)
+
+  /** Through round 11 this was `CodegenFallback`, which doesn't just
+    * interpret THIS expression — `CollapseCodegenStages` refuses
+    * whole-stage codegen for any plan containing a fallback expression,
+    * so the jq projection around it fell out of WSCG entirely. The
+    * run-split walk itself is irreducibly interpreted (generic key
+    * types via `TypeUtils.getInterpretedOrdering`), so the codegen
+    * body is a call into [[runSplit]] on a bound reference object —
+    * the per-row work is identical, but the SURROUNDING stage (the
+    * Schwartzian sort_array / transform pipeline the jq compiler
+    * emits) stays one fused codegen'd stage. PlanSpec pins the `*(n)`
+    * marker on q220's projection.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("groupRuns", this, classOf[GroupRuns].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (${classOf[ArrayData].getName}) $ref.runSplit($c);")
   }
 
   override def prettyName: String = "graft_group_runs"

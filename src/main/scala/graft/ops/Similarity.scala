@@ -627,6 +627,125 @@ object Similarity {
     cosineTopK(assigned.filter(col("cell").isin(cells: _*)), idCol, vecCol, query, k)
   }
 
+  /** Batch ANN search through an IVF index: top-k for EVERY query row
+    * in ONE pass over the union of all probed cells.
+    *
+    * This is the default repeated-probe path the round-11 verdict asked
+    * for: it routes the corpus through [[IvfIndex.assignForProbing]]
+    * internally (pass `preAssigned` to reuse an existing pinned
+    * assignment), so no caller composing `assign` + a probe loop pays
+    * the measured ~1 s/probe lineage re-analysis — and unlike a probe
+    * LOOP (Q separate jobs, Q scans of the assigned corpus), the batch
+    * reads the probed-cell union ONCE: each partition keeps a bounded
+    * k-heap per query, counts a corpus row only for queries that probed
+    * its cell, and emits Q×k rows, so the one shuffle moves Q×k×P rows
+    * regardless of corpus size (the [[knnJoin]] shape, restricted by
+    * the per-query cell masks).
+    *
+    * Exactness contract: per query, identical to `ivfTopK` with the
+    * same `nprobe` — same probed cells, same (round(cos,6) DESC, id
+    * ASC) total order (q239 pins the equivalence).
+    */
+  def ivfSearchBatch(
+      index: IvfIndex,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 2,
+      maxQueries: Int = 65536,
+      preAssigned: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+
+    val assigned = preAssigned.getOrElse(index.assignForProbing(corpus, vecCol))
+    val c = assigned.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("__cv"), col("cell"))
+    val idType = c.schema("corpus_id").dataType
+    val qRows = queries.select(col(idCol), col(vecCol).cast("array<double>"))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"ivfSearchBatch query side exceeds maxQueries=$maxQueries")
+    val nCells = index.centroids.length
+    // (query_id, vector, probed-cell mask) — masks are cells-sized
+    // booleans, bounded by the index, not the corpus
+    val qData: Array[(Any, Array[Double], Array[Boolean])] =
+      qRows.filter(!_.isNullAt(1)).map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val mask = new Array[Boolean](nCells)
+        index.probeCells(v, nprobe).foreach(mask(_) = true)
+        (r.get(0), v, mask)
+      }
+    val allCells = (0 until nCells).filter(ci => qData.exists(_._3(ci)))
+    val restricted = c.filter(col("cell").isin(allCells: _*))
+    val qb = corpus.sparkSession.sparkContext.broadcast(qData)
+    val idOrd = idOrdering(idType, "ivfSearchBatch")
+
+    val outSchema = StructType(Seq(
+      StructField("query_id", idType),
+      StructField("corpus_id", idType),
+      StructField("cos_sim", DoubleType)))
+
+    val partial = restricted.mapPartitions { it =>
+      val qs = qb.value
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val worstFirst = new Ordering[(Double, Any)] {
+          def compare(a: (Double, Any), b: (Double, Any)): Int = {
+            val d = java.lang.Double.compare(b._1, a._1)
+            if (d != 0) d else idOrd.compare(a._2, b._2)
+          }
+        }
+        val heaps = Array.fill(qs.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Any)]()(worstFirst))
+        it.foreach { row =>
+          if (!row.isNullAt(1)) {
+            val cv = row.getSeq[Double](1).toArray
+            val cid = row.get(0)
+            val cell = row.getInt(2)
+            var qi = 0
+            while (qi < qs.length) {
+              // the mask is the only difference from knnJoin's pass:
+              // a row competes only for queries that probed its cell
+              if (qs(qi)._3(cell)) {
+                val qv = qs(qi)._2
+                if (qv.length == cv.length) {
+                  var sab = 0.0; var saa = 0.0; var sbb = 0.0
+                  var i = 0
+                  while (i < qv.length) {
+                    val x = qv(i); val y = cv(i)
+                    sab += x * y; saa += x * x; sbb += y * y
+                    i += 1
+                  }
+                  val cos = sab / (math.sqrt(saa) * math.sqrt(sbb))
+                  if (!java.lang.Double.isNaN(cos)) {
+                    val r = java.math.BigDecimal.valueOf(cos)
+                      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                    val h = heaps(qi)
+                    if (h.size < k) h.enqueue((r, cid))
+                    else if (worstFirst.compare((r, cid), h.head) < 0) {
+                      h.dequeue(); h.enqueue((r, cid))
+                    }
+                  }
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (cos, cid) => Row(qs(qi)._1, cid, cos) }
+        }
+      }
+    }(Encoders.row(outSchema))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** k-NN join: for EACH row of `queries`, the exact top-k neighbours
     * from `corpus` by cosine.
     *
@@ -669,32 +788,7 @@ object Similarity {
       qRows.filter(!_.isNullAt(1)).map(r => (r.get(0), r.getSeq[Double](1).toArray))
     val qb = corpus.sparkSession.sparkContext.broadcast(qData)
 
-    // total order shared by the per-partition heaps and the merge
-    // window: cos_sim DESC, corpus_id ASC (ids compared the way the
-    // window comparator does — numerically, or unsigned UTF-8 bytes
-    // for strings)
-    val idOrd: Ordering[Any] = idType match {
-      case LongType    => Ordering.Long.on[Any](_.asInstanceOf[Long])
-      case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
-      case ShortType   => Ordering.Short.on[Any](_.asInstanceOf[Short])
-      case DoubleType  => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
-      case FloatType   => Ordering.Float.TotalOrdering.on[Any](_.asInstanceOf[Float])
-      case StringType => new Ordering[Any] {
-        def compare(a: Any, b: Any): Int = {
-          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          var i = 0
-          val n = math.min(x.length, y.length)
-          while (i < n) {
-            val d = (x(i) & 0xff) - (y(i) & 0xff)
-            if (d != 0) return d
-            i += 1
-          }
-          x.length - y.length
-        }
-      }
-      case t => throw new IllegalArgumentException(s"knnJoin: unsupported id type $t")
-    }
+    val idOrd = idOrdering(idType, "knnJoin")
 
     val outSchema = StructType(Seq(
       StructField("query_id", idType),
@@ -758,6 +852,38 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("corpus_id"))
     partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Total order on id values shared by the per-partition heaps and
+    * the merge window in [[knnJoin]]/[[ivfSearchBatch]]: ids compared
+    * the way the window comparator does — numerically, or unsigned
+    * UTF-8 bytes for strings.
+    */
+  private def idOrdering(idType: org.apache.spark.sql.types.DataType,
+      caller: String): Ordering[Any] = {
+    import org.apache.spark.sql.types._
+    idType match {
+      case LongType    => Ordering.Long.on[Any](_.asInstanceOf[Long])
+      case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+      case ShortType   => Ordering.Short.on[Any](_.asInstanceOf[Short])
+      case DoubleType  => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
+      case FloatType   => Ordering.Float.TotalOrdering.on[Any](_.asInstanceOf[Float])
+      case StringType => new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val d = (x(i) & 0xff) - (y(i) & 0xff)
+            if (d != 0) return d
+            i += 1
+          }
+          x.length - y.length
+        }
+      }
+      case t => throw new IllegalArgumentException(s"$caller: unsupported id type $t")
+    }
   }
 
   /** Johnson–Lindenstrauss random projection of an embedding column to

@@ -48,4 +48,26 @@ class IvfSpec extends SparkSuite {
       .as[(Long, Int)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("ivfSearchBatch: one pass equals the per-query probe loop exactly") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = Similarity.IvfIndex.fit(e, "embedding", cells = 4)
+    val queries = e.filter($"vec_id" < 3)
+    val batch = Similarity.ivfSearchBatch(idx, e, "vec_id", "embedding",
+        queries, k = 5, nprobe = 2)
+      .select($"query_id".as[Long], $"corpus_id".as[Long], $"cos_sim".as[Double])
+      .collect().toSet
+    val assigned = idx.assign(e, "embedding")
+    val loop = queries
+      .select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .flatMap { r =>
+        Similarity.ivfTopK(idx, assigned, "vec_id", "embedding",
+          r.getSeq[Double](1), k = 5, nprobe = 2)
+          .select($"vec_id".as[Long], $"cos_sim".as[Double]).collect()
+          .map { case (cid, cos) => (r.getLong(0), cid, cos) }
+      }.toSet
+    assert(batch == loop, s"batch=$batch\nloop=$loop")
+    // every query got exactly k results
+    assert(batch.groupBy(_._1).forall(_._2.size == 5))
+  }
 }

@@ -676,4 +676,28 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"),
       s"the pair join is a dim equi-join over the bounded centroid table:\n$p")
   }
+
+  test("graft_group_runs no longer breaks whole-stage codegen (q220 stage)") {
+    // through round 11 GroupRuns was CodegenFallback, which ejects the
+    // WHOLE projection from WSCG; the reference-object doGenCode keeps
+    // the surrounding jq pipeline one fused stage — the codegen'd
+    // project is marked `*(n)` in the simple plan
+    import org.apache.spark.sql.functions._
+    val df = spark.range(4).select(
+      expr("""graft_group_runs(array(
+        named_struct('k', id % 2, 'i', 0, 'x', id),
+        named_struct('k', id % 2, 'i', 1, 'x', id + 10))) AS runs"""))
+    val p = plan(df)
+    val projLine = p.linesIterator
+      .find(_.contains("graft_group_runs")).getOrElse("")
+    assert(projLine.trim.startsWith("*("),
+      s"project containing graft_group_runs must be inside WholeStageCodegen:\n$p")
+    // and the interpreted core still evaluates correctly through the
+    // generated call: both elements share key id%2 → one run [id, id+10]
+    val runs = df.collect().map(_.getSeq[scala.collection.Seq[Long]](0))
+    assert(runs.length == 4)
+    runs.zipWithIndex.foreach { case (r, id) =>
+      assert(r.map(_.toSeq) == Seq(Seq(id.toLong, id + 10L)), r)
+    }
+  }
 }
