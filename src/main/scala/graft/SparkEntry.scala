@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Basket, Bpe, Cdc, Concentration, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Linkage, Pack, Profile, Quality, Rank, Robust, Sample, Similarity, Skew, TextOps, TimeSeries}
+import graft.ops.{Basket, Bpe, Cdc, Concentration, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Linkage, Ordinal, Pack, Profile, Quality, Rank, Robust, Sample, Similarity, Skew, TextOps, TimeSeries}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -3431,6 +3431,55 @@ object SparkEntry {
       batch.exceptAll(loop).withColumn("side", lit("batch_only"))
         .union(loop.exceptAll(batch).withColumn("side", lit("loop_only")))
         .orderBy("side", "query_id", "rank")
+    }),
+
+    "q240_ordinal_assoc" -> ((s, dir) => {
+      // Kendall tau-b / gamma / Somers' D between quantity band and
+      // discount step — monotone association for graded levels, from
+      // the contingency cells alone (one corpus pass)
+      Ordinal.association(t(s, dir, "lineitem"),
+        col("l_quantity").cast("int"),
+        round(col("l_discount") * 100, 0).cast("int"))
+        .select(col("n"), col("c_pairs").cast("double").as("c_pairs"),
+          col("d_pairs").cast("double").as("d_pairs"),
+          col("tau_b"), col("gamma"), col("somers_d"))
+    }),
+
+    "q241_markov_transitions" -> ((s, dir) =>
+      Events.transitionMatrix(events(s, dir),
+        "user_id", "ts", "event_type", "event_id")
+        .orderBy("prev_type", "next_type")),
+
+    "q242_markov_stationary" -> ((s, dir) => {
+      // fixpoint contract on the power-iterated stationary vector:
+      // π must be a probability vector (Σπ = 1 ± 1e-9) satisfying
+      // πP = π to 1e-8 sup-norm under the SAME stochastic completion
+      // the operator documents; violations surface with their
+      // residual — empty when the iteration converged
+      val trans = Events.transitionMatrix(events(s, dir),
+        "user_id", "ts", "event_type", "event_id")
+      val pi = Events.stationaryDistribution(trans, roundOutput = false)
+      val piM = pi.select(col("state"), col("pi")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val cnt = trans.select("prev_type", "next_type", "n_steps").collect()
+      val states = piM.keys.toSeq.sorted
+      val outTot = cnt.groupBy(_.getString(0))
+        .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum.toDouble }
+      val flow = states.map { j =>
+        val inflow = cnt.filter(_.getString(1) == j)
+          .map(r => piM(r.getString(0)) * r.getLong(2).toDouble /
+            outTot(r.getString(0))).sum +
+          // stochastic completion: states with no outgoing steps self-loop
+          (if (!outTot.contains(j)) piM(j) else 0.0)
+        (j, math.abs(inflow - piM(j)))
+      }
+      val massErr = math.abs(piM.values.sum - 1.0)
+      import s.implicits._
+      flow.filter { case (_, res) => res > 1e-8 }
+        .map { case (st, res) => (st, res, "residual") }
+        .++(if (massErr > 1e-9) Seq(("__mass", massErr, "mass")) else Nil)
+        .toDF("state", "residual", "violation")
+        .orderBy("state")
     }))
 
   /** Shared with the q114 oracle's VALUES list. */
@@ -7554,7 +7603,64 @@ object SparkEntry {
     "q239_ivf_batch" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS corpus_id,
         |  CAST(NULL AS DOUBLE) AS cos_sim, CAST(NULL AS BIGINT) AS rank,
-        |  CAST(NULL AS VARCHAR) AS side WHERE FALSE""".stripMargin)
+        |  CAST(NULL AS VARCHAR) AS side WHERE FALSE""".stripMargin,
+
+    // q240: pair counts from the cell self-join; DECIMAL products stay
+    // ≤ 37 digits (a HUGEINT product would SUM to DOUBLE in DuckDB);
+    // doubled tie terms avoid decimal division entirely
+    "q240_ordinal_assoc" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_quantity AS INT) AS x,
+        |         CAST(ROUND(l_discount * 100, 0) AS INT) AS y, COUNT(*) AS o
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT
+        |    COALESCE(SUM(CASE WHEN a.y < b.y
+        |      THEN CAST(a.o AS DECIMAL(18,0)) * CAST(b.o AS DECIMAL(18,0)) END),
+        |      0) AS c_pairs,
+        |    COALESCE(SUM(CASE WHEN a.y > b.y
+        |      THEN CAST(a.o AS DECIMAL(18,0)) * CAST(b.o AS DECIMAL(18,0)) END),
+        |      0) AS d_pairs
+        |  FROM cells a JOIN cells b ON a.x < b.x),
+        |tx AS (SELECT SUM(CAST(t AS DECIMAL(18,0)) * (t - 1)) AS dn1,
+        |         SUM(CAST(t AS DECIMAL(18,0))) AS nn
+        |       FROM (SELECT x, SUM(o) AS t FROM cells GROUP BY 1)),
+        |ty AS (SELECT SUM(CAST(t AS DECIMAL(18,0)) * (t - 1)) AS dn2
+        |       FROM (SELECT y, SUM(o) AS t FROM cells GROUP BY 1))
+        |SELECT CAST(nn AS BIGINT) AS n,
+        |  CAST(c_pairs AS DOUBLE) AS c_pairs, CAST(d_pairs AS DOUBLE) AS d_pairs,
+        |  ROUND(2e0 * (CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE)) /
+        |    sqrt(((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0)) - CAST(dn1 AS DOUBLE)) *
+        |         ((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0)) - CAST(dn2 AS DOUBLE))), 6) AS tau_b,
+        |  ROUND((CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE)) /
+        |        (CAST(c_pairs AS DOUBLE) + CAST(d_pairs AS DOUBLE)), 6) AS gamma,
+        |  ROUND(2e0 * (CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE)) /
+        |        ((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0)) - CAST(dn1 AS DOUBLE)), 6) AS somers_d
+        |FROM cd, tx, ty""".stripMargin,
+
+    // q241: lag chain + half-up integer division micro-probabilities
+    // (the q235 device — round(c/tot, 6) flips at .5 micro boundaries)
+    "q241_markov_transitions" ->
+      """WITH steps AS (
+        |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_type,
+        |         event_type AS next_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, COUNT(*) AS n_steps FROM steps
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, SUM(n_steps) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, CAST(n_steps AS BIGINT) AS n_steps,
+        |  CAST((2 * n_steps * 1000000 + tot) // (2 * tot) AS DOUBLE)
+        |    / 1000000e0 AS p
+        |FROM c JOIN tot USING (prev_type)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q242 stationary fixpoint contract — empty when πP = π holds.
+    "q242_markov_stationary" ->
+      """SELECT CAST(NULL AS VARCHAR) AS state, CAST(NULL AS DOUBLE) AS residual,
+        |  CAST(NULL AS VARCHAR) AS violation WHERE FALSE""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

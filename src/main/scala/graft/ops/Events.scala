@@ -614,4 +614,104 @@ object Events {
         round(col("__cum").cast("double") /
           col("__n_users").cast("double"), 6).as("ltv_per_user"))
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * streams: for each ordered (prev_type → next_type) step, the
+    * count and row-normalized probability — the behavioral model a
+    * telemetry pipeline fits before simulating load, detecting
+    * anomalous flows, or generating synthetic sessions.
+    *
+    * Scale shape: ONE shuffle on the user key (the `lag` window is
+    * per-user, exactly the sessionize exchange), then the transition
+    * aggregate map-side combines into a ≤ T² cell table for T event
+    * types — the corpus crosses one exchange, the matrix is bounded
+    * by the type vocabulary, never the data.
+    *
+    * Probability parity: counts are exact longs; the 6-dp probability
+    * uses half-up INTEGER division `(2·c·10⁶ + tot) div (2·tot)` — a
+    * plain `round(c/tot, 6)` lands on exact .5 micro boundaries for
+    * small-integer ratios, where Spark (exact decimal expansion) and
+    * DuckDB (double arithmetic) round differently (the q235 device).
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val steps = df
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol).as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = steps.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_steps"))
+    val totals = Window.partitionBy("prev_type")
+    counts
+      .withColumn("__tot", sum(col("n_steps")).over(totals))
+      .select(col("prev_type"), col("next_type"),
+        col("n_steps").cast("long").as("n_steps"),
+        (expr("(2L * n_steps * 1000000L + __tot) div (2L * __tot)")
+          .cast("double") / lit(1000000.0d)).as("p"))
+  }
+
+  /** Stationary distribution of [[transitionMatrix]]'s chain by
+    * driver-side power iteration: π ← πP from the uniform start until
+    * the sup-norm step change is below `tol` (or `maxIter`). The
+    * matrix is a bounded T² table by construction (event-type
+    * vocabulary, not corpus), so the collect is result-sized — the
+    * same class as the k-means centroid pull. Returns
+    * `(state, pi, n_out_steps)` with π rounded to 6 dp.
+    *
+    * States with no outgoing steps (absorbing under the observed
+    * data) keep their mass: the iteration treats a missing row as a
+    * self-loop, the standard stochastic completion.
+    */
+  def stationaryDistribution(
+      transitions: DataFrame,
+      tol: Double = 1e-12,
+      maxIter: Int = 200,
+      roundOutput: Boolean = true): DataFrame = {
+    val spark = transitions.sparkSession
+    val rows = transitions
+      .select(col("prev_type"), col("next_type"),
+        col("n_steps").cast("double")).collect()
+    val states = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val t = states.length
+    val cnt = Array.ofDim[Double](t, t)
+    rows.foreach(r => cnt(idx(r.getString(0)))(idx(r.getString(1))) = r.getDouble(2))
+    val rowSum = cnt.map(_.sum)
+    val p = Array.tabulate(t, t) { (i, j) =>
+      if (rowSum(i) == 0.0) { if (i == j) 1.0 else 0.0 } // stochastic completion
+      else cnt(i)(j) / rowSum(i)
+    }
+    var pi = Array.fill(t)(1.0 / t)
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIter && delta > tol) {
+      val next = new Array[Double](t)
+      var i = 0
+      while (i < t) {
+        val w = pi(i); val row = p(i)
+        var j = 0
+        while (j < t) { next(j) += w * row(j); j += 1 }
+        i += 1
+      }
+      delta = next.indices.map(j => math.abs(next(j) - pi(j))).max
+      pi = next
+      it += 1
+    }
+    import spark.implicits._
+    states.indices.map { i =>
+      (states(i),
+        if (roundOutput)
+          java.math.BigDecimal.valueOf(pi(i))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        else pi(i), // unrounded for fixpoint contracts (q242): a 6-dp
+                    // π carries ~5e-7 residual that is NOT the chain's
+        rowSum(i).toLong)
+    }.toDF("state", "pi", "n_out_steps")
+  }
 }

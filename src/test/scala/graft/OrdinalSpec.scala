@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Events, Ordinal}
+
+class OrdinalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("perfect concordance gives tau_b = gamma = somers_d = 1") {
+    val df = Seq((1, 10), (2, 20), (3, 30), (4, 40)).toDF("x", "y")
+    val r = Ordinal.association(df, col("x"), col("y")).head()
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("tau_b") == 1.0)
+    assert(r.getAs[Double]("gamma") == 1.0)
+    assert(r.getAs[Double]("somers_d") == 1.0)
+  }
+
+  test("balanced 2x2 grid: C = D = 1, all statistics zero") {
+    val df = Seq((1, 1), (1, 2), (2, 1), (2, 2)).toDF("x", "y")
+    val r = Ordinal.association(df, col("x"), col("y")).head()
+    // pairs with distinct x: (1,1)-(2,2) concordant, (1,2)-(2,1)
+    // discordant, two tied on y
+    assert(r.getDecimal(1).longValueExact() == 1L)
+    assert(r.getDecimal(2).longValueExact() == 1L)
+    assert(r.getAs[Double]("tau_b") == 0.0)
+    assert(r.getAs[Double]("gamma") == 0.0)
+    assert(r.getAs[Double]("somers_d") == 0.0)
+  }
+
+  test("hand-computed tau_b with ties matches the marginal formula") {
+    // x: 1,1,2,2,3  y: 1,2,2,3,3 — enumerating cross-x cell pairs:
+    // C=6, D=0, two tied-on-y pairs; dn0=n(n−1)=20, dn1=4, dn2=4 →
+    // tau_b = 2·6/√(16·16) = 0.75, gamma = 1, somers_d = 12/16 = 0.75
+    val df = Seq((1, 1), (1, 2), (2, 2), (2, 3), (3, 3)).toDF("x", "y")
+    val r = Ordinal.association(df, col("x"), col("y")).head()
+    assert(r.getDecimal(1).longValueExact() == 6L)
+    assert(r.getDecimal(2).longValueExact() == 0L)
+    assert(r.getAs[Double]("tau_b") == 0.75)
+    assert(r.getAs[Double]("gamma") == 1.0)
+    assert(r.getAs[Double]("somers_d") == 0.75)
+  }
+
+  test("NULL levels are excluded") {
+    val df = Seq((Some(1), Some(10)), (Some(2), None), (None, Some(5)),
+      (Some(2), Some(20))).toDF("x", "y")
+    val r = Ordinal.association(df, col("x"), col("y")).head()
+    assert(r.getAs[Long]("n") == 2)
+    assert(r.getAs[Double]("tau_b") == 1.0)
+  }
+
+  test("markov transition matrix counts and half-up probabilities") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "b"))
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+      .withColumn("event_id", monotonically_increasing_id())
+    val m = Events.transitionMatrix(df, "user_id", "ts", "event_type", "event_id")
+      .orderBy("prev_type", "next_type").collect()
+    val asMap = m.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    assert(asMap(("a", "b")) == (2L, 1.0))     // a always → b
+    assert(asMap(("b", "a")) == (1L, 0.5))
+    assert(asMap(("b", "b")) == (1L, 0.5))
+    assert(!asMap.contains(("a", "a")))
+  }
+
+  test("stationary distribution of a two-state flip chain is uniform") {
+    val trans = Seq(("a", "b", 5L), ("b", "a", 5L))
+      .toDF("prev_type", "next_type", "n_steps")
+    val pi = Events.stationaryDistribution(trans).orderBy("state").collect()
+    assert(pi.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(pi.forall(r => math.abs(r.getDouble(1) - 0.5) < 1e-9))
+  }
+
+  test("absorbing state takes all the mass under stochastic completion") {
+    // a → b always, b has no outgoing steps → b self-loops → π = (0, 1)
+    val trans = Seq(("a", "b", 3L)).toDF("prev_type", "next_type", "n_steps")
+    val pi = Events.stationaryDistribution(trans, roundOutput = false)
+      .orderBy("state").collect()
+    val m = pi.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("b") > 0.999999 && m("a") < 1e-6)
+  }
+}
