@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Basket, Bpe, Cdc, Concentration, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Linkage, Ordinal, Pack, Profile, Quality, Rank, Robust, Sample, Similarity, Skew, TextOps, TimeSeries}
+import graft.ops.{Basket, Bpe, Cdc, Concentration, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Linkage, Ordinal, Pack, Privacy, Profile, Quality, Rank, Robust, Sample, Similarity, Skew, TextOps, TimeSeries}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -3480,7 +3480,34 @@ object SparkEntry {
         .++(if (massErr > 1e-9) Seq(("__mass", massErr, "mass")) else Nil)
         .toDF("state", "residual", "violation")
         .orderBy("state")
-    }))
+    }),
+
+    "q243_turing_estimate" -> ((s, dir) =>
+      // bigram event space: the synthetic corpus has a closed ~31-word
+      // vocabulary (no rare unigrams anywhere), so the smoothing
+      // regime lives in the n-gram tail — as it does for real LMs
+      CorpusStats.turingEstimate(t(s, dir, "documents"), "text",
+        maxR = 15, n = 2)),
+
+    "q244_vocab_overlap" -> ((s, dir) =>
+      CorpusStats.vocabOverlap(t(s, dir, "documents"), "source", "text")),
+
+    "q245_kanonymity" -> ((s, dir) =>
+      // quasi-identifiers: nation × segment × account-balance band;
+      // sensitive attribute: the exact balance. Violating groups
+      // (size < 5 or < 3 distinct balances) surface for review.
+      Privacy.kAnonymityAudit(t(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
+        col("c_acctbal"), k = 5L, l = 3L)
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_mktsegment"), col("bal_band"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("n_sensitive").cast("long").as("n_sensitive"), col("violation"))
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")),
+
+    "q246_changepoint" -> ((s, dir) =>
+      TimeSeries.changepoint(events(s, dir), "ts", "value")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -7660,7 +7687,89 @@ object SparkEntry {
     // q242 stationary fixpoint contract — empty when πP = π holds.
     "q242_markov_stationary" ->
       """SELECT CAST(NULL AS VARCHAR) AS state, CAST(NULL AS DOUBLE) AS residual,
-        |  CAST(NULL AS VARCHAR) AS violation WHERE FALSE""".stripMargin)
+        |  CAST(NULL AS VARCHAR) AS violation WHERE FALSE""".stripMargin,
+
+    // q243: Good–Turing r* via half-up integer micro division
+    "q243_turing_estimate" ->
+      """WITH toks AS (
+        |    SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |grams AS (SELECT array_to_string(ws[i:i+1], ' ') AS w
+        |  FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+        |cnts AS (SELECT w, COUNT(*) AS r FROM grams
+        |  WHERE w <> '' GROUP BY 1),
+        |ff AS (SELECT r, COUNT(*) AS n_r FROM cnts GROUP BY 1)
+        |SELECT CAST(a.r AS BIGINT) AS r, CAST(a.n_r AS BIGINT) AS n_r,
+        |  CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r_next,
+        |  CAST((2 * (a.r + 1) * COALESCE(b.n_r, 0) * 1000000 + a.n_r)
+        |    // (2 * a.n_r) AS DOUBLE) / 1000000e0 AS r_star
+        |FROM ff a LEFT JOIN ff b ON b.r = a.r + 1
+        |WHERE a.r <= 15 ORDER BY a.r""".stripMargin,
+
+    // q244: distinct (source, token) sets; jaccard via the micro
+    // division device
+    "q244_vocab_overlap" ->
+      """WITH sv AS (SELECT DISTINCT source AS src, w FROM (
+        |    SELECT source, string_split_regex(trim(text), '\s+') AS ws
+        |    FROM documents), UNNEST(ws) AS t(w) WHERE w <> ''),
+        |sizes AS (SELECT src, COUNT(*) AS n FROM sv GROUP BY 1),
+        |inter AS (SELECT a.src AS source_a, b.src AS source_b,
+        |    COUNT(*) AS n_common
+        |  FROM sv a JOIN sv b ON a.w = b.w AND a.src < b.src GROUP BY 1, 2)
+        |SELECT source_a, source_b, CAST(sa.n AS BIGINT) AS n_a,
+        |  CAST(sb.n AS BIGINT) AS n_b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST((2 * n_common * 1000000 + (sa.n + sb.n - n_common))
+        |    // (2 * (sa.n + sb.n - n_common)) AS DOUBLE) / 1000000e0 AS jaccard
+        |FROM inter JOIN sizes sa ON sa.src = source_a
+        |JOIN sizes sb ON sb.src = source_b
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q245_kanonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    COUNT(*) AS n_rows, COUNT(DISTINCT c_acctbal) AS n_sensitive
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+        |  bal_band, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_sensitive AS BIGINT) AS n_sensitive,
+        |  CASE WHEN n_rows < 5 AND n_sensitive < 3 THEN 'k+l'
+        |       WHEN n_rows < 5 THEN 'k' ELSE 'l' END AS violation
+        |FROM g WHERE n_rows < 5 OR n_sensitive < 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q246: binary-segmentation split from exact integral prefix
+    // moments (cents / cents², scale-0 decimals so every
+    // decimal→double cast is a SINGLE correct rounding on both
+    // engines); the SSE expression tree is replayed verbatim
+    "q246_changepoint" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |      * 100 AS DECIMAL(18,0)) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |pre AS (SELECT day,
+        |    ROW_NUMBER() OVER (ORDER BY day) AS i,
+        |    SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s1,
+        |    SUM(c * c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s2,
+        |    LEAD(day) OVER (ORDER BY day) AS nextday
+        |  FROM daily),
+        |tot AS (SELECT COUNT(*) AS n, SUM(c) AS t1, SUM(c * c) AS t2 FROM daily),
+        |scored AS (SELECT day, i, s1, s2, nextday, n, t1, t2,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |       / CAST(i AS DOUBLE)) +
+        |    ((CAST(t2 AS DOUBLE) - CAST(s2 AS DOUBLE)) -
+        |     (CAST(t1 AS DOUBLE) - CAST(s1 AS DOUBLE)) *
+        |     (CAST(t1 AS DOUBLE) - CAST(s1 AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))) AS sse
+        |  FROM pre, tot WHERE i < n),
+        |best AS (SELECT * FROM scored ORDER BY sse, day LIMIT 1)
+        |SELECT nextday AS split_day, CAST(i AS BIGINT) AS n_left,
+        |  CAST(n - i AS BIGINT) AS n_right,
+        |  CAST((2 * CAST(s1 AS BIGINT) * 10000 + i) // (2 * i) AS DOUBLE)
+        |    / 1000000e0 AS mean_left,
+        |  CAST((2 * CAST(t1 - s1 AS BIGINT) * 10000 + (n - i))
+        |    // (2 * (n - i)) AS DOUBLE) / 1000000e0 AS mean_right,
+        |  ROUND(((CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) - sse) / 10000e0, 6) AS sse_drop
+        |FROM best""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

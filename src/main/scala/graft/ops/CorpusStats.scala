@@ -677,4 +677,89 @@ object CorpusStats {
         coalesce(col("__new"), lit(0L)).cast("long").as("new_words"),
         col("__vc").cast("long").as("vocab_cum"))
   }
+
+  /** Good–Turing frequency-of-frequencies table with the raw Turing
+    * estimate r* = (r+1)·N_{r+1}/N_r — the adjusted count a language
+    * model uses in place of the observed r, and the standard readout
+    * for "how much probability mass belongs to unseen events" (r = 1
+    * hapaxes estimate it: N₁/N). Emitted for r ≤ `maxR` (the regime
+    * where Good–Turing applies; larger r are left at face value by
+    * every practical smoother since N_r gets noisy).
+    *
+    * Scale shape: one map-side-combined shuffle to gram counts (the
+    * vocab table every CorpusStats op shares), then a SECOND tiny
+    * aggregate vocab → frequency-of-frequencies (≤ maxR output rows
+    * kept). The r* ratio uses half-up integer division in micro units
+    * (the q235 device) — products stay < 2^62 for any vocabulary
+    * below ~1.4e8 types per bucket at maxR ≤ 100, and the factors are
+    * exact longs, never doubles.
+    *
+    * `n` selects the event space: 1 = unigrams, ≥ 2 = word n-grams
+    * (a closed small vocabulary has no rare UNIGRAMS to smooth — the
+    * estimator's regime is the n-gram tail, which is where language
+    * models actually apply it). Grams build from a PROJECTED token
+    * array (`once` fence) — element_at over the raw expression inside
+    * the lambda would re-evaluate the tokenizer per element (the
+    * GroupRuns O(n²) trap).
+    */
+  def turingEstimate(df: DataFrame, textCol: String, maxR: Int = 15,
+      n: Int = 1): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = df.select(once(tokens(col(textCol))).as("__ws"))
+    val ws = col("__ws")
+    val grams =
+      if (n == 1) toks.select(explode(ws).as("w"))
+      else toks.select(explode(when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
+        .otherwise(array().cast("array<string>"))).as("w"))
+    val counts = grams
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("r"))
+    val ff = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
+    val next = ff.select((col("r") - 1).as("r"), col("n_r").as("__n1"))
+    ff.join(next, Seq("r"), "left")
+      .filter(col("r") <= maxR)
+      .select(col("r").cast("long").as("r"),
+        col("n_r").cast("long").as("n_r"),
+        coalesce(col("__n1"), lit(0L)).cast("long").as("n_r_next"),
+        (expr("(2L * (r + 1L) * coalesce(__n1, 0L) * 1000000L + n_r) " +
+          "div (2L * n_r)").cast("double") / lit(1000000.0d)).as("r_star"))
+      .orderBy("r")
+  }
+
+  /** Pairwise vocabulary overlap between sources: |A∩B|, |A∪B| and
+    * Jaccard over each source's distinct token set — the corpus-level
+    * "how much do these crawls share a dialect" companion to the
+    * doc-level near-dup matrix (q228 works on documents; this works
+    * on vocabularies, so it sees shared JARGON even when no document
+    * is shared).
+    *
+    * Scale shape: ONE shuffle to the distinct (source, token) set,
+    * then a self-equi-join ON TOKEN — vocabulary-sized (Heaps-bounded,
+    * sublinear in the corpus), never corpus-sized; the pair aggregate
+    * is ≤ S² rows. Jaccard via half-up integer micro division.
+    */
+  def vocabOverlap(df: DataFrame, srcCol: String, textCol: String)
+      : DataFrame = {
+    val sv = df
+      .select(col(srcCol).as("src"), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+    val sizes = sv.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = sv.select(col("src").as("source_a"), col("w"))
+      .join(sv.select(col("src").as("source_b"), col("w")), "w")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("src").as("source_a"), col("n").as("n_a")), "source_a")
+      .join(sizes.select(col("src").as("source_b"), col("n").as("n_b")), "source_b")
+      .withColumn("__union", col("n_a") + col("n_b") - col("n_common"))
+      .select(col("source_a"), col("source_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("n_common").cast("long").as("n_common"),
+        (expr("(2L * n_common * 1000000L + __union) div (2L * __union)")
+          .cast("double") / lit(1000000.0d)).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -536,4 +536,77 @@ object TimeSeries {
       when(col("__m") > 1 && va > lit(0.0d) && vb > lit(0.0d),
         round(num / sqrt(va * vb), 6)).as("ccf"))
   }
+
+  /** Single change-point by binary segmentation on the daily total
+    * series: the split day t minimizing SSE_left + SSE_right (CUSUM's
+    * [[cusum]] flags drift direction; this LOCATES the level shift
+    * and quantifies it — the first split of the classic binary
+    * segmentation recursion, which at depth 1 is also the likelihood-
+    * ratio test location for one mean change).
+    *
+    * The candidate scan is closed-form from prefix moments:
+    * SSE(1..i) = S2 − S1²/n per side, with S1/S2 carried as EXACT
+    * integer cents / cents² (DECIMAL(38,0) — a long S2 overflows at
+    * ~2^63 cents², i.e. ~3e9 value-units of daily magnitude) and ONE
+    * fixed double expression per candidate. Ties break to the
+    * earliest day. The daily table is bounded (calendar-sized), so
+    * the global window is over ≤ a few thousand rows — the documented
+    * bounded-series exemption to the no-global-window rule
+    * ([[autocorr]], [[holtLinear]] share it).
+    *
+    * Returns one row: `split_day` (first day of the RIGHT segment),
+    * `n_left/n_right`, 6-dp `mean_left/mean_right/shift`, and
+    * `sse_drop` = SSE_total − min split SSE (≥ 0, 6-dp).
+    */
+  def changepoint(
+      df: DataFrame,
+      tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = df.filter(col(valCol).isNotNull)
+      .groupBy(to_date(date_trunc("day", col(tsCol))).as("day"))
+      .agg((sum(col(valCol).cast("decimal(18,2)")) * 100)
+        .cast("decimal(38,0)").as("__c"))
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily
+      .withColumn("__i", count(lit(1)).over(wRun))
+      .withColumn("__s1", sum(col("__c")).over(wRun).cast("decimal(38,0)"))
+      .withColumn("__s2", sum((col("__c") * col("__c")).cast("decimal(38,0)"))
+        .over(wRun).cast("decimal(38,0)"))
+      // first PRESENT day of the right segment (the series may have
+      // calendar gaps; day+1 could name a day with no data)
+      .withColumn("__nextday", lead(col("day"), 1).over(Window.orderBy("day")))
+    val tot = pre.agg(max(col("__i")).as("__n"),
+      max_by(col("__s1"), col("__i")).as("__t1"),
+      max_by(col("__s2"), col("__i")).as("__t2"))
+    // candidate split after row i (left = 1..i, right = i+1..n):
+    // identical IEEE tree on both engines — each moment is an exact
+    // integral decimal cast to double once
+    val d = (c: Column) => c.cast("double")
+    val scored = pre.crossJoin(broadcast(tot))
+      .filter(col("__i") < col("__n"))
+      .withColumn("__sse",
+        (d(col("__s2")) - d(col("__s1")) * d(col("__s1")) / d(col("__i"))) +
+        ((d(col("__t2")) - d(col("__s2"))) -
+          (d(col("__t1")) - d(col("__s1"))) * (d(col("__t1")) - d(col("__s1"))) /
+            (d(col("__n")) - d(col("__i")))))
+    val best = scored
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__sse"), col("day"))))
+      .filter(col("__rk") === 1)
+    val totalSse = (t2: Column, t1: Column, n: Column) =>
+      d(t2) - d(t1) * d(t1) / d(n)
+    best
+      .select(
+        col("__nextday").as("split_day"),
+        col("__i").cast("long").as("n_left"),
+        (col("__n") - col("__i")).cast("long").as("n_right"),
+        (expr("(2L * cast(__s1 as long) * 10000L + __i) div (2L * __i)")
+          .cast("double") / lit(1000000.0d)).as("mean_left"),
+        (expr("(2L * cast(__t1 - __s1 as long) * 10000L + (__n - __i)) " +
+          "div (2L * (__n - __i))").cast("double") / lit(1000000.0d))
+          .as("mean_right"),
+        round((totalSse(col("__t2"), col("__t1"), col("__n")) - col("__sse")) /
+          lit(10000.0d), 6).as("sse_drop"))
+  }
 }

@@ -368,4 +368,35 @@ class CorpusStatsSpec extends SparkSuite {
       (1L, 1L, 2L, 2L), (2L, 2L, 1L, 3L), (3L, 3L, 0L, 3L),
       (4L, 4L, 1L, 4L), (5L, 5L, 0L, 4L)), s"got $out")
   }
+
+  test("turingEstimate: hand-computed freq-of-freqs and r*") {
+    import spark.implicits._
+    // unigram counts: a=3, b=2, c=2, d=1 → N1=1, N2=2, N3=1
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a d")).toDF("doc_id", "text")
+    val out = CorpusStats.turingEstimate(docs, "text", maxR = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // r=1: r* = 2·N2/N1 = 4; r=2: r* = 3·N3/N2 = 1.5; r=3: N4=0 → 0
+    assert(out == Seq((1L, 1L, 2L, 4.0), (2L, 2L, 1L, 1.5),
+      (3L, 1L, 0L, 0.0)), s"got $out")
+  }
+
+  test("turingEstimate n=2 counts bigrams") {
+    import spark.implicits._
+    // bigrams: "a b" ×2, "b c" ×1 → N1=1, N2=1; r=1: r*=2·1/1=2
+    val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = CorpusStats.turingEstimate(docs, "text", maxR = 10, n = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1L, 2.0), (2L, 1L, 0L, 0.0)), s"got $out")
+  }
+
+  test("vocabOverlap: intersection, union and jaccard per source pair") {
+    import spark.implicits._
+    val docs = Seq(("s1", "a b c"), ("s1", "a"), ("s2", "b c d"),
+      ("s3", "x")).toDF("source", "text")
+    val out = CorpusStats.vocabOverlap(docs, "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // s1={a,b,c}, s2={b,c,d}: ∩=2, ∪=4 → 0.5; s3 shares nothing →
+    // pairs with zero intersection are absent (join-on-token shape)
+    assert(out == Seq(("s1", "s2", 3L, 3L, 2L, 0.5)), s"got $out")
+  }
 }

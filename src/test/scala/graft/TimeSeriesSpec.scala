@@ -226,4 +226,33 @@ class TimeSeriesSpec extends SparkSuite {
     // aligns → a single pair, degenerate → NULL ccf
     assert(out(-2L) == ((1L, None)), s"got ${out(-2L)}")
   }
+
+  test("changepoint locates an obvious level shift") {
+    import spark.implicits._
+    // daily totals 10,10,10 then 50,50,50 — best split after day 3
+    val rows = (1 to 6).map { d =>
+      (java.sql.Timestamp.valueOf(f"2024-01-0$d 12:00:00"),
+        if (d <= 3) 10.0 else 50.0)
+    }
+    val df = rows.toDF("ts", "value")
+    val r = graft.ops.TimeSeries.changepoint(df, "ts", "value").head()
+    assert(r.getAs[java.sql.Date]("split_day").toString == "2024-01-04")
+    assert(r.getAs[Long]("n_left") == 3L && r.getAs[Long]("n_right") == 3L)
+    assert(r.getAs[Double]("mean_left") == 10.0)
+    assert(r.getAs[Double]("mean_right") == 50.0)
+    // perfect split: SSE drops by the full between-groups term
+    // n·(Δ/2)² form: total SSE = 6·(20)² = 2400, split SSE = 0
+    assert(r.getAs[Double]("sse_drop") == 2400.0)
+  }
+
+  test("changepoint split_day is the first PRESENT day of the right segment") {
+    import spark.implicits._
+    // gap: days 1,2 then 9,10 — split lands on day 9, not day 3
+    val rows = Seq((1, 5.0), (2, 5.0), (9, 99.0), (10, 99.0)).map {
+      case (d, v) =>
+        (java.sql.Timestamp.valueOf(f"2024-01-$d%02d 08:00:00"), v)
+    }
+    val r = graft.ops.TimeSeries.changepoint(rows.toDF("ts", "value"), "ts", "value").head()
+    assert(r.getAs[java.sql.Date]("split_day").toString == "2024-01-09")
+  }
 }
