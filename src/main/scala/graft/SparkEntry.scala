@@ -3507,7 +3507,137 @@ object SparkEntry {
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")),
 
     "q246_changepoint" -> ((s, dir) =>
-      TimeSeries.changepoint(events(s, dir), "ts", "value")))
+      TimeSeries.changepoint(events(s, dir), "ts", "value")),
+
+    "q247_jackknife_ratio" -> ((s, dir) =>
+      // standard error of revenue-per-unit (Σ price / Σ qty) by
+      // closed-form leave-one-out replicates — variance for a
+      // NONLINEAR estimator without resampling passes
+      Robust.jackknifeRatio(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity")),
+
+    "q248_neyman_allocation" -> ((s, dir) =>
+      // optimal sample design: where should 1000 audit samples go
+      // across order-priority strata — N_h·s_h weighting with exact
+      // largest-remainder integerization
+      Sample.neymanAllocation(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice", totalN = 1000L)),
+
+    "q249_brown_forsythe" -> ((s, dir) =>
+      // are price spreads homogeneous across return flags — the
+      // robust (median-centered) Levene gate before pooling variances
+      Robust.brownForsythe(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice")),
+
+    "q250_leading_eigen" -> ((s, dir) => {
+      // eigenpair contract: the power-iterated principal component
+      // must satisfy ‖Cv − λv‖∞ ≤ 1e-8·max(1,|λ|), ‖v‖₂ = 1 ± 1e-9,
+      // λ ≤ trace, share ∈ (0, 1] — computed against the SAME
+      // covariance the operator folded; violations surface, empty
+      // when the iteration converged
+      val r = Similarity.leadingEigen(t(s, dir, "embeddings"),
+        "embedding", dims = 64)
+      val d = r.component.length
+      val cv = Array.tabulate(d)(i =>
+        (0 until d).map(j => r.cov(i)(j) * r.component(j)).sum)
+      val resid = (0 until d)
+        .map(i => math.abs(cv(i) - r.eigenvalue * r.component(i))).max
+      val norm = math.sqrt(r.component.map(x => x * x).sum)
+      val trace = (0 until d).map(i => r.cov(i)(i)).sum
+      val tol = 1e-8 * math.max(1.0, math.abs(r.eigenvalue))
+      import s.implicits._
+      Seq(
+        (if (resid > tol) Some(("residual", resid)) else None),
+        (if (math.abs(norm - 1.0) > 1e-9) Some(("norm", norm)) else None),
+        (if (r.eigenvalue > trace + 1e-9) Some(("lambda_gt_trace",
+          r.eigenvalue)) else None),
+        (if (!(r.share > 0.0 && r.share <= 1.0 + 1e-12))
+          Some(("share_domain", r.share)) else None))
+        .flatten.toDF("violation", "value").orderBy("violation")
+    }),
+
+    "q251_isotonic_calibration" -> ((s, dir) => {
+      // PAV contract over the q216 stopword-share calibration bins:
+      // fitted must be non-decreasing, inside [0,1], and conserve the
+      // positive mass (Σ n·fitted = Σ n_pos to micro-rounding);
+      // violations surface with their detail — empty = the isotonic
+      // fit holds
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        round(TextOps.stopwordHits(col("text")).cast("double") /
+          TextOps.tokenCountArith(col("text")).cast("double"), 6)
+          .as("score"),
+        col("lang"))
+      val iso = graft.ops.Eval.isotonicCalibration(scored, "score",
+        col("lang") === "en", bins = 10).orderBy("bin").collect()
+      import s.implicits._
+      val mono = iso.sliding(2).collect {
+        case Array(a, b) if a.getDouble(4) > b.getDouble(4) + 1e-12 =>
+          ("non_monotone", a.getLong(0).toDouble)
+      }.toSeq
+      val domain = iso.collect {
+        case r if r.getDouble(4) < 0.0 || r.getDouble(4) > 1.0 =>
+          ("domain", r.getLong(0).toDouble)
+      }.toSeq
+      val massFit = iso.map(r => r.getLong(1) * r.getDouble(4)).sum
+      val massPos = iso.map(_.getLong(2)).sum.toDouble
+      val totN = iso.map(_.getLong(1)).sum.toDouble
+      val mass = if (math.abs(massFit - massPos) > 0.5e-6 * totN + 1e-9)
+        Seq(("mass", massFit - massPos)) else Nil
+      (mono ++ domain ++ mass).toDF("violation", "detail")
+        .orderBy("violation", "detail")
+    }),
+
+    "q252_hits" -> ((s, dir) => {
+      // hubs vs authorities on the nation trade graph (customer
+      // nation → supplier nation, weight = lineitem count): which
+      // nations BUY from good sellers vs SELL to good buyers — the
+      // directional split q111's PageRank cannot see
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val e = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graph.hits(e, "src", "dst", "w", nat.select("n_nationkey"),
+        "n_nationkey", iters = 5)
+        .join(nat, "n_nationkey")
+        .select(col("n_name").as("nation"), col("hub"), col("authority"))
+        .orderBy("nation")
+    }),
+
+    "q253_kcore" -> ((s, dir) => {
+      // dense-core contract on the customer–supplier interaction
+      // graph: every vertex the 4-core keeps must have ≥ 4 kept
+      // neighbours (so one more peel round removes nothing) — the
+      // fixpoint property that DEFINES the core; violations empty
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+      val core = Graph.kCore(edges, "src", "dst", k = 4)
+      val und = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val kept = core.select(col("id"))
+      val keptEdges = und
+        .join(kept.select(col("id").as("a")), "a", "left_semi")
+        .join(kept.select(col("id").as("b")), "b", "left_semi")
+      val keptDeg = keptEdges.select(col("a").as("id"))
+        .union(keptEdges.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      // (a) degree-inside-core < k; (b) reported core_degree must BE
+      // the inside-degree
+      core.join(keptDeg, Seq("id"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) < 4 ||
+          coalesce(col("deg"), lit(0L)) =!= col("core_degree"))
+        .select(col("id").cast("long").as("id"),
+          col("core_degree"),
+          coalesce(col("deg"), lit(0L)).cast("long").as("recount"))
+        .orderBy("id")
+    }))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -7769,7 +7899,176 @@ object SparkEntry {
         |    // (2 * (n - i)) AS DOUBLE) / 1000000e0 AS mean_right,
         |  ROUND(((CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
         |    / CAST(n AS DOUBLE)) - sse) / 10000e0, 6) AS sse_drop
-        |FROM best""".stripMargin)
+        |FROM best""".stripMargin,
+
+    // q247: closed-form leave-one-out replicates from exact cent
+    // totals; round-6 decimal replicate sums, micro-division mean
+    "q247_jackknife_ratio" ->
+      """WITH b AS (SELECT
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |tot AS (SELECT SUM(y) AS sy, SUM(x) AS sx, COUNT(*) AS n FROM b),
+        |p1 AS (SELECT SUM(CAST(ROUND(CAST(sy - y AS DOUBLE) /
+        |    CAST(sx - x AS DOUBLE), 6) AS DECIMAL(18,6))) AS sr FROM b, tot),
+        |m AS (SELECT CAST((2 * CAST(sr * 1000000 AS BIGINT) + n)
+        |    // (2 * n) AS DOUBLE) / 1000000e0 AS jm FROM p1, tot),
+        |p2 AS (SELECT SUM(CAST(ROUND(
+        |    (ROUND(CAST(sy - y AS DOUBLE) / CAST(sx - x AS DOUBLE), 6) - jm) *
+        |    (ROUND(CAST(sy - y AS DOUBLE) / CAST(sx - x AS DOUBLE), 6) - jm),
+        |    6) AS DECIMAL(18,6))) AS sd FROM b, tot, m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS ratio,
+        |  ROUND(jm, 6) AS jack_mean,
+        |  ROUND(sqrt((CAST(n AS DOUBLE) - 1e0) / CAST(n AS DOUBLE) *
+        |    CAST(sd AS DOUBLE)), 6) AS jack_se,
+        |  ROUND((CAST(n AS DOUBLE) - 1e0) *
+        |    (jm - CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)), 6) AS jack_bias
+        |FROM tot, m, p2""".stripMargin,
+
+    // q248: Neyman weights in round-6 doubles over exact cent
+    // moments; allocation integerized in exact HUGEINT micro units
+    // with largest-remainder top-up
+    "q248_neyman_allocation" ->
+      """WITH b AS (SELECT o_orderpriority AS s,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |g AS (SELECT s, COUNT(*) AS ng,
+        |    SUM(CAST(c AS DECIMAL(38,0))) AS s1,
+        |    SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS s2
+        |  FROM b GROUP BY 1),
+        |w AS (SELECT s, ng,
+        |    CASE WHEN ng > 1 AND CAST(ng AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0e0
+        |      THEN ROUND(sqrt((CAST(ng AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |        (CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1e0))) / 100e0, 6)
+        |      ELSE 0e0 END AS sh
+        |  FROM g),
+        |w2 AS (SELECT s, ng, sh, ROUND(CAST(ng AS DOUBLE) * sh, 6) AS wgt
+        |  FROM w),
+        |wt AS (SELECT SUM(CAST(wgt AS DECIMAL(28,6))) AS wtot FROM w2),
+        |am AS (SELECT s, ng, sh, wgt,
+        |    CASE WHEN wtot > 0 THEN
+        |      CAST((CAST(1000 AS HUGEINT) * CAST(wgt * 1000000 AS HUGEINT)
+        |        * 1000000) // CAST(wtot * 1000000 AS HUGEINT) AS BIGINT)
+        |    ELSE 0 END AS amic
+        |  FROM w2, wt),
+        |fl AS (SELECT *, amic // 1000000 AS flr, amic % 1000000 AS rem
+        |  FROM am),
+        |used AS (SELECT SUM(flr) AS u FROM fl),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, s ASC) AS r
+        |  FROM fl)
+        |SELECT s AS o_orderpriority, CAST(ng AS BIGINT) AS n_rows,
+        |  sh AS s_h, wgt AS weight,
+        |  CAST(flr + CASE WHEN r <= 1000 - u THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_alloc
+        |FROM rk, used ORDER BY 1""".stripMargin,
+
+    // q249: exact micro-unit deviations from the round-6 bracketed
+    // medians; every wide decimal stays scale-0 (single correct
+    // double rounding — the q231/q246 discipline)
+    "q249_brown_forsythe" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)
+        |      AS xm,
+        |    CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |med AS (SELECT g, CAST(CAST(ROUND(quantile_cont(x, 0.5e0), 6)
+        |    AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mm
+        |  FROM base GROUP BY 1),
+        |z AS (SELECT base.g, ABS(xm - mm) AS zm
+        |  FROM base JOIN med ON base.g = med.g),
+        |byg AS (SELECT g, COUNT(*) AS ng,
+        |    SUM(CAST(zm AS DECIMAL(38,0))) AS sg,
+        |    SUM(CAST(zm AS DECIMAL(19,0)) * CAST(zm AS DECIMAL(19,0))) AS ssg
+        |  FROM z GROUP BY 1),
+        |agg AS (SELECT COUNT(*) AS k, SUM(ng) AS n,
+        |    CAST(SUM(sg) AS DECIMAL(38,0)) AS s,
+        |    CAST(SUM(ssg) AS DECIMAL(38,0)) AS ss,
+        |    SUM(CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+        |      CAST(ng AS DOUBLE) AS DECIMAL(38,0))) AS a2
+        |  FROM byg)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  ROUND((CAST(a2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / 1e12, 6) AS ss_between,
+        |  ROUND((CAST(ss AS DOUBLE) - CAST(a2 AS DOUBLE)) / 1e12, 6)
+        |    AS ss_within,
+        |  CASE WHEN k > 1 AND n > k AND
+        |      CAST(ss AS DOUBLE) - CAST(a2 AS DOUBLE) > 0e0
+        |    THEN ROUND(((CAST(a2 AS DOUBLE) - CAST(s AS DOUBLE) *
+        |      CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE)
+        |      - 1e0)) / ((CAST(ss AS DOUBLE) - CAST(a2 AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |    ELSE NULL END AS f
+        |FROM agg""".stripMargin,
+
+    // q250/q251/q253: driver-verified fixpoint contracts — empty.
+    "q250_leading_eigen" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation, CAST(NULL AS DOUBLE)
+        |  AS value WHERE FALSE""".stripMargin,
+    "q251_isotonic_calibration" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation, CAST(NULL AS DOUBLE)
+        |  AS detail WHERE FALSE""".stripMargin,
+    "q253_kcore" ->
+      """SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT)
+        |  AS core_degree, CAST(NULL AS BIGINT) AS recount
+        |  WHERE FALSE""".stripMargin,
+
+    // q252: the q111 unrolled-iteration device, doubled for the two
+    // mutually-recursive HITS vectors; contributions round-6 into
+    // DECIMAL(28,6), totals cast double EXACTLY (≤ 2^53 micro)
+    "q252_hits" -> {
+      val iters = 5
+      val head =
+        """WITH e AS MATERIALIZED (
+          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  GROUP BY 1, 2),
+          |h0 AS MATERIALIZED (SELECT n_nationkey AS id,
+          |  ROUND(1.0e0 / (SELECT COUNT(*) FROM nation), 12) AS v
+          |  FROM nation)""".stripMargin
+      val its = (1 to iters).map { k =>
+        s"""araw$k AS MATERIALIZED (SELECT e.dst AS id,
+           |    SUM(CAST(ROUND(p.v * e.w, 6) AS DECIMAL(28,6))) AS raw
+           |  FROM e JOIN h${k - 1} p ON e.src = p.id GROUP BY 1),
+           |atot$k AS MATERIALIZED (SELECT CAST(SUM(raw) AS DECIMAL(38,6)) AS tot
+           |  FROM araw$k),
+           |a$k AS MATERIALIZED (SELECT n.n_nationkey AS id,
+           |    CASE WHEN (SELECT tot FROM atot$k) > 0
+           |      THEN ROUND(CAST(COALESCE(araw$k.raw, 0) AS DOUBLE) /
+           |        CAST((SELECT tot FROM atot$k) AS DOUBLE), 12)
+           |      ELSE ROUND(1.0e0 / (SELECT COUNT(*) FROM nation), 12)
+           |    END AS v
+           |  FROM nation n LEFT JOIN araw$k ON n.n_nationkey = araw$k.id),
+           |hraw$k AS MATERIALIZED (SELECT e.src AS id,
+           |    SUM(CAST(ROUND(p.v * e.w, 6) AS DECIMAL(28,6))) AS raw
+           |  FROM e JOIN a$k p ON e.dst = p.id GROUP BY 1),
+           |htot$k AS MATERIALIZED (SELECT CAST(SUM(raw) AS DECIMAL(38,6)) AS tot
+           |  FROM hraw$k),
+           |h$k AS MATERIALIZED (SELECT n.n_nationkey AS id,
+           |    CASE WHEN (SELECT tot FROM htot$k) > 0
+           |      THEN ROUND(CAST(COALESCE(hraw$k.raw, 0) AS DOUBLE) /
+           |        CAST((SELECT tot FROM htot$k) AS DOUBLE), 12)
+           |      ELSE ROUND(1.0e0 / (SELECT COUNT(*) FROM nation), 12)
+           |    END AS v
+           |  FROM nation n LEFT JOIN hraw$k ON n.n_nationkey = hraw$k.id)"""
+          .stripMargin
+      }
+      (head +: its).mkString(",\n") +
+        s"""
+           |SELECT n.n_name AS nation, ROUND(h$iters.v, 6) AS hub,
+           |  ROUND(a$iters.v, 6) AS authority
+           |FROM nation n JOIN h$iters ON n.n_nationkey = h$iters.id
+           |JOIN a$iters ON n.n_nationkey = a$iters.id
+           |ORDER BY 1""".stripMargin
+    })
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

@@ -257,4 +257,69 @@ object Eval {
             (col("__tp").cast("double") / col("__tn").cast("double")), 6))
           .as("cum_lift"))
   }
+
+  /** Isotonic calibration by pool-adjacent-violators over score bins:
+    * the monotone step function mapping raw scores to calibrated
+    * probabilities — what you DO about a bad [[calibrationBins]]
+    * readout (Zadrozny & Elkan 2002; the standard non-parametric
+    * alternative to Platt scaling). Returns one row per input bin:
+    * `(bin, n, n_pos, rate, fitted)` with `fitted` non-decreasing in
+    * bin order and each pool's fitted value the EXACT pooled positive
+    * rate (rounded 6 for display; pooling decisions compare exact
+    * integer cross-products pos_a·n_b vs pos_b·n_a, so no float
+    * comparison ever steers the algorithm — the fit is
+    * engine/platform-exact by construction).
+    *
+    * Scale shape: the corpus collapses to ≤ `bins` (count, positives)
+    * pairs in ONE map-side-combined aggregate (the calibrationBins
+    * exchange); PAV itself runs on the driver over that bounded
+    * table — the classic "reduce to a summary, solve exactly on the
+    * summary" split. Out-of-domain scores clamp to edge bins like
+    * calibrationBins.
+    */
+  def isotonicCalibration(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val lbl = labelCol.cast("boolean")
+    val micro = (round(col(scoreCol).cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000).cast("long")
+    val binTable = df.filter(col(scoreCol).isNotNull && lbl.isNotNull)
+      .select(micro.as("__c"), lbl.as("__y"))
+      .groupBy(greatest(lit(0L),
+        least(lit(bins - 1L), expr(s"__c * ${bins}L div 1000001L")))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("pos"))
+      .orderBy("bin")
+      .collect()
+    // PAV with exact rational pool means: merge adjacent pools while
+    // mean(prev) > mean(next), compared as pos_a·n_b > pos_b·n_a
+    case class Pool(bins: List[(Long, Long, Long)], n: Long, pos: Long)
+    val pools = binTable.foldLeft(List.empty[Pool]) { (acc, r) =>
+      var stack = Pool(List((r.getLong(0), r.getLong(1), r.getLong(2))),
+        r.getLong(1), r.getLong(2)) :: acc
+      while (stack.tail.nonEmpty &&
+          stack.tail.head.pos * stack.head.n > stack.head.pos * stack.tail.head.n) {
+        val top = stack.head; val prev = stack.tail.head
+        stack = Pool(prev.bins ::: top.bins, prev.n + top.n,
+          prev.pos + top.pos) :: stack.tail.tail
+      }
+      stack
+    }.reverse
+    val spark = df.sparkSession
+    import spark.implicits._
+    pools.flatMap { pool =>
+      // half-up integer micro division — display only, the pooling
+      // above never consulted it
+      val fittedMicro = (2L * pool.pos * 1000000L + pool.n) / (2L * pool.n)
+      pool.bins.map { case (b, bn, bpos) =>
+        (b, bn, bpos,
+          (2L * bpos * 1000000L + bn) / (2L * bn) / 1e6,
+          fittedMicro / 1e6)
+      }
+    }.toDF("bin", "n", "n_pos", "rate", "fitted")
+  }
 }

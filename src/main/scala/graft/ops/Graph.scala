@@ -216,4 +216,133 @@ object Graph {
     sym.unpersist()
     labels
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a weighted edge
+    * relation: `iters` rounds of a(v) = Σ_{u→v} h(u)·w, h(u) =
+    * Σ_{u→v} a(v)·w, each side sum-normalized per round — the
+    * complement of [[weightedPageRank]]: PageRank finds globally
+    * endorsed nodes, HITS separates CURATORS (hubs pointing at good
+    * content) from CONTENT (authorities pointed at by good curators),
+    * the shape of source-catalog vs document-host graphs in crawl
+    * curation.
+    *
+    * Determinism across engines (the weightedPageRank ladder, at 6 dp
+    * because the normalizer must cast exactly to double: contributions
+    * round-6 → DECIMAL(28,6) exact sums; per-round totals stay below
+    * 2^53 micro units for any Σw ≤ ~9e9·max-score, documented): each
+    * round is two edge-relation joins + two aggregates + two 1-row
+    * normalizer broadcasts; scores round-12 after division so small
+    * authorities keep resolution.
+    *
+    * Scale shape: per iteration only the EDGE relation shuffles; the
+    * score tables are |V|-row broadcasts under AQE. `iters` ≤ 32
+    * (lineage guard, same as PageRank).
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      nodes: DataFrame,
+      idCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 32, "hits: iters in [1, 32]")
+    val n = nodes.count()
+    require(n > 0, "hits: empty node set")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(wCol).cast("double").as("__w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ids = nodes.select(col(idCol).as("__id"))
+    val init = round(lit(1.0) / n.toDouble, 12)
+    var h = ids.select(col("__id"), init.as("__h"))
+    var a = ids.select(col("__id"), init.as("__a"))
+    def normalized(raw0: DataFrame, scoreCol: String): DataFrame = {
+      // raw: (__id, __raw DECIMAL(28,6)); total is an exact decimal
+      // sum cast ONCE to double (≤ 2^53 micro budget). The raw table
+      // is referenced TWICE (join side + normalizer) — checkpoint the
+      // |V|-row aggregate so each round's plan stays LINEAR (without
+      // it the doubled reference squares the subtree per half-step:
+      // 2^(2·iters) analysis blowup, measured hanging at iters = 5)
+      // and the per-round lineage is truncated (the labelPropagation
+      // discipline).
+      val raw = raw0.localCheckpoint()
+      val tot = raw.agg(sum(col("__raw")).cast("decimal(38,6)").as("__tot"))
+      ids.join(raw, Seq("__id"), "left").crossJoin(broadcast(tot))
+        .select(col("__id"),
+          when(col("__tot") > 0,
+            round(coalesce(col("__raw"), lit(0)).cast("double") /
+              col("__tot").cast("double"), 12))
+            .otherwise(init).as(scoreCol))
+    }
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(h, col("__src") === col("__id"))
+        .select(col("__dst"),
+          round(col("__h") * col("__w"), 6).cast("decimal(28,6)").as("__c"))
+        .groupBy(col("__dst").as("__id")).agg(sum(col("__c")).as("__raw"))
+      a = normalized(aRaw, "__a")
+      val hRaw = e.join(a, col("__dst") === col("__id"))
+        .select(col("__src"),
+          round(col("__a") * col("__w"), 6).cast("decimal(28,6)").as("__c"))
+        .groupBy(col("__src").as("__id")).agg(sum(col("__c")).as("__raw"))
+      h = normalized(hRaw, "__h")
+    }
+    val out = h.join(a, "__id")
+      .select(col("__id").as(idCol),
+        round(col("__h"), 6).as("hub"), round(col("__a"), 6).as("authority"))
+    out
+  }
+
+  /** k-core: the maximal subgraph in which every vertex keeps degree
+    * ≥ k, by iterative peeling of sub-k vertices (Seidman 1983) —
+    * the standard "dense engagement core vs periphery" cut on
+    * interaction graphs (a user in the 10-core has 10 neighbours who
+    * ALL also clear the bar — spam rings and drive-by accounts peel
+    * away no matter how many raw edges they have).
+    *
+    * Input is read as an UNDIRECTED simple graph (self-loops drop,
+    * parallel edges collapse). Returns `(id, core_degree)` — the
+    * surviving vertices with their degree INSIDE the core.
+    *
+    * Scale shape: each peeling round is one degree aggregate over the
+    * current edge set + two semi-joins; the edge set only SHRINKS.
+    * Rounds are data-bounded (a path graph peels in O(diameter));
+    * `maxRounds` guards the lineage, and the loop exits EARLY via a
+    * survivor-count fixpoint check (one cheap count per round on the
+    * shrinking relation). `localCheckpoint` every round truncates the
+    * per-round lineage growth, the labelPropagation discipline.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    var cur = und.select(col("a"), col("b")).localCheckpoint()
+    var prevEdges = -1L
+    var curEdges = cur.count()
+    var round = 0
+    while (curEdges != prevEdges && curEdges > 0 && round < maxRounds) {
+      val deg = cur.select(col("a").as("id"))
+        .union(cur.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("__d"))
+      val keep = deg.filter(col("__d") >= k).select("id")
+      cur = cur
+        .join(keep.select(col("id").as("a")), "a", "left_semi")
+        .join(keep.select(col("id").as("b")), "b", "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      prevEdges = curEdges
+      curEdges = cur.count()
+      round += 1
+    }
+    cur.select(col("a").as("id")).union(cur.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).cast("long").as("core_degree"))
+      .filter(col("core_degree") >= k)
+  }
 }

@@ -317,4 +317,117 @@ object Robust {
         round(((e(7) - e(5)) + (e(3) - e(1))) / iqr, 6))
         .as("moors_kurtosis")): _*)
   }
+
+  /** Jackknife standard error of the ratio estimator R = Σy/Σx —
+    * the resampling-free variance readout for a NONLINEAR statistic
+    * (a plain variance-of-the-mean formula does not exist for a
+    * ratio; the delta method needs derivatives; the jackknife needs
+    * only leave-one-out replicates, and for sums those are closed
+    * form: R₍₋ᵢ₎ = (Sy−yᵢ)/(Sx−xᵢ), no resampling pass at all).
+    * Returns one row: `n`, `ratio`, `jack_mean`, `jack_se`,
+    * `jack_bias` = (n−1)(R̄_jack − R).
+    *
+    * Scale shape: TWO corpus passes (totals, then replicate moments
+    * — the second needs the first's mean) + 1-row broadcasts. Every
+    * replicate is computed from the broadcast totals; nothing
+    * corpus-sized ever sits on the driver.
+    *
+    * Parity chain: totals are exact integer cents (leave-one-out
+    * differences subtract as LONGS, one double cast each); each
+    * replicate is one IEEE division; replicates round to 6 dp and
+    * sum as DECIMAL(18,6) (the q181 ladder — a raw double sum is
+    * partial-order-dependent); the jackknife mean uses half-up
+    * integer micro division (q235); the deviation sum-of-squares
+    * rides the same round-6 decimal ladder. Digit budget: the
+    * replicate sum stays exactly castable to double below ~9e15
+    * micro units (documented, same class as dimCorrelation's).
+    */
+  def jackknifeRatio(df: DataFrame, yCol: String, xCol: String): DataFrame = {
+    val yc = (col(yCol).cast("decimal(18,2)") * 100).cast("long")
+    val xc = (col(xCol).cast("decimal(18,2)") * 100).cast("long")
+    val base = df.filter(col(yCol).isNotNull && col(xCol).isNotNull)
+      .select(yc.as("__y"), xc.as("__x"))
+    val tot = base.agg(sum(col("__y")).cast("long").as("__sy"),
+      sum(col("__x")).cast("long").as("__sx"), count(lit(1)).as("__n"))
+    val ri = (col("__sy") - col("__y")).cast("double") /
+      (col("__sx") - col("__x")).cast("double")
+    val p1 = base.crossJoin(broadcast(tot))
+      .agg(sum(round(ri, 6).cast("decimal(18,6)")).as("__sr"))
+    val withMean = tot.crossJoin(broadcast(p1))
+      .select(col("__sy"), col("__sx"), col("__n"),
+        (expr("(2L * cast(__sr * 1000000 as long) + __n) div (2L * __n)")
+          .cast("double") / lit(1000000.0d)).as("__jm"))
+    val dev = round(ri, 6) - col("__jm")
+    val p2 = base.crossJoin(broadcast(withMean))
+      .agg(sum(round(dev * dev, 6).cast("decimal(18,6)")).as("__sd"),
+        first(col("__jm")).as("__jm2"), first(col("__n")).as("__n2"),
+        first(col("__sy")).as("__sy2"), first(col("__sx")).as("__sx2"))
+    val nD = col("__n2").cast("double")
+    val ratio = col("__sy2").cast("double") / col("__sx2").cast("double")
+    p2.select(col("__n2").cast("long").as("n"),
+      round(ratio, 6).as("ratio"),
+      round(col("__jm2"), 6).as("jack_mean"),
+      round(sqrt((nD - lit(1.0d)) / nD * col("__sd").cast("double")), 6)
+        .as("jack_se"),
+      round((nD - lit(1.0d)) * (col("__jm2") - ratio), 6).as("jack_bias"))
+  }
+
+  /** Brown–Forsythe test (Levene with median centers) for variance
+    * homogeneity across groups: the one-way ANOVA F applied to the
+    * absolute deviations z = |x − median_g| — the robust "are these
+    * groups equally spread" gate run before trusting a pooled
+    * variance or an ANOVA's equal-variance assumption (mean-centered
+    * Levene chases whales; the median center is the standard robust
+    * choice).
+    *
+    * Parity chain: group medians come from [[Percentiles.exact]]
+    * (bracketed selection, round-6 — the q106 precedent); deviations
+    * become EXACT micro-unit longs (x has ≤ 2 dp, the round-6 median
+    * has ≤ 6 dp, so z = |x − med| is exactly a micro integer — no
+    * rounded-double ladder at all); z and z² sum in scale-0
+    * DECIMAL(38,0), whose double casts are a SINGLE correct rounding
+    * on both engines (a fractional-scale wide decimal would
+    * double-round in DuckDB — the q231 hazard); the pooled S²/n
+    * terms are ≥ 2^53-magnitude doubles, i.e. exact integers, so
+    * their decimal(38,0) casts are decision-free. F is one fixed
+    * double expression; degenerate cases (k < 2, zero within-spread)
+    * yield NULL F. SS outputs convert micro² → value² (/10¹²).
+    *
+    * Scale shape: one [[Percentiles.exact]] pass for the medians
+    * (two bracketed corpus passes), one broadcast join of the
+    * group-median table, one map-side-combined moment aggregate.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    val med = graft.ops.Percentiles.exact(base, Seq(groupCol),
+      valueCol, Seq(0.5))
+      .select(col(groupCol), (round(element_at(col("pcts"), 1), 6)
+        .cast("decimal(18,6)") * 1000000).cast("long").as("__mm"))
+    val xMicro = (col(valueCol).cast("decimal(18,2)") * 1000000).cast("long")
+    val zm = abs(xMicro - col("__mm"))
+    val byG = base.join(broadcast(med), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ng"),
+        sum(zm.cast("decimal(38,0)")).as("__sg"),
+        sum((zm.cast("decimal(19,0)") * zm.cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("__ssg"))
+    val term = (col("__sg").cast("double") * col("__sg").cast("double") /
+      col("__ng").cast("double")).cast("decimal(38,0)")
+    val agg = byG.agg(
+      count(lit(1)).as("__k"), sum(col("__ng")).as("__n"),
+      sum(col("__sg")).cast("decimal(38,0)").as("__s"),
+      sum(col("__ssg")).cast("decimal(38,0)").as("__ss"),
+      sum(term).as("__a"))
+    val (nD, kD) = (col("__n").cast("double"), col("__k").cast("double"))
+    val ssb = col("__a").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD
+    val ssw = col("__ss").cast("double") - col("__a").cast("double")
+    agg.select(col("__k").cast("long").as("k"),
+      col("__n").cast("long").as("n"),
+      round(ssb / lit(1.0e12), 6).as("ss_between"),
+      round(ssw / lit(1.0e12), 6).as("ss_within"),
+      when(col("__k") > 1 && col("__n") > col("__k") && ssw > lit(0.0d),
+        round((ssb / (kD - lit(1.0d))) / (ssw / (nD - kD)), 6)).as("f"))
+  }
 }

@@ -1146,4 +1146,136 @@ object Similarity {
       .orderBy(col("f").desc, col("dim"))
       .limit(topK)
   }
+
+  /** Leading eigenpair (principal component) of the embedding
+    * dimension SAMPLE covariance matrix, plus the explained-variance
+    * share λ₁/trace — the "is this embedding effectively
+    * one-dimensional" screen a projection/quantization pass runs
+    * before spending budget (a near-1 share means most dims are
+    * redundant and [[randomProject]]/[[Quantize]] are nearly free).
+    *
+    * Computation: ONE distributed mapPartitions moment fold to
+    * (n, S1[d], SP[d·(d+1)/2]) over round-6 micro units — the
+    * [[dimCorrelation]] quantized-view contract, diagonal included —
+    * merged on the driver by LONG addition (exact and
+    * order-independent, so the merge is deterministic under any
+    * partitioning); then d² driver-side power iteration from the
+    * deterministic e₁ start, `iters` fixed steps with L2
+    * normalization. The corpus never sees a second pass and nothing
+    * corpus-sized collects (partials are partitions × O(d²) longs).
+    *
+    * Returns `(n, eigenvalue, explained_share, component: Seq[Double])`
+    * with the sign convention component[argmax |component|] > 0.
+    * Within-partition micro² accumulation carries the documented
+    * |x| ≲ 3000 long budget of the dimCorrelation family.
+    */
+  /** Result of [[leadingEigen]]: the sample size, leading eigenvalue,
+    * explained-variance share, unit eigenvector, and the full (small,
+    * d×d) covariance matrix for downstream contracts/projections.
+    */
+  case class EigenResult(n: Long, eigenvalue: Double, share: Double,
+      component: Seq[Double], cov: Array[Array[Double]])
+
+  def leadingEigen(
+      df: DataFrame,
+      vecCol: String,
+      dims: Int,
+      iters: Int = 5000): EigenResult = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val nMoments = dims * (dims + 1) / 2
+    val base = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(vecCol).cast("array<double>").as("__v"))
+    val partialSchema = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("s1", ArrayType(LongType, containsNull = false)),
+      StructField("sp", ArrayType(LongType, containsNull = false))))
+    val partials = base.mapPartitions { it =>
+      val s1 = new Array[Long](dims)
+      val sp = new Array[Long](nMoments)
+      val micro = new Array[Long](dims)
+      var n = 0L
+      it.foreach { r =>
+        val v = r.getSeq[Double](0)
+        var i = 0
+        while (i < dims) {
+          micro(i) = java.math.BigDecimal.valueOf(v(i))
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .movePointRight(6).longValueExact()
+          s1(i) += micro(i)
+          i += 1
+        }
+        var p = 0
+        i = 0
+        while (i < dims) {
+          var j = i
+          val mi = micro(i)
+          while (j < dims) { sp(p) += mi * micro(j); p += 1; j += 1 }
+          i += 1
+        }
+        n += 1L
+      }
+      if (n == 0L) Iterator.empty
+      else Iterator.single(Row(n, s1.toSeq, sp.toSeq))
+    }(Encoders.row(partialSchema)).collect()
+    require(partials.nonEmpty, "leadingEigen: empty corpus")
+    val s1 = new Array[Long](dims)
+    val sp = new Array[Long](nMoments)
+    var n = 0L
+    partials.foreach { r =>
+      n += r.getLong(0)
+      val a = r.getSeq[Long](1); val b = r.getSeq[Long](2)
+      var i = 0
+      while (i < dims) { s1(i) += a(i); i += 1 }
+      i = 0
+      while (i < nMoments) { sp(i) += b(i); i += 1 }
+    }
+    require(n >= 2, s"leadingEigen: needs >= 2 vectors, got $n")
+    // sample covariance in VALUE units from the exact micro moments
+    val cov = Array.ofDim[Double](dims, dims)
+    var p = 0
+    var i = 0
+    while (i < dims) {
+      var j = i
+      while (j < dims) {
+        val c = (n.toDouble * sp(p).toDouble - s1(i).toDouble * s1(j).toDouble) /
+          (n.toDouble * (n - 1).toDouble) / 1e12
+        cov(i)(j) = c; cov(j)(i) = c
+        p += 1; j += 1
+      }
+      i += 1
+    }
+    var v = Array.tabulate(dims)(k => if (k == 0) 1.0 else 0.0)
+    var lambda = 0.0
+    var it2 = 0
+    while (it2 < iters) {
+      val next = new Array[Double](dims)
+      var a = 0
+      while (a < dims) {
+        var s = 0.0; val row = cov(a)
+        var b = 0
+        while (b < dims) { s += row(b) * v(b); b += 1 }
+        next(a) = s; a += 1
+      }
+      val norm = math.sqrt(next.map(x => x * x).sum)
+      if (norm == 0.0) { it2 = iters } // null matrix: keep start vector
+      else {
+        var c = 0
+        while (c < dims) { next(c) /= norm; c += 1 }
+        lambda = norm
+        v = next
+        it2 += 1
+      }
+    }
+    // Rayleigh quotient for the eigenvalue (power-iter norm converges
+    // to |λ|; the quotient carries the sign)
+    val cv = Array.tabulate(dims)(a => (0 until dims).map(b => cov(a)(b) * v(b)).sum)
+    lambda = (0 until dims).map(a => v(a) * cv(a)).sum
+    val argmax = v.indices.maxBy(k => math.abs(v(k)))
+    if (v(argmax) < 0) v = v.map(-_)
+    val trace = (0 until dims).map(k => cov(k)(k)).sum
+    val share = if (trace > 0) lambda / trace else Double.NaN
+    EigenResult(n, lambda, share, v.toSeq, cov)
+  }
 }

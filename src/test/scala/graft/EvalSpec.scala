@@ -89,4 +89,36 @@ class EvalSpec extends SparkSuite {
     assert(out.map(_._1) == Seq(0L, 4L, 9L), s"got $out")
     assert(out.head._3 == -0.3 && out.last._3 == 1.7, s"got $out")
   }
+
+  test("isotonicCalibration pools adjacent violators to the exact rate") {
+    import spark.implicits._
+    // bins 0..3 with rates 0.0, 0.75, 0.25, 1.0 — bins 1 and 2
+    // violate (0.75 > 0.25) and pool to (3+1)/(4+4) = 0.5
+    val rows =
+      Seq.fill(4)((0.05, false)) ++
+      (Seq.fill(3)((0.30, true)) :+ ((0.30, false))) ++
+      (Seq.fill(3)((0.60, false)) :+ ((0.60, true))) ++
+      Seq.fill(4)((0.90, true))
+    val df = rows.toDF("score", "y")
+    val out = Eval.isotonicCalibration(df, "score", col("y"), bins = 4)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._5) == Seq(0.0, 0.5, 0.5, 1.0), s"got $out")
+    assert(out.map(_._4) == Seq(0.0, 0.75, 0.25, 1.0), s"got $out")
+    // monotone and mass-preserving by construction
+    assert(out.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+    assert(out.map(r => r._2 * r._5).sum == out.map(_._3).sum.toDouble)
+  }
+
+  test("isotonicCalibration cascades pools (strictly decreasing input)") {
+    import spark.implicits._
+    // rates 1.0, 0.5, 0.0 with equal bin mass → one global pool 0.5
+    val rows = Seq.fill(2)((0.1, true)) ++
+      (Seq((0.45, true), (0.45, false))) ++ Seq.fill(2)((0.8, false))
+    val out = Eval.isotonicCalibration(rows.toDF("score", "y"), "score",
+        col("y"), bins = 3)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._5) == Seq(0.5, 0.5, 0.5), s"got $out")
+  }
 }

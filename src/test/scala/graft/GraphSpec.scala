@@ -129,4 +129,54 @@ class GraphSpec extends SparkSuite {
       Graph.labelPropagation(edges, "src", "dst", "w", rounds = 0)
     }
   }
+
+  test("hits: star graph separates the hub from the authorities") {
+    import spark.implicits._
+    // node 1 points at 2, 3, 4 — 1 is a pure hub (authority 0),
+    // 2-4 pure equal authorities (hub 0)
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val out = Graph.hits(edges, "src", "dst", "w", nodes, "id", iters = 3)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 1.0, 0.0)), s"got $out")
+    (1 to 3).foreach { i =>
+      assert(out(i)._2 == 0.0, s"got $out")
+      assert(math.abs(out(i)._3 - 1.0 / 3) < 1e-6, s"got $out")
+    }
+  }
+
+  test("hits: bipartite weights rank the heavier authority higher") {
+    import spark.implicits._
+    // two hubs point at a with total weight 3, at b with 1
+    val edges = Seq((1L, 10L, 2L), (2L, 10L, 1L), (2L, 20L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 10L, 20L).toDF("id")
+    val m = Graph.hits(edges, "src", "dst", "w", nodes, "id", iters = 5)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(m(10L)._3 > m(20L)._3, s"got $m")
+    assert(m(1L)._2 > 0.0 && m(2L)._2 > 0.0 && m(10L)._2 == 0.0)
+  }
+
+  test("kCore peels the periphery and keeps the clique") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} plus a tail 4-5-6: 2-core = the clique
+    // (5 and 6 peel in two rounds — degree cascades matter)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val out = Graph.kCore(edges, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), s"got $out")
+    // k = 4 is impossible on 4 nodes with degree 3 → empty
+    assert(Graph.kCore(edges, "src", "dst", k = 4).isEmpty)
+  }
+
+  test("kCore reads direction-free and drops self-loops/parallels") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.kCore(edges, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L), (2L, 2L), (3L, 2L)), s"got $out")
+  }
 }

@@ -326,4 +326,25 @@ class PipelineOpsSpec extends SparkSuite {
     // heavy weights dominate the draw
     assert(out.count(_._2 == 500L) > 40)
   }
+
+  test("neymanAllocation: N_h·s_h weighting, exact budget, zero-var excluded") {
+    import spark.implicits._
+    // stratum a: 4 rows spread 10..40 (s > 0); b: 4 rows all 5
+    // (s = 0 → weight 0); c: 2 rows spread 0/100 (huge s, small N)
+    val df = (Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0)) ++
+      Seq.fill(4)(("b", 5.0)) ++ Seq(("c", 0.0), ("c", 100.0)))
+      .toDF("s", "v")
+    val out = Sample.neymanAllocation(df, "s", "v", totalN = 10L)
+      .orderBy("s")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    // allocations sum EXACTLY to the budget
+    assert(out.map(_._5).sum == 10L, s"got $out")
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m("b")._3 == 0.0 && m("b")._5 == 0L, s"got $out")
+    // a: s = sd(10,20,30,40) ≈ 12.909944, w ≈ 51.639778
+    // c: s = sd(0,100) ≈ 70.710678, w ≈ 141.421356
+    // shares ≈ 0.2674/0.7326 of 10 → largest remainder: a=3, c=7
+    assert(m("a")._5 == 3L && m("c")._5 == 7L, s"got $out")
+    assert(math.abs(m("a")._3 - 12.909944) < 1e-6)
+  }
 }

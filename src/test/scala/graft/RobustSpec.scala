@@ -141,4 +141,46 @@ class RobustSpec extends SparkSuite {
       ("a", 8L, 2.75, 4.5, 6.25, Some(0.0), Some(1.0)),
       ("b", 3L, 5.0, 5.0, 5.0, None, None)), s"got $out")
   }
+
+  test("jackknifeRatio: replicates, mean and SE match the hand formula") {
+    import spark.implicits._
+    // y = (2, 4, 6), x = (1, 1, 2): R = 12/4 = 3
+    // R(-1) = 10/3, R(-2) = 8/3, R(-3) = 6/2 = 3
+    val df = Seq((2.0, 1.0), (4.0, 1.0), (6.0, 2.0)).toDF("y", "x")
+    val r = graft.ops.Robust.jackknifeRatio(df, "y", "x").head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("ratio") == 3.0)
+    // round-6 replicates: 3.333333, 2.666667, 3.0 → mean 3.0
+    assert(r.getAs[Double]("jack_mean") == 3.0)
+    // dev² = (0.333333², 0.333333², 0) → Σ ≈ 0.222222 (round-6 terms)
+    // SE = sqrt(2/3 · 0.222222) = sqrt(0.148148) ≈ 0.385aaa
+    val se = r.getAs[Double]("jack_se")
+    assert(math.abs(se - math.sqrt(2.0 / 3.0 * 0.222222)) < 1e-6, s"se=$se")
+    assert(r.getAs[Double]("jack_bias") == 0.0)
+  }
+
+  test("brownForsythe: equal spreads around different medians give F = 0") {
+    import spark.implicits._
+    // both groups are {center − 1, center, center + 1} → all |z| sets
+    // identical → SSB = 0, F = 0
+    val df = Seq(("a", 9.0), ("a", 10.0), ("a", 11.0),
+      ("b", 99.0), ("b", 100.0), ("b", 101.0)).toDF("g", "v")
+    val r = graft.ops.Robust.brownForsythe(df, "g", "v").head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("ss_between") == 0.0)
+    assert(r.getAs[Double]("f") == 0.0)
+  }
+
+  test("brownForsythe flags a genuinely wider group") {
+    import spark.implicits._
+    // three distinct values per group so |x − med| VARIES within each
+    // group (a two-value group has constant z → zero within-spread →
+    // NULL F by the degenerate guard)
+    val tight = (1 to 10).map(i => ("t", 100.0 + (i % 3)))
+    val wide = (1 to 10).map(i => ("w", 100.0 + (i % 3) * 50))
+    val r = graft.ops.Robust.brownForsythe((tight ++ wide).toDF("g", "v"),
+      "g", "v").head()
+    assert(r.getAs[Double]("f") > 10.0, s"got $r")
+    assert(r.getAs[Double]("ss_between") > 0.0)
+  }
 }
