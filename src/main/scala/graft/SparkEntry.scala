@@ -3637,7 +3637,38 @@ object SparkEntry {
           col("core_degree"),
           coalesce(col("deg"), lit(0L)).cast("long").as("recount"))
         .orderBy("id")
-    }))
+    }),
+
+    "q254_calibration_error" -> ((s, dir) => {
+      // one-number model-card summary of q216's reliability table —
+      // exact integer numerators end-to-end
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        round(TextOps.stopwordHits(col("text")).cast("double") /
+          TextOps.tokenCountArith(col("text")).cast("double"), 6)
+          .as("score"),
+        col("lang"))
+      graft.ops.Eval.calibrationError(scored, "score",
+        col("lang") === "en", bins = 10)
+    }),
+
+    "q255_mann_kendall" -> ((s, dir) =>
+      TimeSeries.mannKendall(events(s, dir), "ts", "value")),
+
+    "q256_ols_influence" -> ((s, dir) =>
+      // which line items OWN the price~quantity fit: top-20 by
+      // Cook's distance (leverage × residual)
+      Robust.olsInfluence(
+        t(s, dir, "lineitem").withColumn("li_id",
+          col("l_orderkey") * 8 + col("l_linenumber")),
+        "li_id", "l_quantity", "l_extendedprice", topK = 20)),
+
+    "q257_partial_correlation" -> ((s, dir) =>
+      // does quantity↔price survive controlling for discount?
+      Robust.partialCorrelation(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice", "l_discount")),
+
+    "q258_seasonality_strength" -> ((s, dir) =>
+      TimeSeries.seasonalityStrength(events(s, dir), "ts", "value")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -8068,7 +8099,176 @@ object SparkEntry {
            |FROM nation n JOIN h$iters ON n.n_nationkey = h$iters.id
            |JOIN a$iters ON n.n_nationkey = a$iters.id
            |ORDER BY 1""".stripMargin
-    })
+    },
+
+    // q254: per-bin numerators |pos·10⁶ − Σconf_micro| are exact
+    // integers; ECE/MCE via the half-up micro division device
+    "q254_calibration_error" ->
+      s"""WITH sc AS (SELECT
+         |    ROUND(CAST(${sqlStopwordHits("text")} AS DOUBLE) /
+         |      CAST(${sqlTokenCount("text")} AS DOUBLE), 6) AS s,
+         |    (lang = 'en') AS y
+         |  FROM documents),
+         |mc AS (SELECT CAST(CAST(s AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS c, y
+         |  FROM sc WHERE s IS NOT NULL AND y IS NOT NULL),
+         |b AS (SELECT GREATEST(0, LEAST(9, (c * 10) // 1000001)) AS bin,
+         |    COUNT(*) AS n, SUM(CAST(c AS DECIMAL(18,0))) AS sc2,
+         |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+         |  FROM mc GROUP BY 1),
+         |e AS (SELECT n,
+         |    CAST(ABS(CAST(pos AS DECIMAL(18,0)) * 1000000 - sc2) AS BIGINT)
+         |      AS num
+         |  FROM b),
+         |agg AS (SELECT COUNT(*) AS bins_used, SUM(n) AS nn,
+         |    CAST(SUM(CAST(num AS DECIMAL(38,0))) AS BIGINT) AS t,
+         |    MAX((2 * num + n) // (2 * n)) AS mcem
+         |  FROM e)
+         |SELECT CAST(nn AS BIGINT) AS n, CAST(bins_used AS BIGINT)
+         |    AS bins_used,
+         |  CAST((2 * t + nn) // (2 * nn) AS DOUBLE) / 1000000e0 AS ece,
+         |  CAST(mcem AS DOUBLE) / 1000000e0 AS mce
+         |FROM agg""".stripMargin,
+
+    // q255: exact integer sign/tie arithmetic over the bounded daily
+    // table; continuity-corrected z
+    "q255_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |      * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |s AS (SELECT COALESCE(SUM(CASE WHEN b.c > a.c THEN 1
+        |    WHEN b.c < a.c THEN -1 ELSE 0 END), 0) AS st
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |t AS (SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tt,
+        |    CAST(SUM(t) AS BIGINT) AS n
+        |  FROM (SELECT c, COUNT(*) AS t FROM daily GROUP BY 1))
+        |SELECT CAST(n AS BIGINT) AS n_days, CAST(st AS BIGINT) AS s_stat,
+        |  ROUND(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18e0, 6)
+        |    AS var_s,
+        |  CASE WHEN CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18e0
+        |      > 0e0 AND st <> 0
+        |    THEN ROUND((CAST(st AS DOUBLE) -
+        |      CASE WHEN st > 0 THEN 1e0 ELSE -1e0 END) /
+        |      sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18e0), 6)
+        |    ELSE 0e0 END AS z,
+        |  CASE WHEN st > 0 THEN 'increasing' WHEN st < 0 THEN 'decreasing'
+        |    ELSE 'none' END AS trend
+        |FROM s, t""".stripMargin,
+
+    // q256: moment ladder in cents/scale-0 decimals; the diagnostic
+    // trees replayed verbatim; top-20 by (round-6 D desc, id)
+    "q256_ols_influence" ->
+      """WITH b AS (SELECT l_orderkey * 8 + l_linenumber AS id,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |mom AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+        |  FROM b),
+        |sca AS (SELECT n, sx, sxx,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |      CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS bb,
+        |    (CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |      * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+        |      CAST(n AS DOUBLE) AS aa,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |      CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS sxxc
+        |  FROM mom),
+        |r AS (SELECT id, x, y,
+        |    CAST(CAST(ROUND((CAST(y AS DOUBLE) - (aa + bb *
+        |      CAST(x AS DOUBLE))) / 100e0, 6) AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT) AS rm,
+        |    ROUND((CAST(y AS DOUBLE) - (aa + bb * CAST(x AS DOUBLE)))
+        |      / 100e0, 6) AS rm6,
+        |    1e0 / CAST(n AS DOUBLE) + ((CAST(x AS DOUBLE) - xbar) *
+        |      (CAST(x AS DOUBLE) - xbar)) / sxxc AS lev,
+        |    n FROM b, sca),
+        |sse AS (SELECT SUM(CAST(rm AS DECIMAL(19,0)) *
+        |    CAST(rm AS DECIMAL(19,0))) AS ss FROM r)
+        |SELECT id, CAST(x AS DOUBLE) / 100e0 AS x,
+        |  CAST(y AS DOUBLE) / 100e0 AS y,
+        |  rm6 AS resid, ROUND(lev, 6) AS leverage,
+        |  CASE WHEN CAST(ss AS DOUBLE) / 1e12 / (CAST(n AS DOUBLE) - 2e0)
+        |      > 0e0 AND lev < 1e0
+        |    THEN ROUND(rm6 * rm6 * lev / (2e0 * (CAST(ss AS DOUBLE) / 1e12 /
+        |      (CAST(n AS DOUBLE) - 2e0)) * (1e0 - lev) * (1e0 - lev)), 6)
+        |    ELSE 0e0 END AS cooks_d
+        |FROM r, sse
+        |ORDER BY cooks_d DESC, id LIMIT 20""".stripMargin,
+
+    // q257: nine exact moments, three Pearson trees, one partial
+    "q257_partial_correlation" ->
+      """WITH b AS (SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS z
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(z) AS sz,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+        |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+        |    SUM(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS szz,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS sxz,
+        |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS syz
+        |  FROM b),
+        |rr AS (SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |      CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) *
+        |      CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+        |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |      CAST(sz AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) *
+        |      CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) -
+        |      CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+        |    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) *
+        |      CAST(sz AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) *
+        |      CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) -
+        |      CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n, ROUND(rxy, 6) AS r_xy,
+        |  ROUND(rxz, 6) AS r_xz, ROUND(ryz, 6) AS r_yz,
+        |  ROUND((rxy - rxz * ryz) / sqrt((1e0 - rxz * rxz) *
+        |    (1e0 - ryz * ryz)), 6) AS r_xy_given_z
+        |FROM rr""".stripMargin,
+
+    // q258: weekday means via epoch-day arithmetic + half-up micro
+    // division; both SS in scale-0 decimals
+    "q258_seasonality_strength" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |      * 1000000 AS BIGINT) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |dw AS (SELECT day, m, (day - DATE '1970-01-01') % 7 AS dow
+        |  FROM daily),
+        |wk AS (SELECT dow, (2 * SUM(m) + COUNT(*)) // (2 * COUNT(*)) AS mw
+        |  FROM dw GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n, SUM(m) AS s,
+        |    SUM(CAST(m AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0))) AS ss
+        |  FROM daily),
+        |res AS (SELECT SUM(CAST(m - mw AS DECIMAL(19,0)) *
+        |    CAST(m - mw AS DECIMAL(19,0))) AS ssr
+        |  FROM dw JOIN wk USING (dow))
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  ROUND((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / 1e12, 6) AS sst,
+        |  ROUND(CAST(ssr AS DOUBLE) / 1e12, 6) AS ssr,
+        |  CASE WHEN CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+        |      CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0e0
+        |    THEN ROUND(1e0 - CAST(ssr AS DOUBLE) / (CAST(ss AS DOUBLE) -
+        |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |    ELSE NULL END AS strength
+        |FROM res, tot""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

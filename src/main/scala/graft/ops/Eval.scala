@@ -277,6 +277,47 @@ object Eval {
     * summary" split. Out-of-domain scores clamp to edge bins like
     * calibrationBins.
     */
+  /** Expected / maximum calibration error over the [[calibrationBins]]
+    * bands: ECE = Σ_h (n_h/N)·|acc_h − conf_h|, MCE = max_h |…| —
+    * the one-number summaries a model card quotes where the
+    * reliability TABLE is too much.
+    *
+    * Exactness: the per-bin numerator |pos_h·10⁶ − Σconf_micro| is an
+    * exact integer, so ECE = T/(N·10⁶) and each bin's gap reduce to
+    * half-up integer micro divisions — no rounded-double intermediate
+    * anywhere (tighter than deriving from the rounded q216 table).
+    * Scale shape: the calibrationBins aggregate + a bins-sized fold.
+    */
+  def calibrationError(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val lbl = labelCol.cast("boolean")
+    val micro = (round(col(scoreCol).cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000).cast("long")
+    df.filter(col(scoreCol).isNotNull && lbl.isNotNull)
+      .select(micro.as("__c"), lbl.as("__y"))
+      .groupBy(greatest(lit(0L),
+        least(lit(bins - 1L), expr(s"__c * ${bins}L div 1000001L")))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__c").cast("decimal(18,0)")).as("__sc"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+      .select(col("__n"),
+        abs(col("__pos").cast("decimal(18,0)") * 1000000 - col("__sc"))
+          .cast("long").as("__num"))
+      .agg(count(lit(1)).as("__bins"), sum(col("__n")).as("__nn"),
+        sum(col("__num").cast("decimal(38,0)")).cast("long").as("__t"),
+        max(expr("(2L * __num + __n) div (2L * __n)")).as("__mce"))
+      .select(col("__nn").cast("long").as("n"),
+        col("__bins").cast("long").as("bins_used"),
+        (expr("(2L * __t + __nn) div (2L * __nn)").cast("double") /
+          lit(1000000.0d)).as("ece"),
+        (col("__mce").cast("double") / lit(1000000.0d)).as("mce"))
+  }
+
   def isotonicCalibration(
       df: DataFrame,
       scoreCol: String,

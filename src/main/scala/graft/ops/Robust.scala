@@ -318,6 +318,142 @@ object Robust {
         .as("moors_kurtosis")): _*)
   }
 
+  /** OLS y ~ x with influence diagnostics: residual, leverage
+    * h_i = 1/n + (x−x̄)²/Sxx and Cook's distance per row, top `topK`
+    * by Cook's D — the regression-audit question "which rows OWN this
+    * slope" (a whale with high leverage AND a big residual can set
+    * the fit single-handedly; Theil-Sen resists it, this one NAMES
+    * it). Returns `(id, x, y, resid, leverage, cooks_d)`.
+    *
+    * Parity chain: the five moments are exact integer cents/scale-0
+    * decimals (single correct double rounding); slope/intercept/SSE
+    * are fixed double expressions (SSE sums round-6 squared residuals
+    * as DECIMAL — never a raw double sum); per-row diagnostics are
+    * IEEE trees of broadcast scalars; top-k orders by (round-6 D
+    * DESC, id) — a total order both engines replay.
+    *
+    * Scale shape: one moment aggregate, one SSE aggregate, one
+    * map-only diagnostic pass + distributed TakeOrdered — three scans,
+    * nothing corpus-sized collected.
+    */
+  def olsInfluence(
+      df: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val xc = (col(xCol).cast("decimal(18,2)") * 100).cast("long")
+    val yc = (col(yCol).cast("decimal(18,2)") * 100).cast("long")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol).as("id"), xc.as("__x"), yc.as("__y"))
+    val d19 = "decimal(19,0)"
+    val mom = base.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).cast("long").as("__sx"),
+      sum(col("__y")).cast("long").as("__sy"),
+      sum((col("__x").cast(d19) * col("__x").cast(d19)).cast("decimal(38,0)"))
+        .as("__sxx"),
+      sum((col("__x").cast(d19) * col("__y").cast(d19)).cast("decimal(38,0)"))
+        .as("__sxy"))
+    val nD = col("__n").cast("double")
+    val slope = (nD * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")) /
+      (nD * col("__sxx").cast("double") -
+        col("__sx").cast("double") * col("__sx").cast("double"))
+    val scalars = mom.select(col("__n"), col("__sx"), col("__sxx"),
+      slope.as("__b"),
+      ((col("__sy").cast("double") - slope * col("__sx").cast("double")) / nD)
+        .as("__a"),
+      (col("__sx").cast("double") / nD).as("__xbar"),
+      ((nD * col("__sxx").cast("double") - col("__sx").cast("double") *
+        col("__sx").cast("double")) / nD).as("__sxxc"))
+    // residuals in VALUE units (cents/100), then ROUND-6 MICRO longs —
+    // SSE sums their exact squares in scale-0 DECIMAL(38,0) (a
+    // fractional-scale wide decimal would double-round its double
+    // cast in DuckDB, the q231 hazard)
+    val resid = (col("__y").cast("double") -
+      (col("__a") + col("__b") * col("__x").cast("double"))) / lit(100.0d)
+    val residM = (round(resid, 6).cast("decimal(18,6)") * 1000000)
+      .cast("long")
+    val withS = base.crossJoin(broadcast(scalars))
+    val sse = withS
+      .agg(sum((residM.cast(d19) * residM.cast(d19)).cast("decimal(38,0)"))
+        .as("__sse"))
+    val lev = lit(1.0d) / col("__n").cast("double") +
+      ((col("__x").cast("double") - col("__xbar")) *
+        (col("__x").cast("double") - col("__xbar"))) / col("__sxxc")
+    // σ² back in value² units (micro² / 10¹²)
+    val sigma2 = col("__sse").cast("double") / lit(1.0e12) /
+      (col("__n").cast("double") - lit(2.0d))
+    // Cook's D is unit-free: the round-6 value-unit residual against
+    // value-unit σ²
+    val rm6 = round(resid, 6)
+    // σ² = 0 (perfect fit) or leverage 1 would divide by zero (ANSI
+    // throws even for doubles) — D is 0 by convention there
+    val d = when(sigma2 > 0 && lev < 1, rm6 * rm6 * lev /
+      (lit(2.0d) * sigma2 * (lit(1.0d) - lev) * (lit(1.0d) - lev)))
+      .otherwise(lit(0.0d))
+    withS.crossJoin(broadcast(sse))
+      .select(col("id"),
+        (col("__x").cast("double") / lit(100.0d)).as("x"),
+        (col("__y").cast("double") / lit(100.0d)).as("y"),
+        round(resid, 6).as("resid"),
+        round(lev, 6).as("leverage"),
+        round(d, 6).as("cooks_d"))
+      .orderBy(col("cooks_d").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** First-order partial correlation r_xy·z — the correlation of x
+    * and y with z's linear influence removed:
+    * (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — the screen for
+    * "is this association real or is both-sides-track-z confounding"
+    * (a quality score correlating with label purity may both just
+    * track document length).
+    *
+    * ONE map-side-combined aggregate computes all nine moments in
+    * exact cents / scale-0 decimals; the three Pearson r's and the
+    * partial are fixed double trees. Degenerate inputs (any zero
+    * variance, |r| = 1 denominators) yield NULL.
+    */
+  def partialCorrelation(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      zCol: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    def cents(c: String) = (col(c).cast("decimal(18,2)") * 100).cast("long")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .select(cents(xCol).as("__x"), cents(yCol).as("__y"), cents(zCol).as("__z"))
+    def s2(a: String, b: String) =
+      sum((col(a).cast(d19) * col(b).cast(d19)).cast("decimal(38,0)"))
+    val mom = base.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).cast("long").as("__sx"),
+      sum(col("__y")).cast("long").as("__sy"),
+      sum(col("__z")).cast("long").as("__sz"),
+      s2("__x", "__x").as("__sxx"), s2("__y", "__y").as("__syy"),
+      s2("__z", "__z").as("__szz"), s2("__x", "__y").as("__sxy"),
+      s2("__x", "__z").as("__sxz"), s2("__y", "__z").as("__syz"))
+    val nD = col("__n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String) = {
+      val num = nD * dd(sab) - dd(sa) * dd(sb)
+      val va = nD * dd(saa) - dd(sa) * dd(sa)
+      val vb = nD * dd(sbb) - dd(sb) * dd(sb)
+      when(va > 0 && vb > 0, num / sqrt(va * vb))
+    }
+    val rxy = r("__sxy", "__sx", "__sy", "__sxx", "__syy")
+    val rxz = r("__sxz", "__sx", "__sz", "__sxx", "__szz")
+    val ryz = r("__syz", "__sy", "__sz", "__syy", "__szz")
+    mom.select(col("__n").cast("long").as("n"),
+      round(rxy, 6).as("r_xy"), round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      round((rxy - rxz * ryz) /
+        sqrt((lit(1.0d) - rxz * rxz) * (lit(1.0d) - ryz * ryz)), 6)
+        .as("r_xy_given_z"))
+  }
+
   /** Jackknife standard error of the ratio estimator R = Σy/Σx —
     * the resampling-free variance readout for a NONLINEAR statistic
     * (a plain variance-of-the-mean formula does not exist for a

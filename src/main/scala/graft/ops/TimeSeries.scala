@@ -558,6 +558,104 @@ object TimeSeries {
     * `n_left/n_right`, 6-dp `mean_left/mean_right/shift`, and
     * `sse_drop` = SSE_total − min split SSE (≥ 0, 6-dp).
     */
+  /** Mann–Kendall trend test on the daily total series: S = Σ_{i<j}
+    * sgn(x_j − x_i), its tie-corrected variance, and the
+    * continuity-corrected z — the NONPARAMETRIC "is this drifting"
+    * gate ([[theilSenDaily]] estimates the slope; this one tells you
+    * whether to believe a trend exists at all, immune to whales and
+    * to any monotone rescaling of the values).
+    *
+    * Exactness: daily totals are exact integer cents, so every sign
+    * and every tie count is an integer decision; S, the tie term
+    * Σt(t−1)(2t+5) and n(n−1)(2n+5) stay integral; only the final
+    * var/18, z division and √ are IEEE doubles. The O(n²) pair scan
+    * runs on the BOUNDED daily table (calendar-sized — the documented
+    * exemption [[autocorr]]/[[changepoint]] share), never the corpus.
+    */
+  def mannKendall(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df.filter(col(valueCol).isNotNull)
+      .groupBy(to_date(date_trunc("day", col(tsCol))).as("day"))
+      .agg((sum(col(valueCol).cast("decimal(18,2)")) * 100)
+        .cast("long").as("__c"))
+    val a = daily.select(col("day").as("__da"), col("__c").as("__ca"))
+    val b = daily.select(col("day").as("__db"), col("__c").as("__cb"))
+    val s = a.join(b, col("__da") < col("__db"))
+      .agg(coalesce(sum(when(col("__cb") > col("__ca"), 1L)
+        .when(col("__cb") < col("__ca"), -1L).otherwise(0L)), lit(0L))
+        .as("__s"))
+    val ties = daily.groupBy("__c").agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1) *
+        (lit(2L) * col("__t") + 5)), lit(0L)).as("__tt"),
+        sum(col("__t")).cast("long").as("__n"))
+    val nL = col("__n")
+    val varS = (nL * (nL - 1) * (lit(2L) * nL + 5) - col("__tt")).cast("double") /
+      lit(18.0d)
+    s.crossJoin(ties)
+      .select(col("__n").cast("long").as("n_days"),
+        col("__s").cast("long").as("s_stat"),
+        round(varS, 6).as("var_s"),
+        when(varS > 0 && col("__s") =!= 0,
+          round((col("__s").cast("double") -
+            when(col("__s") > 0, 1.0d).otherwise(-1.0d)) / sqrt(varS), 6))
+          .otherwise(lit(0.0d)).as("z"),
+        when(col("__s") > 0, lit("increasing"))
+          .when(col("__s") < 0, lit("decreasing"))
+          .otherwise(lit("none")).as("trend"))
+  }
+
+  /** Seasonality strength of the daily series against the weekly
+    * cycle: 1 − SSR/SST, where SSR is the residual sum of squares
+    * after removing per-weekday means and SST the total about the
+    * grand mean — 0 means the weekday profile explains nothing,
+    * near 1 means the series IS its weekly cycle (the R² of the
+    * weekday-means model; the deseasonalize-or-not decision gate in
+    * front of [[autocorr]]/q231).
+    *
+    * Exactness: totals are micro-unit longs; weekday means come from
+    * half-up integer micro division (engine-identical), so residuals
+    * are EXACT integer differences; both sums of squares ride
+    * scale-0 DECIMAL(38,0) (single correct double rounding); the
+    * ratio is one double division. Weekday = epoch-day arithmetic
+    * (no engine DOW builtins — Spark counts Sunday 1, DuckDB 0).
+    */
+  def seasonalityStrength(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df.filter(col(valueCol).isNotNull)
+      .groupBy(to_date(date_trunc("day", col(tsCol))).as("day"))
+      .agg((sum(col(valueCol).cast("decimal(18,2)")) * 1000000)
+        .cast("long").as("__m"))
+      .withColumn("__dow",
+        pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)))
+    val wk = daily.groupBy("__dow")
+      .agg(count(lit(1)).as("__nw"), sum(col("__m")).cast("long").as("__sw"))
+      .select(col("__dow"),
+        expr("(2L * __sw + __nw) div (2L * __nw)").as("__mw"))
+    val tot = daily.agg(count(lit(1)).as("__n"),
+      sum(col("__m")).cast("long").as("__s"),
+      sum((col("__m").cast("decimal(19,0)") * col("__m").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("__ss"))
+    val joined = daily.join(broadcast(wk), "__dow")
+      .select(((col("__m") - col("__mw")).cast("decimal(19,0)") *
+        (col("__m") - col("__mw")).cast("decimal(19,0)")).cast("decimal(38,0)")
+        .as("__r2"))
+      .agg(sum(col("__r2")).as("__ssr"))
+    val sst = col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") /
+        col("__n").cast("double")
+    joined.crossJoin(tot)
+      .select(col("__n").cast("long").as("n_days"),
+        round(sst / lit(1.0e12), 6).as("sst"),
+        round(col("__ssr").cast("double") / lit(1.0e12), 6).as("ssr"),
+        when(sst > 0,
+          round(lit(1.0d) - col("__ssr").cast("double") / sst, 6))
+          .as("strength"))
+  }
+
   def changepoint(
       df: DataFrame,
       tsCol: String,

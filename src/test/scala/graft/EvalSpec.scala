@@ -110,6 +110,19 @@ class EvalSpec extends SparkSuite {
     assert(out.map(r => r._2 * r._5).sum == out.map(_._3).sum.toDouble)
   }
 
+  test("calibrationError: hand-computed ECE and MCE") {
+    import spark.implicits._
+    // bin 0: 4 rows, conf 0.1, acc 0.25 → |gap| 0.15, num = 600000
+    // bin 9: 2 rows, conf 0.9, acc 0.5  → |gap| 0.4,  num = 800000
+    val df = (Seq((0.1, true)) ++ Seq.fill(3)((0.1, false)) ++
+      Seq((0.9, true), (0.9, false))).toDF("score", "y")
+    val r = Eval.calibrationError(df, "score", col("y"), bins = 10).head()
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("bins_used") == 2L)
+    // ECE = (600000 + 800000)/(6·1e6) = 0.233333 (half-up micro)
+    assert(r.getAs[Double]("ece") == 0.233333, s"got $r")
+    assert(r.getAs[Double]("mce") == 0.4, s"got $r")
+  }
+
   test("isotonicCalibration cascades pools (strictly decreasing input)") {
     import spark.implicits._
     // rates 1.0, 0.5, 0.0 with equal bin mass → one global pool 0.5

@@ -159,6 +159,45 @@ class RobustSpec extends SparkSuite {
     assert(r.getAs[Double]("jack_bias") == 0.0)
   }
 
+  test("olsInfluence: the off-line whale owns the fit") {
+    import spark.implicits._
+    // 9 points on y = 2x, one far-x point far OFF the line — highest
+    // leverage AND residual → top Cook's D by a wide margin
+    val pts = (1 to 9).map(i => (i.toLong, i * 1.0, i * 2.0)) :+
+      ((10L, 30.0, 10.0))
+    val out = graft.ops.Robust.olsInfluence(pts.toDF("id", "x", "y"),
+      "id", "x", "y", topK = 3).collect()
+    assert(out.head.getAs[Long]("id") == 10L, s"got ${out.toSeq}")
+    assert(out.head.getAs[Double]("cooks_d") >
+      out(1).getAs[Double]("cooks_d") * 5, s"got ${out.toSeq}")
+    assert(out.head.getAs[Double]("leverage") > 0.5)
+  }
+
+  test("olsInfluence on a perfect line: residuals zero, D zero") {
+    import spark.implicits._
+    val pts = (1 to 5).map(i => (i.toLong, i * 1.0, 3.0 + 2.0 * i))
+    val out = graft.ops.Robust.olsInfluence(pts.toDF("id", "x", "y"),
+      "id", "x", "y", topK = 5).collect()
+    assert(out.forall(_.getAs[Double]("resid") == 0.0), s"got ${out.toSeq}")
+    assert(out.forall(r => r.getAs[Double]("cooks_d").isNaN ||
+      r.getAs[Double]("cooks_d") == 0.0), s"got ${out.toSeq}")
+  }
+
+  test("partialCorrelation: x↔y association through a shared driver z") {
+    import spark.implicits._
+    // x = z, y = z (+ tiny distinct jitter to avoid |r| = 1):
+    // rxy ≈ 1 via z; controlling z should collapse it far below raw
+    val rows = (1 to 12).map { i =>
+      val z = i * 10.0
+      (z + (i % 3) * 0.5, z + (i % 4) * 0.5, z)
+    }
+    val r = graft.ops.Robust.partialCorrelation(
+      rows.toDF("x", "y", "z"), "x", "y", "z").head()
+    assert(r.getAs[Double]("r_xy") > 0.99)
+    assert(math.abs(r.getAs[Double]("r_xy_given_z")) <
+      r.getAs[Double]("r_xy"), s"got $r")
+  }
+
   test("brownForsythe: equal spreads around different medians give F = 0") {
     import spark.implicits._
     // both groups are {center − 1, center, center + 1} → all |z| sets

@@ -227,6 +227,60 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out(-2L) == ((1L, None)), s"got ${out(-2L)}")
   }
 
+  test("mannKendall: strictly rising series gives S = n(n-1)/2") {
+    import spark.implicits._
+    val rows = (1 to 6).map(d =>
+      (java.sql.Timestamp.valueOf(f"2024-01-0$d 10:00:00"), d * 10.0))
+    val r = graft.ops.TimeSeries.mannKendall(rows.toDF("ts", "value"),
+      "ts", "value").head()
+    assert(r.getAs[Long]("n_days") == 6L)
+    assert(r.getAs[Long]("s_stat") == 15L)
+    assert(r.getAs[String]("trend") == "increasing")
+    // var = 6·5·17/18 = 28.333333; z = 14/sqrt(var)
+    assert(r.getAs[Double]("var_s") == 28.333333)
+    assert(math.abs(r.getAs[Double]("z") - 14.0 / math.sqrt(510.0 / 18.0)) < 1e-6)
+  }
+
+  test("mannKendall: constant series has S = 0, z = 0, no trend") {
+    import spark.implicits._
+    val rows = (1 to 5).map(d =>
+      (java.sql.Timestamp.valueOf(f"2024-01-0$d 10:00:00"), 7.0))
+    val r = graft.ops.TimeSeries.mannKendall(rows.toDF("ts", "value"),
+      "ts", "value").head()
+    assert(r.getAs[Long]("s_stat") == 0L)
+    assert(r.getAs[Double]("z") == 0.0)
+    assert(r.getAs[String]("trend") == "none")
+  }
+
+  test("seasonalityStrength: a pure weekly cycle scores 1") {
+    import spark.implicits._
+    // 28 days, value depends ONLY on weekday → residuals all zero
+    val rows = (0 until 28).map { i =>
+      (java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 9, 0).plusDays(i)),
+        10.0 + (i % 7) * 5.0)
+    }
+    val r = graft.ops.TimeSeries.seasonalityStrength(
+      rows.toDF("ts", "value"), "ts", "value").head()
+    assert(r.getAs[Long]("n_days") == 28L)
+    assert(r.getAs[Double]("ssr") == 0.0)
+    assert(r.getAs[Double]("strength") == 1.0, s"got $r")
+  }
+
+  test("seasonalityStrength: weekday-independent noise scores ~0") {
+    import spark.implicits._
+    // a 2-value alternation with period 2 is orthogonal-ish to the
+    // 7-day cycle over 28 days: weekday means all equal → SSR = SST
+    val rows = (0 until 28).map { i =>
+      (java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 9, 0).plusDays(i)),
+        if (i % 2 == 0) 10.0 else 20.0)
+    }
+    val r = graft.ops.TimeSeries.seasonalityStrength(
+      rows.toDF("ts", "value"), "ts", "value").head()
+    assert(math.abs(r.getAs[Double]("strength")) < 0.01, s"got $r")
+  }
+
   test("changepoint locates an obvious level shift") {
     import spark.implicits._
     // daily totals 10,10,10 then 50,50,50 — best split after day 3
