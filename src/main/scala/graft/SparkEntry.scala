@@ -3668,7 +3668,30 @@ object SparkEntry {
         "l_quantity", "l_extendedprice", "l_discount")),
 
     "q258_seasonality_strength" -> ((s, dir) =>
-      TimeSeries.seasonalityStrength(events(s, dir), "ts", "value")))
+      TimeSeries.seasonalityStrength(events(s, dir), "ts", "value")),
+
+    "q259_stream_topk" -> ((s, dir) => {
+      // Spark-4 transformWithState through the real streaming
+      // runtime: best-10 events per type by value across micro-batches
+      // in bounded keyed state; the final standings must equal the
+      // batch row_number() ≤ 10 — arrival-order-free by construction.
+      // transformWithState requires the RocksDB state store.
+      val stream = streamT(s, dir, "events")
+        .withColumn("__score",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      val snaps = graft.streaming.StreamPipeline.withRocksDbStateStore(s) {
+        graft.streaming.StreamPipeline.runToResultAppend(s,
+          graft.streaming.StreamTopK.topKPerKey(stream,
+            "event_type", "event_id", "__score", k = 10).toDF(),
+          "graft_q259")
+      }
+      val latest = Window.partitionBy("key")
+      snaps.withColumn("__mv", max(col("version")).over(latest))
+        .filter(col("version") === col("__mv"))
+        .select(col("key").as("event_type"), col("rank").cast("long").as("rank"),
+          col("id").as("event_id"), col("score").as("value_cents"))
+        .orderBy("event_type", "rank")
+    }))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -8268,7 +8291,21 @@ object SparkEntry {
         |    THEN ROUND(1e0 - CAST(ssr AS DOUBLE) / (CAST(ss AS DOUBLE) -
         |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
         |    ELSE NULL END AS strength
-        |FROM res, tot""".stripMargin)
+        |FROM res, tot""".stripMargin,
+
+    // q259: the streaming top-k standings equal the batch window —
+    // top-10 per type by (value cents DESC, event_id ASC)
+    "q259_stream_topk" ->
+      """WITH s AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        DESC, event_id) AS rk
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rank, event_id,
+        |  c AS value_cents
+        |FROM s WHERE rk <= 10 ORDER BY 1, 2""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

@@ -528,4 +528,39 @@ class StreamingSpec extends SparkSuite {
       graft.streaming.StreamCdc.latestState(df, "k", "score", "id")
     }
   }
+
+  test("transformWithState top-k: standings persist and merge across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val df = input.toDF().toDF("key", "id", "score")
+    val snaps = graft.streaming.StreamTopK.topKPerKey(
+      df, "key", "id", "score", k = 2)
+    graft.streaming.StreamPipeline.withRocksDbStateStore(spark) {
+      val q = snaps.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("topk_out").start()
+      try {
+        // batch 1: a's top-2 = (30, 20); b seeds with 5
+        input.addData(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L),
+          ("b", 4L, 5L))
+        q.processAllAvailable()
+        // batch 2: 25 displaces 20; an equal-score tie (id 6 vs 2)
+        // breaks to the smaller id; b unchanged by a lower score
+        input.addData(("a", 5L, 25L), ("a", 6L, 30L), ("b", 7L, 3L))
+        q.processAllAvailable()
+        val all = spark.table("topk_out")
+          .as[graft.streaming.StreamTopK.Snapshot].collect()
+        val finalA = all.filter(_.key == "a")
+        val vmax = finalA.map(_.version).max
+        val standings = finalA.filter(_.version == vmax)
+          .sortBy(_.rank).map(r => (r.rank, r.id, r.score)).toSeq
+        assert(standings == Seq((1, 2L, 30L), (2, 6L, 30L)),
+          s"got $standings")
+        // version counts batches in which the key appeared
+        assert(vmax == 2L)
+        val finalB = all.filter(r => r.key == "b" && r.version == 2L)
+          .map(r => (r.rank, r.id, r.score)).toSeq
+        assert(finalB == Seq((1, 4L, 5L), (2, 7L, 3L)), s"got $finalB")
+      } finally q.stop()
+    }
+  }
 }
