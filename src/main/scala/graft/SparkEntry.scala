@@ -3691,7 +3691,25 @@ object SparkEntry {
         .select(col("key").as("event_type"), col("rank").cast("long").as("rank"),
           col("id").as("event_id"), col("score").as("value_cents"))
         .orderBy("event_type", "rank")
-    }))
+    }),
+
+    "q260_loo_impact" -> ((s, dir) =>
+      // which source drags the corpus mean document length — all G
+      // leave-one-out replicates from ONE group-sum table
+      Profile.leaveOneGroupOut(t(s, dir, "documents"),
+        "source", "n_chars")),
+
+    "q261_cliffs_delta" -> ((s, dir) =>
+      // effect size for q182's purchase-vs-rest value shift, with
+      // magnitude bands — "how big", not just "is it there"
+      Robust.cliffsDelta(events(s, dir), "value",
+        col("event_type") === "purchase")),
+
+    "q262_winsorized_corr" -> ((s, dir) =>
+      // quantity↔price association with both tails clamped at
+      // [p05, p95] — the whale-immune complement of q257's raw r
+      Robust.winsorizedCorrelation(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice")))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -8305,7 +8323,112 @@ object SparkEntry {
         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL)
         |SELECT event_type, CAST(rk AS BIGINT) AS rank, event_id,
         |  c AS value_cents
-        |FROM s WHERE rk <= 10 ORDER BY 1, 2""".stripMargin)
+        |FROM s WHERE rk <= 10 ORDER BY 1, 2""".stripMargin,
+
+    // q260: every leave-one-out mean by subtraction from one group
+    // table; means via half-up micro division, delta an exact integer
+    // difference
+    "q260_loo_impact" ->
+      """WITH g AS (SELECT source,
+        |    COUNT(*) AS ng,
+        |    SUM(CAST(CAST(CAST(n_chars AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS DECIMAL(38,0))) AS sg
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(sg) AS DECIMAL(38,0)) AS s FROM g),
+        |m AS (SELECT source, ng,
+        |    CAST((2 * CAST(s AS HUGEINT) * 10000 + n) // (2 * n) AS BIGINT)
+        |      AS mt,
+        |    CASE WHEN n > ng THEN
+        |      CAST((2 * CAST(s - sg AS HUGEINT) * 10000 + (n - ng))
+        |        // (2 * (n - ng)) AS BIGINT) END AS mw
+        |  FROM g, t)
+        |SELECT source, CAST(ng AS BIGINT) AS n_rows,
+        |  CAST(mt AS DOUBLE) / 1000000e0 AS mean_total,
+        |  CAST(mw AS DOUBLE) / 1000000e0 AS mean_without,
+        |  CAST(mw - mt AS DOUBLE) / 1000000e0 AS delta
+        |FROM m ORDER BY 1""".stripMargin,
+
+    // q261: q182's U chain closed with 2U/(n1·n2) − 1 and the Romano
+    // magnitude bands
+    "q261_cliffs_delta" ->
+      """WITH base AS (SELECT value AS v, (event_type = 'purchase') AS a
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |vc AS (SELECT v, COUNT(*) AS c,
+        |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca FROM base GROUP BY 1),
+        |pre AS (SELECT v, c, ca, COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+        |  FROM vc),
+        |agg AS (SELECT
+        |    SUM(CAST(ca AS DECIMAL(18,0)) *
+        |      CAST(2 * cl + c + 1 AS DECIMAL(18,0))) AS two_r1,
+        |    SUM(ca) AS n1, SUM(c - ca) AS n2
+        |  FROM pre),
+        |u AS (SELECT CAST(two_r1 - CAST(n1 AS DECIMAL(18,0)) *
+        |      CAST(n1 + 1 AS DECIMAL(18,0)) AS DOUBLE) / 2e0 AS u1,
+        |    n1, n2 FROM agg),
+        |d AS (SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |    ROUND(2e0 * u1 / (CAST(n1 AS DOUBLE) * n2) - 1e0, 6) AS cd
+        |  FROM u)
+        |SELECT n1, n2, cd AS cliffs_delta,
+        |  CASE WHEN ABS(cd) < 0.147e0 THEN 'negligible'
+        |       WHEN ABS(cd) < 0.33e0 THEN 'small'
+        |       WHEN ABS(cd) < 0.474e0 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM d""".stripMargin,
+
+    // q262: quantile_cont bounds (q106 parity), EXACT micro-integer
+    // clamps, scale-0 moment ladder
+    "q262_winsorized_corr" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS xd,
+        |    CAST(l_extendedprice AS DOUBLE) AS yd,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 1000000 AS BIGINT)
+        |      AS xm,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)
+        |      AS ym
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |bnd AS (SELECT
+        |    CAST(CAST(ROUND(quantile_cont(xd, 0.05e0), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS lx,
+        |    CAST(CAST(ROUND(quantile_cont(xd, 0.95e0), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS hx,
+        |    CAST(CAST(ROUND(quantile_cont(yd, 0.05e0), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS ly,
+        |    CAST(CAST(ROUND(quantile_cont(yd, 0.95e0), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS hy
+        |  FROM base),
+        |cl AS (SELECT GREATEST(lx, LEAST(hx, xm)) AS x,
+        |    GREATEST(ly, LEAST(hy, ym)) AS y, lx, hx, ly, hy
+        |  FROM base, bnd),
+        |m AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+        |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+        |    ANY_VALUE(lx) AS lx, ANY_VALUE(hx) AS hx,
+        |    ANY_VALUE(ly) AS ly, ANY_VALUE(hy) AS hy
+        |  FROM cl)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(lx AS DOUBLE) / 1000000e0 AS x_lo,
+        |  CAST(hx AS DOUBLE) / 1000000e0 AS x_hi,
+        |  CAST(ly AS DOUBLE) / 1000000e0 AS y_lo,
+        |  CAST(hy AS DOUBLE) / 1000000e0 AS y_hi,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0e0 AND
+        |      CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0e0
+        |    THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    ELSE NULL END AS winsorized_r
+        |FROM m""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

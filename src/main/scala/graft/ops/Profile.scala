@@ -220,4 +220,49 @@ object Profile {
           round(col("__v").cast("double") / col("__k").cast("double"), 6))
           .as("violation_rate"))
   }
+
+  /** Leave-one-group-out impact: how the corpus mean of `valueCol`
+    * moves when each group is REMOVED — the data-valuation readout
+    * "which source is dragging the metric" (the group-level cousin of
+    * [[Robust.jackknifeRatio]]'s row-level replicates; with G groups
+    * all G replicates are closed form from one group-sum table).
+    * Returns per group: `n_rows`, `mean_total`, `mean_without`,
+    * `delta` = mean_without − mean_total (positive delta ⇒ the group
+    * was PULLING the mean down). A single-group corpus yields NULL
+    * mean_without/delta.
+    *
+    * Exactness: group sums are exact integer cents in DECIMAL(38,0);
+    * both means come from half-up integer micro division, so `delta`
+    * is an EXACT difference of micro longs — no double arithmetic
+    * until the final /10⁶ display cast.
+    *
+    * Scale shape: ONE map-side-combined aggregate to the group table
+    * + a 1-row broadcast; all G leave-one-out means derive by
+    * subtraction — never a second corpus pass per group.
+    */
+  def leaveOneGroupOut(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val byG = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ng"),
+        sum(cents).cast("decimal(38,0)").as("__sg"))
+    val tot = byG.agg(sum(col("__ng")).cast("long").as("__n"),
+      sum(col("__sg")).cast("decimal(38,0)").as("__s"))
+    byG.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("__ng").cast("long").as("n_rows"),
+        expr("cast((2 * __s * 10000 + __n) div (2 * __n) as long)")
+          .as("__mt"),
+        when(col("__n") > col("__ng"),
+          expr("cast((2 * (__s - __sg) * 10000 + (__n - __ng)) div " +
+            "(2 * (__n - __ng)) as long)")).as("__mw"))
+      .select(col(groupCol), col("n_rows"),
+        (col("__mt").cast("double") / lit(1000000.0d)).as("mean_total"),
+        (col("__mw").cast("double") / lit(1000000.0d)).as("mean_without"),
+        ((col("__mw") - col("__mt")).cast("double") / lit(1000000.0d))
+          .as("delta"))
+      .orderBy(groupCol)
+  }
 }

@@ -566,4 +566,94 @@ object Robust {
       when(col("__k") > 1 && col("__n") > col("__k") && ssw > lit(0.0d),
         round((ssb / (kD - lit(1.0d))) / (ssw / (nD - kD)), 6)).as("f"))
   }
+
+  /** Cliff's delta — the direct-interpretation effect size behind
+    * [[mannWhitneyU]]: δ = P[A > B] − P[B > A] = 2·U₁/(n₁n₂) − 1,
+    * with Romano et al. (2006) magnitude bands. Where the U test
+    * answers "is there a shift", δ answers "how big", bounded [−1, 1]
+    * and whale-immune. Same machinery, same scale shape (one
+    * distinct-value aggregate + the pinned prefix-sum device).
+    */
+  def cliffsDelta(
+      df: DataFrame,
+      valueCol: String,
+      isA: Column,
+      numPartitions: Int = 0): DataFrame = {
+    val u = mannWhitneyU(df, valueCol, isA, numPartitions)
+    val delta = round(lit(2.0d) * col("u1") /
+      (col("n1").cast("double") * col("n2")) - lit(1.0d), 6)
+    u.select(col("n1"), col("n2"), delta.as("cliffs_delta"),
+      when(abs(delta) < lit(0.147d), lit("negligible"))
+        .when(abs(delta) < lit(0.33d), lit("small"))
+        .when(abs(delta) < lit(0.474d), lit("medium"))
+        .otherwise(lit("large")).as("magnitude"))
+  }
+
+  /** Winsorized Pearson correlation: both variables clamp to their
+    * [pLo, pHi] quantiles before the moment pass — correlation that a
+    * handful of whales cannot manufacture (raw Pearson on heavy-tailed
+    * pairs is driven by the largest products; clamping bounds every
+    * row's influence while keeping the full n, unlike trimming).
+    *
+    * Parity chain: quantile bounds come from [[Percentiles.exact]]
+    * (round-6, the q106 precedent) and convert to micro longs; each
+    * value clamps in EXACT micro integers (least/greatest on longs —
+    * no float decision); the five moments ride scale-0 DECIMAL(38,0);
+    * r is one fixed double tree. Degenerate clamped variance → NULL.
+    *
+    * Scale shape: one bracketed-selection pass for the four bounds
+    * (shared corpus scans), one broadcast of the 1-row bound table,
+    * one map-side-combined moment aggregate.
+    */
+  def winsorizedCorrelation(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("__one", lit(1))
+    def bounds(c: String, tag: String) =
+      Percentiles.exact(base, Seq("__one"), c, Seq(pLo, pHi))
+        .select((round(element_at(col("pcts"), 1), 6)
+          .cast("decimal(18,6)") * 1000000).cast("long").as(s"__lo_$tag"),
+          (round(element_at(col("pcts"), 2), 6)
+            .cast("decimal(18,6)") * 1000000).cast("long").as(s"__hi_$tag"))
+    val bx = bounds(xCol, "x"); val by = bounds(yCol, "y")
+    def microCol(c: String) =
+      (col(c).cast("decimal(18,2)") * 1000000).cast("long")
+    val d19 = "decimal(19,0)"
+    val clamped = base.crossJoin(broadcast(bx)).crossJoin(broadcast(by))
+      .select(
+        greatest(col("__lo_x"), least(col("__hi_x"), microCol(xCol)))
+          .as("__x"),
+        greatest(col("__lo_y"), least(col("__hi_y"), microCol(yCol)))
+          .as("__y"),
+        col("__lo_x"), col("__hi_x"), col("__lo_y"), col("__hi_y"))
+    val mom = clamped.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).cast("decimal(38,0)").as("__sx"),
+      sum(col("__y")).cast("decimal(38,0)").as("__sy"),
+      sum((col("__x").cast(d19) * col("__x").cast(d19)).cast("decimal(38,0)"))
+        .as("__sxx"),
+      sum((col("__y").cast(d19) * col("__y").cast(d19)).cast("decimal(38,0)"))
+        .as("__syy"),
+      sum((col("__x").cast(d19) * col("__y").cast(d19)).cast("decimal(38,0)"))
+        .as("__sxy"),
+      first(col("__lo_x")).as("__blx"), first(col("__hi_x")).as("__bhx"),
+      first(col("__lo_y")).as("__bly"), first(col("__hi_y")).as("__bhy"))
+    val nD = col("__n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    val num = nD * dd("__sxy") - dd("__sx") * dd("__sy")
+    val vx = nD * dd("__sxx") - dd("__sx") * dd("__sx")
+    val vy = nD * dd("__syy") - dd("__sy") * dd("__sy")
+    mom.select(col("__n").cast("long").as("n"),
+      (col("__blx").cast("double") / lit(1000000.0d)).as("x_lo"),
+      (col("__bhx").cast("double") / lit(1000000.0d)).as("x_hi"),
+      (col("__bly").cast("double") / lit(1000000.0d)).as("y_lo"),
+      (col("__bhy").cast("double") / lit(1000000.0d)).as("y_hi"),
+      when(vx > 0 && vy > 0, round(num / sqrt(vx * vy), 6))
+        .as("winsorized_r"))
+  }
 }

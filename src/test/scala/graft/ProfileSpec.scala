@@ -104,4 +104,25 @@ class ProfileSpec extends SparkSuite {
       .as[(Long, Long, Long, Option[Double])].collect().head
     assert(c == ((3L, 0L, 1L, Some(0.0))), s"got $c")
   }
+
+  test("leaveOneGroupOut: removing the dragging group lifts the mean") {
+    import spark.implicits._
+    // a: (10, 20), b: (100, 200), mean_total = 82.5
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 100.0), ("b", 200.0))
+      .toDF("g", "v")
+    val out = Profile.leaveOneGroupOut(df, "g", "v").orderBy("g")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 2L, 82.5, 150.0, 67.5),
+      ("b", 2L, 82.5, 15.0, -67.5)), s"got $out")
+  }
+
+  test("leaveOneGroupOut: single group yields NULL without/delta") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 3.0)).toDF("g", "v")
+    val r = Profile.leaveOneGroupOut(df, "g", "v").collect().head
+    assert(r.getAs[Double]("mean_total") == 2.0)
+    assert(r.isNullAt(r.fieldIndex("mean_without")))
+    assert(r.isNullAt(r.fieldIndex("delta")))
+  }
 }

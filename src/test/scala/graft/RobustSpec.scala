@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Robust
+import org.apache.spark.sql.functions.col
 
 class RobustSpec extends SparkSuite {
   import spark.implicits._
@@ -157,6 +158,48 @@ class RobustSpec extends SparkSuite {
     val se = r.getAs[Double]("jack_se")
     assert(math.abs(se - math.sqrt(2.0 / 3.0 * 0.222222)) < 1e-6, s"se=$se")
     assert(r.getAs[Double]("jack_bias") == 0.0)
+  }
+
+  test("winsorizedCorrelation: clamping disarms a planted anti-whale") {
+    import spark.implicits._
+    val line = (1 to 40).map(i => (i * 1.0, i * 2.0))
+    val whale = Seq((1000.0, -5000.0)) // alone it wrecks raw Pearson
+    val df = (line ++ whale).toDF("x", "y")
+    val r = graft.ops.Robust.winsorizedCorrelation(df, "x", "y").head()
+    assert(r.getAs[Long]("n") == 41L)
+    // the clamped whale stays one bounded-influence off-line point —
+    // r recovers from negative to strongly positive, not to exactly 1
+    assert(r.getAs[Double]("winsorized_r") > 0.85, s"got $r")
+    assert(r.getAs[Double]("x_hi") < 1000.0) // the whale was clamped
+    // raw Pearson for contrast: the whale drags it negative
+    val xs = line.map(_._1) :+ 1000.0; val ys = line.map(_._2) :+ -5000.0
+    val n = xs.length.toDouble
+    val raw = (n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum) /
+      math.sqrt((n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+        (n * ys.map(b => b * b).sum - ys.sum * ys.sum))
+    assert(raw < 0.0, s"raw=$raw")
+  }
+
+  test("winsorizedCorrelation: a clean linear pair stays at r = 1") {
+    import spark.implicits._
+    val df = (1 to 30).map(i => (i * 1.0, 5.0 + 3.0 * i)).toDF("x", "y")
+    val r = graft.ops.Robust.winsorizedCorrelation(df, "x", "y").head()
+    assert(r.getAs[Double]("winsorized_r") > 0.9999, s"got $r")
+  }
+
+  test("cliffsDelta: full separation is 1/large; symmetry is 0/negligible") {
+    import spark.implicits._
+    val sep = Seq((3.0, true), (4.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "a")
+    val r1 = graft.ops.Robust.cliffsDelta(sep, "v", col("a")).head()
+    assert(r1.getAs[Double]("cliffs_delta") == 1.0)
+    assert(r1.getAs[String]("magnitude") == "large")
+    // A = {1, 3}, B = {2}: one pair each way → δ = 0
+    val sym = Seq((1.0, true), (3.0, true), (2.0, false)).toDF("v", "a")
+    val r2 = graft.ops.Robust.cliffsDelta(sym, "v", col("a")).head()
+    assert(r2.getAs[Double]("cliffs_delta") == 0.0)
+    assert(r2.getAs[String]("magnitude") == "negligible")
   }
 
   test("olsInfluence: the off-line whale owns the fit") {
