@@ -235,6 +235,44 @@ object ScaleRehearsal {
         }
         println(s"""{"dir":"$dir","n":$n,"k":$k,"queries":${queries.length},""" +
           f""""brute_sec":$bruteSec%.2f,""" + rows.mkString(",") + "}")
+      case "ivfbatch" :: dir :: rest =>
+        // Batch-probe rehearsal (round-12): ivfSearchBatch (one pass
+        // over the probed-cell union, per-query heaps) vs the
+        // per-query ivfTopK LOOP (Q separate jobs) on the SAME pinned
+        // assignment — results must be identical sets; the readout is
+        // wall-clock shape vs Q and corpus size.
+        val k = rest.headOption.map(_.toInt).getOrElse(10)
+        val nQ = rest.drop(1).headOption.map(_.toInt).getOrElse(20)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val n = emb.count()
+        val qIds = (0 until nQ).map(i => i.toLong * (n / nQ))
+        val queriesDf = emb.filter(col("vec_id").isin(qIds: _*))
+        val queries = queriesDf.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        import graft.ops.Similarity
+        val index = Similarity.IvfIndex.fit(emb, "v", cells = 64)
+        val assigned = index.assignForProbing(emb, "v")
+        val t0 = System.nanoTime()
+        val loop = queries.map { case (qid, qv) =>
+          qid -> Similarity.ivfTopK(index, assigned, "vec_id", "v",
+            qv, k, nprobe = 4).select(col("vec_id"))
+            .collect().map(_.getLong(0)).toSet
+        }.toMap
+        val loopSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val batch = Similarity.ivfSearchBatch(index, emb, "vec_id", "v",
+          queriesDf, k, nprobe = 4, preAssigned = Some(assigned))
+          .select(col("query_id"), col("corpus_id")).collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) =>
+            q -> rs.map(_.getLong(1)).toSet }
+        val batchSec = (System.nanoTime() - t1) / 1e9
+        val identical = queries.forall { case (qid, _) =>
+          batch.getOrElse(qid, Set.empty) == loop(qid) }
+        println(s"""{"dir":"$dir","n":$n,"k":$k,"queries":${queries.length},""" +
+          f""""loop_sec":$loopSec%.2f,"batch_sec":$batchSec%.2f,""" +
+          s""""identical":$identical}""")
+
       case "statestore" :: dir :: rest =>
         // State-store provider rehearsal (round-10): the q83-shaped
         // marker-state dedup (flatMapGroupsWithState, one marker per

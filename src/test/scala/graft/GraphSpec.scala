@@ -171,6 +171,36 @@ class GraphSpec extends SparkSuite {
     assert(Graph.kCore(edges, "src", "dst", k = 4).isEmpty)
   }
 
+  test("kCore matches brute-force peeling on 12 random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 12).foreach { _ =>
+      val nNodes = 4 + rnd.nextInt(10)
+      val nEdges = 3 + rnd.nextInt(2 * nNodes)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      val k = 2 + rnd.nextInt(2)
+      // brute-force: canonical undirected simple graph, peel to fixpoint
+      var und = edges.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      var changed = true
+      while (changed) {
+        val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (id, xs) => id -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = und.filter(e => keep(e._1) && keep(e._2))
+        changed = next != und
+        und = next
+      }
+      val expect = und.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (id, xs) => (id, xs.size.toLong) }
+        .toMap
+      val got = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"k=$k edges=$edges: got $got want $expect")
+    }
+  }
+
   test("kCore reads direction-free and drops self-loops/parallels") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))

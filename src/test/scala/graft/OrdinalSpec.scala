@@ -48,6 +48,40 @@ class OrdinalSpec extends SparkSuite {
     assert(r.getAs[Double]("tau_b") == 1.0)
   }
 
+  test("association matches a brute-force pair enumeration, 15 random corpora") {
+    val rnd = new scala.util.Random(7)
+    (1 to 15).foreach { _ =>
+      val n = 5 + rnd.nextInt(25)
+      val data = Seq.fill(n)((rnd.nextInt(4), rnd.nextInt(3)))
+      // brute force over all unordered pairs
+      var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+      for (i <- data.indices; j <- i + 1 until data.length) {
+        val ((xa, ya), (xb, yb)) = (data(i), data(j))
+        if (xa != xb && ya != yb) {
+          if ((xa < xb) == (ya < yb)) c += 1 else d += 1
+        } else if (xa == xb && ya != yb) tx += 1
+        else if (xa != xb && ya == yb) ty += 1
+        // pairs tied on both count in n1 AND n2
+      }
+      val tiedBoth = (for (i <- data.indices; j <- i + 1 until data.length)
+        yield (data(i), data(j))).count { case (a, b) => a._1 == b._1 && a._2 == b._2 }
+      val n0 = n.toLong * (n - 1) / 2
+      val n1 = tx + tiedBoth; val n2 = ty + tiedBoth
+      val r = Ordinal.association(data.toDF("x", "y"), col("x"), col("y"))
+        .head()
+      assert(r.getDecimal(1).longValueExact() == c, s"C mismatch on $data")
+      assert(r.getDecimal(2).longValueExact() == d, s"D mismatch on $data")
+      if (n0 > n1 && n0 > n2) {
+        // op divides doubled units, brute divides plain — trees differ
+        // by one ulp at most, so compare with a 1e-6 tolerance
+        val tauB = (c - d).toDouble /
+          math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+        assert(math.abs(r.getAs[Double]("tau_b") - tauB) < 1e-6,
+          s"tau mismatch on $data: got ${r.getAs[Double]("tau_b")} want $tauB")
+      }
+    }
+  }
+
   test("markov transition matrix counts and half-up probabilities") {
     val df = Seq(
       (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
