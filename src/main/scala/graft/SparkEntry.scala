@@ -3709,7 +3709,26 @@ object SparkEntry {
       // quantity↔price association with both tails clamped at
       // [p05, p95] — the whale-immune complement of q257's raw r
       Robust.winsorizedCorrelation(t(s, dir, "lineitem"),
-        "l_quantity", "l_extendedprice")))
+        "l_quantity", "l_extendedprice")),
+
+    "q263_two_proportion" -> ((s, dir) =>
+      // are RETURNED items deep-discounted more often? binary-rate
+      // A/B gate: R-flag vs rest, success = discount > 5%
+      graft.ops.Eval.twoProportionZ(t(s, dir, "lineitem"),
+        col("l_returnflag") === "R", col("l_discount") > 0.05)),
+
+    "q264_daily_mix_anomaly" -> ((s, dir) =>
+      // which days have a WEIRD event-type mix: JSD(day || rest) with
+      // the event type as a one-token document — q183's sourceJsd
+      // reused verbatim on a categorical distribution; top-10 weird
+      CorpusStats.sourceJsd(
+        events(s, dir).select(
+          to_date(date_trunc("day", col("ts"))).as("day"),
+          col("event_type").as("text")),
+        "day", "text")
+        .withColumnRenamed("source", "day")
+        .orderBy(col("jsd").desc, col("day"))
+        .limit(10)))
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -8428,7 +8447,77 @@ object SparkEntry {
         |        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
         |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |    ELSE NULL END AS winsorized_r
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+
+    // q263: four exact counts, micro-division rates, one z tree
+    "q263_two_proportion" ->
+      """WITH c AS (SELECT
+        |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN l_returnflag = 'R' AND l_discount > 0.05e0
+        |      THEN 1 ELSE 0 END) AS x1,
+        |    SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS n2,
+        |    SUM(CASE WHEN l_returnflag <> 'R' AND l_discount > 0.05e0
+        |      THEN 1 ELSE 0 END) AS x2
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+        |  CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+        |  CASE WHEN n1 > 0 THEN
+        |    CAST((2 * x1 * 1000000 + n1) // (2 * n1) AS DOUBLE) / 1000000e0
+        |    END AS p1,
+        |  CASE WHEN n2 > 0 THEN
+        |    CAST((2 * x2 * 1000000 + n2) // (2 * n2) AS DOUBLE) / 1000000e0
+        |    END AS p2,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND
+        |      (CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) /
+        |      (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) > 0e0 AND
+        |      (CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) /
+        |      (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) < 1e0
+        |    THEN ROUND((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |      CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |      sqrt(((CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) /
+        |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+        |        (1e0 - (CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) /
+        |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+        |        (1e0 / CAST(n1 AS DOUBLE) + 1e0 / CAST(n2 AS DOUBLE))), 6)
+        |    END AS z
+        |FROM c""".stripMargin,
+
+    // q264: q183's JSD chain with day as the "source" and the event
+    // type as a one-token document
+    "q264_daily_mix_anomaly" ->
+      """WITH tok AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS source,
+        |    event_type AS w
+        |  FROM events WHERE event_type IS NOT NULL AND event_type <> ''),
+        |sw AS (SELECT source, w, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, SUM(cs) AS ts FROM sw GROUP BY 1),
+        |cw AS (SELECT w, SUM(cs) AS cc FROM sw GROUP BY 1),
+        |ct AS (SELECT SUM(cs) AS tc FROM sw),
+        |grid AS (SELECT st.source, cw.w, COALESCE(sw.cs, 0) AS cs,
+        |    st.ts, cw.cc, ct.tc
+        |  FROM st CROSS JOIN cw
+        |  LEFT JOIN sw ON sw.source = st.source AND sw.w = cw.w
+        |  CROSS JOIN ct),
+        |pq AS (SELECT source,
+        |    CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE) AS p,
+        |    CASE WHEN CAST(tc AS DOUBLE) > CAST(ts AS DOUBLE)
+        |      THEN (CAST(cc AS DOUBLE) - CAST(cs AS DOUBLE)) /
+        |        (CAST(tc AS DOUBLE) - CAST(ts AS DOUBLE))
+        |      ELSE 0e0 END AS q
+        |  FROM grid),
+        |term AS (SELECT source,
+        |    CAST(ROUND(CASE WHEN p > 0e0
+        |      THEN p * LN(p / ((p + q) / 2e0)) ELSE 0e0 END, 6)
+        |      AS DECIMAL(18,6)) AS tp,
+        |    CAST(ROUND(CASE WHEN q > 0e0
+        |      THEN q * LN(q / ((p + q) / 2e0)) ELSE 0e0 END, 6)
+        |      AS DECIMAL(18,6)) AS tq
+        |  FROM pq),
+        |j AS (SELECT source,
+        |    ROUND(CAST(SUM(tp) + SUM(tq) AS DOUBLE) / 2e0, 6) AS jsd
+        |  FROM term GROUP BY 1)
+        |SELECT source AS day, jsd FROM j
+        |ORDER BY jsd DESC, day LIMIT 10""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

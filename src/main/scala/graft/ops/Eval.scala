@@ -258,6 +258,47 @@ object Eval {
           .as("cum_lift"))
   }
 
+  /** Two-proportion z-test: does the A slice convert at a different
+    * rate than the B slice — the categorical A/B gate next to the
+    * value-shift tests ([[Robust.mannWhitneyU]] asks about magnitudes;
+    * this asks about a binary outcome's RATE, the shape of
+    * gate-pass-rate and conversion comparisons).
+    *
+    * One map-side-combined aggregate produces all four counts; the
+    * rates use half-up integer micro division, z is one fixed double
+    * tree over the exact counts (√ is correctly rounded — portable).
+    * Degenerate pools (either slice empty, pooled rate 0 or 1) yield
+    * NULL z. Rows where either column is NULL join neither slice.
+    */
+  def twoProportionZ(
+      df: DataFrame,
+      isA: Column,
+      success: Column): DataFrame = {
+    val a = isA.cast("boolean"); val s = success.cast("boolean")
+    val agg = df.filter(a.isNotNull && s.isNotNull)
+      .agg(sum(when(a, 1L).otherwise(0L)).as("__n1"),
+        sum(when(a && s, 1L).otherwise(0L)).as("__x1"),
+        sum(when(!a, 1L).otherwise(0L)).as("__n2"),
+        sum(when(!a && s, 1L).otherwise(0L)).as("__x2"))
+    def dd(c: String) = col(c).cast("double")
+    val p1 = dd("__x1") / dd("__n1"); val p2 = dd("__x2") / dd("__n2")
+    val pp = (dd("__x1") + dd("__x2")) / (dd("__n1") + dd("__n2"))
+    agg.select(col("__n1").cast("long").as("n1"),
+      col("__x1").cast("long").as("x1"),
+      col("__n2").cast("long").as("n2"),
+      col("__x2").cast("long").as("x2"),
+      when(col("__n1") > 0,
+        expr("(2L * __x1 * 1000000L + __n1) div (2L * __n1)").cast("double") /
+          lit(1000000.0d)).as("p1"),
+      when(col("__n2") > 0,
+        expr("(2L * __x2 * 1000000L + __n2) div (2L * __n2)").cast("double") /
+          lit(1000000.0d)).as("p2"),
+      when(col("__n1") > 0 && col("__n2") > 0 &&
+          pp > lit(0.0d) && pp < lit(1.0d),
+        round((p1 - p2) / sqrt(pp * (lit(1.0d) - pp) *
+          (lit(1.0d) / dd("__n1") + lit(1.0d) / dd("__n2"))), 6)).as("z"))
+  }
+
   /** Isotonic calibration by pool-adjacent-violators over score bins:
     * the monotone step function mapping raw scores to calibrated
     * probabilities — what you DO about a bad [[calibrationBins]]

@@ -110,6 +110,28 @@ class EvalSpec extends SparkSuite {
     assert(out.map(r => r._2 * r._5).sum == out.map(_._3).sum.toDouble)
   }
 
+  test("twoProportionZ: hand-computed rates and z; degenerate NULLs") {
+    import spark.implicits._
+    // A: 2/4, B: 1/4 → pooled 3/8; z = 0.25/√(0.375·0.625·0.5)
+    val df = Seq((true, true), (true, true), (true, false), (true, false),
+      (false, true), (false, false), (false, false), (false, false))
+      .toDF("a", "s")
+    val r = Eval.twoProportionZ(df, col("a"), col("s")).head()
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("x1"),
+      r.getAs[Long]("n2"), r.getAs[Long]("x2")) == ((4L, 2L, 4L, 1L)))
+    assert(r.getAs[Double]("p1") == 0.5 && r.getAs[Double]("p2") == 0.25)
+    assert(math.abs(r.getAs[Double]("z") -
+      0.25 / math.sqrt(0.375 * 0.625 * 0.5)) < 1e-6, s"got $r")
+    // all-success pool → z NULL, rates still present
+    val allPos = Seq((true, true), (false, true)).toDF("a", "s")
+    val r2 = Eval.twoProportionZ(allPos, col("a"), col("s")).head()
+    assert(r2.isNullAt(r2.fieldIndex("z")) && r2.getAs[Double]("p1") == 1.0)
+    // one empty slice → p and z NULL, no divide-by-zero
+    val oneSide = Seq((true, true), (true, false)).toDF("a", "s")
+    val r3 = Eval.twoProportionZ(oneSide, col("a"), col("s")).head()
+    assert(r3.isNullAt(r3.fieldIndex("p2")) && r3.isNullAt(r3.fieldIndex("z")))
+  }
+
   test("calibrationError: hand-computed ECE and MCE") {
     import spark.implicits._
     // bin 0: 4 rows, conf 0.1, acc 0.25 → |gap| 0.15, num = 600000
