@@ -3728,7 +3728,77 @@ object SparkEntry {
         "day", "text")
         .withColumnRenamed("source", "day")
         .orderBy(col("jsd").desc, col("day"))
-        .limit(10)))
+        .limit(10)),
+
+    "q265_er_block_audit" -> ((s, dir) => {
+      // the 100 TB auditability story for blocked ER (round-11 VERDICT
+      // directive 6): run the q150 matcher under a DELIBERATELY tight
+      // skew cap (brand-only blocking, maxBlock 80 — at sf0.01 eleven
+      // of the 25 brand blocks over-cap) and PUBLISH the recall trade
+      // the guard took: comparable blocks run, blocks/rows dropped by
+      // the cap, candidate pairs out. The drop counters ride the
+      // query's own execution via Dataset.observe — zero extra scans
+      // (ops/Linkage.scala guardedBlocks).
+      val obs = org.apache.spark.sql.Observation()
+      val pairs = Linkage.blockedPairs(t(s, dir, "part"), "p_partkey",
+        "p_name", col("p_brand"), maxDistance = 5, maxBlock = 80,
+        audit = Some(obs))
+      val nPairs = pairs.count() // the action the observation rides
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_blocks").asInstanceOf[Long],
+        m("dropped_blocks").asInstanceOf[Long],
+        m("dropped_rows").asInstanceOf[Long], nPairs))
+        .toDF("n_blocks", "dropped_blocks", "dropped_rows", "n_pairs")
+    }),
+
+    "q266_brier_decomposition" -> ((s, dir) => {
+      // Murphy's reliability − resolution + uncertainty split of the
+      // q216 stopword-share "P(en)" score: is the gate's problem
+      // calibration or discrimination? All numerators exact integers,
+      // per-bin terms round-6 decimals (ops/Eval.scala)
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        round(TextOps.stopwordHits(col("text")).cast("double") /
+          TextOps.tokenCountArith(col("text")).cast("double"), 6)
+          .as("score"),
+        col("lang"))
+      graft.ops.Eval.brierDecomposition(scored, "score",
+        col("lang") === "en", bins = 10)
+    }),
+
+    "q267_sign_trend_bh" -> ((s, dir) =>
+      // which event types are REALLY trending up over the last 28
+      // days, FDR-corrected for asking once per type: exact
+      // binomial sign test (no Φ, no libm — the tail numerator is a
+      // broadcast Pascal-triangle sum, 2ⁿ division is exact) + an
+      // all-integer Benjamini–Hochberg step-up (ops/TimeSeries.scala)
+      TimeSeries.signTrendBH(events(s, dir), "event_type", "ts", "value")
+        .orderBy("bh_rank")),
+
+    "q268_jq_fanout" -> ((s, dir) =>
+      // the round-12 single-generator jq compile ON REAL DATA:
+      // `{id: .doc_id, tok: .toks[]}` is ONE explode — never the
+      // per-partition escape hatch — emitting a (doc, token) stream
+      // row per element, 1→N with zero-output empties exactly like
+      // jq (transform/Jq.scala; byte-matched vs real jq in JqSpec)
+      Jq.compile("{id: .doc_id, tok: .toks[]}")(
+        t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(97L)) === 0)
+          .select(col("doc_id"), split(col("text"), " ").as("toks")))),
+
+    "q269_dim_drift" -> ((s, dir) =>
+      // which embedding DIMENSIONS moved between the first and second
+      // half of the label space — per-coordinate PSI over fixed [-1,1]
+      // micro-unit buckets, the embedding-space twin of q166's scalar
+      // drift gate; top-10 drifted dims (ops/Similarity.scala)
+      Similarity.dimDrift(t(s, dir, "embeddings"), "embedding",
+        col("label") < 5, dims = 64, buckets = 8, topK = 10)))
+
+  /** q267's Pascal-triangle constants, rendered into the oracle's
+    * VALUES list from the SAME Scala rows the operator broadcasts. */
+  private val binomValues: String =
+    TimeSeries.binomialRows(27)
+      .map { case (n, k, c, p2) => s"($n,$k,$c,$p2)" }.mkString(", ")
 
   /** Shared with the q114 oracle's VALUES list. */
   private val blocklistKeywords =
@@ -8517,7 +8587,149 @@ object SparkEntry {
         |    ROUND(CAST(SUM(tp) + SUM(tq) AS DOUBLE) / 2e0, 6) AS jsd
         |  FROM term GROUP BY 1)
         |SELECT source AS day, jsd FROM j
-        |ORDER BY jsd DESC, day LIMIT 10""".stripMargin)
+        |ORDER BY jsd DESC, day LIMIT 10""".stripMargin,
+
+    // q265: the audited skew-guard counters are plain aggregates of
+    // the block-size table; candidate pairs re-derived by the q150
+    // self-join restricted to under-cap blocks
+    "q265_er_block_audit" ->
+      """WITH b AS (SELECT p_brand, COUNT(*) AS n FROM part GROUP BY 1),
+        |ok AS (SELECT p_brand FROM b WHERE n BETWEEN 2 AND 80),
+        |p AS (SELECT COUNT(*) AS np
+        |  FROM part a JOIN part b2 ON a.p_brand = b2.p_brand
+        |    AND a.p_partkey < b2.p_partkey
+        |  JOIN ok ON ok.p_brand = a.p_brand
+        |  WHERE levenshtein(a.p_name, b2.p_name) <= 5)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM b WHERE n BETWEEN 2 AND 80)
+        |    AS BIGINT) AS n_blocks,
+        |  CAST((SELECT COUNT(*) FROM b WHERE n > 80)
+        |    AS BIGINT) AS dropped_blocks,
+        |  CAST((SELECT COALESCE(SUM(n), 0) FROM b WHERE n > 80)
+        |    AS BIGINT) AS dropped_rows,
+        |  CAST((SELECT np FROM p) AS BIGINT) AS n_pairs""".stripMargin,
+
+    // q266: q216's micro-unit band device; raw/reliability numerators
+    // exact HUGEINT squares, resolution via the cross form
+    // P_k·N − P·n_k, per-bin terms round-6 DECIMAL(18,6)
+    "q266_brier_decomposition" ->
+      s"""WITH sc AS (SELECT
+         |    ROUND(CAST(${sqlStopwordHits("text")} AS DOUBLE) /
+         |      CAST(${sqlTokenCount("text")} AS DOUBLE), 6) AS s,
+         |    (lang = 'en') AS y
+         |  FROM documents),
+         |mc AS (SELECT CAST(CAST(s AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS c,
+         |    CASE WHEN y THEN 1 ELSE 0 END AS yy
+         |  FROM sc WHERE s IS NOT NULL AND y IS NOT NULL),
+         |b AS (SELECT (c * 10) // 1000001 AS bin, COUNT(*) AS n,
+         |    SUM(CAST(c AS DECIMAL(18,0))) AS sc2,
+         |    SUM(yy) AS pos,
+         |    SUM(CAST(c - yy * 1000000 AS HUGEINT) *
+         |        CAST(c - yy * 1000000 AS HUGEINT)) AS raw
+         |  FROM mc GROUP BY 1),
+         |t AS (SELECT SUM(n) AS nn, SUM(pos) AS pp, SUM(raw) AS rawsum
+         |  FROM b),
+         |terms AS (SELECT
+         |    CAST(ROUND(CAST(
+         |      (CAST(sc2 AS HUGEINT) - CAST(pos AS HUGEINT) * 1000000) *
+         |      (CAST(sc2 AS HUGEINT) - CAST(pos AS HUGEINT) * 1000000)
+         |      AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6)
+         |      AS DECIMAL(18,6)) AS rel,
+         |    CAST(ROUND(CAST(
+         |      (CAST(pos AS HUGEINT) * nn - CAST(pp AS HUGEINT) * n) *
+         |      (CAST(pos AS HUGEINT) * nn - CAST(pp AS HUGEINT) * n)
+         |      AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE) *
+         |        CAST(nn AS DOUBLE)), 6) AS DECIMAL(18,6)) AS res
+         |  FROM b CROSS JOIN t),
+         |agg AS (SELECT CAST(nn AS BIGINT) AS n,
+         |    ROUND(CAST(rawsum AS DOUBLE) /
+         |      (CAST(nn AS DOUBLE) * 1e12), 6) AS brier,
+         |    ROUND(CAST(SUM(rel) AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+         |      AS reliability,
+         |    ROUND(CAST(SUM(res) AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+         |      AS resolution,
+         |    ROUND((CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)) *
+         |      (1e0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+         |      AS uncertainty
+         |  FROM terms CROSS JOIN t GROUP BY nn, pp, rawsum)
+         |SELECT n, brier, reliability, resolution, uncertainty,
+         |  ROUND(reliability - resolution + uncertainty, 6)
+         |    AS brier_binned
+         |FROM agg""".stripMargin,
+
+    // q267: the Pascal triangle is SHARED Scala data rendered into a
+    // VALUES list (the blocklist-keywords convention); every p-value
+    // and BH decision is exact integer arithmetic on both engines
+    "q267_sign_trend_bh" ->
+      s"""WITH daily AS (SELECT event_type AS g,
+         |    CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |mx AS (SELECT MAX(day) AS maxd FROM daily),
+         |recent AS (SELECT g, day, c FROM daily CROSS JOIN mx
+         |  WHERE maxd - day < 28),
+         |lagd AS (SELECT g, c,
+         |    LAG(c) OVER (PARTITION BY g ORDER BY day) AS prev
+         |  FROM recent),
+         |st AS (SELECT g, COUNT(*) AS n,
+         |    SUM(CASE WHEN c > prev THEN 1 ELSE 0 END) AS x
+         |  FROM lagd WHERE prev IS NOT NULL AND c <> prev GROUP BY 1),
+         |bt(bn, bk, bc, p2) AS (VALUES $binomValues),
+         |tails AS (SELECT g, n, x, SUM(bc) AS num, MAX(p2) AS pow2
+         |  FROM st JOIN bt ON n = bn AND bk >= x GROUP BY 1, 2, 3),
+         |rk AS (SELECT g, n, x, num, pow2,
+         |    COUNT(*) OVER () AS m,
+         |    ROW_NUMBER() OVER (ORDER BY
+         |      CAST(num AS DOUBLE) / CAST(pow2 AS DOUBLE), g) AS i
+         |  FROM tails),
+         |fin AS (SELECT *, MAX(CASE WHEN num * 20 * m <= pow2 * 1 * i
+         |      THEN i ELSE 0 END) OVER () AS istar
+         |  FROM rk)
+         |SELECT g AS event_type, CAST(n AS BIGINT) AS n_days,
+         |  CAST(x AS BIGINT) AS ups,
+         |  CAST(num AS DOUBLE) / CAST(pow2 AS DOUBLE) AS p_value,
+         |  CAST(i AS BIGINT) AS bh_rank, (i <= istar) AS rejected
+         |FROM fin ORDER BY bh_rank""".stripMargin,
+
+    // q268: the compiled explode is DuckDB's UNNEST; split on single
+    // spaces keeps empty runs in BOTH engines (consecutive separators
+    // → empty-string tokens, '' → one empty token)
+    "q268_jq_fanout" ->
+      """SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS tok
+        |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+    // q269: q166's LN ladder per dim over the q232 explode-by-range
+    // device; bucket arithmetic all-integer in shifted micro units
+    "q269_dim_drift" ->
+      """WITH e AS (SELECT (label < 5) AS r, list_transform(embedding,
+        |      x -> CAST(CAST(ROUND(CAST(x AS DOUBLE), 6)
+        |        AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS m
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND label IS NOT NULL AND len(embedding) = 64),
+        |cells AS (SELECT i AS dim,
+        |    GREATEST(0, LEAST(7,
+        |      ((m[CAST(i + 1 AS INT)] + 1000000) * 8) // 2000001)) AS b,
+        |    SUM(CASE WHEN r THEN 1 ELSE 0 END) AS cr,
+        |    SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS cc
+        |  FROM e, UNNEST(range(0, 64)) AS t(i) GROUP BY 1, 2),
+        |tot AS (SELECT dim, SUM(cr) AS nr, SUM(cc) AS nc,
+        |    COUNT(*) AS nb
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT c.dim, nr, nc, nb,
+        |    CAST(ROUND((CAST(cr + 1 AS DOUBLE) / CAST(nr + nb AS DOUBLE)
+        |        - CAST(cc + 1 AS DOUBLE) / CAST(nc + nb AS DOUBLE))
+        |      * LN((CAST(cr + 1 AS DOUBLE) / CAST(nr + nb AS DOUBLE))
+        |          / (CAST(cc + 1 AS DOUBLE) / CAST(nc + nb AS DOUBLE))), 6)
+        |      AS DECIMAL(18,6)) AS term
+        |  FROM cells c JOIN tot ON c.dim = tot.dim),
+        |j AS (SELECT dim, nr, nc, nb,
+        |    ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+        |  FROM t GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(nr AS BIGINT) AS n_ref,
+        |  CAST(nc AS BIGINT) AS n_cur, CAST(nb AS BIGINT) AS n_buckets,
+        |  psi
+        |FROM j ORDER BY psi DESC, dim LIMIT 10""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

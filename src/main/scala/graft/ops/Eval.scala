@@ -404,4 +404,99 @@ object Eval {
       }
     }.toDF("bin", "n", "n_pos", "rate", "fitted")
   }
+
+  /** Murphy (1973) decomposition of the Brier score over `bins`
+    * fixed-width score bands: BS_binned = reliability − resolution +
+    * uncertainty, the model-card triple that splits "how wrong are the
+    * probabilities" into calibration error (reliability, want 0),
+    * discrimination (resolution, want big) and the irreducible base
+    * rate term. Complements [[calibrationError]] (ECE is the L1 cousin
+    * of the reliability term) and reports the RAW per-row Brier score
+    * beside the binned identity.
+    *
+    * Output: one row — `n`, `brier` (raw), `reliability`,
+    * `resolution`, `uncertainty`, `brier_binned` (= rel − res + unc).
+    *
+    * Parity devices: scores enter as round-6 micro longs (q216's
+    * band device, same clamp convention); the raw Brier numerator
+    * Σ(c − y·10⁶)² and the per-bin reliability numerator
+    * (S_k − P_k·10⁶)² are EXACT integers summed in DECIMAL; the
+    * resolution numerator uses the cross form P_k·N − P·n_k (exact,
+    * avoids ō in a squared double); each per-bin term is rounded to
+    * 6 dp and summed as DECIMAL(18,6) so no double addition order
+    * exists. Integer budget: |P_k·N| ≤ N², exact in DECIMAL(38,0)
+    * products up to N ≈ 3·10⁹ rows — the [[Similarity]] dim-moment
+    * budget convention; beyond that, pre-aggregate or shard.
+    *
+    * Scale shape: ONE map-side-combined corpus aggregate to ≤ `bins`
+    * rows (+ one raw-moment aggregate on the same pass); everything
+    * after runs on the bin table.
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val lbl = labelCol.cast("boolean")
+    val micro = (round(col(scoreCol).cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000).cast("long")
+    val binned = df.filter(col(scoreCol).isNotNull && lbl.isNotNull)
+      .select(micro.as("__c"),
+        when(lbl, 1L).otherwise(0L).as("__y"))
+      .groupBy(greatest(lit(0L),
+        least(lit(bins - 1L), expr(s"__c * ${bins}L div 1000001L")))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__c").cast("decimal(18,0)")).as("__sc"),
+        sum(col("__y")).as("__pos"),
+        // raw Brier numerator: Σ (c − y·10⁶)² — exact integers
+        sum(((col("__c") - col("__y") * 1000000L) *
+          (col("__c") - col("__y") * 1000000L)).cast("decimal(38,0)"))
+          .as("__raw"))
+    // global totals broadcast back over the bin-sized table
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val nn = sum(col("__n")).over(w)
+    val pp = sum(col("__pos")).over(w)
+    binned
+      .select(col("__n"), col("__sc"), col("__pos"), col("__raw"),
+        nn.as("__nn"), pp.as("__pp"))
+      .select(col("__n"), col("__raw"), col("__nn"), col("__pp"),
+        // reliability term: (S_k − P_k·10⁶)² / (n_k·10¹²), round 6
+        round((col("__sc").cast("decimal(38,0)") -
+          col("__pos").cast("decimal(38,0)") * 1000000L)
+          .multiply(col("__sc").cast("decimal(38,0)") -
+            col("__pos").cast("decimal(38,0)") * 1000000L)
+          .cast("double") /
+          (col("__n").cast("double") * lit(1e12)), 6)
+          .cast("decimal(18,6)").as("__rel"),
+        // resolution term: (P_k·N − P·n_k)² / (n_k·N²), round 6
+        round((col("__pos").cast("decimal(38,0)") * col("__nn") -
+          col("__pp").cast("decimal(38,0)") * col("__n"))
+          .multiply(col("__pos").cast("decimal(38,0)") * col("__nn") -
+            col("__pp").cast("decimal(38,0)") * col("__n"))
+          .cast("double") /
+          (col("__n").cast("double") * col("__nn").cast("double") *
+            col("__nn").cast("double")), 6)
+          .cast("decimal(18,6)").as("__res"))
+      .groupBy(col("__nn"), col("__pp"))
+      .agg(sum(col("__raw")).as("__rawsum"),
+        sum(col("__rel")).as("__relsum"),
+        sum(col("__res")).as("__ressum"))
+      .select(col("__nn").cast("long").as("n"),
+        round(col("__rawsum").cast("double") /
+          (col("__nn").cast("double") * lit(1e12)), 6).as("brier"),
+        round(col("__relsum").cast("double") /
+          col("__nn").cast("double"), 6).as("reliability"),
+        round(col("__ressum").cast("double") /
+          col("__nn").cast("double"), 6).as("resolution"),
+        round((col("__pp").cast("double") / col("__nn").cast("double")) *
+          (lit(1.0d) - col("__pp").cast("double") /
+            col("__nn").cast("double")), 6).as("uncertainty"))
+      .withColumn("brier_binned",
+        round(col("reliability") - col("resolution") + col("uncertainty"), 6))
+  }
 }

@@ -1278,4 +1278,72 @@ object Similarity {
     val share = if (trace > 0) lambda / trace else Double.NaN
     EigenResult(n, lambda, share, v.toSeq, cov)
   }
+
+  /** Per-DIMENSION embedding drift: [[CorpusStats.psi]]'s population
+    * stability index computed independently for every coordinate of
+    * the embedding, between a reference slice and the rest — the
+    * embedding-space twin of the scalar drift gate (q166). The
+    * monitor that catches "the new crawl's vectors moved in dims
+    * 17 and 40" long before a downstream model does.
+    *
+    * Values are bucketed over the FIXED [−1, 1] domain in round-6
+    * micro integers — `(micro + 10⁶)·B div (2·10⁶ + 1)`, the q202
+    * no-IEEE-boundary device; out-of-domain values clamp to the edge
+    * buckets. Same Laplace smoothing (+1 per observed bucket) and
+    * round-6 DECIMAL term ladder as the scalar op, per dim. Rows
+    * with a NULL slice flag, NULL vector or wrong length are
+    * excluded (the q232 length guard).
+    *
+    * Output: top-`topK` drifted `(dim, n_ref, n_cur, n_buckets,
+    * psi)`, PSI descending (ties → dim).
+    *
+    * Scale shape: ONE posexplode scan → (dim, bucket)-keyed
+    * map-side-combined aggregate (dims×buckets cells); totals and
+    * the term sum run on the cell table (bounded windows); never a
+    * corpus-sized shuffle.
+    */
+  def dimDrift(
+      df: DataFrame,
+      vecCol: String,
+      isRef: Column,
+      dims: Int,
+      buckets: Int = 8,
+      topK: Int = 10): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val base = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims &&
+        isRef.isNotNull)
+      .select(isRef.as("__r"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+    val micro = (round(col("__v").cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000).cast("long")
+    val cells = base
+      .withColumn("__m", micro + 1000000L)
+      .groupBy(col("dim"),
+        greatest(lit(0L), least(lit(buckets - 1L),
+          expr(s"__m * ${buckets}L div 2000001L"))).as("__b"))
+      .agg(sum(when(col("__r"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("__r"), 1L).otherwise(0L)).as("cc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dim")
+    val p = (col("cr") + lit(1L)).cast("double") /
+      (col("__nr") + col("__nb")).cast("double")
+    val q = (col("cc") + lit(1L)).cast("double") /
+      (col("__nc") + col("__nb")).cast("double")
+    cells
+      .withColumn("__nr", sum(col("cr")).over(w))
+      .withColumn("__nc", sum(col("cc")).over(w))
+      .withColumn("__nb", count(lit(1)).over(w))
+      .select(col("dim"), col("__nr"), col("__nc"), col("__nb"),
+        round((p - q) * log(p / q), 6).cast("decimal(18,6)").as("__t"))
+      .groupBy("dim", "__nr", "__nc", "__nb")
+      .agg(round(sum(col("__t")).cast("double"), 6).as("psi"))
+      .select(col("dim").cast("long").as("dim"),
+        col("__nr").cast("long").as("n_ref"),
+        col("__nc").cast("long").as("n_cur"),
+        col("__nb").cast("long").as("n_buckets"), col("psi"))
+      .orderBy(col("psi").desc, col("dim"))
+      .limit(topK)
+  }
 }

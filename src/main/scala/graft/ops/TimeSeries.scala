@@ -707,4 +707,131 @@ object TimeSeries {
         round((totalSse(col("__t2"), col("__t1"), col("__n")) - col("__sse")) /
           lit(10000.0d), 6).as("sse_drop"))
   }
+
+  /** Pascal's triangle rows (n, k, C(n,k), 2ⁿ) for n ≤ `maxN` — the
+    * broadcast side of [[signTrendBH]]'s EXACT binomial tail, shared
+    * with the DuckDB oracle as a generated VALUES list (the
+    * blocklist-keywords convention for cross-engine constants).
+    * `maxN ≤ 40` keeps every BH comparison product inside a long
+    * (2⁴⁰·20·m; see [[signTrendBH]]). */
+  def binomialRows(maxN: Int): Seq[(Int, Int, Long, Long)] = {
+    require(maxN >= 0 && maxN <= 40, s"maxN must be in [0, 40], got $maxN")
+    (0 to maxN).flatMap { n =>
+      var c = 1L
+      (0 to n).map { k =>
+        val row = (n, k, c, 1L << n)
+        // binomial recurrence keeps every intermediate integral
+        c = c * (n - k) / (k + 1)
+        row
+      }
+    }
+  }
+
+  /** Per-group sign test for an upward day-over-day trend with
+    * Benjamini–Hochberg FDR control across the groups — "which event
+    * types are REALLY trending up, correcting for having asked the
+    * question once per type". Classic nonparametric pair (sign test:
+    * Arbuthnott 1710/Dixon & Mood 1946; BH: Benjamini & Hochberg
+    * 1995), chosen here because BOTH are exact in integer arithmetic
+    * — no Φ, no libm, engine-portable to the bit.
+    *
+    *   1. Daily totals per group (exact decimal cents), restricted to
+    *      the last `lastDays` calendar days of the corpus.
+    *   2. Per group: n = days whose total DIFFERS from the previous
+    *      observed day's, x = days strictly ABOVE it (ties drop,
+    *      standard sign-test practice; comparisons are vs the
+    *      previous OBSERVED day, so gap days don't break pairs).
+    *   3. One-sided exact p = P(X ≥ x | Bin(n, ½)) = Σ_{k≥x} C(n,k)
+    *      / 2ⁿ — numerator summed as exact longs from the broadcast
+    *      [[binomialRows]] table, and 2ⁿ division is by a power of
+    *      two, so the double p-value is EXACT.
+    *   4. BH step-up at `alphaNum/alphaDen` (default 1/20 = 0.05):
+    *      reject ranks 1..i* where i* = max{i : p_(i) ≤ α·i/m} —
+    *      decided entirely in integers: num·alphaDen·m ≤ 2ⁿ·alphaNum·i
+    *      (each group carries its own 2ⁿ). Rank ties break on the
+    *      group name — a total order, so ranks are engine-identical.
+    *
+    * Output per group: `n_days` (n), `ups` (x), `p_value`, `bh_rank`,
+    * `rejected`.
+    *
+    * Scale shape: ONE (group, day) shuffle to the calendar-bounded
+    * daily table; the lag window and the BH ranking run over
+    * group-sized tables (the documented bounded-series exemption —
+    * for corpus-sized m, swap the ranking onto
+    * [[Rank.stratifiedRank]]'s device). The binomial table is
+    * Σ(n+1) ≤ 861 broadcast rows. Long budget: the BH comparison is
+    * ≤ 2^`lastDays`·alphaDen·m — `lastDays` ≤ 40 (enforced) keeps it
+    * exact for m up to ~10⁴ groups.
+    */
+  def signTrendBH(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      lastDays: Int = 28,
+      alphaNum: Long = 1L,
+      alphaDen: Long = 20L): DataFrame = {
+    require(lastDays >= 2 && lastDays <= 40,
+      s"lastDays must be in [2, 40], got $lastDays")
+    require(alphaNum >= 1 && alphaDen > alphaNum,
+      s"alpha must be a proper fraction, got $alphaNum/$alphaDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"),
+        to_date(date_trunc("day", col(tsCol))).as("day"))
+      .agg((sum(col(valueCol).cast("decimal(18,2)")) * 100)
+        .cast("long").as("__c"))
+    // the corpus's last `lastDays` calendar days (bounded-table window)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val recent = daily
+      .withColumn("__maxd", max(col("day")).over(w))
+      .filter(datediff(col("__maxd"), col("day")) < lastDays)
+    val lagW = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("day")
+    val stats = recent
+      .withColumn("__prev", lag(col("__c"), 1).over(lagW))
+      .filter(col("__prev").isNotNull && col("__c") =!= col("__prev"))
+      .groupBy("g")
+      .agg(count(lit(1)).cast("int").as("n"),
+        sum(when(col("__c") > col("__prev"), 1L).otherwise(0L))
+          .cast("int").as("x"))
+    val binom = spark.createDataset(binomialRows(lastDays - 1))
+      .toDF("__bn", "__bk", "__bc", "__p2")
+    // exact tail numerator: Σ_{k ≥ x} C(n, k); 2ⁿ rides along
+    val tails = stats.join(broadcast(binom),
+      col("n") === col("__bn") && col("__bk") >= col("x"))
+      .groupBy("g", "n", "x")
+      .agg(sum(col("__bc")).cast("long").as("__num"),
+        max(col("__p2")).cast("long").as("__pow2"))
+    val mW = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .orderBy((col("__num").cast("double") / col("__pow2").cast("double"))
+        .asc, col("g").asc)
+    val ranked = tails
+      .withColumn("__m", count(lit(1)).over(mW))
+      .withColumn("__i", row_number().over(rankW))
+      // the BH inequality, in integers: num·αden·m ≤ 2ⁿ·αnum·i
+      .withColumn("__ok",
+        col("__num") * alphaDen * col("__m") <=
+          col("__pow2") * alphaNum * col("__i"))
+    ranked
+      .withColumn("__istar",
+        max(when(col("__ok"), col("__i")).otherwise(0L)).over(mW))
+      .select(col("g").as(groupCol),
+        col("n").cast("long").as("n_days"),
+        col("x").cast("long").as("ups"),
+        // division by a power of two — the double is exact
+        (col("__num").cast("double") / col("__pow2").cast("double"))
+          .as("p_value"),
+        col("__i").cast("long").as("bh_rank"),
+        (col("__i") <= col("__istar")).as("rejected"))
+  }
 }

@@ -126,14 +126,38 @@ object StreamPipeline {
     * state under ~10⁴ keys per query → keep the default provider;
     * 10⁵ keys or more, or unbounded growth (dedup markers over an
     * open key space) → wrap the `.start()` in
-    * [[withRocksDbStateStore]]. There is no results risk in switching
-    * late — only the commit-cost shape changes.
+    * [[withRocksDbStateStore]] — or state the expected key count and
+    * let [[withAutoStateStore]] pick. There is no results risk in
+    * switching late — only the commit-cost shape changes.
     */
   val RocksDbConfs: Map[String, String] = Map(
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
       "true")
+
+  /** Measured provider break-even (SCALE.md round-10 state-store
+    * rehearsal): below ~50k steady-state keys the default provider's
+    * zero per-batch spin-up wins; at or above it RocksDB + changelog
+    * checkpointing wins, and its advantage widens with state size. */
+  val StateStoreBreakEvenKeys: Long = 50000L
+
+  /** Encode the state-store decision in code (round-11 VERDICT
+    * directive 8): run `body` under the provider the MEASURED
+    * break-even picks for `expectedKeys` — the caller states expected
+    * steady-state key cardinality (per stateful operator) instead of
+    * re-deriving the rule of thumb from the scaladoc. Unknown or
+    * unbounded key spaces (open-ended dedup markers) should pass
+    * `Long.MaxValue`: unbounded growth always crosses the break-even.
+    * Results are provider-independent (StreamingSpec pins byte-equal
+    * outputs through BOTH branches of this helper); only the
+    * commit-cost shape changes.
+    */
+  def withAutoStateStore[T](spark: SparkSession, expectedKeys: Long)(
+      body: => T): T =
+    if (expectedKeys >= StateStoreBreakEvenKeys)
+      withRocksDbStateStore(spark)(body)
+    else body
 
   /** Run `body` with the RocksDB state store enabled, restoring the
     * previous session confs afterwards. Streaming queries capture the

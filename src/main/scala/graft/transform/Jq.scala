@@ -64,6 +64,10 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *     like jq), `to_entries`/`from_entries` ({key, value} structs),
   *     `map_values(E)` (maps and arrays), `with_entries(E)` (`.` = the
   *     entry struct); object construction `{k: E}` in value position
+  *   - `{who: .name, tag: .tags[]}` — object construction with ONE
+  *     top-level iterated path compiles to an explode (1→N fan-out);
+  *     two generators (a jq cross-product) or an iterate nested in a
+  *     larger field expression stay on the escape hatch
   *
   * Programs outside the subset should go through [[JqEscapeHatch]]
   * (mapPartitions over JSON strings, 0..N outputs per input — the
@@ -389,6 +393,32 @@ object Jq {
   // --------------------------------------------------- compile to Spark
   private def fieldCol(path: Seq[String]): Column =
     path.tail.foldLeft(col(s"`${path.head}`"))((c, f) => c.getField(f))
+
+  /** `.xs[]` — a top-level iterated path (the 1→N generator). */
+  private def isIterPath(e: Expr): Boolean = e match {
+    case FieldPath(_, true, _) => true
+    case _ => false
+  }
+
+  /** Does any subexpression iterate (`.xs[]`)? Used to reject
+    * object-construction programs whose fan-out is NOT the simple
+    * single-generator case toward the escape hatch. */
+  private def containsIterate(e: Expr): Boolean = e match {
+    case FieldPath(_, true, _) => true
+    case StrInterp(parts) => parts.exists {
+      case Right(x) => containsIterate(x); case _ => false }
+    case ArrLit(items) => items.exists(containsIterate)
+    case BinOp(_, l, r) => containsIterate(l) || containsIterate(r)
+    case Not(x) => containsIterate(x)
+    case Call(_, args) => args.exists(containsIterate)
+    case ObjectLit(fs) => fs.exists(f => containsIterate(f._2))
+    case Pipe(ss) => ss.exists(containsIterate)
+    case TryCatch(b, h) => containsIterate(b) || h.exists(containsIterate)
+    // reduce CONSUMES its iterated source into one scalar — it is not
+    // a fan-out generator, so only its init/update bodies matter here
+    case Reduce(_, _, i, u) => containsIterate(i) || containsIterate(u)
+    case _ => false
+  }
 
   /** Lexical environment for lambda-scoped forms: `.` rebinds to the
     * accumulator inside a `reduce` update, `$x` to the element.
@@ -1154,6 +1184,31 @@ object Jq {
         enumPaths(root, df.schema, typedlit(Seq.empty[String])),
         p => concat(lit("["), concat_ws(",", p), lit("]")))
       df.select(explode(slice(rendered, 1, n.toInt)).as("value"))
+    // `{who: .name, tag: .tags[]}` — object construction with EXACTLY
+    // ONE top-level iterated path: jq's 1→N fan-out (round-11 VERDICT
+    // directive 7 — the most frequent escape-hatch faller). Each array
+    // element yields one output object; an EMPTY array yields zero
+    // outputs (like jq); a NULL array also yields zero (where strict
+    // jq errors "Cannot iterate over null" — the same convention the
+    // stage-position `.items[]` compile above already established).
+    // TWO iterated fields would be a jq cross-product, and an iterate
+    // NESTED inside another expression a per-element pipeline — both
+    // stay on the escape hatch (the `fields.forall` guard), rejected
+    // rather than rendered wrong.
+    case ObjectLit(fields)
+        if fields.count(f => isIterPath(f._2)) == 1 &&
+          fields.forall(f => isIterPath(f._2) || !containsIterate(f._2)) =>
+      val p = fields.collectFirst {
+        case (_, FieldPath(path, true, _)) => path }.get
+      if (p.isEmpty) throw new IllegalArgumentException(
+        "bare '.[]' in object construction needs an array record — " +
+          "use the JqEscapeHatch for this program")
+      val it = "__jq_iter"
+      df.withColumn(it, explode(fieldCol(p)))
+        .select(fields.map {
+          case (n, e) if isIterPath(e) => col(it).as(n)
+          case (n, e) => toColumn(e, env).as(n)
+        }: _*)
     case ObjectLit(fields) =>
       df.select(fields.map { case (n, ex) => toColumn(ex, env).as(n) }: _*)
     // `. + {k: expr}` / `{k: expr} + .` merge → withColumn

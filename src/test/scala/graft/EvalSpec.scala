@@ -156,4 +156,26 @@ class EvalSpec extends SparkSuite {
       .as[(Long, Long, Long, Double, Double)].collect().toSeq
     assert(out.map(_._5) == Seq(0.5, 0.5, 0.5), s"got $out")
   }
+
+  test("brierDecomposition matches the hand-computed Murphy split") {
+    import spark.implicits._
+    // two bins, zero within-bin score variance → raw Brier equals the
+    // binned identity rel − res + unc exactly
+    val rows = Seq((0.1, true), (0.1, false), (0.9, true), (0.9, true))
+    val r = Eval.brierDecomposition(rows.toDF("score", "y"), "score",
+      col("y"), bins = 10).head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("brier") == 0.21, s"got $r")
+    assert(r.getAs[Double]("reliability") == 0.085, s"got $r")
+    assert(r.getAs[Double]("resolution") == 0.0625, s"got $r")
+    assert(r.getAs[Double]("uncertainty") == 0.1875, s"got $r")
+    assert(r.getAs[Double]("brier_binned") == 0.21, s"got $r")
+    // perfectly calibrated scores: reliability 0, binned = uncertainty
+    val cal = Seq((0.5, true), (0.5, false))
+    val c = Eval.brierDecomposition(cal.toDF("score", "y"), "score",
+      col("y"), bins = 10).head()
+    assert(c.getAs[Double]("reliability") == 0.0, s"got $c")
+    assert(c.getAs[Double]("resolution") == 0.0, s"got $c")
+    assert(c.getAs[Double]("brier_binned") == 0.25, s"got $c")
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Similarity
+import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkSuite {
   import spark.implicits._
@@ -321,5 +322,31 @@ class SimilaritySpec extends SparkSuite {
       dims = 3, topK = 3)
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(out == Seq((0L, 2L, 4L, 32.0), (2L, 2L, 4L, 0.0)), s"got $out")
+  }
+
+  test("dimDrift: the shifted dimension tops the PSI ranking") {
+    import spark.implicits._
+    // dim0 jumps buckets between the slices (ref ≈ −0.6 clamps to the
+    // low edge, cur ≈ +0.6 clamps high), dim1 identical → PSI ~ 0
+    val df = Seq(
+      (true, Seq(-0.6, 0.25)), (true, Seq(-0.61, 0.25)),
+      (false, Seq(0.6, 0.25)), (false, Seq(0.62, 0.25)))
+      .toDF("r", "v")
+    val out = Similarity.dimDrift(df, "v", col("r"), dims = 2,
+      buckets = 8, topK = 2).collect().toSeq
+    assert(out.size == 2)
+    assert(out.head.getAs[Long]("dim") == 0L, s"got $out")
+    assert(out.head.getAs[Double]("psi") >
+      out(1).getAs[Double]("psi"), s"got $out")
+    assert(out.head.getAs[Long]("n_ref") == 2L &&
+      out.head.getAs[Long]("n_cur") == 2L)
+    // identical distributions: the smoothed terms cancel exactly
+    assert(out(1).getAs[Double]("psi") == 0.0, s"got $out")
+    // wrong-length and NULL-flag rows are excluded
+    val noisy = df.union(Seq((true, Seq(9.0)))
+      .toDF("r", "v"))
+    val out2 = Similarity.dimDrift(noisy, "v", col("r"), dims = 2,
+      buckets = 8, topK = 2).collect().toSeq
+    assert(out2.map(_.getAs[Long]("n_ref")).max == 2L)
   }
 }

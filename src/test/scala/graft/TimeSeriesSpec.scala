@@ -309,4 +309,41 @@ class TimeSeriesSpec extends SparkSuite {
     val r = graft.ops.TimeSeries.changepoint(rows.toDF("ts", "value"), "ts", "value").head()
     assert(r.getAs[java.sql.Date]("split_day").toString == "2024-01-09")
   }
+
+  test("binomialRows: exact Pascal rows, row sums are powers of two") {
+    val rows = graft.ops.TimeSeries.binomialRows(12)
+    assert(rows.count { case (n, _, _, _) => n == 12 } == 13)
+    assert(rows.find { case (n, k, _, _) => n == 5 && k == 2 }.get._3 == 10L)
+    (0 to 12).foreach { n =>
+      val sum = rows.collect { case (`n`, _, c, _) => c }.sum
+      assert(sum == (1L << n), s"n=$n sum=$sum")
+    }
+  }
+
+  test("signTrendBH: exact sign-test p-values and integral BH step-up") {
+    import spark.implicits._
+    def day(d: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 08:00:00")
+    // "up": 9 strictly rising steps → p = C(9,9)/2⁹ = 1/512;
+    // "down": 9 strictly falling → p = 1; "tie": constant → all
+    // comparisons are ties, the group drops from the output
+    val rows =
+      (1 to 10).map(d => ("up", day(d), d * 10.0)) ++
+      (1 to 10).map(d => ("down", day(d), (11 - d) * 10.0)) ++
+      (1 to 10).map(d => ("tie", day(d), 7.0))
+    val out = graft.ops.TimeSeries.signTrendBH(
+      rows.toDF("event_type", "ts", "value"), "event_type", "ts", "value")
+      .orderBy("bh_rank").collect().toSeq
+    assert(out.size == 2, s"got $out")
+    val up = out.head
+    assert(up.getAs[String]("event_type") == "up")
+    assert(up.getAs[Long]("n_days") == 9L && up.getAs[Long]("ups") == 9L)
+    assert(up.getAs[Double]("p_value") == 1.0 / 512.0, s"got $up")
+    // BH at 0.05, m=2: 1/512 ≤ 0.05·1/2 → reject rank 1 only
+    assert(up.getAs[Boolean]("rejected"), s"got $up")
+    val down = out(1)
+    assert(down.getAs[String]("event_type") == "down")
+    assert(down.getAs[Double]("p_value") == 1.0, s"got $down")
+    assert(!down.getAs[Boolean]("rejected"), s"got $down")
+  }
 }
