@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   * stress the no-global-window / two-phase-device designs claim to
   * absorb.
   *
+  * Name-carrying entity columns (c_name, s_name, p_name) get a "~i"
+  * replica suffix for i>0: the entity-resolution family (blocked ER,
+  * sorted neighborhood, Jaro-Winkler) blocks on name-derived keys, so
+  * identical names across replicas would inflate block OCCUPANCY 10×
+  * (pairs ×100 — a duplicate-explosion regime, not a data-growth
+  * regime; measured 33× on q150 before this fix, and q162's brand
+  * blocks blew past the maxBlock guard entirely). With the suffix,
+  * block COUNT grows 10× at constant occupancy — the scaling claim
+  * under test. p_brand gets the suffix as well: it serves as an ER
+  * blocking key on its own (q162, 25 distinct values), and Jaro-
+  * Winkler at τ=0.90 still matches "name~1"↔"name~2" (the suffix is
+  * a 1-char edit on a 30-char string), so fixed brands would both
+  * trip the maxBlock guard (Spark → 0 rows) AND quadratically
+  * explode the oracle (measured 17.5M pairs) — a duplicate-explosion
+  * regime again, not data growth. None of the sf1-validated queries
+  * aggregate by brand, so the deviation from TPC-H's fixed-dimension
+  * model is confined to the blocking-key role.
+  *
   * Two tables need more than key offsets, because naive replication
   * would create a 90%-duplicate corpus (every doc 10 exact copies —
   * a DIFFERENT regime than "10× more data at the same dup rate"):
@@ -42,6 +60,11 @@ object ScaleUp {
 
   private def offs(c: String, step: Long): org.apache.spark.sql.Column =
     (col(c) + col("__rep") * step).as(c)
+
+  /** replica-distinct entity name: "name~i" for replicas > 0 */
+  private def nameSfx(c: String): org.apache.spark.sql.Column =
+    when(col("__rep") === 0, col(c))
+      .otherwise(concat(col(c), lit("~"), col("__rep"))).as(c)
 
   def main(args: Array[String]): Unit = {
     val src = args(0); val dst = args(1)
@@ -74,13 +97,13 @@ object ScaleUp {
     val V = 1000000L   // vec_id
 
     wr(reps(spark, rd("customer"), factor)
-      .select(offs("c_custkey", C), col("c_name"), col("c_nationkey"),
+      .select(offs("c_custkey", C), nameSfx("c_name"), col("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment")), "customer", 4)
     wr(reps(spark, rd("supplier"), factor)
-      .select(offs("s_suppkey", S), col("s_name"), col("s_nationkey"),
+      .select(offs("s_suppkey", S), nameSfx("s_name"), col("s_nationkey"),
         col("s_acctbal")), "supplier", 1)
     wr(reps(spark, rd("part"), factor)
-      .select(offs("p_partkey", P), col("p_name"), col("p_brand"),
+      .select(offs("p_partkey", P), nameSfx("p_name"), nameSfx("p_brand"),
         col("p_type"), col("p_size"), col("p_retailprice")), "part", 4)
     wr(reps(spark, rd("orders"), factor)
       .select(offs("o_orderkey", O), offs("o_custkey", C),

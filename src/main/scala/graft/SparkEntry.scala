@@ -8150,22 +8150,28 @@ object SparkEntry {
         |agg AS (SELECT COUNT(*) AS k, SUM(ng) AS n,
         |    CAST(SUM(sg) AS DECIMAL(38,0)) AS s,
         |    CAST(SUM(ssg) AS DECIMAL(38,0)) AS ss,
-        |    SUM(CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
-        |      CAST(ng AS DOUBLE) AS DECIMAL(38,0))) AS a2
-        |  FROM byg)
+        |    CAST(SUM(CAST((CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT) * 2
+        |        + CAST(ng AS HUGEINT)) // (CAST(ng AS HUGEINT) * 2)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS a2
+        |  FROM byg),
+        |fin AS (SELECT k, n,
+        |    GREATEST(CAST(a2 AS HUGEINT) - (CAST(s AS HUGEINT)
+        |        * CAST(s AS HUGEINT) * 2 + CAST(n AS HUGEINT))
+        |      // (CAST(n AS HUGEINT) * 2), CAST(0 AS HUGEINT)) AS ssbi,
+        |    GREATEST(CAST(ss AS HUGEINT) - CAST(a2 AS HUGEINT),
+        |      CAST(0 AS HUGEINT)) AS sswi
+        |  FROM agg)
         |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
-        |  ROUND((CAST(a2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-        |    / CAST(n AS DOUBLE)) / 1e12, 6) AS ss_between,
-        |  ROUND((CAST(ss AS DOUBLE) - CAST(a2 AS DOUBLE)) / 1e12, 6)
+        |  CAST((ssbi * 2 + 1000000000000) // 2000000000000 AS BIGINT)
+        |    AS ss_between,
+        |  CAST((sswi * 2 + 1000000000000) // 2000000000000 AS BIGINT)
         |    AS ss_within,
-        |  CASE WHEN k > 1 AND n > k AND
-        |      CAST(ss AS DOUBLE) - CAST(a2 AS DOUBLE) > 0e0
-        |    THEN ROUND(((CAST(a2 AS DOUBLE) - CAST(s AS DOUBLE) *
-        |      CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE)
-        |      - 1e0)) / ((CAST(ss AS DOUBLE) - CAST(a2 AS DOUBLE)) /
-        |      (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |  CASE WHEN k > 1 AND n > k AND sswi > 0
+        |    THEN ROUND((CAST(ssbi AS DOUBLE) / (CAST(k AS DOUBLE) - 1e0)) /
+        |      (CAST(sswi AS DOUBLE) / (CAST(n AS DOUBLE)
+        |      - CAST(k AS DOUBLE))), 6)
         |    ELSE NULL END AS f
-        |FROM agg""".stripMargin,
+        |FROM fin""".stripMargin,
 
     // q250/q251/q253: driver-verified fixpoint contracts — empty.
     "q250_leading_eigen" ->

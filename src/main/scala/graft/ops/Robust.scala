@@ -521,13 +521,33 @@ object Robust {
     * become EXACT micro-unit longs (x has ≤ 2 dp, the round-6 median
     * has ≤ 6 dp, so z = |x − med| is exactly a micro integer — no
     * rounded-double ladder at all); z and z² sum in scale-0
-    * DECIMAL(38,0), whose double casts are a SINGLE correct rounding
-    * on both engines (a fractional-scale wide decimal would
-    * double-round in DuckDB — the q231 hazard); the pooled S²/n
-    * terms are ≥ 2^53-magnitude doubles, i.e. exact integers, so
-    * their decimal(38,0) casts are decision-free. F is one fixed
-    * double expression; degenerate cases (k < 2, zero within-spread)
-    * yield NULL F. SS outputs convert micro² → value² (/10¹²).
+    * DECIMAL(38,0); the pooled Sg²/ng and S²/n terms stay INTEGRAL
+    * via half-up integer division ⌊(2a + b) / 2b⌋ (computed with an
+    * exact pmod so Spark's scale-6 decimal division never rounds a
+    * near-integer quotient; DuckDB mirrors with HUGEINT `//`). Every
+    * value up to the SS integers is therefore bit-identical across
+    * engines — the previous double-product form (sum of
+    * CAST(sgD·sgD/ngD AS DECIMAL)) diverged at 6M rows, where the
+    * a2 − s²/n cancellation drops ~7 leading digits and a one-ulp
+    * engine gap in the 2^53+ intermediates surfaced as ±0.5 in
+    * ss_between (caught by the round-12 sf1 gate). The only doubles
+    * are the final casts of the SS integers (single correct rounding
+    * on both engines — scale-0, so no DuckDB double-round) and the
+    * fixed F expression; degenerate cases (k < 2, zero within-spread)
+    * yield NULL F. SS outputs are whole value² integers (half-up
+    * /10¹² from the micro² sums, clamped at 0 — SSB/SSW are ≥ 0
+    * mathematically; the ≤ k/2-microunit division jitter must not
+    * produce −1): at 6M rows a 6-dp ss_within needs 22 significant
+    * digits — past double (ulp 0.25 at 1.4e15, and ROUND(,6) of such
+    * a double flipped between engines at sf1), and a fractional wide
+    * decimal would double-round in DuckDB, so the integer is the one
+    * representation both engines agree on at every magnitude.
+    *
+    * Integer budget (ANSI: overflow throws, never silent): sg² needs
+    * sg = Σ|z| micro < 3·10¹⁸ — at ~2·10¹⁰ micro mean deviation that
+    * is ~10⁸ rows per group; beyond that, move the deviation unit
+    * from micro to centi (the sums shrink ×10⁸) or run the
+    * double-product form and accept last-digit wobble.
     *
     * Scale shape: one [[Percentiles.exact]] pass for the medians
     * (two bracketed corpus passes), one broadcast join of the
@@ -548,22 +568,34 @@ object Robust {
         sum(zm.cast("decimal(38,0)")).as("__sg"),
         sum((zm.cast("decimal(19,0)") * zm.cast("decimal(19,0)"))
           .cast("decimal(38,0)")).as("__ssg"))
-    val term = (col("__sg").cast("double") * col("__sg").cast("double") /
-      col("__ng").cast("double")).cast("decimal(38,0)")
+    // half-up integer division q = round(a / b) = ⌊(2a + b) / 2b⌋,
+    // computed exactly: subtract the pmod first so the decimal divide
+    // is an exact integer (Spark's (38,0)/(38,0) division rounds at
+    // scale 6, which could flip a floor on a near-integer quotient)
+    def halfUpDiv(a: Column, b: Column): Column = {
+      val x = a * lit(2) + b; val y = b * lit(2)
+      ((x - pmod(x, y)) / y).cast("decimal(38,0)")
+    }
+    val term = halfUpDiv(col("__sg") * col("__sg"),
+      col("__ng").cast("decimal(38,0)"))
     val agg = byG.agg(
       count(lit(1)).as("__k"), sum(col("__ng")).as("__n"),
       sum(col("__sg")).cast("decimal(38,0)").as("__s"),
       sum(col("__ssg")).cast("decimal(38,0)").as("__ss"),
-      sum(term).as("__a"))
+      sum(term).cast("decimal(38,0)").as("__a"))
     val (nD, kD) = (col("__n").cast("double"), col("__k").cast("double"))
-    val ssb = col("__a").cast("double") -
-      col("__s").cast("double") * col("__s").cast("double") / nD
-    val ssw = col("__ss").cast("double") - col("__a").cast("double")
+    val zero = lit(0).cast("decimal(38,0)")
+    val ssbI = greatest(col("__a") - halfUpDiv(col("__s") * col("__s"),
+      col("__n").cast("decimal(38,0)")), zero)
+    val sswI = greatest(col("__ss") - col("__a"), zero)
+    val micro2 = lit(1000000000000L).cast("decimal(38,0)")
+    val ssb = ssbI.cast("double")
+    val ssw = sswI.cast("double")
     agg.select(col("__k").cast("long").as("k"),
       col("__n").cast("long").as("n"),
-      round(ssb / lit(1.0e12), 6).as("ss_between"),
-      round(ssw / lit(1.0e12), 6).as("ss_within"),
-      when(col("__k") > 1 && col("__n") > col("__k") && ssw > lit(0.0d),
+      halfUpDiv(ssbI, micro2).cast("long").as("ss_between"),
+      halfUpDiv(sswI, micro2).cast("long").as("ss_within"),
+      when(col("__k") > 1 && col("__n") > col("__k") && sswI > zero,
         round((ssb / (kD - lit(1.0d))) / (ssw / (nD - kD)), 6)).as("f"))
   }
 

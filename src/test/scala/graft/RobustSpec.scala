@@ -249,7 +249,7 @@ class RobustSpec extends SparkSuite {
       ("b", 99.0), ("b", 100.0), ("b", 101.0)).toDF("g", "v")
     val r = graft.ops.Robust.brownForsythe(df, "g", "v").head()
     assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
-    assert(r.getAs[Double]("ss_between") == 0.0)
+    assert(r.getAs[Long]("ss_between") == 0L)
     assert(r.getAs[Double]("f") == 0.0)
   }
 
@@ -263,6 +263,6 @@ class RobustSpec extends SparkSuite {
     val r = graft.ops.Robust.brownForsythe((tight ++ wide).toDF("g", "v"),
       "g", "v").head()
     assert(r.getAs[Double]("f") > 10.0, s"got $r")
-    assert(r.getAs[Double]("ss_between") > 0.0)
+    assert(r.getAs[Long]("ss_between") > 0L)
   }
 }
