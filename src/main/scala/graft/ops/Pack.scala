@@ -13,17 +13,20 @@ import org.apache.spark.sql.functions._
   * whole corpus into ONE partition (Spark warns exactly this). Instead
   * the offset is computed as a two-phase distributed prefix sum:
   *
-  *   1. range-repartition by id (P ordered partitions);
-  *   2. per-partition running sums — an imperative in-partition scan
-  *      ([[Prefix.localScan]]; the round-7 window-on-__pid form made
-  *      Catalyst re-exchange the corpus on __pid);
-  *   3. per-partition totals → P rows → tiny single-partition prefix
-  *      scan over P values → broadcast back.
+  *   1. deterministic ordered bucketing by id ([[Prefix.bucketed]]:
+  *      boundary literals frozen at build time, `__bkt` a pure data
+  *      column, one hash exchange);
+  *   2. per-bucket running sums — a window over the existing `__bkt`
+  *      partitioning (no second corpus exchange; `__bkt` being a
+  *      VALUE makes the row side and the totals side agree without
+  *      the checkpoint pinning rounds 10–11 needed);
+  *   3. per-bucket totals → B rows → tiny single-partition prefix
+  *      scan over B values → broadcast back.
   *
-  * Only the P-row totals table ever crosses a partition boundary
-  * twice; the corpus itself sees one range shuffle and map-side work —
+  * Only the B-row totals table ever crosses a partition boundary
+  * twice; the corpus itself sees one hash exchange and map-side work —
   * the same shape holds at 1000 executors over 100 TB. Token counts
-  * are integral (the scan accumulates longs).
+  * are integral (the window accumulates longs).
   */
 object Pack {
 
@@ -38,25 +41,29 @@ object Pack {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(parts, col(idCol))
-    // partition-local exclusive running sum — no cross-partition data,
-    // no second corpus exchange
-    val local = Prefix.localScan(ranged, stratumCol = None,
-      sortCols = Seq(col(idCol)), valCol = Some(nTokCol))
-    // P-row totals derived from `local`'s pinned checkpoint (see
-    // Prefix.localScan — one execution, one __pid space); the
-    // single-partition window here scans P values, not the corpus
-    // (P = shuffle partitions, i.e. thousands at most)
-    val totals = local.groupBy("__pid")
+    val withB = Prefix.bucketed(df, Seq(col(idCol)), parts)
+    val ranged = withB.repartition(parts, col("__bkt"))
+    // bucket-local exclusive running sum — window over the existing
+    // __bkt partitioning, no second corpus exchange
+    val w = Window.partitionBy(col("__bkt")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("__local",
+      when(col(nTokCol).isNull, lit(null).cast("long"))
+        .otherwise(coalesce(sum(col(nTokCol).cast("long")).over(w), lit(0L))))
+    // B-row totals — __bkt is a deterministic data column, so this
+    // aggregate and the row side agree across executions; the
+    // single-partition window here scans B values, not the corpus
+    // (B = 4× shuffle partitions, i.e. thousands at most)
+    val totals = withB.groupBy(col("__bkt"))
       .agg(sum(col(nTokCol).cast("long")).as("__tot"))
-    val wPrefix = Window.orderBy("__pid")
+    val wPrefix = Window.orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = totals
       .withColumn("__prefix", coalesce(sum("__tot").over(wPrefix), lit(0L)))
-      .select(col("__pid"), col("__prefix"))
-    local.join(broadcast(prefix), "__pid")
+      .select(col("__bkt"), col("__prefix"))
+    local.join(broadcast(prefix), "__bkt")
       .withColumn("offset", (col("__local") + col("__prefix")).cast("long"))
-      .drop("__pid", "__local", "__prefix")
+      .drop("__bkt", "__local", "__prefix")
   }
 
   /** Assigns each document its context-window span under

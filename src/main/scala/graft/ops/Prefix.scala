@@ -1,129 +1,128 @@
 package graft.ops
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.StructType
 
-/** The partition-local half of the two-phase distributed prefix sum
-  * shared by [[Pack.tokenOffsets]], [[Rank.stratifiedRank]] and
-  * [[Rank.stratifiedPrefixSum]].
+/** Deterministic ordered bucketing — the partitioning half of the
+  * two-phase distributed prefix sum shared by [[Pack.tokenOffsets]],
+  * [[Rank.stratifiedRank]] and [[Rank.stratifiedPrefixSum]].
   *
-  * Through round 7 this half was a `Window.partitionBy(__pid, stratum)`
-  * — semantically partition-local, but Catalyst cannot know that
-  * `spark_partition_id()` is aligned with the physical partitioning,
-  * so it inserted a second corpus-wide `Exchange hashpartitioning(
-  * __pid, stratum)` after the range shuffle. The docstrings claimed
-  * "the corpus sees one range shuffle"; the physical plan disagreed.
-  * This imperative per-partition pass (sort within partitions, then
-  * one streaming scan — the documented last-resort case where a
-  * partition-local computation genuinely cannot be expressed
-  * declaratively without a redundant shuffle) makes the plan match the
-  * claim: the corpus crosses exactly ONE exchange, and PlanSpec pins
-  * it.
+  * == Why not repartitionByRange ==
+  *
+  * Every consumer of the device joins the bucketed rows back to an
+  * aggregate DERIVED from them, keyed by the bucket — so both sides
+  * must agree on every row's bucket. Through round 10 the bucket was
+  * the PHYSICAL partition id of a `repartitionByRange`, and agreement
+  * was delegated to `ReuseExchange` — best-effort, and it silently
+  * failed over cached upstreams: each branch re-sampled range
+  * boundaries over a nondeterministically-ordered child and the
+  * `__pid` join mismatched (round 11, wrong run-to-run-varying
+  * Spearman rank sums). Round 11 pinned ONE physical execution via
+  * `localCheckpoint` — correct, but it truncated lineage (a lost
+  * block failed the query instead of retrying — the round-11 ADVICE
+  * fault-tolerance item) and paid a corpus-sized materialize+read
+  * (q195 +0.5 s).
+  *
+  * == Value pinning ==
+  *
+  * Round 12 pins the VALUE, not the execution: boundaries are sampled
+  * once at operator-build time and frozen into the plan as LITERALS,
+  * and the bucket becomes a data column `__bkt = f(row values)` — a
+  * pure deterministic function. Consequences, in order of importance:
+  *
+  *  - correctness no longer depends on physical execution AT ALL: any
+  *    re-execution, cache eviction, AQE coalescing, or failed
+  *    ReuseExchange reproduces identical buckets, because the
+  *    boundaries are plan constants;
+  *  - lineage stays intact — lost tasks retry normally (closes the
+  *    round-11 fault-tolerance ADVICE item; the
+  *    `useReliableCheckpoint` hatch is gone because nothing needs
+  *    pinning anymore);
+  *  - the corpus-sized checkpoint write+read disappears; the only new
+  *    cost is one narrow key-column sample scan at build time (what
+  *    `RangePartitioner` does internally anyway);
+  *  - the partition-local scan can be a DECLARATIVE window again:
+  *    `Window.partitionBy(__bkt, stratum)` over a child hash-
+  *    partitioned on `__bkt` needs no second exchange (hash on a
+  *    subset of the clustering keys satisfies ClusteredDistribution),
+  *    so the round-7 "window re-exchanges the corpus" trap does not
+  *    reapply, and the scan is codegen'd instead of an interpreted
+  *    Row mapPartitions.
+  *
+  * == Determinism of the sample ==
+  *
+  * The sample itself is order-independent — rows are taken by
+  * smallest `xxhash64(key)` (ties broken by the key), a pure function
+  * of the key MULTISET, so even the frozen literals are reproducible
+  * across runs and cached/uncached inputs. (Single-query correctness
+  * only needs the literals to be frozen; multiset-determinism makes
+  * plans and EXPLAIN output reproducible too.)
+  *
+  * == Ordering semantics ==
+  *
+  * Bucket assignment compares `struct(keys)` against boundary struct
+  * literals with Spark's struct comparison, which is the same
+  * TOTAL ORDER the sort uses (nulls first, NaN last) — so the bucket
+  * function is monotone in the window's sort order by construction,
+  * including null and NaN keys.
+  *
+  * == Skew ==
+  *
+  * Boundaries are equal-frequency quantiles of the hash-uniform
+  * sample (RangePartitioner quality). `buckets = 4×partitions` keeps
+  * the hash placement of buckets onto partitions balanced (with 1:1
+  * balls-in-bins ~37% of partitions would sit empty); a hot key
+  * collapses adjacent equal boundaries into one bucket, exactly like
+  * range partitioning, and AQE is free to split or coalesce because
+  * placement no longer carries meaning.
   */
 private[graft] object Prefix {
 
-  /** Escape hatch for the lineage trade-off of the default
-    * `localCheckpoint` pinning (see [[localScan]]): when `true`,
-    * [[localScan]] pins via RELIABLE `checkpoint` instead —
-    * materialized to `spark.sparkContext.setCheckpointDir` storage, so
-    * blocks survive executor failure and dynamic-allocation
-    * decommission, at the cost of a distributed-FS write. Flip this
-    * for long multi-stage production jobs on clusters with dynamic
-    * allocation; the default stays local (zero-FS-dependency, right
-    * for bounded interactive jobs and `local[*]`). A plain `persist`
-    * is NOT a valid third option: an evicted cached block recomputes
-    * through the nondeterministic range sampling and re-introduces
-    * the exact pid-misalignment bug this pinning exists to prevent.
+  /** Adds `__bkt` (int, monotone in the total order of `keys`) — a
+    * pure column addition, NO shuffle: callers repartition the row
+    * side on `__bkt` themselves and aggregate the side table off the
+    * UNSHUFFLED frame, so the side's per-(bucket, stratum) partials
+    * combine map-side and only B×S rows cross the wire (deriving the
+    * side from the repartitioned frame would force a second
+    * corpus-cardinality exchange — column pruning makes the two
+    * exchanges non-identical, so ReuseExchange cannot dedupe them).
+    * Boundaries are computed EAGERLY (one sample job over the key
+    * columns) and frozen as literals; `parts` sizes the sample
+    * (128 rows per target partition).
     */
-  @volatile var useReliableCheckpoint: Boolean = false
-
-  /** Adds `__pid` (physical partition id) and `__local` (exclusive
-    * partition-local running total in row order) to an ALREADY
-    * range-partitioned DataFrame. Rows are sorted within each
-    * partition by `sortCols` first; the running total resets whenever
-    * the value of `stratumCol` changes (strata are contiguous under
-    * the range partitioning because it leads with the stratum).
-    *
-    * `valCol = None` counts rows (rank device, `__local` = number of
-    * earlier rows in the stratum-partition); `Some(c)` sums `c`
-    * (prefix-sum device). A NULL value yields a NULL `__local` and
-    * does not advance the total — the same semantics as the windowed
-    * `sum(c) - c` it replaces, where sum skips NULLs.
-    *
-    * PINNED to one physical execution (lazy `localCheckpoint`):
-    * every caller joins this output back to an aggregate DERIVED from
-    * it on `__pid`, so the correctness of the whole device hinges on
-    * both consumers seeing the SAME partition layout. Through round
-    * 10 that was delegated to ReuseExchange — best-effort, and it
-    * silently failed when the upstream was a cached relation: the two
-    * branch executions each re-sampled range boundaries over a
-    * nondeterministically-ordered child, assigned rows to DIFFERENT
-    * partitions, and the `__pid` join silently mismatched (caught
-    * round 11 — q195 over a persisted projection produced wrong,
-    * run-to-run-varying rank sums). The checkpoint executes the
-    * range shuffle + scan ONCE and hands every consumer the same
-    * pinned RDD partitions; it also converts the old double
-    * execution of this subtree into block reads.
-    *
-    * LINEAGE TRADE-OFF: `localCheckpoint` truncates lineage — a
-    * checkpoint block lost to executor failure or dynamic-allocation
-    * decommission CANNOT be recomputed, so the query fails (and
-    * reruns from the top) instead of retrying the lost task. That is
-    * the deliberate price of by-construction pid alignment: a
-    * recomputed block would re-sample range boundaries and corrupt
-    * results silently, which is strictly worse than a loud failure.
-    * On clusters where executor loss is routine (dynamic allocation,
-    * spot instances), set [[useReliableCheckpoint]] `= true` to pin
-    * via reliable `checkpoint` (requires `setCheckpointDir`): same
-    * single-execution guarantee, blocks survive executor loss.
-    *
-    * Storage level: the default (MEMORY_AND_DISK) is kept
-    * deliberately. A MEMORY_ONLY variant measured NO gain on the
-    * device's heaviest consumer (q195 Spearman at sf0.1: min-of-5
-    * 3.41 s vs 3.39 s default — the residual cost of pinning is the
-    * materialize+read pass, not block serialization), and under
-    * memory pressure a MEMORY_ONLY checkpoint block is simply
-    * dropped → job failure, where MEMORY_AND_DISK spills and
-    * survives.
-    */
-  def localScan(
-      ranged: DataFrame,
-      stratumCol: Option[String],
-      sortCols: Seq[Column],
-      valCol: Option[String]): DataFrame = {
-    val sorted = ranged.sortWithinPartitions(sortCols: _*)
-    val schema = sorted.schema
-      .add("__pid", IntegerType, nullable = false)
-      .add("__local", LongType, nullable = true)
-    val stratumIdx = stratumCol.map(sorted.schema.fieldIndex)
-    val valIdx = valCol.map(sorted.schema.fieldIndex)
-    sorted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var cur: Any = null
-      var first = true
-      var run = 0L
-      it.map { r =>
-        stratumIdx.foreach { si =>
-          val s = r.get(si)
-          if (first || !java.util.Objects.equals(s, cur)) {
-            run = 0L; cur = s; first = false
-          }
-        }
-        val local: Any = valIdx match {
-          case None =>
-            val out = run; run += 1L; out
-          case Some(vi) =>
-            val v = r.get(vi)
-            if (v == null) null
-            else { val out = run; run += v.asInstanceOf[Number].longValue; out }
-        }
-        Row.fromSeq(r.toSeq :+ pid :+ local)
+  def bucketed(df: DataFrame, keys: Seq[Column], parts: Int): DataFrame = {
+    require(keys.nonEmpty, "bucketed needs at least one key column")
+    val nBuckets = 4 * parts
+    val k = struct(keys: _*)
+    val keyed = df.select(k.as("__k"))
+    val kType = keyed.schema.head.dataType.asInstanceOf[StructType]
+    // order-independent sample: smallest hashes, ties broken by key
+    val sample = keyed
+      .orderBy(xxhash64(col("__k")), col("__k"))
+      .limit(32 * nBuckets)
+      .orderBy(col("__k"))
+      .collect()
+    val m = sample.length
+    val bounds = (1 until nBuckets)
+      .map(i => sample((i.toLong * m / nBuckets).toInt))
+      .distinct // adjacent equal quantiles → one bucket (hot keys)
+      .map { r =>
+        val row = r.getStruct(0)
+        struct(kType.fields.zipWithIndex.map { case (f, i) =>
+          val v = row.get(i)
+          (if (v == null) lit(null).cast(f.dataType) else lit(v))
+            .as(f.name)
+        }: _*)
       }
-    }(Encoders.row(schema)) match {
-      case mapped if useReliableCheckpoint => mapped.checkpoint(eager = false)
-      case mapped => mapped.localCheckpoint(eager = false)
-    }
+    // balanced decision tree: log2(buckets) struct comparisons per row
+    def tree(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi + 1) / 2
+        when(k >= bounds(mid - 1), tree(mid, hi)).otherwise(tree(lo, mid - 1))
+      }
+    if (m == 0 || bounds.isEmpty) df.withColumn("__bkt", lit(0))
+    else df.withColumn("__bkt", tree(0, bounds.length))
   }
 }

@@ -13,28 +13,35 @@ import org.apache.spark.sql.functions._
   *
   * Two-phase shape (generalizes [[Pack.tokenOffsets]] per stratum):
   *
-  *   1. range-repartition by (stratum, order...) — P ordered
-  *      partitions, strata free to span partitions;
-  *   2. partition-local ranks per (partition, stratum) — an imperative
-  *      in-partition scan ([[Prefix.localScan]]); parallelism P×S,
-  *      never one-task-per-stratum and never a second corpus shuffle
-  *      (the round-7 window form re-exchanged the corpus on
-  *      (__pid, stratum) because Catalyst cannot see that
-  *      spark_partition_id is already clustered);
-  *   3. (partition × stratum) count table — at most P·S tiny rows,
-  *      aggregated map-side off the SAME pinned scan output
-  *      ([[Prefix.localScan]] checkpoints its one execution, so the
-  *      `__pid` spaces of the row side and the count side are
-  *      identical BY CONSTRUCTION — round 10 relied on ReuseExchange
-  *      for this, which silently failed over cached inputs) —
-  *      prefix-scanned per stratum and broadcast back.
+  *   1. deterministic ordered bucketing by (stratum, order...) —
+  *      [[Prefix.bucketed]]: boundary LITERALS frozen at build time,
+  *      `__bkt` a pure data column, ONE hash exchange; strata free to
+  *      span buckets;
+  *   2. bucket-local ranks per (bucket, stratum) — a declarative
+  *      window over the already-`__bkt`-partitioned child (hash on a
+  *      subset of the clustering keys satisfies the window's
+  *      distribution, so NO second corpus exchange — PlanSpec pins
+  *      exactly one); parallelism B×S, never one-task-per-stratum;
+  *   3. (bucket × stratum) count table — at most B·S tiny rows,
+  *      aggregated map-side. Because `__bkt` is a deterministic
+  *      function of row VALUES (not of a physical execution), the
+  *      row side and the count side agree even if the exchange is
+  *      executed twice — rounds 10/11 had to pin this alignment via
+  *      ReuseExchange (silently wrong over cached inputs) and then
+  *      `localCheckpoint` (lineage loss + a corpus-sized
+  *      materialize+read); now it holds by construction — prefix-
+  *      scanned per stratum and broadcast back.
   *
   * Only the count table crosses a partition boundary twice; the corpus
-  * itself sees one range shuffle, and PlanSpec pins exactly that.
+  * itself sees one hash exchange, and PlanSpec pins exactly that.
   * Order columns must make the rank deterministic (include a unique id
   * as the last key).
   */
 object Rank {
+
+  private def parts(df: DataFrame, numPartitions: Int): Int =
+    if (numPartitions > 0) numPartitions
+    else df.sparkSession.sessionState.conf.numShufflePartitions
 
   /** Adds `rk` (1-based ascending rank of `orderCols` within
     * `stratumCol`) and `n_stratum` (stratum row count).
@@ -45,36 +52,41 @@ object Rank {
       orderCols: Seq[String],
       numPartitions: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "stratifiedRank needs at least one order column")
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
     val keys = (stratumCol +: orderCols).map(col)
-    val ranged = df.repartitionByRange(parts, keys: _*)
-    // partition-local exclusive row counts per stratum — no window, no
-    // second corpus exchange
-    val local = Prefix.localScan(ranged, Some(stratumCol), keys, valCol = None)
-    // P×S-row side table derived from `local`'s PINNED output (one
-    // checkpointed execution — see Prefix.localScan), so the __pid
-    // spaces of the row side and the count side agree by construction
-    val counts = local.groupBy("__pid", stratumCol).agg(count(lit(1)).as("__cnt"))
-    val wPrefix = Window.partitionBy(stratumCol).orderBy("__pid")
+    val np = parts(df, numPartitions)
+    val withB = Prefix.bucketed(df, keys, np)
+    val ranged = withB.repartition(np, col("__bkt"))
+    // bucket-local exclusive row counts per stratum — window over the
+    // existing __bkt partitioning, no second corpus exchange
+    val w = Window.partitionBy(col("__bkt"), col(stratumCol))
+      .orderBy(orderCols.map(col): _*)
+    val local = ranged
+      .withColumn("__local", row_number().over(w).cast("long") - lit(1L))
+    // B×S-row side table off the UNSHUFFLED frame: partials combine
+    // map-side, so only B×S rows cross the wire — and because __bkt
+    // is a deterministic data column, this independent subtree agrees
+    // with the row side on every row's bucket (no pinning needed)
+    val counts = withB.groupBy(col("__bkt"), col(stratumCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val wPrefix = Window.partitionBy(stratumCol).orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val side = counts
       .withColumn("__prefix", coalesce(sum("__cnt").over(wPrefix), lit(0L)))
       .withColumn("__n", sum("__cnt").over(Window.partitionBy(stratumCol)))
-      .select(col("__pid"), col(stratumCol), col("__prefix"), col("__n"))
-    local.join(broadcast(side), Seq("__pid", stratumCol))
+      .select(col("__bkt"), col(stratumCol), col("__prefix"), col("__n"))
+    local.join(broadcast(side), Seq("__bkt", stratumCol))
       .withColumn("rk", (col("__local") + lit(1L) + col("__prefix")).cast("long"))
       .withColumn("n_stratum", col("__n").cast("long"))
-      .drop("__pid", "__local", "__prefix", "__n")
+      .drop("__bkt", "__local", "__prefix", "__n")
   }
 
   /** Per-stratum EXCLUSIVE running sum of `valCol` in `orderCols`
     * order — the same two-phase shape as [[stratifiedRank]] with sums
     * in place of counts. Adds `prefix` (sum of `valCol` over all
-    * earlier rows of the stratum). The building block for token-budget
-    * corpus assembly: "take documents until N tokens per language"
-    * is `prefix < N` on a deterministic order.
+    * earlier rows of the stratum); a NULL value yields a NULL `prefix`
+    * and does not advance the total. The building block for
+    * token-budget corpus assembly: "take documents until N tokens per
+    * language" is `prefix < N` on a deterministic order.
     */
   def stratifiedPrefixSum(
       df: DataFrame,
@@ -83,24 +95,28 @@ object Rank {
       valCol: String,
       numPartitions: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "stratifiedPrefixSum needs at least one order column")
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
     val keys = (stratumCol +: orderCols).map(col)
-    val ranged = df.repartitionByRange(parts, keys: _*)
-    val local = Prefix.localScan(ranged, Some(stratumCol), keys, Some(valCol))
-    // per-(partition, stratum) totals off `local`'s pinned output
-    // (see stratifiedRank) — map-side partial agg, P×S partials only
-    val totals = local.groupBy("__pid", stratumCol)
+    val np = parts(df, numPartitions)
+    val withB = Prefix.bucketed(df, keys, np)
+    val ranged = withB.repartition(np, col("__bkt"))
+    val w = Window.partitionBy(col("__bkt"), col(stratumCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("__local",
+      when(col(valCol).isNull, lit(null).cast("long"))
+        .otherwise(coalesce(sum(col(valCol).cast("long")).over(w), lit(0L))))
+    // per-(bucket, stratum) totals off the UNSHUFFLED frame — map-side
+    // partial agg, only B×S partials cross the wire
+    val totals = withB.groupBy(col("__bkt"), col(stratumCol))
       .agg(sum(col(valCol).cast("long")).as("__tot"))
-    val wPrefix = Window.partitionBy(stratumCol).orderBy("__pid")
+    val wPrefix = Window.partitionBy(stratumCol).orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val side = totals
       .withColumn("__spre", coalesce(sum("__tot").over(wPrefix), lit(0L)))
-      .select(col("__pid"), col(stratumCol), col("__spre"))
-    local.join(broadcast(side), Seq("__pid", stratumCol))
+      .select(col("__bkt"), col(stratumCol), col("__spre"))
+    local.join(broadcast(side), Seq("__bkt", stratumCol))
       .withColumn("prefix", (col("__local") + col("__spre")).cast("long"))
-      .drop("__pid", "__local", "__spre")
+      .drop("__bkt", "__local", "__spre")
   }
 
   /** Token-budget mixture sampling (the Dolma/DataTrove corpus

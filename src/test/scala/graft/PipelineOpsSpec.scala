@@ -218,15 +218,22 @@ class PipelineOpsSpec extends SparkSuite {
   // above an aggregate, i.e. carries only P×S partial rows.
   // (finalPlan / assertHashExchangesAboveAggregates live in SparkSuite.)
   private def assertOneCorpusShuffle(plan: String): Unit = {
-    // round-11 shape: the device's one range shuffle + local scan run
-    // inside the pinned checkpoint (Prefix.localScan) — both the row
-    // side and the side table read the same `Scan ExistingRDD`, so
-    // pid alignment is structural instead of ReuseExchange-dependent
-    assert(plan.contains("Scan ExistingRDD"), plan)
-    assert(!plan.contains("row_number"), plan)
-    val rangeEx = "(?m)\\+\\- Exchange rangepartitioning".r.findAllIn(plan).size
-    assert(rangeEx == 0, s"expected the range exchange pinned inside " +
-      s"the checkpoint, got $rangeEx live:\n$plan")
+    // round-12 shape: deterministic __bkt bucketing (Prefix.bucketed)
+    // — boundary LITERALS frozen at build time make the bucket a pure
+    // data column, so (a) no checkpoint barrier survives in the plan
+    // (lineage intact — the round-11 ADVICE fault-tolerance item),
+    // (b) no sampled range partitioning anywhere, and (c) the corpus
+    // crosses exactly ONE live hash exchange on __bkt; the side table
+    // reads it through exchange reuse
+    assert(!plan.contains("Scan ExistingRDD"),
+      s"device must not checkpoint (lineage):\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"device must not sample range boundaries:\n$plan")
+    val bktEx =
+      "Exchange hashpartitioning\\(__bkt#\\d+, \\d+\\), REPARTITION_BY_NUM".r
+        .findAllIn(plan).size
+    assert(bktEx == 1, s"expected ONE live __bkt corpus exchange, got " +
+      s"$bktEx:\n$plan")
     assertHashExchangesAboveAggregates(plan, "prefix-sum device")
   }
 
@@ -258,27 +265,30 @@ class PipelineOpsSpec extends SparkSuite {
     } finally base.unpersist()
   }
 
-  test("prefix device: reliable-checkpoint escape hatch matches default pinning") {
-    import graft.ops.{Prefix, Rank}
+  test("prefix device: independently built plans agree (value pinning)") {
+    import graft.ops.Rank
     import org.apache.spark.sql.expressions.Window
-    // useReliableCheckpoint = true pins via reliable checkpoint
-    // (survives executor loss; for dynamic-allocation clusters) —
-    // values must be identical to the localCheckpoint default
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    val vc = (1L to 300L).map(i => (i, s"g${i % 4}", (i * 31) % 17 + 1))
-      .toDF("id", "g", "c")
-    val w = Window.partitionBy("g").orderBy("id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val want = vc.withColumn("prefix",
-      coalesce(sum("c").over(w), lit(0L)).cast("long"))
-      .select("id", "prefix").as[(Long, Long)].collect().sortBy(_._1).toSeq
-    spark.sparkContext.setCheckpointDir(dir)
-    Prefix.useReliableCheckpoint = true
+    // the round-12 value-pinning contract: buckets are a deterministic
+    // function of row VALUES (boundary literals from an
+    // order-independent hash sample), so two INDEPENDENTLY constructed
+    // devices over the same cached, oddly-partitioned input — separate
+    // sampling jobs, separate plans, nothing shared — produce
+    // identical results. No execution pinning anywhere.
+    val base = (1L to 300L).map(i => (i, s"g${i % 4}", (i * 31) % 17 + 1))
+      .toDF("id", "g", "c").repartition(7).persist()
     try {
-      val got = Rank.stratifiedPrefixSum(vc, "g", Seq("id"), "c")
+      val w = Window.partitionBy("g").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = base.withColumn("prefix",
+        coalesce(sum("c").over(w), lit(0L)).cast("long"))
         .select("id", "prefix").as[(Long, Long)].collect().sortBy(_._1).toSeq
-      assert(got == want, "reliable pinning must not change values")
-    } finally Prefix.useReliableCheckpoint = false
+      val runs = (1 to 2).map { _ =>
+        Rank.stratifiedPrefixSum(base, "g", Seq("id"), "c")
+          .select("id", "prefix").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      }
+      assert(runs.forall(_ == want),
+        "independently sampled boundaries must yield identical prefix sums")
+    } finally base.unpersist()
   }
 
   test("stratifiedRank plan: one corpus shuffle, imperative local rank, reused exchange") {

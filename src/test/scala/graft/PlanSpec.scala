@@ -241,22 +241,25 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q76/q78/q81: the corpus crosses ONE exchange before the presentation sort") {
-    // the two-phase prefix-sum/rank device (round-11 form): the one
-    // range shuffle + imperative partition-local scan execute INSIDE
-    // the pinned checkpoint (Prefix.localScan), so BOTH consumers —
-    // the row side and the P×S side table — read the same
-    // `Scan ExistingRDD` and pid alignment is structural (round 10
-    // delegated it to ReuseExchange, which silently broke over cached
-    // inputs). The visible plan: no corpus window, side table joins
-    // broadcast, every hash exchange sits directly above an aggregate
-    // (P×S partial rows), and the only live range exchange is the
+    // the two-phase prefix-sum/rank device (round-12 form,
+    // Prefix.bucketed): boundary LITERALS frozen at build time make
+    // __bkt a deterministic data column — no checkpoint barrier
+    // (lineage intact), no sampled range partitioning; the corpus
+    // crosses the device's ONE explicit __bkt repartition, the B×S
+    // side table aggregates map-side off the unshuffled frame and
+    // joins broadcast, every requirement-driven hash exchange sits
+    // above an aggregate, and the only live range exchange is the
     // final orderBy's presentation sort.
     Seq("q76_quality_buckets", "q78_token_budget", "q81_curation_pipeline")
       .foreach { q =>
         val p = finalPlan(SparkEntry.queries(q)(spark, sfDir))
-        assert(p.contains("Scan ExistingRDD"), s"$q:\n$p")
-        assert(!p.contains("row_number"), s"$q:\n$p")
+        assert(!p.contains("Scan ExistingRDD"), s"$q must not checkpoint:\n$p")
         assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+        val bktEx =
+          "Exchange hashpartitioning\\(__bkt#\\d+, \\d+\\), REPARTITION_BY_NUM".r
+            .findAllIn(p).size
+        assert(bktEx == 1, s"$q: expected the device's one __bkt corpus " +
+          s"exchange, got $bktEx:\n$p")
         val rangeEx = "(?m)\\+\\- Exchange rangepartitioning".r.findAllIn(p).size
         assert(rangeEx == 1, s"$q: expected 1 live range exchange, got $rangeEx:\n$p")
         assertHashExchangesAboveAggregates(p, q)
@@ -336,10 +339,14 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("q112 source cap rides the stratified-rank device (no window, pinned scan)") {
+  test("q112 source cap rides the stratified-rank device (bucketed, no checkpoint)") {
     val p = finalPlan(SparkEntry.queries("q112_source_cap")(spark, sfDir))
-    assert(p.contains("Scan ExistingRDD"), p)
-    assert(!p.contains("row_number"), p)
+    assert(!p.contains("Scan ExistingRDD"), p) // lineage intact
+    // the only range exchange is the presentation sort (the device
+    // itself never samples range boundaries)
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(rangeEx == 1, s"expected only the presentation sort, got $rangeEx:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"), p) // the device's __bkt exchange
     assertHashExchangesAboveAggregates(p, "q112")
   }
 
@@ -388,12 +395,10 @@ class PlanSpec extends SparkSuite {
 
   test("q125 batch retrieval: broadcast stats row; per-query top-k rides the stratified-rank device") {
     val p = finalPlan(SparkEntry.queries("q125_bm25_batch")(spark, sfDir))
-    assert(!p.contains("row_number"), p)
-    assert(p.contains("Scan ExistingRDD"), p) // rank device's pinned scan
-    // the 1-row stats cross join now executes inside the rank
-    // device's checkpoint (invisible post-pin), so the broadcast
-    // contract is pinned on the single-query scorer, which shares
-    // the scoring stage
+    assert(!p.contains("Scan ExistingRDD"), p) // no checkpoint barrier
+    assert(p.contains("REPARTITION_BY_NUM"), p) // rank device's __bkt exchange
+    // the broadcast contract is pinned on the single-query scorer,
+    // which shares the scoring stage
     val scored = graft.ops.CorpusStats.bm25(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
       Seq("spark", "join"), topK = 5)
@@ -583,16 +588,22 @@ class PlanSpec extends SparkSuite {
 
   test("q182 Mann-Whitney: value table aggregates partially; prefix is ranged") {
     val p = finalPlan(SparkEntry.queries("q182_mann_whitney")(spark, sfDir))
-    // the distinct-value groupBy + range shuffle live inside the
-    // device's pinned checkpoint; the visible plan reads that scan,
-    // map-side combines the statistic fold, and has no corpus window
+    // the distinct-value groupBy feeds the bucketed prefix device;
+    // the visible plan map-side combines the statistic fold and has
+    // no corpus-global window (the device's window partitions by
+    // (__bkt, stratum))
     assert(p.contains("partial_sum"),
       s"the statistic fold must map-side combine:\n$p")
-    assert(p.contains("Scan ExistingRDD"),
-      s"cntLess must ride the two-phase device's pinned scan, " +
-        s"not a global window:\n$p")
-    assert(!p.contains("row_number"),
-      s"no corpus-sized rank window:\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"device must not checkpoint:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"cntLess must ride the bucketed two-phase device:\n$p")
+    // any running-sum window over corpus-scale rows partitions by
+    // __bkt (bucket-local); windows without __bkt only appear above
+    // the B×S side table
+    assert(p.linesIterator.filter(_.contains("row_number()"))
+      .forall(_.contains("__bkt")),
+      s"corpus windows must be bucket-local:\n$p")
   }
 
   test("q214-q216 eval readouts: one corpus pass, gates inside the scan, no join on rows") {
@@ -615,10 +626,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"group stats broadcast back:\n$p")
   }
 
-  test("q219 vocab growth: positions ride the pinned rank device, no corpus window") {
+  test("q219 vocab growth: positions ride the bucketed rank device, no corpus window") {
     val p = finalPlan(SparkEntry.queries("q219_vocab_growth")(spark, sfDir))
-    assert(p.contains("Scan ExistingRDD"), s"rank device's pinned scan:\n$p")
-    assert(!p.contains("row_number"), s"no corpus-global row_number:\n$p")
+    assert(!p.contains("Scan ExistingRDD"), s"device must not checkpoint:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"positions must ride the bucketed rank device:\n$p")
+    // row_number is bucket-local now: every rank window partitions by
+    // __bkt, never the bare stratum
+    assert(p.linesIterator.filter(_.contains("row_number()"))
+      .forall(_.contains("__bkt")),
+      s"row_number must partition by __bkt:\n$p")
   }
 
   test("q185 gram novelty: no pair operator anywhere — linear in grams") {
