@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Meta
-import graft.ops.{Basket, Bpe, Cdc, Concentration, CorpusStats, Curation, Dedup, Events, Graph, JoinReduce, KMeans, Linkage, Ordinal, Pack, Privacy, Profile, Quality, Rank, Robust, Sample, Similarity, Skew, TextOps, TimeSeries}
+import graft.ops.{Basket, Bpe, Cdc, Concentration, CorpusStats, Curation, Dedup, Eval, Events, Graph, JoinReduce, KMeans, Linkage, Ordinal, Pack, Privacy, Profile, Quality, Rank, Robust, Sample, Similarity, Skew, TextOps, TimeSeries}
 import graft.transform.{Jq, Template}
 
 /** Driver contract: one `queries` entry per implemented operator
@@ -2712,9 +2712,11 @@ object SparkEntry {
     "q195_spearman" -> ((s, dir) =>
       // monotone association per return flag on the doubled-mid-rank
       // integral device — the whale-proof complement of q108's
-      // moment-exact Pearson
+      // moment-exact Pearson. persistProjection: the two value tables
+      // are corpus aggregates the value-pinned device reads 3× each
+      // (measured +1.8 s without it at sf0.1, round 12)
       Robust.spearman(t(s, dir, "lineitem"), "l_returnflag",
-        "l_quantity", "l_extendedprice")
+        "l_quantity", "l_extendedprice", persistProjection = true)
         .orderBy("l_returnflag")),
 
     "q196_autocorrelation" -> ((s, dir) =>
@@ -3792,7 +3794,46 @@ object SparkEntry {
       // micro-unit buckets, the embedding-space twin of q166's scalar
       // drift gate; top-10 drifted dims (ops/Similarity.scala)
       Similarity.dimDrift(t(s, dir, "embeddings"), "embedding",
-        col("label") < 5, dims = 64, buckets = 8, topK = 10)))
+        col("label") < 5, dims = 64, buckets = 8, topK = 10)),
+
+    "q270_quantile_lift" -> ((s, dir) =>
+      // WHERE in the distribution segments differ from BUILDING —
+      // per-quantile EXACT lift on the bracketed selection (a whale
+      // cannot fabricate a lift at any quantile below its own);
+      // differences taken in DECIMAL(18,6), never double subtraction
+      Robust.quantileLift(t(s, dir, "customer"), "c_mktsegment",
+        "BUILDING", "c_acctbal", Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy("arm", "fraction")),
+
+    "q271_effective_sample_size" -> ((s, dir) =>
+      // how much statistical power each source actually carries under
+      // length weighting — Kish ESS + design effect, exact decimal
+      // moments with per-term squared casts (ops/Profile.scala)
+      Profile.effectiveSampleSize(t(s, dir, "documents"), "source",
+        "n_chars").orderBy("source")),
+
+    "q272_wilson_gate_rate" -> ((s, dir) =>
+      // per-source C4 keep rate with Wilson 95% bounds — the release
+      // readout that stays honest at small n and extreme rates where
+      // the normal interval collapses (ops/Eval.scala; z shared with
+      // the oracle as a Scala constant)
+      Eval.wilsonRate(
+        TextOps.c4Rules(t(s, dir, "documents"), "doc_id", "text",
+          passthrough = Seq("source")),
+        "source", col("keep"), z = wilsonZ)
+        .orderBy("source")),
+
+    "q273_grid_core_cells" -> ((s, dir) =>
+      // DBSCAN-style core cells over embedding coords 1-2: integer
+      // grid + 3x3 neighborhood density, cell-sized work end to end —
+      // the pairless density map of embedding space
+      Similarity.gridCorePoints(t(s, dir, "embeddings"), "embedding",
+        cellSize = 0.05, minPts = 25L)
+        .orderBy("cx", "cy")))
+
+  /** Wilson z for q272 — shared between the operator call and the
+    * oracle text so both engines fold the identical constants. */
+  private val wilsonZ: Double = 1.959963984540054
 
   /** q267's Pascal-triangle constants, rendered into the oracle's
     * VALUES list from the SAME Scala rows the operator broadcasts. */
@@ -8735,7 +8776,109 @@ object SparkEntry {
         |SELECT CAST(dim AS BIGINT) AS dim, CAST(nr AS BIGINT) AS n_ref,
         |  CAST(nc AS BIGINT) AS n_cur, CAST(nb AS BIGINT) AS n_buckets,
         |  psi
-        |FROM j ORDER BY psi DESC, dim LIMIT 10""".stripMargin)
+        |FROM j ORDER BY psi DESC, dim LIMIT 10""".stripMargin,
+
+    // q270: quantile_cont + round-6 matches Percentiles.exact (the
+    // q106 interpolation device); lifts subtract in DECIMAL(18,6)
+    "q270_quantile_lift" ->
+      """WITH c AS (SELECT c_mktsegment AS arm, CAST(c_acctbal AS DOUBLE)
+        |    AS v FROM customer WHERE c_acctbal IS NOT NULL),
+        |q AS (
+        |  SELECT arm, 0.25e0 AS fraction,
+        |    CAST(ROUND(quantile_cont(v, 0.25e0), 6) AS DECIMAL(18,6)) AS p6
+        |  FROM c GROUP BY arm
+        |  UNION ALL SELECT arm, 0.5e0,
+        |    CAST(ROUND(quantile_cont(v, 0.5e0), 6) AS DECIMAL(18,6))
+        |  FROM c GROUP BY arm
+        |  UNION ALL SELECT arm, 0.75e0,
+        |    CAST(ROUND(quantile_cont(v, 0.75e0), 6) AS DECIMAL(18,6))
+        |  FROM c GROUP BY arm
+        |  UNION ALL SELECT arm, 0.9e0,
+        |    CAST(ROUND(quantile_cont(v, 0.9e0), 6) AS DECIMAL(18,6))
+        |  FROM c GROUP BY arm),
+        |b AS (SELECT fraction, p6 AS b6 FROM q WHERE arm = 'BUILDING')
+        |SELECT q.arm AS arm, q.fraction AS fraction,
+        |  CAST(b6 AS DOUBLE) AS base_pct, CAST(p6 AS DOUBLE) AS arm_pct,
+        |  CAST(p6 - b6 AS DOUBLE) AS lift
+        |FROM q JOIN b ON q.fraction = b.fraction
+        |WHERE q.arm <> 'BUILDING'
+        |ORDER BY arm, fraction""".stripMargin,
+
+    // q271: per-term squared casts mirror the operator (the q249
+    // overflow class); ratios are fixed double compositions
+    "q271_effective_sample_size" ->
+      """WITH g AS (SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sw,
+        |    CAST(SUM(CAST(CAST(n_chars AS DECIMAL(19,0)) *
+        |        CAST(n_chars AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sw2
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0 GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n, sw AS sum_w,
+        |  ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) /
+        |    CAST(sw2 AS DOUBLE), 6) AS ess,
+        |  ROUND(CAST(n AS DOUBLE) * CAST(sw2 AS DOUBLE) /
+        |    (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)), 6) AS deff
+        |FROM g ORDER BY source""".stripMargin,
+
+    // q272: the q71 keep predicate verbatim + the Wilson composition
+    // with the SAME association as Eval.wilsonRate; z/z² interpolated
+    // from the shared Scala constants
+    "q272_wilson_gate_rate" ->
+      s"""WITH sig AS (
+        |  SELECT source,
+        |    (CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+        |        AS BIGINT) >= 5
+        |     AND ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g'))
+        |         AS DOUBLE) /
+        |       (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 6)
+        |       BETWEEN 3.0 AND 10.0
+        |     AND CAST(LIST_MAX(LIST_TRANSFORM(
+        |         string_split_regex(TRIM(text), '\\s+'),
+        |         w -> LENGTH(w))) AS BIGINT) <= 30
+        |     AND NOT (text LIKE '%{%' OR text LIKE '%}%')
+        |     AND NOT (LOWER(text) LIKE '%lorem ipsum%')) AS keep
+        |  FROM documents),
+        |g AS (SELECT source, COUNT(*) AS n,
+        |    SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS passes
+        |  FROM sig GROUP BY 1),
+        |d AS (SELECT source, n, passes,
+        |    CAST(passes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd FROM g)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CAST(passes AS BIGINT) AS passes,
+        |  ROUND(p, 6) AS rate,
+        |  ROUND((p + ${wilsonZ * wilsonZ}e0 / (2e0 * nd)) /
+        |      (1e0 + ${wilsonZ * wilsonZ}e0 / nd) -
+        |    ${wilsonZ}e0 * SQRT(p * (1e0 - p) / nd +
+        |      ${wilsonZ * wilsonZ}e0 / (4e0 * nd * nd)) /
+        |      (1e0 + ${wilsonZ * wilsonZ}e0 / nd), 6) AS wilson_lo,
+        |  ROUND((p + ${wilsonZ * wilsonZ}e0 / (2e0 * nd)) /
+        |      (1e0 + ${wilsonZ * wilsonZ}e0 / nd) +
+        |    ${wilsonZ}e0 * SQRT(p * (1e0 - p) / nd +
+        |      ${wilsonZ * wilsonZ}e0 / (4e0 * nd * nd)) /
+        |      (1e0 + ${wilsonZ * wilsonZ}e0 / nd), 6) AS wilson_hi
+        |FROM d ORDER BY source""".stripMargin,
+
+    // q273: integer grid cells (float→double widening exact, one
+    // correctly-rounded division, exact floor) + 3×3 neighbor join on
+    // the CELL table — everything after the count is integral
+    "q273_grid_core_cells" ->
+      """WITH pts AS (SELECT
+        |    CAST(FLOOR(CAST(embedding[1] AS DOUBLE) / 0.05e0) AS BIGINT)
+        |      AS cx,
+        |    CAST(FLOOR(CAST(embedding[2] AS DOUBLE) / 0.05e0) AS BIGINT)
+        |      AS cy
+        |  FROM embeddings),
+        |cells AS (SELECT cx, cy, COUNT(*) AS n_pts FROM pts GROUP BY 1, 2),
+        |dens AS (SELECT a.cx, a.cy, a.n_pts, SUM(b.n_pts) AS density
+        |  FROM cells a JOIN cells b
+        |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+        |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        |  GROUP BY 1, 2, 3)
+        |SELECT cx, cy, CAST(n_pts AS BIGINT) AS n_pts,
+        |  CAST(density AS BIGINT) AS density, density >= 25 AS core
+        |FROM dens ORDER BY cx, cy""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

@@ -499,4 +499,46 @@ object Eval {
       .withColumn("brier_binned",
         round(col("reliability") - col("resolution") + col("uncertainty"), 6))
   }
+
+  /** Wilson score interval (Wilson 1927) on a per-group pass rate —
+    * the release-gate readout that stays honest at small n and
+    * extreme rates, where the naive normal interval collapses or
+    * crosses [0, 1]: "source X passes the quality gate 94.2%
+    * [93.8, 94.5] of the time" with bounds a reviewer can trust at
+    * any group size.
+    *
+    * Parity chain: the only inputs are the integer (passes, n) per
+    * group; every double expression (p̂, the z²/n tilt, the sqrt) is
+    * a fixed IEEE composition — sqrt is correctly rounded and
+    * portable, unlike exp/ln — with the SAME association on both
+    * engines, and z/z² are shared Scala constants interpolated into
+    * both sides. Outputs round-6.
+    *
+    * Scale shape: ONE map-side-combined aggregate on the group key
+    * (two integer sums); the interval arithmetic runs on the
+    * group-sized result. A 100 TB gate audit is one aggregation job.
+    */
+  def wilsonRate(
+      df: DataFrame,
+      groupCol: String,
+      flagCol: Column,
+      z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val z2 = z * z
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(flagCol, 1L).otherwise(0L)).as("passes"))
+    val nD = col("n").cast("double")
+    val kD = col("passes").cast("double")
+    val phat = kD / nD
+    val denom = lit(1.0d) + lit(z2) / nD
+    val center = (phat + lit(z2) / (lit(2.0d) * nD)) / denom
+    val half = lit(z) * sqrt(phat * (lit(1.0d) - phat) / nD +
+      lit(z2) / (lit(4.0d) * nD * nD)) / denom
+    g.select(col(groupCol), col("n").cast("long").as("n"),
+      col("passes").cast("long").as("passes"),
+      round(phat, 6).as("rate"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
 }

@@ -61,11 +61,15 @@ import org.apache.spark.sql.types.StructType
   *
   * == Ordering semantics ==
   *
-  * Bucket assignment compares `struct(keys)` against boundary struct
-  * literals with Spark's struct comparison, which is the same
-  * TOTAL ORDER the sort uses (nulls first, NaN last) — so the bucket
-  * function is monotone in the window's sort order by construction,
-  * including null and NaN keys.
+  * Bucket assignment ([[graft.functions.BucketSearch]]) binary-
+  * searches the frozen boundaries under Spark's natural ascending
+  * row order — the same TOTAL ORDER the sort uses (nulls first, NaN
+  * last) — so the bucket function is monotone in the window's sort
+  * order by construction, including null and NaN keys. The kernel's
+  * generated code is one call whatever the boundary count (a
+  * when-tree of struct-literal comparisons measured ~0.7 s of Janino
+  * compile per fresh plan at 128 buckets, and cluster-scale bucket
+  * counts would be worse).
   *
   * == Skew ==
   *
@@ -104,25 +108,26 @@ private[graft] object Prefix {
       .orderBy(col("__k"))
       .collect()
     val m = sample.length
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(kType)
     val bounds = (1 until nBuckets)
-      .map(i => sample((i.toLong * m / nBuckets).toInt))
+      .map(i => sample((i.toLong * m / nBuckets).toInt).getStruct(0))
       .distinct // adjacent equal quantiles → one bucket (hot keys)
-      .map { r =>
-        val row = r.getStruct(0)
-        struct(kType.fields.zipWithIndex.map { case (f, i) =>
-          val v = row.get(i)
-          (if (v == null) lit(null).cast(f.dataType) else lit(v))
-            .as(f.name)
-        }: _*)
-      }
-    // balanced decision tree: log2(buckets) struct comparisons per row
-    def tree(lo: Int, hi: Int): Column =
-      if (lo == hi) lit(lo)
-      else {
-        val mid = (lo + hi + 1) / 2
-        when(k >= bounds(mid - 1), tree(mid, hi)).otherwise(tree(lo, mid - 1))
-      }
+      .map(r => conv(r)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].copy())
+      .toArray
+    // constant-size codegen regardless of bucket count: a when-tree of
+    // struct-literal comparisons pays Janino ~0.7 s per fresh plan at
+    // 128 buckets (measured — the q195 round-12 regression) and grows
+    // with the bucket count; the kernel is one generated call
     if (m == 0 || bounds.isEmpty) df.withColumn("__bkt", lit(0))
-    else df.withColumn("__bkt", tree(0, bounds.length))
+    else {
+      val model = new graft.functions.BucketBounds(
+        bounds, kType.fields.map(_.dataType))
+      df.withColumn("__bkt",
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.BucketSearch(
+            org.apache.spark.sql.graft.ColumnBridge.expression(k), model)))
+    }
   }
 }

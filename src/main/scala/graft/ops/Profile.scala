@@ -265,4 +265,41 @@ object Profile {
           .as("delta"))
       .orderBy(groupCol)
   }
+
+  /** Kish effective sample size and design effect per group — the
+    * audit that says how much statistical power a WEIGHTED corpus
+    * actually carries: importance weighting (DSIR, temperature
+    * mixing) can leave a 10M-row source with the power of 40k rows
+    * (ESS = (Σw)²/Σw²), and deff = n·Σw²/(Σw)² = n/ESS is the
+    * variance inflation a downstream estimate pays. Rows with
+    * non-positive or NULL weights are excluded (they carry no mass).
+    *
+    * Parity: weights are integral; Σw and Σw² accumulate in
+    * DECIMAL(38,0) with per-term casts (each w² forms in
+    * DECIMAL(19,0)×DECIMAL(19,0), never a long — the q232/q249
+    * overflow class); the two output ratios are fixed double
+    * compositions of those exact sums, round-6.
+    *
+    * Scale shape: ONE map-side-combined aggregate on the group key;
+    * 16-byte decimal partials per group.
+    */
+  def effectiveSampleSize(
+      df: DataFrame,
+      groupCol: String,
+      weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("long")
+    val g = df.filter(w.isNotNull && w > 0)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(w.cast("decimal(38,0)")).as("__sw"),
+        sum((w.cast("decimal(19,0)") * w.cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("__sw2"))
+    val swD = col("__sw").cast("double")
+    val sw2D = col("__sw2").cast("double")
+    val nD = col("n").cast("double")
+    g.select(col(groupCol), col("n").cast("long").as("n"),
+      col("__sw").cast("decimal(38,0)").as("sum_w"),
+      round(swD * swD / sw2D, 6).as("ess"),
+      round(nD * sw2D / (swD * swD), 6).as("deff"))
+  }
 }

@@ -195,10 +195,17 @@ object Robust {
       persistProjection: Boolean = false): DataFrame = {
     val d19 = "decimal(19,0)"
     val d38 = "decimal(38,0)"
-    // opt-in (same measured trade as madOutliers): three readers (two
-    // rank devices + the rank join) share one materialization of the
-    // slim (group, x, y) projection — neutral at sf0.1 over a cheap
-    // parquet scan, a win over expensive upstreams
+    // opt-in (same queue/release contract as madOutliers): the
+    // round-12 value-pinned rank device reads its input THREE times
+    // (boundary sample + row side + map-side side table), and each
+    // value table here is a corpus aggregate — so persistProjection
+    // caches base (3 readers) AND both distinct-value tables (3+
+    // readers each). Measured at sf0.1 (q195): without it the device
+    // re-runs the corpus groupBy ~6×, +1.8 s; with it q195 returns
+    // under the round-11 checkpoint-era time. Persistence is SAFE
+    // under eviction now — bucket boundaries are frozen literals, so
+    // a recomputed block reproduces identical buckets (the round-11
+    // pid hazard no longer exists).
     val base0 = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
         col(groupCol).isNotNull)
@@ -207,8 +214,9 @@ object Robust {
     val base =
       if (persistProjection) registerPersisted(base0) else base0
     def doubledRanks(vcol: String, out: String): DataFrame = {
-      val vc = base.groupBy(col("__g"), col(vcol))
+      val vc0 = base.groupBy(col("__g"), col(vcol))
         .agg(count(lit(1)).as("__c"))
+      val vc = if (persistProjection) registerPersisted(vc0) else vc0
       Rank.stratifiedPrefixSum(vc, "__g", Seq(vcol), "__c", numPartitions)
         .select(col("__g"), col(vcol),
           (lit(2L) * col("prefix") + col("__c") + lit(1L)).as(out))
@@ -687,5 +695,46 @@ object Robust {
       (col("__bhy").cast("double") / lit(1000000.0d)).as("y_hi"),
       when(vx > 0 && vy > 0, round(num / sqrt(vx * vy), 6))
         .as("winsorized_r"))
+  }
+
+  /** Quantile treatment lift: the per-quantile difference between
+    * each arm's EXACT value distribution and a base arm's — where a
+    * mean lift says "arm B is +3.2 on average", the quantile lift
+    * says WHERE in the distribution the movement lives (tail-only
+    * effects, median shifts, compression). Built on
+    * [[Percentiles.exact]], so a whale cannot fabricate a lift at
+    * any quantile below the one it occupies.
+    *
+    * Parity: each side's percentiles round-6 (the q106 interpolation
+    * device), then the DIFFERENCE is taken in DECIMAL(18,6) — exact —
+    * and cast back to double, so no double subtraction ever runs.
+    *
+    * Scale shape: one bracketed exact-selection pass over all arms
+    * together (two corpus scans, every task bounded — the q106
+    * machinery), then arm-count-sized joins on the fraction index.
+    */
+  def quantileLift(
+      df: DataFrame,
+      armCol: String,
+      baseArm: String,
+      valueCol: String,
+      fractions: Seq[Double],
+      accuracy: Int = 100000): DataFrame = {
+    require(fractions.nonEmpty, "quantileLift needs at least one fraction")
+    val pcts = graft.ops.Percentiles.exact(df, Seq(armCol), valueCol,
+      fractions, accuracy)
+      .select(col(armCol), posexplode(col("pcts")).as(Seq("__i", "__p")))
+      .select(col(armCol), col("__i"),
+        round(col("__p"), 6).cast("decimal(18,6)").as("__p6"))
+    val fracLits = array(fractions.map(lit): _*)
+    val base = pcts.filter(col(armCol) === baseArm)
+      .select(col("__i"), col("__p6").as("__b6"))
+    pcts.filter(col(armCol) =!= baseArm)
+      .join(broadcast(base), "__i")
+      .select(col(armCol).as("arm"),
+        element_at(fracLits, col("__i") + 1).as("fraction"),
+        col("__b6").cast("double").as("base_pct"),
+        col("__p6").cast("double").as("arm_pct"),
+        (col("__p6") - col("__b6")).cast("double").as("lift"))
   }
 }

@@ -1346,4 +1346,59 @@ object Similarity {
       .orderBy(col("psi").desc, col("dim"))
       .limit(topK)
   }
+
+  /** Grid-density core points (the DBSCAN core-point criterion over
+    * an integer cell grid — Ester et al. 1996 by way of the standard
+    * grid approximation): project the embedding onto two coordinates,
+    * quantize to `cellSize` cells, and call a cell CORE when its
+    * 3×3 neighborhood holds ≥ `minPts` points. The cheap density map
+    * that finds over-represented regions of embedding space (scraper
+    * farms, template clusters) without any pairwise distance work.
+    *
+    * Exactness: cell ids are `floor(coord / cellSize)` longs — float
+    * → double widening is exact, the division is one correctly-
+    * rounded IEEE op, floor is exact — so the grid, the counts, and
+    * the 9-cell sums are all integers; both engines agree bit-for-bit.
+    *
+    * Scale shape: ONE map-side-combined aggregate to the CELL table
+    * (bounded by occupied cells, not points); the 3×3 neighborhood
+    * sum explodes 9 offsets on that cell table and re-aggregates —
+    * cell-sized work end to end. No pair joins, no corpus shuffle
+    * beyond the count's partials. At 100 TB the cell table is the
+    * only thing that moves.
+    */
+  def gridCorePoints(
+      df: DataFrame,
+      vecCol: String,
+      cellSize: Double,
+      minPts: Long,
+      dimX: Int = 1,
+      dimY: Int = 2): DataFrame = {
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val cells = df
+      .select(
+        floor(element_at(col(vecCol), dimX).cast("double") / cellSize)
+          .as("cx"),
+        floor(element_at(col(vecCol), dimY).cast("double") / cellSize)
+          .as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n_pts"))
+    val offs = array((-1 to 1).map(lit): _*)
+    val shifted = cells
+      .select(col("cx"), col("cy"), col("n_pts"),
+        explode(offs).as("__dx"))
+      .select(col("cx") + col("__dx").cast("long"), col("cy"),
+        col("n_pts"), explode(offs).as("__dy"))
+      .toDF("__nx", "cy", "n_pts", "__dy")
+      .select(col("__nx"), (col("cy") + col("__dy").cast("long")).as("__ny"),
+        col("n_pts"))
+      .groupBy(col("__nx").as("cx"), col("__ny").as("cy"))
+      .agg(sum("n_pts").as("density"))
+    cells.join(shifted, Seq("cx", "cy"))
+      .select(col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy"),
+        col("n_pts").cast("long").as("n_pts"),
+        col("density").cast("long").as("density"),
+        (col("density") >= minPts).as("core"))
+  }
 }

@@ -178,4 +178,18 @@ class EvalSpec extends SparkSuite {
     assert(c.getAs[Double]("resolution") == 0.0, s"got $c")
     assert(c.getAs[Double]("brier_binned") == 0.25, s"got $c")
   }
+
+  test("wilsonRate: textbook 1/4 and 0/10 intervals at z=1.96") {
+    import spark.implicits._
+    // 1 pass of 4 → Wilson 95% ≈ [0.0456, 0.6994]; 0 of 10 → lo is
+    // EXACTLY 0 and hi ≈ 0.2775 (the normal interval would give
+    // [0, 0] — the degenerate case Wilson exists to fix)
+    val df = Seq.tabulate(4)(i => ("a", i == 0)) ++
+      Seq.tabulate(10)(i => ("b", false))
+    val r = graft.ops.Eval.wilsonRate(df.toDF("g", "f"), "g", col("f"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5))).sortBy(_._1)
+    assert(r(0) == ("a", 4L, 1L, 0.25, 0.045587, 0.699358), s"got ${r(0)}")
+    assert(r(1) == ("b", 10L, 0L, 0.0, 0.0, 0.277533), s"got ${r(1)}")
+  }
 }

@@ -125,4 +125,17 @@ class ProfileSpec extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("mean_without")))
     assert(r.isNullAt(r.fieldIndex("delta")))
   }
+
+  test("effectiveSampleSize: equal weights give ESS = n; a whale collapses it") {
+    import spark.implicits._
+    val eq = (1 to 8).map(i => ("flat", 7L))
+    val whale = Seq.tabulate(5)(i => ("skew", if (i < 4) 1L else 96L))
+    val r = graft.ops.Profile.effectiveSampleSize(
+      (eq ++ whale).toDF("g", "w"), "g", "w")
+      .collect().map(x => (x.getString(0), x.getLong(1),
+        x.getAs[Double]("ess"), x.getAs[Double]("deff"))).sortBy(_._1)
+    assert(r(0) == ("flat", 8L, 8.0, 1.0), s"got ${r(0)}")
+    // (1+1+1+1+96): ESS = 100²/9220, deff = 5·9220/100² — hand-computed
+    assert(r(1) == ("skew", 5L, 1.084599, 4.61), s"got ${r(1)}")
+  }
 }

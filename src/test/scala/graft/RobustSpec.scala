@@ -265,4 +265,20 @@ class RobustSpec extends SparkSuite {
     assert(r.getAs[Double]("f") > 10.0, s"got $r")
     assert(r.getAs[Long]("ss_between") > 0L)
   }
+
+  test("quantileLift: a constant shift moves every quantile by the shift") {
+    import spark.implicits._
+    val a = (0 to 100).map(i => ("A", i.toDouble))
+    val b = (0 to 100).map(i => ("B", i.toDouble + 10.0))
+    val r = graft.ops.Robust.quantileLift((a ++ b).toDF("arm", "v"),
+      "arm", "A", "v", Seq(0.25, 0.5, 0.75))
+      .orderBy("fraction").collect()
+    assert(r.length == 3)
+    r.foreach { x =>
+      assert(x.getAs[String]("arm") == "B")
+      assert(x.getAs[Double]("lift") == 10.0, s"got $x")
+    }
+    // and the quantiles themselves are the exact order statistics
+    assert(r.map(_.getAs[Double]("base_pct")).toSeq == Seq(25.0, 50.0, 75.0))
+  }
 }

@@ -349,4 +349,20 @@ class SimilaritySpec extends SparkSuite {
       buckets = 8, topK = 2).collect().toSeq
     assert(out2.map(_.getAs[Long]("n_ref")).max == 2L)
   }
+
+  test("gridCorePoints: 3x3 neighborhood density and the core cut by hand") {
+    import spark.implicits._
+    // cells (0,0)x4, (1,0)x2, (3,3)x1 with cellSize 1.0: densities
+    // 6, 6, 1; minPts 5 → the two adjacent cells are core
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f)
+    val df = (Seq.fill(4)(v(0.5, 0.5)) ++ Seq.fill(2)(v(1.5, 0.5)) ++
+      Seq(v(3.5, 3.5))).toDF("emb")
+    val r = graft.ops.Similarity.gridCorePoints(df, "emb",
+      cellSize = 1.0, minPts = 5L)
+      .orderBy("cx", "cy").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getBoolean(4)))
+    assert(r.toSeq == Seq((0L, 0L, 4L, 6L, true), (1L, 0L, 2L, 6L, true),
+      (3L, 3L, 1L, 1L, false)), s"got ${r.toSeq}")
+  }
 }
