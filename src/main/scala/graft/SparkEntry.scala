@@ -3829,7 +3829,31 @@ object SparkEntry {
       // the pairless density map of embedding space
       Similarity.gridCorePoints(t(s, dir, "embeddings"), "embedding",
         cellSize = 0.05, minPts = 25L)
-        .orderBy("cx", "cy")))
+        .orderBy("cx", "cy")),
+
+    "q274_label_noise_matrix" -> ((s, dir) =>
+      // confident-learning label-noise map: rows counted by (given
+      // label, confidently-assigned label) via centroid
+      // self-confidence thresholds — off-diagonal mass estimates the
+      // noise before training on weak labels (ops/Similarity.scala)
+      Similarity.labelNoiseMatrix(t(s, dir, "embeddings"), "vec_id",
+        "label", "embedding")
+        .orderBy("given_label", "assigned_label")),
+
+    "q275_vocab_coverage" -> ((s, dir) =>
+      // tokenizer-budget readout: distinct terms (and token mass)
+      // needed to cover 50/90/95/99% of occurrences — all-integer
+      // threshold cuts on the value-pinned prefix device
+      CorpusStats.vocabCoverage(t(s, dir, "documents"), "text",
+        Seq(50, 90, 95, 99))
+        .orderBy("threshold_pct")),
+
+    "q276_fd_histogram" -> ((s, dir) =>
+      // Freedman–Diaconis auto-binned histogram of extended price:
+      // exact round-6 IQR, EXACT INTEGER cube root (pow(n, 1/3) is
+      // libm and engine-divergent), fixed IEEE bin arithmetic
+      Profile.fdHistogram(t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy("bin")))
 
   /** Wilson z for q272 — shared between the operator call and the
     * oracle text so both engines fold the identical constants. */
@@ -8878,7 +8902,78 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3)
         |SELECT cx, cy, CAST(n_pts AS BIGINT) AS n_pts,
         |  CAST(density AS BIGINT) AS density, density >= 25 AS core
-        |FROM dens ORDER BY cx, cy""".stripMargin)
+        |FROM dens ORDER BY cx, cy""".stripMargin,
+
+    // q274: q192's round-6 decimal centroids assembled into lists; the
+    // q75 list_inner_product cosine composition; round-6 decimal-mean
+    // thresholds; ROW_NUMBER (c DESC, cls) re-derives the struct-max
+    "q274_label_noise_matrix" ->
+      """WITH ex AS (SELECT label, CAST(i - 1 AS BIGINT) AS d,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |cen AS (SELECT label AS cls, d,
+        |    ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*), 6) AS c
+        |  FROM ex GROUP BY 1, 2),
+        |cl AS (SELECT cls, list(c ORDER BY d) AS cv FROM cen GROUP BY 1),
+        |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |cs AS (SELECT e.vec_id, e.label, cl.cls,
+        |    ROUND(list_inner_product(v, cv) /
+        |      (SQRT(list_inner_product(v, v)) *
+        |       SQRT(list_inner_product(cv, cv))), 6) AS c
+        |  FROM e CROSS JOIN cl),
+        |th AS (SELECT cls,
+        |    ROUND(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*), 6) AS t
+        |  FROM cs WHERE label = cls GROUP BY 1),
+        |conf AS (SELECT cs.vec_id, cs.label, cs.cls,
+        |    ROW_NUMBER() OVER (PARTITION BY cs.vec_id
+        |      ORDER BY cs.c DESC, cs.cls) AS rn
+        |  FROM cs JOIN th ON cs.cls = th.cls WHERE cs.c >= th.t)
+        |SELECT label AS given_label, CAST(cls AS BIGINT) AS assigned_label,
+        |  COUNT(*) AS n
+        |FROM conf WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q275: cumulative token mass over (count DESC, term) order; the
+    // threshold cut is pure 64-bit integer arithmetic
+    "q275_vocab_coverage" ->
+      """WITH toks AS (SELECT UNNEST(string_split_regex(trim(text),
+        |    '\s+')) AS term FROM documents),
+        |tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+        |cum AS (SELECT c, SUM(c) OVER (ORDER BY c DESC, term
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov
+        |  FROM tf),
+        |tot AS (SELECT SUM(c) AS total FROM tf)
+        |SELECT t.p AS threshold_pct,
+        |  CAST(SUM(CASE WHEN cov * 100 < t.p * total THEN 1 ELSE 0 END)
+        |    + 1 AS BIGINT) AS vocab_size,
+        |  CAST(MIN(CASE WHEN cov * 100 >= t.p * total THEN cov END)
+        |    AS BIGINT) AS tokens_covered
+        |FROM cum, tot, (VALUES (50), (90), (95), (99)) AS t(p)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q276: quantile_cont round-6 quartiles (q106 device) subtract in
+    // DECIMAL; the cube root is the exact integer max k: k³ ≤ n
+    "q276_fd_histogram" ->
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |q AS (SELECT CAST(CAST(ROUND(quantile_cont(v, 0.75e0), 6)
+        |      AS DECIMAL(18,6)) -
+        |    CAST(ROUND(quantile_cont(v, 0.25e0), 6) AS DECIMAL(18,6))
+        |    AS DOUBLE) AS iqr FROM b),
+        |s AS (SELECT COUNT(*) AS n, MIN(v) AS mn FROM b),
+        |k AS (SELECT MAX(i) AS k FROM range(1, 100001) AS t(i), s
+        |  WHERE i * i * i <= s.n),
+        |w AS (SELECT 2e0 * iqr / CAST(k AS DOUBLE) AS w, mn
+        |  FROM q, s, k)
+        |SELECT CAST(FLOOR((v - mn) / w) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  mn + CAST(FLOOR((v - mn) / w) AS DOUBLE) * w AS bin_lo
+        |FROM b, w WHERE w > 0e0 GROUP BY 1, 3 ORDER BY 1""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

@@ -762,4 +762,55 @@ object CorpusStats {
           .cast("double") / lit(1000000.0d)).as("jaccard"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Vocabulary coverage thresholds: the number of distinct terms
+    * (and the token mass they carry) needed to cover p% of all token
+    * occurrences, for each requested integer percentage — the
+    * tokenizer-budget readout ("50% of this corpus is 87 words;
+    * 99% needs 21k") that decides vocab sizes and stopword cuts.
+    *
+    * All-integer parity device: terms order by (count DESC, term ASC);
+    * the cumulative mass rides the value-pinned prefix device; the
+    * threshold test is `(prefix + c) · 100 < p · total` — pure 64-bit
+    * integer arithmetic (total ≤ 9·10¹⁶ tokens before the product
+    * needs widening; ANSI throws loudly past it), so both engines cut
+    * at identical ranks. vocab_size = |terms strictly below
+    * coverage| + 1; tokens_covered = the smallest cumulative mass at
+    * or above the threshold.
+    *
+    * Scale shape: one token-count aggregate to the vocab table; ONE
+    * prefix device pass over it (vocab-sized, not corpus-sized); one
+    * map-side-combined fold computing every threshold in a single
+    * aggregate.
+    */
+  def vocabCoverage(
+      df: DataFrame,
+      textCol: String,
+      thresholdPcts: Seq[Int]): DataFrame = {
+    require(thresholdPcts.nonEmpty && thresholdPcts.forall(p => p >= 1 && p <= 100),
+      s"thresholds must be integer percents in [1,100]: $thresholdPcts")
+    val tf = df
+      .select(explode(graft.ops.TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__c"))
+      .withColumn("__negc", -col("__c"))
+      .withColumn("__g", lit(1))
+    val pre = graft.ops.Rank.stratifiedPrefixSum(
+      tf, "__g", Seq("__negc", "term"), "__c")
+      .withColumn("__cov", col("prefix") + col("__c"))
+    val aggs = thresholdPcts.flatMap { p =>
+      Seq(
+        (sum(when(col("__cov") * 100 < lit(p.toLong) * col("__tot"), 1L)
+          .otherwise(0L)) + lit(1L)).as(s"__vs$p"),
+        min(when(col("__cov") * 100 >= lit(p.toLong) * col("__tot"),
+          col("__cov"))).as(s"__tc$p"))
+    }
+    val tot = pre.agg(sum(col("__c")).as("__tot"))
+    val one = pre.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(thresholdPcts.map(p =>
+      struct(lit(p.toLong).as("threshold_pct"),
+        col(s"__vs$p").cast("long").as("vocab_size"),
+        col(s"__tc$p").cast("long").as("tokens_covered"))): _*)).as("__r"))
+      .select(col("__r.threshold_pct"), col("__r.vocab_size"),
+        col("__r.tokens_covered"))
+  }
 }

@@ -302,4 +302,50 @@ object Profile {
       round(swD * swD / sw2D, 6).as("ess"),
       round(nD * sw2D / (swD * swD), 6).as("deff"))
   }
+
+  /** Freedman–Diaconis histogram (1981): bin width `2·IQR/∛n` — the
+    * robust automatic-binning rule (Sturges under-bins heavy tails;
+    * FD's IQR numerator ignores whales). Returns (bin, n, bin_lo).
+    *
+    * Parity devices: the IQR comes from [[Percentiles.exact]]
+    * round-6 quantiles whose DIFFERENCE is taken in DECIMAL(18,6)
+    * (exact); the cube root is the EXACT INTEGER `max k: k³ ≤ n` —
+    * `POW(n, 1/3)` is libm and flips across engines, an integer
+    * search cannot (k ≤ 10⁵ covers n ≤ 10¹⁵ rows; the search is a
+    * tiny unnest, not a scan). Bin width and bin indices are then
+    * fixed IEEE compositions (one division, one subtraction-divide,
+    * one exact floor) both engines fold identically.
+    *
+    * Scale shape: one bracketed-selection pass (two corpus scans)
+    * for the quartiles + one map + one bin-sized aggregate.
+    */
+  def fdHistogram(df: DataFrame, valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val q = graft.ops.Percentiles.exact(base, Nil, "__v",
+      Seq(0.25, 0.75))
+      .select(
+        (round(element_at(col("pcts"), 2), 6).cast("decimal(18,6)") -
+          round(element_at(col("pcts"), 1), 6).cast("decimal(18,6)"))
+          .cast("double").as("__iqr"))
+    val stats = base.agg(count(lit(1)).as("__n"), min("__v").as("__min"))
+      .crossJoin(broadcast(q))
+      // exact integer cube root: max k with k³ ≤ n (k ≤ 100000
+      // covers 10¹⁵ rows); POW(n, 1/3) would be libm
+      .withColumn("__k", expr(
+        "aggregate(filter(sequence(1L, 100000L), " +
+          "k -> k * k * k <= __n), 1L, (a, k) -> greatest(a, k))"))
+      .withColumn("__w",
+        lit(2.0d) * col("__iqr") / col("__k").cast("double"))
+    base.crossJoin(broadcast(stats))
+      .filter(col("__w") > 0.0d)
+      .select(floor((col("__v") - col("__min")) / col("__w")).as("bin"),
+        col("__min"), col("__w"))
+      .groupBy("bin", "__min", "__w")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin").cast("long").as("bin"),
+        col("n").cast("long").as("n"),
+        (col("__min") + col("bin").cast("double") * col("__w"))
+          .as("bin_lo"))
+  }
 }

@@ -1401,4 +1401,73 @@ object Similarity {
         col("density").cast("long").as("density"),
         (col("density") >= minPts).as("core"))
   }
+
+  /** Confident-learning label-noise matrix (Northcutt et al. 2021,
+    * simplified to centroid self-confidence): count rows by (given
+    * label, confidently-assigned label), where a row is assigned to
+    * the class whose centroid it is most similar to AMONG classes
+    * clearing their own mean self-confidence threshold — the
+    * off-diagonal mass is the estimated label-noise map ("class 3
+    * examples that look like class 7"), the audit run before
+    * training on weak labels.
+    *
+    * Parity chain: centroids are the q192 round-6 decimal means;
+    * per-row class cosines ride the compiled `graft_cosine` kernel
+    * (bit-matched to DuckDB's `list_inner_product` composition —
+    * the q75 device); thresholds are round-6 decimal-sum means;
+    * the argmax is a struct-max with (cosine DESC, class ASC)
+    * tie-break — every decision on round-6 doubles both engines
+    * share.
+    *
+    * Scale shape: one (label × dim) centroid aggregate; a CLASS-COUNT
+    * sized driver collect (the IVF centroid precedent — 10×64 values
+    * here); then ONE map-only corpus pass computing C cosines per row
+    * with the argmax as a map-side-combined struct-max per row-group —
+    * the corpus×classes relation never shuffles. The matrix is
+    * C²-bounded.
+    */
+  def labelNoiseMatrix(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String): DataFrame = {
+    val base = df
+      .filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("__id"), col(labelCol).cast("long").as("__l"),
+        col(vecCol).cast("array<double>").as("__v"))
+    val ex = base.select(col("__l"), posexplode(col("__v")).as(Seq("__d", "__x")))
+    val cen = ex.groupBy("__l", "__d")
+      .agg(round(
+        sum(round(col("__x"), 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("__c"))
+    // class-count-sized collect: C × dims values (bounded by the label
+    // alphabet, not the corpus)
+    val cents: Array[(Long, Array[Double])] = cen.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3)) }
+      .toArray.sortBy(_._1)
+    val melted = base.select(col("__id"), col("__l"),
+      explode(array(cents.map { case (cls, arr) =>
+        struct(lit(cls).as("cls"),
+          round(cosine(col("__v"), lit(arr)), 6).as("c"))
+      }: _*)).as("__e"))
+      .select(col("__id"), col("__l"),
+        col("__e.cls").as("__cls"), col("__e.c").as("__c"))
+    val th = melted.filter(col("__cls") === col("__l"))
+      .groupBy(col("__cls"))
+      .agg(round(
+        sum(col("__c").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("__t"))
+    melted.join(broadcast(th), "__cls")
+      .filter(col("__c") >= col("__t"))
+      .groupBy(col("__id"), col("__l"))
+      // struct-max argmax: highest cosine, then SMALLEST class
+      .agg(max(struct(col("__c").as("c"),
+        (-col("__cls")).as("negcls"))).as("__m"))
+      .select(col("__l").as("given_label"),
+        (-col("__m.negcls")).as("assigned_label"))
+      .groupBy("given_label", "assigned_label")
+      .agg(count(lit(1)).as("n"))
+  }
 }

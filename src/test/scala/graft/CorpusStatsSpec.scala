@@ -399,4 +399,15 @@ class CorpusStatsSpec extends SparkSuite {
     // pairs with zero intersection are absent (join-on-token shape)
     assert(out == Seq(("s1", "s2", 3L, 3L, 2L, 0.5)), s"got $out")
   }
+
+  test("vocabCoverage: hand-computed threshold cuts on a tiny corpus") {
+    import spark.implicits._
+    // a×6 b×3 c×1 → cumulative 6, 9, 10 of 10 total
+    val df = Seq("a a a", "a a a b", "b b c").toDF("text")
+    val r = graft.ops.CorpusStats.vocabCoverage(df, "text",
+      Seq(50, 90, 95, 99)).orderBy("threshold_pct")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((50L, 1L, 6L), (90L, 2L, 9L),
+      (95L, 3L, 10L), (99L, 3L, 10L)), s"got ${r.toSeq}")
+  }
 }

@@ -138,4 +138,22 @@ class ProfileSpec extends SparkSuite {
     // (1+1+1+1+96): ESS = 100²/9220, deff = 5·9220/100² — hand-computed
     assert(r(1) == ("skew", 5L, 1.084599, 4.61), s"got ${r(1)}")
   }
+
+  test("fdHistogram: FD width 2·IQR/∛n by hand on 1..8") {
+    import spark.implicits._
+    // n=8 → k=2 (2³ ≤ 8); IQR = 6.25 − 2.75 = 3.5 → width 3.5, min 1
+    val r = graft.ops.Profile.fdHistogram(
+      (1 to 8).map(_.toDouble).toDF("v"), "v")
+      .orderBy("bin").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq((0L, 4L, 1.0), (1L, 3L, 4.5), (2L, 1L, 8.0)),
+      s"got ${r.toSeq}")
+  }
+
+  test("fdHistogram: zero IQR yields an empty histogram, not a crash") {
+    import spark.implicits._
+    val r = graft.ops.Profile.fdHistogram(
+      Seq.fill(10)(5.0).toDF("v"), "v").collect()
+    assert(r.isEmpty)
+  }
 }

@@ -365,4 +365,22 @@ class SimilaritySpec extends SparkSuite {
     assert(r.toSeq == Seq((0L, 0L, 4L, 6L, true), (1L, 0L, 2L, 6L, true),
       (3L, 3L, 1L, 1L, false)), s"got ${r.toSeq}")
   }
+
+  test("labelNoiseMatrix: planted mislabels land off-diagonal") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; three "label 1" rows sit
+    // in cluster 0's location → they assign confidently to class 0
+    def v(x: Double, y: Double) = Array(x, y)
+    val clean0 = (1 to 20).map(i => (i.toLong, 0L, v(1.0 + i * 1e-4, 0.01)))
+    val clean1 = (21 to 40).map(i => (i.toLong, 1L, v(0.01, 1.0 + i * 1e-4)))
+    val noisy = (41 to 43).map(i => (i.toLong, 1L, v(1.0, 0.01)))
+    val r = graft.ops.Similarity.labelNoiseMatrix(
+      (clean0 ++ clean1 ++ noisy).toDF("vec_id", "label", "emb"),
+      "vec_id", "label", "emb")
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(r.getOrElse((1L, 0L), 0L) == 3L, s"got $r")   // the planted noise
+    assert(r.getOrElse((0L, 0L), 0L) >= 15L, s"got $r")  // clean diagonal
+    assert(r.getOrElse((1L, 1L), 0L) >= 15L, s"got $r")
+    assert(r.getOrElse((0L, 1L), 0L) == 0L, s"got $r")
+  }
 }
