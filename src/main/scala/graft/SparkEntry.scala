@@ -3853,7 +3853,19 @@ object SparkEntry {
       // exact round-6 IQR, EXACT INTEGER cube root (pow(n, 1/3) is
       // libm and engine-divergent), fixed IEEE bin arithmetic
       Profile.fdHistogram(t(s, dir, "lineitem"), "l_extendedprice")
-        .orderBy("bin")))
+        .orderBy("bin")),
+
+    "q277_average_precision" -> ((s, dir) =>
+      // exact AP (area under the PR curve, step form) of the
+      // stopword-share is-English ranker — the rare-positive
+      // complement of q215's ROC; ties pin to (score DESC, id ASC)
+      Eval.averagePrecision(
+        t(s, dir, "documents").select(col("doc_id"),
+          round(TextOps.stopwordHits(col("text")).cast("double") /
+            TextOps.tokenCountArith(col("text")).cast("double"), 6)
+            .as("score"),
+          col("lang")),
+        "doc_id", "score", col("lang") === "en")))
 
   /** Wilson z for q272 — shared between the operator call and the
     * oracle text so both engines fold the identical constants. */
@@ -8973,7 +8985,32 @@ object SparkEntry {
         |SELECT CAST(FLOOR((v - mn) / w) AS BIGINT) AS bin,
         |  COUNT(*) AS n,
         |  mn + CAST(FLOOR((v - mn) / w) AS DOUBLE) * w AS bin_lo
-        |FROM b, w WHERE w > 0e0 GROUP BY 1, 3 ORDER BY 1""".stripMargin)
+        |FROM b, w WHERE w > 0e0 GROUP BY 1, 3 ORDER BY 1""".stripMargin,
+
+    // q277: the q215 micro-score device + window rank/cumsum over the
+    // (score DESC, id) order; precision terms round-6 → DECIMAL sum
+    "q277_average_precision" ->
+      s"""WITH sc AS (SELECT doc_id,
+        |    ROUND(CAST(${sqlStopwordHits("text")} AS DOUBLE) /
+        |      CAST(${sqlTokenCount("text")} AS DOUBLE), 6) AS s,
+        |    (lang = 'en') AS y
+        |  FROM documents),
+        |mc AS (SELECT doc_id,
+        |    CAST(CAST(s AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m, y
+        |  FROM sc WHERE s IS NOT NULL AND y IS NOT NULL),
+        |r AS (SELECT y,
+        |    ROW_NUMBER() OVER (ORDER BY m DESC, doc_id) AS k,
+        |    SUM(CASE WHEN y THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY m DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM mc)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  ROUND(CAST(SUM(CASE WHEN y THEN
+        |      CAST(ROUND(CAST(cum AS DOUBLE) / CAST(k AS DOUBLE), 6)
+        |        AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE), 6) AS ap
+        |FROM r""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

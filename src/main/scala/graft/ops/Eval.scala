@@ -541,4 +541,56 @@ object Eval {
       round(center - half, 6).as("wilson_lo"),
       round(center + half, 6).as("wilson_hi"))
   }
+
+  /** Exact average precision (area under the precision-recall curve
+    * by the step construction): AP = (1/P) Σ_{k: yₖ=1} cumPosₖ/k over
+    * the ranking by score — the retrieval/gate metric that, unlike
+    * ROC-AUC, collapses when positives are rare and the ranker is
+    * only good on easy negatives. Ties pin to the deterministic
+    * (score DESC, id ASC) order, so AP is a pure function of the
+    * data on both engines.
+    *
+    * Parity: scores quantize to round-6 micro longs through DECIMAL
+    * (the q215 device); rank and cumulative positives ride TWO
+    * value-pinned prefix devices joined on the id; each precision
+    * term rounds to 6 dp and sums as DECIMAL(18,6) (the q181
+    * term-sum device); the slim (id, score, y) projection persists
+    * through the devices' reads and releases via the
+    * registerPersisted queue.
+    *
+    * Scale shape: one corpus scan to the slim projection; prefix
+    * devices (one hash exchange each); one map-side-combined fold.
+    */
+  def averagePrecision(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labelCol: Column): DataFrame = {
+    val lbl = labelCol.cast("boolean")
+    val micro = (round(col(scoreCol).cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000).cast("long")
+    val base = graft.ops.Robust.registerPersisted(
+      df.filter(col(scoreCol).isNotNull && lbl.isNotNull)
+        .select(col(idCol).as("__id"), (-micro).as("__negs"),
+          lbl.cast("long").as("__yl"))
+        .withColumn("__g", lit(1)).withColumn("__one", lit(1L)))
+    val rk = graft.ops.Rank.stratifiedPrefixSum(
+      base, "__g", Seq("__negs", "__id"), "__one")
+      .select(col("__id"), (col("prefix") + 1L).as("__k"))
+    val cp = graft.ops.Rank.stratifiedPrefixSum(
+      base, "__g", Seq("__negs", "__id"), "__yl")
+      .select(col("__id"), col("__yl"),
+        (col("prefix") + col("__yl")).as("__cum"))
+    val terms = cp.join(rk, "__id")
+      .select(col("__yl"),
+        when(col("__yl") === 1L,
+          round(col("__cum").cast("double") / col("__k").cast("double"), 6)
+            .cast("decimal(18,6)")).as("__t"))
+    terms.agg(count(lit(1)).as("n"), sum(col("__yl")).as("__p"),
+      sum(col("__t")).as("__s"))
+      .select(col("n").cast("long").as("n"),
+        col("__p").cast("long").as("n_pos"),
+        round(col("__s").cast("double") / col("__p").cast("double"), 6)
+          .as("ap"))
+  }
 }

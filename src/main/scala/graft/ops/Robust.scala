@@ -42,7 +42,7 @@ object Robust {
   private val persistedProjections =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private def registerPersisted(df: DataFrame): DataFrame = {
+  private[ops] def registerPersisted(df: DataFrame): DataFrame = {
     persistedProjections.add(
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     df

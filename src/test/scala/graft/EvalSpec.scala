@@ -192,4 +192,27 @@ class EvalSpec extends SparkSuite {
     assert(r(0) == ("a", 4L, 1L, 0.25, 0.045587, 0.699358), s"got ${r(0)}")
     assert(r(1) == ("b", 10L, 0L, 0.0, 0.0, 0.277533), s"got ${r(1)}")
   }
+
+  test("averagePrecision: textbook ranking by hand") {
+    import spark.implicits._
+    // scores rank ids 1..5; positives at ranks 1, 3, 4 →
+    // AP = (1/1 + 2/3 + 3/4) / 3 = round6(1) + round6(.666667) + .75
+    val df = Seq((1L, 0.9, true), (2L, 0.8, false), (3L, 0.7, true),
+      (4L, 0.6, true), (5L, 0.5, false)).toDF("id", "score", "y")
+    val r = graft.ops.Eval.averagePrecision(df, "id", "score", col("y"))
+      .head()
+    graft.ops.Robust.unpersistPersisted()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.805556, s"got $r")
+  }
+
+  test("averagePrecision: a perfect ranker scores 1") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => (i.toLong, 1.0 - i * 0.01, i <= 7))
+      .toDF("id", "score", "y")
+    val r = graft.ops.Eval.averagePrecision(df, "id", "score", col("y"))
+      .head()
+    graft.ops.Robust.unpersistPersisted()
+    assert(r.getDouble(2) == 1.0, s"got $r")
+  }
 }
