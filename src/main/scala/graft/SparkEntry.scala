@@ -3865,7 +3865,16 @@ object SparkEntry {
             TextOps.tokenCountArith(col("text")).cast("double"), 6)
             .as("score"),
           col("lang")),
-        "doc_id", "score", col("lang") === "en")))
+        "doc_id", "score", col("lang") === "en")),
+
+    "q278_first_relevant_rank" -> ((s, dir) =>
+      // retrieval quality of the embedding space: rank of the first
+      // same-label neighbor per sampled anchor (the per-query half of
+      // MRR) — broadcast anchors, two corpus passes, round-6 kernel
+      // cosines, struct-max tie-break (ops/Similarity.scala)
+      Similarity.firstRelevantRank(t(s, dir, "embeddings"), "vec_id",
+        "label", "embedding", col("vec_id") % 100 === 0)
+        .orderBy("anchor_id")))
 
   /** Wilson z for q272 — shared between the operator call and the
     * oracle text so both engines fold the identical constants. */
@@ -9010,7 +9019,37 @@ object SparkEntry {
         |      CAST(ROUND(CAST(cum AS DOUBLE) / CAST(k AS DOUBLE), 6)
         |        AS DECIMAL(18,6)) END) AS DOUBLE) /
         |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE), 6) AS ap
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin,
+
+    // q278: q75's cosine composition; the best same-label neighbor via
+    // ROW_NUMBER (c DESC, id) re-derives the struct-max; rank = 1 +
+    // strictly-above count under the same lexicographic order
+    "q278_first_relevant_rank" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |a AS (SELECT vec_id AS aid, label AS alab, v AS av FROM e
+        |  WHERE vec_id % 100 = 0),
+        |p AS (SELECT a.aid, a.alab, b.vec_id AS bid, b.label AS blab,
+        |    ROUND(list_inner_product(b.v, av) /
+        |      (SQRT(list_inner_product(b.v, b.v)) *
+        |       SQRT(list_inner_product(av, av))), 6) AS c
+        |  FROM a JOIN e b ON b.vec_id <> a.aid),
+        |best AS (SELECT aid, c AS bc, bid AS bbid FROM (
+        |    SELECT aid, c, bid, ROW_NUMBER() OVER (PARTITION BY aid
+        |      ORDER BY c DESC, bid) AS rn
+        |    FROM p WHERE blab = alab) WHERE rn = 1),
+        |above AS (SELECT p.aid, COUNT(*) AS cnt
+        |  FROM p JOIN best ON p.aid = best.aid
+        |  WHERE p.c > bc OR (p.c = bc AND p.bid < bbid)
+        |  GROUP BY 1)
+        |SELECT best.aid AS anchor_id,
+        |  CAST(COALESCE(cnt, 0) + 1 AS BIGINT) AS first_rank,
+        |  ROUND(1e0 / CAST(COALESCE(cnt, 0) + 1 AS DOUBLE), 6) AS rr
+        |FROM best LEFT JOIN above ON best.aid = above.aid
+        |ORDER BY anchor_id""".stripMargin)
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

@@ -1470,4 +1470,55 @@ object Similarity {
       .groupBy("given_label", "assigned_label")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** First-relevant rank per anchor (the per-query half of MRR):
+    * for each anchor vector, the rank of the first SAME-LABEL
+    * neighbor in the full (cosine DESC, id ASC) ordering of all
+    * other vectors, and its reciprocal — the retrieval-quality
+    * readout for an embedding space ("how deep must a user scroll
+    * before a true neighbor appears").
+    *
+    * Parity: round-6 kernel cosines (the q75 device); the best
+    * same-label neighbor is a struct-max with (cosine DESC, id ASC)
+    * tie-break; the rank is 1 + the count of candidates strictly
+    * above that struct — every decision on shared round-6 doubles
+    * and integer ids.
+    *
+    * Scale shape: anchors broadcast (anchor-count bounded); TWO
+    * corpus passes (best per anchor — a map-side-combined struct-max
+    * — then the above-count against the broadcast best table); the
+    * anchor×corpus score relation never shuffles.
+    */
+  def firstRelevantRank(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String,
+      anchorPred: Column): DataFrame = {
+    val base = df
+      .filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(labelCol).cast("long").as("__l"),
+        col(vecCol).cast("array<double>").as("__v"))
+    val anchors = base.filter(anchorPred)
+      .select(col("__id").as("__aid"), col("__l").as("__alab"),
+        col("__v").as("__av"))
+    def pairs = base.crossJoin(broadcast(anchors))
+      .filter(col("__id") =!= col("__aid"))
+      .select(col("__aid"), col("__alab"), col("__id"), col("__l"),
+        round(cosine(col("__v"), col("__av")), 6).as("__c"))
+    val best = pairs.filter(col("__l") === col("__alab"))
+      .groupBy("__aid")
+      .agg(max(struct(col("__c").as("c"), (-col("__id")).as("negid")))
+        .as("__b"))
+    pairs.join(broadcast(best), "__aid")
+      .filter(struct(col("__c").as("c"), (-col("__id")).as("negid")) >
+        col("__b"))
+      .groupBy("__aid").agg(count(lit(1)).as("__above"))
+      .join(broadcast(best.select(col("__aid"))), Seq("__aid"), "right_outer")
+      .select(col("__aid").as("anchor_id"),
+        (coalesce(col("__above"), lit(0L)) + 1L).as("first_rank"))
+      .withColumn("rr",
+        round(lit(1.0d) / col("first_rank").cast("double"), 6))
+  }
 }

@@ -383,4 +383,28 @@ class SimilaritySpec extends SparkSuite {
     assert(r.getOrElse((1L, 1L), 0L) >= 15L, s"got $r")
     assert(r.getOrElse((0L, 1L), 0L) == 0L, s"got $r")
   }
+
+  test("firstRelevantRank: hand-built ordering incl. the rank-1 path") {
+    import spark.implicits._
+    // anchor 100 (label 0) at (1,0): candidates by cosine desc —
+    // id 1 (label 0, same dir) ranks FIRST → first_rank 1 (the
+    // empty-above-count path); anchor 200 (label 1) at (0,1):
+    // nearest is id 1/100's direction... its same-label id 2 sits at
+    // 45° while two label-0 vectors are orthogonal → rank 1 as well;
+    // so plant a decoy: id 3 (label 0) at (0.1, 1) beats id 2 (0.7,
+    // 0.7) for anchor 200 → first_rank 2
+    val rows = Seq(
+      (100L, 0L, Array(1.0, 0.0)),
+      (200L, 1L, Array(0.0, 1.0)),
+      (1L, 0L, Array(0.9, 0.05)),
+      (2L, 1L, Array(0.7, 0.7)),
+      (3L, 0L, Array(0.1, 1.0)))
+    val r = graft.ops.Similarity.firstRelevantRank(
+      rows.toDF("vec_id", "label", "emb"), "vec_id", "label", "emb",
+      col("vec_id") >= 100L)
+      .orderBy("anchor_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq((100L, 1L, 1.0), (200L, 2L, 0.5)),
+      s"got ${r.toSeq}")
+  }
 }
