@@ -3736,22 +3736,24 @@ object SparkEntry {
       // the 100 TB auditability story for blocked ER (round-11 VERDICT
       // directive 6): run the q150 matcher under a DELIBERATELY tight
       // skew cap (brand-only blocking, maxBlock 80 — at sf0.01 eleven
-      // of the 25 brand blocks over-cap) and PUBLISH the recall trade
-      // the guard took: comparable blocks run, blocks/rows dropped by
-      // the cap, candidate pairs out. The drop counters ride the
-      // query's own execution via Dataset.observe — zero extra scans
-      // (ops/Linkage.scala guardedBlocks).
-      val obs = org.apache.spark.sql.Observation()
+      // of 25 brand blocks over-cap; at sf0.1 ALL of them) and PUBLISH
+      // the recall trade the guard took. The counters come from
+      // Linkage.blockAudit (one block-sized count aggregate): the
+      // Dataset.observe device stays spec-pinned for live runs
+      // (LinkageSpec), but AQE's empty-relation propagation drops the
+      // CollectMetrics node from the final plan when EVERY block is
+      // over-cap and the result is empty — found by the round-12
+      // sf0.1 bench — and the all-dropped run is exactly the one
+      // whose audit must not vanish.
       val pairs = Linkage.blockedPairs(t(s, dir, "part"), "p_partkey",
-        "p_name", col("p_brand"), maxDistance = 5, maxBlock = 80,
-        audit = Some(obs))
-      val nPairs = pairs.count() // the action the observation rides
-      val m = obs.get
-      import s.implicits._
-      Seq((m("n_blocks").asInstanceOf[Long],
-        m("dropped_blocks").asInstanceOf[Long],
-        m("dropped_rows").asInstanceOf[Long], nPairs))
-        .toDF("n_blocks", "dropped_blocks", "dropped_rows", "n_pairs")
+        "p_name", col("p_brand"), maxDistance = 5, maxBlock = 80)
+      val nPairs = pairs.count()
+      val audit = Linkage.blockAudit(t(s, dir, "part"), "p_partkey",
+        col("p_brand"), maxBlock = 80)
+      audit.select(col("n_blocks").cast("long").as("n_blocks"),
+        col("dropped_blocks").cast("long").as("dropped_blocks"),
+        col("dropped_rows").cast("long").as("dropped_rows"),
+        lit(nPairs).as("n_pairs"))
     }),
 
     "q266_brier_decomposition" -> ((s, dir) => {

@@ -39,6 +39,17 @@ object Linkage {
     * is the auditability the silent filter lacked: a run reports HOW
     * MUCH the recall trade cut, per execution, from the driver's
     * `Observation.get` after any action on the result.
+    *
+    * CAVEAT (found by the round-12 sf0.1 bench): when the guarded
+    * result is EMPTY — every block over-cap — AQE's empty-relation
+    * propagation replaces the subtree in the final adaptive plan and
+    * the `CollectMetrics` node vanishes from it, so `Observation.get`
+    * returns an EMPTY map (the stage actually ran; the metrics are
+    * lost at reporting time). Exactly the run whose audit matters
+    * most. Callers that must survive the all-dropped case should use
+    * [[blockAudit]] (one block-table-sized aggregate — cheaper than
+    * this device's collect_list) instead of, or as a fallback to,
+    * the observation.
     */
   private def guardedBlocks(
       keyed: DataFrame,
@@ -57,6 +68,31 @@ object Linkage {
       case None => blocks0
     }
     observed.filter(size(col("recs")).between(2, maxBlock))
+  }
+
+  /** The audit counters of [[blockedPairs]]'s skew guard as a 1-row
+    * DataFrame `(n_blocks, dropped_blocks, dropped_rows)` — computed
+    * by a direct aggregate over per-block COUNTS (no collect_list, no
+    * listener), so it is immune to the AQE empty-relation caveat on
+    * [[guardedBlocks]]'s observation and works when EVERY block is
+    * over-cap. One shuffle of (key, count) partials; the aggregate
+    * input is block-table-sized.
+    */
+  def blockAudit(
+      df: DataFrame,
+      idCol: String,
+      blockKey: Column,
+      maxBlock: Int): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    df.select(blockKey.as("__blk"))
+      .groupBy("__blk").agg(count(lit(1)).as("__n"))
+      .agg(
+        sum(when(col("__n") >= 2 && col("__n") <= maxBlock, 1L)
+          .otherwise(0L)).as("n_blocks"),
+        sum(when(col("__n") > maxBlock, 1L).otherwise(0L))
+          .as("dropped_blocks"),
+        sum(when(col("__n") > maxBlock, col("__n")).otherwise(0L))
+          .as("dropped_rows"))
   }
 
   /** Candidate duplicate pairs within blocks, at or under

@@ -121,4 +121,22 @@ class LinkageSpec extends SparkSuite {
       Linkage.blockedPairs(recs, "id", "name", col("blk"), 1, maxBlock = 1)
     }
   }
+
+  test("blockAudit survives the all-dropped case the observation loses") {
+    import spark.implicits._
+    // every block over-cap → guarded result EMPTY; AQE empty-relation
+    // propagation drops CollectMetrics from the final plan there
+    // (round-12 find), so the audit must come from the direct
+    // aggregate — and it must agree with the observation when blocks
+    // DO survive
+    val allBig = (1 to 30).map(i => (i.toLong, s"n$i", s"b${i % 2}"))
+      .toDF("id", "name", "blk")
+    val a = graft.ops.Linkage.blockAudit(allBig, "id", col("blk"), 5).head()
+    assert((a.getLong(0), a.getLong(1), a.getLong(2)) == (0L, 2L, 30L))
+    val mixed = ((1 to 12).map(i => (i.toLong, s"n$i", "big")) ++
+      Seq((100L, "x", "ok"), (101L, "y", "ok")))
+      .toDF("id", "name", "blk")
+    val b = graft.ops.Linkage.blockAudit(mixed, "id", col("blk"), 5).head()
+    assert((b.getLong(0), b.getLong(1), b.getLong(2)) == (1L, 1L, 12L))
+  }
 }
