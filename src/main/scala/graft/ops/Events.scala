@@ -450,8 +450,17 @@ object Events {
         col("frequency").cast("long").as("frequency"),
         col("__m").cast("double").as("monetary"))
       .withColumn("__g", lit(1))
+    // each stage PERSISTS before entering the next rank device: the
+    // value-pinned device reads its input 3× (boundary sample + row
+    // side + side table), and the stages NEST — unpersisted, device 3
+    // would re-execute devices 1–2 on every read (measured +2.5 s at
+    // sf0.1, round 12). The per-user table is subject-count-sized;
+    // persistence is safe under value pinning (eviction-recompute
+    // reproduces identical buckets), released via the
+    // registerPersisted queue.
     def bucketOf(metric: String, as: String)(df: DataFrame): DataFrame =
-      Rank.quantileBuckets(df, "__g", Seq(metric, "__u"), nBuckets)
+      Rank.quantileBuckets(Robust.registerPersisted(df), "__g",
+        Seq(metric, "__u"), nBuckets)
         .withColumnRenamed("bucket", as).drop("rk", "n_stratum")
     val b = bucketOf("recency_days", "r_bucket")(
       bucketOf("frequency", "f_bucket")(
