@@ -8852,7 +8852,9 @@ object SparkEntry {
         |ORDER BY arm, fraction""".stripMargin,
 
     // q271: per-term squared casts mirror the operator (the q249
-    // overflow class); ratios are fixed double compositions
+    // overflow class); ess/deff are half-up HUGEINT divisions in
+    // micro units (the q235/q249 device — round(double,6) on ratios
+    // of exact decimals flipped between engine builds, round 12)
     "q271_effective_sample_size" ->
       """WITH g AS (SELECT source, COUNT(*) AS n,
         |    CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sw,
@@ -8860,13 +8862,21 @@ object SparkEntry {
         |        CAST(n_chars AS DECIMAL(19,0)) AS DECIMAL(38,0)))
         |      AS DECIMAL(38,0)) AS sw2
         |  FROM documents
-        |  WHERE n_chars IS NOT NULL AND n_chars > 0 GROUP BY 1)
-        |SELECT source, CAST(n AS BIGINT) AS n, sw AS sum_w,
-        |  ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) /
-        |    CAST(sw2 AS DOUBLE), 6) AS ess,
-        |  ROUND(CAST(n AS DOUBLE) * CAST(sw2 AS DOUBLE) /
-        |    (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)), 6) AS deff
-        |FROM g ORDER BY source""".stripMargin,
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0 GROUP BY 1),
+        |h AS (SELECT source, n, sw,
+        |    (2 * CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT) * 1000000
+        |       + CAST(sw2 AS HUGEINT))
+        |      // (2 * CAST(sw2 AS HUGEINT)) AS ess_micro,
+        |    (2 * CAST(n AS HUGEINT) * CAST(sw2 AS HUGEINT) * 1000000
+        |       + CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT))
+        |      // (2 * CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT))
+        |      AS deff_micro
+        |  FROM g)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CAST(sw AS DECIMAL(38,0)) AS sum_w,
+        |  CAST(ess_micro AS DOUBLE) / 1e6 AS ess,
+        |  CAST(deff_micro AS DOUBLE) / 1e6 AS deff
+        |FROM h ORDER BY source""".stripMargin,
 
     // q272: the q71 keep predicate verbatim + the Wilson composition
     // with the SAME association as Eval.wilsonRate; z/z² interpolated

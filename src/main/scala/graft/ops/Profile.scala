@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling: one long-format row per column with the data
@@ -277,8 +277,19 @@ object Profile {
     * Parity: weights are integral; Σw and Σw² accumulate in
     * DECIMAL(38,0) with per-term casts (each w² forms in
     * DECIMAL(19,0)×DECIMAL(19,0), never a long — the q232/q249
-    * overflow class); the two output ratios are fixed double
-    * compositions of those exact sums, round-6.
+    * overflow class); the two output ratios are HALF-UP INTEGER
+    * divisions in micro units (the q235/q249 device: exact-pmod
+    * form here, HUGEINT `//` in the oracle) — `round(double, 6)` of
+    * a ratio of exact decimals is the one construct that flipped
+    * between engine builds even when every value sat far from a
+    * rounding boundary (round-12 driver gate, q271). ess·10⁶ =
+    * halfUp(Σw²·10⁶ / Σw²), deff·10⁶ = halfUp(n·Σw²·10⁶ / (Σw)²);
+    * the only double op is the final exact cast + /1e6.
+    *
+    * Integer budget (ANSI: overflow throws, never silent): the
+    * numerator 2·(Σw)²·10⁶ must fit 38 digits → Σw < 7·10¹⁵ per
+    * group (at 100 TB with ~10⁴-char docs that is ~7·10¹¹ rows per
+    * source); past that, drop the weight unit ×10³ before summing.
     *
     * Scale shape: ONE map-side-combined aggregate on the group key;
     * 16-byte decimal partials per group.
@@ -294,13 +305,23 @@ object Profile {
         sum(w.cast("decimal(38,0)")).as("__sw"),
         sum((w.cast("decimal(19,0)") * w.cast("decimal(19,0)"))
           .cast("decimal(38,0)")).as("__sw2"))
-    val swD = col("__sw").cast("double")
-    val sw2D = col("__sw2").cast("double")
-    val nD = col("n").cast("double")
+    // half-up integer division q = round(a / b) = ⌊(2a + b) / 2b⌋,
+    // exact-pmod form (Robust.brownForsythe precedent): Spark's
+    // (38,0)/(38,0) divide rounds at scale 6, which could flip a
+    // floor on a near-integer quotient — subtract the pmod first
+    def halfUpDiv(a: Column, b: Column): Column = {
+      val x = a * lit(2) + b; val y = b * lit(2)
+      ((x - pmod(x, y)) / y).cast("decimal(38,0)")
+    }
+    val mil = lit(1000000L).cast("decimal(38,0)")
+    val sw = col("__sw"); val sw2 = col("__sw2")
+    val essMicro = halfUpDiv(sw * sw * mil, sw2)
+    val deffMicro =
+      halfUpDiv(col("n").cast("decimal(38,0)") * sw2 * mil, sw * sw)
     g.select(col(groupCol), col("n").cast("long").as("n"),
       col("__sw").cast("decimal(38,0)").as("sum_w"),
-      round(swD * swD / sw2D, 6).as("ess"),
-      round(nD * sw2D / (swD * swD), 6).as("deff"))
+      (essMicro.cast("double") / lit(1e6)).as("ess"),
+      (deffMicro.cast("double") / lit(1e6)).as("deff"))
   }
 
   /** Freedman–Diaconis histogram (1981): bin width `2·IQR/∛n` — the
