@@ -1896,7 +1896,10 @@ object SparkEntry {
             .cast("decimal(18,6)").as("w"))
         .groupBy("flag", "lo", "hi")
         .agg(count(lit(1)).cast("long").as("n"),
-          round(sum(col("w")).cast("double") / count(lit(1)), 6).as("wmean"))
+          // engine-proof micro mean of the decimal(18,6) clamped
+          // values (q271 class — prices run to tens of thousands)
+          graft.ops.Parity.round6Ratio(sum(col("w")), count(lit(1)))
+            .as("wmean"))
         .orderBy("flag")
     }),
 
@@ -2861,10 +2864,12 @@ object SparkEntry {
         .crossJoin(broadcast(pct))
         .select(col("n_sessions").cast("long").as("n_sessions"),
           col("n_events").cast("long").as("n_events"),
-          round(col("n_events").cast("double") /
-            col("n_sessions").cast("double"), 6).as("events_per_session"),
-          round(col("sum_dur").cast("double") /
-            col("n_sessions").cast("double"), 6).as("mean_duration_s"),
+          // engine-proof micro means (q271 class — durations run to
+          // thousands of seconds)
+          graft.ops.Parity.round6Ratio(col("n_events"), col("n_sessions"))
+            .as("events_per_session"),
+          graft.ops.Parity.round6Ratio(col("sum_dur"), col("n_sessions"))
+            .as("mean_duration_s"),
           col("p50_duration_s"), col("p90_duration_s"))
     }),
 
@@ -2925,7 +2930,9 @@ object SparkEntry {
           col("n").cast("long").as("n"),
           col("__mn").cast("double").as("min_norm"),
           col("__mx").cast("double").as("max_norm"),
-          round(col("__s").cast("double") / col("n").cast("double"), 6)
+          // mean of round-6 decimal norms through the engine-proof
+          // micro device (q271 class)
+          graft.ops.Parity.round6Ratio(col("__s"), col("n"))
             .as("mean_norm"))
         .orderBy("label")),
 
@@ -3064,7 +3071,8 @@ object SparkEntry {
           round(element_at(col("pcts"), 2), 6).as("p90"))
       stats.join(pcts, "event_type")
         .select(col("event_type"), col("n_gaps").cast("long").as("n_gaps"),
-          round(col("__s").cast("double") / col("n_gaps").cast("double"), 6)
+          // engine-proof micro mean (q271 class — gaps in seconds)
+          graft.ops.Parity.round6Ratio(col("__s"), col("n_gaps"))
             .as("mean_gap"),
           col("p50"), col("p90"))
         .orderBy("event_type")
@@ -3378,9 +3386,11 @@ object SparkEntry {
             col("__tok").cast("long").as("n_tokens"),
             (col("__lastpack") + 1).cast("long").as("n_packs"),
             col("__split").cast("long").as("n_docs_split"),
-            round(col("__tok").cast("double") /
-              ((col("__lastpack") + 1).cast("double") *
-                lit(budget.toDouble)), 6).as("fill_rate"))
+            // engine-proof micro ratio (q271 class — the power-of-two
+            // budget denominator makes exact .5 micro boundaries
+            // reachable)
+            graft.ops.Parity.round6Ratio(col("__tok"),
+              (col("__lastpack") + 1) * lit(budget)).as("fill_rate"))
       }.reduce(_ unionByName _).orderBy("budget")
     }),
 
@@ -5031,7 +5041,7 @@ object SparkEntry {
     // q88: leading-10-token-segment digests; shared segment across any
     // two docs marks both as near-dup candidates
     "q88_source_mix_report" ->
-      """WITH toks AS (
+      ("""WITH toks AS (
         |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tokens
         |  FROM documents),
         |seg AS (
@@ -5045,12 +5055,16 @@ object SparkEntry {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  CAST(SUM(CASE WHEN nd THEN 1 ELSE 0 END) AS BIGINT) AS neardup_docs,
-        |  ROUND(CAST(SUM(CASE WHEN nd THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
-        |    AS neardup_frac,
-        |  ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
-        |  (ROUND(CAST(SUM(CASE WHEN nd THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
-        |     <= 0.3e0 AND COUNT(*) >= 10) AS keep
-        |FROM fl GROUP BY source ORDER BY source""".stripMargin,
+        |  """.stripMargin +
+      huRatio6("SUM(CASE WHEN nd THEN 1 ELSE 0 END)", "COUNT(*)") +
+      """ AS neardup_frac,
+        |  """.stripMargin +
+      huRatio6("SUM(n_tok)", "COUNT(*)") + """ AS mean_tokens,
+        |  ((2 * CAST(SUM(CASE WHEN nd THEN 1 ELSE 0 END) AS HUGEINT)
+        |      * 1000000 + CAST(COUNT(*) AS HUGEINT))
+        |      // (2 * CAST(COUNT(*) AS HUGEINT)) <= 300000
+        |    AND COUNT(*) >= 10) AS keep
+        |FROM fl GROUP BY source ORDER BY source""".stripMargin),
 
     // q89: the portable bucket hash is ('0x'||substr(md5,1,4))::INT %
     // 1024 = Spark's conv(substring(md5,1,4),16,10) % 1024; per-bucket
@@ -5874,7 +5888,7 @@ object SparkEntry {
     },
 
     "q134_winsorized_stats" ->
-      """WITH v AS (SELECT l_returnflag AS flag,
+      ("""WITH v AS (SELECT l_returnflag AS flag,
         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS v
         |  FROM lineitem),
         |b AS (SELECT flag, ROUND(quantile_cont(v, 0.05), 6) AS lo,
@@ -5884,8 +5898,10 @@ object SparkEntry {
         |    CAST(LEAST(GREATEST(v.v, b.lo), b.hi) AS DECIMAL(18,6)) AS w
         |  FROM v JOIN b USING (flag))
         |SELECT flag, lo, hi, CAST(COUNT(*) AS BIGINT) AS n,
-        |  ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS wmean
-        |FROM w GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+        |  """.stripMargin +
+      huRatio6(huMicro("SUM(w)"), "COUNT(*)", scaled = true) +
+      """ AS wmean
+        |FROM w GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
 
     "q135_sliding_features" ->
       """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
@@ -6213,12 +6229,18 @@ object SparkEntry {
         |  WINDOW wr AS (PARTITION BY event_type ORDER BY day
         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
         |    wp AS (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING))
+        |      ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING)),
+        |m AS (SELECT event_type, day, tot, nr, np,
+        |    (2 * CAST(sr * 1000000 AS HUGEINT) + 7)
+        |      // 14 AS mrm,
+        |    (2 * CAST(sp * 1000000 AS HUGEINT) + 7)
+        |      // 14 AS mpm
+        |  FROM w)
         |SELECT event_type, day, CAST(tot AS DOUBLE) AS daily_total,
-        |  ROUND(CAST(sr AS DOUBLE) / 7, 6) AS ma_recent,
-        |  ROUND(CAST(sp AS DOUBLE) / 7, 6) AS ma_prior,
-        |  ROUND(CAST(sr AS DOUBLE) / 7 - CAST(sp AS DOUBLE) / 7, 6) AS shift
-        |FROM w WHERE nr = 7 AND np = 7
+        |  CAST(mrm AS DOUBLE) / 1e6 AS ma_recent,
+        |  CAST(mpm AS DOUBLE) / 1e6 AS ma_prior,
+        |  CAST(mrm - mpm AS DOUBLE) / 1e6 AS shift
+        |FROM m WHERE nr = 7 AND np = 7
         |ORDER BY event_type, day""".stripMargin,
 
     "q154_scd2_history" ->
@@ -6970,7 +6992,7 @@ object SparkEntry {
     // exact selection; round-6 on both sides absorbs the one-ulp
     // association gap (the q106 precedent)
     "q197_key_skew_audit" ->
-      """WITH counts AS (SELECT o_custkey AS k, COUNT(*) AS cnt
+      ("""WITH counts AS (SELECT o_custkey AS k, COUNT(*) AS cnt
         |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
         |agg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
         |    COUNT(*) AS n_keys, CAST(MAX(cnt) AS BIGINT) AS max_cnt,
@@ -6979,10 +7001,12 @@ object SparkEntry {
         |  FROM counts)
         |SELECT n_rows, CAST(n_keys AS BIGINT) AS n_keys, max_cnt,
         |  p50_cnt, p99_cnt,
-        |  ROUND(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top1_share,
-        |  ROUND(CAST(max_cnt AS DOUBLE) /
-        |    (CAST(n_rows AS DOUBLE) / n_keys), 6) AS skew
-        |FROM agg""".stripMargin,
+        |  """.stripMargin +
+      huRatio6("max_cnt", "n_rows") + """ AS top1_share,
+        |  """.stripMargin +
+      huRatio6("CAST(max_cnt AS HUGEINT) * CAST(n_keys AS HUGEINT)",
+        "n_rows") + """ AS skew
+        |FROM agg""".stripMargin),
 
     // q198: three q181 χ² blocks (decimal term sums), each normalized
     // to V = √(χ²/(n·min(r−1, c−1))) — χ² is already a round-6
@@ -7257,7 +7281,7 @@ object SparkEntry {
     // longs (max − min of the epoch-diff device), so the percentile
     // inputs and both means are functions of exact integers
     "q209_session_stats" ->
-      """WITH w AS (SELECT user_id, ts, event_id,
+      ("""WITH w AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |      AS prev FROM events),
         |f AS (SELECT user_id, ts, event_id,
@@ -7275,15 +7299,15 @@ object SparkEntry {
         |  FROM s GROUP BY 1, 2)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
         |  CAST(SUM(ne) AS BIGINT) AS n_events,
-        |  ROUND(CAST(SUM(ne) AS DOUBLE) / COUNT(*), 6)
-        |    AS events_per_session,
-        |  ROUND(CAST(SUM(dur) AS DOUBLE) / COUNT(*), 6)
-        |    AS mean_duration_s,
+        |  """.stripMargin +
+      huRatio6("SUM(ne)", "COUNT(*)") + """ AS events_per_session,
+        |  """.stripMargin +
+      huRatio6("SUM(dur)", "COUNT(*)") + """ AS mean_duration_s,
         |  ROUND(quantile_cont(CAST(dur AS DOUBLE), 0.5e0), 6)
         |    AS p50_duration_s,
         |  ROUND(quantile_cont(CAST(dur AS DOUBLE), 0.9e0), 6)
         |    AS p90_duration_s
-        |FROM sess""".stripMargin,
+        |FROM sess""".stripMargin),
 
     // q210: the five-token lowercased opening is the cluster key
     // (list slice + join mirrors slice/array_join); counts only
@@ -7311,7 +7335,7 @@ object SparkEntry {
     // q212: graft_dot ≙ list_inner_product (both sequential folds,
     // the q177 precedent); round-6 norms sum as DECIMAL(18,6)
     "q212_norm_profile" ->
-      """WITH nm AS (SELECT label,
+      ("""WITH nm AS (SELECT label,
         |    CAST(ROUND(SQRT(list_inner_product(
         |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
         |      list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)
@@ -7321,8 +7345,10 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(MIN(v) AS DOUBLE) AS min_norm,
         |  CAST(MAX(v) AS DOUBLE) AS max_norm,
-        |  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_norm
-        |FROM nm GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  """.stripMargin +
+      huRatio6(huMicro("SUM(v)"), "COUNT(*)", scaled = true) +
+      """ AS mean_norm
+        |FROM nm GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // q213: the q129 winnow replay at the SHIPPED defaults — gram
     // length 20, window 8, bucket cap 20, minShared 3
@@ -7620,18 +7646,18 @@ object SparkEntry {
     // q223: floor-seconds gaps (the q32 sessionize device); exact
     // p50/p90 ≙ quantile_cont (the q106 precedent)
     "q223_interarrival" ->
-      """WITH g AS (SELECT event_type,
+      ("""WITH g AS (SELECT event_type,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
         |      LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER (
         |        PARTITION BY event_type, user_id
         |        ORDER BY ts, event_id) AS gap
         |  FROM events WHERE user_id IS NOT NULL)
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
-        |  ROUND(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-        |    AS mean_gap,
+        |  """.stripMargin +
+      huRatio6("SUM(gap)", "COUNT(*)") + """ AS mean_gap,
         |  ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.5e0), 6) AS p50,
         |  ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.9e0), 6) AS p90
-        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // q224: the quantized-view contract — every element rounds ONCE
     // to micro units (HALF_UP ×10⁶, exact integers), so all three
@@ -7878,7 +7904,7 @@ object SparkEntry {
     // arithmetic; CLI is one fixed double expression per doc, round-6
     // into DECIMAL so the per-source means are order-free
     "q233_readability" ->
-      s"""WITH d AS (SELECT source, text FROM documents
+      (s"""WITH d AS (SELECT source, text FROM documents
          |  WHERE text IS NOT NULL AND LENGTH(text) > 0),
          |per AS (SELECT source,
          |    CAST(LENGTH(text) -
@@ -7896,15 +7922,16 @@ object SparkEntry {
          |      - 15.8e0, 6) AS DECIMAL(18,6)) AS c
          |  FROM per)
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  ROUND(CAST(SUM(l) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-         |    AS mean_letters,
-         |  ROUND(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-         |    AS mean_words,
-         |  ROUND(CAST(SUM(sn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-         |    AS mean_sentences,
-         |  ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-         |    AS mean_cli
-         |FROM cli GROUP BY 1 ORDER BY 1""".stripMargin,
+         |  """.stripMargin +
+      huRatio6("SUM(l)", "COUNT(*)") + """ AS mean_letters,
+         |  """.stripMargin +
+      huRatio6("SUM(w)", "COUNT(*)") + """ AS mean_words,
+         |  """.stripMargin +
+      huRatio6("SUM(sn)", "COUNT(*)") + """ AS mean_sentences,
+         |  """.stripMargin +
+      huRatio6(huMicro("SUM(c)"), "COUNT(*)", scaled = true) +
+      """ AS mean_cli
+         |FROM cli GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // q234: order-free digest checksum — DuckDB has no CONV, so the
     // 8 hex digits expand to a strpos polynomial (same integer)
@@ -7966,8 +7993,7 @@ object SparkEntry {
            |  CAST(MAX(pl) + 1 AS BIGINT) AS n_packs,
            |  CAST(SUM(CASE WHEN pl > pf THEN 1 ELSE 0 END) AS BIGINT)
            |    AS n_docs_split,
-           |  ROUND(CAST(SUM(n) AS DOUBLE) /
-           |    (CAST(MAX(pl) + 1 AS DOUBLE) * ${b}e0), 6) AS fill_rate
+           |  ${huRatio6("SUM(n)", s"(MAX(pl) + 1) * $b")} AS fill_rate
            |FROM (SELECT n, o // ${b} AS pf,
            |    (o + GREATEST(n, 1) - 1) // ${b} AS pl
            |  FROM (SELECT n, COALESCE(SUM(n) OVER (ORDER BY doc_id
@@ -9062,6 +9088,26 @@ object SparkEntry {
         |  ROUND(1e0 / CAST(COALESCE(cnt, 0) + 1 AS DOUBLE), 6) AS rr
         |FROM best LEFT JOIN above ON best.aid = above.aid
         |ORDER BY anchor_id""".stripMargin)
+
+  /** DuckDB twin of [[graft.ops.Parity.round6Ratio]]: engine-proof
+    * `round(num/den, 6)` as half-up HUGEINT division in micro units
+    * (`//` truncates — exact floor for the non-negative operands
+    * these call sites guarantee). `num`/`den` must be integral
+    * expressions; pre-scale fractional decimals to micro with
+    * [[huMicro]] and pass `scaled = true`.
+    */
+  private def huRatio6(num: String, den: String,
+      scaled: Boolean = false): String = {
+    val nm = if (scaled) s"CAST($num AS HUGEINT)"
+      else s"CAST($num AS HUGEINT) * 1000000"
+    s"CAST((2 * $nm + CAST($den AS HUGEINT)) // " +
+      s"(2 * CAST($den AS HUGEINT)) AS DOUBLE) / 1e6"
+  }
+
+  /** Micro-scale a fractional DECIMAL expression (scale ≤ 6) to an
+    * exact HUGEINT for [[huRatio6]]'s `scaled` numerator. */
+  private def huMicro(num: String): String =
+    s"CAST($num * 1000000 AS HUGEINT)"
 
   /** The q198 oracle: one q181-shaped χ² CTE block per contingency
     * pair (suffixed so the three WITH chains coexist), each closed

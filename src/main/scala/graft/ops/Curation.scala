@@ -48,11 +48,18 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__n")).cast("long").as("n_tokens"),
         nd.cast("long").as("neardup_docs"),
-        round(nd.cast("double") / count(lit(1)), 6).as("neardup_frac"),
-        round(sum(col("__n")).cast("double") / count(lit(1)), 6)
+        // engine-proof micro ratios (the q271 hazard class); the
+        // keep gate compares the INTEGER micro value so the
+        // threshold decision can never straddle a rounding flip
+        Parity.microRatio(nd, count(lit(1))).as("__ndm"),
+        Parity.round6Ratio(sum(col("__n")), count(lit(1)))
           .as("mean_tokens"))
-      .withColumn("keep",
-        col("neardup_frac") <= maxNeardupFrac && col("n_docs") >= minDocs)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("neardup_docs"),
+        (col("__ndm").cast("double") / lit(1e6)).as("neardup_frac"),
+        col("mean_tokens"),
+        (col("__ndm") <= lit((maxNeardupFrac * 1e6).round) &&
+          col("n_docs") >= minDocs).as("keep"))
   }
 
   /** Per-source document quota (the "at most N pages per domain" gate

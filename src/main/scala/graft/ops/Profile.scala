@@ -136,10 +136,14 @@ object Profile {
     agg.crossJoin(broadcast(pcts))
       .select(col("n_rows"), col("n_keys"), col("max_cnt"),
         col("p50_cnt"), col("p99_cnt"),
-        round(col("max_cnt").cast("double") /
-          col("n_rows").cast("double"), 6).as("top1_share"),
-        round(col("max_cnt").cast("double") /
-          (col("n_rows").cast("double") / col("n_keys").cast("double")), 6)
+        // engine-proof micro ratios (q271 class); skew is the exact
+        // integer ratio max·keys/rows — one half-up division, not
+        // the former two-step IEEE division chain
+        Parity.round6Ratio(col("max_cnt"), col("n_rows"))
+          .as("top1_share"),
+        Parity.round6Ratio(
+          col("max_cnt").cast("decimal(19,0)") *
+            col("n_keys").cast("decimal(19,0)"), col("n_rows"))
           .as("skew"))
   }
 

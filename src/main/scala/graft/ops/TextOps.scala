@@ -787,13 +787,12 @@ object TextOps {
         sum(col("__s")).as("__ss"), sum(col("__cli")).as("__scli"))
       .select(groupCols.map(col) ++ Seq(
         col("n_docs").cast("long").as("n_docs"),
-        round(col("__sl").cast("double") / col("n_docs").cast("double"), 6)
-          .as("mean_letters"),
-        round(col("__sw").cast("double") / col("n_docs").cast("double"), 6)
-          .as("mean_words"),
-        round(col("__ss").cast("double") / col("n_docs").cast("double"), 6)
-          .as("mean_sentences"),
-        round(col("__scli").cast("double") / col("n_docs").cast("double"), 6)
-          .as("mean_cli")): _*)
+        // corpus-scale means through the engine-proof micro device
+        // (Parity.round6Ratio) — final round(double,6) on ratios of
+        // exact sums is the q271 hazard class
+        Parity.round6Ratio(col("__sl"), col("n_docs")).as("mean_letters"),
+        Parity.round6Ratio(col("__sw"), col("n_docs")).as("mean_words"),
+        Parity.round6Ratio(col("__ss"), col("n_docs")).as("mean_sentences"),
+        Parity.round6Ratio(col("__scli"), col("n_docs")).as("mean_cli")): _*)
   }
 }

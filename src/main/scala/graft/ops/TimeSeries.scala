@@ -108,12 +108,20 @@ object TimeSeries {
       // (the daily grid here is dense whenever every day has events;
       // compose with gapFillHourly-style densification when not)
       .filter(col("__nr") === w && col("__np") === w)
+      // means through the engine-proof micro device (the q271
+      // hazard class — revenue sums run to thousands, where the
+      // ROUND(double,6) divergence window widens); shift is the
+      // exact DIFFERENCE of the two micro integers, so it equals
+      // ma_recent − ma_prior bit-for-bit and never divides a
+      // (possibly negative) numerator
+      .withColumn("__mrm", Parity.microRatio(col("__sr"), lit(w)))
+      .withColumn("__mpm", Parity.microRatio(col("__sp"), lit(w)))
       .select(col(keyCol), col("day"),
         col("__tot").cast("double").as("daily_total"),
-        round(col("__sr").cast("double") / w, 6).as("ma_recent"),
-        round(col("__sp").cast("double") / w, 6).as("ma_prior"),
-        round(col("__sr").cast("double") / w -
-          col("__sp").cast("double") / w, 6).as("shift"))
+        (col("__mrm").cast("double") / lit(1e6)).as("ma_recent"),
+        (col("__mpm").cast("double") / lit(1e6)).as("ma_prior"),
+        ((col("__mrm") - col("__mpm")).cast("double") / lit(1e6))
+          .as("shift"))
   }
 
   /** Trailing exact median over the last `window` observations per
