@@ -7458,7 +7458,7 @@ object SparkEntry {
          |  FROM documents),
          |mc AS (SELECT CAST(CAST(s AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS c, y
          |  FROM sc WHERE s IS NOT NULL AND y IS NOT NULL),
-         |b AS (SELECT (c * 10) // 1000001 AS bin, COUNT(*) AS n,
+         |b AS (SELECT GREATEST(0, LEAST(9, (c * 10) // 1000001)) AS bin, COUNT(*) AS n,
          |    SUM(CAST(c AS DECIMAL(18,0))) AS sc2,
          |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos
          |  FROM mc GROUP BY 1)
@@ -8063,13 +8063,19 @@ object SparkEntry {
         |       FROM (SELECT y, SUM(o) AS t FROM cells GROUP BY 1))
         |SELECT CAST(nn AS BIGINT) AS n,
         |  CAST(c_pairs AS DOUBLE) AS c_pairs, CAST(d_pairs AS DOUBLE) AS d_pairs,
-        |  ROUND(2e0 * (CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE)) /
-        |    sqrt(((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0)) - CAST(dn1 AS DOUBLE)) *
-        |         ((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0)) - CAST(dn2 AS DOUBLE))), 6) AS tau_b,
-        |  ROUND((CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE)) /
-        |        (CAST(c_pairs AS DOUBLE) + CAST(d_pairs AS DOUBLE)), 6) AS gamma,
-        |  ROUND(2e0 * (CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE)) /
-        |        ((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0)) - CAST(dn1 AS DOUBLE)), 6) AS somers_d
+        |  CASE WHEN nn * (nn - 1) > dn1 AND nn * (nn - 1) > dn2 THEN
+        |    ROUND(2e0 * (CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE)) /
+        |      sqrt(((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0)) - CAST(dn1 AS DOUBLE)) *
+        |           ((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0)) - CAST(dn2 AS DOUBLE))), 6)
+        |  END AS tau_b,
+        |  CASE WHEN c_pairs + d_pairs > 0 THEN
+        |    ROUND((CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE)) /
+        |          (CAST(c_pairs AS DOUBLE) + CAST(d_pairs AS DOUBLE)), 6)
+        |  END AS gamma,
+        |  CASE WHEN nn * (nn - 1) > dn1 THEN
+        |    ROUND(2e0 * (CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE)) /
+        |          ((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0)) - CAST(dn1 AS DOUBLE)), 6)
+        |  END AS somers_d
         |FROM cd, tx, ty""".stripMargin,
 
     // q241: lag chain + half-up integer division micro-probabilities
@@ -8185,22 +8191,30 @@ object SparkEntry {
         |  FROM lineitem
         |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
         |tot AS (SELECT SUM(y) AS sy, SUM(x) AS sx, COUNT(*) AS n FROM b),
-        |p1 AS (SELECT SUM(CAST(ROUND(CAST(sy - y AS DOUBLE) /
-        |    CAST(sx - x AS DOUBLE), 6) AS DECIMAL(18,6))) AS sr FROM b, tot),
-        |m AS (SELECT CAST((2 * CAST(sr * 1000000 AS BIGINT) + n)
-        |    // (2 * n) AS DOUBLE) / 1000000e0 AS jm FROM p1, tot),
+        |p1 AS (SELECT SUM(CAST(CASE WHEN sx - x <> 0 THEN
+        |      ROUND(CAST(sy - y AS DOUBLE) /
+        |        CAST(sx - x AS DOUBLE), 6) END AS DECIMAL(18,6))) AS sr,
+        |    COUNT(CASE WHEN sx - x <> 0 THEN 1 END) AS m FROM b, tot),
+        |mm AS (SELECT m, CASE WHEN m > 0 THEN
+        |    CAST((2 * CAST(sr * 1000000 AS BIGINT) + m)
+        |      // (2 * m) AS DOUBLE) / 1000000e0 END AS jm FROM p1),
         |p2 AS (SELECT SUM(CAST(ROUND(
-        |    (ROUND(CAST(sy - y AS DOUBLE) / CAST(sx - x AS DOUBLE), 6) - jm) *
-        |    (ROUND(CAST(sy - y AS DOUBLE) / CAST(sx - x AS DOUBLE), 6) - jm),
-        |    6) AS DECIMAL(18,6))) AS sd FROM b, tot, m)
+        |    (CASE WHEN sx - x <> 0 THEN ROUND(CAST(sy - y AS DOUBLE) /
+        |       CAST(sx - x AS DOUBLE), 6) END - jm) *
+        |    (CASE WHEN sx - x <> 0 THEN ROUND(CAST(sy - y AS DOUBLE) /
+        |       CAST(sx - x AS DOUBLE), 6) END - jm),
+        |    6) AS DECIMAL(18,6))) AS sd FROM b, tot, mm)
         |SELECT CAST(n AS BIGINT) AS n,
-        |  ROUND(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS ratio,
+        |  CASE WHEN sx <> 0 THEN
+        |    ROUND(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 6) END AS ratio,
         |  ROUND(jm, 6) AS jack_mean,
-        |  ROUND(sqrt((CAST(n AS DOUBLE) - 1e0) / CAST(n AS DOUBLE) *
-        |    CAST(sd AS DOUBLE)), 6) AS jack_se,
-        |  ROUND((CAST(n AS DOUBLE) - 1e0) *
-        |    (jm - CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)), 6) AS jack_bias
-        |FROM tot, m, p2""".stripMargin,
+        |  CASE WHEN m > 0 THEN
+        |    ROUND(sqrt((CAST(m AS DOUBLE) - 1e0) / CAST(m AS DOUBLE) *
+        |      CAST(sd AS DOUBLE)), 6) END AS jack_se,
+        |  ROUND((CAST(m AS DOUBLE) - 1e0) *
+        |    (jm - CASE WHEN sx <> 0 THEN
+        |       CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) END), 6) AS jack_bias
+        |FROM tot, mm, p2""".stripMargin,
 
     // q248: Neyman weights in round-6 doubles over exact cent
     // moments; allocation integerized in exact HUGEINT micro units
@@ -8741,7 +8755,7 @@ object SparkEntry {
          |mc AS (SELECT CAST(CAST(s AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS c,
          |    CASE WHEN y THEN 1 ELSE 0 END AS yy
          |  FROM sc WHERE s IS NOT NULL AND y IS NOT NULL),
-         |b AS (SELECT (c * 10) // 1000001 AS bin, COUNT(*) AS n,
+         |b AS (SELECT GREATEST(0, LEAST(9, (c * 10) // 1000001)) AS bin, COUNT(*) AS n,
          |    SUM(CAST(c AS DECIMAL(18,0))) AS sc2,
          |    SUM(yy) AS pos,
          |    SUM(CAST(c - yy * 1000000 AS HUGEINT) *

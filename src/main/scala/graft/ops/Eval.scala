@@ -558,6 +558,13 @@ object Eval {
     * through the devices' reads and releases via the
     * registerPersisted queue.
     *
+    * ==Cache contract== this operator PERSISTS its slim projection
+    * (MEMORY_AND_DISK) and, being lazy, cannot release it before the
+    * caller materializes the result: after consuming the returned
+    * frame, call [[graft.ops.Robust.unpersistPersisted]] (as
+    * Verify/Bench do per query) or the cached blocks accumulate
+    * across calls in a long-lived session.
+    *
     * Scale shape: one corpus scan to the slim projection; prefix
     * devices (one hash exchange each); one map-side-combined fold.
     */

@@ -428,8 +428,17 @@ object Events {
     *
     * Scale shape: one subject-keyed aggregate, then three
     * stratified-rank passes over the SUBJECT-sized relation (each the
-    * two-phase range-shuffle device — no global window); the horizon
-    * is a 1-row broadcast.
+    * two-phase range-shuffle device above the completeness window, a
+    * map-side KeyTable lookup below it — no global window); the
+    * horizon is a 1-row broadcast.
+    *
+    * ==Cache contract== each stage PERSISTS its subject-sized input
+    * (MEMORY_AND_DISK) before entering the next rank device; being
+    * lazy, the operator cannot release them itself — after
+    * materializing the result, call
+    * [[graft.ops.Robust.unpersistPersisted]] (as Verify/Bench do per
+    * query) or the cached blocks accumulate across calls in a
+    * long-lived session.
     */
   def rfmSegments(
       events: DataFrame,

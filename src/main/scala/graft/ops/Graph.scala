@@ -289,6 +289,11 @@ object Graph {
     val out = h.join(a, "__id")
       .select(col("__id").as(idCol),
         round(col("__h"), 6).as("hub"), round(col("__a"), 6).as("authority"))
+    // h/a are eagerly localCheckpoint'd each round, so by now nothing
+    // references the cached edge projection — release it here or each
+    // hits() call leaks its edge blocks for the session lifetime (the
+    // labelPropagation discipline)
+    e.unpersist()
     out
   }
 

@@ -77,14 +77,23 @@ object Ordinal {
         (cN * (cN - 1)).as("dn0"), col("dn1"), col("dn2"))
       .select(col("n"), col("c_pairs"), col("d_pairs"),
         // doubled denominators cancel: tau_b = 2(C−D)/√((dn0−dn1)(dn0−dn2)),
-        // somers_d = 2(C−D)/(dn0−dn1); gamma never sees a tie term
-        round(lit(2.0) * (col("c_pairs").cast("double") - col("d_pairs").cast("double")) /
-          sqrt((col("dn0").cast("double") - col("dn1").cast("double")) *
-            (col("dn0").cast("double") - col("dn2").cast("double"))), 6).as("tau_b"),
-        round((col("c_pairs").cast("double") - col("d_pairs").cast("double")) /
-          (col("c_pairs").cast("double") + col("d_pairs").cast("double")), 6)
+        // somers_d = 2(C−D)/(dn0−dn1); gamma never sees a tie term.
+        // Degenerate inputs (constant x → no xa<xb pairs; all-tied
+        // y) zero a denominator: guard to NULL like the rest of the
+        // Robust family — under ANSI the bare division would throw
+        // on 0/0 and DuckDB would emit NaN, diverging either way
+        when(col("dn0") > col("dn1") && col("dn0") > col("dn2"),
+          round(lit(2.0) * (col("c_pairs").cast("double") - col("d_pairs").cast("double")) /
+            sqrt((col("dn0").cast("double") - col("dn1").cast("double")) *
+              (col("dn0").cast("double") - col("dn2").cast("double"))), 6))
+          .as("tau_b"),
+        when(col("c_pairs") + col("d_pairs") > 0,
+          round((col("c_pairs").cast("double") - col("d_pairs").cast("double")) /
+            (col("c_pairs").cast("double") + col("d_pairs").cast("double")), 6))
           .as("gamma"),
-        round(lit(2.0) * (col("c_pairs").cast("double") - col("d_pairs").cast("double")) /
-          (col("dn0").cast("double") - col("dn1").cast("double")), 6).as("somers_d"))
+        when(col("dn0") > col("dn1"),
+          round(lit(2.0) * (col("c_pairs").cast("double") - col("d_pairs").cast("double")) /
+            (col("dn0").cast("double") - col("dn1").cast("double")), 6))
+          .as("somers_d"))
   }
 }

@@ -95,39 +95,120 @@ private[graft] object Prefix {
     * columns) and frozen as literals; `parts` sizes the sample
     * (128 rows per target partition).
     */
-  def bucketed(df: DataFrame, keys: Seq[Column], parts: Int): DataFrame = {
-    require(keys.nonEmpty, "bucketed needs at least one key column")
+  /** Completeness window of the boundary sample. A sample that comes
+    * back with fewer rows than its limit IS the whole key table, so
+    * the device can skip the distributed machinery entirely
+    * ([[Complete]]); the limit is at least this constant so the fast
+    * path covers the overhead-dominated small-table regime even at
+    * low parallelism. Driver memory exposure is the sample the
+    * device already collects today — a bounded top-K of slim key
+    * structs (the same order of magnitude RangePartitioner collects).
+    */
+  val SmallComplete: Int = 1 << 16
+
+  /** The two shapes the device comes in, decided by ONE sample job:
+    *  - [[Complete]]: the sample was the whole table — rank /
+    *    stratum size / prefix sums are pure map-side lookups against
+    *    the frozen [[graft.functions.KeyTable]]; no repartition, no
+    *    window, no side-table join (the small-N fast path — measured
+    *    >2 s of pure per-stage fixed cost in the q189 RFM cascade of
+    *    three devices over a 1 500-row table, round 12);
+    *  - [[Buckets]]: the frame with the frozen-literal `__bkt`
+    *    column — the scale path, identical to round 12.
+    * Falls back to [[Buckets]] when the complete sample contains a
+    * duplicate full key (tied rows are only defined through the
+    * window's arbitrary-but-consistent numbering).
+    */
+  sealed trait Device
+  final case class Complete(model: graft.functions.KeyTable) extends Device
+  final case class Buckets(withBkt: DataFrame) extends Device
+
+  /** Runs the ONE order-independent sample job (smallest xxhash64,
+    * ties by key) and returns the device. `stratumFields` = number of
+    * leading key fields forming the stratum; `valCol` (cast to long)
+    * is collected alongside the keys when the caller needs prefix
+    * sums from a [[Complete]] model. `allowComplete = false` forces
+    * the bucketed shape (callers that need `__bkt` itself).
+    */
+  def device(
+      df: DataFrame,
+      keys: Seq[Column],
+      parts: Int,
+      stratumFields: Int,
+      valCol: Option[Column] = None,
+      allowComplete: Boolean = true): Device = {
+    require(keys.nonEmpty, "device needs at least one key column")
     val nBuckets = 4 * parts
     val k = struct(keys: _*)
-    val keyed = df.select(k.as("__k"))
+    val lim = math.max(32 * nBuckets, SmallComplete) + 1
+    val keyed = valCol match {
+      case Some(v) => df.select(k.as("__k"), v.cast("long").as("__v"))
+      case None => df.select(k.as("__k"))
+    }
     val kType = keyed.schema.head.dataType.asInstanceOf[StructType]
+    val fieldTypes = kType.fields.map(_.dataType)
     // order-independent sample: smallest hashes, ties broken by key
     val sample = keyed
       .orderBy(xxhash64(col("__k")), col("__k"))
-      .limit(32 * nBuckets)
+      .limit(lim)
       .orderBy(col("__k"))
       .collect()
     val m = sample.length
     val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToCatalystConverter(kType)
-    val bounds = (1 until nBuckets)
-      .map(i => sample((i.toLong * m / nBuckets).toInt).getStruct(0))
-      .distinct // adjacent equal quantiles → one bucket (hot keys)
-      .map(r => conv(r)
-        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].copy())
-      .toArray
-    // constant-size codegen regardless of bucket count: a when-tree of
-    // struct-literal comparisons pays Janino ~0.7 s per fresh plan at
-    // 128 buckets (measured — the q195 round-12 regression) and grows
-    // with the bucket count; the kernel is one generated call
-    if (m == 0 || bounds.isEmpty) df.withColumn("__bkt", lit(0))
-    else {
-      val model = new graft.functions.BucketBounds(
-        bounds, kType.fields.map(_.dataType))
-      df.withColumn("__bkt",
-        org.apache.spark.sql.graft.ColumnBridge.column(
-          graft.functions.BucketSearch(
-            org.apache.spark.sql.graft.ColumnBridge.expression(k), model)))
+    def toInternal(r: org.apache.spark.sql.Row)
+        : org.apache.spark.sql.catalyst.InternalRow =
+      conv(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].copy()
+    val completeModel =
+      if (allowComplete && m < lim) {
+        val sortedKeys = sample.map(r => toInternal(r.getStruct(0)))
+        val vals: Array[java.lang.Long] =
+          if (valCol.isDefined)
+            sample.map(r => if (r.isNullAt(1)) null
+              else java.lang.Long.valueOf(r.getLong(1)))
+          else Array.empty
+        graft.functions.KeyTable.build(
+          sortedKeys, fieldTypes, stratumFields, vals)
+      } else None
+    completeModel match {
+      case Some(model) => Complete(model)
+      case None =>
+        val bounds = (1 until nBuckets)
+          .map(i => sample((i.toLong * m / nBuckets).toInt).getStruct(0))
+          .distinct // adjacent equal quantiles → one bucket (hot keys)
+          .map(toInternal)
+          .toArray
+        // constant-size codegen regardless of bucket count: a
+        // when-tree of struct-literal comparisons pays Janino ~0.7 s
+        // per fresh plan at 128 buckets (measured — the q195 round-12
+        // regression) and grows with the bucket count; the kernel is
+        // one generated call
+        if (m == 0 || bounds.isEmpty) Buckets(df.withColumn("__bkt", lit(0)))
+        else {
+          val model = new graft.functions.BucketBounds(bounds, fieldTypes)
+          Buckets(df.withColumn("__bkt",
+            org.apache.spark.sql.graft.ColumnBridge.column(
+              graft.functions.BucketSearch(
+                org.apache.spark.sql.graft.ColumnBridge.expression(k),
+                model))))
+        }
     }
   }
+
+  /** The lookup column for a [[Complete]] model: mode 0 = rank,
+    * 1 = stratum size, 2 = exclusive prefix (see
+    * [[graft.functions.KeyTableLookup]]). */
+  def lookup(keys: Seq[Column], model: graft.functions.KeyTable,
+      mode: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.KeyTableLookup(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          struct(keys: _*)), model, mode))
+
+  def bucketed(df: DataFrame, keys: Seq[Column], parts: Int): DataFrame =
+    device(df, keys, parts, keys.length, None, allowComplete = false) match {
+      case Buckets(withBkt) => withBkt
+      case Complete(_) =>
+        throw new IllegalStateException("unreachable: allowComplete=false")
+    }
 }

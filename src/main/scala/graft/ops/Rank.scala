@@ -54,7 +54,27 @@ object Rank {
     require(orderCols.nonEmpty, "stratifiedRank needs at least one order column")
     val keys = (stratumCol +: orderCols).map(col)
     val np = parts(df, numPartitions)
-    val withB = Prefix.bucketed(df, keys, np)
+    val out = Prefix.device(df, keys, np, stratumFields = 1) match {
+      case Prefix.Complete(model) =>
+        // small-table fast path: the boundary sample WAS the whole
+        // table — rank and stratum size are map-side kernel lookups,
+        // no repartition/window/side-join (see Prefix.Device)
+        df.withColumn("rk", Prefix.lookup(keys, model, 0))
+          .withColumn("n_stratum", Prefix.lookup(keys, model, 1))
+      case Prefix.Buckets(withB) =>
+        stratifiedRankBucketed(withB, stratumCol, orderCols, np)
+    }
+    // stable contract regardless of path: input columns in input
+    // order, then the two appended columns (the bucketed join would
+    // otherwise reorder the join keys first)
+    out.select(df.columns.map(col) ++ Seq(col("rk"), col("n_stratum")): _*)
+  }
+
+  private def stratifiedRankBucketed(
+      withB: DataFrame,
+      stratumCol: String,
+      orderCols: Seq[String],
+      np: Int): DataFrame = {
     val ranged = withB.repartition(np, col("__bkt"))
     // bucket-local exclusive row counts per stratum — window over the
     // existing __bkt partitioning, no second corpus exchange
@@ -97,7 +117,28 @@ object Rank {
     require(orderCols.nonEmpty, "stratifiedPrefixSum needs at least one order column")
     val keys = (stratumCol +: orderCols).map(col)
     val np = parts(df, numPartitions)
-    val withB = Prefix.bucketed(df, keys, np)
+    val out = Prefix.device(df, keys, np, stratumFields = 1,
+      valCol = Some(col(valCol))) match {
+      case Prefix.Complete(model) =>
+        // small-table fast path: the complete model carries the
+        // per-key exclusive running sums (null value → null prefix,
+        // Math.addExact mirrors ANSI overflow)
+        df.withColumn("prefix", Prefix.lookup(keys, model, 2))
+      case Prefix.Buckets(withB) =>
+        stratifiedPrefixSumBucketed(withB, stratumCol, orderCols,
+          valCol, np)
+    }
+    // stable contract regardless of path: input columns in input
+    // order, then the appended column
+    out.select(df.columns.map(col) :+ col("prefix"): _*)
+  }
+
+  private def stratifiedPrefixSumBucketed(
+      withB: DataFrame,
+      stratumCol: String,
+      orderCols: Seq[String],
+      valCol: String,
+      np: Int): DataFrame = {
     val ranged = withB.repartition(np, col("__bkt"))
     val w = Window.partitionBy(col("__bkt"), col(stratumCol))
       .orderBy(orderCols.map(col): _*)

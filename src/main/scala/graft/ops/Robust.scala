@@ -493,27 +493,40 @@ object Robust {
       .select(yc.as("__y"), xc.as("__x"))
     val tot = base.agg(sum(col("__y")).cast("long").as("__sy"),
       sum(col("__x")).cast("long").as("__sx"), count(lit(1)).as("__n"))
-    val ri = (col("__sy") - col("__y")).cast("double") /
-      (col("__sx") - col("__x")).cast("double")
+    // DEGENERATE-REPLICATE CONVENTION: a leave-one-out set with zero
+    // x mass (Sx − x_i = 0 — n = 1, or one row carrying all of x) has
+    // an undefined ratio; under ANSI the bare division would throw.
+    // Such replicates are NULL and EXCLUDED — the jackknife constants
+    // (mean divisor, (m−1)/m, bias factor) use the VALID replicate
+    // count m, and with zero valid replicates every jackknife output
+    // is NULL. `n` stays the row count. Mirrored in the q247 oracle.
+    val ri = when(col("__sx") - col("__x") =!= 0,
+      (col("__sy") - col("__y")).cast("double") /
+        (col("__sx") - col("__x")).cast("double"))
     val p1 = base.crossJoin(broadcast(tot))
-      .agg(sum(round(ri, 6).cast("decimal(18,6)")).as("__sr"))
+      .agg(sum(round(ri, 6).cast("decimal(18,6)")).as("__sr"),
+        count(ri).as("__m"))
     val withMean = tot.crossJoin(broadcast(p1))
-      .select(col("__sy"), col("__sx"), col("__n"),
-        (expr("(2L * cast(__sr * 1000000 as long) + __n) div (2L * __n)")
-          .cast("double") / lit(1000000.0d)).as("__jm"))
+      .select(col("__sy"), col("__sx"), col("__n"), col("__m"),
+        when(col("__m") > 0,
+          expr("(2L * cast(__sr * 1000000 as long) + __m) div (2L * __m)")
+            .cast("double") / lit(1000000.0d)).as("__jm"))
     val dev = round(ri, 6) - col("__jm")
     val p2 = base.crossJoin(broadcast(withMean))
       .agg(sum(round(dev * dev, 6).cast("decimal(18,6)")).as("__sd"),
         first(col("__jm")).as("__jm2"), first(col("__n")).as("__n2"),
+        first(col("__m")).as("__m2"),
         first(col("__sy")).as("__sy2"), first(col("__sx")).as("__sx2"))
-    val nD = col("__n2").cast("double")
-    val ratio = col("__sy2").cast("double") / col("__sx2").cast("double")
+    val mD = col("__m2").cast("double")
+    val ratio = when(col("__sx2") =!= 0,
+      col("__sy2").cast("double") / col("__sx2").cast("double"))
     p2.select(col("__n2").cast("long").as("n"),
       round(ratio, 6).as("ratio"),
       round(col("__jm2"), 6).as("jack_mean"),
-      round(sqrt((nD - lit(1.0d)) / nD * col("__sd").cast("double")), 6)
+      when(col("__m2") > 0,
+        round(sqrt((mD - lit(1.0d)) / mD * col("__sd").cast("double")), 6))
         .as("jack_se"),
-      round((nD - lit(1.0d)) * (col("__jm2") - ratio), 6).as("jack_bias"))
+      round((mD - lit(1.0d)) * (col("__jm2") - ratio), 6).as("jack_bias"))
   }
 
   /** Brown–Forsythe test (Levene with median centers) for variance

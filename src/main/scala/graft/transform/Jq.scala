@@ -64,10 +64,11 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *     like jq), `to_entries`/`from_entries` ({key, value} structs),
   *     `map_values(E)` (maps and arrays), `with_entries(E)` (`.` = the
   *     entry struct); object construction `{k: E}` in value position
-  *   - `{who: .name, tag: .tags[]}` — object construction with ONE
-  *     top-level iterated path compiles to an explode (1→N fan-out);
-  *     two generators (a jq cross-product) or an iterate nested in a
-  *     larger field expression stay on the escape hatch
+  *   - `{who: .name, tag: .tags[]}` — object construction with
+  *     top-level iterated paths compiles to one explode per generator
+  *     (1→N fan-out; MULTIPLE generators form jq's cartesian, one
+  *     output object per combination); an iterate nested in a larger
+  *     field expression stays on the escape hatch
   *
   * Programs outside the subset should go through [[JqEscapeHatch]]
   * (mapPartitions over JSON strings, 0..N outputs per input — the
@@ -1191,24 +1192,30 @@ object Jq {
     // outputs (like jq); a NULL array also yields zero (where strict
     // jq errors "Cannot iterate over null" — the same convention the
     // stage-position `.items[]` compile above already established).
-    // TWO iterated fields would be a jq cross-product, and an iterate
-    // NESTED inside another expression a per-element pipeline — both
-    // stay on the escape hatch (the `fields.forall` guard), rejected
-    // rather than rendered wrong.
+    // An iterate NESTED inside another expression (a per-element
+    // pipeline) stays on the escape hatch (the `fields.forall`
+    // guard), rejected rather than rendered wrong. MULTIPLE iterated
+    // fields are jq's object-construction CARTESIAN (round-12 VERDICT
+    // directive 4 — the next hatch faller after q268's single
+    // generator): `{a: .xs[], b: .ys[]}` emits one object per
+    // combination, compiled as one explode per generator (the same
+    // array iterated twice crosses with itself, like jq). Empty or
+    // null arrays yield zero outputs (strict jq errors on null — the
+    // established `.items[]` convention applies).
     case ObjectLit(fields)
-        if fields.count(f => isIterPath(f._2)) == 1 &&
+        if fields.count(f => isIterPath(f._2)) >= 1 &&
           fields.forall(f => isIterPath(f._2) || !containsIterate(f._2)) =>
-      val p = fields.collectFirst {
-        case (_, FieldPath(path, true, _)) => path }.get
-      if (p.isEmpty) throw new IllegalArgumentException(
+      val iters = fields.zipWithIndex.collect {
+        case ((_, FieldPath(path, true, _)), i) => (i, path) }
+      if (iters.exists(_._2.isEmpty)) throw new IllegalArgumentException(
         "bare '.[]' in object construction needs an array record — " +
           "use the JqEscapeHatch for this program")
-      val it = "__jq_iter"
-      df.withColumn(it, explode(fieldCol(p)))
-        .select(fields.map {
-          case (n, e) if isIterPath(e) => col(it).as(n)
-          case (n, e) => toColumn(e, env).as(n)
-        }: _*)
+      val exploded = iters.foldLeft(df) { case (d, (i, p)) =>
+        d.withColumn(s"__jq_iter_$i", explode(fieldCol(p))) }
+      exploded.select(fields.zipWithIndex.map {
+        case ((n, e), i) if isIterPath(e) => col(s"__jq_iter_$i").as(n)
+        case ((n, e), _) => toColumn(e, env).as(n)
+      }: _*)
     case ObjectLit(fields) =>
       df.select(fields.map { case (n, ex) => toColumn(ex, env).as(n) }: _*)
     // `. + {k: expr}` / `{k: expr} + .` merge → withColumn

@@ -139,4 +139,31 @@ class LinkageSpec extends SparkSuite {
     val b = graft.ops.Linkage.blockAudit(mixed, "id", col("blk"), 5).head()
     assert((b.getLong(0), b.getLong(1), b.getLong(2)) == (1L, 1L, 12L))
   }
+
+  test("PINNED Spark footgun: AQE empty-relation propagation drops CollectMetrics") {
+    import org.apache.spark.sql.Observation
+    // The round-12 bench find, pinned as a regression test: when the
+    // guarded result is EMPTY (every block over-cap), AQE's
+    // empty-relation propagation replaces the subtree in the final
+    // adaptive plan and the CollectMetrics node vanishes —
+    // Observation.get returns an EMPTY map even though the stage ran
+    // and the counters accumulated. Exactly the run whose audit
+    // matters most, which is why q265 publishes through
+    // Linkage.blockAudit (a direct aggregate) instead.
+    // If a Spark upgrade makes this assertion FAIL (metrics present on
+    // the empty run), the footgun is fixed: the blockAudit workaround
+    // and this pin can be retired together.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "the pin only means something under AQE")
+    val allBig = (1 to 30).map(i => (i.toLong, s"n$i", s"b${i % 2}"))
+      .toDF("id", "name", "blk")
+    val obs = Observation("pin_aqe_empty_collectmetrics")
+    val out = Linkage.blockedPairs(allBig, "id", "name", col("blk"),
+      maxDistance = 99, maxBlock = 5, audit = Some(obs))
+    assert(out.count() == 0, "every block is over-cap")
+    assert(obs.get.isEmpty,
+      "Spark now keeps CollectMetrics through empty-relation " +
+        "propagation — revisit Linkage.guardedBlocks' caveat and " +
+        "q265's blockAudit workaround, then retire this pin")
+  }
 }

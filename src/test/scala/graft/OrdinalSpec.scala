@@ -48,6 +48,27 @@ class OrdinalSpec extends SparkSuite {
     assert(r.getAs[Double]("tau_b") == 1.0)
   }
 
+  test("degenerate inputs yield NULL statistics, not a crash") {
+    // constant x: every pair is tied on x → dn0 = dn1, C = D = 0 —
+    // tau_b and somers_d divide by zero unguarded, gamma is 0/0.
+    // The guards map all three to NULL (the Robust-family convention)
+    // instead of an ANSI ArithmeticException / NaN divergence.
+    val cx = Seq((1, 10), (1, 20), (1, 30)).toDF("x", "y")
+    val r1 = Ordinal.association(cx, col("x"), col("y")).head()
+    assert(r1.getAs[Long]("n") == 3)
+    assert(r1.isNullAt(r1.fieldIndex("tau_b")))
+    assert(r1.isNullAt(r1.fieldIndex("gamma")))
+    assert(r1.isNullAt(r1.fieldIndex("somers_d")))
+    // constant y with varying x: somers_d's denominator dn0 − dn1 is
+    // fine but C + D = 0 and dn0 = dn2 → gamma and tau_b NULL,
+    // somers_d a defined 0
+    val cy = Seq((1, 5), (2, 5), (3, 5)).toDF("x", "y")
+    val r2 = Ordinal.association(cy, col("x"), col("y")).head()
+    assert(r2.isNullAt(r2.fieldIndex("tau_b")))
+    assert(r2.isNullAt(r2.fieldIndex("gamma")))
+    assert(r2.getAs[Double]("somers_d") == 0.0)
+  }
+
   test("association matches a brute-force pair enumeration, 15 random corpora") {
     val rnd = new scala.util.Random(7)
     (1 to 15).foreach { _ =>

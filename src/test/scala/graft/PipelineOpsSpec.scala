@@ -291,20 +291,72 @@ class PipelineOpsSpec extends SparkSuite {
     } finally base.unpersist()
   }
 
-  test("stratifiedRank plan: one corpus shuffle, imperative local rank, reused exchange") {
-    import graft.ops.Rank
-    val df = (1L to 50L).map(i => (i, s"s${i % 2}")).toDF("id", "g")
-    val out = Rank.stratifiedRank(df, "g", Seq("id"), numPartitions = 4)
-    assertOneCorpusShuffle(finalPlan(out))
+  // Round-13: below the completeness window (Prefix.SmallComplete)
+  // the device's boundary sample IS the whole table, and rank /
+  // prefix become map-side KeyTable kernel lookups — the plan must
+  // carry NO device exchange, no window, no checkpoint, no sampled
+  // range partitioning.
+  private def assertSmallPath(plan: String): Unit = {
+    assert(plan.contains("graft_keytable"),
+      s"small input must ride the KeyTable lookup:\n$plan")
+    assert(!plan.contains("Scan ExistingRDD"),
+      s"device must not checkpoint (lineage):\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"small path must not sample range boundaries:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"small path must add NO exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      s"small path must not window:\n$plan")
   }
 
-  test("stratifiedPrefixSum/tokenOffsets plans: one corpus shuffle; no internal columns leak") {
+  test("stratifiedRank plan: small input rides the KeyTable lookup, no shuffle") {
     import graft.ops.Rank
-    val df = (1L to 50L).map(i => (i, s"s${i % 2}", i)).toDF("id", "g", "n")
-    val out = Rank.stratifiedPrefixSum(df, "g", Seq("id"), "n", numPartitions = 4)
-    assert(out.columns.toSeq == Seq("g", "id", "n", "prefix"))
+    // range source, not a local Seq — ConvertToLocalRelation would
+    // otherwise fold the whole plan into a LocalTableScan
+    val df = spark.range(1L, 51L).toDF("id")
+      .withColumn("g", concat(lit("s"), pmod(col("id"), lit(2))))
+    val out = Rank.stratifiedRank(df, "g", Seq("id"), numPartitions = 4)
+    assert(out.columns.toSeq == Seq("id", "g", "rk", "n_stratum"))
+    assertSmallPath(finalPlan(out))
+  }
+
+  test("stratifiedRank plan ABOVE the completeness window: one corpus shuffle, reused exchange") {
+    import graft.ops.Rank
+    // past SmallComplete rows the sample is truncated and the device
+    // must fall back to the distributed two-phase shape — the 100 TB
+    // contract stays pinned
+    val n = graft.ops.Prefix.SmallComplete + 1000
+    val df = spark.range(1L, n + 1L).toDF("id")
+      .withColumn("g", concat(lit("s"), pmod(col("id"), lit(2))))
+    val out = Rank.stratifiedRank(df, "g", Seq("id"), numPartitions = 4)
     assertOneCorpusShuffle(finalPlan(out))
+    // and the distributed ranks agree with the closed form on this
+    // input (odd ids in s1, even in s0, both id-ascending: rank =
+    // ⌈id/2⌉ either way)
+    val bad = out.filter(col("rk") =!= expr("(id + 1) div 2")).count()
+    assert(bad == 0, s"$bad distributed ranks diverged from closed form")
+  }
+
+  test("stratifiedPrefixSum/tokenOffsets plans: small path + distributed fallback; no internal columns leak") {
+    import graft.ops.Rank
+    val df = spark.range(1L, 51L).toDF("id")
+      .withColumn("g", concat(lit("s"), pmod(col("id"), lit(2))))
+      .withColumn("n", col("id"))
+    val out = Rank.stratifiedPrefixSum(df, "g", Seq("id"), "n", numPartitions = 4)
+    assert(out.columns.toSeq == Seq("id", "g", "n", "prefix"))
+    assertSmallPath(finalPlan(out))
+    // above the window: the distributed two-phase shape
+    val nBig = graft.ops.Prefix.SmallComplete + 1000
+    val big = spark.range(1L, nBig + 1L).toDF("id")
+      .withColumn("g", concat(lit("s"), pmod(col("id"), lit(2))))
+      .withColumn("n", pmod(col("id"), lit(7)) + 1)
+    val outBig = Rank.stratifiedPrefixSum(big, "g", Seq("id"), "n",
+      numPartitions = 4)
+    assert(outBig.columns.toSeq == Seq("id", "g", "n", "prefix"))
+    assertOneCorpusShuffle(finalPlan(outBig))
     // Pack's contract too: offsets add exactly one column, same shape
+    // (Pack pins __bkt itself, so it keeps the bucketed device at any
+    // size)
     val packed = Pack.tokenOffsets(df.select("id", "n"), "id", "n", 4)
     assert(packed.columns.toSeq == Seq("id", "n", "offset"))
     assertOneCorpusShuffle(finalPlan(packed))

@@ -240,26 +240,25 @@ class PlanSpec extends SparkSuite {
     assert(p143.contains("partial_approx_percentile"), p143)
   }
 
-  test("q76/q78/q81: the corpus crosses ONE exchange before the presentation sort") {
-    // the two-phase prefix-sum/rank device (round-12 form,
-    // Prefix.bucketed): boundary LITERALS frozen at build time make
-    // __bkt a deterministic data column — no checkpoint barrier
-    // (lineage intact), no sampled range partitioning; the corpus
-    // crosses the device's ONE explicit __bkt repartition, the B×S
-    // side table aggregates map-side off the unshuffled frame and
-    // joins broadcast, every requirement-driven hash exchange sits
-    // above an aggregate, and the only live range exchange is the
-    // final orderBy's presentation sort.
+  test("q76/q78/q81: below the completeness window the device is a map-side lookup") {
+    // round-13 form: at spec scale the prefix device's boundary
+    // sample IS the whole table, so rank/prefix ride the frozen
+    // KeyTable kernel — no checkpoint barrier, no sampled range
+    // partitioning, no __bkt exchange AT ALL; the only live range
+    // exchange is the final orderBy's presentation sort. (The
+    // distributed shape above the window is pinned in
+    // PipelineOpsSpec's above-the-window tests.)
     Seq("q76_quality_buckets", "q78_token_budget", "q81_curation_pipeline")
       .foreach { q =>
         val p = finalPlan(SparkEntry.queries(q)(spark, sfDir))
         assert(!p.contains("Scan ExistingRDD"), s"$q must not checkpoint:\n$p")
-        assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+        assert(p.contains("graft_keytable"),
+          s"$q: small input must ride the KeyTable lookup:\n$p")
         val bktEx =
           "Exchange hashpartitioning\\(__bkt#\\d+, \\d+\\), REPARTITION_BY_NUM".r
             .findAllIn(p).size
-        assert(bktEx == 1, s"$q: expected the device's one __bkt corpus " +
-          s"exchange, got $bktEx:\n$p")
+        assert(bktEx == 0, s"$q: small path must not exchange on __bkt, " +
+          s"got $bktEx:\n$p")
         val rangeEx = "(?m)\\+\\- Exchange rangepartitioning".r.findAllIn(p).size
         assert(rangeEx == 1, s"$q: expected 1 live range exchange, got $rangeEx:\n$p")
         assertHashExchangesAboveAggregates(p, q)
@@ -339,14 +338,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("q112 source cap rides the stratified-rank device (bucketed, no checkpoint)") {
+  test("q112 source cap rides the stratified-rank device (KeyTable at spec scale)") {
     val p = finalPlan(SparkEntry.queries("q112_source_cap")(spark, sfDir))
     assert(!p.contains("Scan ExistingRDD"), p) // lineage intact
     // the only range exchange is the presentation sort (the device
     // itself never samples range boundaries)
     val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).size
     assert(rangeEx == 1, s"expected only the presentation sort, got $rangeEx:\n$p")
-    assert(p.contains("REPARTITION_BY_NUM"), p) // the device's __bkt exchange
+    // below the completeness window the rank is a map-side lookup
+    assert(p.contains("graft_keytable"), p)
+    assert(!p.contains("REPARTITION_BY_NUM"), p)
     assertHashExchangesAboveAggregates(p, "q112")
   }
 
@@ -396,7 +397,7 @@ class PlanSpec extends SparkSuite {
   test("q125 batch retrieval: broadcast stats row; per-query top-k rides the stratified-rank device") {
     val p = finalPlan(SparkEntry.queries("q125_bm25_batch")(spark, sfDir))
     assert(!p.contains("Scan ExistingRDD"), p) // no checkpoint barrier
-    assert(p.contains("REPARTITION_BY_NUM"), p) // rank device's __bkt exchange
+    assert(p.contains("graft_keytable"), p) // rank lookup at spec scale
     // the broadcast contract is pinned on the single-query scorer,
     // which shares the scoring stage
     val scored = graft.ops.CorpusStats.bm25(
@@ -596,14 +597,15 @@ class PlanSpec extends SparkSuite {
       s"the statistic fold must map-side combine:\n$p")
     assert(!p.contains("Scan ExistingRDD"),
       s"device must not checkpoint:\n$p")
-    assert(p.contains("REPARTITION_BY_NUM"),
-      s"cntLess must ride the bucketed two-phase device:\n$p")
-    // any running-sum window over corpus-scale rows partitions by
-    // __bkt (bucket-local); windows without __bkt only appear above
-    // the B×S side table
-    assert(p.linesIterator.filter(_.contains("row_number()"))
-      .forall(_.contains("__bkt")),
-      s"corpus windows must be bucket-local:\n$p")
+    // the distinct-value table sits below the completeness window at
+    // spec scale, so cntLess is a KeyTable lookup (folded into the
+    // aggregate's result expressions — EXPLAIN hides those, so probe
+    // for the ABSENCE of the distributed machinery instead): zero
+    // device exchanges, no rank window anywhere
+    assert(!p.contains("REPARTITION_BY_NUM"),
+      s"small path must not exchange on __bkt:\n$p")
+    assert(!p.contains("row_number()"),
+      s"small path must not window:\n$p")
   }
 
   test("q214-q216 eval readouts: one corpus pass, gates inside the scan, no join on rows") {
@@ -626,16 +628,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"group stats broadcast back:\n$p")
   }
 
-  test("q219 vocab growth: positions ride the bucketed rank device, no corpus window") {
+  test("q219 vocab growth: positions ride the rank device, no corpus window") {
     val p = finalPlan(SparkEntry.queries("q219_vocab_growth")(spark, sfDir))
     assert(!p.contains("Scan ExistingRDD"), s"device must not checkpoint:\n$p")
-    assert(p.contains("REPARTITION_BY_NUM"),
-      s"positions must ride the bucketed rank device:\n$p")
-    // row_number is bucket-local now: every rank window partitions by
-    // __bkt, never the bare stratum
-    assert(p.linesIterator.filter(_.contains("row_number()"))
-      .forall(_.contains("__bkt")),
-      s"row_number must partition by __bkt:\n$p")
+    // at spec scale positions are KeyTable lookups; above the window
+    // the bucketed device takes over (PipelineOpsSpec pins)
+    assert(p.contains("graft_keytable"),
+      s"positions must ride the rank device:\n$p")
+    assert(!p.contains("row_number()"),
+      s"small path must not window ranks:\n$p")
   }
 
   test("q185 gram novelty: no pair operator anywhere — linear in grams") {

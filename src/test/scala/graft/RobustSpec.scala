@@ -160,6 +160,31 @@ class RobustSpec extends SparkSuite {
     assert(r.getAs[Double]("jack_bias") == 0.0)
   }
 
+  test("jackknifeRatio degenerate replicates: NULL and excluded, not a crash") {
+    import spark.implicits._
+    // one row carries ALL the x mass → its leave-one-out divisor
+    // Sx − x_i is 0: that replicate is NULL and EXCLUDED (m = 1), the
+    // jackknife constants use m, and the remaining replicate drives
+    // the stats: R(−1) = (3−1)/(2−0) = 1
+    val df = Seq((1.0, 0.0), (2.0, 2.0)).toDF("y", "x")
+    val r = graft.ops.Robust.jackknifeRatio(df, "y", "x").head()
+    assert(r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Double]("ratio") == 1.5)
+    assert(r.getAs[Double]("jack_mean") == 1.0)
+    assert(r.getAs[Double]("jack_se") == 0.0) // (m−1)/m = 0
+    assert(r.getAs[Double]("jack_bias") == 0.0)
+    // n = 1: the only replicate divides by Sx − x_1 = 0 → m = 0 and
+    // every jackknife output is NULL; n and the full-sample ratio
+    // survive
+    val one = Seq((4.0, 2.0)).toDF("y", "x")
+    val r1 = graft.ops.Robust.jackknifeRatio(one, "y", "x").head()
+    assert(r1.getAs[Long]("n") == 1L)
+    assert(r1.getAs[Double]("ratio") == 2.0)
+    assert(r1.isNullAt(r1.fieldIndex("jack_mean")))
+    assert(r1.isNullAt(r1.fieldIndex("jack_se")))
+    assert(r1.isNullAt(r1.fieldIndex("jack_bias")))
+  }
+
   test("winsorizedCorrelation: clamping disarms a planted anti-whale") {
     import spark.implicits._
     val line = (1 to 40).map(i => (i * 1.0, i * 2.0))
