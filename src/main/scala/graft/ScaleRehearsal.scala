@@ -321,6 +321,80 @@ object ScaleRehearsal {
           .withRocksDbStateStore(spark)(timeRun("rocks"))
         println(f"""{"keys":$keys,"batches":$batches,""" +
           f""""hdfs_sec":$hdfsSec%.2f,"rocks_sec":$rocksSec%.2f}""")
+      case "tws" :: dir :: rest =>
+        // transformWithState state-scale rehearsal (round-12 VERDICT
+        // directive 6): q259's oracle run exercises thousands of
+        // keys; this drives StreamTopK.topKPerKey at production key
+        // cardinality (default 10⁶) through withAutoStateStore and
+        // records measured input rows/s plus the state store's OWN
+        // metrics (numRowsTotal, memory/SST bytes) from the final
+        // StreamingQueryProgress — the evidence behind the provider
+        // rule of thumb for the new API (the round-10 break-even
+        // table predates transformWithState, which REQUIRES RocksDB;
+        // what's under test is that the topology holds at 10⁶ keys
+        // and what a key costs).
+        val keys = rest.headOption.map(_.toInt).getOrElse(1000000)
+        val batches = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+        val k = rest.drop(2).headOption.map(_.toInt).getOrElse(4)
+        val rowsPerKey = 3
+        val in = s"$dir/tws_in_${keys}"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(in), true)
+        val total = keys.toLong * rowsPerKey
+        val perBatch = total / batches
+        // every key appears in rowsPerKey distinct batches (xxhash64
+        // spreads (row, key) pairs deterministically), so state is
+        // touched incrementally like a real ingest, not loaded once
+        (0 until batches).foreach { b =>
+          spark.range(total)
+            .select(pmod(col("id"), lit(keys.toLong)).as("key_num"),
+              col("id").as("ev_id"),
+              pmod(xxhash64(col("id"), lit(7)), lit(1000000L)).as("score"))
+            .filter(pmod(xxhash64(col("id"), lit(13)), lit(batches.toLong))
+              === b)
+            .select(concat(lit("k"), col("key_num")).as("lang"),
+              col("ev_id"), col("score"))
+            .coalesce(4).write.mode("append").parquet(in)
+        }
+        val schema = spark.read.parquet(in).schema
+        val ckpt = s"$dir/tws_ckpt_$keys"
+        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        // withRocksDbStateStore, NOT withAutoStateStore: the topology
+        // dictates the provider here — transformWithState needs column
+        // families, which only RocksDB has (the auto helper's HDFS
+        // branch crashes under it; measured in this rehearsal's own
+        // smoke at 20k keys). The break-even heuristic only applies to
+        // provider-agnostic stateful ops.
+        val (sec, lastProgress) =
+          graft.streaming.StreamPipeline.withRocksDbStateStore(spark) {
+            val t0 = System.nanoTime()
+            val stream = spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(in)
+            val snaps = graft.streaming.StreamTopK.topKPerKey(
+              stream, "lang", "ev_id", "score", k)
+            val q = snaps.writeStream.format("noop")
+              .option("checkpointLocation", ckpt)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            // the trailing no-data commit can report an empty batch —
+            // the state totals we want are the largest seen
+            ((System.nanoTime() - t0) / 1e9,
+              q.recentProgress.flatMap(_.stateOperators)
+                .sortBy(_.numRowsTotal).lastOption)
+          }
+        val stateOp = lastProgress
+        val stateRows = stateOp.map(_.numRowsTotal).getOrElse(-1L)
+        val stateMem = stateOp.map(_.memoryUsedBytes).getOrElse(-1L)
+        val sst = stateOp.flatMap(op =>
+          Option(op.customMetrics.get("rocksdbSstFileSize"))).getOrElse(-1L)
+        println(f"""{"keys":$keys,"batches":$batches,"k":$k,""" +
+          f""""input_rows":$total,"sec":$sec%.2f,""" +
+          f""""rows_per_sec":${(total / sec).toLong},""" +
+          f""""state_rows":$stateRows,"state_mem_bytes":$stateMem,""" +
+          f""""rocksdb_sst_bytes":$sst}""")
       case "run" :: dir :: rest =>
         val runs = rest.headOption.map(_.toInt).getOrElse(1)
         val names = rest.drop(1).headOption

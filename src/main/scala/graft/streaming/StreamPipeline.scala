@@ -152,6 +152,15 @@ object StreamPipeline {
     * Results are provider-independent (StreamingSpec pins byte-equal
     * outputs through BOTH branches of this helper); only the
     * commit-cost shape changes.
+    *
+    * NOT for `transformWithState` topologies ([[StreamTopK]]): that
+    * API needs state-store column families, which only RocksDB
+    * provides — the default-provider branch here crashes under it
+    * (`STATE_STORE_MULTIPLE_COLUMN_FAMILIES`) regardless of key
+    * count. Such callers must use [[withRocksDbStateStore]] directly;
+    * the break-even choice only exists for provider-agnostic
+    * stateful operators (dedup markers, windowed aggs,
+    * flatMapGroupsWithState).
     */
   def withAutoStateStore[T](spark: SparkSession, expectedKeys: Long)(
       body: => T): T =
