@@ -794,16 +794,17 @@ object SparkEntry {
         expr("percentile(l_extendedprice, 0.5)").cast("double").as("exact"))
         .select(lit("p50_extendedprice").as("metric"), col("est"), col("exact"))
       val liBoth = hllParts.union(pct)
-      // tolerance = max(5% relative, 16 absolute): the HLL++ rsd
-      // guarantee is probabilistic and RELATIVE — at slice
-      // cardinalities below ~1/rsd² (= 400) the sparse-mode estimate
-      // wobbles by a few counts, which a bare 5% bound mislabels as a
-      // violation (seen at sf0.001: est 62 vs exact 63 … but 59 vs 63
-      // fails). The absolute floor keeps the contract meaningful at
-      // every scale; the relative term dominates from sf0.1 up.
+      // tolerance = max(3σ = 15% relative, 16 absolute): rsd 5% is the
+      // sketch's STANDARD DEVIATION, not a bound — a bare 5% cut flags
+      // ~1/3 of honest draws (the 10× gate caught exactly that: est
+      // 183,543 vs exact 195,370 on the sf1 slice, a −6% = 1.2σ miss).
+      // 3σ keeps false alarms at ~0.3% while a genuinely broken sketch
+      // (2×, 10× off) still trips. The absolute floor covers slice
+      // cardinalities below ~1/rsd² (= 400) where sparse-mode wobble
+      // is a few counts (seen at sf0.001: est 62 vs exact 63).
       hllDocs.union(liBoth)
         .filter(abs(col("est") - col("exact")) >
-          greatest(col("exact") * 0.05, lit(16.0)))
+          greatest(col("exact") * 0.15, lit(16.0)))
         .select(col("metric"))
     }),
 
@@ -1364,25 +1365,34 @@ object SparkEntry {
         Seq("spark", "join", "window"))
         .orderBy(col("score").desc, col("doc_id").asc)),
 
-    "q104_rank_windows" -> ((s, dir) =>
+    "q104_rank_windows" -> ((s, dir) => {
       // rank-function breadth: ntile/percent_rank/cume_dist per nation
-      // over a unique (acctbal desc, custkey) order — all deterministic
+      // over a unique (acctbal desc, custkey) order — all deterministic.
+      // The unique order means rank == row_number and no peer groups,
+      // so percent_rank = (rn-1)/(n-1) and cume_dist = rn/n are pure
+      // integer ratios: emitted through the half-up micro device
+      // (Parity.round6Ratio) instead of round(double, 6) — at sf1 the
+      // per-nation n reaches 60k and rn/n lands ON .5-micro boundaries,
+      // where the double round flips between engines (q271 class).
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("bal").desc, col("c_custkey"))
+      val part = Window.partitionBy("c_nationkey")
       t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"),
           col("c_acctbal").cast("decimal(18,2)").as("bal"))
-        .withColumn("quartile", ntile(4).over(
-          Window.partitionBy("c_nationkey")
-            .orderBy(col("bal").desc, col("c_custkey"))).cast("long"))
-        .withColumn("pct_rank", round(percent_rank().over(
-          Window.partitionBy("c_nationkey")
-            .orderBy(col("bal").desc, col("c_custkey"))), 6))
-        .withColumn("cume", round(cume_dist().over(
-          Window.partitionBy("c_nationkey")
-            .orderBy(col("bal").desc, col("c_custkey"))), 6))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(part))
+        .withColumn("pct_rank", when(col("__n") === 1, lit(0.0))
+          .otherwise(graft.ops.Parity.round6Ratio(
+            col("__rn") - 1, col("__n") - 1)))
+        .withColumn("cume",
+          graft.ops.Parity.round6Ratio(col("__rn"), col("__n")))
         .select(col("c_custkey"), col("c_nationkey"),
           col("bal").cast("double").as("bal"),
           col("quartile"), col("pct_rank"), col("cume"))
-        .orderBy("c_nationkey", "c_custkey")),
+        .orderBy("c_nationkey", "c_custkey")
+    }),
 
     "q105_stream_interval_join" -> ((s, dir) => {
       // q99's bucketed interval join as a WATERMARKED stream-stream
@@ -2503,14 +2513,19 @@ object SparkEntry {
     "q175_sla_percentiles" -> ((s, dir) =>
       // SLA matrix: exact p95/p99 of value per (type, day) — the
       // exact-percentile path exercised at ~150-group granularity,
-      // small groups taking the full-range bracket regime
+      // small groups taking the full-range bracket regime. round-6
+      // on both sides: Spark interpolates (hi-pos)·vlo+(pos-lo)·vhi,
+      // DuckDB vlo+frac·(vhi-vlo) — one ulp apart at sf1 group sizes
+      // (the 10× gate caught 230.33 vs …29999999999998); the exact
+      // value has ≤4 decimals (cents values × 2-decimal fractions),
+      // so round-6 absorbs the formula-order gap (q106 precedent)
       graft.ops.Percentiles.exact(
         events(s, dir).select(col("event_type"),
           TimeSeries.epochDay(col("ts")).as("day"), col("value")),
         Seq("event_type", "day"), "value", Seq(0.95, 0.99))
         .select(col("event_type"), col("day"), col("n"),
-          element_at(col("pcts"), 1).as("p95"),
-          element_at(col("pcts"), 2).as("p99"))
+          round(element_at(col("pcts"), 1), 6).as("p95"),
+          round(element_at(col("pcts"), 2), 6).as("p99"))
         .orderBy("event_type", "day")),
 
     "q176_diff_in_diff" -> ((s, dir) => {
@@ -4472,7 +4487,9 @@ object SparkEntry {
         |    CAST(ROUND(LN(CAST(freq AS DOUBLE) / total), 6) AS DECIMAL(18,6)) AS lp
         |  FROM tf JOIN freq USING (tok) CROSS JOIN total)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-        |  ROUND(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6) AS mean_lp
+        |  -(CAST((2 * CAST(-SUM(tf * lp) * 1000000 AS HUGEINT)
+        |        + CAST(SUM(tf) AS HUGEINT))
+        |      // (2 * CAST(SUM(tf) AS HUGEINT)) AS DOUBLE) / 1e6) AS mean_lp
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q70: 1-based inclusive list slices (parity memo); docs whose
@@ -4927,7 +4944,9 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  ROUND(CAST(a.nll_sum AS DOUBLE), 6) AS nll,
-        |  ROUND(CAST(a.nll_sum AS DOUBLE) / a.n_bigrams, 6) AS avg_nll
+        |  CAST((2 * CAST(a.nll_sum * 1000000 AS HUGEINT)
+        |      + CAST(a.n_bigrams AS HUGEINT))
+        |    // (2 * CAST(a.n_bigrams AS HUGEINT)) AS DOUBLE) / 1e6 AS avg_nll
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
@@ -5095,7 +5114,15 @@ object SparkEntry {
         |  FROM b JOIN lam USING (bk) GROUP BY doc_id)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  ROUND(CAST(s AS DOUBLE), 6) AS logw,
-        |  ROUND(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_logw
+        |  CASE WHEN s < 0 THEN
+        |    -(CAST((2 * CAST(-s * 1000000 AS HUGEINT)
+        |          + CAST(n_tokens AS HUGEINT))
+        |        // (2 * CAST(n_tokens AS HUGEINT)) AS DOUBLE) / 1e6)
+        |  ELSE
+        |    CAST((2 * CAST(s * 1000000 AS HUGEINT)
+        |          + CAST(n_tokens AS HUGEINT))
+        |        // (2 * CAST(n_tokens AS HUGEINT)) AS DOUBLE) / 1e6
+        |  END AS avg_logw
         |FROM score ORDER BY doc_id""".stripMargin,
 
     // q90: 15-token sliding windows (1-based inclusive slices); a
@@ -5408,14 +5435,20 @@ object SparkEntry {
     },
 
     "q104_rank_windows" ->
-      """SELECT c_custkey, c_nationkey,
-        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
-        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-        |  ROUND(CUME_DIST() OVER w, 6) AS cume
-        |FROM customer
-        |WINDOW w AS (PARTITION BY c_nationkey
-        |  ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey)
+      """WITH r AS (SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+        |    CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |    CAST(ROW_NUMBER() OVER w AS HUGEINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS HUGEINT) AS n
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |    ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey))
+        |SELECT c_custkey, c_nationkey, bal, quartile,
+        |  CASE WHEN n = 1 THEN 0.0 ELSE
+        |    CAST((2 * (rn - 1) * 1000000 + (n - 1)) // (2 * (n - 1))
+        |      AS DOUBLE) / 1e6 END AS pct_rank,
+        |  CAST((2 * rn * 1000000 + n) // (2 * n) AS DOUBLE) / 1e6 AS cume
+        |FROM r
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
 
     // q105: the streaming interval join must reproduce the batch
@@ -6544,8 +6577,8 @@ object SparkEntry {
     "q175_sla_percentiles" ->
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |  CAST(COUNT(value) AS BIGINT) AS n,
-        |  quantile_cont(value, 0.95e0) AS p95,
-        |  quantile_cont(value, 0.99e0) AS p99
+        |  ROUND(quantile_cont(value, 0.95e0), 6) AS p95,
+        |  ROUND(quantile_cont(value, 0.99e0), 6) AS p99
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q176_diff_in_diff" ->

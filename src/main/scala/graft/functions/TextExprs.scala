@@ -431,8 +431,12 @@ object TextKernels {
     val d = java.math.BigDecimal.valueOf(sumScaled, 6).doubleValue()
     val nll = java.math.BigDecimal.valueOf(d)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
-    val avg = java.math.BigDecimal.valueOf(d / nb)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    // avg_nll in half-up INTEGER micro units (q271 class: round-6 of
+    // the exact-decimal ratio flips between engines at a .5-micro
+    // boundary — the 10× gate caught one; terms are ≥ 0 so the
+    // non-negative floorDiv form is exact)
+    val avgMicro = Math.floorDiv(2L * sumScaled + nb, 2L * nb)
+    val avg = java.math.BigDecimal.valueOf(avgMicro, 6).doubleValue() + 0.0
     new GenericInternalRow(Array[Any](nb, nll, avg))
   }
 

@@ -171,6 +171,13 @@ object Curation {
         once(s).as("__s"))
       .select(col(idCol), col("n_tokens"),
         round(col("__s").cast("double"), 6).as("logw"),
-        round(col("__s").cast("double") / col("n_tokens"), 6).as("avg_logw"))
+        // signed exact-decimal ratio → the q271 half-up micro device;
+        // both engines round half-away-from-zero, so the negative
+        // branch negates through the non-negative device (the 10×
+        // gate caught the round(double,6) form flipping a boundary)
+        when(col("__s") < 0,
+          -graft.ops.Parity.round6Ratio(-col("__s"), col("n_tokens")))
+          .otherwise(graft.ops.Parity.round6Ratio(col("__s"),
+            col("n_tokens"))).as("avg_logw"))
   }
 }

@@ -132,6 +132,17 @@ object Graph {
     * or a cycle — parent relations with cycles are invalid input)
     * fails fast with `raise_error` instead of returning a wrong
     * ancestor.
+    *
+    * DANGLING parent pointers — an ancestor id that is not itself a
+    * node — terminate their chain: the dangling id IS that chain's
+    * root (the recursive-CTE walk semantics; org extracts routinely
+    * reference a parent outside the snapshot). The doubling join is
+    * therefore a LEFT join with the missing side coalesced to a
+    * fixed point. The 10× gate caught the inner-join version
+    * silently DROPPING such nodes (sf1's offset key ranges put
+    * derived parents in inter-replica gaps: 135k of 150k rows
+    * vanished); only an in-set, non-root terminal ancestor — a true
+    * unclosed chain — raises.
     */
   def rootAndDepth(
       parents: DataFrame,
@@ -147,17 +158,24 @@ object Graph {
       coalesce(col(parentCol), col(nodeCol)).as("anc"),
       when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("d"))
     for (_ <- 1 to rounds) {
+      // LEFT join: a dangling ancestor (id ∉ node set) is a fixed
+      // point — the chain has terminated at its root
       jump = jump.as("a")
-        .join(jump.as("b"), col("a.anc") === col("b.node"))
-        .select(col("a.node").as("node"), col("b.anc").as("anc"),
-          (col("a.d") + col("b.d")).as("d"))
+        .join(jump.as("b"), col("a.anc") === col("b.node"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("b.anc"), col("a.anc")).as("anc"),
+          (col("a.d") + coalesce(col("b.d"), lit(0L))).as("d"))
         .localCheckpoint(true) // cut the self-composed lineage per round
     }
-    val roots = parents.filter(col(parentCol).isNull)
-      .select(col(nodeCol).as("__root"))
-    jump.join(roots, col("anc") === col("__root"), "left")
+    // terminal ancestor classes: true root (parent NULL) and dangling
+    // (not in the node set) are closed; an in-set non-root ancestor
+    // means the chain did NOT close within maxDepth → fail fast
+    val flags = parents.select(col(nodeCol).as("__n"),
+      col(parentCol).isNull.as("__isRoot"))
+    jump.join(flags, col("anc") === col("__n"), "left")
       .select(col("node"),
-        when(col("__root").isNotNull, col("anc")).otherwise(raise_error(
+        when(col("__isRoot").isNull || col("__isRoot"), col("anc"))
+          .otherwise(raise_error(
           concat(lit(s"rootAndDepth: chain not closed after depth $maxDepth "
             + "(raise maxDepth, or the parent relation has a cycle) at node "),
             col("node").cast("string")))).as("root"),

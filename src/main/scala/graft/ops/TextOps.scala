@@ -124,7 +124,14 @@ object TextOps {
       .agg(sum(col("tf") * lp).as("__s"),
         sum("tf").cast("long").as("n_tokens"))
       .select(col(idCol), col("n_tokens"),
-        round(col("__s").cast("double") / col("n_tokens"), 6).as("mean_lp"))
+        // mean_lp is an exact-decimal ratio (6-dp lp × integer tf /
+        // integer n): round(double, 6) on it is the q271 boundary
+        // class — the 10× gate caught a doc landing ON a .5-micro
+        // boundary. The numerator is ≤ 0 (log-probs), so negate into
+        // the non-negative half-up device and negate back (both
+        // engines round half-AWAY-FROM-ZERO, so -round(|x|) = round(x))
+        (-graft.ops.Parity.round6Ratio(-col("__s"), col("n_tokens")))
+          .as("mean_lp"))
   }
 
   /** Count space-delimited occurrences of a word — EXACT (adjacent

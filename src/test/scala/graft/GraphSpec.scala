@@ -85,6 +85,21 @@ class GraphSpec extends SparkSuite {
       (4L, 1L, 2L), (5L, 1L, 3L), (6L, 1L, 4L), (7L, 7L, 0L)), s"got $out")
   }
 
+  test("rootAndDepth: dangling parent pointer terminates as that chain's root") {
+    import spark.implicits._
+    // 99 is referenced but is not a node (the 10× gate's sf1 find:
+    // inner-join doubling silently DROPPED 2, 5 and 6); chain
+    // 6←5 hangs off the dangling edge 5→99 two levels deep
+    val parents = Seq(
+      (1L, None), (2L, Some(99L)), (3L, Some(1L)),
+      (5L, Some(99L)), (6L, Some(5L))
+    ).toDF("node", "parent")
+    val out = Graph.rootAndDepth(parents, "node", "parent")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, 0L), (2L, 99L, 1L), (3L, 1L, 1L),
+      (5L, 99L, 1L), (6L, 99L, 2L)), s"got $out")
+  }
+
   test("rootAndDepth: unclosed chain (maxDepth too small / cycle) fails fast") {
     import spark.implicits._
     val deep = Seq((1L, None), (2L, Some(1L)), (3L, Some(2L)),

@@ -9,6 +9,16 @@ import duckdb
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # at the 10x (sf1) corpus DuckDB's row estimates on globbed part
+    # files run ~10x low, so it builds hash tables on the 60M-row side:
+    # unbounded memory OOM-kills the process, and the default cwd-
+    # relative ".tmp" spill can fill the root disk. Cap memory and
+    # point the spill somewhere disposable (overridable via env).
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("CHECK_MEM", "60GB"))
+    con.execute("SET temp_directory='%s'"
+                % os.environ.get("CHECK_TMP", out_dir + "/.ducktmp"))
+    con.execute("SET preserve_insertion_order=false")
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p).replace(".parquet", "")
         # Spark-written tables are DIRECTORIES of part files (the 10x
