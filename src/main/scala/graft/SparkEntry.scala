@@ -2395,7 +2395,12 @@ object SparkEntry {
     "q163_funnel_latency" -> ((s, dir) => {
       // time-to-convert: first signup → first subsequent purchase per
       // user, exact p50/p90 of the latency via the distributed
-      // bracketed selection (no single-reducer percentile buffer)
+      // bracketed selection (no single-reducer percentile buffer).
+      // exactTenths, not exact: the outputs are RAW integer
+      // microseconds (~10⁹ — far past the |x| ≈ 2³³ point where
+      // round-6 itself diverges), so the only engine-proof emission
+      // is the all-integer interpolation; the oracle mirrors it with
+      // a ROW_NUMBER rank pick + the same ((10−d)·vlo + d·vhi)/10
       val ev = events(s, dir)
       val su = ev.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("su_us"))
@@ -2405,7 +2410,8 @@ object SparkEntry {
         .filter(col("pu_us") >= col("su_us"))
         .groupBy("user_id", "su_us").agg(min("pu_us").as("pu_us"))
         .select((col("pu_us") - col("su_us")).cast("double").as("lat_us"))
-      graft.ops.Percentiles.exact(lat, Seq.empty, "lat_us", Seq(0.5, 0.9))
+      graft.ops.Percentiles.exactTenths(lat, Seq.empty, "lat_us",
+        Seq(0.5, 0.9))
         .select(col("n").as("n_converted"),
           element_at(col("pcts"), 1).as("p50_us"),
           element_at(col("pcts"), 2).as("p90_us"))
@@ -6415,17 +6421,37 @@ object SparkEntry {
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.90
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // q163: quantile_cont replaced by the INTEGER tenths interpolation
+    // (Percentiles.exactTenths twin): values at ranks ⌊k(n−1)/10⌋+1
+    // and +2 picked by ROW_NUMBER, combined as ((10−d)·vlo + d·vhi)/10
+    // — raw microsecond outputs have no safe rounding scale, so the
+    // emission must be integer-exact on both engines
     "q163_funnel_latency" ->
       """WITH su AS (SELECT user_id, MIN(epoch_us(ts)) AS su_us
         |  FROM events WHERE event_type = 'signup' GROUP BY 1),
         |conv AS (SELECT e.user_id, MIN(epoch_us(e.ts)) - su.su_us AS lat_us
         |  FROM events e JOIN su USING (user_id)
         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.su_us
-        |  GROUP BY e.user_id, su.su_us)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
-        |  quantile_cont(CAST(lat_us AS DOUBLE), 0.5e0) AS p50_us,
-        |  quantile_cont(CAST(lat_us AS DOUBLE), 0.9e0) AS p90_us
-        |FROM conv""".stripMargin,
+        |  GROUP BY e.user_id, su.su_us),
+        |c AS (SELECT COUNT(*) AS n FROM conv),
+        |r AS (SELECT lat_us, ROW_NUMBER() OVER (ORDER BY lat_us) AS rk
+        |  FROM conv),
+        |pick AS (SELECT t.k, (t.k * (c.n - 1)) // 10 AS lower_,
+        |    (t.k * (c.n - 1)) % 10 AS d
+        |  FROM c, (VALUES (5), (9)) AS t(k)),
+        |sel AS (SELECT p.k, p.d,
+        |    MAX(CASE WHEN r.rk = p.lower_ + 1 THEN r.lat_us END) AS vlo,
+        |    MAX(CASE WHEN r.rk = p.lower_ + 2 THEN r.lat_us END) AS vhi
+        |  FROM pick p JOIN r ON r.rk IN (p.lower_ + 1, p.lower_ + 2)
+        |  GROUP BY p.k, p.d),
+        |v AS (SELECT k,
+        |    CAST((10 - d) * vlo + d * COALESCE(vhi, vlo) AS DOUBLE) / 10
+        |      AS val
+        |  FROM sel)
+        |SELECT CAST(c.n AS BIGINT) AS n_converted,
+        |  MAX(CASE WHEN v.k = 5 THEN v.val END) AS p50_us,
+        |  MAX(CASE WHEN v.k = 9 THEN v.val END) AS p90_us
+        |FROM v CROSS JOIN c GROUP BY c.n""".stripMargin,
 
     "q164_sliding_distinct_users" ->
       """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -67,7 +67,43 @@ object Percentiles {
       groupCols: Seq[String],
       valueCol: String,
       fractions: Seq[Double],
+      accuracy: Int = 100000): DataFrame =
+    exactImpl(df, groupCols, valueCol, fractions, accuracy, tenths = false)
+
+  /** [[exact]] restricted to INTEGER-valued columns and fractions that
+    * are multiples of 0.1 — and in exchange ENGINE-BUILD-PROOF: the
+    * interpolation position k·(n−1)/10 and the interpolated value
+    * ((10−d)·vlo + d·vhi)/10 are computed in exact integer arithmetic
+    * (one final long→double cast and /10, both correctly rounded and
+    * identical everywhere), so the output never depends on double
+    * formula order. The plain [[exact]] replicates Spark's
+    * `(higher−pos)·vlo + (pos−lower)·vhi` while DuckDB interpolates
+    * `vlo + frac·(vhi−vlo)` — one ulp apart in general, absorbed by
+    * round-6 emission at O(1..10⁵) magnitudes (q106/q175), but RAW
+    * large-magnitude outputs (integer microseconds, q163) have no safe
+    * rounding scale and need this integer form. Oracle twin: pick the
+    * values at ranks ⌊k(n−1)/10⌋+1 and +2 via ROW_NUMBER and apply the
+    * same integer formula (see q163's oracle).
+    */
+  def exactTenths(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      fractions: Seq[Double],
       accuracy: Int = 100000): DataFrame = {
+    require(fractions.forall(p =>
+      math.abs(p * 10 - math.round(p * 10)) < 1e-9),
+      s"graft: exactTenths needs multiples of 0.1, got $fractions")
+    exactImpl(df, groupCols, valueCol, fractions, accuracy, tenths = true)
+  }
+
+  private def exactImpl(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      fractions: Seq[Double],
+      accuracy: Int,
+      tenths: Boolean): DataFrame = {
     require(fractions.nonEmpty, "graft: at least one fraction")
     require(fractions.forall(p => p >= 0.0 && p <= 1.0),
       s"graft: fractions must be in [0,1]: $fractions")
@@ -117,11 +153,18 @@ object Percentiles {
           .as(s"__clo$i")
       }: _*)
 
-    // per-(group, boundary) interpolation targets — tiny, broadcast back
+    // per-(group, boundary) interpolation targets — tiny, broadcast back.
+    // tenths mode derives position/floor/ceil from the INTEGER
+    // P = k·(n−1) (d = P mod 10) instead of the double p·(n−1), so the
+    // selected ranks and the interpolation weights are engine-exact
     val targets = pass1.join(pass2, gkeys)
       .select(gkeys.map(col) ++ Seq(col("__n")) ++ (0 until k).map { i =>
+        val posP =
+          if (tenths) lit(math.round(fractions(i) * 10)) * (col("__n") - 1)
+          else lit(0L)
         struct(lit(i).as("__i"),
           (lit(fractions(i)) * (col("__n") - 1).cast("double")).as("__pos"),
+          posP.cast("long").as("__posP"),
           col(s"__lo$i").as("__lo"), col(s"__hi$i").as("__hi"),
           col(s"__clo$i").as("__clo"))
           .as(s"__t$i")
@@ -130,8 +173,17 @@ object Percentiles {
         explode(array((0 until k).map(i => col(s"__t$i")): _*)).as("__t")): _*)
       .select(gkeys.map(col) ++ Seq(col("__n"), col("__t.__i").as("__i"),
         col("__t.__pos").as("__pos"),
-        floor(col("__t.__pos")).cast("long").as("__lower"),
-        ceil(col("__t.__pos")).cast("long").as("__higher"),
+        (if (tenths)
+          ((col("__t.__posP") - pmod(col("__t.__posP"), lit(10L))) / 10)
+            .cast("long")
+        else floor(col("__t.__pos")).cast("long")).as("__lower"),
+        (if (tenths)
+          (((col("__t.__posP") - pmod(col("__t.__posP"), lit(10L))) / 10)
+            .cast("long") +
+            when(pmod(col("__t.__posP"), lit(10L)) > 0, 1L).otherwise(0L))
+        else ceil(col("__t.__pos")).cast("long")).as("__higher"),
+        (if (tenths) pmod(col("__t.__posP"), lit(10L)).cast("long")
+        else lit(0L)).as("__d"),
         col("__t.__lo").as("__lo"), col("__t.__hi").as("__hi"),
         col("__t.__clo").as("__clo")): _*)
 
@@ -158,21 +210,29 @@ object Percentiles {
       .agg(first(col("__n")).as("__n"), first(col("__pos")).as("__pos"),
         first(col("__lower")).as("__lower"),
         first(col("__higher")).as("__higher"),
+        first(col("__d")).as("__d"),
         max(when(col("__start") <= col("__lower") &&
           col("__lower") < col("__end"), col("__v"))).as("__vlo"),
         max(when(col("__start") <= col("__higher") &&
           col("__higher") < col("__end"), col("__v"))).as("__vhi"))
 
-    // Spark Percentile.getPercentile, replicated branch-for-branch
+    // Spark Percentile.getPercentile, replicated branch-for-branch;
+    // tenths mode swaps the double formula for the exact integer
+    // ((10−d)·vlo + d·vhi)/10 (values must be integer-valued doubles)
+    val interp =
+      if (tenths)
+        ((lit(10L) - col("__d")) * col("__vlo").cast("long") +
+          col("__d") * col("__vhi").cast("long")).cast("double") / lit(10.0)
+      else
+        (col("__higher").cast("double") - col("__pos")) * col("__vlo") +
+          (col("__pos") - col("__lower").cast("double")) * col("__vhi")
     val res = when(col("__vlo").isNull || col("__vhi").isNull,
         raise_error(concat(lit("graft: percentile bracket miss at i="),
           col("__i").cast("string"), lit(" — increase accuracy")))
           .cast("double"))
       .when(col("__higher") === col("__lower"), col("__vlo"))
       .when(col("__vhi") === col("__vlo"), col("__vlo"))
-      .otherwise(
-        (col("__higher").cast("double") - col("__pos")) * col("__vlo") +
-          (col("__pos") - col("__lower").cast("double")) * col("__vhi"))
+      .otherwise(interp)
 
     val out = picked.select(gkeys.map(col) ++
         Seq(col("__n"), col("__i"), res.as("__res")): _*)

@@ -81,4 +81,49 @@ class PercentilesSpec extends SparkSuite {
       .select("n").as[Long].head()
     assert(n == 2L)
   }
+
+  test("exactTenths: integer interpolation matches hand computation") {
+    // n = 4, p90: P = 9·3 = 27 → lower rank 2 (0-based, value 30),
+    // d = 7 → ((10−7)·30 + 7·40)/10 = 37.0;
+    // p50: P = 5·3 = 15 → lower 1, d = 5 → (5·20 + 5·30)/10 = 25.0
+    val df = Seq(10.0, 20.0, 30.0, 40.0).toDF("v")
+    val out = Percentiles.exactTenths(df, Nil, "v", Seq(0.5, 0.9), 100)
+      .select("pcts").as[Seq[Double]].head()
+    assert(out == Seq(25.0, 37.0), s"got $out")
+    // singleton and exact-position cases take the vlo shortcut
+    val one = Percentiles.exactTenths(Seq(5.0).toDF("v"), Nil, "v",
+      Seq(0.5, 0.9), 100).select("pcts").as[Seq[Double]].head()
+    assert(one == Seq(5.0, 5.0), s"got $one")
+    // n = 11 → P = 9·10 = 90, d = 0 → exact rank pick, no interpolation
+    val eleven = (1 to 11).map(_.toDouble).toDF("v")
+    val ex = Percentiles.exactTenths(eleven, Nil, "v", Seq(0.9), 100)
+      .select("pcts").as[Seq[Double]].head()
+    assert(ex == Seq(10.0), s"got $ex")
+  }
+
+  test("exactTenths: giant integer magnitudes stay exact (the q163 regime)") {
+    // microsecond-scale integers where ROUND(x, 6) would itself
+    // diverge across engines — the integer device must reproduce the
+    // exact rational N/10 as its nearest double
+    val vs = Seq(1234567890123.0, 2345678901234.0, 3456789012345.0,
+      4567890123456.0, 5678901234567.0, 6789012345678.0)
+    val out = Percentiles.exactTenths(vs.toDF("v"), Nil, "v",
+      Seq(0.5, 0.9), 100).select("pcts").as[Seq[Double]].head()
+    // p50: P = 5·5 = 25, lower = 2, d = 5 → (5·v3 + 5·v4)/10
+    val p50 = (5L * 3456789012345L + 5L * 4567890123456L).toDouble / 10.0
+    // p90: P = 9·5 = 45, lower = 4, d = 5 → (5·v5 + 5·v6)/10
+    val p90 = (5L * 5678901234567L + 5L * 6789012345678L).toDouble / 10.0
+    assert(java.lang.Double.doubleToLongBits(out(0)) ==
+      java.lang.Double.doubleToLongBits(p50), s"p50 ${out(0)} vs $p50")
+    assert(java.lang.Double.doubleToLongBits(out(1)) ==
+      java.lang.Double.doubleToLongBits(p90), s"p90 ${out(1)} vs $p90")
+  }
+
+  test("exactTenths rejects non-tenth fractions") {
+    val df = Seq(1.0, 2.0).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Percentiles.exactTenths(df, Nil, "v", Seq(0.25), 100)
+    }
+    assert(e.getMessage.contains("multiples of 0.1"), e.getMessage)
+  }
 }
