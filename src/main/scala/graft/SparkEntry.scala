@@ -6576,14 +6576,26 @@ object SparkEntry {
         |FROM r JOIN m ON r.g = m.g AND r.run = m.peak
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
+    // q173: slopes quantized to half-up micro INTEGERS before the
+    // median — interpolation over integer-valued doubles is exact in
+    // any formula order (raw-double medians are the q163 one-ulp
+    // class); the closing /1e6 is one correctly-rounded op
     "q173_theil_sen_trend" ->
       """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    COUNT(*) AS n FROM events GROUP BY 1, 2),
         |p AS (SELECT a.event_type,
-        |    CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |    CASE WHEN b.n < a.n THEN
+        |      -((2 * CAST(a.n - b.n AS HUGEINT) * 1000000
+        |          + CAST(b.day - a.day AS HUGEINT))
+        |        // (2 * CAST(b.day - a.day AS HUGEINT)))
+        |    ELSE
+        |      ((2 * CAST(b.n - a.n AS HUGEINT) * 1000000
+        |          + CAST(b.day - a.day AS HUGEINT))
+        |        // (2 * CAST(b.day - a.day AS HUGEINT)))
+        |    END AS sm
         |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day)
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |  quantile_cont(slope, 0.5e0) AS slope
+        |  quantile_cont(CAST(sm AS DOUBLE), 0.5e0) / 1e6 AS slope
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q174_twap" ->

@@ -170,9 +170,16 @@ object TimeSeries {
     * per-key self-join of that tiny relation — |days|² per key,
     * bounded by the observation span, never by corpus size, and
     * `maxDays` fail-fasts a key that would expand quadratically
-    * beyond it. The median runs [[Percentiles.exact]]'s distributed
-    * selection; each slope is one IEEE division of integer
-    * differences, so values are engine-portable.
+    * beyond it. The median runs [[Percentiles.exactTenths]]'s
+    * distributed selection over slopes QUANTIZED to half-up micro
+    * integers (6-dp slope precision): a raw-double median
+    * interpolates between two arbitrary doubles, where the engines'
+    * different formula orders sit one ulp apart (the q163/10×-gate
+    * class — it held here only because tied small-rational slopes
+    * usually hit the vlo==vhi shortcut), while every interpolation
+    * over integer-valued doubles is exact in any formula order, and
+    * the one closing /1e6 is a single correctly-rounded op on both
+    * engines.
     */
   def theilSenDaily(
       df: DataFrame,
@@ -193,14 +200,17 @@ object TimeSeries {
       col("__n").as("__na"))
     val b = daily.select(col("__k"), col("__day").as("__db"),
       col("__n").as("__nb"))
+    val num = col("__nb") - col("__na")
+    val den = col("__db") - col("__da") // > 0 under the __da < __db cut
     val slopes = a.join(b, "__k").filter(col("__da") < col("__db"))
       .join(broadcast(spans), "__k") // the guard evaluates per key
       .select(col("__k"),
-        ((col("__nb") - col("__na")).cast("double") /
-          (col("__db") - col("__da")).cast("double")).as("__slope"))
-    Percentiles.exactOne(slopes, Seq("__k"), "__slope", 0.5)
+        when(num < 0, -graft.ops.Parity.microRatio(-num, den))
+          .otherwise(graft.ops.Parity.microRatio(num, den))
+          .cast("double").as("__sm"))
+    Percentiles.exactTenths(slopes, Seq("__k"), "__sm", Seq(0.5))
       .select(col("__k").as(keyCol), col("n").as("n_pairs"),
-        col("pct").as("slope"))
+        (element_at(col("pcts"), 1) / lit(1e6)).as("slope"))
   }
 
   /** Time-weighted average (TWAP) per key: each observation holds its
