@@ -2428,11 +2428,17 @@ object SparkEntry {
     "q165_rolling_median" -> ((s, dir) =>
       // rolling robust smoothing: exact trailing-7 median per user —
       // ROWS-bounded frame, so the percentile buffer is constant-sized
-      // (the bounded-frame complement of the Percentiles.exact family)
+      // (the bounded-frame complement of the Percentiles.exact family).
+      // round-6 both sides: the raw median interpolates cents doubles
+      // at frac 0.5 — bitwise-equal on the CURRENT DuckDB build
+      // ((1−f)·lo + f·hi form), but the lo + f·(hi−lo) form flips
+      // ~13% of cents pairs (measured), so the raw emission is
+      // build-fragile the way q271 was; exact values have ≤ 3
+      // decimals at cents magnitude, far from any .5-micro boundary
       TimeSeries.rollingMedian(events(s, dir), "user_id",
         Seq("ts", "event_id"), "value", window = 7)
         .select(col("event_id"), col("user_id"), col("value"),
-          col("med_7"))
+          round(col("med_7"), 6).as("med_7"))
         .orderBy("event_id")),
 
     "q166_psi_drift" -> ((s, dir) => {
@@ -6464,9 +6470,9 @@ object SparkEntry {
 
     "q165_rolling_median" ->
       """SELECT event_id, user_id, value,
-        |  quantile_cont(value, 0.5e0) OVER (PARTITION BY user_id
+        |  ROUND(quantile_cont(value, 0.5e0) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id
-        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_7
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med_7
         |FROM events
         |ORDER BY event_id""".stripMargin,
 
