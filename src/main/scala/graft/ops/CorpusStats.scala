@@ -331,7 +331,15 @@ object CorpusStats {
         col("__qs").getField("score").as("score"))
       .filter(col("score") > 0d)
       .withColumn("__negs", -col("score"))
-    Rank.stratifiedRank(scored, "query_id", Seq("__negs", idCol))
+    // the rank device reads its input 2-3× (boundary sample + row
+    // side [+ side table]); `scored` is the expensive part — a corpus
+    // scan running |terms|+1 compiled kernels per row — while its
+    // OUTPUT is only the matching (doc, query) pairs. Persist the
+    // small output through the device instead of recomputing the
+    // scan (release via Robust.unpersistPersisted(), the
+    // madOutliers/averagePrecision queue contract).
+    val cached = graft.ops.Robust.registerPersisted(scored)
+    Rank.stratifiedRank(cached, "query_id", Seq("__negs", idCol))
       .filter(col("rk") <= topK)
       .select(col("query_id"), col(idCol), col("score"),
         col("rk").cast("long").as("rank"))

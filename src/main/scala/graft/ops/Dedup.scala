@@ -382,8 +382,15 @@ object Dedup {
       window: Int = 8,
       minShared: Long = 3L,
       maxBucket: Int = 20): DataFrame = {
-    val fps = TextOps.winnowFingerprints(df, idCol, textCol, k, window)
-      .select(col(idCol).as("__id"), col("fp")).distinct()
+    // the (id, fp) relation feeds THREE independent subtrees (the
+    // occupancy gate and both self-join sides) and AQE leaves no
+    // ReusedExchange across them (measured: 4 kernel scans, 0 reuse)
+    // — persist the slim pair relation once instead of re-running
+    // the fingerprint kernel per subtree (release via
+    // Robust.unpersistPersisted(), the madOutliers queue contract)
+    val fps = graft.ops.Robust.registerPersisted(
+      TextOps.winnowFingerprints(df, idCol, textCol, k, window)
+        .select(col(idCol).as("__id"), col("fp")).distinct())
     val keep = fps.groupBy("fp")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
