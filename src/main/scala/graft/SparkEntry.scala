@@ -8990,7 +8990,7 @@ object SparkEntry {
         |      AS deff_micro
         |  FROM g)
         |SELECT source, CAST(n AS BIGINT) AS n,
-        |  CAST(sw AS DECIMAL(38,0)) AS sum_w,
+        |  CAST(sw AS BIGINT) AS sum_w,
         |  CAST(ess_micro AS DOUBLE) / 1e6 AS ess,
         |  CAST(deff_micro AS DOUBLE) / 1e6 AS deff
         |FROM h ORDER BY source""".stripMargin,
