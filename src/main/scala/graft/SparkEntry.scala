@@ -780,31 +780,43 @@ object SparkEntry {
       // scans. PlanSpec pins both scans to the slice predicate.
       val docs = t(s, dir, "documents").filter(col("doc_id") % 8 === 0)
       val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 8 === 0)
+      // Per-metric tolerance — the two sketches have DIFFERENT error
+      // models, so one shared bound over-loosens one of them:
+      // - HLL: rsd 5% is the sketch's STANDARD DEVIATION, not a bound
+      //   — a bare 5% cut flags ~1/3 of honest draws (the 10× gate
+      //   caught exactly that: est 183,543 vs exact 195,370 on the
+      //   sf1 slice, a −6% = 1.2σ miss). 3σ = 15% keeps false alarms
+      //   at ~0.3% while a genuinely broken sketch (2×, 10× off)
+      //   still trips.
+      // - percentile_approx: rank-based (GK/KLL family) — accuracy
+      //   10000 bounds the RANK error at 1/accuracy = 0.01% of rows,
+      //   deterministic, not Gaussian. On any non-degenerate value
+      //   distribution that is far tighter than 15%; 5% relative is
+      //   already a generous value-space allowance, and a broken
+      //   percentile sketch should not hide behind the HLL's σ.
+      // The absolute floor covers slice cardinalities below ~1/rsd²
+      // (= 400) where HLL sparse-mode wobble is a few counts (seen at
+      // sf0.001: est 62 vs exact 63); it is value-scale noise for p50.
       val hllDocs = docs.agg(
         approx_count_distinct(col("text")).cast("double").as("est"),
         countDistinct(col("text")).cast("double").as("exact"))
-        .select(lit("hll_documents_text").as("metric"), col("est"), col("exact"))
+        .select(lit("hll_documents_text").as("metric"), col("est"),
+          col("exact"), lit(0.15).as("rel_tol"))
       val hllParts = li.agg(
         approx_count_distinct(col("l_partkey")).cast("double").as("est"),
         countDistinct(col("l_partkey")).cast("double").as("exact"))
-        .select(lit("hll_lineitem_partkey").as("metric"), col("est"), col("exact"))
+        .select(lit("hll_lineitem_partkey").as("metric"), col("est"),
+          col("exact"), lit(0.15).as("rel_tol"))
       val pct = li.agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .cast("double").as("est"),
         expr("percentile(l_extendedprice, 0.5)").cast("double").as("exact"))
-        .select(lit("p50_extendedprice").as("metric"), col("est"), col("exact"))
+        .select(lit("p50_extendedprice").as("metric"), col("est"),
+          col("exact"), lit(0.05).as("rel_tol"))
       val liBoth = hllParts.union(pct)
-      // tolerance = max(3σ = 15% relative, 16 absolute): rsd 5% is the
-      // sketch's STANDARD DEVIATION, not a bound — a bare 5% cut flags
-      // ~1/3 of honest draws (the 10× gate caught exactly that: est
-      // 183,543 vs exact 195,370 on the sf1 slice, a −6% = 1.2σ miss).
-      // 3σ keeps false alarms at ~0.3% while a genuinely broken sketch
-      // (2×, 10× off) still trips. The absolute floor covers slice
-      // cardinalities below ~1/rsd² (= 400) where sparse-mode wobble
-      // is a few counts (seen at sf0.001: est 62 vs exact 63).
       hllDocs.union(liBoth)
         .filter(abs(col("est") - col("exact")) >
-          greatest(col("exact") * 0.15, lit(16.0)))
+          greatest(col("exact") * col("rel_tol"), lit(16.0)))
         .select(col("metric"))
     }),
 

@@ -282,7 +282,24 @@ object CorpusStats {
       queries: Seq[(String, Seq[String])],
       k1: Double = 1.2,
       b: Double = 0.75,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20): DataFrame =
+    graft.ops.Robust.withPersisted(
+      bm25BatchScored(df, idCol, textCol, queries, k1, b),
+      maxRows = queries.size.toLong * topK)(
+      bm25BatchRank(_, idCol, topK))
+
+  /** The scoring stage of [[bm25Batch]]: one corpus scan computes
+    * every query's score against a single broadcast stats row and
+    * explodes to the positive-scoring (id, query, score) pairs.
+    * Exposed lazily for the plan-shape pins; [[bm25Batch]] wraps it
+    * in the structural persist scope. */
+  private[graft] def bm25BatchScored(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(String, Seq[String])],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty && queries.map(_._1).distinct.size == queries.size,
       "bm25Batch: queries must be non-empty with distinct ids")
     queries.foreach { case (q, ts) =>
@@ -329,21 +346,24 @@ object CorpusStats {
       .select(col(idCol),
         col("__qs").getField("query_id").as("query_id"),
         col("__qs").getField("score").as("score"))
+    // the rank device reads this 2-3× (boundary sample + row side
+    // [+ side table]); this scored relation is the expensive part —
+    // a corpus scan running |terms|+1 compiled kernels per row —
+    // while its OUTPUT is ≤ |queries|·topK rows, hence bm25Batch's
+    // structural persist scope around it.
+    scored
       .filter(col("score") > 0d)
       .withColumn("__negs", -col("score"))
-    // the rank device reads its input 2-3× (boundary sample + row
-    // side [+ side table]); `scored` is the expensive part — a corpus
-    // scan running |terms|+1 compiled kernels per row — while its
-    // OUTPUT is only the matching (doc, query) pairs. Persist the
-    // small output through the device instead of recomputing the
-    // scan (release via Robust.unpersistPersisted(), the
-    // madOutliers/averagePrecision queue contract).
-    val cached = graft.ops.Robust.registerPersisted(scored)
-    Rank.stratifiedRank(cached, "query_id", Seq("__negs", idCol))
+  }
+
+  /** The rank stage of [[bm25Batch]] (shared with the plan-shape
+    * pins, which need the LAZY plan the eager scope hides). */
+  private[graft] def bm25BatchRank(
+      scored: DataFrame, idCol: String, topK: Int): DataFrame =
+    Rank.stratifiedRank(scored, "query_id", Seq("__negs", idCol))
       .filter(col("rk") <= topK)
       .select(col("query_id"), col(idCol), col("score"),
         col("rk").cast("long").as("rank"))
-  }
 
   /** Zipf's-law fit over the top `topV` vocabulary terms: least-squares
     * slope and intercept of `ln(freq)` on `ln(rank)` (rank by count

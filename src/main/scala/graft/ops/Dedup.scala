@@ -381,16 +381,25 @@ object Dedup {
       k: Int = 20,
       window: Int = 8,
       minShared: Long = 3L,
-      maxBucket: Int = 20): DataFrame = {
+      maxBucket: Int = 20,
+      persistFingerprints: Boolean = true): DataFrame = {
     // the (id, fp) relation feeds THREE independent subtrees (the
     // occupancy gate and both self-join sides) and AQE leaves no
     // ReusedExchange across them (measured: 4 kernel scans, 0 reuse)
     // — persist the slim pair relation once instead of re-running
-    // the fingerprint kernel per subtree (release via
-    // Robust.unpersistPersisted(), the madOutliers queue contract)
-    val fps = graft.ops.Robust.registerPersisted(
+    // the fingerprint kernel per subtree. The candidate-pair OUTPUT
+    // is unbounded (cannot eagerly collect like bm25Batch), so the
+    // persist follows the madOutliers contract: gated behind
+    // `persistFingerprints` (default ON — the re-scan costs dominate
+    // at every measured scale), released by the caller via
+    // Robust.unpersistPersisted(); long-lived sessions that cannot
+    // drain the queue pass `persistFingerprints = false`.
+    val fps0 =
       TextOps.winnowFingerprints(df, idCol, textCol, k, window)
-        .select(col(idCol).as("__id"), col("fp")).distinct())
+        .select(col(idCol).as("__id"), col("fp")).distinct()
+    val fps =
+      if (persistFingerprints) graft.ops.Robust.registerPersisted(fps0)
+      else fps0
     val keep = fps.groupBy("fp")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)

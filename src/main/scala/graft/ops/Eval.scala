@@ -558,12 +558,11 @@ object Eval {
     * through the devices' reads and releases via the
     * registerPersisted queue.
     *
-    * ==Cache contract== this operator PERSISTS its slim projection
-    * (MEMORY_AND_DISK) and, being lazy, cannot release it before the
-    * caller materializes the result: after consuming the returned
-    * frame, call [[graft.ops.Robust.unpersistPersisted]] (as
-    * Verify/Bench do per query) or the cached blocks accumulate
-    * across calls in a long-lived session.
+    * ==Cache contract== STRUCTURAL (none owed by the caller): the
+    * output is ONE row, so the slim projection persists inside a
+    * [[graft.ops.Robust.withPersisted]] scope — the result is
+    * materialized eagerly and the cache is released before this
+    * method returns. No cached blocks survive the call.
     *
     * Scale shape: one corpus scan to the slim projection; prefix
     * devices (one hash exchange each); one map-side-combined fold.
@@ -576,28 +575,29 @@ object Eval {
     val lbl = labelCol.cast("boolean")
     val micro = (round(col(scoreCol).cast("double"), 6)
       .cast("decimal(18,6)") * 1000000).cast("long")
-    val base = graft.ops.Robust.registerPersisted(
-      df.filter(col(scoreCol).isNotNull && lbl.isNotNull)
-        .select(col(idCol).as("__id"), (-micro).as("__negs"),
-          lbl.cast("long").as("__yl"))
-        .withColumn("__g", lit(1)).withColumn("__one", lit(1L)))
-    val rk = graft.ops.Rank.stratifiedPrefixSum(
-      base, "__g", Seq("__negs", "__id"), "__one")
-      .select(col("__id"), (col("prefix") + 1L).as("__k"))
-    val cp = graft.ops.Rank.stratifiedPrefixSum(
-      base, "__g", Seq("__negs", "__id"), "__yl")
-      .select(col("__id"), col("__yl"),
-        (col("prefix") + col("__yl")).as("__cum"))
-    val terms = cp.join(rk, "__id")
-      .select(col("__yl"),
-        when(col("__yl") === 1L,
-          round(col("__cum").cast("double") / col("__k").cast("double"), 6)
-            .cast("decimal(18,6)")).as("__t"))
-    terms.agg(count(lit(1)).as("n"), sum(col("__yl")).as("__p"),
-      sum(col("__t")).as("__s"))
-      .select(col("n").cast("long").as("n"),
-        col("__p").cast("long").as("n_pos"),
-        round(col("__s").cast("double") / col("__p").cast("double"), 6)
-          .as("ap"))
+    val slim = df.filter(col(scoreCol).isNotNull && lbl.isNotNull)
+      .select(col(idCol).as("__id"), (-micro).as("__negs"),
+        lbl.cast("long").as("__yl"))
+      .withColumn("__g", lit(1)).withColumn("__one", lit(1L))
+    graft.ops.Robust.withPersisted(slim, maxRows = 1L) { base =>
+      val rk = graft.ops.Rank.stratifiedPrefixSum(
+        base, "__g", Seq("__negs", "__id"), "__one")
+        .select(col("__id"), (col("prefix") + 1L).as("__k"))
+      val cp = graft.ops.Rank.stratifiedPrefixSum(
+        base, "__g", Seq("__negs", "__id"), "__yl")
+        .select(col("__id"), col("__yl"),
+          (col("prefix") + col("__yl")).as("__cum"))
+      val terms = cp.join(rk, "__id")
+        .select(col("__yl"),
+          when(col("__yl") === 1L,
+            round(col("__cum").cast("double") / col("__k").cast("double"), 6)
+              .cast("decimal(18,6)")).as("__t"))
+      terms.agg(count(lit(1)).as("n"), sum(col("__yl")).as("__p"),
+        sum(col("__t")).as("__s"))
+        .select(col("n").cast("long").as("n"),
+          col("__p").cast("long").as("n_pos"),
+          round(col("__s").cast("double") / col("__p").cast("double"), 6)
+            .as("ap"))
+    }
   }
 }

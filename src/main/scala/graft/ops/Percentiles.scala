@@ -226,10 +226,27 @@ object Percentiles {
       else
         (col("__higher").cast("double") - col("__pos")) * col("__vlo") +
           (col("__pos") - col("__lower").cast("double")) * col("__vhi")
-    val res = when(col("__vlo").isNull || col("__vhi").isNull,
-        raise_error(concat(lit("graft: percentile bracket miss at i="),
-          col("__i").cast("string"), lit(" — increase accuracy")))
-          .cast("double"))
+    val bracketMiss = when(col("__vlo").isNull || col("__vhi").isNull,
+      raise_error(concat(lit("graft: percentile bracket miss at i="),
+        col("__i").cast("string"), lit(" — increase accuracy")))
+        .cast("double"))
+    // tenths mode ENFORCES its integer-valued precondition: the exact
+    // integer interpolation casts the picked values to long, which
+    // would silently truncate a fractional double into a wrong
+    // quantile — fail loudly instead (mirrors the bracket-miss raise)
+    val guarded =
+      if (tenths)
+        bracketMiss.when(
+          col("__vlo") =!= floor(col("__vlo")).cast("double") ||
+            col("__vhi") =!= floor(col("__vhi")).cast("double"),
+          raise_error(concat(
+            lit("graft: exactTenths requires an INTEGER-valued column; "),
+            lit("picked non-integral value (vlo="),
+            col("__vlo").cast("string"), lit(", vhi="),
+            col("__vhi").cast("string"),
+            lit(") — use exact() for fractional data"))).cast("double"))
+      else bracketMiss
+    val res = guarded
       .when(col("__higher") === col("__lower"), col("__vlo"))
       .when(col("__vhi") === col("__vlo"), col("__vlo"))
       .otherwise(interp)

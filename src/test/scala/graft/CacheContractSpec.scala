@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The round-13 verdict's structural-cache directive: ops with
+  * driver-small outputs (averagePrecision, bm25Batch) must release
+  * their internal persists BEFORE returning — no cached blocks may
+  * survive an op call whose result was consumed, and nothing may be
+  * left in the registerPersisted queue for Verify/Bench to drain.
+  * Ops with unbounded outputs (winnowCandidates) instead expose the
+  * madOutliers-style persist opt-out.
+  */
+class CacheContractSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cachedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Other suites in the shared JVM may legitimately leave queued
+    * persists (the documented caller contract) — drain them so the
+    * zero-queue assertions below isolate THIS op's behavior. */
+  private def drained(): Unit = { graft.ops.Robust.unpersistPersisted(); () }
+
+  test("averagePrecision: no cached blocks survive, queue untouched") {
+    drained()
+    val before = cachedIds
+    val df = Seq((1L, 0.9, 1), (2L, 0.8, 0), (3L, 0.7, 1), (4L, 0.6, 0))
+      .toDF("id", "score", "y")
+    val r = graft.ops.Eval.averagePrecision(df, "id", "score", col("y"))
+    assert(r.collect().length == 1)
+    assert((cachedIds -- before).isEmpty,
+      s"cached RDDs leaked: ${cachedIds -- before}")
+    assert(graft.ops.Robust.unpersistPersisted() == 0,
+      "op enqueued into the caller-contract queue despite being structural")
+  }
+
+  test("bm25Batch: no cached blocks survive, queue untouched") {
+    drained()
+    val before = cachedIds
+    val docs = Seq((1L, "spark shuffle join"), (2L, "join order spark"),
+      (3L, "quantile sketch"), (4L, "sketch spark shuffle"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.CorpusStats.bm25Batch(docs, "doc_id", "text",
+      Seq("q1" -> Seq("spark", "join"), "q2" -> Seq("sketch")), topK = 2)
+    assert(r.count() > 0)
+    assert((cachedIds -- before).isEmpty,
+      s"cached RDDs leaked: ${cachedIds -- before}")
+    assert(graft.ops.Robust.unpersistPersisted() == 0,
+      "op enqueued into the caller-contract queue despite being structural")
+  }
+
+  test("bm25Batch result stays transformable after the eager scope") {
+    // the returned frame is a local relation; downstream relational
+    // composition must still work
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val r = graft.ops.CorpusStats.bm25Batch(docs, "doc_id", "text",
+      Seq("q" -> Seq("beta")), topK = 1)
+    assert(r.filter(col("rank") === 1L).select("query_id")
+      .as[String].collect().toSeq == Seq("q"))
+    graft.ops.Robust.unpersistPersisted()
+  }
+
+  test("withPersisted: exceeding the declared bound fails loudly") {
+    val before = cachedIds
+    val df = (1 to 100).toDF("v")
+    val e = intercept[IllegalStateException] {
+      graft.ops.Robust.withPersisted(df, maxRows = 10L)(identity)
+    }
+    assert(e.getMessage.contains("exceeded the declared bound"))
+    // the persist is released even on the failure path
+    assert((cachedIds -- before).isEmpty)
+  }
+
+  test("winnowCandidates: persistFingerprints=false leaves no cached blocks") {
+    drained()
+    val before = cachedIds
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about spark catalyst plans"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Dedup.winnowCandidates(docs, "doc_id", "text",
+      k = 12, window = 4, minShared = 1L, maxBucket = 100,
+      persistFingerprints = false)
+    assert(r.count() >= 1)
+    assert((cachedIds -- before).isEmpty,
+      s"cached RDDs leaked with persistFingerprints=false: ${cachedIds -- before}")
+    assert(graft.ops.Robust.unpersistPersisted() == 0)
+  }
+
+  test("winnowCandidates default still follows the queue contract") {
+    drained()
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Dedup.winnowCandidates(docs, "doc_id", "text",
+      k = 12, window = 4, minShared = 1L, maxBucket = 100)
+    r.count()
+    assert(graft.ops.Robust.unpersistPersisted() == 1,
+      "default winnow run should have exactly one queued persist")
+  }
+}

@@ -583,9 +583,50 @@ class JqSpec extends SparkSuite {
     val c3 = Jq.compile(prog3)(sdf).toJSON.collect().sorted.toSeq
     val r3 = JqEscapeHatch.rawApply(sdf.toJSON, prog3).collect().sorted.toSeq
     assert(c3 == r3, s"\ncompiled: $c3\nreal jq:  $r3")
-    // iterate nested inside a larger field expression → escape hatch
+    // iterate nested inside a NON-pipeline expression → escape hatch
+    // (generator pipelines compile since round 14 — pinned below)
     intercept[IllegalArgumentException] {
-      Jq.compile("{a: (.tags[] | ascii_upcase)}")(df).collect()
+      Jq.compile("{a: (.tags[] + \"x\")}")(df).collect()
+    }
+  }
+
+  test("generator pipelines compile: (.xs[] | STAGES) inside object construction") {
+    import graft.transform.JqEscapeHatch
+    // round-13 VERDICT directive 4: the nested-iterate pipeline was
+    // the next escape-hatch faller after the multi-generator
+    // cartesian. The element-1:1 pipeline compiles as a `transform`
+    // BEFORE the explode — same fan-out conventions as bare
+    // generators.
+    val df = Seq((1L, "alice", Seq("a", "bb")), (2L, "bob", Seq("ccc")),
+      (3L, "carol", Seq.empty[String])).toDF("id", "name", "tags")
+    val prog = "{who: .name, tag: (.tags[] | ascii_upcase)}"
+    val compiled = Jq.compile(prog)(df)
+    assert(compiled.columns.toSeq == Seq("who", "tag"))
+    val c = compiled.toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    // multi-stage pipeline, numeric result
+    val prog2 = "{n: (.tags[] | ascii_upcase | length), id: .id}"
+    val c2 = Jq.compile(prog2)(df).toJSON.collect().sorted.toSeq
+    val r2 = JqEscapeHatch.rawApply(df.toJSON, prog2).collect().sorted.toSeq
+    assert(c2 == r2, s"\ncompiled: $c2\nreal jq:  $r2")
+    // relative field hop on struct elements: (.items[] | .name)
+    val sdf = spark.range(2).selectExpr("id",
+      "array(named_struct('k', concat('v', id)), " +
+        "named_struct('k', concat('w', id))) AS es")
+    val prog3 = "{i: .id, k: (.es[] | .k)}"
+    val c3 = Jq.compile(prog3)(sdf).toJSON.collect().sorted.toSeq
+    val r3 = JqEscapeHatch.rawApply(sdf.toJSON, prog3).collect().sorted.toSeq
+    assert(c3 == r3, s"\ncompiled: $c3\nreal jq:  $r3")
+    // pipelined generator CROSSED with a bare generator
+    val xdf = Seq((1L, Seq("a", "b"), Seq(10L, 20L))).toDF("id", "xs", "ys")
+    val prog4 = "{a: (.xs[] | ascii_upcase), b: .ys[]}"
+    val c4 = Jq.compile(prog4)(xdf).toJSON.collect().sorted.toSeq
+    val r4 = JqEscapeHatch.rawApply(xdf.toJSON, prog4).collect().sorted.toSeq
+    assert(c4 == r4, s"\ncompiled: $c4\nreal jq:  $r4")
+    // a cardinality-CHANGING pipeline (select) must still reject
+    intercept[IllegalArgumentException] {
+      Jq.compile("{a: (.tags[] | select(. != \"a\"))}")(df).collect()
     }
   }
 

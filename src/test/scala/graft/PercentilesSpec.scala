@@ -126,4 +126,20 @@ class PercentilesSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("multiples of 0.1"), e.getMessage)
   }
+
+  test("exactTenths fails loudly on non-integral values (no silent truncation)") {
+    // the integer interpolation casts picked values to long; a caller
+    // passing fractional doubles must get an error, not a silently
+    // truncated quantile
+    val df = Seq(1.5, 2.5, 3.5, 4.5).toDF("v")
+    val e = intercept[Exception] {
+      Percentiles.exactTenths(df, Nil, "v", Seq(0.5), 100)
+        .select("pcts").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("INTEGER-valued")),
+      s"expected the integral-precondition raise, got: ${messages(e)}")
+  }
 }

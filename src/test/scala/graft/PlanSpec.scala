@@ -395,7 +395,13 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q125 batch retrieval: broadcast stats row; per-query top-k rides the stratified-rank device") {
-    val p = finalPlan(SparkEntry.queries("q125_bm25_batch")(spark, sfDir))
+    // bm25Batch is now EAGER (structural persist scope returns a local
+    // relation), so the pin inspects the internal lazy stages it runs
+    val scoredStage = graft.ops.CorpusStats.bm25BatchScored(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      Seq("q1" -> Seq("spark", "join"), "q2" -> Seq("sketch")))
+    val p = finalPlan(graft.ops.CorpusStats.bm25BatchRank(
+      scoredStage, "doc_id", topK = 5))
     assert(!p.contains("Scan ExistingRDD"), p) // no checkpoint barrier
     assert(p.contains("graft_keytable"), p) // rank lookup at spec scale
     // the broadcast contract is pinned on the single-query scorer,

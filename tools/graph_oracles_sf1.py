@@ -46,8 +46,26 @@ print("e0 staged in", round(time.time() - t0, 1), "s:",
 for q in sys.argv[3:]:
     sql = o[q]
     # drop the leading `WITH e0 AS (...)` / `WITH e AS MATERIALIZED (...)`
-    # CTE (all three end in the same "GROUP BY 1, 2),") and keep the rest
-    j = sql.index("GROUP BY 1, 2),") + len("GROUP BY 1, 2),")
+    # CTE (all three end in the same "GROUP BY 1, 2),") and keep the rest.
+    # Guardrails: the split anchor must be UNIQUE in the oracle text and
+    # the stripped prefix must actually be the nation-graph CTE we stage
+    # above — a reformatted oracle or an earlier matching substring would
+    # otherwise mis-split silently and run with wrong semantics.
+    anchor = "GROUP BY 1, 2),"
+    if sql.count(anchor) != 1:
+        sys.exit(f"{q}: expected exactly one {anchor!r} in the oracle "
+                 f"(found {sql.count(anchor)}) — staging anchor is stale, "
+                 "update graph_oracles_sf1.py")
+    j = sql.index(anchor) + len(anchor)
+    prefix = sql[:j]
+    if not prefix.startswith("WITH e"):
+        sys.exit(f"{q}: stripped prefix does not start with the e0/e CTE "
+                 f"(got {prefix[:40]!r}) — staging anchor is stale")
+    for frag in ("o_custkey = c.c_custkey", "l_orderkey",
+                 "s_nationkey", anchor):
+        if frag not in prefix:
+            sys.exit(f"{q}: stripped prefix missing {frag!r} — it is not "
+                     "the staged nation-graph CTE, refusing to mis-split")
     staged = "WITH " + sql[j:].lstrip()
     t0 = time.time()
     df = con.execute(staged).fetchdf()
