@@ -88,25 +88,32 @@ object Bench {
     // (local iteration; force with SPARK_GRAFT_BENCH_TRANSFER=1) or
     // SPARK_GRAFT_BENCH_TRANSFER=0.
     val transferEnv = sys.env.get("SPARK_GRAFT_BENCH_TRANSFER")
-    val transferJson: String =
-      if (transferEnv.contains("0") ||
-          (only.isDefined && !transferEnv.contains("1"))) ""
-      else {
-        val dir = java.nio.file.Paths.get("target/bench_transfer")
-        java.nio.file.Files.createDirectories(dir)
-        val in = dir.resolve("in.json")
-        val nRec = 1000000
-        if (!java.nio.file.Files.exists(in)) {
-          val w = new java.io.BufferedWriter(
-            new java.io.FileWriter(in.toFile), 1 << 20)
-          var i = 0
-          while (i < nRec) {
-            w.write(s"""{"id":$i,"name":"user_${i % 100000}","age":${18 + i % 60}}""")
-            w.write("\n")
-            i += 1
-          }
-          w.close()
+    val benchPipelines =
+      !(transferEnv.contains("0") ||
+        (only.isDefined && !transferEnv.contains("1")))
+    val nRec = 1000000
+    def transferInput(): java.nio.file.Path = {
+      val dir = java.nio.file.Paths.get("target/bench_transfer")
+      java.nio.file.Files.createDirectories(dir)
+      val in = dir.resolve("in.json")
+      if (!java.nio.file.Files.exists(in)) {
+        val w = new java.io.BufferedWriter(
+          new java.io.FileWriter(in.toFile), 1 << 20)
+        var i = 0
+        while (i < nRec) {
+          w.write(s"""{"id":$i,"name":"user_${i % 100000}","age":${18 + i % 60}}""")
+          w.write("\n")
+          i += 1
         }
+        w.close()
+      }
+      in
+    }
+    val transferJson: String =
+      if (!benchPipelines) ""
+      else {
+        val in = transferInput()
+        val dir = in.getParent
         val times = (0 until 2).map { r =>
           val out = dir.resolve(s"out$r").toString
           val t0 = System.nanoTime()
@@ -118,6 +125,32 @@ object Bench {
         }
         val sec = times.min
         f""","transfer":{"rows":$nRec,"sec":$sec%.3f,""" +
+          s""""rec_per_sec":${(nRec / sec).toInt}}"""
+      }
+    // MultiSinkPipeline (D5) timed entry (round-13 verdict item 7):
+    // the same 1M-record NDJSON input through persist-once → count →
+    // TWO format-divergent file sinks (NDJSON + headered CSV) in one
+    // Pipeline.run. The contract under test at scale: the source is
+    // read and transformed ONCE (MEMORY_AND_DISK persist), each sink
+    // pays only its own format/write cost — vs re-running the plan
+    // per sink. min-of-2, same methodology as `transfer`.
+    val multisinkJson: String =
+      if (!benchPipelines) ""
+      else {
+        val in = transferInput()
+        val dir = in.getParent
+        val times = (0 until 2).map { r =>
+          val t0 = System.nanoTime()
+          graft.pipeline.Pipeline.run(spark, graft.pipeline.Pipeline.Spec(
+            from = "FILE", to = Seq("FILE", "OSS"),
+            env = Map("FILE__SOURCE_URI" -> in.toString,
+              "FILE__DESTINATION_URI" -> dir.resolve(s"msink_json$r").toString,
+              "OSS__DESTINATION_URI" ->
+                (dir.resolve(s"msink_csv$r").toString + ".csv"))))
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sec = times.min
+        f""","multisink":{"rows":$nRec,"sinks":2,"sec":$sec%.3f,""" +
           s""""rec_per_sec":${(nRec / sec).toInt}}"""
       }
     // a query that threw must not fold its (fast-failure) wall time into
@@ -133,10 +166,10 @@ object Bench {
     // transfer goes LAST on the line: the driver keeps the stdout TAIL,
     // so the baseline figure must sit at the end to survive truncation
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"$transferJson}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"$multisinkJson$transferJson}"""
     println(json)
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"$transferJson}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"$multisinkJson$transferJson}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
