@@ -37,6 +37,10 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *   - `reduce .xs[] as $x (INIT; UPDATE)` → the `aggregate` HOF
   *     (map-only fold; `.` = accumulator, `$x` = element; numeric
   *     seeds accumulate in double, jq's number type)
+  *   - `until(COND; UPDATE)` in piped value position — a bounded
+  *     `aggregate` fold (100 steps, each a no-op once converged);
+  *     divergence raises loudly instead of returning a
+  *     non-converged value
   *   - predicates/exprs: == != < <= > >= and or not, + - * / %,
   *     string/number/bool/null literals, `length`, `ascii_downcase`,
   *     `ascii_upcase`, `tostring`, `tonumber`, `floor`, `fabs`,
@@ -808,6 +812,10 @@ object Jq {
               (map_from_entries(transform(map_entries(c),
                 x => toColumn(body, env.copy(dot = Some(x), dotType = et)))),
                 false, None)
+            // until(COND; UPDATE): bounded convergence fold over `.`
+            // (type-stable — the tracked kind survives)
+            case Call("until", Seq(cond, update)) =>
+              (untilCol(c, curT, cond, update, env), isArr, curT)
             case Call(fn, Nil) => (applyFn(fn, c, env.inTry), false, None)
             case other => throw new IllegalArgumentException(
               s"unsupported piped jq call: $other")
@@ -861,7 +869,36 @@ object Jq {
   private val pipedStageFns: Set[String] = Set(
     "split", "join", "ltrimstr", "rtrimstr", "startswith", "endswith",
     "test", "map", "sort_by", "group_by", "unique_by", "map_values",
-    "with_entries", "has")
+    "with_entries", "has", "until")
+
+  /** `until(COND; UPDATE)` — jq's convergence loop: apply UPDATE to
+    * `.` while COND is false, return the first value satisfying COND.
+    * Catalyst has no data-dependent loop, so the compile is a BOUNDED
+    * fold: `aggregate(sequence(1, CAP), input, acc => if cond(acc)
+    * then acc else update(acc))` — each of the CAP steps is a no-op
+    * once converged — followed by a loud raise_error if COND still
+    * fails after CAP steps (divergence must error, never silently
+    * return a non-converged value; true jq would hang there anyway).
+    * CAP = 100 covers every geometric/counting loop over the double
+    * range (2^100 ≫ 1e308 is unreachable; long doubling from 1
+    * converges in 63).
+    */
+  private val UntilCap = 100
+  private def untilCol(c: Column, t: Option[org.apache.spark.sql.types.DataType],
+      cond: Expr, update: Expr, env: Env): Column = {
+    def bound(x: Column) = env.copy(dot = Some(x), dotType = t)
+    val stepped = aggregate(sequence(lit(1), lit(UntilCap)), c,
+      (acc, _) => when(toColumn(cond, bound(acc)), acc)
+        .otherwise(toColumn(update, bound(acc))))
+    // raise_error is NullType — when-coercion folds it into the
+    // converged branch's type like a null literal
+    when(toColumn(cond, bound(stepped)), stepped)
+      .otherwise(raise_error(concat(
+        lit(s"graft jq: until() did not converge within $UntilCap " +
+          "iterations (value "),
+        stepped.cast("string"),
+        lit(") — use the JqEscapeHatch for unbounded loops"))))
+  }
 
   private def applyFn(fn: String, c: Column, inTry: Boolean = false): Column = fn match {
     case "length" => length(c)
