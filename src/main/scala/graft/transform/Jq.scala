@@ -41,6 +41,11 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *     `aggregate` fold (100 steps, each a no-op once converged);
   *     divergence raises loudly instead of returning a
   *     non-converged value
+  *   - `if C then A elif C2 then B else E end` → a `when` chain with
+  *     jq truthiness (false/null falsy, EVERYTHING else truthy —
+  *     0 and "" included; the condition's kind must be statically
+  *     known). Value position, and stage position when every object
+  *     branch constructs the same field set
   *   - predicates/exprs: == != < <= > >= and or not, + - * / %,
   *     string/number/bool/null literals, `length`, `ascii_downcase`,
   *     `ascii_upcase`, `tostring`, `tonumber`, `floor`, `fabs`,
@@ -106,6 +111,9 @@ object Jq {
   case class Pipe(stages: Seq[Expr]) extends Expr
   case class TryCatch(body: Expr, handler: Option[Expr]) extends Expr
   case class Reduce(src: Expr, varName: String, init: Expr, update: Expr) extends Expr
+  /** `if C then A (elif C2 then B)* (else E)? end`; a missing else is
+    * jq's implicit `else .` (the input value passes through). */
+  case class IfElse(cases: Seq[(Expr, Expr)], els: Option[Expr]) extends Expr
 
   // ---------------------------------------------------------- tokenizer
   private sealed trait Tok
@@ -351,6 +359,37 @@ object Jq {
         val update = parseProgram()
         expect(")")
         Reduce(src, varName, init, update)
+      case TIdent("if") =>
+        // `if C then A (elif C2 then B)* (else E)? end` — then/elif/
+        // else/end are plain idents the expression parsers never
+        // consume, so parseProgram stops right before each keyword
+        val cases = scala.collection.mutable.ListBuffer.empty[(Expr, Expr)]
+        def arm(): Unit = {
+          val c = parseProgram()
+          next() match {
+            case TIdent("then") => ()
+            case other => throw new IllegalArgumentException(
+              s"if: expected 'then', got $other")
+          }
+          cases += c -> parseProgram()
+        }
+        arm()
+        var els: Option[Expr] = None
+        var done = false
+        while (!done) next() match {
+          case TIdent("elif") => arm()
+          case TIdent("else") =>
+            els = Some(parseProgram())
+            next() match {
+              case TIdent("end") => done = true
+              case other => throw new IllegalArgumentException(
+                s"if: expected 'end' after else branch, got $other")
+            }
+          case TIdent("end") => done = true
+          case other => throw new IllegalArgumentException(
+            s"if: expected elif/else/end, got $other")
+        }
+        IfElse(cases.toSeq, els)
       case TIdent(fn) =>
         peek match {
           case Some(TSym("(")) =>
@@ -449,6 +488,9 @@ object Jq {
     // reduce CONSUMES its iterated source into one scalar — it is not
     // a fan-out generator, so only its init/update bodies matter here
     case Reduce(_, _, i, u) => containsIterate(i) || containsIterate(u)
+    case IfElse(cs, els) =>
+      cs.exists { case (c, t) => containsIterate(c) || containsIterate(t) } ||
+        els.exists(containsIterate)
     case _ => false
   }
 
@@ -486,6 +528,9 @@ object Jq {
     case ArrLit(items) => items.exists(errorProne)
     case TryCatch(b, h) => errorProne(b) || h.exists(errorProne)
     case Reduce(s, _, i, u) => errorProne(s) || errorProne(i) || errorProne(u)
+    case IfElse(cs, els) =>
+      cs.exists { case (c, t) => errorProne(c) || errorProne(t) } ||
+        els.exists(errorProne)
     case _ => false
   }
 
@@ -511,7 +556,40 @@ object Jq {
     case Reduce(s, _, i, u) =>
       absorbsErrorNull(s) || absorbsErrorNull(i) || absorbsErrorNull(u)
     case TryCatch(b, h) => absorbsErrorNull(b) || h.exists(absorbsErrorNull)
+    // the truthiness compile maps a null condition to the else branch
+    // — an error-null from a tonumber in the CONDITION would be
+    // absorbed into "false" where jq raises
+    case IfElse(cs, els) =>
+      cs.exists { case (c, t) =>
+        errorProne(c) || absorbsErrorNull(c) || absorbsErrorNull(t) } ||
+        els.exists(absorbsErrorNull)
     case _ => false
+  }
+
+  /** jq truthiness of a compiled condition: false/null falsy, every
+    * other VALUE truthy (0 and "" included). Needs the condition's
+    * static kind — boolean kinds map null → false; non-boolean kinds
+    * are truthy exactly when non-null; an untypeable condition is
+    * rejected toward the escape hatch rather than guessed. */
+  private def truthy(e: Expr, env: Env): Column = {
+    val c = toColumn(e, env)
+    val kind = e match {
+      // relative paths under a bound `.` type from dotType, never the
+      // root schema (the round-9 lambda-shadowing rule)
+      case FieldPath(p, false, ix) if env.dot.isDefined =>
+        env.dotType.flatMap {
+          case st: StructType => pathType(st, p, ix)
+          case _ => None
+        }.map(kindOfType)
+      case _ => inferKind(e, env)
+    }
+    kind match {
+      case Some(KBool) => coalesce(c, lit(false))
+      case Some(KNull) => lit(false)
+      case Some(_) => c.isNotNull
+      case None => throw new IllegalArgumentException(
+        "if: condition type is not statically known — use the JqEscapeHatch")
+    }
   }
 
   /** Compile a value-position expression to a Column. */
@@ -558,6 +636,20 @@ object Jq {
       }
       aggregate(arr, zero,
         (acc, x) => toColumn(update, Env(Some(acc), env.vars + (v -> x))))
+    case IfElse(cases, els) =>
+      // jq truthiness: false and null are falsy, EVERYTHING else is
+      // truthy (including 0 and "") — so a non-boolean condition
+      // compiles to isNotNull and a boolean one maps null → false.
+      // A missing else is jq's `else .` (needs a bound `.`; at top
+      // level the record has no single-column identity — escape
+      // hatch via the Identity throw).
+      val elseCol = els match {
+        case Some(e) => toColumn(e, env)
+        case None => toColumn(Identity, env)
+      }
+      cases.foldRight(elseCol) { case ((c, t), acc) =>
+        when(truthy(c, env), toColumn(t, env)).otherwise(acc)
+      }
     // with `.` bound (inside map/sort_by lambdas and reduce updates)
     // paths are RELATIVE to the bound value, like jq; at top level
     // they address record columns
@@ -1024,6 +1116,19 @@ object Jq {
         case _ => None
       }
     case Reduce(_, _, init, _) => inferKind(init, env)
+    case IfElse(cs, els) if els.isDefined =>
+      val ks = (cs.map(_._2) ++ els.toSeq).map(inferKind(_, env))
+      if (ks.exists(_.isEmpty)) None
+      else ks.flatten.foldLeft(Option.empty[Kind]) {
+        case (None, b) => Some(b)
+        case (Some(a), b) if a == b => Some(a)
+        case (Some(KNull), b) => Some(b)
+        case (Some(a), KNull) => Some(a)
+        case _ => Some(KJson) // mixed kinds — not scalar-typeable
+      } match {
+        case Some(KJson) if ks.flatten.distinct.size > 1 => None
+        case k => k
+      }
     case _ => None
   }
 
@@ -1338,6 +1443,22 @@ object Jq {
         case _: StructType if p.size == 1 => df.select(col(p.head + ".*"))
         case _ => df.select(fieldCol(p).as(p.last))
       }
+    // stage-position `if` with OBJECT branches: jq emits an object →
+    // record columns. The static schema requires every branch
+    // (including an explicit else) to construct the SAME field set;
+    // the per-field value is the struct-typed when-chain's field.
+    // Scalar-branched ifs fall through to the generic value path.
+    case ife @ IfElse(cases, els)
+        if (cases.map(_._2) ++ els.toSeq).exists(_.isInstanceOf[ObjectLit]) =>
+      val branches = cases.map(_._2) ++ els.toSeq
+      val fieldSets = branches.collect { case ObjectLit(fs) => fs.map(_._1) }
+      if (els.isEmpty || fieldSets.size != branches.size ||
+          fieldSets.distinct.size != 1)
+        throw new IllegalArgumentException(
+          "if: object branches must all construct the same field set " +
+            "(with an explicit else) — use the JqEscapeHatch")
+      val c = toColumn(ife, env)
+      df.select(fieldSets.head.map(n => c.getField(n).as(n)): _*)
     case other => // predicate-shaped stage → treat as computed value named "value"
       df.select(toColumn(other, env).as("value"))
   }

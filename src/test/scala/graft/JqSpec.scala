@@ -630,6 +630,50 @@ class JqSpec extends SparkSuite {
     }
   }
 
+  test("if/elif/else compiles to a when chain with jq truthiness") {
+    import graft.transform.JqEscapeHatch
+    val df = Seq((1L, "alice", 25L), (2L, "bob", 3L), (3L, "carol", 60L))
+      .toDF("id", "name", "age")
+    // value position + elif chain
+    val prog = "{id: .id, band: (if .age < 10 then \"kid\" elif .age < 30 " +
+      "then \"adult\" else \"senior\" end)}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    // jq truthiness: a NUMBER condition is truthy even at 0; NULL is
+    // falsy — both pinned against real jq
+    val ndf = Seq((1L, Some(0L)), (2L, None), (3L, Some(7L))).toDF("id", "x")
+    val prog2 = "{id: .id, f: (if .x then \"has\" else \"none\" end)}"
+    val c2 = Jq.compile(prog2)(ndf).toJSON.collect().sorted.toSeq
+    val r2 = JqEscapeHatch.rawApply(ndf.toJSON, prog2).collect().sorted.toSeq
+    assert(c2 == r2, s"\ncompiled: $c2\nreal jq:  $r2")
+    // explicit else inside map, pinned vs real jq (the sandbox binary
+    // is jq 1.6, which REQUIRES else)
+    val adf = Seq((1L, Seq(1L, 20L, 3L))).toDF("id", "xs")
+    val prog3 = "{id: .id, ys: (.xs | map(if . < 10 then . * 100 else . end))}"
+    val c3 = Jq.compile(prog3)(adf).toJSON.collect().sorted.toSeq
+    val r3 = JqEscapeHatch.rawApply(adf.toJSON, prog3).collect().sorted.toSeq
+    assert(c3 == r3, s"\ncompiled: $c3\nreal jq:  $r3")
+    // missing else = jq 1.7's implicit `else .` — compiled identically
+    // to the explicit form (no 1.7 binary in the sandbox to pin against)
+    val prog3b = "{id: .id, ys: (.xs | map(if . < 10 then . * 100 end))}"
+    assert(Jq.compile(prog3b)(adf).toJSON.collect().sorted.toSeq == c3)
+    // stage position with object branches over the same field set
+    val prog4 = "if .age >= 30 then {id: .id, who: .name} " +
+      "else {id: (.id * 10), who: \"minor\"} end"
+    val c4 = Jq.compile(prog4)(df).toJSON.collect().sorted.toSeq
+    val r4 = JqEscapeHatch.rawApply(df.toJSON, prog4).collect().sorted.toSeq
+    assert(c4 == r4, s"\ncompiled: $c4\nreal jq:  $r4")
+    // mismatched object field sets must reject toward the hatch
+    intercept[IllegalArgumentException] {
+      Jq.compile("if .age > 30 then {a: .id} else {b: .id} end")(df).collect()
+    }
+    // untypeable condition rejects rather than guessing truthiness
+    intercept[IllegalArgumentException] {
+      Jq.compile("{y: (if .nosuchfield then 1 else 2 end)}")(df).collect()
+    }
+  }
+
   test("until(cond; update) compiles as a bounded fold and matches real jq") {
     import graft.transform.JqEscapeHatch
     // round-13 VERDICT directive 4, second form: jq's convergence
