@@ -28,10 +28,17 @@ class JqEscapeSpec extends SparkSuite {
   }
 
   test("pipeline falls back to the escape hatch for non-subset programs") {
+    // `tojson` is outside the compiled function set (applyFn throws),
+    // so this program must route through the real-jq hatch. (Array
+    // indexing, the original fixture here, compiles since round 12.)
     val df = Pipeline.transform(people, Pipeline.Spec("FILE", Nil,
-      Map("JQ__QUERY" -> "{id, first_tag: .tags[0]}"))) // indexing: not in subset
-    assert(df.columns.sorted.toSeq == Seq("first_tag", "id"))
-    assert(df.filter($"id" === 1).select("first_tag").as[String].head() == "a")
+      Map("JQ__QUERY" -> "{id, t: (.tags | tojson)}")))
+    assert(df.columns.sorted.toSeq == Seq("id", "t"))
+    assert(df.filter($"id" === 1).select("t").as[String].head() == """["a","b"]""")
+    // and the compiled-since-round-12 indexing form still works inline
+    val df2 = Pipeline.transform(people, Pipeline.Spec("FILE", Nil,
+      Map("JQ__QUERY" -> "{id, first_tag: .tags[0]}")))
+    assert(df2.filter($"id" === 1).select("first_tag").as[String].head() == "a")
   }
 
   test("record_total_count broadcast stamp (client_reader.go:166)") {
