@@ -72,3 +72,32 @@ for q in sys.argv[3:]:
     print(q, "rows:", len(df), "in", round(time.time() - t0, 1), "s",
           flush=True)
     df.to_parquet(f"/tmp/{q}_oracle.parquet")
+    # compare against the Verify output with check.py's column-sorted
+    # value compare, so the staged gate is PASS/FAIL in one command
+    got = con.execute(
+        f"SELECT * FROM read_parquet('{out_dir}/{q}/*.parquet')").fetchdf()
+    want = df
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {q}: columns {list(got.columns)} != {list(want.columns)}")
+        continue
+    if len(got) != len(want):
+        print(f"FAIL {q}: rows {len(got)} != {len(want)}")
+        continue
+    gv = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    wv = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+    import pandas as pd
+    bad = None
+    for c in gv.columns:
+        a, b = gv[c], wv[c]
+        try:
+            b = b.astype(a.dtype, errors="ignore")
+        except Exception:
+            pass
+        eq = (a == b) | (pd.isna(a) & pd.isna(b))
+        if not eq.all():
+            i = eq.idxmin()
+            bad = f"col {c} row {i}: {a[i]!r} != {b[i]!r}"
+            break
+    print(f"FAIL {q}: {bad}" if bad else f"PASS {q} ({len(got)} rows)")
