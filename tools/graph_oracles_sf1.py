@@ -19,6 +19,7 @@ Writes each oracle result to /tmp/<q>_oracle.parquet; compare against
 import duckdb, json, glob, os, sys, time
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+n_pass = n_fail = 0
 con = duckdb.connect()
 con.execute("SET memory_limit='%s'" % os.environ.get("CHECK_MEM", "60GB"))
 con.execute("SET temp_directory='%s'" % (out_dir + "/.ducktmp"))
@@ -46,26 +47,39 @@ print("e0 staged in", round(time.time() - t0, 1), "s:",
 for q in sys.argv[3:]:
     sql = o[q]
     # drop the leading `WITH e0 AS (...)` / `WITH e AS MATERIALIZED (...)`
-    # CTE (all three end in the same "GROUP BY 1, 2),") and keep the rest.
-    # Guardrails: the split anchor must be UNIQUE in the oracle text and
-    # the stripped prefix must actually be the nation-graph CTE we stage
-    # above — a reformatted oracle or an earlier matching substring would
-    # otherwise mis-split silently and run with wrong semantics.
+    # CTE (all three START with it and its body ends in the first
+    # "GROUP BY 1, 2),") and keep the rest. Guardrail: the stripped
+    # prefix must actually BE the staged nation-graph CTE — validated
+    # by content below, since the anchor itself is NOT unique (q186's
+    # label-propagation rounds legitimately contain more of them); a
+    # reformatted oracle would otherwise mis-split silently and run
+    # with wrong semantics.
     anchor = "GROUP BY 1, 2),"
-    if sql.count(anchor) != 1:
-        sys.exit(f"{q}: expected exactly one {anchor!r} in the oracle "
-                 f"(found {sql.count(anchor)}) — staging anchor is stale, "
-                 "update graph_oracles_sf1.py")
+    def split_guard():
+        if anchor not in sql:
+            return f"staging anchor {anchor!r} not found"
+        j = sql.index(anchor) + len(anchor)
+        prefix = sql[:j]
+        if not prefix.startswith("WITH e"):
+            return (f"stripped prefix does not start with the e0/e CTE "
+                    f"(got {prefix[:40]!r})")
+        # exactly ONE CTE opener may precede the split — if the e0 CTE's
+        # own GROUP BY were reformatted, the first anchor would sit in a
+        # LATER CTE and the prefix would swallow it
+        if prefix.count(" AS (") + prefix.count(" AS MATERIALIZED (") != 1:
+            return "stripped prefix spans more than the e0/e CTE"
+        for frag in ("o_custkey = c.c_custkey", "l_orderkey", "s_nationkey"):
+            if frag not in prefix:
+                return (f"stripped prefix missing {frag!r} — not the "
+                        "staged nation-graph CTE")
+        return None
+    bad_split = split_guard()
+    if bad_split:
+        print(f"FAIL {q}: {bad_split} — refusing to mis-split; "
+              "update graph_oracles_sf1.py")
+        n_fail += 1
+        continue
     j = sql.index(anchor) + len(anchor)
-    prefix = sql[:j]
-    if not prefix.startswith("WITH e"):
-        sys.exit(f"{q}: stripped prefix does not start with the e0/e CTE "
-                 f"(got {prefix[:40]!r}) — staging anchor is stale")
-    for frag in ("o_custkey = c.c_custkey", "l_orderkey",
-                 "s_nationkey", anchor):
-        if frag not in prefix:
-            sys.exit(f"{q}: stripped prefix missing {frag!r} — it is not "
-                     "the staged nation-graph CTE, refusing to mis-split")
     staged = "WITH " + sql[j:].lstrip()
     t0 = time.time()
     df = con.execute(staged).fetchdf()
@@ -81,9 +95,11 @@ for q in sys.argv[3:]:
     want = want.reindex(sorted(want.columns), axis=1)
     if list(got.columns) != list(want.columns):
         print(f"FAIL {q}: columns {list(got.columns)} != {list(want.columns)}")
+        n_fail += 1
         continue
     if len(got) != len(want):
         print(f"FAIL {q}: rows {len(got)} != {len(want)}")
+        n_fail += 1
         continue
     gv = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     wv = want.sort_values(by=list(want.columns)).reset_index(drop=True)
@@ -100,4 +116,12 @@ for q in sys.argv[3:]:
             i = eq.idxmin()
             bad = f"col {c} row {i}: {a[i]!r} != {b[i]!r}"
             break
-    print(f"FAIL {q}: {bad}" if bad else f"PASS {q} ({len(got)} rows)")
+    if bad:
+        print(f"FAIL {q}: {bad}")
+        n_fail += 1
+    else:
+        print(f"PASS {q} ({len(got)} rows)")
+        n_pass += 1
+
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)

@@ -66,9 +66,11 @@ if [ -n "$PLAIN" ]; then
 fi
 if [ -n "$GRAPH" ]; then
   echo "== staged graph oracles ($GRAPH)"
+  # the runner exits nonzero on any FAIL; || RC=1 records it without
+  # aborting the gate mid-report (set -e + pipefail otherwise would)
   CHECK_MEM="${CHECK_MEM:-60GB}" \
     python3 tools/graph_oracles_sf1.py "$PWD/target/sf1" "$OUT" \
-    $(echo "$GRAPH" | tr ',' ' ') | tee /tmp/sf1_graph_gate.log
+    $(echo "$GRAPH" | tr ',' ' ') | tee /tmp/sf1_graph_gate.log || RC=1
   grep -q "FAIL" /tmp/sf1_graph_gate.log && RC=1
 fi
 exit $RC
