@@ -555,8 +555,7 @@ object Eval {
     * value-pinned prefix devices joined on the id; each precision
     * term rounds to 6 dp and sums as DECIMAL(18,6) (the q181
     * term-sum device); the slim (id, score, y) projection persists
-    * through the devices' reads and releases via the
-    * registerPersisted queue.
+    * through the devices' reads inside the structural scope below.
     *
     * ==Cache contract== STRUCTURAL (none owed by the caller): the
     * output is ONE row, so the slim projection persists inside a

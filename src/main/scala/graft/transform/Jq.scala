@@ -597,7 +597,9 @@ object Jq {
 
   private def toColumn(e: Expr, env: Env): Column = e match {
     case Identity => env.dot.getOrElse(throw new IllegalArgumentException(
-      "bare '.' in value position is only supported inside reduce"))
+      "bare '.' in value position needs a bound value (reduce/map/" +
+        "until bodies, implicit if-else) — at top level the record " +
+        "has no single-column identity; use the JqEscapeHatch"))
     case VarRef(n) => env.vars.getOrElse(n, throw new IllegalArgumentException(
       s"unbound jq variable $$$n"))
     case TryCatch(body, Some(handler)) =>
