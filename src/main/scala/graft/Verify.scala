@@ -30,6 +30,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+        // progress marker BEFORE the run so engine WARNs (double
+        // persist, giant tasks, single-partition windows) are
+        // attributable to a query from the interleaved stderr log
+        System.err.println(s"[verify] running $name")
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

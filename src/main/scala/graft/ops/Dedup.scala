@@ -235,8 +235,12 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val sh = gramRows(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // released via the registerPersisted queue (Verify/Bench drain
+    // per query; library callers call Robust.unpersistPersisted) —
+    // a raw persist here leaked corpus-scan-sized gram tables across
+    // a whole session (round-14 sweep)
+    val sh = graft.ops.Robust.registerPersisted(
+      gramRows(df, idCol, textCol, n))
     val freq = sh.groupBy("gram").agg(count(lit(1)).as("__df"))
     val perDoc = sh.join(freq, "gram")
       .groupBy("__id")
@@ -307,8 +311,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3): DataFrame = {
-    val sh = gramRows(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // queue-released like prefixFilterJaccardPairs above
+    val sh = graft.ops.Robust.registerPersisted(
+      gramRows(df, idCol, textCol, n))
     val freq = sh.groupBy("gram").agg(count(lit(1)).as("__df"))
     sh.join(freq, "gram")
       .groupBy("__id")
@@ -895,8 +900,9 @@ object Dedup {
     // scan (observed: 6 duplicate scans). Persist it once — at 100 TB
     // this is the standard "materialize the shingle table" step of a
     // Jaccard pipeline.
-    val sh = gramRows(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // queue-released like prefixFilterJaccardPairs above
+    val sh = graft.ops.Robust.registerPersisted(
+      gramRows(df, idCol, textCol, n))
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("n_grams"))
     // Pair generation via gram buckets instead of a self-join: one
     // groupBy(gram) replaces [freq-aggregate ×2 + shuffle-join ×2].

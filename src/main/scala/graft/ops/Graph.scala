@@ -47,11 +47,15 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "weightedPageRank: empty node set")
     val outw = edges.groupBy(col(srcCol)).agg(sum(col(wCol)).as("__tw"))
-    val e = edges
+    // the loop references e every round and the returned rank frame
+    // is lazy, so the cache must outlive this call — queue-released
+    // (Verify/Bench drain per query; library callers call
+    // Robust.unpersistPersisted). A raw persist here leaked the edge
+    // relation for the rest of the session (round-14 sweep).
+    val e = graft.ops.Robust.registerPersisted(edges
       .join(outw, srcCol)
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
-        col(wCol).cast("double").as("__w"), col("__tw").cast("double"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        col(wCol).cast("double").as("__w"), col("__tw").cast("double")))
     val ids = nodes.select(col(idCol).as("__id"))
     var r = ids.select(col("__id"),
       round(lit(1.0) / n.toDouble, 12).as("__r"))

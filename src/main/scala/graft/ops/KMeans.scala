@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed Lloyd's k-means over an embedding column — the
   * clustering pass behind SemDeDup-style pruning, topic bucketing, and
@@ -61,8 +60,10 @@ object KMeans {
     *
     * `persistVectors = true` caches the projected vector column
     * (memory-and-disk) for the duration of the iteration loop AND the
-    * returned assignment plan; the cache lives until the caller drops
-    * it (`spark.catalog.clearCache()`) or the session ends.
+    * returned assignment plan, released via the registerPersisted
+    * queue: after materializing, call
+    * [[graft.ops.Robust.unpersistPersisted]] (as Verify/Bench do per
+    * query) — the madOutliers/winnow contract.
     */
   def lloyd(
       df: DataFrame,
@@ -79,7 +80,7 @@ object KMeans {
       else col(vecCol).cast("array<double>")
     val withXe0 = df.select(col(idCol), xe.as("__xe"))
     val withXe =
-      if (persistVectors) withXe0.persist(StorageLevel.MEMORY_AND_DISK)
+      if (persistVectors) graft.ops.Robust.registerPersisted(withXe0)
       else withXe0
 
     val initRows = withXe.orderBy(col(idCol)).limit(k).collect()

@@ -88,6 +88,31 @@ class CacheContractSpec extends SparkSuite {
     assert(graft.ops.Robust.unpersistPersisted() == 0)
   }
 
+  test("gram-table and graph-edge persists ride the queue (round-14 leak sweep)") {
+    // prefixFilterJaccardPairs / crossDocNovelty / ngramJaccardPairs /
+    // weightedPageRank used RAW persists with no release path — the
+    // cached relations survived the whole session. They must enqueue
+    // so Verify/Bench (and library callers) can drain per call.
+    drained()
+    val before = cachedIds
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.crossDocNovelty(docs, "doc_id", "text", n = 3).count()
+    assert(graft.ops.Robust.unpersistPersisted() == 1,
+      "crossDocNovelty must enqueue exactly its gram table")
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    graft.ops.Graph.weightedPageRank(edges, "src", "dst", "w",
+      nodes, "id", iters = 2).count()
+    assert(graft.ops.Robust.unpersistPersisted() == 1,
+      "weightedPageRank must enqueue exactly its edge relation")
+    assert((cachedIds -- before).isEmpty,
+      s"cached RDDs leaked after draining: ${cachedIds -- before}")
+  }
+
   test("winnowCandidates default still follows the queue contract") {
     drained()
     val docs = Seq(
