@@ -113,6 +113,30 @@ class CacheContractSpec extends SparkSuite {
       s"cached RDDs leaked after draining: ${cachedIds -- before}")
   }
 
+  test("source lint: every raw .persist( has an in-file release path") {
+    // the round-14 leak class: a .persist( with neither an .unpersist(
+    // in the same file nor the registerPersisted queue leaks cached
+    // relations for the whole session. Robust.scala owns the queue and
+    // the withPersisted scope (its persists ARE the release machinery).
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala/graft")
+    val offenders = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(_.getFileName.toString == "Robust.scala")
+      .flatMap { p =>
+        val src = new String(Files.readAllBytes(p), "UTF-8")
+        if (src.contains(".persist(") &&
+            !src.contains(".unpersist(") &&
+            !src.contains("registerPersisted"))
+          Some(p.toString)
+        else None
+      }.toList
+    assert(offenders.isEmpty,
+      s"raw .persist( with no release path (queue it via " +
+        s"Robust.registerPersisted or unpersist in scope): $offenders")
+  }
+
   test("winnowCandidates default still follows the queue contract") {
     drained()
     val docs = Seq(
