@@ -153,6 +153,39 @@ object Bench {
         f""","multisink":{"rows":$nRec,"sinks":2,"sec":$sec%.3f,""" +
           s""""rec_per_sec":${(nRec / sec).toInt}}"""
       }
+    // Grouped/templated file write (D17) timed entry (round-14 verdict
+    // item 7): the reference's flagship sink behavior — per-record
+    // destination FILENAMES — under volume. 1M NDJSON records route to
+    // 16 exact destination files via `[[ mod .id 16 ]]`; the Spark
+    // shape under test is one repartition(dest) + partitionBy write +
+    // finalize rename (the reference keeps a writer map per key,
+    // group_writer.go) — per-key writer maps are exactly the kind of
+    // thing that only misbehaves at row counts, not in a 3-row spec.
+    // min-of-2, same methodology as `transfer`.
+    val groupedJson: String =
+      if (!benchPipelines) ""
+      else {
+        val in = transferInput()
+        val dir = in.getParent
+        var nOuts = 0
+        val times = (0 until 2).map { r =>
+          val out = dir.resolve(s"grouped$r").toString
+          val t0 = System.nanoTime()
+          graft.pipeline.Pipeline.run(spark, graft.pipeline.Pipeline.Spec(
+            from = "FILE", to = Seq("FILE"),
+            env = Map("FILE__SOURCE_URI" -> in.toString,
+              "FILE__DESTINATION_URI" ->
+                s"$out/dest_[[ mod .id 16 ]].json")))
+          val dt = (System.nanoTime() - t0) / 1e9
+          nOuts = new java.io.File(out)
+            .listFiles(f => f.getName.matches("dest_\\d+\\.json")).length
+          dt
+        }
+        require(nOuts == 16, s"grouped write produced $nOuts files, want 16")
+        val sec = times.min
+        f""","grouped":{"rows":$nRec,"files":$nOuts,"sec":$sec%.3f,""" +
+          s""""rec_per_sec":${(nRec / sec).toInt}}"""
+      }
     // a query that threw must not fold its (fast-failure) wall time into
     // the headline total — broken must not read as fast round-over-round
     val total = results.filter(_._4).map(_._2).sum
@@ -166,10 +199,10 @@ object Bench {
     // transfer goes LAST on the line: the driver keeps the stdout TAIL,
     // so the baseline figure must sit at the end to survive truncation
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"$multisinkJson$transferJson}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"$groupedJson$multisinkJson$transferJson}"""
     println(json)
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"$multisinkJson$transferJson}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"$groupedJson$multisinkJson$transferJson}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))

@@ -328,8 +328,20 @@ object Profile {
     // variable the driver's gate flagged for two rounds (round-13
     // verdict §What's-wrong-1 — q271 was the suite's only decimal
     // output). Internals stay DECIMAL(38,0); only the emission is long.
+    // The emission is GUARDED: decimal→long cast silently nulls on
+    // overflow under non-ANSI mode, so a weighting change that blows
+    // the budget must raise loudly, not emit null sum_w (round-14
+    // ADVICE; same fail-loud convention as Percentiles.exactTenths).
+    val swBudget = lit("7000000000000000").cast("decimal(38,0)")
+    val swChecked = when(abs(col("__sw")) > swBudget,
+      raise_error(concat(
+        lit("graft effectiveSampleSize: |sum_w| = "),
+        col("__sw").cast("string"),
+        lit(" exceeds the documented 7e15 integer budget — drop the " +
+          "weight unit (e.g. x1000) before summing"))))
+      .otherwise(col("__sw"))
     g.select(col(groupCol), col("n").cast("long").as("n"),
-      col("__sw").cast("long").as("sum_w"),
+      swChecked.cast("long").as("sum_w"),
       (essMicro.cast("double") / lit(1e6)).as("ess"),
       (deffMicro.cast("double") / lit(1e6)).as("deff"))
   }

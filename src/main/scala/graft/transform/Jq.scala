@@ -49,7 +49,16 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *   - predicates/exprs: == != < <= > >= and or not, + - * / %,
   *     string/number/bool/null literals, `length`, `ascii_downcase`,
   *     `ascii_upcase`, `tostring`, `tonumber`, `floor`, `fabs`,
-  *     `first`, `last`
+  *     `first`, `last`. Comparisons are jq-total, never null-valued:
+  *     `==`/`!=` are null-safe (null == null is true) and the ordered
+  *     operators use jq's total order restricted to same-kind
+  *     operands (null sorts LOWEST: `null < 5` is true) — NOT SQL
+  *     3VL, which would silently take the wrong if-branch
+  *   - `tojson` (piped value position): compact jq serialization —
+  *     strings quoted+escaped, numbers shortest-print, composites as
+  *     `jq -c` text; types whose rendering cannot byte-match jq
+  *     (float/double leaves inside composites, decimals, dates) are
+  *     rejected toward the escape hatch rather than rendered wrong
   *   - string interpolation `"\(E)"` (strings raw, null → "null",
   *     integral numbers bare like jq's shortest-print, everything
   *     else compact JSON; schema-typed — an untypeable part is
@@ -542,7 +551,13 @@ object Jq {
     * escape hatch) rather than compiled wrong.
     */
   private def absorbsErrorNull(e: Expr): Boolean = e match {
-    case BinOp(op, l, r) if Seq("and", "or", "//").contains(op) =>
+    // comparisons absorb too: the compiled forms are TOTAL (null-safe
+    // == / null-lowest ordering, never null-valued), so an error-null
+    // from a tonumber operand becomes an ordinary true/false instead
+    // of propagating to the catch — reject like and/or///
+    case BinOp(op, l, r)
+        if Seq("and", "or", "//", "==", "!=", "<", "<=", ">", ">=")
+          .contains(op) =>
       errorProne(l) || errorProne(r) || absorbsErrorNull(l) || absorbsErrorNull(r)
     case BinOp(_, l, r) => absorbsErrorNull(l) || absorbsErrorNull(r)
     case Not(x) => absorbsErrorNull(x)
@@ -566,13 +581,55 @@ object Jq {
     case _ => false
   }
 
+  /** Scalar literals that can never be null. */
+  private def nonNullLit(e: Expr): Boolean = e match {
+    case NumLit(_) | StrLit(_) | BoolLit(_) => true
+    case _ => false
+  }
+
+  /** Compile E in PREDICATE position (select filters, if/elif
+    * conditions): same TRUE-set as the total value compile, but
+    * prefers RAW SQL comparisons where they are jq-equivalent —
+    * raw `a > 30` pushes into a parquet scan as a GreaterThan;
+    * the total CASE form does not (PlanSpec caught the 100 TB
+    * regression when round 15 first made every comparison total).
+    *
+    * Safety rule: in predicate position a NULL result is falsy, so a
+    * raw 3VL comparison diverges from jq ONLY where a null operand
+    * makes jq return TRUE — null sorts lowest, so that is a null LEFT
+    * of `<`/`<=`, a null RIGHT of `>`/`>=`, both-null `==`, and any
+    * null side of `!=`. The raw form is therefore used exactly when
+    * the operand(s) in question are non-null literals; everything
+    * else keeps the total compile. NOT flips falsy and truthy, so no
+    * raw rewrite is sound under it — `not` recurses into the total
+    * forms via toColumn. */
+  private def predicate(e: Expr, env: Env): Column = e match {
+    case BinOp("==", l, NullLit) => toColumn(l, env).isNull
+    case BinOp("==", NullLit, r) => toColumn(r, env).isNull
+    case BinOp("!=", l, NullLit) => toColumn(l, env).isNotNull
+    case BinOp("!=", NullLit, r) => toColumn(r, env).isNotNull
+    case BinOp("==", l, r) if nonNullLit(l) || nonNullLit(r) =>
+      toColumn(l, env) === toColumn(r, env)
+    case BinOp("<", l, r) if nonNullLit(l) =>
+      toColumn(l, env) < toColumn(r, env)
+    case BinOp("<=", l, r) if nonNullLit(l) =>
+      toColumn(l, env) <= toColumn(r, env)
+    case BinOp(">", l, r) if nonNullLit(r) =>
+      toColumn(l, env) > toColumn(r, env)
+    case BinOp(">=", l, r) if nonNullLit(r) =>
+      toColumn(l, env) >= toColumn(r, env)
+    case BinOp("and", l, r) => predicate(l, env) && predicate(r, env)
+    case BinOp("or", l, r) => predicate(l, env) || predicate(r, env)
+    case _ => toColumn(e, env)
+  }
+
   /** jq truthiness of a compiled condition: false/null falsy, every
     * other VALUE truthy (0 and "" included). Needs the condition's
     * static kind — boolean kinds map null → false; non-boolean kinds
     * are truthy exactly when non-null; an untypeable condition is
     * rejected toward the escape hatch rather than guessed. */
   private def truthy(e: Expr, env: Env): Column = {
-    val c = toColumn(e, env)
+    val c = predicate(e, env)
     val kind = e match {
       // relative paths under a bound `.` type from dotType, never the
       // root schema (the round-9 lambda-shadowing rule)
@@ -693,13 +750,31 @@ object Jq {
     case Not(x) => !toColumn(x, env)
     case BinOp(op, l, r) =>
       val (a, b) = (toColumn(l, env), toColumn(r, env))
+      // jq comparisons NEVER yield null: == / != are total (null ==
+      // null is true), and the ordered operators use jq's total order
+      // where null sorts LOWEST (jq manual §Comparisons). Spark's
+      // === / < are SQL 3VL (a null operand nulls the result), so a
+      // straight mapping silently takes the wrong if-branch on
+      // `.x == null` and `null < 5` (round-14 ADVICE) — compile the
+      // null cases explicitly instead. Cross-KIND ordering (numbers
+      // before strings etc.) stays out of the subset: same-kind
+      // operands are the only ones Spark's comparison accepts without
+      // a coercing cast, and the randomized pins hold for those.
       op match {
-        case "==" => a === b
-        case "!=" => a =!= b
-        case "<" => a < b
-        case "<=" => a <= b
-        case ">" => a > b
-        case ">=" => a >= b
+        case "==" => a <=> b
+        case "!=" => !(a <=> b)
+        case "<" =>
+          when(a.isNull, b.isNotNull).when(b.isNull, lit(false))
+            .otherwise(a < b)
+        case "<=" =>
+          when(a.isNull, lit(true)).when(b.isNull, lit(false))
+            .otherwise(a <= b)
+        case ">" =>
+          when(b.isNull, a.isNotNull).when(a.isNull, lit(false))
+            .otherwise(a > b)
+        case ">=" =>
+          when(b.isNull, lit(true)).when(a.isNull, lit(false))
+            .otherwise(a >= b)
         case "and" => a && b
         case "or" => a || b
         case "+" => a + b
@@ -910,6 +985,11 @@ object Jq {
             // (type-stable — the tracked kind survives)
             case Call("until", Seq(cond, update)) =>
               (untilCol(c, curT, cond, update, env), isArr, curT)
+            // tojson: compact jq serialization of the current value —
+            // needs the tracked static type; byte-inexact types reject
+            case Call("tojson", Nil) =>
+              (tojsonCol(c, curT), false,
+                Some(org.apache.spark.sql.types.StringType))
             case Call(fn, Nil) => (applyFn(fn, c, env.inTry), false, None)
             case other => throw new IllegalArgumentException(
               s"unsupported piped jq call: $other")
@@ -981,17 +1061,22 @@ object Jq {
   private def untilCol(c: Column, t: Option[org.apache.spark.sql.types.DataType],
       cond: Expr, update: Expr, env: Env): Column = {
     def bound(x: Column) = env.copy(dot = Some(x), dotType = t)
-    val stepped = aggregate(sequence(lit(1), lit(UntilCap)), c,
+    // The convergence re-check rides aggregate's FINISH lambda: its
+    // argument is a lambda VARIABLE (one slot, read three times), so
+    // the 100-step fold evaluates once per row — referencing the fold
+    // Column directly would splice the whole expression tree into
+    // each of the three uses (round-14 ADVICE: ~3× per-row cost).
+    aggregate(sequence(lit(1), lit(UntilCap)), c,
       (acc, _) => when(toColumn(cond, bound(acc)), acc)
-        .otherwise(toColumn(update, bound(acc))))
-    // raise_error is NullType — when-coercion folds it into the
-    // converged branch's type like a null literal
-    when(toColumn(cond, bound(stepped)), stepped)
-      .otherwise(raise_error(concat(
-        lit(s"graft jq: until() did not converge within $UntilCap " +
-          "iterations (value "),
-        stepped.cast("string"),
-        lit(") — use the JqEscapeHatch for unbounded loops"))))
+        .otherwise(toColumn(update, bound(acc))),
+      // raise_error is NullType — when-coercion folds it into the
+      // converged branch's type like a null literal
+      acc => when(toColumn(cond, bound(acc)), acc)
+        .otherwise(raise_error(concat(
+          lit(s"graft jq: until() did not converge within $UntilCap " +
+            "iterations (value "),
+          acc.cast("string"),
+          lit(") — use the JqEscapeHatch for unbounded loops")))))
   }
 
   private def applyFn(fn: String, c: Column, inTry: Boolean = false): Column = fn match {
@@ -1095,7 +1180,8 @@ object Jq {
         case (Some(a), Some(c)) if a == c => Some(a)
         case _ => None
       }
-    case Call(fn, _) if Seq("tostring", "ascii_downcase", "ascii_upcase").contains(fn) =>
+    case Call(fn, _) if Seq("tostring", "ascii_downcase", "ascii_upcase",
+        "tojson").contains(fn) =>
       Some(KString)
     case Call(fn, _) if Seq("length", "tonumber", "floor", "fabs").contains(fn) =>
       Some(KNumeric)
@@ -1110,7 +1196,8 @@ object Jq {
       env.schema.flatMap(s => pathType(s, p, ix)).map(kindOfType)
     case Pipe(stages) if stages.size >= 2 =>
       stages.last match {
-        case Call(fn, _) if Seq("tostring", "ascii_downcase", "ascii_upcase", "join").contains(fn) =>
+        case Call(fn, _) if Seq("tostring", "ascii_downcase", "ascii_upcase",
+            "join", "tojson").contains(fn) =>
           Some(KString)
         case Call(fn, _) if Seq("length", "tonumber", "floor", "fabs").contains(fn) =>
           Some(KNumeric)
@@ -1146,15 +1233,7 @@ object Jq {
       case Some(KString) => coalesce(c, lit("null"))
       case Some(KNull) => lit("null")
       case Some(KBool) => coalesce(c.cast("string"), lit("null"))
-      case Some(KNumeric) =>
-        // jq numbers are IEEE doubles printed shortest: integral
-        // values drop the ".0" a plain double→string cast would keep
-        val d = c.cast("double")
-        when(c.isNull, lit("null"))
-          .when(!isnan(d) && d === floor(d) &&
-            abs(d) < lit(9.007199254740992e15), // 2^53: exact long range
-            d.cast("long").cast("string"))
-          .otherwise(c.cast("string"))
+      case Some(KNumeric) => numJson(c)
       case Some(KJson) => jsonVal(c)
       case None => throw new IllegalArgumentException(
         s"cannot infer the render type of interpolated expression $e — " +
@@ -1231,6 +1310,68 @@ object Jq {
     j.substr(lit(6), length(j) - lit(6))
   }
 
+  /** jq's number text: IEEE doubles printed shortest — integral
+    * values drop the ".0" a plain double→string cast would keep;
+    * null renders "null" (used by interpolation and `tojson`). */
+  private def numJson(c: Column): Column = {
+    val d = c.cast("double")
+    when(c.isNull, lit("null"))
+      .when(!isnan(d) && d === floor(d) &&
+        abs(d) < lit(9.007199254740992e15), // 2^53: exact long range
+        d.cast("long").cast("string"))
+      .otherwise(c.cast("string"))
+  }
+
+  /** Types whose `to_json` rendering is byte-identical to jq 1.6's
+    * serialization: integral numbers, strings, booleans, and
+    * composites thereof (string-keyed maps included). Float/double
+    * leaves are EXCLUDED — to_json keeps the ".0" on integral doubles
+    * and uppercases the exponent where jq prints shortest ("2",
+    * "1e-07"), so a composite containing them cannot byte-match and
+    * `tojson` rejects toward the escape hatch rather than render
+    * wrong (scalar doubles go through [[numJson]] instead). */
+  private def jsonByteExact(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case st: StructType => st.fields.forall(f => jsonByteExact(f.dataType))
+      case ArrayType(et, _) => jsonByteExact(et)
+      case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+        kt == org.apache.spark.sql.types.StringType && jsonByteExact(vt)
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** Compile `tojson` over a value of static type `t` (round-14
+    * VERDICT directive 4). jq serializes compactly: strings QUOTED
+    * and escaped (unlike interpolation's raw render), numbers
+    * shortest-print, composites as `jq -c` text. An unknown type, or
+    * one whose serialization cannot byte-match (see
+    * [[jsonByteExact]]), rejects toward the escape hatch. */
+  private def tojsonCol(
+      c: Column, t: Option[org.apache.spark.sql.types.DataType]): Column =
+    t match {
+      case Some(org.apache.spark.sql.types.StringType) => jsonVal(c)
+      case Some(org.apache.spark.sql.types.BooleanType) =>
+        coalesce(c.cast("string"), lit("null"))
+      case Some(org.apache.spark.sql.types.DoubleType |
+                org.apache.spark.sql.types.FloatType) => numJson(c)
+      case Some(org.apache.spark.sql.types.ByteType |
+                org.apache.spark.sql.types.ShortType |
+                org.apache.spark.sql.types.IntegerType |
+                org.apache.spark.sql.types.LongType) =>
+        coalesce(c.cast("string"), lit("null"))
+      case Some(dt) if jsonByteExact(dt) => jsonVal(c)
+      case Some(dt) => throw new IllegalArgumentException(
+        s"tojson over $dt cannot byte-match jq's number formatting — " +
+          "use the JqEscapeHatch")
+      case None => throw new IllegalArgumentException(
+        "tojson: input type is not statically known — use the JqEscapeHatch")
+    }
+
   /** jq `recurse` enumeration order over a STATIC schema: the value
     * itself, then each child in declaration order, depth-first. A NULL
     * object/array is a leaf (jq does not descend into null).
@@ -1283,7 +1424,9 @@ object Jq {
             "error marker — use the JqEscapeHatch for this program")
       df.select(toColumn(body, env.copy(inTry = true)).as("value"))
         .filter(col("value").isNotNull)
-    case Call("select", Seq(pred)) => df.filter(toColumn(pred, env))
+    // predicate-position compile: raw comparisons where jq-equivalent,
+    // so literal filters still push into the parquet scan
+    case Call("select", Seq(pred)) => df.filter(predicate(pred, env))
     case Call("del", paths) =>
       df.drop(paths.collect { case FieldPath(p, _, _) => p.head }: _*)
     // `getpath(["a","b"])` as a stage: project to the addressed value

@@ -113,6 +113,51 @@ class CacheContractSpec extends SparkSuite {
       s"cached RDDs leaked after draining: ${cachedIds -- before}")
   }
 
+  test("queue-contract audit: every registerPersisted site has an unbounded output") {
+    // Round-14 verdict directive 6: the structural withPersisted scope
+    // applies ONLY where the op's output is parameter-bounded (a stats
+    // row, |queries|·topK). This round's audit of every remaining
+    // queue site found each one's output is unbounded BY CONSTRUCTION
+    // — so the queue + opt-out is the correct contract for all of
+    // them, and this test freezes that inventory. Adding a NEW
+    // registerPersisted call without re-running the audit (is the
+    // output parameter-bounded? → use withPersisted instead) fails
+    // here by design.
+    //
+    //   Dedup.scala ×4 — gram/fingerprint tables; outputs are
+    //     candidate PAIRS or per-doc stats (corpus-sized)
+    //   Events.scala ×1 — RFM stage persists; output is per-user
+    //   Graph.scala ×1 — pagerank edge relation; output is per-node
+    //   KMeans.scala ×1 — projected vectors across Lloyd passes;
+    //     output is the per-point assignment (corpus-sized)
+    //   Robust.scala ×3 — madOutliers projection (output: outlier
+    //     ROWS) + spearman base/value tables (output: per-GROUP rho,
+    //     group cardinality is data-dependent, not a parameter)
+    //
+    // (MMR's pool persist and labelPropagation/HITS edge persists use
+    // inline persist/unpersist scopes — already structural.)
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val expected = Map(
+      "Dedup.scala" -> 4, "Events.scala" -> 1, "Graph.scala" -> 1,
+      "KMeans.scala" -> 1, "Robust.scala" -> 3)
+    val root = Paths.get("src/main/scala/graft")
+    val found = Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val n = Files.readAllLines(p).asScala
+          .count(l => l.contains("registerPersisted(") &&
+            !l.contains("def registerPersisted") &&
+            !l.trim.startsWith("//") && !l.trim.startsWith("*"))
+        if (n > 0) Some(p.getFileName.toString -> n) else None
+      }.toMap
+    assert(found == expected,
+      s"registerPersisted inventory changed — re-run the bounded-output " +
+        s"audit (parameter-bounded output ⇒ Robust.withPersisted; " +
+        s"unbounded ⇒ queue + opt-out) and update this test.\n" +
+        s"expected: $expected\nfound:    $found")
+  }
+
   test("source lint: every raw .persist( has an in-file release path") {
     // the round-14 leak class: a .persist( with neither an .unpersist(
     // in the same file nor the registerPersisted queue leaks cached

@@ -20,32 +20,38 @@ class EntrySmokeSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  // The q271 lesson (round-13 verdict): the driver's DuckDB gate
-  // fetches/hashes a query-result DECIMAL differently from the
+  // The q271 lesson (round-13 verdict), tightened from a blacklist to
+  // a WHITELIST (round-14 verdict directive 3): the driver's DuckDB
+  // gate fetches/hashes a query-result DECIMAL differently from the
   // parquet decimal128 it reads back from Verify's output, so a
   // decimal-typed FINAL column can hash-mismatch with identical
-  // values. Final outputs must stay inside the driver-proven type
-  // set; decimals/floats are fine INSIDE a plan but must be cast
-  // (long/double) before emission.
-  test("no DecimalType/FloatType in any final output schema") {
+  // values. Rather than ban the two types that have already burned us
+  // (decimal, float), final outputs must stay INSIDE the positive
+  // driver-proven set — {string, long, int, short, byte, double,
+  // boolean, date, timestamp} and arrays/structs thereof. Anything
+  // else (BinaryType, TimestampNTZType, MapType, CalendarInterval, …)
+  // is unproven against the driver's hasher and fails this test until
+  // a green round proves it. Decimals/floats remain fine INSIDE a
+  // plan; cast (long/double) before emission.
+  test("every final output column type is in the driver-proven whitelist") {
     import org.apache.spark.sql.types._
-    def banned(dt: DataType): Boolean = dt match {
-      case _: DecimalType | FloatType => true
-      case ArrayType(e, _)            => banned(e)
-      case MapType(k, v, _)           => banned(k) || banned(v)
-      case StructType(fs)             => fs.exists(f => banned(f.dataType))
-      case _                          => false
+    def proven(dt: DataType): Boolean = dt match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+           DoubleType | BooleanType | DateType | TimestampType => true
+      case ArrayType(e, _) => proven(e)
+      case StructType(fs)  => fs.forall(f => proven(f.dataType))
+      case _               => false
     }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         fn(spark, sfDir).schema.fields
-          .filter(f => banned(f.dataType))
+          .filterNot(f => proven(f.dataType))
           .map(f => s"$name.${f.name}: ${f.dataType.simpleString}")
     }
     assert(offenders.isEmpty,
-      s"decimal/float final output columns (cast to long/double before " +
-        s"emission — the driver's hash treats decimals inconsistently): " +
-        offenders.mkString(", "))
+      s"final output columns outside the driver-proven type whitelist " +
+        s"{string,long,int,short,byte,double,boolean,date,timestamp," +
+        s"array/struct thereof}: " + offenders.mkString(", "))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -28,17 +28,28 @@ class JqEscapeSpec extends SparkSuite {
   }
 
   test("pipeline falls back to the escape hatch for non-subset programs") {
-    // `tojson` is outside the compiled function set (applyFn throws),
-    // so this program must route through the real-jq hatch. (Array
-    // indexing, the original fixture here, compiles since round 12.)
+    // `explode` (string → codepoint array) is outside the compiled
+    // function set (applyFn throws), so this program must route
+    // through the real-jq hatch. (`tojson`, the previous fixture
+    // here, compiles since round 15; array indexing since round 12.)
     val df = Pipeline.transform(people, Pipeline.Spec("FILE", Nil,
-      Map("JQ__QUERY" -> "{id, t: (.tags | tojson)}")))
-    assert(df.columns.sorted.toSeq == Seq("id", "t"))
-    assert(df.filter($"id" === 1).select("t").as[String].head() == """["a","b"]""")
-    // and the compiled-since-round-12 indexing form still works inline
+      Map("JQ__QUERY" -> "{id, cp: (.name | explode)}")))
+    assert(df.columns.sorted.toSeq == Seq("cp", "id"))
+    assert(df.filter($"id" === 2).select("cp").as[Seq[Long]].head() ==
+      "bob".map(_.toLong))
+    // the compiled-since-round-15 tojson form runs NATIVELY — same
+    // output as the hatch used to produce here
     val df2 = Pipeline.transform(people, Pipeline.Spec("FILE", Nil,
+      Map("JQ__QUERY" -> "{id, t: (.tags | tojson)}")))
+    assert(df2.columns.sorted.toSeq == Seq("id", "t"))
+    assert(df2.filter($"id" === 1).select("t").as[String].head() == """["a","b"]""")
+    import graft.transform.Jq
+    assert(Jq.compile("{id, t: (.tags | tojson)}")(people).columns.nonEmpty,
+      "tojson must compile natively, not via the hatch")
+    // and the compiled-since-round-12 indexing form still works inline
+    val df3 = Pipeline.transform(people, Pipeline.Spec("FILE", Nil,
       Map("JQ__QUERY" -> "{id, first_tag: .tags[0]}")))
-    assert(df2.filter($"id" === 1).select("first_tag").as[String].head() == "a")
+    assert(df3.filter($"id" === 1).select("first_tag").as[String].head() == "a")
   }
 
   test("record_total_count broadcast stamp (client_reader.go:166)") {

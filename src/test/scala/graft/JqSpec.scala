@@ -730,6 +730,118 @@ class JqSpec extends SparkSuite {
     assert(msgs(e).exists(_.contains("did not converge")), msgs(e))
   }
 
+  test("null-operand comparisons match jq's total semantics (randomized pins)") {
+    import graft.transform.JqEscapeHatch
+    // round-14 ADVICE (medium): `.x == null` and ordered comparisons
+    // with a null operand compiled to SQL 3VL (never-true / falsy via
+    // coalesce) where jq's comparisons are TOTAL — null == null is
+    // true, and null sorts LOWEST so `null < 5` is true. 40 randomized
+    // rows over two nullable ints and a nullable string exercise every
+    // operand-null combination in if-conditions, value position, and
+    // select; byte-matched against the real jq binary.
+    val rnd = new scala.util.Random(151)
+    val rows = (1 to 40).map { i =>
+      def oi = if (rnd.nextInt(3) == 0) None else Some(rnd.nextInt(5).toLong)
+      def os = if (rnd.nextInt(3) == 0) None
+               else Some(Vector("a", "b", "")(rnd.nextInt(3)))
+      (i.toLong, oi, oi, os)
+    }
+    val df = rows.toDF("id", "x", "y", "s")
+    val prog = ("{id, " +
+      "en: (.x == null), nn: (.x != null), " +
+      "sn: (.s == null), se: (.s == \"a\"), " +
+      "lt: (.x < .y), le: (.x <= .y), gt: (.x > .y), ge: (.x >= .y), " +
+      "ln: (.x < 2), rn: (2 < .x), " +
+      "br: (if .x == null then \"none\" elif .x < .y then \"lt\" else \"ge\" end)}")
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    // select keeps rows where the null-safe comparison is TRUE (jq
+    // keeps `.x == null` rows; the old 3VL compile dropped them)
+    val sel = "select(.x == null) | {id}"
+    val cs = Jq.compile(sel)(df).toJSON.collect().sorted.toSeq
+    val rs = JqEscapeHatch.rawApply(df.toJSON, sel).collect().sorted.toSeq
+    assert(cs == rs, s"\ncompiled: $cs\nreal jq:  $rs")
+    assert(cs.nonEmpty, "corpus must include null x rows")
+  }
+
+  test("try/catch rejects comparison bodies that would absorb the error marker") {
+    // the total (null-safe) comparison compile maps an error-null from
+    // tonumber to an ordinary true/false instead of propagating it to
+    // the catch — such bodies must refuse to compile, like and/or///
+    val df = Seq(("abc", 1L)).toDF("s", "n")
+    val e = intercept[IllegalArgumentException] {
+      Jq.compile("{ok: (try ((.s | tonumber) > 0) catch \"E\")}")(df)
+    }
+    assert(e.getMessage.contains("EscapeHatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      Jq.compile("{ok: (try ((.s | tonumber) == 5) catch \"E\")}")(df)
+    }
+    assert(e2.getMessage.contains("EscapeHatch"))
+  }
+
+  test("tojson compiles for byte-exact types and matches real jq (randomized pins)") {
+    import graft.transform.JqEscapeHatch
+    // round-14 VERDICT directive 4. Strings draw from an
+    // escaping-heavy alphabet (quotes, backslash, newline, tab,
+    // unicode); doubles draw from the formatting-safe quarter grid
+    // (k/4 — shortest-print equals Spark's cast rendering there, and
+    // integral values drop the \".0\" on both sides).
+    val rnd = new scala.util.Random(152)
+    val strs = Vector("plain", "qu\"ote", "back\\slash", "new\nline",
+      "tab\there", "héllo wörld", "")
+    val rows = (1 to 40).map { i =>
+      (i.toLong,
+        if (rnd.nextInt(4) == 0) None else Some(strs(rnd.nextInt(strs.size))),
+        if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(400).toLong - 200),
+        if (rnd.nextInt(4) == 0) None
+        else Some((rnd.nextInt(4000) - 2000).toDouble / 4.0),
+        if (rnd.nextInt(4) == 0) None else Some(rnd.nextBoolean()),
+        Seq.fill(rnd.nextInt(3))(strs(rnd.nextInt(strs.size))),
+        Seq.fill(rnd.nextInt(3))(rnd.nextInt(100).toLong))
+    }
+    val df = rows.toDF("id", "s", "n", "d", "b", "tags", "nums")
+    val prog = ("{id, ts: (.s | tojson), tn: (.n | tojson), " +
+      "td: (.d | tojson), tb: (.b | tojson), " +
+      "ta: (.tags | tojson), tm: (.nums | tojson)}")
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    // struct (object) serialization: key order preserved, like jq
+    val sdf = Seq((1L, ("x", 2L))).toDF("id", "o")
+    val progS = "{id, to: (.o | tojson)}"
+    val cS = Jq.compile(progS)(sdf).toJSON.collect().sorted.toSeq
+    val rS = JqEscapeHatch.rawApply(sdf.toJSON, progS).collect().sorted.toSeq
+    assert(cS == rS, s"\ncompiled: $cS\nreal jq:  $rS")
+    // value position with `.` bound (inside map) — the no-arg rewrite
+    val mdf = Seq((1L, Seq(Seq("a", "b"), Seq("c")))).toDF("id", "xss")
+    val progM = "{id, t: (.xss | map(tojson))}"
+    val cM = Jq.compile(progM)(mdf).toJSON.collect().sorted.toSeq
+    val rM = JqEscapeHatch.rawApply(mdf.toJSON, progM).collect().sorted.toSeq
+    assert(cM == rM, s"\ncompiled: $cM\nreal jq:  $rM")
+  }
+
+  test("tojson rejects byte-inexact and untypeable inputs toward the hatch") {
+    // a composite with DOUBLE leaves cannot byte-match (to_json keeps
+    // the .0 jq 1.6 drops) — reject, never render wrong
+    val df = Seq((1L, Seq(2.0, 2.5))).toDF("id", "ds")
+    val e = intercept[IllegalArgumentException] {
+      Jq.compile("{id, t: (.ds | tojson)}")(df).collect()
+    }
+    assert(e.getMessage.contains("EscapeHatch"))
+    // untypeable current value (post-map element type is untracked)
+    val e2 = intercept[IllegalArgumentException] {
+      Jq.compile("{t: (.ds | map(. * 2) | tojson)}")(df).collect()
+    }
+    assert(e2.getMessage.contains("EscapeHatch"))
+    // and the pipeline front door falls back to the hatch for these
+    import graft.pipeline.Pipeline
+    val out = Pipeline.transform(df, Pipeline.Spec("FILE", Nil,
+      Map("JQ__QUERY" -> "{id, t: (.ds | tojson)}")))
+    // (real jq 1.6 canonicalizes the integral double: 2.0 prints as 2)
+    assert(out.filter($"id" === 1).select("t").as[String].head() == "[2,2.5]")
+  }
+
   test("multi-generator object construction compiles the jq cartesian") {
     import graft.transform.JqEscapeHatch
     // round-12 VERDICT directive 4: the cross-product form was the

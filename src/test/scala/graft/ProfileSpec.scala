@@ -139,6 +139,40 @@ class ProfileSpec extends SparkSuite {
     assert(r(1) == ("skew", 5L, 1.084599, 4.61), s"got ${r(1)}")
   }
 
+  test("effectiveSampleSize: sum_w past the 7e15 budget raises, never nulls") {
+    import spark.implicits._
+    // the guard's scenario is NON-ANSI mode (round-14 ADVICE): there
+    // the decimal ess/deff arithmetic silently NULLs on overflow
+    // instead of throwing, and the decimal→long sum_w cast would too —
+    // a blown budget must still fail LOUDLY via the raise_error guard.
+    // (Under ANSI, the suite's mode, the ess multiply throws first;
+    // either way the failure is loud, which is the invariant.)
+    val df = Seq(("g", 4000000000000000L), ("g", 4000000000000000L))
+      .toDF("g", "w") // Σw = 8e15 > 7e15 budget (still < int64 max)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val e = intercept[Exception] {
+        graft.ops.Profile.effectiveSampleSize(df, "g", "w").collect()
+      }
+      assert(msgs(e).exists(_.contains("7e15 integer budget")), msgs(e))
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
+    // ANSI mode still fails loudly (decimal overflow), never nulls
+    val e2 = intercept[Exception] {
+      graft.ops.Profile.effectiveSampleSize(df, "g", "w").collect()
+    }
+    assert(msgs(e2).nonEmpty)
+    // just inside the budget still emits the exact long
+    val ok = Seq(("g", 3000000000000000L), ("g", 3000000000000000L))
+      .toDF("g", "w")
+    val r = graft.ops.Profile.effectiveSampleSize(ok, "g", "w")
+      .select("sum_w").as[Long].head()
+    assert(r == 6000000000000000L)
+  }
+
   test("fdHistogram: FD width 2·IQR/∛n by hand on 1..8") {
     import spark.implicits._
     // n=8 → k=2 (2³ ≤ 8); IQR = 6.25 − 2.75 = 3.5 → width 3.5, min 1

@@ -1,0 +1,133 @@
+#!/bin/bash
+# Standardized quiet bench record cut (round-14 verdict directive 1).
+#
+#   tools/bench_quiet.sh <out.json> [prev_commit]
+#
+# Produces the per-query-MIN-of-4 quiet record AND, when prev_commit is
+# given, a STRUCTURED calibration block: the pinned 11-query subset is
+# re-benched on the previous round's commit in a side worktree,
+# INTERLEAVED with the same subset at HEAD (head,prev,head,prev), so
+# box drift between records is a machine-readable coefficient instead
+# of ad-hoc prose. Per-query deltas vs the previous record can then be
+# normalized as delta / drift_coefficient.
+#
+# Methodology (the standing definition as of round 15):
+#   - each full pass = Bench with SPARK_GRAFT_BENCH_RUNS=1 (one timed
+#     run per query), 4 passes; the record value per query is the MIN
+#     across passes; `passes` carries the 4 pass totals.
+#   - calibration subset = the 11 most expensive stable queries (the
+#     same set the round-13/14 prose A/Bs used); each calibration pass
+#     = Bench with SPARK_GRAFT_BENCH_RUNS=3 (per-query MEDIAN of 3;
+#     the value used is the MIN of the two pass medians), 2 passes
+#     per side, interleaved.
+#   - drift_coefficient = prev_now_total / prev_record_total, where
+#     prev_record_total is the same subset summed from the PREVIOUS
+#     record file (pass --prev-record to point at it).
+set -euo pipefail
+
+OUT="${1:?usage: tools/bench_quiet.sh <out.json> [prev_commit] [prev_record.json]}"
+PREV_COMMIT="${2:-}"
+PREV_RECORD="${3:-}"
+SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+CPUS="${SPARK_GRAFT_CPUS:-32}"
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+
+CAL_QUERIES="q256_ols_influence,q195_spearman,q85_kmeans_lloyd,q247_jackknife_ratio,q150_blocked_er,q129_winnow_candidates,q253_kcore,q147_equidepth_histogram,q55_langid_ngram,q146_cluster_canonical,q158_mad_outliers"
+
+run_bench() { # repo_dir runs filter -> writes target/bench.json in repo_dir
+  local dir="$1" runs="$2" filter="${3:-}"
+  (cd "$dir" && SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
+    SPARK_GRAFT_BENCH_RUNS="$runs" SPARK_GRAFT_BENCH_TRANSFER="${4:-1}" \
+    sbt -batch "runMain graft.Bench $filter" >/dev/null 2>&1)
+}
+
+echo "[quiet] building HEAD" >&2
+(cd "$REPO" && sbt -batch compile >/dev/null 2>&1)
+
+PREV_DIR=""
+if [ -n "$PREV_COMMIT" ]; then
+  PREV_DIR="/tmp/graft_quiet_prev"
+  rm -rf "$PREV_DIR"
+  git -C "$REPO" worktree prune
+  git -C "$REPO" worktree add --detach "$PREV_DIR" "$PREV_COMMIT" >&2
+  echo "[quiet] building prev ($PREV_COMMIT)" >&2
+  (cd "$PREV_DIR" && sbt -batch compile >/dev/null 2>&1)
+fi
+
+# ---- interleaved calibration subset: head, prev, head, prev ----
+CAL_FILES=()
+if [ -n "$PREV_COMMIT" ]; then
+  for pass in 1 2; do
+    echo "[quiet] calibration pass $pass: HEAD" >&2
+    run_bench "$REPO" 3 "$CAL_QUERIES" 0
+    cp "$REPO/target/bench.json" "/tmp/cal_head_$pass.json"
+    echo "[quiet] calibration pass $pass: prev" >&2
+    run_bench "$PREV_DIR" 3 "$CAL_QUERIES" 0
+    cp "$PREV_DIR/target/bench.json" "/tmp/cal_prev_$pass.json"
+    CAL_FILES+=("/tmp/cal_head_$pass.json" "/tmp/cal_prev_$pass.json")
+  done
+fi
+
+# ---- four quiet full-suite passes at HEAD ----
+PASS_FILES=()
+for pass in 1 2 3 4; do
+  echo "[quiet] full pass $pass/4" >&2
+  run_bench "$REPO" 1 "" 1
+  cp "$REPO/target/bench.json" "/tmp/quiet_pass_$pass.json"
+  PASS_FILES+=("/tmp/quiet_pass_$pass.json")
+done
+
+python3 - "$OUT" "$PREV_COMMIT" "$PREV_RECORD" "$CAL_QUERIES" <<'EOF' >&2
+import json, sys
+
+out, prev_commit, prev_record, cal_qs = sys.argv[1:5]
+cal_list = cal_qs.split(",")
+
+passes = [json.load(open(f"/tmp/quiet_pass_{i}.json")) for i in (1, 2, 3, 4)]
+names = sorted(passes[0]["queries"])
+qmin = {q: round(min(p["queries"][q] for p in passes), 3) for q in names}
+pass_totals = [round(sum(p["queries"].values()), 3) for p in passes]
+
+rec = {
+    "metric": "bench_quiet_min",
+    "value": round(sum(qmin.values()), 3),
+    "unit": "sec",
+    "sf": passes[0]["sf"],
+    "n_queries": len(names),
+    "passes": pass_totals,
+    "methodology": ("per-query MIN across four full-suite passes "
+                    "(SPARK_GRAFT_BENCH_RUNS=1 each) via tools/bench_quiet.sh"),
+}
+for k in ("grouped", "multisink", "transfer"):
+    if k in passes[0]:
+        best = min(passes, key=lambda p: p[k]["sec"])[k]
+        rec[k] = best
+
+if prev_commit:
+    heads = [json.load(open(f"/tmp/cal_head_{i}.json")) for i in (1, 2)]
+    prevs = [json.load(open(f"/tmp/cal_prev_{i}.json")) for i in (1, 2)]
+    hmin = {q: min(h["queries"][q] for h in heads) for q in cal_list}
+    pmin = {q: min(p["queries"][q] for p in prevs) for q in cal_list}
+    cal = {
+        "prev_commit": prev_commit,
+        "queries": cal_list,
+        "head_pass_totals": [round(sum(h["queries"].values()), 3) for h in heads],
+        "prev_pass_totals": [round(sum(p["queries"].values()), 3) for p in prevs],
+        "head_now_total": round(sum(hmin.values()), 3),
+        "prev_now_total": round(sum(pmin.values()), 3),
+    }
+    if prev_record:
+        pr = json.load(open(prev_record))
+        prt = round(sum(pr["queries"][q] for q in cal_list if q in pr["queries"]), 3)
+        cal["prev_record_total"] = prt
+        cal["drift_coefficient"] = round(cal["prev_now_total"] / prt, 4)
+    rec["calibration"] = cal
+
+json.dump(rec, open(out, "w"))
+print(f"[quiet] wrote {out}: total={rec['value']}s"
+      + (f" drift={rec['calibration'].get('drift_coefficient')}" if prev_commit and prev_record else ""))
+EOF
+
+if [ -n "$PREV_DIR" ]; then
+  git -C "$REPO" worktree remove --force "$PREV_DIR" || true
+fi

@@ -107,10 +107,25 @@ for q in sys.argv[3:]:
     bad = None
     for c in gv.columns:
         a, b = gv[c], wv[c]
-        try:
-            b = b.astype(a.dtype, errors="ignore")
-        except Exception:
-            pass
+        # Coerce both sides to a COMMON dtype explicitly. The old
+        # astype(..., errors="ignore") is deprecated (removed in newer
+        # pandas), and its silent no-op left dtype-mismatched columns
+        # (int32 vs int64-as-object, decimal objects) comparing
+        # unconverted — a spurious FAIL path (round-14 ADVICE).
+        an = pd.to_numeric(a, errors="coerce")
+        bn = pd.to_numeric(b, errors="coerce")
+        if an.notna().equals(a.notna()) and bn.notna().equals(b.notna()):
+            # both sides fully numeric-convertible: integers compare
+            # EXACTLY in Int64 (a float64 detour would fuzz > 2^53);
+            # anything fractional compares as float64
+            if (an.dropna() % 1 == 0).all() and (bn.dropna() % 1 == 0).all():
+                a, b = an.astype("Int64"), bn.astype("Int64")
+            else:
+                a, b = an.astype("float64"), bn.astype("float64")
+        else:
+            # non-numeric (strings etc.) → compare canonical text
+            a = a.astype("string")
+            b = b.astype("string")
         eq = (a == b) | (pd.isna(a) & pd.isna(b))
         if not eq.all():
             i = eq.idxmin()
