@@ -97,6 +97,7 @@ rec = {
     "passes": pass_totals,
     "methodology": ("per-query MIN across four full-suite passes "
                     "(SPARK_GRAFT_BENCH_RUNS=1 each) via tools/bench_quiet.sh"),
+    "queries": qmin,
 }
 for k in ("grouped", "multisink", "transfer"):
     if k in passes[0]:
