@@ -1191,9 +1191,25 @@ object Jq {
         inferKind(FieldPath(items.map(_.asInstanceOf[StrLit].v)), env)
       else None
     case Call(fn, Seq(FieldPath(p, true, _))) if Seq("first", "last").contains(fn) =>
-      env.schema.flatMap(s => pathType(s, p, Some(0))).map(kindOfType)
+      if (env.dot.isDefined)
+        env.dotType.flatMap {
+          case st: StructType => pathType(st, p, Some(0))
+          case _ => None
+        }.map(kindOfType)
+      else env.schema.flatMap(s => pathType(s, p, Some(0))).map(kindOfType)
     case FieldPath(p, false, ix) =>
-      env.schema.flatMap(s => pathType(s, p, ix)).map(kindOfType)
+      // with `.` BOUND (map/sort_by/with_entries bodies) a relative
+      // path types from the bound value's type and NEVER from the
+      // root schema — a same-named root column must not leak its kind
+      // into a lambda (the round-9 lambda-shadowing rule; truthy got
+      // this in round 9, the interpolation/render path only now). An
+      // untyped bound value yields None → reject, never a root guess.
+      if (env.dot.isDefined)
+        env.dotType.flatMap {
+          case st: StructType => pathType(st, p, ix)
+          case _ => None
+        }.map(kindOfType)
+      else env.schema.flatMap(s => pathType(s, p, ix)).map(kindOfType)
     case Pipe(stages) if stages.size >= 2 =>
       stages.last match {
         case Call(fn, _) if Seq("tostring", "ascii_downcase", "ascii_upcase",
@@ -1312,14 +1328,37 @@ object Jq {
 
   /** jq's number text: IEEE doubles printed shortest — integral
     * values drop the ".0" a plain double→string cast would keep;
-    * null renders "null" (used by interpolation and `tojson`). */
+    * null renders "null" (used by interpolation and `tojson`).
+    *
+    * Non-integral values render via Spark's double→string cast, which
+    * matches jq 1.6's shortest print EXACTLY for plain-decimal output
+    * — both sides print the shortest round-trip digits (Gay dtoa) —
+    * but Java switches to scientific notation outside [1e-3, 1e7)
+    * where it writes "1.0E-7" against jq's "1e-07". Values there (and
+    * negative zero, which jq prints "-0" but the integral branch
+    * would render "0") RAISE loudly instead of rendering wrong — the
+    * reject-rather-than-guess convention, enforced at runtime because
+    * the value is data. */
   private def numJson(c: Column): Column = {
     val d = c.cast("double")
+    // sign-of-zero via the string render (ANSI throws on 1.0/0.0, so
+    // the usual reciprocal probe is unusable); stored −0.0 never
+    // arrives (UnsafeRow normalizes it on write) but an expression
+    // INTERMEDIATE like `-1 * 0` can still be −0.0
+    val negZero = d === lit(0.0) && d.cast("string").startsWith("-")
     when(c.isNull, lit("null"))
-      .when(!isnan(d) && d === floor(d) &&
+      // exact-integer range, positive zero included: bare digits
+      .when(d === floor(d) && !negZero &&
         abs(d) < lit(9.007199254740992e15), // 2^53: exact long range
         d.cast("long").cast("string"))
-      .otherwise(c.cast("string"))
+      // plain-decimal range: Java and jq both print shortest digits
+      .when(d =!= floor(d) && abs(d) < lit(1e7) && abs(d) >= lit(1e-3),
+        c.cast("string"))
+      // NaN/±Inf/−0.0/scientific range/integral ≥ 2^53: raise
+      .otherwise(raise_error(concat(
+        lit("graft jq: number "), d.cast("string"),
+        lit(" is outside the byte-exact print range (plain-decimal " +
+          "doubles only) — use the JqEscapeHatch"))))
   }
 
   /** Types whose `to_json` rendering is byte-identical to jq 1.6's

@@ -842,6 +842,61 @@ class JqSpec extends SparkSuite {
     assert(out.filter($"id" === 1).select("t").as[String].head() == "[2,2.5]")
   }
 
+  test("interpolation inside lambdas types from the bound element, not root columns") {
+    import graft.transform.JqEscapeHatch
+    // the round-9 lambda-shadowing rule reached truthy() in round 9
+    // but inferKind (the render-kind resolver) still typed relative
+    // paths from the ROOT schema — a same-named root column of a
+    // different type silently picked the wrong \(...) render (a string
+    // element typed as numeric renders "null" instead of its text).
+    // Root `v` is LONG; the array elements' `v` is STRING.
+    val df = Seq((7L, Seq(("a", 1L), ("", 2L)))).toDF("v", "xs")
+      .selectExpr("v", "transform(xs, x -> named_struct('v', x._1, 'n', x._2)) AS xs")
+    val prog = "{v, labels: (.xs | map(\"item \\(.v)\"))}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.head.contains("item a"), c)
+  }
+
+  test("number rendering raises outside the byte-exact print range") {
+    // Java's double→string switches to scientific notation outside
+    // [1e-3, 1e7) ("1.0E-7") where jq prints "1e-07"; −0.0 prints "-0"
+    // in jq but the integral branch would render "0". Both RAISE
+    // loudly instead of rendering wrong — tojson and interpolation
+    // share the numeric render.
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // (−0.0 is guarded in numJson too, but cannot be exercised from a
+    // DataFrame: Tungsten's UnsafeRow normalizes −0.0 to 0.0 on write,
+    // so the value never reaches the expression — 0.0 renders "0" on
+    // both sides.)
+    // (integral doubles like 4.2e9 are NOT in this list: they render
+    // bare digits via the long branch, byte-exact with jq)
+    for (bad <- Seq(1e-7, 12345678.5, 1.8e16)) {
+      val df = Seq((1L, bad)).toDF("id", "d")
+      val e = intercept[Exception] {
+        Jq.compile("{id, t: (.d | tojson)}")(df).collect()
+      }
+      assert(msgs(e).exists(_.contains("byte-exact print range")),
+        s"value $bad: ${msgs(e)}")
+      val e2 = intercept[Exception] {
+        Jq.compile("{id, s: \"v=\\(.d)\"}")(df).collect()
+      }
+      assert(msgs(e2).exists(_.contains("byte-exact print range")),
+        s"interp $bad: ${msgs(e2)}")
+    }
+    // boundary values still render, byte-matching real jq
+    import graft.transform.JqEscapeHatch
+    val ok = Seq((1L, 0.001), (2L, 9999999.5), (3L, 123456789.0), (4L, 0.0))
+      .toDF("id", "d")
+    val prog = "{id, t: (.d | tojson)}"
+    val c = Jq.compile(prog)(ok).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(ok.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+  }
+
   test("multi-generator object construction compiles the jq cartesian") {
     import graft.transform.JqEscapeHatch
     // round-12 VERDICT directive 4: the cross-product form was the
