@@ -167,7 +167,6 @@ object Bench {
       else {
         val in = transferInput()
         val dir = in.getParent
-        var nOuts = 0
         val times = (0 until 2).map { r =>
           val out = dir.resolve(s"grouped$r").toString
           val t0 = System.nanoTime()
@@ -177,13 +176,17 @@ object Bench {
               "FILE__DESTINATION_URI" ->
                 s"$out/dest_[[ mod .id 16 ]].json")))
           val dt = (System.nanoTime() - t0) / 1e9
-          nOuts = new java.io.File(out)
-            .listFiles(f => f.getName.matches("dest_\\d+\\.json")).length
+          // verify EVERY run (listFiles is null on a missing dir —
+          // that must surface as the count message, not an NPE)
+          val nOuts = Option(new java.io.File(out)
+            .listFiles(f => f.getName.matches("dest_\\d+\\.json")))
+            .map(_.length).getOrElse(0)
+          require(nOuts == 16,
+            s"grouped write run $r produced $nOuts files, want 16")
           dt
         }
-        require(nOuts == 16, s"grouped write produced $nOuts files, want 16")
         val sec = times.min
-        f""","grouped":{"rows":$nRec,"files":$nOuts,"sec":$sec%.3f,""" +
+        f""","grouped":{"rows":$nRec,"files":16,"sec":$sec%.3f,""" +
           s""""rec_per_sec":${(nRec / sec).toInt}}"""
       }
     // a query that threw must not fold its (fast-failure) wall time into

@@ -587,6 +587,24 @@ object Jq {
     case _ => false
   }
 
+  /** Reject statically CROSS-KIND comparisons: jq compares across
+    * types by its total type order (null < false < true < numbers <
+    * strings < arrays < objects — never equal, never a cast), while
+    * Spark inserts a coercing cast, so `.x == "5"` over a numeric
+    * column would compile to a casted compare that is TRUE where jq
+    * says false (or an ANSI runtime cast error on non-numeric text).
+    * Same-kind, statically-unknown, and null-literal operands pass. */
+  private def checkComparableKinds(
+      op: String, l: Expr, r: Expr, env: Env): Unit =
+    (inferKind(l, env), inferKind(r, env)) match {
+      case (Some(a), Some(b)) if a != b && a != KNull && b != KNull =>
+        throw new IllegalArgumentException(
+          s"jq comparison '$op' over mixed kinds ($a vs $b) follows " +
+            "jq's type order, which a coercing Spark comparison cannot " +
+            "express — use the JqEscapeHatch")
+      case _ => ()
+    }
+
   /** Compile E in PREDICATE position (select filters, if/elif
     * conditions): same TRUE-set as the total value compile, but
     * prefers RAW SQL comparisons where they are jq-equivalent —
@@ -609,14 +627,19 @@ object Jq {
     case BinOp("!=", l, NullLit) => toColumn(l, env).isNotNull
     case BinOp("!=", NullLit, r) => toColumn(r, env).isNotNull
     case BinOp("==", l, r) if nonNullLit(l) || nonNullLit(r) =>
+      checkComparableKinds("==", l, r, env)
       toColumn(l, env) === toColumn(r, env)
     case BinOp("<", l, r) if nonNullLit(l) =>
+      checkComparableKinds("<", l, r, env)
       toColumn(l, env) < toColumn(r, env)
     case BinOp("<=", l, r) if nonNullLit(l) =>
+      checkComparableKinds("<=", l, r, env)
       toColumn(l, env) <= toColumn(r, env)
     case BinOp(">", l, r) if nonNullLit(r) =>
+      checkComparableKinds(">", l, r, env)
       toColumn(l, env) > toColumn(r, env)
     case BinOp(">=", l, r) if nonNullLit(r) =>
+      checkComparableKinds(">=", l, r, env)
       toColumn(l, env) >= toColumn(r, env)
     case BinOp("and", l, r) => predicate(l, env) && predicate(r, env)
     case BinOp("or", l, r) => predicate(l, env) || predicate(r, env)
@@ -630,17 +653,9 @@ object Jq {
     * rejected toward the escape hatch rather than guessed. */
   private def truthy(e: Expr, env: Env): Column = {
     val c = predicate(e, env)
-    val kind = e match {
-      // relative paths under a bound `.` type from dotType, never the
-      // root schema (the round-9 lambda-shadowing rule)
-      case FieldPath(p, false, ix) if env.dot.isDefined =>
-        env.dotType.flatMap {
-          case st: StructType => pathType(st, p, ix)
-          case _ => None
-        }.map(kindOfType)
-      case _ => inferKind(e, env)
-    }
-    kind match {
+    // inferKind is dot-scoped since round 15 (the round-9
+    // lambda-shadowing rule truthy used to special-case locally)
+    inferKind(e, env) match {
       case Some(KBool) => coalesce(c, lit(false))
       case Some(KNull) => lit(false)
       case Some(_) => c.isNotNull
@@ -757,9 +772,11 @@ object Jq {
       // straight mapping silently takes the wrong if-branch on
       // `.x == null` and `null < 5` (round-14 ADVICE) — compile the
       // null cases explicitly instead. Cross-KIND ordering (numbers
-      // before strings etc.) stays out of the subset: same-kind
-      // operands are the only ones Spark's comparison accepts without
-      // a coercing cast, and the randomized pins hold for those.
+      // before strings etc.) stays out of the subset — statically
+      // mixed kinds REJECT via checkComparableKinds rather than
+      // compile to a coercing cast.
+      if (Seq("==", "!=", "<", "<=", ">", ">=").contains(op))
+        checkComparableKinds(op, l, r, env)
       op match {
         case "==" => a <=> b
         case "!=" => !(a <=> b)
@@ -1129,6 +1146,21 @@ object Jq {
   private case object KNull extends Kind
   private case object KJson extends Kind
 
+  /** Static type of a FIELD-PATH expression (None for anything
+    * computed) — dot-scoped like inferKind: relative paths under a
+    * bound `.` type from the element, never the root schema. */
+  private def staticType(e: Expr, env: Env): Option[org.apache.spark.sql.types.DataType] =
+    e match {
+      case FieldPath(p, false, ix) =>
+        if (env.dot.isDefined)
+          env.dotType.flatMap {
+            case st: StructType => pathType(st, p, ix)
+            case _ => None
+          }
+        else env.schema.flatMap(s => pathType(s, p, ix))
+      case _ => None
+    }
+
   private def pathType(schema: StructType, path: Seq[String],
       index: Option[Int]): Option[org.apache.spark.sql.types.DataType] = {
     var dt: org.apache.spark.sql.types.DataType = schema
@@ -1249,7 +1281,18 @@ object Jq {
       case Some(KString) => coalesce(c, lit("null"))
       case Some(KNull) => lit("null")
       case Some(KBool) => coalesce(c.cast("string"), lit("null"))
-      case Some(KNumeric) => numJson(c)
+      case Some(KNumeric) =>
+        // jq numbers are DOUBLES: a decimal column's JSON text parses
+        // into a double before jq prints it, so the render must go
+        // through the double value (the decimal's own string cast
+        // keeps scale zeros: decimal(5,2) 2.5 → "2.50" where jq says
+        // "2.5"). FLOAT fields are the exception: their own shortest
+        // print ("0.1") matches jq's reparse of the same JSON text,
+        // while the double widening would print the float's exact
+        // value ("0.10000000149011612").
+        val isFloat = staticType(e, env)
+          .contains(org.apache.spark.sql.types.FloatType)
+        numJson(if (isFloat) c else c.cast("double"))
       case Some(KJson) => jsonVal(c)
       case None => throw new IllegalArgumentException(
         s"cannot infer the render type of interpolated expression $e — " +
@@ -1330,15 +1373,22 @@ object Jq {
     * values drop the ".0" a plain double→string cast would keep;
     * null renders "null" (used by interpolation and `tojson`).
     *
-    * Non-integral values render via Spark's double→string cast, which
-    * matches jq 1.6's shortest print EXACTLY for plain-decimal output
-    * — both sides print the shortest round-trip digits (Gay dtoa) —
-    * but Java switches to scientific notation outside [1e-3, 1e7)
-    * where it writes "1.0E-7" against jq's "1e-07". Values there (and
-    * negative zero, which jq prints "-0" but the integral branch
-    * would render "0") RAISE loudly instead of rendering wrong — the
-    * reject-rather-than-guess convention, enforced at runtime because
-    * the value is data. */
+    * Integral doubles render via a LONG cast (exact: an integral
+    * double's value is an exact integer up to 2^63) for |d| < 1e17 —
+    * jq's %.17g prints those plain (≥ 1e17 goes scientific in jq,
+    * which Java cannot reproduce). Non-integral values render via
+    * the double→string cast, which matches jq 1.6's shortest print
+    * EXACTLY for plain-decimal output — both sides print shortest
+    * round-trip digits (Gay dtoa) — but Java switches to scientific
+    * notation outside [1e-3, 1e7) where it writes "1.0E-7" against
+    * jq's "1e-07". Everything else (NaN, ±Inf, −0.0 — jq prints
+    * "-0" where the long branch would say "0" — and both scientific
+    * ranges) RAISES loudly instead of rendering wrong — the
+    * reject-rather-than-guess convention, enforced at runtime
+    * because the value is data. Callers pass DECIMAL inputs
+    * pre-cast to double (jq parses their JSON text into a double,
+    * so the double's shortest print IS jq's output; the decimal's
+    * own cast keeps scale zeros: "2.50"). */
   private def numJson(c: Column): Column = {
     val d = c.cast("double")
     // sign-of-zero via the string render (ANSI throws on 1.0/0.0, so
@@ -1347,14 +1397,13 @@ object Jq {
     // INTERMEDIATE like `-1 * 0` can still be −0.0
     val negZero = d === lit(0.0) && d.cast("string").startsWith("-")
     when(c.isNull, lit("null"))
-      // exact-integer range, positive zero included: bare digits
-      .when(d === floor(d) && !negZero &&
-        abs(d) < lit(9.007199254740992e15), // 2^53: exact long range
+      // exact-integer plain-print range, positive zero included
+      .when(d === floor(d) && !negZero && abs(d) < lit(1e17),
         d.cast("long").cast("string"))
       // plain-decimal range: Java and jq both print shortest digits
       .when(d =!= floor(d) && abs(d) < lit(1e7) && abs(d) >= lit(1e-3),
         c.cast("string"))
-      // NaN/±Inf/−0.0/scientific range/integral ≥ 2^53: raise
+      // NaN/±Inf/−0.0/scientific ranges: raise
       .otherwise(raise_error(concat(
         lit("graft jq: number "), d.cast("string"),
         lit(" is outside the byte-exact print range (plain-decimal " +
@@ -1396,13 +1445,17 @@ object Jq {
       case Some(org.apache.spark.sql.types.StringType) => jsonVal(c)
       case Some(org.apache.spark.sql.types.BooleanType) =>
         coalesce(c.cast("string"), lit("null"))
-      case Some(org.apache.spark.sql.types.DoubleType |
-                org.apache.spark.sql.types.FloatType) => numJson(c)
+      case Some(org.apache.spark.sql.types.DoubleType) => numJson(c)
+      // integral types route through the DOUBLE value: jq parses the
+      // JSON digits into a double, so a long past 2^53 PRINTS ROUNDED
+      // in jq (9007199254740993 → "9007199254740992") — a direct long
+      // cast would render the unrounded digits; numJson's long branch
+      // reproduces jq exactly and raises past the plain-print range
       case Some(org.apache.spark.sql.types.ByteType |
                 org.apache.spark.sql.types.ShortType |
                 org.apache.spark.sql.types.IntegerType |
                 org.apache.spark.sql.types.LongType) =>
-        coalesce(c.cast("string"), lit("null"))
+        numJson(c.cast("double"))
       case Some(dt) if jsonByteExact(dt) => jsonVal(c)
       case Some(dt) => throw new IllegalArgumentException(
         s"tojson over $dt cannot byte-match jq's number formatting — " +

@@ -872,9 +872,10 @@ class JqSpec extends SparkSuite {
     // DataFrame: Tungsten's UnsafeRow normalizes −0.0 to 0.0 on write,
     // so the value never reaches the expression — 0.0 renders "0" on
     // both sides.)
-    // (integral doubles like 4.2e9 are NOT in this list: they render
-    // bare digits via the long branch, byte-exact with jq)
-    for (bad <- Seq(1e-7, 12345678.5, 1.8e16)) {
+    // (integral doubles like 4.2e9 or 1.8e16 are NOT in this list:
+    // they render bare digits via the long branch — jq's %.17g prints
+    // integral values plain up to 1e17 — byte-exact with jq)
+    for (bad <- Seq(1e-7, 12345678.5, 2.5e17)) {
       val df = Seq((1L, bad)).toDF("id", "d")
       val e = intercept[Exception] {
         Jq.compile("{id, t: (.d | tojson)}")(df).collect()
@@ -887,14 +888,57 @@ class JqSpec extends SparkSuite {
       assert(msgs(e2).exists(_.contains("byte-exact print range")),
         s"interp $bad: ${msgs(e2)}")
     }
-    // boundary values still render, byte-matching real jq
+    // boundary values still render, byte-matching real jq (1.8e16 is
+    // in the plain-integral window; the big LONG rounds through the
+    // double exactly as jq's reparse does: ...993 prints ...992)
     import graft.transform.JqEscapeHatch
-    val ok = Seq((1L, 0.001), (2L, 9999999.5), (3L, 123456789.0), (4L, 0.0))
-      .toDF("id", "d")
+    val ok = Seq((1L, 0.001), (2L, 9999999.5), (3L, 123456789.0),
+      (4L, 0.0), (5L, 1.8e16)).toDF("id", "d")
     val prog = "{id, t: (.d | tojson)}"
     val c = Jq.compile(prog)(ok).toJSON.collect().sorted.toSeq
     val r = JqEscapeHatch.rawApply(ok.toJSON, prog).collect().sorted.toSeq
     assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    val big = Seq((1L, 9007199254740993L)).toDF("id", "n")
+    val progB = "{id, t: (.n | tojson), s: \"\\(.n)\"}"
+    val cB = Jq.compile(progB)(big).toJSON.collect().sorted.toSeq
+    val rB = JqEscapeHatch.rawApply(big.toJSON, progB).collect().sorted.toSeq
+    assert(cB == rB, s"\ncompiled: $cB\nreal jq:  $rB")
+    assert(cB.head.contains("9007199254740992"), cB)
+  }
+
+  test("cross-kind comparisons reject toward the hatch instead of coercing") {
+    // jq compares across types by its total type order (number==string
+    // is FALSE, numbers sort below strings); Spark would insert a
+    // coercing cast (true where jq says false, or an ANSI cast error)
+    val df = Seq((1L, "5", 5L)).toDF("id", "s", "n")
+    for (prog <- Seq(
+        "select(.n == \"5\")",            // predicate, raw-literal path
+        "{x: (.n == \"5\")}",             // value position, total path
+        "{x: (.s < 9)}",                   // ordered, mixed kinds
+        "{x: (if .s == 5 then 1 else 2 end)}")) { // if-condition
+      val e = intercept[IllegalArgumentException] {
+        Jq.compile(prog)(df).collect()
+      }
+      assert(e.getMessage.contains("mixed kinds"), s"$prog: ${e.getMessage}")
+    }
+    // same-kind comparisons still compile
+    assert(Jq.compile("select(.s == \"5\")")(df).count() == 1)
+    assert(Jq.compile("select(.n == 5)")(df).count() == 1)
+  }
+
+  test("decimal fields interpolate through the double value like jq") {
+    import graft.transform.JqEscapeHatch
+    // a decimal(5,2) column's OWN string cast keeps scale zeros
+    // ("2.50"); jq parses the JSON text into a double and prints
+    // shortest ("2.5") — the render must go through the double
+    val df = Seq((1L, "2.50"), (2L, "0.10"), (3L, "7.00"))
+      .toDF("id", "a").selectExpr("id", "cast(a AS decimal(5,2)) AS amount")
+    val prog = "{id, s: \"v=\\(.amount)\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(_.contains("v=2.5\"")), c)
+    assert(c.exists(_.contains("v=7\"")), c)
   }
 
   test("multi-generator object construction compiles the jq cartesian") {

@@ -43,7 +43,12 @@ class PlanSpec extends SparkSuite {
     val p = plan(df)
     assert(!p.contains("Exchange"), p) // narrow plan, shuffle-free
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
-    assert(formatted(df).contains("PushedFilters"), p)
+    // the CONCRETE pushed filter, not just the label (parquet scans
+    // always print a PushedFilters line, even when it is empty []) —
+    // this is the pin that guards the predicate-position compile: the
+    // total CASE comparison form cannot push, the raw form must
+    assert(formatted(df).contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"),
+      formatted(df))
   }
 
   test("top-k plans as TakeOrdered (no global sort materialization)") {

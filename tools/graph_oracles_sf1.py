@@ -112,12 +112,23 @@ for q in sys.argv[3:]:
         # pandas), and its silent no-op left dtype-mismatched columns
         # (int32 vs int64-as-object, decimal objects) comparing
         # unconverted — a spurious FAIL path (round-14 ADVICE).
+        # The numeric path requires at least one side to ALREADY be a
+        # numeric dtype: two TEXT columns compare as text even when
+        # numeric-looking ("01" vs "1" must FAIL, not coerce equal);
+        # the mixed case (int64 vs duckdb decimal-objects) is the one
+        # the coercion exists for.
         an = pd.to_numeric(a, errors="coerce")
         bn = pd.to_numeric(b, errors="coerce")
-        if an.notna().equals(a.notna()) and bn.notna().equals(b.notna()):
+        either_numeric = (pd.api.types.is_numeric_dtype(a)
+                          or pd.api.types.is_numeric_dtype(b))
+        if (either_numeric and an.notna().equals(a.notna())
+                and bn.notna().equals(b.notna())):
             # both sides fully numeric-convertible: integers compare
-            # EXACTLY in Int64 (a float64 detour would fuzz > 2^53);
-            # anything fractional compares as float64
+            # EXACTLY in Int64 (a float64 detour would fuzz > 2^53 —
+            # note an int column that arrived WITH nulls is already
+            # float64 from the parquet/duckdb read, so >2^53 exactness
+            # is only guaranteed for null-free integer columns; the
+            # graph oracles emit counts and micro-longs well below)
             if (an.dropna() % 1 == 0).all() and (bn.dropna() % 1 == 0).all():
                 a, b = an.astype("Int64"), bn.astype("Int64")
             else:
