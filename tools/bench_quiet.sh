@@ -54,28 +54,33 @@ if [ -n "$PREV_COMMIT" ]; then
   (cd "$PREV_DIR" && sbt -batch compile >/dev/null 2>&1)
 fi
 
-# ---- interleaved calibration subset: head, prev, head, prev ----
-CAL_FILES=()
-if [ -n "$PREV_COMMIT" ]; then
-  for pass in 1 2; do
-    echo "[quiet] calibration pass $pass: HEAD" >&2
+# ---- full passes with calibration passes INTERLEAVED BETWEEN them ----
+# The calibration coefficient must measure the SAME box window as the
+# full passes it normalizes: the first r15 cuts ran calibration as a
+# prologue, and a 10-20% hour-scale window shift between the prologue
+# and the full passes produced a coefficient that normalized nothing.
+# Order: cal1(head,prev), full1, full2, cal2(head,prev), full3, full4.
+cal_pass() { # n
+  if [ -n "$PREV_COMMIT" ]; then
+    echo "[quiet] calibration pass $1: HEAD" >&2
     run_bench "$REPO" 3 "$CAL_QUERIES" 0
-    cp "$REPO/target/bench.json" "/tmp/cal_head_$pass.json"
-    echo "[quiet] calibration pass $pass: prev" >&2
+    cp "$REPO/target/bench.json" "/tmp/cal_head_$1.json"
+    echo "[quiet] calibration pass $1: prev" >&2
     run_bench "$PREV_DIR" 3 "$CAL_QUERIES" 0
-    cp "$PREV_DIR/target/bench.json" "/tmp/cal_prev_$pass.json"
-    CAL_FILES+=("/tmp/cal_head_$pass.json" "/tmp/cal_prev_$pass.json")
-  done
-fi
-
-# ---- four quiet full-suite passes at HEAD ----
-PASS_FILES=()
-for pass in 1 2 3 4; do
-  echo "[quiet] full pass $pass/4" >&2
+    cp "$PREV_DIR/target/bench.json" "/tmp/cal_prev_$1.json"
+  fi
+}
+full_pass() { # n
+  echo "[quiet] full pass $1/4" >&2
   run_bench "$REPO" 1 "" 1
-  cp "$REPO/target/bench.json" "/tmp/quiet_pass_$pass.json"
-  PASS_FILES+=("/tmp/quiet_pass_$pass.json")
-done
+  cp "$REPO/target/bench.json" "/tmp/quiet_pass_$1.json"
+}
+cal_pass 1
+full_pass 1
+full_pass 2
+cal_pass 2
+full_pass 3
+full_pass 4
 
 python3 - "$OUT" "$PREV_COMMIT" "$PREV_RECORD" "$CAL_QUERIES" <<'EOF' >&2
 import json, sys
