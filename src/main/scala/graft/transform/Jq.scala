@@ -826,15 +826,8 @@ object Jq {
       // keeps the root-schema resolution.
       val headType: Option[org.apache.spark.sql.types.DataType] =
         stages.head match {
-          case FieldPath(p, false, ix) =>
-            if (env.dot.isDefined)
-              env.dotType.flatMap {
-                case st: StructType => pathType(st, p, ix)
-                case _ => None
-              }
-            else env.schema.flatMap(s => pathType(s, p, ix))
           case Identity => env.dotType
-          case _ => None
+          case h => staticType(h, env) // dot-scoped, one copy
         }
       val headIsArr = stages.head match {
         case ArrLit(_) => true
@@ -1146,9 +1139,11 @@ object Jq {
   private case object KNull extends Kind
   private case object KJson extends Kind
 
-  /** Static type of a FIELD-PATH expression (None for anything
-    * computed) — dot-scoped like inferKind: relative paths under a
-    * bound `.` type from the element, never the root schema. */
+  /** Static type of a field-path-shaped expression (None for
+    * anything computed) — dot-scoped: relative paths under a bound
+    * `.` type from the element, NEVER the root schema (the round-9
+    * lambda-shadowing rule). The single source of truth — inferKind's
+    * path cases delegate here. */
   private def staticType(e: Expr, env: Env): Option[org.apache.spark.sql.types.DataType] =
     e match {
       case FieldPath(p, false, ix) =>
@@ -1158,6 +1153,10 @@ object Jq {
             case _ => None
           }
         else env.schema.flatMap(s => pathType(s, p, ix))
+      // first(.xs[]) / last(.xs[]) yield the array's ELEMENT type
+      case Call(fn, Seq(FieldPath(p, true, _)))
+          if Seq("first", "last").contains(fn) =>
+        staticType(FieldPath(p, false, Some(0)), env)
       case _ => None
     }
 
@@ -1222,26 +1221,12 @@ object Jq {
       if (items.forall(_.isInstanceOf[StrLit]))
         inferKind(FieldPath(items.map(_.asInstanceOf[StrLit].v)), env)
       else None
-    case Call(fn, Seq(FieldPath(p, true, _))) if Seq("first", "last").contains(fn) =>
-      if (env.dot.isDefined)
-        env.dotType.flatMap {
-          case st: StructType => pathType(st, p, Some(0))
-          case _ => None
-        }.map(kindOfType)
-      else env.schema.flatMap(s => pathType(s, p, Some(0))).map(kindOfType)
-    case FieldPath(p, false, ix) =>
-      // with `.` BOUND (map/sort_by/with_entries bodies) a relative
-      // path types from the bound value's type and NEVER from the
-      // root schema — a same-named root column must not leak its kind
-      // into a lambda (the round-9 lambda-shadowing rule; truthy got
-      // this in round 9, the interpolation/render path only now). An
-      // untyped bound value yields None → reject, never a root guess.
-      if (env.dot.isDefined)
-        env.dotType.flatMap {
-          case st: StructType => pathType(st, p, ix)
-          case _ => None
-        }.map(kindOfType)
-      else env.schema.flatMap(s => pathType(s, p, ix)).map(kindOfType)
+    // path-shaped cases delegate to the dot-scoped staticType (one
+    // copy of the round-9 lambda-shadowing rule, not four)
+    case Call(fn, Seq(FieldPath(_, true, _))) if Seq("first", "last").contains(fn) =>
+      staticType(e, env).map(kindOfType)
+    case FieldPath(_, false, _) =>
+      staticType(e, env).map(kindOfType)
     case Pipe(stages) if stages.size >= 2 =>
       stages.last match {
         case Call(fn, _) if Seq("tostring", "ascii_downcase", "ascii_upcase",
@@ -1286,10 +1271,12 @@ object Jq {
         // into a double before jq prints it, so the render must go
         // through the double value (the decimal's own string cast
         // keeps scale zeros: decimal(5,2) 2.5 → "2.50" where jq says
-        // "2.5"). FLOAT fields are the exception: their own shortest
+        // "2.5"). FLOAT paths are the exception: their own shortest
         // print ("0.1") matches jq's reparse of the same JSON text,
         // while the double widening would print the float's exact
-        // value ("0.10000000149011612").
+        // value ("0.10000000149011612") — staticType covers fields
+        // AND first/last, the shapes a float can reach this render
+        // through un-computed.
         val isFloat = staticType(e, env)
           .contains(org.apache.spark.sql.types.FloatType)
         numJson(if (isFloat) c else c.cast("double"))
@@ -1374,9 +1361,13 @@ object Jq {
     * null renders "null" (used by interpolation and `tojson`).
     *
     * Integral doubles render via a LONG cast (exact: an integral
-    * double's value is an exact integer up to 2^63) for |d| < 1e17 —
-    * jq's %.17g prints those plain (≥ 1e17 goes scientific in jq,
-    * which Java cannot reproduce). Non-integral values render via
+    * double's value is an exact integer up to 2^63) when jq would
+    * print them PLAIN. jq's cutover is digit-count-based, not a
+    * magnitude threshold (jvp_dtoa_fmt: plain iff decpt ≤ ndigits +
+    * 15, i.e. iff the integer has at most 15 TRAILING ZEROS) —
+    * verified against the real binary: 1e16 → "1e+16" but
+    * 18000000000000000 (15 zeros) and even 123456789012345680
+    * (18 digits, 1 zero) print plain. Non-integral values render via
     * the double→string cast, which matches jq 1.6's shortest print
     * EXACTLY for plain-decimal output — both sides print shortest
     * round-trip digits (Gay dtoa) — but Java switches to scientific
@@ -1396,10 +1387,54 @@ object Jq {
     // arrives (UnsafeRow normalizes it on write) but an expression
     // INTERMEDIATE like `-1 * 0` can still be −0.0
     val negZero = d === lit(0.0) && d.cast("string").startsWith("-")
+    // Below 2^53 an integral double's exact integer IS the shortest
+    // print (≤16 digits, ≤15 trailing zeros → jq always prints it
+    // plain) — the long cast renders it directly. Above 2^53 the
+    // exact integer can need MORE digits than the shortest repr
+    // (999999999999999900 stores as ...872 but jq prints the
+    // 16-digit shortest ...9900), so jq's output reconstructs from
+    // the scientific shortest-print string instead: mantissa digits
+    // g (dot and trailing zeros stripped) and exponent n print plain
+    // as g padded with (n+1−len(g)) zeros iff that pad ≤ 15 — jq's
+    // decpt ≤ ndigits+15 rule (verified against the binary: 1e16 →
+    // "1e+16" scientific, but 18000000000000000 and even the
+    // 18-digit 123456789012345680 print plain).
+    val sci = d.cast("string")
+    val body = regexp_replace(sci, "^-", "")
+    val mantTrim = regexp_replace(
+      regexp_replace(substring_index(body, "E", 1), "\\.", ""),
+      "0+$", "")
+    val expN = substring_index(body, "E", -1).cast("int")
+    val pad = expN + lit(1) - length(mantTrim)
+    val sign = when(sci.startsWith("-"), lit("-")).otherwise(lit(""))
+    val bigPlain = concat(sign, mantTrim,
+      call_function("repeat", lit("0"), pad))
+    // Java 17's pre-Ryu Double.toString sometimes prints ONE MORE
+    // mantissa digit than the shortest repr (JDK-4511638, fixed in
+    // 19) — jq (Gay dtoa) prints the shortest, so an over-printed
+    // mantissa would render different bytes (9.99999999999999987E17
+    // vs jq's ...9900). Detect: if rounding the mantissa DOWN or UP
+    // to one fewer digit still round-trips to d, Java's digits are
+    // not minimal → raise rather than render wrong.
+    val n = length(mantTrim)
+    val prefixL = call_function("substring", mantTrim, lit(1), n - lit(1))
+      .cast("long")
+    def candOf(p: Column): Column = {
+      val ps = p.cast("string")
+      concat(sign, ps,
+        call_function("repeat", lit("0"), expN + lit(1) - length(ps)))
+    }
+    val overPrinted = n > lit(1) &&
+      (candOf(prefixL).cast("double") === d ||
+        candOf(prefixL + lit(1)).cast("double") === d)
     when(c.isNull, lit("null"))
-      // exact-integer plain-print range, positive zero included
-      .when(d === floor(d) && !negZero && abs(d) < lit(1e17),
+      // exact-integer range, positive zero included: bare long digits
+      .when(d === floor(d) && !negZero &&
+        abs(d) < lit(9.007199254740992e15), // 2^53
         d.cast("long").cast("string"))
+      // 2^53 ≤ |d| < 2^63-margin: jq's plain print when ≤15 pad zeros
+      .when(d === floor(d) && abs(d) < lit(9.2e18) &&
+        pad.between(lit(0), lit(15)) && !overPrinted, bigPlain)
       // plain-decimal range: Java and jq both print shortest digits
       .when(d =!= floor(d) && abs(d) < lit(1e7) && abs(d) >= lit(1e-3),
         c.cast("string"))
@@ -1446,6 +1481,10 @@ object Jq {
       case Some(org.apache.spark.sql.types.BooleanType) =>
         coalesce(c.cast("string"), lit("null"))
       case Some(org.apache.spark.sql.types.DoubleType) => numJson(c)
+      // a FLOAT's own shortest print matches jq's reparse of the same
+      // JSON text (the double widening would print the float's exact
+      // value); numJson's guards run on the double anyway
+      case Some(org.apache.spark.sql.types.FloatType) => numJson(c)
       // integral types route through the DOUBLE value: jq parses the
       // JSON digits into a double, so a long past 2^53 PRINTS ROUNDED
       // in jq (9007199254740993 → "9007199254740992") — a direct long

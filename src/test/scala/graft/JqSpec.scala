@@ -873,9 +873,15 @@ class JqSpec extends SparkSuite {
     // so the value never reaches the expression — 0.0 renders "0" on
     // both sides.)
     // (integral doubles like 4.2e9 or 1.8e16 are NOT in this list:
-    // they render bare digits via the long branch — jq's %.17g prints
-    // integral values plain up to 1e17 — byte-exact with jq)
-    for (bad <- Seq(1e-7, 12345678.5, 2.5e17)) {
+    // jq prints an integer plain whenever its shortest repr needs at
+    // most 15 pad zeros — 1e16 and 2.5e17 exceed that and go
+    // scientific in jq, which Java cannot reproduce → raise.
+    // 999999999999999900.0 is jq-plain but JDK 17's pre-Ryu
+    // Double.toString over-prints its mantissa by one digit
+    // (…99987E17 where the shortest is …9999E17), so the over-print
+    // detector raises rather than render the wrong bytes.)
+    for (bad <- Seq(1e-7, 12345678.5, 1e16, 2.5e17,
+        999999999999999900.0)) {
       val df = Seq((1L, bad)).toDF("id", "d")
       val e = intercept[Exception] {
         Jq.compile("{id, t: (.d | tojson)}")(df).collect()
@@ -888,12 +894,16 @@ class JqSpec extends SparkSuite {
       assert(msgs(e2).exists(_.contains("byte-exact print range")),
         s"interp $bad: ${msgs(e2)}")
     }
-    // boundary values still render, byte-matching real jq (1.8e16 is
-    // in the plain-integral window; the big LONG rounds through the
-    // double exactly as jq's reparse does: ...993 prints ...992)
+    // boundary values still render, byte-matching real jq: 1.8e16 has
+    // 15 pad zeros (plain), and the 18-digit 123456789012345680
+    // prints plain with 1 pad zero (its 17-digit mantissa IS minimal,
+    // so the over-print detector stays quiet); the big LONG rounds
+    // through the double exactly as jq's reparse does
+    // (...993 prints ...992)
     import graft.transform.JqEscapeHatch
     val ok = Seq((1L, 0.001), (2L, 9999999.5), (3L, 123456789.0),
-      (4L, 0.0), (5L, 1.8e16)).toDF("id", "d")
+      (4L, 0.0), (5L, 1.8e16), (7L, 123456789012345680.0))
+      .toDF("id", "d")
     val prog = "{id, t: (.d | tojson)}"
     val c = Jq.compile(prog)(ok).toJSON.collect().sorted.toSeq
     val r = JqEscapeHatch.rawApply(ok.toJSON, prog).collect().sorted.toSeq
@@ -904,6 +914,25 @@ class JqSpec extends SparkSuite {
     val rB = JqEscapeHatch.rawApply(big.toJSON, progB).collect().sorted.toSeq
     assert(cB == rB, s"\ncompiled: $cB\nreal jq:  $rB")
     assert(cB.head.contains("9007199254740992"), cB)
+  }
+
+  test("float paths render their own shortest print, not the widened double") {
+    import graft.transform.JqEscapeHatch
+    // a float's own shortest print ("0.1") matches jq's reparse of
+    // the same JSON text; the double widening would print the float's
+    // exact value ("0.10000000149011612"). Covers the two un-computed
+    // shapes a float reaches the render through: a field and
+    // first/last over a float array.
+    val df = Seq((1L, "x")).toDF("id", "tag")
+      .selectExpr("id", "cast(0.1 AS float) AS f",
+        "array(cast(2.5 AS float), cast(7.0 AS float)) AS fs")
+    val prog = "{id, s: \"f=\\(.f)\", t: (.f | tojson), " +
+      "h: \"\\(first(.fs[]))\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.head.contains("f=0.1"), c)
+    assert(c.head.contains("\"h\":\"2.5\""), c)
   }
 
   test("cross-kind comparisons reject toward the hatch instead of coercing") {
