@@ -189,6 +189,51 @@ object Bench {
         f""","grouped":{"rows":$nRec,"files":16,"sec":$sec%.3f,""" +
           s""""rec_per_sec":${(nRec / sec).toInt}}"""
       }
+    // Archive/compress post-pass (D22) timed entry (round-15 verdict
+    // item 7): zip + tar.gz assembly of the grouped entry's 16-file
+    // 1M-row NDJSON output (~60 MB) through the same streaming
+    // archive writers the sink post-pass uses — driver-side archive
+    // assembly is the kind of thing that only misbehaves at volume,
+    // and it was correctness-covered but never measured. min-of-2
+    // per format, entry count validated on EVERY run.
+    val archiveJson: String =
+      if (!benchPipelines) ""
+      else {
+        val dir = transferInput().getParent
+        val srcs = Option(new java.io.File(dir.resolve("grouped0").toString)
+          .listFiles((f: java.io.File) => f.getName.matches("dest_\\d+\\.json")))
+          .getOrElse(Array.empty[java.io.File]).map(_.toString).sorted.toSeq
+        require(srcs.length == 16,
+          s"archive input: ${srcs.length} grouped files, want 16")
+        def zipEntries(p: String): Int = {
+          val zf = new java.util.zip.ZipFile(p)
+          try zf.size() finally zf.close()
+        }
+        def tgzEntries(p: String): Int = {
+          val tin = new org.apache.commons.compress.archivers.tar
+            .TarArchiveInputStream(new java.util.zip.GZIPInputStream(
+              new java.io.FileInputStream(p)))
+          try {
+            var n = 0
+            while (tin.getNextEntry != null) n += 1
+            n
+          } finally tin.close()
+        }
+        def timed(ext: String, entries: String => Int): Double =
+          (0 until 2).map { r =>
+            val dest = dir.resolve(s"arch$r.$ext").toString
+            val t0 = System.nanoTime()
+            graft.sinks.Archive.archive(srcs, dest)
+            val dt = (System.nanoTime() - t0) / 1e9
+            require(entries(dest) == 16,
+              s"archive $ext run $r entry count != 16")
+            dt
+          }.min
+        val zipSec = timed("zip", zipEntries)
+        val tgzSec = timed("tar.gz", tgzEntries)
+        f""","archive":{"rows":$nRec,"files":16,""" +
+          f""""zip_sec":$zipSec%.3f,"tgz_sec":$tgzSec%.3f}"""
+      }
     // a query that threw must not fold its (fast-failure) wall time into
     // the headline total — broken must not read as fast round-over-round
     val total = results.filter(_._4).map(_._2).sum
@@ -202,10 +247,10 @@ object Bench {
     // transfer goes LAST on the line: the driver keeps the stdout TAIL,
     // so the baseline figure must sit at the end to survive truncation
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"$groupedJson$multisinkJson$transferJson}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"$groupedJson$archiveJson$multisinkJson$transferJson}"""
     println(json)
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"$groupedJson$multisinkJson$transferJson}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"$groupedJson$archiveJson$multisinkJson$transferJson}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))

@@ -593,7 +593,12 @@ object Jq {
     * Spark inserts a coercing cast, so `.x == "5"` over a numeric
     * column would compile to a casted compare that is TRUE where jq
     * says false (or an ANSI runtime cast error on non-numeric text).
-    * Same-kind, statically-unknown, and null-literal operands pass. */
+    * Same-kind and null-literal operands pass. An operand whose kind
+    * cannot be inferred rejects too (round-15 VERDICT directive 4):
+    * the compiled Spark comparison would coerce at runtime, so
+    * `(.a | map(.x) | first) == "5"` over numeric data could
+    * silently diverge from jq's type order — consistent with
+    * truthy's rejected-rather-than-guessed rule. */
   private def checkComparableKinds(
       op: String, l: Expr, r: Expr, env: Env): Unit =
     (inferKind(l, env), inferKind(r, env)) match {
@@ -602,6 +607,14 @@ object Jq {
           s"jq comparison '$op' over mixed kinds ($a vs $b) follows " +
             "jq's type order, which a coercing Spark comparison cannot " +
             "express — use the JqEscapeHatch")
+      // a null operand never coerces (the compile is isNull-shaped),
+      // so KNull on either side keeps an untypeable other side legal
+      case (a, b) if (a.isEmpty || b.isEmpty) &&
+          !a.contains(KNull) && !b.contains(KNull) =>
+        throw new IllegalArgumentException(
+          s"jq comparison '$op' has a statically untypeable operand — " +
+            "a coercing Spark comparison could diverge from jq's type " +
+            "order at runtime; use the JqEscapeHatch")
       case _ => ()
     }
 
@@ -1187,6 +1200,11 @@ object Jq {
   }
 
   private def inferKind(e: Expr, env: Env): Option[Kind] = e match {
+    // a bound `.` (map/until/with_entries lambdas) types from the
+    // element type the binder recorded — without this, `. > 2` inside
+    // map() would reject as untypeable (round-15 directive 4 made
+    // untypeable comparison operands reject)
+    case Identity => env.dotType.map(kindOfType)
     case StrLit(_) | StrInterp(_) => Some(KString)
     case NumLit(_) => Some(KNumeric)
     case BoolLit(_) => Some(KBool)
@@ -1271,16 +1289,27 @@ object Jq {
         // into a double before jq prints it, so the render must go
         // through the double value (the decimal's own string cast
         // keeps scale zeros: decimal(5,2) 2.5 → "2.50" where jq says
-        // "2.5"). FLOAT paths are the exception: their own shortest
-        // print ("0.1") matches jq's reparse of the same JSON text,
-        // while the double widening would print the float's exact
-        // value ("0.10000000149011612") — staticType covers fields
-        // AND first/last, the shapes a float can reach this render
+        // "2.5"). FLOAT paths REPARSE through their own shortest
+        // print (cast(cast(f AS string) AS double)): the column's
+        // JSON text is the float's print ("0.1", "1.23456792E8"), and
+        // jq renders the DOUBLE that text parses to — the plain
+        // double widening would instead print the float's exact value
+        // ("0.10000000149011612") or, for integral floats past 2^24,
+        // the unrounded integer (123456792 where jq's reparse of
+        // "1.23456792E8" can differ). staticType covers fields AND
+        // first/last, the shapes a float can reach this render
         // through un-computed.
         val isFloat = staticType(e, env)
           .contains(org.apache.spark.sql.types.FloatType)
-        numJson(if (isFloat) c else c.cast("double"))
-      case Some(KJson) => jsonVal(c)
+        numJson(if (isFloat) c.cast("string").cast("double")
+          else c.cast("double"))
+      // composites: the 2^53 long-leaf guard applies when the static
+      // type is known (field-path shapes); ArrLit/ObjectLit parts
+      // carry no DataType here and render unguarded like before
+      case Some(KJson) => staticType(e, env) match {
+        case Some(dt) => jsonValGuarded(c, dt)
+        case None => jsonVal(c)
+      }
       case None => throw new IllegalArgumentException(
         s"cannot infer the render type of interpolated expression $e — " +
           "use the JqEscapeHatch for this program")
@@ -1356,30 +1385,36 @@ object Jq {
     j.substr(lit(6), length(j) - lit(6))
   }
 
-  /** jq's number text: IEEE doubles printed shortest — integral
-    * values drop the ".0" a plain double→string cast would keep;
-    * null renders "null" (used by interpolation and `tojson`).
-    *
-    * Integral doubles render via a LONG cast (exact: an integral
-    * double's value is an exact integer up to 2^63) when jq would
-    * print them PLAIN. jq's cutover is digit-count-based, not a
-    * magnitude threshold (jvp_dtoa_fmt: plain iff decpt ≤ ndigits +
-    * 15, i.e. iff the integer has at most 15 TRAILING ZEROS) —
-    * verified against the real binary: 1e16 → "1e+16" but
-    * 18000000000000000 (15 zeros) and even 123456789012345680
-    * (18 digits, 1 zero) print plain. Non-integral values render via
-    * the double→string cast, which matches jq 1.6's shortest print
-    * EXACTLY for plain-decimal output — both sides print shortest
-    * round-trip digits (Gay dtoa) — but Java switches to scientific
-    * notation outside [1e-3, 1e7) where it writes "1.0E-7" against
-    * jq's "1e-07". Everything else (NaN, ±Inf, −0.0 — jq prints
-    * "-0" where the long branch would say "0" — and both scientific
-    * ranges) RAISES loudly instead of rendering wrong — the
-    * reject-rather-than-guess convention, enforced at runtime
-    * because the value is data. Callers pass DECIMAL inputs
-    * pre-cast to double (jq parses their JSON text into a double,
-    * so the double's shortest print IS jq's output; the decimal's
-    * own cast keeps scale zeros: "2.50"). */
+  /** jq's number text: IEEE doubles printed shortest — the exact
+    * g_fmt layout of jq 1.6's jvp_dtoa_fmt, reconstructed from the
+    * shortest-print digits `g` and decimal exponent `decpt` (value =
+    * 0.g × 10^decpt) that Java's own Double.toString carries in
+    * either of its two forms. jq's branch structure (verified against
+    * the real binary):
+    *   - decpt ≤ −4 or decpt > len(g)+15 → scientific `m[.mmm]e±XX`
+    *     (lowercase e, explicit sign, ≥2 exponent digits: "1e-07",
+    *     "1e+16", "1.5e+300")
+    *   - decpt ≤ 0        → "0." + (−decpt zeros) + g   ("0.0001")
+    *   - decpt ≥ len(g)   → g + (decpt−len(g) zeros)    — the plain
+    *     integer form, at most 15 pad zeros by the first rule
+    *     (18000000000000000 and the 18-digit 123456789012345680
+    *     print plain; 1e16 goes scientific)
+    *   - else             → g with the dot after digit decpt
+    * Integral |d| < 2^53 short-circuits through an exact long cast
+    * (its digits ARE the shortest print there). Java and jq both
+    * print shortest round-trip digits (Gay dtoa), so `g` is jq's
+    * digit string — EXCEPT where JDK 17's pre-Ryu Double.toString
+    * over-prints one extra mantissa digit (JDK-4511638, fixed in 19:
+    * 9.99999999999999987E17 for jq's ...9900E17, 4.9E-324 for jq's
+    * 5e-324): the detector below RAISES on non-minimal digits in
+    * EVERY branch rather than render wrong bytes. NaN, ±Inf and
+    * −0.0 (jq prints "-0" where the long branch would say "0") also
+    * raise — reject-rather-than-guess, enforced at runtime because
+    * the value is data. Callers pass DECIMAL inputs pre-cast to
+    * double and FLOAT inputs reparsed from their own float print
+    * (`cast(cast(f AS string) AS double)`) — jq parses the column's
+    * JSON text into a double, and for a float that text is the
+    * float's shortest print, not the widened double. */
   private def numJson(c: Column): Column = {
     val d = c.cast("double")
     // sign-of-zero via the string render (ANSI throws on 1.0/0.0, so
@@ -1387,62 +1422,73 @@ object Jq {
     // arrives (UnsafeRow normalizes it on write) but an expression
     // INTERMEDIATE like `-1 * 0` can still be −0.0
     val negZero = d === lit(0.0) && d.cast("string").startsWith("-")
-    // Below 2^53 an integral double's exact integer IS the shortest
-    // print (≤16 digits, ≤15 trailing zeros → jq always prints it
-    // plain) — the long cast renders it directly. Above 2^53 the
-    // exact integer can need MORE digits than the shortest repr
-    // (999999999999999900 stores as ...872 but jq prints the
-    // 16-digit shortest ...9900), so jq's output reconstructs from
-    // the scientific shortest-print string instead: mantissa digits
-    // g (dot and trailing zeros stripped) and exponent n print plain
-    // as g padded with (n+1−len(g)) zeros iff that pad ≤ 15 — jq's
-    // decpt ≤ ndigits+15 rule (verified against the binary: 1e16 →
-    // "1e+16" scientific, but 18000000000000000 and even the
-    // 18-digit 123456789012345680 print plain).
     val sci = d.cast("string")
     val body = regexp_replace(sci, "^-", "")
-    val mantTrim = regexp_replace(
-      regexp_replace(substring_index(body, "E", 1), "\\.", ""),
-      "0+$", "")
-    val expN = substring_index(body, "E", -1).cast("int")
-    val pad = expN + lit(1) - length(mantTrim)
     val sign = when(sci.startsWith("-"), lit("-")).otherwise(lit(""))
-    val bigPlain = concat(sign, mantTrim,
-      call_function("repeat", lit("0"), pad))
-    // Java 17's pre-Ryu Double.toString sometimes prints ONE MORE
-    // mantissa digit than the shortest repr (JDK-4511638, fixed in
-    // 19) — jq (Gay dtoa) prints the shortest, so an over-printed
-    // mantissa would render different bytes (9.99999999999999987E17
-    // vs jq's ...9900). Detect: if rounding the mantissa DOWN or UP
-    // to one fewer digit still round-trips to d, Java's digits are
-    // not minimal → raise rather than render wrong.
-    val n = length(mantTrim)
-    val prefixL = call_function("substring", mantTrim, lit(1), n - lit(1))
+    // digits g + decpt from EITHER Java print form: scientific
+    // "m.mmmE±x" (always used outside [1e-3, 1e7)) has decpt = exp+1;
+    // plain "iii.fff" derives decpt from the integer-part length
+    // minus the leading zeros Java writes below 1 ("0.001234" →
+    // g="1234", decpt=−2). Trailing zeros only occur as Java's
+    // mandatory ".0" ("1.0E16") — stripped into g="1".
+    val hasE = body.contains("E")
+    val mantPart = substring_index(body, "E", 1) // whole body when plain
+    val digitsRaw = regexp_replace(mantPart, "\\.", "")
+    val noLead = regexp_replace(digitsRaw, "^0+", "")
+    val g = regexp_replace(noLead, "0+$", "")
+    val nD = length(g)
+    val decpt = when(hasE,
+        substring_index(body, "E", -1).cast("int") + lit(1))
+      .otherwise(length(substring_index(mantPart, ".", 1)) -
+        (length(digitsRaw) - length(noLead)))
+    // Over-print detector (JDK-4511638): if rounding g down OR up to
+    // one fewer digit still round-trips to d, Java's digits are not
+    // minimal → raise rather than render wrong. The two candidates
+    // are built as integer×10^k strings so a carry (99→100) keeps
+    // the right magnitude.
+    val prefixL = call_function("substring", g, lit(1), nD - lit(1))
       .cast("long")
-    def candOf(p: Column): Column = {
-      val ps = p.cast("string")
-      concat(sign, ps,
-        call_function("repeat", lit("0"), expN + lit(1) - length(ps)))
-    }
-    val overPrinted = n > lit(1) &&
+    def candOf(p: Column): Column =
+      concat(sign, p.cast("string"), lit("E"),
+        (decpt - (nD - lit(1))).cast("string"))
+    val overPrinted = nD > lit(1) &&
       (candOf(prefixL).cast("double") === d ||
         candOf(prefixL + lit(1)).cast("double") === d)
+    // the four g_fmt output forms
+    val sciForm = concat(sign,
+      call_function("substring", g, lit(1), lit(1)),
+      when(nD > lit(1), concat(lit("."),
+        call_function("substring", g, lit(2), nD - lit(1))))
+        .otherwise(lit("")),
+      lit("e"), format_string("%+03d", decpt - lit(1)))
+    val fracForm = concat(sign, lit("0."),
+      call_function("repeat", lit("0"), -decpt), g)
+    val bigPlain = concat(sign, g,
+      call_function("repeat", lit("0"), decpt - nD))
+    val midForm = concat(sign,
+      call_function("substring", g, lit(1), decpt), lit("."),
+      call_function("substring", g, decpt + lit(1), nD - decpt))
     when(c.isNull, lit("null"))
-      // exact-integer range, positive zero included: bare long digits
-      .when(d === floor(d) && !negZero &&
-        abs(d) < lit(9.007199254740992e15), // 2^53
+      // NaN/±Inf/−0.0 first: no byte-exact render (jq says "null",
+      // "1.7976931348623157e+308", "-0") — raise loudly
+      .when(isnan(d) || d === lit(Double.PositiveInfinity) ||
+        d === lit(Double.NegativeInfinity) || negZero,
+        raise_error(concat(
+          lit("graft jq: number "), d.cast("string"),
+          lit(" is outside the byte-exact print range (NaN/Inf/-0.0) " +
+            "— use the JqEscapeHatch"))))
+      // exact-integer fast path, positive zero included: bare long
+      // digits (≤16 digits, ≤15 trailing zeros → always jq-plain)
+      .when(d === floor(d) && abs(d) <= lit(9.007199254740992e15), // 2^53
         d.cast("long").cast("string"))
-      // 2^53 ≤ |d| < 2^63-margin: jq's plain print when ≤15 pad zeros
-      .when(d === floor(d) && abs(d) < lit(9.2e18) &&
-        pad.between(lit(0), lit(15)) && !overPrinted, bigPlain)
-      // plain-decimal range: Java and jq both print shortest digits
-      .when(d =!= floor(d) && abs(d) < lit(1e7) && abs(d) >= lit(1e-3),
-        c.cast("string"))
-      // NaN/±Inf/−0.0/scientific ranges: raise
-      .otherwise(raise_error(concat(
-        lit("graft jq: number "), d.cast("string"),
-        lit(" is outside the byte-exact print range (plain-decimal " +
-          "doubles only) — use the JqEscapeHatch"))))
+      .when(overPrinted, raise_error(concat(
+        lit("graft jq: Java printed non-minimal digits for "), sci,
+        lit(" (JDK-4511638) — jq's shortest print would differ; " +
+          "use the JqEscapeHatch"))))
+      .when(decpt <= lit(-4) || decpt > nD + lit(15), sciForm)
+      .when(decpt <= lit(0), fracForm)
+      .when(decpt >= nD, bigPlain)
+      .otherwise(midForm)
   }
 
   /** Types whose `to_json` rendering is byte-identical to jq 1.6's
@@ -1452,7 +1498,12 @@ object Jq {
     * and uppercases the exponent where jq prints shortest ("2",
     * "1e-07"), so a composite containing them cannot byte-match and
     * `tojson` rejects toward the escape hatch rather than render
-    * wrong (scalar doubles go through [[numJson]] instead). */
+    * wrong (scalar doubles go through [[numJson]] instead). LONG
+    * leaves are byte-exact only up to 2^53 — jq parses JSON integers
+    * into doubles, so 9007199254740993 prints rounded where to_json
+    * keeps the exact digits — which [[longLeavesRenderable]] guards
+    * at RUNTIME (the scalar path routes longs through numJson(double)
+    * for the same reason). */
   private def jsonByteExact(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case st: StructType => st.fields.forall(f => jsonByteExact(f.dataType))
@@ -1468,6 +1519,48 @@ object Jq {
       case _ => false
     }
 
+  /** Does the type contain a LongType leaf anywhere? (Decides whether
+    * a byte-exact composite needs the 2^53 runtime guard.) */
+  private def containsLongLeaf(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.LongType => true
+      case st: StructType => st.fields.exists(f => containsLongLeaf(f.dataType))
+      case ArrayType(et, _) => containsLongLeaf(et)
+      case org.apache.spark.sql.types.MapType(_, vt, _) => containsLongLeaf(vt)
+      case _ => false
+    }
+
+  /** TRUE iff every LongType leaf under `c` is within ±2^53, where
+    * to_json's exact digits equal jq's double-rounded print. A long
+    * past 2^53 inside a composite would otherwise diverge SILENTLY
+    * (to_json writes 9007199254740993, jq prints ...992) — the
+    * caller raises on FALSE, per the reject-rather-than-guess
+    * convention. Null values (and null containers) pass: they render
+    * "null" on both sides. */
+  private def longLeavesRenderable(
+      c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      c.isNull || c.between(lit(-9007199254740992L), lit(9007199254740992L))
+    case st: StructType =>
+      st.fields.map(f => longLeavesRenderable(c.getField(f.name), f.dataType))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    case ArrayType(et, _) =>
+      c.isNull || forall(c, x => longLeavesRenderable(x, et))
+    case org.apache.spark.sql.types.MapType(_, vt, _) =>
+      c.isNull || forall(map_values(c), x => longLeavesRenderable(x, vt))
+    case _ => lit(true)
+  }
+
+  /** jsonVal with the 2^53 long-leaf runtime guard applied when the
+    * static type contains LongType leaves. */
+  private def jsonValGuarded(
+      c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    if (!containsLongLeaf(dt)) jsonVal(c)
+    else when(!longLeavesRenderable(c, dt), raise_error(lit(
+        "graft jq: a long value beyond 2^53 inside a composite cannot " +
+          "byte-match jq's double-rounded print — use the JqEscapeHatch")))
+      .otherwise(jsonVal(c))
+
   /** Compile `tojson` over a value of static type `t` (round-14
     * VERDICT directive 4). jq serializes compactly: strings QUOTED
     * and escaped (unlike interpolation's raw render), numbers
@@ -1481,10 +1574,12 @@ object Jq {
       case Some(org.apache.spark.sql.types.BooleanType) =>
         coalesce(c.cast("string"), lit("null"))
       case Some(org.apache.spark.sql.types.DoubleType) => numJson(c)
-      // a FLOAT's own shortest print matches jq's reparse of the same
-      // JSON text (the double widening would print the float's exact
-      // value); numJson's guards run on the double anyway
-      case Some(org.apache.spark.sql.types.FloatType) => numJson(c)
+      // a FLOAT renders as the DOUBLE its own shortest print parses
+      // to (that print is the JSON text jq sees) — the plain double
+      // widening would print the float's exact value, and integral
+      // floats past 2^24 would render the unrounded integer
+      case Some(org.apache.spark.sql.types.FloatType) =>
+        numJson(c.cast("string").cast("double"))
       // integral types route through the DOUBLE value: jq parses the
       // JSON digits into a double, so a long past 2^53 PRINTS ROUNDED
       // in jq (9007199254740993 → "9007199254740992") — a direct long
@@ -1495,7 +1590,7 @@ object Jq {
                 org.apache.spark.sql.types.IntegerType |
                 org.apache.spark.sql.types.LongType) =>
         numJson(c.cast("double"))
-      case Some(dt) if jsonByteExact(dt) => jsonVal(c)
+      case Some(dt) if jsonByteExact(dt) => jsonValGuarded(c, dt)
       case Some(dt) => throw new IllegalArgumentException(
         s"tojson over $dt cannot byte-match jq's number formatting — " +
           "use the JqEscapeHatch")
@@ -1543,7 +1638,16 @@ object Jq {
     case RecurseAll =>
       val rootType = df.schema
       val root = struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
-      df.select(explode(enumSubvalues(root, rootType)).as("value"))
+      // long leaves past 2^53 would render exact digits where jq
+      // prints the double-rounded value — guard the whole record once
+      val vals =
+        if (!containsLongLeaf(rootType)) enumSubvalues(root, rootType)
+        else when(!longLeavesRenderable(root, rootType), raise_error(lit(
+            "graft jq: a long value beyond 2^53 cannot byte-match jq's " +
+              "double-rounded print — use the JqEscapeHatch"))
+            .cast(ArrayType(org.apache.spark.sql.types.StringType)))
+          .otherwise(enumSubvalues(root, rootType))
+      df.select(explode(vals).as("value"))
     // `try E` as a whole stage: outputs drop on error. With tonumber
     // as the only compiled error source (errors ⇔ compiled null, and
     // tonumber never legitimately yields null), filtering nulls is

@@ -859,12 +859,50 @@ class JqSpec extends SparkSuite {
     assert(c.head.contains("item a"), c)
   }
 
-  test("number rendering raises outside the byte-exact print range") {
-    // Java's double→string switches to scientific notation outside
-    // [1e-3, 1e7) ("1.0E-7") where jq prints "1e-07"; −0.0 prints "-0"
-    // in jq but the integral branch would render "0". Both RAISE
-    // loudly instead of rendering wrong — tojson and interpolation
-    // share the numeric render.
+  test("number rendering matches jq across all four g_fmt print forms") {
+    // round-15 VERDICT directive 2: the compiled render reconstructs
+    // jq's g_fmt output — scientific `m[.mmm]e±XX` (lowercase e,
+    // signed ≥2-digit exponent), "0.000ddd", plain-integer with ≤15
+    // pad zeros, and dotted plain — from Java's shortest-print digits,
+    // instead of raising outside Java's own [1e-3, 1e7) plain window.
+    // Every form byte-matched against the real jq binary, through
+    // BOTH tojson and interpolation.
+    import graft.transform.JqEscapeHatch
+    val vals = Seq(
+      1e-7,                      // jq "1e-07" vs Java "1.0E-7"
+      12345678.5,                // jq plain vs Java "1.23456785E7"
+      1e16,                      // 16 pad zeros → jq scientific "1e+16"
+      2.5e17,                    // "2.5e+17"
+      1e-4, 9.5e-5,              // the decpt=−4 cutover pair
+      1.5e300, -0.000012345,     // long exponents, sign
+      0.00001234567890123,       // many-digit scientific mantissa
+      10000000.5,                // just past Java's 1e7 switch, jq plain
+      99999999999999999999.5,    // stores as 1e20 → "1e+20"
+      2.2250738585072014e-308,   // smallest normal, minimal digits
+      1.7976931348623157e308,    // Double.MaxValue → "…e+308"
+      0.001, 9999999.5, 123456789.0, 0.0,   // shared-plain window
+      1.8e16,                    // 15 pad zeros — jq-plain boundary
+      123456789012345680.0)      // 18-digit plain, 17-digit mantissa
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "d")
+    val prog = "{id, t: (.d | tojson), s: \"v=\\(.d)\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(_.contains("1e-07")), c)
+    assert(c.exists(_.contains("1e+16")), c)
+    assert(c.exists(_.contains("12345678.5")), c)
+    // the big LONG rounds through the double exactly as jq's reparse
+    // does (...993 prints ...992)
+    val big = Seq((1L, 9007199254740993L)).toDF("id", "n")
+    val progB = "{id, t: (.n | tojson), s: \"\\(.n)\"}"
+    val cB = Jq.compile(progB)(big).toJSON.collect().sorted.toSeq
+    val rB = JqEscapeHatch.rawApply(big.toJSON, progB).collect().sorted.toSeq
+    assert(cB == rB, s"\ncompiled: $cB\nreal jq:  $rB")
+    assert(cB.head.contains("9007199254740992"), cB)
+  }
+
+  test("number rendering raises only on NaN/Inf and JDK over-printed mantissas") {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
@@ -872,48 +910,143 @@ class JqSpec extends SparkSuite {
     // DataFrame: Tungsten's UnsafeRow normalizes −0.0 to 0.0 on write,
     // so the value never reaches the expression — 0.0 renders "0" on
     // both sides.)
-    // (integral doubles like 4.2e9 or 1.8e16 are NOT in this list:
-    // jq prints an integer plain whenever its shortest repr needs at
-    // most 15 pad zeros — 1e16 and 2.5e17 exceed that and go
-    // scientific in jq, which Java cannot reproduce → raise.
-    // 999999999999999900.0 is jq-plain but JDK 17's pre-Ryu
-    // Double.toString over-prints its mantissa by one digit
-    // (…99987E17 where the shortest is …9999E17), so the over-print
-    // detector raises rather than render the wrong bytes.)
-    for (bad <- Seq(1e-7, 12345678.5, 1e16, 2.5e17,
-        999999999999999900.0)) {
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity)) {
       val df = Seq((1L, bad)).toDF("id", "d")
       val e = intercept[Exception] {
         Jq.compile("{id, t: (.d | tojson)}")(df).collect()
       }
       assert(msgs(e).exists(_.contains("byte-exact print range")),
         s"value $bad: ${msgs(e)}")
-      val e2 = intercept[Exception] {
+    }
+    // JDK 17's pre-Ryu Double.toString over-prints these mantissas by
+    // one digit (JDK-4511638, fixed in 19): 999999999999999900.0
+    // prints …99987E17 where the shortest is …9900, and MIN_VALUE
+    // prints 4.9E-324 where jq says 5e-324 — the detector raises in
+    // EVERY branch (plain included) rather than render wrong bytes
+    for (bad <- Seq(999999999999999900.0, java.lang.Double.MIN_VALUE)) {
+      val df = Seq((1L, bad)).toDF("id", "d")
+      val e = intercept[Exception] {
         Jq.compile("{id, s: \"v=\\(.d)\"}")(df).collect()
       }
-      assert(msgs(e2).exists(_.contains("byte-exact print range")),
-        s"interp $bad: ${msgs(e2)}")
+      assert(msgs(e).exists(_.contains("non-minimal digits")),
+        s"value $bad: ${msgs(e)}")
     }
-    // boundary values still render, byte-matching real jq: 1.8e16 has
-    // 15 pad zeros (plain), and the 18-digit 123456789012345680
-    // prints plain with 1 pad zero (its 17-digit mantissa IS minimal,
-    // so the over-print detector stays quiet); the big LONG rounds
-    // through the double exactly as jq's reparse does
-    // (...993 prints ...992)
+  }
+
+  test("randomized log-uniform doubles byte-match real jq in every magnitude") {
     import graft.transform.JqEscapeHatch
-    val ok = Seq((1L, 0.001), (2L, 9999999.5), (3L, 123456789.0),
-      (4L, 0.0), (5L, 1.8e16), (7L, 123456789012345680.0))
+    // round-15 VERDICT directive 2's randomized corpus: sign ×
+    // uniform mantissa × 10^exp with exp drawn across the full double
+    // range, so all four print forms and both exponent widths appear.
+    // Values where JDK 17 over-prints the mantissa (JDK-4511638) are
+    // excluded up front — the compiled path RAISES on those by design
+    // (see the over-print test) — via a Scala mirror of the detector.
+    def digitsDecpt(v: Double): (String, Int) = {
+      val s = java.lang.Double.toString(math.abs(v))
+      val (mant, e) = s.indexOf('E') match {
+        case -1 => (s, None)
+        case i => (s.substring(0, i), Some(s.substring(i + 1).toInt))
+      }
+      val raw = mant.replace(".", "")
+      val noLead = raw.dropWhile(_ == '0')
+      val g = noLead.reverse.dropWhile(_ == '0').reverse
+      val decpt = e.map(_ + 1).getOrElse(
+        mant.indexOf('.') - (raw.length - noLead.length))
+      (g, decpt)
+    }
+    def overPrinted(v: Double): Boolean = {
+      val (g, decpt) = digitsDecpt(v)
+      g.length > 1 && {
+        val p = g.dropRight(1).toLong
+        def cand(q: Long) = s"${q}E${decpt - (g.length - 1)}".toDouble
+        cand(p) == math.abs(v) || cand(p + 1) == math.abs(v)
+      }
+    }
+    val rnd = new scala.util.Random(163)
+    val vals = Iterator.continually {
+      val exp = rnd.nextInt(620) - 310 // 10^-310 .. 10^309
+      val sign = if (rnd.nextBoolean()) 1.0 else -1.0
+      sign * (rnd.nextDouble() * 9 + 1) * math.pow(10, exp)
+    }.filter(v => java.lang.Double.isFinite(v) && v != 0.0 &&
+        !overPrinted(v))
+      .take(60).toSeq
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "d")
-    val prog = "{id, t: (.d | tojson)}"
+    val prog = "{id, t: (.d | tojson), s: \"v=\\(.d)\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    // the corpus must actually exercise the scientific form
+    assert(c.exists(s => s.contains("e+") || s.contains("e-")), c)
+  }
+
+  test("longs beyond 2^53 inside composites raise instead of diverging from jq") {
+    // round-15 ADVICE: to_json writes a big long's exact digits while
+    // jq parses JSON integers into doubles and prints rounded
+    // (9007199254740993 → 9007199254740992) — the byte-exact
+    // composite path now guards its long leaves at runtime
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val df = Seq((1L, Seq(1L, 9007199254740993L))).toDF("id", "ns")
+    for (prog <- Seq("{id, t: (.ns | tojson)}", "{id, s: \"\\(.ns)\"}")) {
+      val e = intercept[Exception] { Jq.compile(prog)(df).collect() }
+      assert(msgs(e).exists(_.contains("beyond 2^53")),
+        s"$prog: ${msgs(e)}")
+    }
+    // the `..` stream guards the whole record once
+    val e2 = intercept[Exception] { Jq.compile("..")(df).collect() }
+    assert(msgs(e2).exists(_.contains("beyond 2^53")), msgs(e2))
+    // in-range longs (boundary included) still render and byte-match
+    import graft.transform.JqEscapeHatch
+    val ok = Seq((1L, Seq(-9007199254740992L, 0L, 9007199254740992L)))
+      .toDF("id", "ns")
+    val prog = "{id, t: (.ns | tojson), s: \"\\(.ns)\"}"
     val c = Jq.compile(prog)(ok).toJSON.collect().sorted.toSeq
     val r = JqEscapeHatch.rawApply(ok.toJSON, prog).collect().sorted.toSeq
     assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
-    val big = Seq((1L, 9007199254740993L)).toDF("id", "n")
-    val progB = "{id, t: (.n | tojson), s: \"\\(.n)\"}"
-    val cB = Jq.compile(progB)(big).toJSON.collect().sorted.toSeq
-    val rB = JqEscapeHatch.rawApply(big.toJSON, progB).collect().sorted.toSeq
-    assert(cB == rB, s"\ncompiled: $cB\nreal jq:  $rB")
-    assert(cB.head.contains("9007199254740992"), cB)
+    val cr = Jq.compile("..")(ok).as[String].collect().toSeq
+    val rr = JqEscapeHatch.rawApply(ok.toJSON, "..").collect().toSeq
+    assert(cr == rr, s"\ncompiled: $cr\nreal jq:  $rr")
+  }
+
+  test("integral floats render jq's reparse of the float's own print") {
+    import graft.transform.JqEscapeHatch
+    // round-15 ADVICE: 123456789f stores as 123456792f and its JSON
+    // text is the float's print ("1.23456792E8") — jq renders the
+    // DOUBLE that text parses to, not the widened float value. The
+    // compiled path reparses (cast(cast(f AS string) AS double)) so
+    // integral and fractional floats take the same route.
+    val df = Seq((1L, "x")).toDF("id", "tag")
+      .selectExpr("id", "cast(123456789 AS float) AS f",
+        "cast(16777217 AS float) AS g") // 2^24+1, rounds to 2^24
+    val prog = "{id, t: (.f | tojson), s: \"\\(.f)\", u: (.g | tojson)}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.head.contains("16777216"), c)
+  }
+
+  test("untypeable comparison operands reject toward the hatch") {
+    // round-15 VERDICT directive 4: a comparison whose operand kind
+    // cannot be inferred compiles to a coercing Spark compare that
+    // could diverge from jq's type order at runtime
+    // ((.xs | map(.x) | first) == "5" over numeric data) — rejected
+    // rather than guessed, like truthy
+    val df = Seq((1L, Seq(5L), "a")).toDF("id", "xs", "s")
+    for (prog <- Seq(
+        "{x: ((.xs | map(. * 2) | first) == \"5\")}",
+        "select((.xs | map(. * 2) | first) > 3)")) {
+      val e = intercept[IllegalArgumentException] {
+        Jq.compile(prog)(df).collect()
+      }
+      assert(e.getMessage.contains("untypeable"), s"$prog: ${e.getMessage}")
+    }
+    // null comparisons against untypeable operands stay legal — the
+    // compile is isNull-shaped, no coercion
+    assert(Jq.compile("select((.xs | map(. * 2) | first) != null) | {id}")(df)
+      .count() == 1)
   }
 
   test("float paths render their own shortest print, not the widened double") {

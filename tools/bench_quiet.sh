@@ -4,25 +4,28 @@
 #   tools/bench_quiet.sh <out.json> [prev_commit]
 #
 # Produces the per-query-MIN-of-4 quiet record AND, when prev_commit is
-# given, a STRUCTURED calibration block: the pinned 11-query subset is
+# given, a STRUCTURED calibration block: the pinned 14-query subset is
 # re-benched on the previous round's commit in a side worktree,
 # INTERLEAVED with the same subset at HEAD (head,prev,head,prev), so
-# box drift between records is a machine-readable coefficient instead
-# of ad-hoc prose. Per-query deltas vs the previous record can then be
-# normalized as delta / drift_coefficient.
+# box drift between records is a machine-readable MODEL instead of
+# ad-hoc prose. tools/drift_table.py consumes the block.
 #
-# Methodology (the standing definition as of round 15):
+# Methodology (the standing definition as of round 16):
+#   - the record is cut at a CLEAN src/main tree and stamps `commit`
+#     (round-15 directive 3: no post-cut perf-relevant commits).
 #   - each full pass = Bench with SPARK_GRAFT_BENCH_RUNS=1 (one timed
 #     run per query), 4 passes; the record value per query is the MIN
 #     across passes; `passes` carries the 4 pass totals.
-#   - calibration subset = the 11 most expensive stable queries (the
-#     same set the round-13/14 prose A/Bs used); each calibration pass
-#     = Bench with SPARK_GRAFT_BENCH_RUNS=3 (per-query MEDIAN of 3;
-#     the value used is the MIN of the two pass medians), 2 passes
+#   - calibration subset = 11 heavy queries (the round-13/14 prose A/B
+#     set) + 3 SHORT queries anchoring the intercept; each calibration
+#     pass = Bench with SPARK_GRAFT_BENCH_RUNS=3 (per-query MEDIAN of
+#     3; the value used is the MIN of the two pass medians), 2 passes
 #     per side, interleaved.
-#   - drift_coefficient = prev_now_total / prev_record_total, where
-#     prev_record_total is the same subset summed from the PREVIOUS
-#     record file (pass --prev-record to point at it).
+#   - drift model: least-squares t_now ~ drift_intercept +
+#     drift_slope * t_prev_record over the 14 same-code points
+#     (round-15 directive 1 — a scalar ratio cannot carry an additive
+#     box shift). drift_coefficient (the scalar) is kept for
+#     continuity.
 set -euo pipefail
 
 OUT="${1:?usage: tools/bench_quiet.sh <out.json> [prev_commit] [prev_record.json]}"
@@ -32,7 +35,11 @@ SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 
-CAL_QUERIES="q256_ols_influence,q195_spearman,q85_kmeans_lloyd,q247_jackknife_ratio,q150_blocked_er,q129_winnow_candidates,q253_kcore,q147_equidepth_histogram,q55_langid_ngram,q146_cluster_canonical,q158_mad_outliers"
+# 11 heavy + 3 SHORT queries (round-15 verdict directive 1): a single
+# scalar coefficient cannot carry an ADDITIVE box shift (r15: heavies
+# 0.90x, shorts 1.5x+) -- the short points anchor the intercept of the
+# two-parameter fit t_now ~ a + b*t_prev.
+CAL_QUERIES="q256_ols_influence,q195_spearman,q85_kmeans_lloyd,q247_jackknife_ratio,q150_blocked_er,q129_winnow_candidates,q253_kcore,q147_equidepth_histogram,q55_langid_ngram,q146_cluster_canonical,q158_mad_outliers,q36_metadata_strip,q34_jq_project,q15_having"
 
 run_bench() { # repo_dir runs filter -> writes target/bench.json in repo_dir
   local dir="$1" runs="$2" filter="${3:-}"
@@ -40,6 +47,15 @@ run_bench() { # repo_dir runs filter -> writes target/bench.json in repo_dir
     SPARK_GRAFT_BENCH_RUNS="$runs" SPARK_GRAFT_BENCH_TRANSFER="${4:-1}" \
     sbt -batch "runMain graft.Bench $filter" >/dev/null 2>&1)
 }
+
+# Round-15 verdict directive 3: the record must be cut AT the round's
+# final perf-relevant commit -- refuse to run over uncommitted source,
+# and stamp the commit into the record so staleness is checkable.
+if [ -n "$(git -C "$REPO" status --porcelain -- src/main build.sbt)" ]; then
+  echo "[quiet] REFUSING to cut a record: src/main has uncommitted changes -- commit first" >&2
+  exit 1
+fi
+HEAD_COMMIT="$(git -C "$REPO" rev-parse HEAD)"
 
 echo "[quiet] building HEAD" >&2
 (cd "$REPO" && sbt -batch compile >/dev/null 2>&1)
@@ -82,10 +98,10 @@ cal_pass 2
 full_pass 3
 full_pass 4
 
-python3 - "$OUT" "$PREV_COMMIT" "$PREV_RECORD" "$CAL_QUERIES" <<'EOF' >&2
+python3 - "$OUT" "$PREV_COMMIT" "$PREV_RECORD" "$CAL_QUERIES" "$HEAD_COMMIT" <<'EOF' >&2
 import json, sys
 
-out, prev_commit, prev_record, cal_qs = sys.argv[1:5]
+out, prev_commit, prev_record, cal_qs, head_commit = sys.argv[1:6]
 cal_list = cal_qs.split(",")
 
 passes = [json.load(open(f"/tmp/quiet_pass_{i}.json")) for i in (1, 2, 3, 4)]
@@ -95,6 +111,7 @@ pass_totals = [round(sum(p["queries"].values()), 3) for p in passes]
 
 rec = {
     "metric": "bench_quiet_min",
+    "commit": head_commit,
     "value": round(sum(qmin.values()), 3),
     "unit": "sec",
     "sf": passes[0]["sf"],
@@ -121,12 +138,30 @@ if prev_commit:
         "prev_pass_totals": [round(sum(p["queries"].values()), 3) for p in prevs],
         "head_now_total": round(sum(hmin.values()), 3),
         "prev_now_total": round(sum(pmin.values()), 3),
+        "head_now_queries": {q: round(hmin[q], 3) for q in cal_list},
+        "prev_now_queries": {q: round(pmin[q], 3) for q in cal_list},
     }
     if prev_record:
         pr = json.load(open(prev_record))
-        prt = round(sum(pr["queries"][q] for q in cal_list if q in pr["queries"]), 3)
+        pts = [(pr["queries"][q], pmin[q]) for q in cal_list
+               if q in pr["queries"]]
+        prt = round(sum(x for x, _ in pts), 3)
         cal["prev_record_total"] = prt
         cal["drift_coefficient"] = round(cal["prev_now_total"] / prt, 4)
+        # two-parameter drift model (round-15 verdict directive 1):
+        # least-squares t_now ~ a + b*t_prev over the 14 calibration
+        # points -- same-code A/B, so the fit is pure box. The scalar
+        # coefficient is kept for continuity but under-fits additive
+        # shifts (r15: fixed +0.1-0.7s/query made shorts look 1.9x).
+        n = len(pts)
+        mx = sum(x for x, _ in pts) / n
+        my = sum(y for _, y in pts) / n
+        var = sum((x - mx) ** 2 for x, _ in pts)
+        cov = sum((x - mx) * (y - my) for x, y in pts)
+        b = cov / var if var > 0 else 1.0
+        a = my - b * mx
+        cal["drift_slope"] = round(b, 4)
+        cal["drift_intercept"] = round(a, 4)
     rec["calibration"] = cal
 
 json.dump(rec, open(out, "w"))
