@@ -55,7 +55,9 @@ if [ -n "$(git -C "$REPO" status --porcelain -- src/main build.sbt)" ]; then
   echo "[quiet] REFUSING to cut a record: src/main has uncommitted changes -- commit first" >&2
   exit 1
 fi
-HEAD_COMMIT="$(git -C "$REPO" rev-parse HEAD)"
+# stamp the last PERF-RELEVANT commit (doc-only commits after the code
+# freeze don't change what was measured)
+HEAD_COMMIT="$(git -C "$REPO" log -1 --format=%H -- src/main build.sbt)"
 
 echo "[quiet] building HEAD" >&2
 (cd "$REPO" && sbt -batch compile >/dev/null 2>&1)
