@@ -123,10 +123,13 @@ rec = {
                     "(SPARK_GRAFT_BENCH_RUNS=1 each) via tools/bench_quiet.sh"),
     "queries": qmin,
 }
-for k in ("grouped", "multisink", "transfer"):
+for k in ("grouped", "archive", "multisink", "transfer"):
     if k in passes[0]:
-        best = min(passes, key=lambda p: p[k]["sec"])[k]
-        rec[k] = best
+        # archive reports zip_sec+tgz_sec instead of a single sec
+        def cost(p, k=k):
+            b = p[k]
+            return b.get("sec", b.get("zip_sec", 0) + b.get("tgz_sec", 0))
+        rec[k] = min(passes, key=cost)[k]
 
 if prev_commit:
     heads = [json.load(open(f"/tmp/cal_head_{i}.json")) for i in (1, 2)]
