@@ -1516,6 +1516,14 @@ object Jq {
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType => true
+      // dates/timestamps serialize as QUOTED strings by the same
+      // JacksonGenerator defaults on both sides (to_json here, the
+      // record's own JSON text on jq's side), and jq passes a JSON
+      // string through verbatim — byte-exact. TimestampNTZ stays
+      // excluded (its rendering has shipped in two physical forms;
+      // see the verify skill's events.ts note)
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType => true
       case _ => false
     }
 
@@ -1589,6 +1597,12 @@ object Jq {
                 org.apache.spark.sql.types.ShortType |
                 org.apache.spark.sql.types.IntegerType |
                 org.apache.spark.sql.types.LongType) =>
+        numJson(c.cast("double"))
+      // DECIMAL renders through the double value, like interpolation:
+      // jq parses the column's JSON decimal text into a double
+      // ("2.50" → 2.5) where the decimal's own serialization keeps
+      // scale zeros
+      case Some(_: org.apache.spark.sql.types.DecimalType) =>
         numJson(c.cast("double"))
       case Some(dt) if jsonByteExact(dt) => jsonValGuarded(c, dt)
       case Some(dt) => throw new IllegalArgumentException(

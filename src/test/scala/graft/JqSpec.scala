@@ -5,6 +5,34 @@ import graft.transform.Jq
 class JqSpec extends SparkSuite {
   import spark.implicits._
 
+  /** Scala mirror of numJson's shortest-print extraction: digits g
+    * and decimal exponent (value = 0.g × 10^decpt) from Java's
+    * Double.toString. Used by the randomized corpora to EXCLUDE
+    * values where JDK 17 prints non-minimal digits (JDK-4511638) —
+    * the compiled render raises on those by design. */
+  private def digitsDecpt(v: Double): (String, Int) = {
+    val s = java.lang.Double.toString(math.abs(v))
+    val (mant, e) = s.indexOf('E') match {
+      case -1 => (s, None)
+      case i => (s.substring(0, i), Some(s.substring(i + 1).toInt))
+    }
+    val raw = mant.replace(".", "")
+    val noLead = raw.dropWhile(_ == '0')
+    val g = noLead.reverse.dropWhile(_ == '0').reverse
+    val decpt = e.map(_ + 1).getOrElse(
+      mant.indexOf('.') - (raw.length - noLead.length))
+    (g, decpt)
+  }
+
+  private def jdkOverPrinted(v: Double): Boolean = {
+    val (g, decpt) = digitsDecpt(v)
+    g.length > 1 && {
+      val p = g.dropRight(1).toLong
+      def cand(q: Long) = s"${q}E${decpt - (g.length - 1)}".toDouble
+      cand(p) == math.abs(v) || cand(p + 1) == math.abs(v)
+    }
+  }
+
   private def people = Seq(
     (1L, "alice", 34L, true), (2L, "bob", 28L, false), (3L, "carol", 41L, true)
   ).toDF("id", "name", "age", "active")
@@ -941,35 +969,14 @@ class JqSpec extends SparkSuite {
     // range, so all four print forms and both exponent widths appear.
     // Values where JDK 17 over-prints the mantissa (JDK-4511638) are
     // excluded up front — the compiled path RAISES on those by design
-    // (see the over-print test) — via a Scala mirror of the detector.
-    def digitsDecpt(v: Double): (String, Int) = {
-      val s = java.lang.Double.toString(math.abs(v))
-      val (mant, e) = s.indexOf('E') match {
-        case -1 => (s, None)
-        case i => (s.substring(0, i), Some(s.substring(i + 1).toInt))
-      }
-      val raw = mant.replace(".", "")
-      val noLead = raw.dropWhile(_ == '0')
-      val g = noLead.reverse.dropWhile(_ == '0').reverse
-      val decpt = e.map(_ + 1).getOrElse(
-        mant.indexOf('.') - (raw.length - noLead.length))
-      (g, decpt)
-    }
-    def overPrinted(v: Double): Boolean = {
-      val (g, decpt) = digitsDecpt(v)
-      g.length > 1 && {
-        val p = g.dropRight(1).toLong
-        def cand(q: Long) = s"${q}E${decpt - (g.length - 1)}".toDouble
-        cand(p) == math.abs(v) || cand(p + 1) == math.abs(v)
-      }
-    }
+    // (see the over-print test) — via the Scala mirror of the detector.
     val rnd = new scala.util.Random(163)
     val vals = Iterator.continually {
       val exp = rnd.nextInt(620) - 310 // 10^-310 .. 10^309
       val sign = if (rnd.nextBoolean()) 1.0 else -1.0
       sign * (rnd.nextDouble() * 9 + 1) * math.pow(10, exp)
     }.filter(v => java.lang.Double.isFinite(v) && v != 0.0 &&
-        !overPrinted(v))
+        !jdkOverPrinted(v))
       .take(60).toSeq
     val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "d")
@@ -1009,6 +1016,62 @@ class JqSpec extends SparkSuite {
     val cr = Jq.compile("..")(ok).as[String].collect().toSeq
     val rr = JqEscapeHatch.rawApply(ok.toJSON, "..").collect().toSeq
     assert(cr == rr, s"\ncompiled: $cr\nreal jq:  $rr")
+  }
+
+  test("randomized log-uniform floats byte-match real jq across the float range") {
+    import graft.transform.JqEscapeHatch
+    // the float path reparses through Float.toString, so the value jq
+    // sees is the DOUBLE that print parses to — exclude values where
+    // THAT double's Java print is non-minimal (the compiled render
+    // raises there), mirror-style like the doubles corpus
+    val rnd = new scala.util.Random(164)
+    val vals = Iterator.continually {
+      val exp = rnd.nextInt(80) - 41 // 10^-41 .. 10^38
+      val sign = if (rnd.nextBoolean()) 1.0f else -1.0f
+      sign * ((rnd.nextFloat() * 9 + 1) * math.pow(10, exp).toFloat)
+    }.filter(f => java.lang.Float.isFinite(f) && f != 0.0f &&
+        !jdkOverPrinted(java.lang.Double.parseDouble(
+          java.lang.Float.toString(f))))
+      .take(50).toSeq
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "f")
+    val prog = "{id, t: (.f | tojson), s: \"v=\\(.f)\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(s => s.contains("e+") || s.contains("e-")), c)
+  }
+
+  test("decimal tojson renders through the double value like jq") {
+    import graft.transform.JqEscapeHatch
+    // the interpolation rule, now on tojson too: jq parses the
+    // column's JSON decimal text into a double ("2.50" → 2.5) where
+    // the decimal's own serialization keeps scale zeros
+    val df = Seq((1L, "2.50"), (2L, "0.10"), (3L, "7.00"), (4L, "-123.45"))
+      .toDF("id", "a").selectExpr("id", "cast(a AS decimal(7,2)) AS amount")
+    val prog = "{id, t: (.amount | tojson), s: \"v=\\(.amount)\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(_.contains("\"t\":\"2.5\"")), c)
+    assert(c.exists(_.contains("\"t\":\"7\"")), c)
+  }
+
+  test("date and timestamp tojson serialize as the quoted strings jq passes through") {
+    import graft.transform.JqEscapeHatch
+    // both sides (to_json here, the record's JSON text on jq's side)
+    // use the same JacksonGenerator defaults, and jq passes a JSON
+    // string through verbatim — byte-exact, composites included
+    val df = Seq((1L, "2024-03-01", "2024-03-01 10:15:30.123"),
+        (2L, "1999-12-31", "1999-12-31 23:59:59.0"))
+      .toDF("id", "d", "ts")
+      .selectExpr("id", "cast(d AS date) AS d", "cast(ts AS timestamp) AS ts",
+        "array(cast(d AS date)) AS ds")
+    val prog = "{id, td: (.d | tojson), tt: (.ts | tojson), ta: (.ds | tojson)}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(_.contains("2024-03-01")), c)
   }
 
   test("integral floats render jq's reparse of the float's own print") {
