@@ -516,7 +516,12 @@ object Jq {
   private case class Env(dot: Option[Column], vars: Map[String, Column],
       inTry: Boolean = false,
       schema: Option[StructType] = None,
-      dotType: Option[org.apache.spark.sql.types.DataType] = None)
+      dotType: Option[org.apache.spark.sql.types.DataType] = None,
+      // static types of bound $vars where known (reduce binds the
+      // iterated path's element type) — comparisons against an
+      // untypeable operand reject since round 16, so `$x > .` in a
+      // reduce update needs the element's kind on record
+      varTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
   private val topEnv = Env(None, Map.empty)
 
   /** Does this subtree contain an expression that ERRORS in jq where
@@ -721,8 +726,27 @@ object Jq {
         case NumLit(_) => toColumn(init, env).cast("double")
         case _ => toColumn(init, env)
       }
+      // bind types: $v gets the iterated path's ELEMENT type, `.` (the
+      // accumulator) the seed's — so comparisons inside the update
+      // (`if $x > . then …`, the running-max shape) stay typeable
+      // under the round-16 untypeable-comparison rejection
+      val elemT = src match {
+        case FieldPath(p, true, _) => staticType(FieldPath(p, false, Some(0)), env)
+        case _ => None
+      }
+      val accT = init match {
+        case NumLit(_) => Some(org.apache.spark.sql.types.DoubleType:
+          org.apache.spark.sql.types.DataType)
+        case StrLit(_) => Some(org.apache.spark.sql.types.StringType:
+          org.apache.spark.sql.types.DataType)
+        case BoolLit(_) => Some(org.apache.spark.sql.types.BooleanType:
+          org.apache.spark.sql.types.DataType)
+        case _ => staticType(init, env)
+      }
       aggregate(arr, zero,
-        (acc, x) => toColumn(update, Env(Some(acc), env.vars + (v -> x))))
+        (acc, x) => toColumn(update, env.copy(dot = Some(acc), dotType = accT,
+          vars = env.vars + (v -> x),
+          varTypes = env.varTypes ++ elemT.map(v -> _))))
     case IfElse(cases, els) =>
       // jq truthiness: false and null are falsy, EVERYTHING else is
       // truthy (including 0 and "") — so a non-boolean condition
@@ -1170,6 +1194,8 @@ object Jq {
       case Call(fn, Seq(FieldPath(p, true, _)))
           if Seq("first", "last").contains(fn) =>
         staticType(FieldPath(p, false, Some(0)), env)
+      // bound $vars carry the binder's recorded type (reduce elements)
+      case VarRef(n) => env.varTypes.get(n)
       case _ => None
     }
 
@@ -1205,6 +1231,7 @@ object Jq {
     // map() would reject as untypeable (round-15 directive 4 made
     // untypeable comparison operands reject)
     case Identity => env.dotType.map(kindOfType)
+    case VarRef(n) => env.varTypes.get(n).map(kindOfType)
     case StrLit(_) | StrInterp(_) => Some(KString)
     case NumLit(_) => Some(KNumeric)
     case BoolLit(_) => Some(KBool)

@@ -245,6 +245,19 @@ class JqSpec extends SparkSuite {
     val realMx = JqEscapeHatch(df, "{m: (reduce .nums[] as $x (0; . + $x * $x))}")
       .select($"m".cast("double")).as[Double].collect().sorted.toSeq
     assert(mx == realMx)
+    // comparisons inside the update stay typeable: $x carries the
+    // iterated element's type and `.` the seed's (the round-16
+    // untypeable-operand rejection would otherwise kill the
+    // running-max shape)
+    val maxProg = "{id, mx: (reduce .nums[] as $x (0; if $x > . then $x else . end))}"
+    val cMax = Jq.compile(maxProg)(df)
+      .select($"id", $"mx".cast("double"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val rMax = JqEscapeHatch(df, maxProg)
+      .select($"id", $"mx".cast("double"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(cMax == rMax, s"\ncompiled: $cMax\nreal jq:  $rMax")
+    assert(cMax.map(_._2) == Seq(1.0, 2.0, 3.0, 4.0))
   }
 
   test("table sink coerces string timestamps through the ladder (K2 type coercion)") {
