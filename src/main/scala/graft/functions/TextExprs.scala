@@ -807,6 +807,7 @@ object GraftFunctions {
       VectorExprs.register(spark)
       TextExprs.register(spark)
       GoFloatString.register(spark)
+      JqNumberString.register(spark)
       EvalOnce.register(spark)
       GroupRuns.register(spark)
     }
@@ -818,7 +819,8 @@ object GraftFunctions {
   private[functions] def allBuilders
       : Seq[(String, Seq[Expression] => Expression)] =
     VectorExprs.builders ++ TextExprs.builders ++
-      GoFloatString.builders ++ EvalOnce.builders ++ GroupRuns.builders
+      GoFloatString.builders ++ JqNumberString.builders ++
+      EvalOnce.builders ++ GroupRuns.builders
 }
 
 /** `spark.sql.extensions`-style entry point: inject every graft

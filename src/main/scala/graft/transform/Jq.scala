@@ -1346,7 +1346,12 @@ object Jq {
   /** Compile a whole program to a DataFrame→DataFrame transform. */
   def compile(program: String): DataFrame => DataFrame = {
     val ast = parse(program.trim)
-    df => applyStages(df, ast)
+    df => {
+      // the number render calls the graft_jq_num kernel by name —
+      // make sure the session can resolve it (idempotent, cheap)
+      graft.functions.GraftFunctions.registerAll(df.sparkSession)
+      applyStages(df, ast)
+    }
   }
 
   /** Templated jq (reference ext/jq/connector.go:57-95): the PROGRAM
@@ -1412,111 +1417,19 @@ object Jq {
     j.substr(lit(6), length(j) - lit(6))
   }
 
-  /** jq's number text: IEEE doubles printed shortest — the exact
-    * g_fmt layout of jq 1.6's jvp_dtoa_fmt, reconstructed from the
-    * shortest-print digits `g` and decimal exponent `decpt` (value =
-    * 0.g × 10^decpt) that Java's own Double.toString carries in
-    * either of its two forms. jq's branch structure (verified against
-    * the real binary):
-    *   - decpt ≤ −4 or decpt > len(g)+15 → scientific `m[.mmm]e±XX`
-    *     (lowercase e, explicit sign, ≥2 exponent digits: "1e-07",
-    *     "1e+16", "1.5e+300")
-    *   - decpt ≤ 0        → "0." + (−decpt zeros) + g   ("0.0001")
-    *   - decpt ≥ len(g)   → g + (decpt−len(g) zeros)    — the plain
-    *     integer form, at most 15 pad zeros by the first rule
-    *     (18000000000000000 and the 18-digit 123456789012345680
-    *     print plain; 1e16 goes scientific)
-    *   - else             → g with the dot after digit decpt
-    * Integral |d| < 2^53 short-circuits through an exact long cast
-    * (its digits ARE the shortest print there). Java and jq both
-    * print shortest round-trip digits (Gay dtoa), so `g` is jq's
-    * digit string — EXCEPT where JDK 17's pre-Ryu Double.toString
-    * over-prints one extra mantissa digit (JDK-4511638, fixed in 19:
-    * 9.99999999999999987E17 for jq's ...9900E17, 4.9E-324 for jq's
-    * 5e-324): the detector below RAISES on non-minimal digits in
-    * EVERY branch rather than render wrong bytes. NaN, ±Inf and
-    * −0.0 (jq prints "-0" where the long branch would say "0") also
-    * raise — reject-rather-than-guess, enforced at runtime because
-    * the value is data. Callers pass DECIMAL inputs pre-cast to
-    * double and FLOAT inputs reparsed from their own float print
+  /** jq's number text: IEEE doubles printed shortest in jq 1.6's
+    * exact g_fmt layout — one compiled kernel call
+    * ([[graft.functions.JqNumberString]], codegen'd; it computes the
+    * true Gay-shortest digits itself, so JDK 17's occasional
+    * over-printed mantissas — JDK-4511638 — render correctly instead
+    * of raising, and −0.0 renders jq's "-0"; NaN/±Inf remain the only
+    * runtime raises). Callers pass DECIMAL inputs pre-cast to double
+    * and FLOAT inputs reparsed from their own float print
     * (`cast(cast(f AS string) AS double)`) — jq parses the column's
     * JSON text into a double, and for a float that text is the
     * float's shortest print, not the widened double. */
-  private def numJson(c: Column): Column = {
-    val d = c.cast("double")
-    // sign-of-zero via the string render (ANSI throws on 1.0/0.0, so
-    // the usual reciprocal probe is unusable); stored −0.0 never
-    // arrives (UnsafeRow normalizes it on write) but an expression
-    // INTERMEDIATE like `-1 * 0` can still be −0.0
-    val negZero = d === lit(0.0) && d.cast("string").startsWith("-")
-    val sci = d.cast("string")
-    val body = regexp_replace(sci, "^-", "")
-    val sign = when(sci.startsWith("-"), lit("-")).otherwise(lit(""))
-    // digits g + decpt from EITHER Java print form: scientific
-    // "m.mmmE±x" (always used outside [1e-3, 1e7)) has decpt = exp+1;
-    // plain "iii.fff" derives decpt from the integer-part length
-    // minus the leading zeros Java writes below 1 ("0.001234" →
-    // g="1234", decpt=−2). Trailing zeros only occur as Java's
-    // mandatory ".0" ("1.0E16") — stripped into g="1".
-    val hasE = body.contains("E")
-    val mantPart = substring_index(body, "E", 1) // whole body when plain
-    val digitsRaw = regexp_replace(mantPart, "\\.", "")
-    val noLead = regexp_replace(digitsRaw, "^0+", "")
-    val g = regexp_replace(noLead, "0+$", "")
-    val nD = length(g)
-    val decpt = when(hasE,
-        substring_index(body, "E", -1).cast("int") + lit(1))
-      .otherwise(length(substring_index(mantPart, ".", 1)) -
-        (length(digitsRaw) - length(noLead)))
-    // Over-print detector (JDK-4511638): if rounding g down OR up to
-    // one fewer digit still round-trips to d, Java's digits are not
-    // minimal → raise rather than render wrong. The two candidates
-    // are built as integer×10^k strings so a carry (99→100) keeps
-    // the right magnitude.
-    val prefixL = call_function("substring", g, lit(1), nD - lit(1))
-      .cast("long")
-    def candOf(p: Column): Column =
-      concat(sign, p.cast("string"), lit("E"),
-        (decpt - (nD - lit(1))).cast("string"))
-    val overPrinted = nD > lit(1) &&
-      (candOf(prefixL).cast("double") === d ||
-        candOf(prefixL + lit(1)).cast("double") === d)
-    // the four g_fmt output forms
-    val sciForm = concat(sign,
-      call_function("substring", g, lit(1), lit(1)),
-      when(nD > lit(1), concat(lit("."),
-        call_function("substring", g, lit(2), nD - lit(1))))
-        .otherwise(lit("")),
-      lit("e"), format_string("%+03d", decpt - lit(1)))
-    val fracForm = concat(sign, lit("0."),
-      call_function("repeat", lit("0"), -decpt), g)
-    val bigPlain = concat(sign, g,
-      call_function("repeat", lit("0"), decpt - nD))
-    val midForm = concat(sign,
-      call_function("substring", g, lit(1), decpt), lit("."),
-      call_function("substring", g, decpt + lit(1), nD - decpt))
-    when(c.isNull, lit("null"))
-      // NaN/±Inf/−0.0 first: no byte-exact render (jq says "null",
-      // "1.7976931348623157e+308", "-0") — raise loudly
-      .when(isnan(d) || d === lit(Double.PositiveInfinity) ||
-        d === lit(Double.NegativeInfinity) || negZero,
-        raise_error(concat(
-          lit("graft jq: number "), d.cast("string"),
-          lit(" is outside the byte-exact print range (NaN/Inf/-0.0) " +
-            "— use the JqEscapeHatch"))))
-      // exact-integer fast path, positive zero included: bare long
-      // digits (≤16 digits, ≤15 trailing zeros → always jq-plain)
-      .when(d === floor(d) && abs(d) <= lit(9.007199254740992e15), // 2^53
-        d.cast("long").cast("string"))
-      .when(overPrinted, raise_error(concat(
-        lit("graft jq: Java printed non-minimal digits for "), sci,
-        lit(" (JDK-4511638) — jq's shortest print would differ; " +
-          "use the JqEscapeHatch"))))
-      .when(decpt <= lit(-4) || decpt > nD + lit(15), sciForm)
-      .when(decpt <= lit(0), fracForm)
-      .when(decpt >= nD, bigPlain)
-      .otherwise(midForm)
-  }
+  private def numJson(c: Column): Column =
+    coalesce(call_function("graft_jq_num", c.cast("double")), lit("null"))
 
   /** Types whose `to_json` rendering is byte-identical to jq 1.6's
     * serialization: integral numbers, strings, booleans, and
