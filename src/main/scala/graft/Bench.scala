@@ -234,6 +234,77 @@ object Bench {
         f""","archive":{"rows":$nRec,"files":16,""" +
           f""""zip_sec":$zipSec%.3f,"tgz_sec":$tgzSec%.3f}"""
       }
+    // jq number render (D9) timed entry (round-16 verdict item 2): the
+    // compiled JqNumberString kernel under volume — 1M doubles through
+    // BOTH render call sites (tojson + interpolation) in one compiled
+    // jq plan. Half the rows are short-digit "price" doubles (the fast
+    // spacing-pruned path), half full-17-digit-mantissa ratios (the
+    // tie-selection path) — no suite query routes a double through the
+    // render at runtime, so this entry is its only volume number.
+    // min-of-2, same methodology as `transfer`.
+    val renderJson: String =
+      if (!benchPipelines) ""
+      else {
+        val in = spark.range(nRec).selectExpr("id",
+          "CASE WHEN id % 2 = 0 THEN (id % 1000000) / 100.0 " +
+            "ELSE (id - 500000.0) / (id + 7.0) END AS d")
+        val prog = "{id, t: (.d | tojson), s: \"v=\\(.d)\"}"
+        val sec = (0 until 2).map { _ =>
+          val t0 = System.nanoTime()
+          graft.transform.Jq.compile(prog)(in)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        f""","render":{"rows":$nRec,"sec":$sec%.3f,""" +
+          s""""rec_per_sec":${(nRec / sec).toInt},""" +
+          s""""ns_per_row":${(sec * 1e9 / nRec).toInt}}"""
+      }
+    // XLSX writer (D21) timed entry (round-16 verdict item 7): the
+    // last never-measured sink post-pass. Single-partition BY DESIGN —
+    // OOXML is one sequential zip stream, so the writer drains
+    // toLocalIterator on the driver exactly like the reference's
+    // converter drains its record channel; the entry bounds that
+    // driver-side cost at volume. 1M rows × 3 cols; min-of-2, row
+    // count validated on every run by streaming the sheet XML back.
+    val xlsxJson: String =
+      if (!benchPipelines) ""
+      else {
+        val in = transferInput()
+        val dir = in.getParent
+        val df = spark.read.json(in.toString)
+        def sheetRows(p: String): Long = {
+          val zf = new java.util.zip.ZipFile(p)
+          try {
+            val is = zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml"))
+            val buf = new Array[Byte](1 << 16)
+            var rows = 0L
+            var carry = 0 // matched prefix of "</row>" across chunk edges
+            val pat = "</row>".getBytes
+            var n = is.read(buf)
+            while (n > 0) {
+              var i = 0
+              while (i < n) {
+                carry = if (buf(i) == pat(carry)) carry + 1 else if (buf(i) == pat(0)) 1 else 0
+                if (carry == pat.length) { rows += 1; carry = 0 }
+                i += 1
+              }
+              n = is.read(buf)
+            }
+            rows
+          } finally zf.close()
+        }
+        val sec = (0 until 2).map { r =>
+          val dest = dir.resolve(s"bench$r.xlsx").toString
+          val t0 = System.nanoTime()
+          graft.sinks.Xlsx.writeDataFrame(df, dest)
+          val dt = (System.nanoTime() - t0) / 1e9
+          require(sheetRows(dest) == nRec + 1, // +1 header row
+            s"xlsx run $r sheet row count != ${nRec + 1}")
+          dt
+        }.min
+        f""","xlsx":{"rows":$nRec,"sec":$sec%.3f,""" +
+          s""""rec_per_sec":${(nRec / sec).toInt}}"""
+      }
     // a query that threw must not fold its (fast-failure) wall time into
     // the headline total — broken must not read as fast round-over-round
     val total = results.filter(_._4).map(_._2).sum
@@ -247,10 +318,10 @@ object Bench {
     // transfer goes LAST on the line: the driver keeps the stdout TAIL,
     // so the baseline figure must sit at the end to survive truncation
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"$groupedJson$archiveJson$multisinkJson$transferJson}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"$groupedJson$archiveJson$renderJson$xlsxJson$multisinkJson$transferJson}"""
     println(json)
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"$groupedJson$archiveJson$multisinkJson$transferJson}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"$groupedJson$archiveJson$renderJson$xlsxJson$multisinkJson$transferJson}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))

@@ -57,8 +57,8 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *   - `tojson` (piped value position): compact jq serialization —
   *     strings quoted+escaped, numbers shortest-print, composites as
   *     `jq -c` text; types whose rendering cannot byte-match jq
-  *     (float/double leaves inside composites, decimals, dates) are
-  *     rejected toward the escape hatch rather than rendered wrong
+  *     (float/double leaves inside composites) are rejected toward
+  *     the escape hatch rather than rendered wrong
   *   - string interpolation `"\(E)"` (strings raw, null → "null",
   *     integral numbers bare like jq's shortest-print, everything
   *     else compact JSON; schema-typed — an untypeable part is
@@ -1183,6 +1183,14 @@ object Jq {
     * path cases delegate here. */
   private def staticType(e: Expr, env: Env): Option[org.apache.spark.sql.types.DataType] =
     e match {
+      // a bound `.` (map/until/with_entries lambdas) carries the type
+      // the binder recorded — declared HERE, the single source of
+      // truth, so interpRender's float-reparse and composite guards
+      // apply to bound dots too (round-16 ADVICE: inferKind typing
+      // dots that staticType didn't made interpolated float dots
+      // render the widened double and composite dots bypass the 2^53
+      // guard)
+      case Identity => env.dotType
       case FieldPath(p, false, ix) =>
         if (env.dot.isDefined)
           env.dotType.flatMap {
@@ -1229,8 +1237,9 @@ object Jq {
     // a bound `.` (map/until/with_entries lambdas) types from the
     // element type the binder recorded — without this, `. > 2` inside
     // map() would reject as untypeable (round-15 directive 4 made
-    // untypeable comparison operands reject)
-    case Identity => env.dotType.map(kindOfType)
+    // untypeable comparison operands reject). Delegates to staticType,
+    // the single source of truth.
+    case Identity => staticType(e, env).map(kindOfType)
     case VarRef(n) => env.varTypes.get(n).map(kindOfType)
     case StrLit(_) | StrInterp(_) => Some(KString)
     case NumLit(_) => Some(KNumeric)
@@ -1331,10 +1340,27 @@ object Jq {
         numJson(if (isFloat) c.cast("string").cast("double")
           else c.cast("double"))
       // composites: the 2^53 long-leaf guard applies when the static
-      // type is known (field-path shapes); ArrLit/ObjectLit parts
-      // carry no DataType here and render unguarded like before
+      // type is known (field-path shapes), and a type whose to_json
+      // bytes cannot match jq's serialization (float/double leaves —
+      // to_json keeps the ".0" jq drops) REJECTS toward the hatch
+      // instead of silently diverging (round-16 ADVICE); ArrLit/
+      // ObjectLit parts carry no DataType here and render unguarded
+      // like before
       case Some(KJson) => staticType(e, env) match {
-        case Some(dt) => jsonValGuarded(c, dt)
+        // dates/timestamps are JSON STRINGS on jq's side, and jq
+        // interpolation renders strings RAW — strip the quotes from
+        // the to_json text (which never contains escapes for these
+        // types); the quoted jsonVal render would diverge
+        case Some(org.apache.spark.sql.types.DateType |
+                  org.apache.spark.sql.types.TimestampType |
+                  org.apache.spark.sql.types.TimestampNTZType) =>
+          val j = jsonVal(c)
+          when(c.isNull, lit("null"))
+            .otherwise(j.substr(lit(2), length(j) - 2))
+        case Some(dt) if jsonByteExact(dt) => jsonValGuarded(c, dt)
+        case Some(dt) => throw new IllegalArgumentException(
+          s"interpolating a value of type $dt cannot byte-match jq's " +
+            "number formatting — use the JqEscapeHatch")
         case None => jsonVal(c)
       }
       case None => throw new IllegalArgumentException(
@@ -1459,11 +1485,16 @@ object Jq {
       // dates/timestamps serialize as QUOTED strings by the same
       // JacksonGenerator defaults on both sides (to_json here, the
       // record's own JSON text on jq's side), and jq passes a JSON
-      // string through verbatim — byte-exact. TimestampNTZ stays
-      // excluded (its rendering has shipped in two physical forms;
-      // see the verify skill's events.ts note)
+      // string through verbatim — byte-exact. TimestampNTZ included
+      // (round-16 directive 5): the decision is per PLAN-TIME schema —
+      // whatever physical form the driver's parquet shipped, a column
+      // that reads as NTZ renders zone-free text from the micros value
+      // alone, deterministic on both sides by construction (the old
+      // exclusion guarded the events.ts form flapping across testdata
+      // generations, which cannot change a fixed plan's bytes)
       case org.apache.spark.sql.types.DateType |
-           org.apache.spark.sql.types.TimestampType => true
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
       case _ => false
     }
 

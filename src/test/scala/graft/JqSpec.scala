@@ -5,34 +5,6 @@ import graft.transform.Jq
 class JqSpec extends SparkSuite {
   import spark.implicits._
 
-  /** Scala mirror of numJson's shortest-print extraction: digits g
-    * and decimal exponent (value = 0.g × 10^decpt) from Java's
-    * Double.toString. Used by the randomized corpora to EXCLUDE
-    * values where JDK 17 prints non-minimal digits (JDK-4511638) —
-    * the compiled render raises on those by design. */
-  private def digitsDecpt(v: Double): (String, Int) = {
-    val s = java.lang.Double.toString(math.abs(v))
-    val (mant, e) = s.indexOf('E') match {
-      case -1 => (s, None)
-      case i => (s.substring(0, i), Some(s.substring(i + 1).toInt))
-    }
-    val raw = mant.replace(".", "")
-    val noLead = raw.dropWhile(_ == '0')
-    val g = noLead.reverse.dropWhile(_ == '0').reverse
-    val decpt = e.map(_ + 1).getOrElse(
-      mant.indexOf('.') - (raw.length - noLead.length))
-    (g, decpt)
-  }
-
-  private def jdkOverPrinted(v: Double): Boolean = {
-    val (g, decpt) = digitsDecpt(v)
-    g.length > 1 && {
-      val p = g.dropRight(1).toLong
-      def cand(q: Long) = s"${q}E${decpt - (g.length - 1)}".toDouble
-      cand(p) == math.abs(v) || cand(p + 1) == math.abs(v)
-    }
-  }
-
   private def people = Seq(
     (1L, "alice", 34L, true), (2L, "bob", 28L, false), (3L, "carol", 41L, true)
   ).toDF("id", "name", "age", "active")
@@ -900,6 +872,93 @@ class JqSpec extends SparkSuite {
     assert(c.head.contains("item a"), c)
   }
 
+  test("bound dots render through staticType: float reparse, composite guards") {
+    import graft.transform.JqEscapeHatch
+    // round-16 ADVICE (high): inferKind typed a bound `.` that
+    // staticType didn't, so interpRender guessed the render — a float
+    // dot printed the widened double ("0.10000000149011612" vs jq
+    // "0.1") and a composite dot bypassed the byte-exact check and
+    // the 2^53 long guard. staticType now owns the Identity case.
+    val fdf = Seq((1L, "x")).toDF("id", "tag")
+      .selectExpr("id", "array(cast(0.1 AS float), cast(2.5 AS float)) AS fs")
+    val prog = "{id, labels: (.fs | map(\"v=\\(.)\"))}"
+    val c = Jq.compile(prog)(fdf).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(fdf.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.head.contains("v=0.1"), c)
+    // a composite dot with DOUBLE leaves cannot byte-match — reject
+    // toward the hatch (was: silent to_json bytes, "2.0" vs jq "2")
+    val ddf = Seq((1L, Seq(2.0))).toDF("id", "ds")
+      .selectExpr("id", "transform(ds, x -> named_struct('d', x)) AS os")
+    val e = intercept[IllegalArgumentException] {
+      Jq.compile("{id, s: (.os | map(\"x=\\(.)\"))}")(ddf).collect()
+    }
+    assert(e.getMessage.contains("EscapeHatch"), e.getMessage)
+    // a composite dot with LONG leaves carries the runtime 2^53 guard
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val ldf = Seq((1L, Seq(9007199254740993L))).toDF("id", "ns")
+      .selectExpr("id", "transform(ns, x -> named_struct('n', x)) AS os")
+    val e2 = intercept[Exception] {
+      Jq.compile("{id, s: (.os | map(\"x=\\(.)\"))}")(ldf).collect()
+    }
+    assert(msgs(e2).exists(_.contains("beyond 2^53")), msgs(e2))
+    // in-range composite dots byte-match through the guard
+    val okdf = Seq((1L, Seq(7L, 9007199254740992L))).toDF("id", "ns")
+      .selectExpr("id", "transform(ns, x -> named_struct('n', x)) AS os")
+    val progOk = "{id, s: (.os | map(\"x=\\(.)\"))}"
+    val cOk = Jq.compile(progOk)(okdf).toJSON.collect().sorted.toSeq
+    val rOk = JqEscapeHatch.rawApply(okdf.toJSON, progOk).collect().sorted.toSeq
+    assert(cOk == rOk, s"\ncompiled: $cOk\nreal jq:  $rOk")
+  }
+
+  test("field-path composites with inexact leaves reject in interpolation too") {
+    // round-16 ADVICE (medium): the KJson interpolation branch
+    // applied only the long guard — a field-path composite with
+    // double leaves interpolated to_json's bytes (keeps ".0") and
+    // silently diverged from jq; it now rejects like tojson does
+    val df = Seq((1L, Seq(2.0, 2.5))).toDF("id", "ds")
+    val e = intercept[IllegalArgumentException] {
+      Jq.compile("{id, s: \"v=\\(.ds)\"}")(df).collect()
+    }
+    assert(e.getMessage.contains("EscapeHatch"), e.getMessage)
+  }
+
+  test("dates and timestamps interpolate RAW like jq strings, not quoted") {
+    import graft.transform.JqEscapeHatch
+    // the record's JSON text for a date/timestamp is a STRING, and jq
+    // interpolation renders strings raw — the quoted jsonVal render
+    // would emit "v=\"2024-03-01\"" where jq says "v=2024-03-01"
+    val df = Seq((1L, "2024-03-01", "2024-03-01 10:15:30.123"),
+        (2L, "1999-12-31", "1999-12-31 23:59:59.0"))
+      .toDF("id", "d", "ts")
+      .selectExpr("id", "cast(d AS date) AS d", "cast(ts AS timestamp) AS ts")
+    val prog = "{id, s: \"v=\\(.d) t=\\(.ts)\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.head.contains("v=2024-03-01 t=2024-03-01T10:15:30.123"), c)
+  }
+
+  test("timestamp_ntz admits to the byte-exact set: tojson, composites, interpolation") {
+    import graft.transform.JqEscapeHatch
+    // round-16 VERDICT directive 5: NTZ renders zone-free text from
+    // the micros value alone — deterministic on both sides (to_json
+    // here, the record's JSON text on jq's side) whatever physical
+    // form the driver's parquet shipped, because the decision reads
+    // the PLAN-TIME schema of the actual DataFrame
+    val df = Seq((1L, "2024-03-01 10:15:30.123"), (2L, "1999-12-31 23:59:59"))
+      .toDF("id", "t")
+      .selectExpr("id", "cast(t AS timestamp_ntz) AS t",
+        "array(cast(t AS timestamp_ntz)) AS ta")
+    val prog = "{id, tj: (.t | tojson), ta: (.ta | tojson), s: \"v=\\(.t)\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(_.contains("2024-03-01T10:15:30.123")), c)
+  }
+
   test("number rendering matches jq across all four g_fmt print forms") {
     // round-15 VERDICT directive 2: the compiled render reconstructs
     // jq's g_fmt output — scientific `m[.mmm]e±XX` (lowercase e,
@@ -943,14 +1002,10 @@ class JqSpec extends SparkSuite {
     assert(cB.head.contains("9007199254740992"), cB)
   }
 
-  test("number rendering raises only on NaN/Inf and JDK over-printed mantissas") {
+  test("number rendering raises only on NaN/Inf") {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    // (−0.0 is guarded in numJson too, but cannot be exercised from a
-    // DataFrame: Tungsten's UnsafeRow normalizes −0.0 to 0.0 on write,
-    // so the value never reaches the expression — 0.0 renders "0" on
-    // both sides.)
     for (bad <- Seq(Double.NaN, Double.PositiveInfinity,
         Double.NegativeInfinity)) {
       val df = Seq((1L, bad)).toDF("id", "d")
@@ -960,19 +1015,45 @@ class JqSpec extends SparkSuite {
       assert(msgs(e).exists(_.contains("byte-exact print range")),
         s"value $bad: ${msgs(e)}")
     }
-    // JDK 17's pre-Ryu Double.toString over-prints these mantissas by
-    // one digit (JDK-4511638, fixed in 19): 999999999999999900.0
-    // prints …99987E17 where the shortest is …9900, and MIN_VALUE
-    // prints 4.9E-324 where jq says 5e-324 — the detector raises in
-    // EVERY branch (plain included) rather than render wrong bytes
-    for (bad <- Seq(999999999999999900.0, java.lang.Double.MIN_VALUE)) {
-      val df = Seq((1L, bad)).toDF("id", "d")
-      val e = intercept[Exception] {
-        Jq.compile("{id, s: \"v=\\(.d)\"}")(df).collect()
-      }
-      assert(msgs(e).exists(_.contains("non-minimal digits")),
-        s"value $bad: ${msgs(e)}")
-    }
+  }
+
+  test("JDK over-printed mantissas render jq's shortest digits instead of raising") {
+    import graft.transform.JqEscapeHatch
+    // round-16 VERDICT directive 1: JDK 17's pre-Ryu Double.toString
+    // over-prints some mantissas (JDK-4511638, fixed in 19) — the
+    // kernel now reconstructs Gay's shortest digits itself, so these
+    // render jq's exact bytes instead of raising: …99987E17 → the
+    // 16-digit plain 999999999999999900; MIN_VALUE 4.9E-324 → 5e-324;
+    // 9.99999999999999987E17 → 1e+18 (TWO digits shorter, with a
+    // carry); 6.32E-322 → 6.3e-322. Java can also pick the WRONG
+    // last digit at the same length (…769046E25 where jq rounds to
+    // …047) — the full-length re-selection covers that too.
+    val vals = Seq(999999999999999900.0, java.lang.Double.MIN_VALUE,
+      9.99999999999999987e17, 6.32e-322, -3.5017826069769046e25,
+      2.4779951876539562e25)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "d")
+    val prog = "{id, t: (.d | tojson), s: \"v=\\(.d)\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(_.contains("5e-324")), c)
+    assert(c.exists(_.contains("1e+18")), c)
+    assert(c.exists(_.contains("999999999999999900")), c)
+  }
+
+  test("negative zero from expression intermediates renders jq's -0") {
+    import graft.transform.JqEscapeHatch
+    // −0.0 never arrives from STORAGE (UnsafeRow normalizes on write)
+    // but an expression intermediate like `.d * -1` over 0.0 is −0.0,
+    // and jq prints "-0" — round-16 directive 6 flips the old raise
+    // to the byte-exact render
+    val df = Seq((1L, 0.0), (2L, 2.5)).toDF("id", "d")
+    val prog = "{id, s: \"v=\\(.d * -1)\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(_.contains("v=-0\"")), c)
   }
 
   test("randomized log-uniform doubles byte-match real jq in every magnitude") {
@@ -980,16 +1061,16 @@ class JqSpec extends SparkSuite {
     // round-15 VERDICT directive 2's randomized corpus: sign ×
     // uniform mantissa × 10^exp with exp drawn across the full double
     // range, so all four print forms and both exponent widths appear.
-    // Values where JDK 17 over-prints the mantissa (JDK-4511638) are
-    // excluded up front — the compiled path RAISES on those by design
-    // (see the over-print test) — via the Scala mirror of the detector.
+    // NO over-print filter (round-16 directive 1: the kernel renders
+    // JDK-over-printed mantissas correctly now, so the corpus draws
+    // from ALL finite doubles); a 200k-value bit-random + log-uniform
+    // sweep against the real binary backed the kernel change.
     val rnd = new scala.util.Random(163)
     val vals = Iterator.continually {
       val exp = rnd.nextInt(620) - 310 // 10^-310 .. 10^309
       val sign = if (rnd.nextBoolean()) 1.0 else -1.0
       sign * (rnd.nextDouble() * 9 + 1) * math.pow(10, exp)
-    }.filter(v => java.lang.Double.isFinite(v) && v != 0.0 &&
-        !jdkOverPrinted(v))
+    }.filter(v => java.lang.Double.isFinite(v) && v != 0.0)
       .take(60).toSeq
     val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "d")
@@ -1034,17 +1115,14 @@ class JqSpec extends SparkSuite {
   test("randomized log-uniform floats byte-match real jq across the float range") {
     import graft.transform.JqEscapeHatch
     // the float path reparses through Float.toString, so the value jq
-    // sees is the DOUBLE that print parses to — exclude values where
-    // THAT double's Java print is non-minimal (the compiled render
-    // raises there), mirror-style like the doubles corpus
+    // sees is the DOUBLE that print parses to; no over-print filter
+    // (the kernel renders those correctly since round 17)
     val rnd = new scala.util.Random(164)
     val vals = Iterator.continually {
       val exp = rnd.nextInt(80) - 41 // 10^-41 .. 10^38
       val sign = if (rnd.nextBoolean()) 1.0f else -1.0f
       sign * ((rnd.nextFloat() * 9 + 1) * math.pow(10, exp).toFloat)
-    }.filter(f => java.lang.Float.isFinite(f) && f != 0.0f &&
-        !jdkOverPrinted(java.lang.Double.parseDouble(
-          java.lang.Float.toString(f))))
+    }.filter(f => java.lang.Float.isFinite(f) && f != 0.0f)
       .take(50).toSeq
     val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "f")

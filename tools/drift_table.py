@@ -32,16 +32,31 @@ new round's code.
 import json
 import sys
 
-args = [a for a in sys.argv[1:] if not a.startswith("--fit")]
-fit_arg = next((a for a in sys.argv[1:] if a.startswith("--fit")), None)
+# exact-match flag parsing (round-16 ADVICE: a prefix match swallowed
+# unrelated args starting with "--fit", and a trailing bare --fit
+# indexed past argv)
+args = []
 fit_subset = None
-if fit_arg is not None:
-    if "=" in fit_arg:
-        fit_subset = fit_arg.split("=", 1)[1].split(",")
+argv = sys.argv[1:]
+i = 0
+while i < len(argv):
+    a = argv[i]
+    if a == "--fit":
+        if i + 1 >= len(argv):
+            sys.exit("--fit needs a comma-separated query list")
+        fit_subset = argv[i + 1].split(",")
+        i += 2
+    elif a.startswith("--fit="):
+        fit_subset = a.split("=", 1)[1].split(",")
+        i += 1
+    elif a.startswith("--"):
+        sys.exit(f"unknown flag {a}")
     else:
-        i = sys.argv.index("--fit")
-        fit_subset = sys.argv[i + 1].split(",")
-        args = [a for a in args if a != sys.argv[i + 1]]
+        args.append(a)
+        i += 1
+if len(args) < 2:
+    sys.exit("usage: drift_table.py <prev_record.json> <new_record.json> "
+             "[top_n] [--fit q1,q2,...]")
 
 prev_f, new_f = args[0], args[1]
 top_n = int(args[2]) if len(args) > 2 else 15
