@@ -1339,13 +1339,17 @@ object Jq {
           .contains(org.apache.spark.sql.types.FloatType)
         numJson(if (isFloat) c.cast("string").cast("double")
           else c.cast("double"))
+      // CONSTRUCTED composites (`"\([.d])"`, `"\({x: .d})"`) compose
+      // their JSON text per item — `to_json` over a coerced array()
+      // rendered a double item as "2.0" where jq says "2", and ANSI
+      // threw on mixed-type items jq serializes fine
+      case Some(KJson) if e.isInstanceOf[ArrLit] || e.isInstanceOf[ObjectLit] =>
+        jsonRender(e, env)
       // composites: the 2^53 long-leaf guard applies when the static
       // type is known (field-path shapes), and a type whose to_json
       // bytes cannot match jq's serialization (float/double leaves —
       // to_json keeps the ".0" jq drops) REJECTS toward the hatch
-      // instead of silently diverging (round-16 ADVICE); ArrLit/
-      // ObjectLit parts carry no DataType here and render unguarded
-      // like before
+      // instead of silently diverging (round-16 ADVICE)
       case Some(KJson) => staticType(e, env) match {
         // dates/timestamps are JSON STRINGS on jq's side, and jq
         // interpolation renders strings RAW — strip the quotes from
@@ -1367,6 +1371,80 @@ object Jq {
         s"cannot infer the render type of interpolated expression $e — " +
           "use the JqEscapeHatch for this program")
     }
+  }
+
+  /** jq's compact-JSON serialization of a CONSTRUCTED composite
+    * (`[.a, "x"]` / `{k: .v}`), composed item by item: jq serializes
+    * each element as JSON — strings QUOTED (unlike interpolation's
+    * raw render), numbers shortest-print through the same numJson
+    * kernel, nested composites recursively. Composing text instead of
+    * `to_json(array(...))` keeps double items byte-exact ("2" not
+    * "2.0") and lets mixed-kind items coexist (ANSI array() coercion
+    * threw on `[.n, "a"]`). Object keys are literal strings in this
+    * subset; insertion order is preserved on both sides (jq only
+    * sorts under --sort-keys). */
+  private def jsonRender(e: Expr, env: Env): Column = e match {
+    case ArrLit(items) =>
+      items.foreach(it => require(!containsIterate(it),
+        "array construction with a generator item is outside the " +
+          "compiled interpolation subset — use the JqEscapeHatch"))
+      if (items.isEmpty) lit("[]")
+      else concat((lit("[") +: items.zipWithIndex.flatMap { case (it, i) =>
+        (if (i > 0) Seq(lit(",")) else Seq.empty[Column]) :+ jsonRender(it, env)
+      }) :+ lit("]"): _*)
+    case ObjectLit(fields) =>
+      fields.foreach(f => require(!containsIterate(f._2),
+        "object construction with a generator value is outside the " +
+          "compiled interpolation subset — use the JqEscapeHatch"))
+      if (fields.isEmpty) lit("{}")
+      else concat((lit("{") +: fields.zipWithIndex.flatMap { case ((k, v), i) =>
+        (if (i > 0) Seq(lit(",")) else Seq.empty[Column]) ++
+          Seq(lit(jsonEscape(k) + ":"), jsonRender(v, env))
+      }) :+ lit("}"): _*)
+    case other => inferKind(other, env) match {
+      case Some(KString) => jsonVal(toColumn(other, env)) // quoted+escaped
+      case Some(KNull) => lit("null")
+      case Some(KBool) =>
+        coalesce(toColumn(other, env).cast("string"), lit("null"))
+      case Some(KNumeric) =>
+        val c = toColumn(other, env)
+        val isFloat = staticType(other, env)
+          .contains(org.apache.spark.sql.types.FloatType)
+        numJson(if (isFloat) c.cast("string").cast("double")
+          else c.cast("double"))
+      case Some(KJson) => staticType(other, env) match {
+        case Some(dt) if jsonByteExact(dt) =>
+          jsonValGuarded(toColumn(other, env), dt)
+        case Some(dt) => throw new IllegalArgumentException(
+          s"a composite item of type $dt cannot byte-match jq's " +
+            "number formatting — use the JqEscapeHatch")
+        // untyped KJson items are string-kinded pipes (split) — safe
+        case None => jsonVal(toColumn(other, env))
+      }
+      case None => throw new IllegalArgumentException(
+        s"cannot infer the render type of composite item $other — " +
+          "use the JqEscapeHatch for this program")
+    }
+  }
+
+  /** JSON string-literal text of a known-literal key ("k" → "\"k\""),
+    * matching Jackson's escaping (quote, backslash, control chars). */
+  private def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
   }
 
   /** Compile a whole program to a DataFrame→DataFrame transform. */

@@ -959,6 +959,38 @@ class JqSpec extends SparkSuite {
     assert(c.exists(_.contains("2024-03-01T10:15:30.123")), c)
   }
 
+  test("constructed composites interpolate per-item JSON, byte-exact") {
+    import graft.transform.JqEscapeHatch
+    // `"\([.d])"` previously rendered to_json over a coerced array():
+    // a double item printed "2.0" where jq says "2" (silent byte
+    // divergence) and mixed-kind items threw an ANSI cast error where
+    // jq serializes fine — the render now composes each item's JSON
+    // text (strings QUOTED inside composites, numbers through the
+    // same shortest-print kernel, nested composites recursively)
+    val df = Seq(
+        (1L, 2.0, 5L, Some("a\"b"), true),
+        (2L, 0.1, 9007199254740993L, None, false))
+      .toDF("id", "d", "n", "s", "b")
+      .selectExpr("*", "cast(0.5 AS float) AS f", "cast(d AS decimal(5,2)) AS m",
+        "cast('2024-03-01' AS date) AS dt")
+    val prog = "{id, a: \"v=\\([.d, .n, .s, .b, null, 7])\", " +
+      "o: \"w=\\({x: .d, y: [.f, .m], dt: .dt})\", e: \"q=\\([])\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(_.contains("v=[2,5,")), c)       // double item drops .0
+    assert(c.exists(_.contains("9007199254740992")), c) // long reparses as double
+    assert(c.exists(_.contains("[0.5,2]")), c)       // float + decimal through doubles
+    assert(c.exists(_.contains("q=[]")), c)
+    // a composite ITEM with double leaves still rejects (same rule as
+    // field-path composites)
+    val bad = Seq((1L, Seq(2.0))).toDF("id", "ds")
+    val e = intercept[IllegalArgumentException] {
+      Jq.compile("{s: \"v=\\([.ds])\"}")(bad).collect()
+    }
+    assert(e.getMessage.contains("EscapeHatch"), e.getMessage)
+  }
+
   test("number rendering matches jq across all four g_fmt print forms") {
     // round-15 VERDICT directive 2: the compiled render reconstructs
     // jq's g_fmt output — scientific `m[.mmm]e±XX` (lowercase e,
