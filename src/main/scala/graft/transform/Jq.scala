@@ -891,8 +891,14 @@ object Jq {
                 Some(ArrayType(org.apache.spark.sql.types.StringType)))
             // join renders elements (numbers/bools → text) and joins,
             // null elements becoming empty strings, like jq
+            // join renders elements AS JQ DOES — strings raw, numbers
+            // through the shortest-print kernel (the old cast gave
+            // "2.0,1.0E16" where jq says "2,1e+16"), nulls "" — typed
+            // from the tracked element type; an untyped or composite
+            // element rejects rather than renders Spark's text
             case Call("join", Seq(StrLit(sep))) =>
-              (array_join(transform(c, x => x.cast("string")), sep, ""),
+              (array_join(transform(c, x => joinElemRender(x, elemOf(curT))),
+                sep, ""),
                 false, Some(org.apache.spark.sql.types.StringType))
             // prefix/suffix strip: unchanged when the literal is not
             // present (jq never errors here); lengths in code points
@@ -929,11 +935,16 @@ object Jq {
             case Call("length", Nil) if isArr => (size(c), false, None)
             // map(E): E compiles with `.` bound to the element (typed
             // from the array's element type where the schema knows it),
-            // so relative paths (`.price`) address element fields
+            // so relative paths (`.price`) address element fields; the
+            // OUTPUT element type tracks through (precise for paths,
+            // jq-semantic for computed kinds) so downstream renders
+            // (join/tostring/tojson) stay typed
             case Call("map", Seq(body)) if isArr =>
               (transform(c, x =>
                 toColumn(body, env.copy(dot = Some(x), dotType = elemOf(curT)))),
-                true, None)
+                true,
+                lambdaOutType(body, env, elemOf(curT))
+                  .map(ArrayType(_, containsNull = true)))
             // sort_by(E): Schwartzian (key, original index, value) —
             // the index keeps ties STABLE like jq's sort_by; struct
             // sort_array orders by fields left-to-right, nulls first
@@ -1004,20 +1015,33 @@ object Jq {
                 case org.apache.spark.sql.types.MapType(kt, vt, vn) =>
                   ArrayType(entryStruct(kt, vt, vn))
               })
-            case Call("from_entries", Nil) => (map_from_entries(c), false, None)
+            case Call("from_entries", Nil) =>
+              (map_from_entries(c), false, curT.collect {
+                case ArrayType(st: StructType, _)
+                    if st.fieldNames.contains("key") &&
+                      st.fieldNames.contains("value") =>
+                  org.apache.spark.sql.types.MapType(
+                    st("key").dataType, st("value").dataType,
+                    st("value").nullable)
+              })
             // map_values(E): arrays behave like map; maps transform
             // each value with `.` bound to it (jq keeps the key)
             case Call("map_values", Seq(body)) if isArr =>
               (transform(c, x =>
                 toColumn(body, env.copy(dot = Some(x), dotType = elemOf(curT)))),
-                true, None)
+                true,
+                lambdaOutType(body, env, elemOf(curT))
+                  .map(ArrayType(_, containsNull = true)))
             case Call("map_values", Seq(body)) =>
-              val vt = curT.collect {
-                case org.apache.spark.sql.types.MapType(_, v, _) => v
+              val mt = curT.collect {
+                case m: org.apache.spark.sql.types.MapType => m
               }
+              val vt = mt.map(_.valueType)
               (transform_values(c,
                 (_, v) => toColumn(body, env.copy(dot = Some(v), dotType = vt))),
-                false, None)
+                false,
+                for { m <- mt; v <- lambdaOutType(body, env, vt) }
+                  yield org.apache.spark.sql.types.MapType(m.keyType, v))
             // with_entries(E) = to_entries | map(E) | from_entries —
             // `.` in E is the {key, value} entry struct
             case Call("with_entries", Seq(body)) =>
@@ -1025,9 +1049,22 @@ object Jq {
                 case org.apache.spark.sql.types.MapType(kt, vt, vn) =>
                   entryStruct(kt, vt, vn)
               }
+              // output MapType derives from the entry-struct shape the
+              // body produces (ObjectLit bodies — the usual form), so
+              // a following keys/join stays typed
+              val outT = body match {
+                case ObjectLit(fields) =>
+                  for {
+                    ke <- fields.collectFirst { case ("key", e) => e }
+                    ve <- fields.collectFirst { case ("value", e) => e }
+                    kt <- lambdaOutType(ke, env, et)
+                    vt <- lambdaOutType(ve, env, et)
+                  } yield org.apache.spark.sql.types.MapType(kt, vt)
+                case _ => None
+              }
               (map_from_entries(transform(map_entries(c),
                 x => toColumn(body, env.copy(dot = Some(x), dotType = et)))),
-                false, None)
+                false, outT)
             // until(COND; UPDATE): bounded convergence fold over `.`
             // (type-stable — the tracked kind survives)
             case Call("until", Seq(cond, update)) =>
@@ -1036,6 +1073,14 @@ object Jq {
             // needs the tracked static type; byte-inexact types reject
             case Call("tojson", Nil) =>
               (tojsonCol(c, curT), false,
+                Some(org.apache.spark.sql.types.StringType))
+            // tostring: identity on STRINGS, tojson for everything
+            // else (jq manual) — the former cast("string") rendered
+            // Spark's text, not jq's ("2.0" for a double jq prints
+            // "2", "[1, 2]" with a space for jq's "[1,2]", SQL NULL
+            // for a null string jq prints "null")
+            case Call("tostring", Nil) =>
+              (tostringCol(c, curT), false,
                 Some(org.apache.spark.sql.types.StringType))
             case Call(fn, Nil) => (applyFn(fn, c, env.inTry), false, None)
             case other => throw new IllegalArgumentException(
@@ -1130,7 +1175,9 @@ object Jq {
     case "length" => length(c)
     case "ascii_downcase" => lower(c)
     case "ascii_upcase" => upper(c)
-    case "tostring" => c.cast("string")
+    // (tostring is NOT here: it compiles through the typed
+    // tostringCol in the pipe fold — a bare cast("string") renders
+    // Spark's text, not jq's)
     // INSIDE try/catch: try_cast — null-on-failure IS the error⇔null
     // mapping the compiled try/catch relies on. OUTSIDE: ANSI cast, so
     // a malformed string FAILS the job the way jq raises an error,
@@ -1266,7 +1313,7 @@ object Jq {
         case _ => None
       }
     case Call(fn, _) if Seq("tostring", "ascii_downcase", "ascii_upcase",
-        "tojson").contains(fn) =>
+        "tojson", "join").contains(fn) =>
       Some(KString)
     case Call(fn, _) if Seq("length", "tonumber", "floor", "fabs").contains(fn) =>
       Some(KNumeric)
@@ -1660,6 +1707,77 @@ object Jq {
       case None => throw new IllegalArgumentException(
         "tojson: input type is not statically known — use the JqEscapeHatch")
     }
+
+  /** Compile `tostring` over a value of static type `t`: identity on
+    * STRINGS (a null string prints "null" — jq stringifies the null
+    * VALUE, where the old cast("string") passed SQL NULL through),
+    * raw text for dates/timestamps (their JSON value IS a string),
+    * and tojson semantics for everything else — numbers through the
+    * shortest-print kernel, composites guarded/rejected exactly like
+    * `tojson`. Unknown input types reject toward the hatch (the old
+    * cast silently rendered Spark's text: "2.0" for a double jq
+    * prints "2"). */
+  private def tostringCol(
+      c: Column, t: Option[org.apache.spark.sql.types.DataType]): Column =
+    t match {
+      case Some(org.apache.spark.sql.types.StringType) =>
+        coalesce(c, lit("null"))
+      case Some(org.apache.spark.sql.types.DateType |
+                org.apache.spark.sql.types.TimestampType |
+                org.apache.spark.sql.types.TimestampNTZType) =>
+        val j = jsonVal(c)
+        when(c.isNull, lit("null"))
+          .otherwise(j.substr(lit(2), length(j) - 2))
+      case Some(_) => tojsonCol(c, t)
+      case None => throw new IllegalArgumentException(
+        "tostring: input type is not statically known — use the JqEscapeHatch")
+    }
+
+  /** Output type of a lambda body under a bound `.` of type `et`:
+    * staticType where the body is path-shaped (precise — keeps
+    * FloatType for the reparse rule), otherwise the JQ-SEMANTIC type
+    * of the inferred kind — every jq number is an IEEE double, so a
+    * computed numeric body IS DoubleType for every downstream render
+    * decision (the compiled column may be a Spark long, whose double
+    * render is exactly jq's print of the same value). */
+  private def lambdaOutType(body: Expr, env: Env,
+      et: Option[org.apache.spark.sql.types.DataType])
+      : Option[org.apache.spark.sql.types.DataType] = {
+    val benv = env.copy(dot = Some(lit(0)), dotType = et)
+    staticType(body, benv).orElse(inferKind(body, benv) match {
+      case Some(KNumeric) => Some(org.apache.spark.sql.types.DoubleType)
+      case Some(KString) => Some(org.apache.spark.sql.types.StringType)
+      case Some(KBool) => Some(org.apache.spark.sql.types.BooleanType)
+      case _ => None
+    })
+  }
+
+  /** One array element's text inside jq's `join`: strings raw, dates/
+    * timestamps their raw string value, numbers shortest-print, bools
+    * "true"/"false"; a NULL element stays null (array_join's ""
+    * replacement renders it, matching jq). Composite elements are an
+    * ERROR in jq — reject; untyped elements reject rather than render
+    * Spark's cast text. */
+  private def joinElemRender(x: Column,
+      et: Option[org.apache.spark.sql.types.DataType]): Column = et match {
+    case Some(org.apache.spark.sql.types.StringType) => x
+    case Some(org.apache.spark.sql.types.BooleanType) => x.cast("string")
+    case Some(org.apache.spark.sql.types.FloatType) =>
+      when(x.isNull, lit(null))
+        .otherwise(numJson(x.cast("string").cast("double")))
+    case Some(_: org.apache.spark.sql.types.NumericType) =>
+      when(x.isNull, lit(null)).otherwise(numJson(x.cast("double")))
+    case Some(org.apache.spark.sql.types.DateType |
+              org.apache.spark.sql.types.TimestampType |
+              org.apache.spark.sql.types.TimestampNTZType) =>
+      val j = jsonVal(x)
+      when(x.isNull, lit(null)).otherwise(j.substr(lit(2), length(j) - 2))
+    case Some(dt) => throw new IllegalArgumentException(
+      s"jq join over elements of type $dt is an error in jq itself — " +
+        "use the JqEscapeHatch")
+    case None => throw new IllegalArgumentException(
+      "join: element type is not statically known — use the JqEscapeHatch")
+  }
 
   /** jq `recurse` enumeration order over a STATIC schema: the value
     * itself, then each child in declaration order, depth-first. A NULL

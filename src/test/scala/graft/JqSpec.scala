@@ -959,6 +959,78 @@ class JqSpec extends SparkSuite {
     assert(c.exists(_.contains("2024-03-01T10:15:30.123")), c)
   }
 
+  test("tostring renders jq's text, not Spark's cast") {
+    import graft.transform.JqEscapeHatch
+    // tostring = identity on strings (null string prints "null"),
+    // tojson for everything else — the old cast("string") rendered
+    // "2.0" for a double jq prints "2", "1.0E16" for jq's "1e+16",
+    // "[1, 2]" (with a space) for jq's "[1,2]", and SQL NULL for a
+    // null string jq prints "null". Never pinned before; now routed
+    // through the same typed render as tojson/interpolation.
+    val df = Seq(
+        (1L, 2.0, Some("ok"), Seq(1L, 2L), "2024-03-01"),
+        (2L, 1e16, None, Seq.empty[Long], "1999-12-31"))
+      .toDF("id", "d", "s", "ns", "dt")
+      .selectExpr("id", "d", "s", "ns", "cast(dt AS date) AS dt",
+        "cast(0.1 AS float) AS f", "cast('2.50' AS decimal(5,2)) AS m")
+    val prog = "{id, a: (.d | tostring), b: (.s | tostring), " +
+      "c: (.ns | tostring), e: (.dt | tostring), g: (.f | tostring), " +
+      "h: (.m | tostring)}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(_.contains("\"a\":\"2\"")), c)       // not "2.0"
+    assert(c.exists(_.contains("\"a\":\"1e+16\"")), c)   // not "1.0E16"
+    assert(c.exists(_.contains("\"b\":\"null\"")), c)    // null string → "null"
+    assert(c.exists(_.contains("\"c\":\"[1,2]\"")), c)   // compact, no space
+    assert(c.exists(_.contains("\"e\":\"2024-03-01\"")), c) // raw date
+    assert(c.exists(_.contains("\"g\":\"0.1\"")), c)     // float reparse
+    assert(c.exists(_.contains("\"h\":\"2.5\"")), c)     // decimal via double
+    // tostring over a statically untypeable value rejects (the old
+    // cast would render Spark's text for whatever arrived)
+    val e = intercept[IllegalArgumentException] {
+      Jq.compile("{x: (.ns | map(. * 2) | tostring)}")(df).collect()
+    }
+    assert(e.getMessage.contains("EscapeHatch"), e.getMessage)
+  }
+
+  test("join renders elements like jq, not like Spark's cast") {
+    import graft.transform.JqEscapeHatch
+    // join over a double array previously cast each element to
+    // Spark's text ("2.0,1.0E16" where jq says "2,1e+16"); elements
+    // now render through the shortest-print kernel, typed through
+    // map/map_values/with_entries/from_entries output tracking (a
+    // computed numeric element is a DOUBLE in jq semantics whatever
+    // Spark type carries it)
+    val df = Seq((1L, Seq(2.0, 1e16, 0.1), Seq(true, false), Seq("a", "b")))
+      .toDF("id", "ds", "bs", "ss")
+      .selectExpr("*", "array(cast('2024-03-01' AS date)) AS dts",
+        "array(cast(0.5 AS float)) AS fs")
+    val prog = "{id, a: (.ds | join(\",\")), b: (.bs | join(\",\")), " +
+      "c: (.ss | join(\"-\")), d: (.dts | join(\",\")), " +
+      "e: (.fs | join(\",\")), f: (.ds | map(. * 2) | join(\";\"))}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.head.contains("2,1e+16,0.1"), c)
+    assert(c.head.contains("\"d\":\"2024-03-01\""), c)
+    assert(c.head.contains("4;2e+16;0.2"), c)
+    // null elements join as "" like jq (split-sourced arrays keep
+    // covering the string path in the older pins)
+    val ndf = Seq((1L, Seq(Some(2.5), None, Some(1.0)))).toDF("id", "ds")
+    val progN = "{s: (.ds | join(\",\"))}"
+    val cN = Jq.compile(progN)(ndf).toJSON.collect().sorted.toSeq
+    val rN = JqEscapeHatch.rawApply(ndf.toJSON, progN).collect().sorted.toSeq
+    assert(cN == rN, s"\ncompiled: $cN\nreal jq:  $rN")
+    assert(cN.head.contains("2.5,,1"), cN)
+    // an untyped element (post-from_entries of unknown shape) rejects
+    // toward the hatch instead of rendering Spark's text
+    val e = intercept[IllegalArgumentException] {
+      Jq.compile("{x: (.ds | map([.]) | join(\",\"))}")(ndf).collect()
+    }
+    assert(e.getMessage.contains("EscapeHatch"), e.getMessage)
+  }
+
   test("constructed composites interpolate per-item JSON, byte-exact") {
     import graft.transform.JqEscapeHatch
     // `"\([.d])"` previously rendered to_json over a coerced array():
