@@ -604,9 +604,31 @@ object Jq {
     * `(.a | map(.x) | first) == "5"` over numeric data could
     * silently diverge from jq's type order — consistent with
     * truthy's rejected-rather-than-guessed rule. */
+  /** A DATE path compared against a VALID-ISO string literal is
+    * jq-equivalent to the typed date comparison: the column's JSON
+    * text is exactly the 10-char ISO form, whose lexical order IS
+    * chronological order — and the typed compare pushes into the
+    * parquet scan (a time-windowed jq filter would otherwise take
+    * the subprocess hatch over the whole corpus). TIMESTAMPS stay
+    * rejected: their text carries a variable-width fraction, where
+    * lexical and chronological order diverge ("…30Z" sorts above
+    * "…30.5Z"). A non-ISO literal (jq: plain string compare, false
+    * on equality) keeps the rejection → hatch. */
+  private def dateStrCompare(l: Expr, r: Expr, env: Env): Boolean = {
+    def isDate(e: Expr) = staticType(e, env)
+      .contains(org.apache.spark.sql.types.DateType)
+    def isIso(e: Expr) = e match {
+      case StrLit(s) =>
+        scala.util.Try(java.time.LocalDate.parse(s)).isSuccess
+      case _ => false
+    }
+    (isDate(l) && isIso(r)) || (isIso(l) && isDate(r))
+  }
+
   private def checkComparableKinds(
       op: String, l: Expr, r: Expr, env: Env): Unit =
-    (inferKind(l, env), inferKind(r, env)) match {
+    if (dateStrCompare(l, r, env)) ()
+    else (inferKind(l, env), inferKind(r, env)) match {
       case (Some(a), Some(b)) if a != b && a != KNull && b != KNull =>
         throw new IllegalArgumentException(
           s"jq comparison '$op' over mixed kinds ($a vs $b) follows " +
@@ -912,9 +934,11 @@ object Jq {
               (when(c.endsWith(s), c.substr(lit(1), length(c) - n)).otherwise(c),
                 false, Some(org.apache.spark.sql.types.StringType))
             case Call("startswith", Seq(StrLit(s))) =>
-              (c.startsWith(s), false, None)
+              (c.startsWith(s), false,
+                Some(org.apache.spark.sql.types.BooleanType))
             case Call("endswith", Seq(StrLit(s))) =>
-              (c.endsWith(s), false, None)
+              (c.endsWith(s), false,
+                Some(org.apache.spark.sql.types.BooleanType))
             // regex test: compiled only for the Java≡Oniguruma-safe
             // subset — inline groups/flags/lookaround `(?`, property
             // classes `\p`, and octal/backref `\digit` are rejected
@@ -923,7 +947,8 @@ object Jq {
               require(!re.contains("(?") && !re.contains("\\p") &&
                 !re.matches(".*\\\\\\d.*"),
                 s"jq test: pattern '$re' outside the portable regex subset")
-              (c.rlike(re), false, None)
+              (c.rlike(re), false,
+                Some(org.apache.spark.sql.types.BooleanType))
             // array stages: jq sort/unique SORT (nulls first — Spark's
             // sort_array default matches); min/max are null on empty
             case Call("reverse", Nil) if isArr => (reverse(c), true, curT)
@@ -932,7 +957,38 @@ object Jq {
               (sort_array(array_distinct(c)), true, curT)
             case Call("min", Nil) if isArr => (array_min(c), false, elemOf(curT))
             case Call("max", Nil) if isArr => (array_max(c), false, elemOf(curT))
-            case Call("length", Nil) if isArr => (size(c), false, None)
+            // length is POLYMORPHIC in jq: elements for arrays,
+            // entries for objects, codepoints for strings, ABSOLUTE
+            // VALUE for numbers, 0 for null, an ERROR for booleans —
+            // the old untyped Spark length() silently stringified
+            // numbers (length(-2.5) = 4 where jq says 2.5)
+            case Call("length", Nil) if isArr =>
+              (when(c.isNull, lit(0)).otherwise(size(c)), false,
+                Some(org.apache.spark.sql.types.IntegerType))
+            case Call("length", Nil) =>
+              curT match {
+                case Some(org.apache.spark.sql.types.StringType) | None =>
+                  // None keeps the historical string behavior: every
+                  // untyped producer in the subset (interp, ascii_*,
+                  // trimstr…) is a string; null → 0 like jq
+                  (when(c.isNull, lit(0)).otherwise(length(c)), false,
+                    Some(org.apache.spark.sql.types.IntegerType))
+                case Some(_: org.apache.spark.sql.types.MapType) =>
+                  (when(c.isNull, lit(0)).otherwise(size(c)), false,
+                    Some(org.apache.spark.sql.types.IntegerType))
+                case Some(_: org.apache.spark.sql.types.NumericType) =>
+                  (when(c.isNull, lit(0.0)).otherwise(abs(c)), false, curT)
+                case Some(org.apache.spark.sql.types.DateType |
+                          org.apache.spark.sql.types.TimestampType |
+                          org.apache.spark.sql.types.TimestampNTZType) =>
+                  // the value is a STRING on jq's side — its length
+                  val j = jsonVal(c)
+                  (when(c.isNull, lit(0)).otherwise(length(j) - 2), false,
+                    Some(org.apache.spark.sql.types.IntegerType))
+                case Some(dt) => throw new IllegalArgumentException(
+                  s"jq length over $dt is an error in jq itself — " +
+                    "use the JqEscapeHatch")
+              }
             // map(E): E compiles with `.` bound to the element (typed
             // from the array's element type where the schema knows it),
             // so relative paths (`.price`) address element fields; the
@@ -1172,7 +1228,8 @@ object Jq {
   }
 
   private def applyFn(fn: String, c: Column, inTry: Boolean = false): Column = fn match {
-    case "length" => length(c)
+    // (length is NOT here: it compiles through the typed polymorphic
+    // case in the pipe fold — jq's length is abs() for numbers)
     case "ascii_downcase" => lower(c)
     case "ascii_upcase" => upper(c)
     // (tostring is NOT here: it compiles through the typed

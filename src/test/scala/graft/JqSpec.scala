@@ -994,6 +994,80 @@ class JqSpec extends SparkSuite {
     assert(e.getMessage.contains("EscapeHatch"), e.getMessage)
   }
 
+  test("length is polymorphic like jq: abs for numbers, entries for maps, 0 for null") {
+    import graft.transform.JqEscapeHatch
+    // jq's length: elements for arrays, entries for objects,
+    // codepoints for strings, ABSOLUTE VALUE for numbers, 0 for null
+    // — the old untyped Spark length() silently stringified numbers
+    // (length(-2.5) = 4 where jq says 2.5)
+    val df = Seq((1L, -2.5, Some("héllo"), Seq(1L, 2L, 3L)),
+        (2L, 7.0, None, Seq.empty[Long]))
+      .toDF("id", "d", "s", "ns")
+      .selectExpr("*", "map('a', 1L, 'b', 2L) AS m")
+    // numeric lengths stringify through tostring (the tracked type
+    // survives the length stage) so the comparison is byte-exact —
+    // a bare double OUTPUT COLUMN serializes "7.0" in OUR ndjson by
+    // Spark's writer where jq's text says "7", which is the (known)
+    // output-file formatting difference, not a length bug
+    val prog = "{id, a: (.d | length | tostring), b: (.s | length), " +
+      "c: (.ns | length), e: (.m | length)}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(_.contains("\"a\":\"2.5\"")), c) // abs, not strlen
+    assert(c.exists(_.contains("\"a\":\"7\"")), c)   // integral double prints plain
+    assert(c.exists(_.contains("\"b\":5")), c)       // codepoints
+    assert(c.exists(_.contains("\"b\":0")), c)       // null → 0
+    assert(c.exists(_.contains("\"e\":2")), c)       // object entries
+    // booleans have no length in jq — reject loudly, same as jq errors
+    val e = intercept[IllegalArgumentException] {
+      Jq.compile("{x: (.s | startswith(\"h\") | length)}")(df).collect()
+    }
+    assert(e.getMessage.contains("EscapeHatch"), e.getMessage)
+  }
+
+  test("date-vs-ISO-literal comparisons compile typed and push into the scan") {
+    import graft.transform.JqEscapeHatch
+    // a DATE path against a valid-ISO string literal is jq-equivalent
+    // to the typed compare (ISO text order IS chronological order) —
+    // and the typed filter pushes into the parquet scan, where the
+    // old mixed-kind rejection sent a time-windowed jq filter to the
+    // subprocess hatch over the whole corpus
+    val df = Seq((1L, "2024-01-15"), (2L, "2024-03-20"), (3L, "2023-12-31"))
+      .toDF("id", "d").selectExpr("id", "cast(d AS date) AS dt")
+    for (prog <- Seq("select(.dt > \"2024-01-01\") | {id}",
+        "select(.dt == \"2024-03-20\") | {id}",
+        "{id, late: (.dt >= \"2024-02-01\")}")) {
+      val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+      val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+      assert(c == r, s"$prog\ncompiled: $c\nreal jq:  $r")
+    }
+    // the filter reaches the parquet scan as a pushed date predicate
+    val dir = java.nio.file.Files.createTempDirectory("graft_jq_date")
+    df.write.mode("overwrite").parquet(s"$dir/t")
+    val scan = Jq.compile("select(.dt > \"2024-01-01\")")(
+      spark.read.parquet(s"$dir/t"))
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("GreaterThan(dt"),
+      s"date filter not pushed:\n$plan")
+    // a NON-ISO literal keeps jq's string-compare semantics via the
+    // rejection (hatch): jq says false on every row, never an error
+    val e = intercept[IllegalArgumentException] {
+      Jq.compile("select(.dt == \"2024-3-20\")")(df).collect()
+    }
+    assert(e.getMessage.contains("EscapeHatch"), e.getMessage)
+    // timestamps stay rejected — variable fraction width breaks the
+    // lexical≡chronological equivalence
+    val tdf = Seq((1L, "2024-03-01 10:15:30")).toDF("id", "t")
+      .selectExpr("id", "cast(t AS timestamp) AS ts")
+    val e2 = intercept[IllegalArgumentException] {
+      Jq.compile("select(.ts > \"2024-01-01\")")(tdf).collect()
+    }
+    assert(e2.getMessage.contains("EscapeHatch"), e2.getMessage)
+  }
+
   test("join renders elements like jq, not like Spark's cast") {
     import graft.transform.JqEscapeHatch
     // join over a double array previously cast each element to
