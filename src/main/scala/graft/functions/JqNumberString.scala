@@ -16,10 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * pipeline, but RAISED wherever JDK 17's pre-Ryu print emits
   * non-minimal digits (JDK-4511638, fixed in 19: 4.9E-324 for jq's
   * 5e-324) — a data-dependent availability hazard at volume. This
-  * kernel computes the true Gay-shortest digit string itself, so the
-  * render is total over finite doubles (NaN/±Inf remain the only
-  * raises — jq maps them to "null" / the max-double print, a semantic
-  * the caller must opt into via the escape hatch). −0.0 renders "-0",
+  * kernel computes the true Gay-shortest digit string itself and is
+  * TOTAL over all doubles: NaN renders jq's "null", ±infinite clamps
+  * to the extreme finite double's print (both byte-pinned against the
+  * real binary — round-17 directive 1). −0.0 renders "-0",
   * jq's actual output; it is unreachable from stored columns
   * (UnsafeRow normalizes on write) but reachable from expression
   * intermediates like `-1 * 0`.
@@ -93,14 +93,20 @@ object JqNumberString {
     lhs.compareTo(rhs)
   }
 
-  /** jq 1.6's number text for a finite double. Raises on NaN/±Inf
-    * (no byte-exact JSON print — reject-rather-than-guess, at runtime
-    * because the value is data). */
+  /** jq 1.6's number text — TOTAL over ALL doubles (round-17 VERDICT
+    * directive 1). NaN prints "null" and ±infinite clamps to the
+    * extreme finite double's print (jq's jvp_dtoa/jv_dump path;
+    * verified against the real binary: `nan | tojson` → "null",
+    * `infinite` → 1.7976931348623157e+308, `0 - infinite` → the same
+    * with a leading '-'). NaN/Inf ARE storable in parquet double
+    * columns, so the old raise here was the render's last
+    * data-dependent availability hazard at volume. */
   def render(d: Double): String = {
-    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
-      throw new ArithmeticException(
-        "graft jq: number " + d + " is outside the byte-exact print " +
-          "range (NaN/Inf) — use the JqEscapeHatch")
+    if (java.lang.Double.isNaN(d)) return "null"
+    if (d == java.lang.Double.POSITIVE_INFINITY)
+      return "1.7976931348623157e+308"
+    if (d == java.lang.Double.NEGATIVE_INFINITY)
+      return "-1.7976931348623157e+308"
     // jq prints −0.0 as "-0" (g_fmt keeps the sign; the long branch
     // below would say "0")
     if (d == 0.0d)

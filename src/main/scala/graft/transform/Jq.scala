@@ -1635,8 +1635,9 @@ object Jq {
     * ([[graft.functions.JqNumberString]], codegen'd; it computes the
     * true Gay-shortest digits itself, so JDK 17's occasional
     * over-printed mantissas — JDK-4511638 — render correctly instead
-    * of raising, and −0.0 renders jq's "-0"; NaN/±Inf remain the only
-    * runtime raises). Callers pass DECIMAL inputs pre-cast to double
+    * of raising, −0.0 renders jq's "-0", and the kernel is TOTAL over
+    * all doubles: NaN renders jq's "null", ±infinite the clamped
+    * max-double print). Callers pass DECIMAL inputs pre-cast to double
     * and FLOAT inputs reparsed from their own float print
     * (`cast(cast(f AS string) AS double)`) — jq parses the column's
     * JSON text into a double, and for a float that text is the

@@ -1180,19 +1180,78 @@ class JqSpec extends SparkSuite {
     assert(cB.head.contains("9007199254740992"), cB)
   }
 
-  test("number rendering raises only on NaN/Inf") {
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    for (bad <- Seq(Double.NaN, Double.PositiveInfinity,
-        Double.NegativeInfinity)) {
-      val df = Seq((1L, bad)).toDF("id", "d")
-      val e = intercept[Exception] {
-        Jq.compile("{id, t: (.d | tojson)}")(df).collect()
-      }
-      assert(msgs(e).exists(_.contains("byte-exact print range")),
-        s"value $bad: ${msgs(e)}")
+  test("NaN and ±Inf render jq's bytes — the kernel is total over all doubles") {
+    import graft.transform.JqEscapeHatch
+    // round-17 VERDICT directive 1: NaN and ±Inf ARE storable in
+    // parquet double columns, so the old raise was the render's last
+    // data-dependent availability hazard. jq 1.6 prints nan as "null"
+    // and clamps ±infinite to the extreme finite double's print —
+    // byte-matched against the real binary in every render position
+    // (tojson, interpolation, constructed composite, join).
+    // ±Inf reaches the hatch as 1e999 JSON text (jq parses it to
+    // ±infinite); NaN has no JSON input form, so the hatch side
+    // computes it with jq's own `nan` builtin.
+    val prog = "{id, t: (.d | tojson), s: \"v=\\(.d)\", a: \"\\([.d])\"}"
+    val inf = Seq((1L, Double.PositiveInfinity),
+      (2L, Double.NegativeInfinity)).toDF("id", "d")
+    val c = Jq.compile(prog)(inf).toJSON.collect().sorted.toSeq
+    val nd = Seq("{\"id\":1,\"d\":1e999}", "{\"id\":2,\"d\":-1e999}").toDS()
+    val r = JqEscapeHatch.rawApply(nd, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(_.contains("v=1.7976931348623157e+308")), c)
+    assert(c.exists(_.contains("v=-1.7976931348623157e+308")), c)
+    val cNan = Jq.compile(prog)(Seq((1L, Double.NaN)).toDF("id", "d"))
+      .toJSON.collect().toSeq
+    val progNan = "{id, t: (nan | tojson), s: \"v=\\(nan)\", a: \"\\([nan])\"}"
+    val rNan = JqEscapeHatch.rawApply(Seq("{\"id\":1}").toDS(), progNan)
+      .collect().toSeq
+    assert(cNan == rNan, s"\ncompiled: $cNan\nreal jq:  $rNan")
+    assert(cNan.head.contains("\"t\":\"null\""), cNan)
+    assert(cNan.head.contains("\"a\":\"[null]\""), cNan)
+    // join position: a NaN ELEMENT is a number that tostrings to
+    // "null" (a true SQL NULL element joins as "" instead — the
+    // null-vs-nan distinction must survive the render)
+    val joinProg = "{id, j: (.ds | join(\",\"))}"
+    val cJ = Jq.compile(joinProg)(
+      Seq((1L, Seq(Double.NaN, 1.5), 0)).toDF("id", "ds", "z")
+        .drop("z")).toJSON.collect().toSeq
+    val rJ = JqEscapeHatch.rawApply(Seq("{\"id\":1}").toDS(),
+      "{id, j: ([nan, 1.5] | join(\",\"))}").collect().toSeq
+    assert(cJ == rJ, s"\ncompiled: $cJ\nreal jq:  $rJ")
+    assert(cJ.head.contains("null,1.5"), cJ)
+    val cJI = Jq.compile(joinProg)(
+      Seq((1L, Seq(Double.PositiveInfinity, 1.5), 0)).toDF("id", "ds", "z")
+        .drop("z")).toJSON.collect().toSeq
+    val rJI = JqEscapeHatch.rawApply(
+      Seq("{\"id\":1,\"ds\":[1e999,1.5]}").toDS(), joinProg)
+      .collect().toSeq
+    assert(cJI == rJI, s"\ncompiled: $cJI\nreal jq:  $rJI")
+  }
+
+  test("render is total over random bit-pattern doubles incl. NaN/Inf/subnormals") {
+    // round-17 directive 1's done-bar: the corpus admits ALL bit
+    // patterns — NaN payloads, ±Inf, subnormals, binade edges. For
+    // finite values the shortest-print contract is the round-trip
+    // property (the plan-level corpora pin jq's bytes); NaN/Inf pin
+    // their fixed bytes; and nothing in the sweep may throw.
+    import graft.functions.JqNumberString.render
+    val rnd = new scala.util.Random(1808)
+    var i = 0
+    while (i < 20000) {
+      val d = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      val s = render(d)
+      if (java.lang.Double.isNaN(d)) assert(s == "null", s"$d -> $s")
+      else if (d == Double.PositiveInfinity)
+        assert(s == "1.7976931348623157e+308", s)
+      else if (d == Double.NegativeInfinity)
+        assert(s == "-1.7976931348623157e+308", s)
+      else assert(java.lang.Double.parseDouble(s) == d,
+        s"round-trip broke: bits=${java.lang.Double.doubleToRawLongBits(d)} -> $s")
+      i += 1
     }
+    for (d <- Seq(Double.NaN, java.lang.Double.longBitsToDouble(0x7ff8000000000001L),
+        java.lang.Double.longBitsToDouble(0xfff8000000000000L)))
+      assert(render(d) == "null", "every NaN payload prints null")
   }
 
   test("JDK over-printed mantissas render jq's shortest digits instead of raising") {
