@@ -521,7 +521,18 @@ object Jq {
       // iterated path's element type) — comparisons against an
       // untypeable operand reject since round 16, so `$x > .` in a
       // reduce update needs the element's kind on record
-      varTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
+      varTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      // jq ARITHMETIC semantics flag (round-17 ADVICE): every jq
+      // number is an IEEE double, parsed from its JSON text BEFORE
+      // computing — so wherever the computed value's BYTES are the
+      // contract (interpolation, constructed composites, and lambda
+      // bodies whose output type is DECLARED DoubleType), `+ - * /`
+      // must coerce integral/decimal operands to double (floats
+      // through their shortest-print reparse). Off in structural
+      // positions, where the typed DataFrame keeps native arithmetic
+      // and the long digits ARE the output (until/reduce results,
+      // object fields compared by value not bytes).
+      doubleArith: Boolean = false)
   private val topEnv = Env(None, Map.empty)
 
   /** Does this subtree contain an expression that ERRORS in jq where
@@ -617,9 +628,21 @@ object Jq {
   private def dateStrCompare(l: Expr, r: Expr, env: Env): Boolean = {
     def isDate(e: Expr) = staticType(e, env)
       .contains(org.apache.spark.sql.types.DateType)
+    // the literal must be the FIXED 10-char ISO form, not merely
+    // LocalDate-parseable: LocalDate.parse also accepts expanded-year
+    // texts like "+10000-01-01" (sign + 5..9 digit years), where the
+    // lexical≡chronological premise fails — jq string-compares "+1…"
+    // below every "2024-…" while the typed compare orders it above
+    // (round-17 ADVICE). Known residual edge, documented: a DATE
+    // COLUMN holding years beyond 9999 serializes as the wider
+    // expanded form on jq's side, breaking the premise data-
+    // dependently even for a normal literal; the driver's data model
+    // (and any sane pipeline) stays within 4-digit years, and the
+    // divergence needs year-10000+ values actually stored.
     def isIso(e: Expr) = e match {
       case StrLit(s) =>
-        scala.util.Try(java.time.LocalDate.parse(s)).isSuccess
+        s.matches("\\d{4}-\\d{2}-\\d{2}") &&
+          scala.util.Try(java.time.LocalDate.parse(s)).isSuccess
       case _ => false
     }
     (isDate(l) && isIso(r)) || (isIso(l) && isDate(r))
@@ -836,6 +859,48 @@ object Jq {
       // compile to a coercing cast.
       if (Seq("==", "!=", "<", "<=", ">", ">=").contains(op))
         checkComparableKinds(op, l, r, env)
+      // under env.doubleArith, `+ - * /` evaluate in jq's IEEE-double
+      // space: a statically-numeric non-double operand coerces to the
+      // double jq parsed its JSON text into (floats reparse through
+      // their own shortest print). Long arithmetic past 2^53 would
+      // otherwise silently diverge from jq's double rounding
+      // (9007199254740993 + 1: jq prints …992, long space says …994)
+      // and ANSI-overflow where jq clamps; decimal arithmetic is
+      // EXACT where jq's doubles round (0.1 + 0.2: jq prints
+      // 0.30000000000000004). Comparisons stay native — raw typed
+      // compares push into parquet scans, and checkComparableKinds
+      // owns their kind safety.
+      def dbl(x: Expr, c: Column): Column = staticType(x, env) match {
+        case Some(org.apache.spark.sql.types.FloatType) =>
+          c.cast("string").cast("double")
+        case Some(org.apache.spark.sql.types.DoubleType) => c
+        case Some(t: org.apache.spark.sql.types.NumericType) => c.cast("double")
+        case Some(_) => c
+        case None =>
+          if (inferKind(x, env).contains(KNumeric)) c.cast("double") else c
+      }
+      val arith = env.doubleArith && Seq("+", "-", "*", "/").contains(op)
+      val (ax, bx) = if (arith) (dbl(l, a), dbl(r, b)) else (a, b)
+      // jq's `%` TRUNCATES both operands to integers (7.9 % 3 is 1),
+      // where Spark's % over fractional types is fmod (1.9) — a
+      // statically-fractional operand therefore rejects toward the
+      // hatch; integral long % long matches jq exactly (truncated
+      // division, -7 % 3 = -1 on both sides)
+      if (op == "%") {
+        def fractional(x: Expr): Boolean = x match {
+          case NumLit(v) => v != math.floor(v)
+          case _ => staticType(x, env).exists {
+            case org.apache.spark.sql.types.FloatType |
+                 org.apache.spark.sql.types.DoubleType |
+                 (_: org.apache.spark.sql.types.DecimalType) => true
+            case _ => false
+          }
+        }
+        if (fractional(l) || fractional(r))
+          throw new IllegalArgumentException(
+            "jq % truncates its operands to integers, which a fractional " +
+              "Spark % (fmod) cannot express — use the JqEscapeHatch")
+      }
       op match {
         case "==" => a <=> b
         case "!=" => !(a <=> b)
@@ -853,13 +918,30 @@ object Jq {
             .otherwise(a >= b)
         case "and" => a && b
         case "or" => a || b
-        case "+" => a + b
-        case "-" => a - b
-        case "*" => a * b
-        case "/" => a / b
+        case "+" => ax + bx
+        case "-" => ax - bx
+        case "*" => ax * bx
+        case "/" => ax / bx
         case "%" => a % b
         case "//" => coalesce(a, b)
       }
+    // a pipe FEEDING a render call (tojson/tostring/join) computes
+    // its arithmetic in jq's double space — the render's BYTES are
+    // the contract there (`.ns | map(. + 1) | join(",")` over
+    // [9007199254740993] must print …992 like jq, not long-space
+    // …994 — round-17 ADVICE). Structural pipes keep native
+    // arithmetic: their typed DataFrame IS the output, compared by
+    // value, and long digits byte-match jq below 2^53 through toJSON
+    // (`map(if . < 10 then . * 100 else . end)` must stay [100],
+    // not [100.0]). One re-dispatch with the flag set; the main case
+    // below then threads it through every lambda and operand compile.
+    case Pipe(stages0) if stages0.size >= 2 &&
+        stages0.tail.forall(_.isInstanceOf[Call]) &&
+        !env.doubleArith && stages0.exists {
+          case Call("tojson" | "tostring" | "join", _) => true
+          case _ => false
+        } =>
+      toColumn(e, env.copy(doubleArith = true))
     // `.x | f | g("arg")` — fold piped calls left-to-right over the
     // compiled input. A pipe whose HEAD is itself a call with `.`
     // bound (`map(.v) | join("")` as a lambda body) normalizes to
@@ -981,8 +1063,19 @@ object Jq {
                 case Some(_: org.apache.spark.sql.types.MapType) =>
                   (coalesce(size(c), lit(0)), false,
                     Some(org.apache.spark.sql.types.IntegerType))
+                // number length = absolute VALUE, and jq numbers are
+                // doubles — compute AND declare DoubleType (round-17
+                // ADVICE: the old coalesce(abs(c), 0.0) physically
+                // coerced to double while the tracked type stayed
+                // integral, a declared/physical mismatch); floats
+                // reparse through their shortest print, the JSON text
+                // jq took the value from
+                case Some(org.apache.spark.sql.types.FloatType) =>
+                  (coalesce(abs(c.cast("string").cast("double")), lit(0.0)),
+                    false, Some(org.apache.spark.sql.types.DoubleType))
                 case Some(_: org.apache.spark.sql.types.NumericType) =>
-                  (coalesce(abs(c), lit(0.0)), false, curT)
+                  (coalesce(abs(c.cast("double")), lit(0.0)), false,
+                    Some(org.apache.spark.sql.types.DoubleType))
                 case Some(org.apache.spark.sql.types.DateType |
                           org.apache.spark.sql.types.TimestampType |
                           org.apache.spark.sql.types.TimestampNTZType) =>
@@ -1002,7 +1095,7 @@ object Jq {
             // (join/tostring/tojson) stay typed
             case Call("map", Seq(body)) if isArr =>
               (transform(c, x =>
-                toColumn(body, env.copy(dot = Some(x), dotType = elemOf(curT)))),
+                toColumn(body, lambdaEnv(x, body, env, elemOf(curT)))),
                 true,
                 lambdaOutType(body, env, elemOf(curT))
                   .map(ArrayType(_, containsNull = true)))
@@ -1089,7 +1182,7 @@ object Jq {
             // each value with `.` bound to it (jq keeps the key)
             case Call("map_values", Seq(body)) if isArr =>
               (transform(c, x =>
-                toColumn(body, env.copy(dot = Some(x), dotType = elemOf(curT)))),
+                toColumn(body, lambdaEnv(x, body, env, elemOf(curT)))),
                 true,
                 lambdaOutType(body, env, elemOf(curT))
                   .map(ArrayType(_, containsNull = true)))
@@ -1099,7 +1192,7 @@ object Jq {
               }
               val vt = mt.map(_.valueType)
               (transform_values(c,
-                (_, v) => toColumn(body, env.copy(dot = Some(v), dotType = vt))),
+                (_, v) => toColumn(body, lambdaEnv(v, body, env, vt))),
                 false,
                 for { m <- mt; v <- lambdaOutType(body, env, vt) }
                   yield org.apache.spark.sql.types.MapType(m.keyType, v))
@@ -1424,7 +1517,9 @@ object Jq {
     * untypeable part is rejected toward the escape hatch rather than
     * rendered wrong. */
   private def interpRender(e: Expr, env: Env): Column = {
-    val c = toColumn(e, env)
+    // the interpolated BYTES are the contract here, so arithmetic
+    // inside the part evaluates in jq's double space (env.doubleArith)
+    val c = toColumn(e, env.copy(doubleArith = true))
     inferKind(e, env) match {
       case Some(KString) => coalesce(c, lit("null"))
       case Some(KNull) => lit("null")
@@ -1516,7 +1611,8 @@ object Jq {
       case Some(KBool) =>
         coalesce(toColumn(other, env).cast("string"), lit("null"))
       case Some(KNumeric) =>
-        val c = toColumn(other, env)
+        // composite-item bytes are the contract — double-space arith
+        val c = toColumn(other, env.copy(doubleArith = true))
         val isFloat = staticType(other, env)
           .contains(org.apache.spark.sql.types.FloatType)
         numJson(if (isFloat) c.cast("string").cast("double")
@@ -1803,6 +1899,20 @@ object Jq {
     * computed numeric body IS DoubleType for every downstream render
     * decision (the compiled column may be a Spark long, whose double
     * render is exactly jq's print of the same value). */
+  /** Env for compiling a lambda body bound to `x`. Inherits
+    * env.doubleArith: inside a render-destined pipe (or an
+    * interpolation part) a computed-numeric body evaluates in jq's
+    * double space, so the physical column type MATCHES the DoubleType
+    * [[lambdaOutType]] declares and the render prints jq's bytes —
+    * round-17 ADVICE: `[9007199254740993] | map(. + 1) | join("")`
+    * computed in Spark LONG space rendered …994 where jq (computing
+    * in doubles) prints …992, and ANSI long overflow raised on values
+    * jq clamps. In structural pipes the flag is off and native
+    * arithmetic (with its exact long digits) is the output. */
+  private def lambdaEnv(x: Column, body: Expr, env: Env,
+      et: Option[org.apache.spark.sql.types.DataType]): Env =
+    env.copy(dot = Some(x), dotType = et)
+
   private def lambdaOutType(body: Expr, env: Env,
       et: Option[org.apache.spark.sql.types.DataType])
       : Option[org.apache.spark.sql.types.DataType] = {

@@ -1494,6 +1494,93 @@ class JqSpec extends SparkSuite {
     assert(c.exists(_.contains("v=7\"")), c)
   }
 
+  test("rendered arithmetic evaluates in jq's double space") {
+    import graft.transform.JqEscapeHatch
+    // round-17 ADVICE (medium): jq parses every JSON number into an
+    // IEEE double BEFORE computing, so arithmetic whose BYTES are the
+    // contract must not run in Spark's native space — long arithmetic
+    // past 2^53 diverges (…993 + 1: jq …992, long …994) and ANSI-
+    // overflows where jq clamps; decimal arithmetic is exact where
+    // jq's doubles round (0.1 + 0.2 prints 0.30000000000000004).
+    val big = Seq((1L, 9007199254740993L, Seq(9007199254740993L)))
+      .toDF("id", "n", "ns")
+    val prog = "{id, s: \"v=\\(.n + 1)\", a: \"\\([.n + 1])\", " +
+      "j: (.ns | map(. + 1) | join(\",\"))}"
+    val c = Jq.compile(prog)(big).toJSON.collect().toSeq
+    val r = JqEscapeHatch.rawApply(big.toJSON, prog).collect().toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.head.contains("v=9007199254740992"), c)
+    assert(c.head.contains("[9007199254740992]"), c)
+    assert(c.head.contains("\"j\":\"9007199254740992\""), c)
+    // ANSI long overflow: jq computes (and clamps) in doubles — the
+    // compiled render must not raise where jq prints a number
+    val huge = Seq((1L, Long.MaxValue)).toDF("id", "n")
+    val progH = "{id, s: \"v=\\(.n * .n)\"}"
+    val cH = Jq.compile(progH)(huge).toJSON.collect().toSeq
+    val rH = JqEscapeHatch.rawApply(huge.toJSON, progH).collect().toSeq
+    assert(cH == rH, s"\ncompiled: $cH\nreal jq:  $rH")
+    assert(cH.head.contains("8.507059173023462e+37"), cH)
+    // decimal operands: the JSON text parses into doubles on jq's
+    // side, so 0.1 + 0.2 renders the double sum, not the exact
+    // decimal 0.3
+    val dec = Seq((1L, "0.1", "0.2")).toDF("id", "a", "b")
+      .selectExpr("id", "cast(a AS decimal(5,2)) AS a",
+        "cast(b AS decimal(5,2)) AS b")
+    val progD = "{id, s: \"v=\\(.a + .b)\"}"
+    val cD = Jq.compile(progD)(dec).toJSON.collect().toSeq
+    val rD = JqEscapeHatch.rawApply(dec.toJSON, progD).collect().toSeq
+    assert(cD == rD, s"\ncompiled: $cD\nreal jq:  $rD")
+    assert(cD.head.contains("v=0.30000000000000004"), cD)
+    // STRUCTURAL arithmetic keeps native space: the typed DataFrame
+    // IS the output there, and its long digits byte-match jq below
+    // 2^53 through toJSON (until/reduce results, object fields) —
+    // pinned by the until and multi-generator tests
+  }
+
+  test("jq % over fractional operands rejects toward the hatch") {
+    // jq's % truncates both operands to integers (7.9 % 3 is 1);
+    // Spark's % over fractional types is fmod (1.9) — silent wrong
+    // bytes, so statically-fractional operands reject
+    val df = Seq((1L, 7.9)).toDF("id", "d")
+    val e = intercept[IllegalArgumentException] {
+      Jq.compile("{id, m: (.d % 3)}")(df)
+    }
+    assert(e.getMessage.contains("truncates"), e.getMessage)
+    // integral % stays compiled (q34's .cust % 10 shape)
+    val ok = Jq.compile("{id, m: (.id % 3)}")(
+      Seq((7L, 0)).toDF("id", "z").drop("z")).collect()
+    assert(ok.head.getLong(1) == 1L)
+  }
+
+  test("numeric length declares and computes the double jq holds") {
+    import graft.transform.JqEscapeHatch
+    // round-17 ADVICE (low): length over numbers is abs() in jq-
+    // double space; the tracked type now matches the physical double
+    val df = Seq((1L, -2.5, -3L), (2L, 4.0, 5L)).toDF("id", "d", "n")
+    val prog = "{id, a: \"\\(.d | length)\", b: \"\\(.n | length)\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(_.contains("\"a\":\"2.5\"")), c)
+    assert(c.exists(_.contains("\"b\":\"3\"")), c)
+  }
+
+  test("expanded-year date literals stay out of the pushdown rewrite") {
+    // round-17 ADVICE (low): LocalDate.parse accepts "+10000-01-01",
+    // where the 10-char lexical≡chronological premise fails — the
+    // rewrite now requires the fixed \d{4}-\d{2}-\d{2} form, so the
+    // expanded form falls back to the mixed-kind rejection (→ hatch)
+    val df = Seq((1L, java.sql.Date.valueOf("2024-03-01")))
+      .toDF("id", "d")
+    val e = intercept[IllegalArgumentException] {
+      Jq.compile("select(.d > \"+10000-01-01\") | {id}")(df)
+    }
+    assert(e.getMessage.contains("EscapeHatch"), e.getMessage)
+    // the normal form still compiles to the pushed typed compare
+    assert(Jq.compile("select(.d > \"2024-01-01\") | {id}")(df)
+      .collect().length == 1)
+  }
+
   test("multi-generator object construction compiles the jq cartesian") {
     import graft.transform.JqEscapeHatch
     // round-12 VERDICT directive 4: the cross-product form was the
