@@ -808,6 +808,7 @@ object GraftFunctions {
       TextExprs.register(spark)
       GoFloatString.register(spark)
       JqNumberString.register(spark)
+      JqText.register(spark)
       EvalOnce.register(spark)
       GroupRuns.register(spark)
     }
@@ -820,7 +821,7 @@ object GraftFunctions {
       : Seq[(String, Seq[Expression] => Expression)] =
     VectorExprs.builders ++ TextExprs.builders ++
       GoFloatString.builders ++ JqNumberString.builders ++
-      EvalOnce.builders ++ GroupRuns.builders
+      JqText.builders ++ EvalOnce.builders ++ GroupRuns.builders
 }
 
 /** `spark.sql.extensions`-style entry point: inject every graft

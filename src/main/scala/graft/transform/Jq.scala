@@ -904,18 +904,20 @@ object Jq {
       op match {
         case "==" => a <=> b
         case "!=" => !(a <=> b)
-        case "<" =>
-          when(a.isNull, b.isNotNull).when(b.isNull, lit(false))
-            .otherwise(a < b)
-        case "<=" =>
-          when(a.isNull, lit(true)).when(b.isNull, lit(false))
-            .otherwise(a <= b)
-        case ">" =>
-          when(b.isNull, a.isNotNull).when(a.isNull, lit(false))
-            .otherwise(a > b)
-        case ">=" =>
-          when(b.isNull, lit(true)).when(a.isNull, lit(false))
-            .otherwise(a >= b)
+        // total-order forms as COALESCE, not when-chains (round-17
+        // VERDICT directive 3): the old when(a.isNull, …).otherwise(
+        // a < b) spliced BOTH operand trees into the condition AND
+        // the otherwise branch, and Catalyst never CSE-unifies a
+        // conditional branch with its predicate — over HOF-fed
+        // operands that doubled the work (the q220 mechanism). The
+        // coalesce form evaluates each operand ONCE on the common
+        // (non-null) path; only a null operand (where the 3VL compare
+        // yields null) falls through to the one-sided isNull probe
+        // that encodes jq's null-sorts-lowest total order.
+        case "<" => coalesce(a < b, b.isNotNull)
+        case "<=" => coalesce(a <= b, a.isNull)
+        case ">" => coalesce(a > b, a.isNotNull)
+        case ">=" => coalesce(a >= b, b.isNull)
         case "and" => a && b
         case "or" => a || b
         case "+" => ax + bx
@@ -1079,9 +1081,12 @@ object Jq {
                 case Some(org.apache.spark.sql.types.DateType |
                           org.apache.spark.sql.types.TimestampType |
                           org.apache.spark.sql.types.TimestampNTZType) =>
-                  // the value is a STRING on jq's side — its length
-                  val j = jsonVal(c)
-                  (when(c.isNull, lit(0)).otherwise(length(j) - 2), false,
+                  // the value is a STRING on jq's side — its length.
+                  // One kernel call over the to_json text (quoted →
+                  // content code points, the null value's "null" →
+                  // 0): the old when(c.isNull, …) guard spliced the
+                  // input tree twice (round-17 directive 3)
+                  (call_function("graft_jq_strlen", jsonVal(c)), false,
                     Some(org.apache.spark.sql.types.IntegerType))
                 case Some(dt) => throw new IllegalArgumentException(
                   s"jq length over $dt is an error in jq itself — " +
@@ -1562,9 +1567,11 @@ object Jq {
         case Some(org.apache.spark.sql.types.DateType |
                   org.apache.spark.sql.types.TimestampType |
                   org.apache.spark.sql.types.TimestampNTZType) =>
-          val j = jsonVal(c)
-          when(c.isNull, lit("null"))
-            .otherwise(j.substr(lit(2), length(j) - 2))
+          // one kernel call: quotes stripped, a null value's "null"
+          // text passes through — exactly the raw render jq gives
+          // both cases (the old null guard spliced the input twice,
+          // round-17 directive 3)
+          call_function("graft_jq_unquote", jsonVal(c))
         case Some(dt) if jsonByteExact(dt) => jsonValGuarded(c, dt)
         case Some(dt) => throw new IllegalArgumentException(
           s"interpolating a value of type $dt cannot byte-match jq's " +
@@ -1739,7 +1746,14 @@ object Jq {
     * JSON text into a double, and for a float that text is the
     * float's shortest print, not the widened double. */
   private def numJson(c: Column): Column =
-    coalesce(call_function("graft_jq_num", c.cast("double")), lit("null"))
+    coalesce(numJsonRaw(c), lit("null"))
+
+  /** [[numJson]] without the null→"null" coalesce: the kernel is a
+    * null-propagating UnaryExpression, so positions that must KEEP
+    * null (join elements — array_join's "" replacement renders them)
+    * get a single-reference render with no guard at all. */
+  private def numJsonRaw(c: Column): Column =
+    call_function("graft_jq_num", c.cast("double"))
 
   /** Types whose `to_json` rendering is byte-identical to jq 1.6's
     * serialization: integral numbers, strings, booleans, and
@@ -1884,9 +1898,9 @@ object Jq {
       case Some(org.apache.spark.sql.types.DateType |
                 org.apache.spark.sql.types.TimestampType |
                 org.apache.spark.sql.types.TimestampNTZType) =>
-        val j = jsonVal(c)
-        when(c.isNull, lit("null"))
-          .otherwise(j.substr(lit(2), length(j) - 2))
+        // single-reference raw text: quotes stripped, null's "null"
+        // passes through (round-17 directive 3)
+        call_function("graft_jq_unquote", jsonVal(c))
       case Some(_) => tojsonCol(c, t)
       case None => throw new IllegalArgumentException(
         "tostring: input type is not statically known — use the JqEscapeHatch")
@@ -1930,21 +1944,30 @@ object Jq {
     * "true"/"false"; a NULL element stays null (array_join's ""
     * replacement renders it, matching jq). Composite elements are an
     * ERROR in jq — reject; untyped elements reject rather than render
-    * Spark's cast text. */
-  private def joinElemRender(x: Column,
+    * Spark's cast text.
+    *
+    * `once` is the caller's transform LAMBDA VARIABLE — a per-row
+    * slot whose repeated reference is a variable read, not a subtree
+    * splice (the round-17 directive-3 audit convention; the source
+    * lint admits `once`-named scrutinees for exactly this reason).
+    * Numbers need no guard at all: the render kernel is
+    * null-propagating ([[numJsonRaw]]). */
+  private def joinElemRender(once: Column,
       et: Option[org.apache.spark.sql.types.DataType]): Column = et match {
-    case Some(org.apache.spark.sql.types.StringType) => x
-    case Some(org.apache.spark.sql.types.BooleanType) => x.cast("string")
+    case Some(org.apache.spark.sql.types.StringType) => once
+    case Some(org.apache.spark.sql.types.BooleanType) => once.cast("string")
     case Some(org.apache.spark.sql.types.FloatType) =>
-      when(x.isNull, lit(null))
-        .otherwise(numJson(x.cast("string").cast("double")))
+      numJsonRaw(once.cast("string").cast("double"))
     case Some(_: org.apache.spark.sql.types.NumericType) =>
-      when(x.isNull, lit(null)).otherwise(numJson(x.cast("double")))
+      numJsonRaw(once.cast("double"))
     case Some(org.apache.spark.sql.types.DateType |
               org.apache.spark.sql.types.TimestampType |
               org.apache.spark.sql.types.TimestampNTZType) =>
-      val j = jsonVal(x)
-      when(x.isNull, lit(null)).otherwise(j.substr(lit(2), length(j) - 2))
+      // a null element must stay NULL (not render "null"), so the
+      // guard remains — over the lambda variable, where the double
+      // reference is free
+      when(once.isNull, lit(null))
+        .otherwise(call_function("graft_jq_unquote", jsonVal(once)))
     case Some(dt) => throw new IllegalArgumentException(
       s"jq join over elements of type $dt is an error in jq itself — " +
         "use the JqEscapeHatch")
@@ -1958,19 +1981,25 @@ object Jq {
     */
   private def enumSubvalues(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
     dt match {
+      // the null-guard scrutinees here are the record's root struct,
+      // a bounded getField chain off it, or a transform lambda
+      // variable — per-row slots and constant-depth extractions, not
+      // HOF-fed subtrees, so the double reference is cheap by
+      // construction (splice-ok: bounded scrutinee); the null branch
+      // itself is the CONSTANT ["null"] (jq does not descend nulls)
       case st: StructType =>
         val kids = st.fields.toSeq.map(f =>
           enumSubvalues(c.getField(f.name), f.dataType))
-        when(c.isNull, array(jsonVal(c)))
+        when(c.isNull, array(lit("null"))) // splice-ok: bounded scrutinee
           .otherwise(concat((array(jsonVal(c)) +: kids): _*))
       case ArrayType(et, _) =>
-        when(c.isNull, array(jsonVal(c)))
+        when(c.isNull, array(lit("null"))) // splice-ok: bounded scrutinee
           .otherwise(concat(array(jsonVal(c)),
             flatten(transform(c, x => enumSubvalues(x, et)))))
       // a MapType column is a JSON object to jq: recurse into its
       // values in entry order (matching to_json's key order)
       case org.apache.spark.sql.types.MapType(_, vt, _) =>
-        when(c.isNull, array(jsonVal(c)))
+        when(c.isNull, array(lit("null"))) // splice-ok: bounded scrutinee
           .otherwise(concat(array(jsonVal(c)),
             flatten(transform(map_values(c), x => enumSubvalues(x, vt)))))
       case _ => array(jsonVal(c))
@@ -2211,16 +2240,21 @@ object Jq {
           val p = concat(prefix, array(lit(name)))
           concat(array(p), enumPaths(c.getField(f.name), f.dataType, p))
         }
+        // scrutinees are root-struct/getField-chain/lambda-var slots
+        // (see enumSubvalues) and the null branch is a constant
         if (kids.isEmpty) none
-        else when(c.isNull, none).otherwise(concat(kids: _*))
+        else when(c.isNull, none) // splice-ok: bounded scrutinee
+          .otherwise(concat(kids: _*))
       case ArrayType(et, _) =>
-        when(c.isNull, none).otherwise(
+        when(c.isNull, none) // splice-ok: bounded scrutinee
+          .otherwise(
           flatten(transform(c, (x, i) => {
             val p = concat(prefix, array(i.cast("string")))
             concat(array(p), enumPaths(x, et, p))
           })))
       case org.apache.spark.sql.types.MapType(_, vt, _) =>
-        when(c.isNull, none).otherwise(
+        when(c.isNull, none) // splice-ok: bounded scrutinee
+          .otherwise(
           flatten(transform(map_entries(c), e => {
             val p = concat(prefix, array(jsonVal(e.getField("key").cast("string"))))
             concat(array(p), enumPaths(e.getField("value"), vt, p))

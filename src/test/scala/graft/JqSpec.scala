@@ -1581,6 +1581,70 @@ class JqSpec extends SparkSuite {
       .collect().length == 1)
   }
 
+  test("source lint: no when(X.isNull) guard re-splices its scrutinee in otherwise") {
+    // the q220 regression mechanism (round-17 VERDICT directive 3):
+    // Catalyst's subexpression elimination never unifies a conditional
+    // BRANCH with its predicate, so when(X.isNull, …).otherwise(f(X))
+    // evaluates X's subtree twice — measured +40% over a HOF-fed
+    // input. Two legal escapes, both visible at the site: a scrutinee
+    // named `once` (the convention for transform-lambda variables,
+    // whose re-reference is a per-row slot read, not a splice) and an
+    // explicit `// splice-ok: <why>` marker on the same line (bounded
+    // root-struct / getField-chain scrutinees in the enumeration
+    // devices). Everything else must use a single-reference form:
+    // coalesce where null-propagation matches, or a kernel that makes
+    // the null case a data case (JqText.unquote/strLen).
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala/graft")
+    val pat = java.util.regex.Pattern.compile("when\\((\\w+)\\.isNull")
+    val offenders = Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).flatMap { p =>
+        val src = new String(Files.readAllBytes(p), "UTF-8")
+        val m = pat.matcher(src)
+        val hits = scala.collection.mutable.ListBuffer.empty[String]
+        while (m.find()) {
+          val ident = m.group(1)
+          val lineStart = src.lastIndexOf('\n', m.start) + 1
+          val lineEndRaw = src.indexOf('\n', m.start)
+          val lineEnd = if (lineEndRaw < 0) src.length else lineEndRaw
+          val line = src.substring(lineStart, lineEnd).trim
+          // the otherwise-branch text: balanced-paren scan from the
+          // first .otherwise( after the match
+          val window = src.substring(m.end,
+            math.min(src.length, m.end + 600))
+          val oIdx = window.indexOf(".otherwise(")
+          val branch = if (oIdx < 0) "" else {
+            val start = oIdx + ".otherwise(".length
+            var depth = 1
+            var i = start
+            while (i < window.length && depth > 0) {
+              window.charAt(i) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1
+                case _ =>
+              }
+              i += 1
+            }
+            window.substring(start, i)
+          }
+          val reSplices = java.util.regex.Pattern
+            .compile("\\b" + java.util.regex.Pattern.quote(ident) + "\\b")
+            .matcher(branch).find()
+          val isComment = line.startsWith("//") || line.startsWith("*")
+          if (reSplices && !isComment && ident != "once" &&
+              !line.contains("splice-ok"))
+            hits += s"${p.getFileName}: $ident in: ${line.take(70)}"
+        }
+        hits
+      }.toList
+    assert(offenders.isEmpty,
+      "when(X.isNull) guard re-splices its scrutinee in the otherwise " +
+        "branch — use coalesce / a null-propagating kernel, bind " +
+        "through a transform lambda var named `once`, or justify with " +
+        "// splice-ok: <why> — " + offenders.mkString("; "))
+  }
+
   test("multi-generator object construction compiles the jq cartesian") {
     import graft.transform.JqEscapeHatch
     // round-12 VERDICT directive 4: the cross-product form was the
