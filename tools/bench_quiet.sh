@@ -26,7 +26,121 @@
 #     (round-15 directive 1 — a scalar ratio cannot carry an additive
 #     box shift). drift_coefficient (the scalar) is kept for
 #     continuity.
+#
+# Round-17 verdict directive 2 — the TAIL-COMMIT rule, mechanized.
+# A record is valid for a tree iff its stamped commit is the tree's
+# last src/main-touching commit, OR the record carries an
+# `adjudications` block covering every later src/main commit. Two
+# subcommands serve that rule:
+#
+#   tools/bench_quiet.sh --adjudicate <record.json> <to_commit> <q1,q2,..>
+#     Re-measures ONLY the named queries at <to_commit> (side
+#     worktree, same 4-pass/min methodology as record rows), patches
+#     them into the record, and stamps an adjudications entry with
+#     the covered src/main commit list, the affected set, and the
+#     old/new values. The caller proves the affected-set claim (grep
+#     for the touched code's consumers) — the stamp makes it
+#     auditable instead of prose.
+#
+#   tools/bench_quiet.sh --check <record.json>
+#     PASSes iff the record's commit is HEAD's last src/main commit
+#     or every later src/main commit is covered by adjudications.
 set -euo pipefail
+
+REPO_EARLY="$(cd "$(dirname "$0")/.." && pwd)"
+
+if [ "${1:-}" = "--check" ]; then
+  RECORD="${2:?usage: tools/bench_quiet.sh --check <record.json>}"
+  python3 - "$RECORD" "$(git -C "$REPO_EARLY" log -1 --format=%H -- src/main build.sbt)" \
+      "$(git -C "$REPO_EARLY" log --format=%H -- src/main build.sbt | tr '\n' ',')" <<'PYEOF'
+import json, sys
+rec = json.load(open(sys.argv[1]))
+head_last = sys.argv[2]
+all_commits = [c for c in sys.argv[3].split(",") if c]
+rc = rec["commit"]
+covered = {c for adj in rec.get("adjudications", []) for c in adj["commits"]}
+if rc not in all_commits:
+    print(f"[check] FAIL: record commit {rc[:9]} is not an ancestor "
+          "src/main commit of HEAD"); sys.exit(1)
+later = all_commits[:all_commits.index(rc)]  # newest-first listing
+missing = [c for c in later if c not in covered]
+if missing:
+    print("[check] FAIL: src/main commits after the record commit lack "
+          "adjudication coverage: " + ", ".join(c[:9] for c in missing))
+    sys.exit(1)
+print(f"[check] PASS: record commit {rc[:9]}"
+      + (f" + {len(covered)} adjudicated commit(s)" if covered else
+         " is the last src/main commit"))
+PYEOF
+  exit $?
+fi
+
+if [ "${1:-}" = "--adjudicate" ]; then
+  RECORD="${2:?usage: tools/bench_quiet.sh --adjudicate <record.json> <to_commit> <q1,q2,..>}"
+  TO_COMMIT="${3:?to_commit required}"
+  AFFECTED="${4:?comma-separated affected query list required}"
+  SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+  CPUS="${SPARK_GRAFT_CPUS:-32}"
+  if [ -n "$(git -C "$REPO_EARLY" status --porcelain -- src/main build.sbt)" ]; then
+    echo "[adjudicate] REFUSING: src/main has uncommitted changes" >&2
+    exit 1
+  fi
+  ADJ_DIR="/tmp/graft_quiet_adj"
+  rm -rf "$ADJ_DIR"
+  git -C "$REPO_EARLY" worktree prune
+  git -C "$REPO_EARLY" worktree add --detach "$ADJ_DIR" "$TO_COMMIT" >&2
+  echo "[adjudicate] building $TO_COMMIT" >&2
+  (cd "$ADJ_DIR" && sbt -batch compile >/dev/null 2>&1)
+  # RUNS=3 (per-query median), not the record's RUNS=1: a record row
+  # is a single run inside a FULL-suite pass whose 270 preceding
+  # queries have the JVM hot, while a scoped pass runs the affected
+  # queries cold — the median of 3 in-JVM runs discards the cold
+  # first run and restores hot-core conditions (measured: q220 cold
+  # single-run 2.09s vs hot ~1.2s, the full-pass value)
+  for i in 1 2 3 4; do
+    echo "[adjudicate] pass $i/4: $AFFECTED" >&2
+    (cd "$ADJ_DIR" && SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
+      SPARK_GRAFT_BENCH_RUNS=3 SPARK_GRAFT_BENCH_TRANSFER=0 \
+      sbt -batch "runMain graft.Bench $AFFECTED" >/dev/null 2>&1)
+    cp "$ADJ_DIR/target/bench.json" "/tmp/adj_pass_$i.json"
+  done
+  RANGE_COMMITS="$(git -C "$REPO_EARLY" log --format=%H \
+    "$(python3 -c "import json,sys;print(json.load(open('$RECORD'))['commit'])")".."$TO_COMMIT" \
+    -- src/main build.sbt | tr '\n' ',')"
+  python3 - "$RECORD" "$TO_COMMIT" "$AFFECTED" "$RANGE_COMMITS" <<'PYEOF'
+import json, sys, time
+record_path, to_commit, affected_csv, range_csv = sys.argv[1:5]
+affected = affected_csv.split(",")
+commits = [c for c in range_csv.split(",") if c]
+rec = json.load(open(record_path))
+passes = [json.load(open(f"/tmp/adj_pass_{i}.json")) for i in (1, 2, 3, 4)]
+new = {q: round(min(p["queries"][q] for p in passes), 3) for q in affected}
+old = {q: rec["queries"][q] for q in affected}
+rec["queries"].update(new)
+rec["value"] = round(sum(rec["queries"].values()), 3)
+rec.setdefault("adjudications", []).append({
+    "to_commit": to_commit,
+    "commits": commits,
+    "affected": affected,
+    "old": old,
+    "new": new,
+    "passes": [{q: round(p["queries"][q], 3) for q in affected}
+               for p in passes],
+    "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    "methodology": ("scoped re-measure at to_commit: per-query MIN "
+                    "across four passes of SPARK_GRAFT_BENCH_RUNS=3 "
+                    "medians (the in-JVM median discards the cold "
+                    "first run, restoring the full-pass hot-core "
+                    "conditions record rows are measured under)"),
+})
+json.dump(rec, open(record_path, "w"))
+print(f"[adjudicate] patched {record_path}: " +
+      ", ".join(f"{q} {old[q]}->{new[q]}s" for q in affected) +
+      f"; covers {len(commits)} commit(s); new total {rec['value']}s")
+PYEOF
+  git -C "$REPO_EARLY" worktree remove --force "$ADJ_DIR" || true
+  exit 0
+fi
 
 OUT="${1:?usage: tools/bench_quiet.sh <out.json> [prev_commit] [prev_record.json]}"
 PREV_COMMIT="${2:-}"
