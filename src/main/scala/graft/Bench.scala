@@ -259,6 +259,83 @@ object Bench {
           s""""rec_per_sec":${(nRec / sec).toInt},""" +
           s""""ns_per_row":${(sec * 1e9 / nRec).toInt}}"""
       }
+    // jq ESCAPE HATCH timed entry (round-17 verdict item 5): every
+    // reject-toward-the-hatch decision trades silent divergence for a
+    // per-partition jq subprocess — this entry records what that
+    // fallback costs at volume, the number that justifies the compile-
+    // coverage program. Same 1M-row {id, t, s} shape as `render`, so
+    // the compiled-vs-hatch ratio is a recorded fact (the reference's
+    // own processor IS this path: ext/jq/connector.go:101-127 pipes
+    // every record through the binary). min-of-2.
+    val hatchJson: String =
+      if (!benchPipelines) ""
+      else {
+        val in = spark.range(nRec).selectExpr("id",
+          "CASE WHEN id % 2 = 0 THEN (id % 1000000) / 100.0 " +
+            "ELSE (id - 500000.0) / (id + 7.0) END AS d")
+        val prog = "{id, t: (.d | tojson), s: \"v=\\(.d)\"}"
+        val sec = (0 until 2).map { _ =>
+          val t0 = System.nanoTime()
+          graft.transform.JqEscapeHatch.rawApply(in.toJSON, prog)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        f""","hatch":{"rows":$nRec,"sec":$sec%.3f,""" +
+          s""""rec_per_sec":${(nRec / sec).toInt},""" +
+          s""""ns_per_row":${(sec * 1e9 / nRec).toInt}}"""
+      }
+    // HTTP batch sink (K9) timed entry (round-17 verdict item 6): the
+    // partition-sink family's first volume number. 1M records against
+    // an in-process JDK HttpServer, one endpoint, batch=512 like the
+    // reference's K9 (ext/http/sink.go) — bounds the per-record
+    // connector overhead (serialize → group → batch → POST). The
+    // constant endpoint makes the writer a single task, exactly the
+    // reference's serial batch-per-request shape; endpoint-templated
+    // fan-out parallelism is the `grouped` entry's concern. Row count
+    // validated server-side on every run. min-of-2.
+    val httpsinkJson: String =
+      if (!benchPipelines) ""
+      else {
+        val in = transferInput()
+        val df = spark.read.json(in.toString)
+        val received = new java.util.concurrent.atomic.AtomicLong(0)
+        val requests = new java.util.concurrent.atomic.AtomicLong(0)
+        val srv = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        srv.createContext("/ingest", (ex: com.sun.net.httpserver.HttpExchange) => {
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          received.addAndGet(body.linesIterator.size.toLong)
+          requests.incrementAndGet()
+          ex.sendResponseHeaders(200, -1)
+          ex.close()
+        })
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        srv.setExecutor(pool)
+        srv.start()
+        try {
+          val url = s"http://127.0.0.1:${srv.getAddress.getPort}/ingest"
+          val factory = new graft.sources.Http.SinkClientFactory(
+            doer = new graft.sources.Http.JdkHttpDoer())
+          val sec = (0 until 2).map { r =>
+            received.set(0); requests.set(0)
+            val t0 = System.nanoTime()
+            graft.sinks.PartitionSinks.writeGrouped(df, url, factory,
+              batchSize = 512)
+            val dt = (System.nanoTime() - t0) / 1e9
+            require(received.get() == nRec,
+              s"httpsink run $r: server saw ${received.get()} of $nRec records")
+            dt
+          }.min
+          f""","httpsink":{"rows":$nRec,"batch":512,""" +
+            s""""requests":${requests.get()},""" +
+            f""""sec":$sec%.3f,"rec_per_sec":${(nRec / sec).toInt}}"""
+        } finally {
+          srv.stop(0)
+          // the server pool's non-daemon threads would otherwise keep
+          // the forked JVM alive after main returns
+          pool.shutdownNow()
+        }
+      }
     // XLSX writer (D21) timed entry (round-16 verdict item 7): the
     // last never-measured sink post-pass. Single-partition BY DESIGN —
     // OOXML is one sequential zip stream, so the writer drains
@@ -318,10 +395,10 @@ object Bench {
     // transfer goes LAST on the line: the driver keeps the stdout TAIL,
     // so the baseline figure must sit at the end to survive truncation
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"$groupedJson$archiveJson$renderJson$xlsxJson$multisinkJson$transferJson}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"$groupedJson$archiveJson$renderJson$hatchJson$httpsinkJson$xlsxJson$multisinkJson$transferJson}"""
     println(json)
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"$groupedJson$archiveJson$renderJson$xlsxJson$multisinkJson$transferJson}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"$groupedJson$archiveJson$renderJson$hatchJson$httpsinkJson$xlsxJson$multisinkJson$transferJson}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))

@@ -237,7 +237,7 @@ rec = {
                     "(SPARK_GRAFT_BENCH_RUNS=1 each) via tools/bench_quiet.sh"),
     "queries": qmin,
 }
-for k in ("grouped", "archive", "render", "xlsx", "multisink", "transfer"):
+for k in ("grouped", "archive", "render", "hatch", "httpsink", "xlsx", "multisink", "transfer"):
     if k in passes[0]:
         # archive reports zip_sec+tgz_sec instead of a single sec
         def cost(p, k=k):
