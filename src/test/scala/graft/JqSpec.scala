@@ -1645,6 +1645,48 @@ class JqSpec extends SparkSuite {
         "// splice-ok: <why> — " + offenders.mkString("; "))
   }
 
+  test("temporal render matrix: date/timestamp/ntz reach every render position") {
+    import graft.transform.JqEscapeHatch
+    // round-17 verdict item 7's hunt, systematized: the round found
+    // date/timestamp gaps in interpolation and join only by hand —
+    // this matrix drives EVERY temporal type through EVERY render
+    // position (interpolation, tojson, tostring, length, join,
+    // constructed composite) against the real binary, with fraction
+    // and null variation (the timestamp JSON text has a VARIABLE
+    // fraction width — both shapes must round-trip).
+    val rows = Seq(
+      (1L, "2024-03-01", "2024-03-01 10:20:30.125", "2024-03-01 10:20:30.125"),
+      (2L, "0987-12-31", "2024-03-01 10:20:30", "2024-03-01 10:20:30"),
+      (3L, null, null, null))
+    val df = rows.toDF("id", "d0", "t0", "n0").selectExpr(
+      "id",
+      "cast(d0 AS date) AS d",
+      "cast(t0 AS timestamp) AS t",
+      "cast(n0 AS timestamp_ntz) AS n")
+    for (c <- Seq("d", "t", "n")) {
+      val prog = s"{id, i: \"v=\\(.$c)\", j: (.$c | tojson), " +
+        s"s: (.$c | tostring), l: (.$c | length), a: \"\\([.$c])\"}"
+      val comp = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+      val real = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+      assert(comp == real, s"column $c:\ncompiled: $comp\nreal jq:  $real")
+    }
+    // join position needs ARRAY columns of each temporal type
+    val d1 = java.sql.Date.valueOf("2024-03-01")
+    val d2 = java.sql.Date.valueOf("0987-12-31")
+    val ts1 = java.sql.Timestamp.valueOf("2024-03-01 10:20:30.125")
+    val ts2 = java.sql.Timestamp.valueOf("2024-03-01 10:20:30")
+    val lt1 = java.time.LocalDateTime.parse("2024-03-01T10:20:30.125")
+    val lt2 = java.time.LocalDateTime.parse("2024-03-01T10:20:30")
+    val adf = Seq((1L, Seq(d1, d2, null), Seq(ts1, ts2, null),
+      Seq(lt1, lt2, null))).toDF("id", "ds", "ts", "ns")
+    for (c <- Seq("ds", "ts", "ns")) {
+      val prog = s"{id, j: (.$c | join(\",\"))}"
+      val comp = Jq.compile(prog)(adf).toJSON.collect().toSeq
+      val real = JqEscapeHatch.rawApply(adf.toJSON, prog).collect().toSeq
+      assert(comp == real, s"array $c:\ncompiled: $comp\nreal jq:  $real")
+    }
+  }
+
   test("multi-generator object construction compiles the jq cartesian") {
     import graft.transform.JqEscapeHatch
     // round-12 VERDICT directive 4: the cross-product form was the
