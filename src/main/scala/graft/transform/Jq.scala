@@ -1829,7 +1829,19 @@ object Jq {
   }
 
   /** jsonVal with the 2^53 long-leaf runtime guard applied when the
-    * static type contains LongType leaves. */
+    * static type contains LongType leaves.
+    *
+    * Splice audit note (round-17 directive 3): the guard references
+    * `c` in both the condition (the leaf walk) and the otherwise
+    * branch (to_json) — the same double-evaluation shape the isNull
+    * audit removed elsewhere, ACCEPTED here: the condition must
+    * inspect the VALUE's long leaves (no null-propagating rewrite
+    * exists), `c` at every call site is a field path or a composite
+    * constructor over field paths (never a HOF output — composites
+    * with computed items route through jsonRender instead), and the
+    * walk touches only the long leaves where to_json serializes the
+    * whole value. Not isNull-shaped, so outside the lint by
+    * construction, documented rather than marker-escaped. */
   private def jsonValGuarded(
       c: Column, dt: org.apache.spark.sql.types.DataType): Column =
     if (!containsLongLeaf(dt)) jsonVal(c)
