@@ -1226,6 +1226,14 @@ class JqSpec extends SparkSuite {
       Seq("{\"id\":1,\"ds\":[1e999,1.5]}").toDS(), joinProg)
       .collect().toSeq
     assert(cJI == rJI, s"\ncompiled: $cJI\nreal jq:  $rJI")
+    // NaN PROPAGATES through double-space arithmetic and still renders
+    // jq's bytes at the end of the pipe (nan * 2 prints null in jq too)
+    val cA = Jq.compile("{id, s: \"v=\\(.d * 2)\"}")(
+      Seq((1L, Double.NaN)).toDF("id", "d")).toJSON.collect().toSeq
+    val rA = JqEscapeHatch.rawApply(Seq("{\"id\":1}").toDS(),
+      "{id, s: \"v=\\(nan * 2)\"}").collect().toSeq
+    assert(cA == rA, s"\ncompiled: $cA\nreal jq:  $rA")
+    assert(cA.head.contains("v=null"), cA)
   }
 
   test("render is total over random bit-pattern doubles incl. NaN/Inf/subnormals") {
