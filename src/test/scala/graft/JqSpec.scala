@@ -1545,6 +1545,31 @@ class JqSpec extends SparkSuite {
     // pinned by the until and multi-generator tests
   }
 
+  test("randomized long arithmetic around 2^53 byte-matches real jq through renders") {
+    import graft.transform.JqEscapeHatch
+    // the double-space rule under adversarial values: longs drawn
+    // around and far past 2^53 (where long-space and jq's
+    // double-space arithmetic disagree maximally), driven through
+    // interpolation, composite, and map+join renders with + - *
+    // against the real binary
+    val rnd = new scala.util.Random(1811)
+    val vals = Seq.fill(25) {
+      val base = 9007199254740992L // 2^53
+      rnd.nextInt(3) match {
+        case 0 => base + rnd.nextLong() % 1000L
+        case 1 => base * (1 + rnd.nextInt(900)) + rnd.nextLong() % 100000L
+        case _ => rnd.nextLong() % (base / 3)
+      }
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v, Seq(v)) }
+      .toDF("id", "n", "ns")
+    val prog = "{id, a: \"\\(.n + 7)\", b: \"\\(.n * 3)\", " +
+      "c: \"\\([.n - 12345])\", j: (.ns | map(. + 1) | join(\",\"))}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+  }
+
   test("jq % over fractional operands rejects toward the hatch") {
     // jq's % truncates both operands to integers (7.9 % 3 is 1);
     // Spark's % over fractional types is fmod (1.9) — silent wrong

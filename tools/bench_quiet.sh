@@ -192,14 +192,28 @@ fi
 # prologue, and a 10-20% hour-scale window shift between the prologue
 # and the full passes produced a coefficient that normalized nothing.
 # Order: cal1(head,prev), full1, full2, cal2(head,prev), full3, full4.
+# ALTERNATE which side runs first between calibration passes
+# (round-18 lesson: on an oscillating box, a fixed head-first order
+# phase-correlates one side with the slow sub-windows — q195 read a
+# consistent 1.34x across two head-first pairs and inverted to 0.85x
+# once prev-first pairs were added)
 cal_pass() { # n
   if [ -n "$PREV_COMMIT" ]; then
-    echo "[quiet] calibration pass $1: HEAD" >&2
-    run_bench "$REPO" 3 "$CAL_QUERIES" 0
-    cp "$REPO/target/bench.json" "/tmp/cal_head_$1.json"
-    echo "[quiet] calibration pass $1: prev" >&2
-    run_bench "$PREV_DIR" 3 "$CAL_QUERIES" 0
-    cp "$PREV_DIR/target/bench.json" "/tmp/cal_prev_$1.json"
+    if [ $(( $1 % 2 )) -eq 1 ]; then
+      echo "[quiet] calibration pass $1: HEAD" >&2
+      run_bench "$REPO" 3 "$CAL_QUERIES" 0
+      cp "$REPO/target/bench.json" "/tmp/cal_head_$1.json"
+      echo "[quiet] calibration pass $1: prev" >&2
+      run_bench "$PREV_DIR" 3 "$CAL_QUERIES" 0
+      cp "$PREV_DIR/target/bench.json" "/tmp/cal_prev_$1.json"
+    else
+      echo "[quiet] calibration pass $1: prev (alternated order)" >&2
+      run_bench "$PREV_DIR" 3 "$CAL_QUERIES" 0
+      cp "$PREV_DIR/target/bench.json" "/tmp/cal_prev_$1.json"
+      echo "[quiet] calibration pass $1: HEAD" >&2
+      run_bench "$REPO" 3 "$CAL_QUERIES" 0
+      cp "$REPO/target/bench.json" "/tmp/cal_head_$1.json"
+    fi
   fi
 }
 full_pass() { # n
