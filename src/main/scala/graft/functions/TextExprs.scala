@@ -809,6 +809,7 @@ object GraftFunctions {
       GoFloatString.register(spark)
       JqNumberString.register(spark)
       JqText.register(spark)
+      JqArith.register(spark)
       EvalOnce.register(spark)
       GroupRuns.register(spark)
     }
@@ -821,7 +822,8 @@ object GraftFunctions {
       : Seq[(String, Seq[Expression] => Expression)] =
     VectorExprs.builders ++ TextExprs.builders ++
       GoFloatString.builders ++ JqNumberString.builders ++
-      JqText.builders ++ EvalOnce.builders ++ GroupRuns.builders
+      JqText.builders ++ JqArith.builders ++
+      EvalOnce.builders ++ GroupRuns.builders
 }
 
 /** `spark.sql.extensions`-style entry point: inject every graft

@@ -545,6 +545,15 @@ object Jq {
   private def errorProne(e: Expr): Boolean = e match {
     case Call("tonumber", args) => true
     case Call(_, args) => args.exists(errorProne)
+    // `- * /` ERROR in jq on a null operand (round-18 null-operand
+    // hunt) — and their compiled SQL forms yield null EXACTLY then
+    // (they never legitimately produce null from non-null inputs), so
+    // the error⇔null marker convention extends to them and
+    // `try (.a - 1) catch H` compiles as coalesce. `/`'s OTHER error
+    // (zero divisor) has no null marker — absorbsErrorNull rejects
+    // divisions inside try bodies outright. `+` never errors on null
+    // (null is its identity), so it stays out.
+    case BinOp("-" | "*" | "/", _, _) => true
     case BinOp(_, l, r) => errorProne(l) || errorProne(r)
     case Not(x) => errorProne(x)
     case Pipe(ss) => ss.exists(errorProne)
@@ -575,6 +584,17 @@ object Jq {
         if Seq("and", "or", "//", "==", "!=", "<", "<=", ">", ">=")
           .contains(op) =>
       errorProne(l) || errorProne(r) || absorbsErrorNull(l) || absorbsErrorNull(r)
+    // `+` joined the absorb class in round 18: its compile is jq's
+    // null-identity (coalesce(a + b, a, b)), so an error-null operand
+    // becomes the OTHER operand's value instead of propagating to the
+    // catch — where real jq raises on `"abc" | tonumber` long before
+    // the `+` sees anything
+    case BinOp("+", l, r) =>
+      errorProne(l) || errorProne(r) || absorbsErrorNull(l) || absorbsErrorNull(r)
+    // division inside a try body: jq's zero-divisor error carries NO
+    // null marker (the compiled double division yields Infinity), so
+    // the catch can never fire on it — reject toward the hatch
+    case BinOp("/", _, _) => true
     case BinOp(_, l, r) => absorbsErrorNull(l) || absorbsErrorNull(r)
     case Not(x) => absorbsErrorNull(x)
     case Call(_, args) => args.exists(absorbsErrorNull)
@@ -881,6 +901,13 @@ object Jq {
       }
       val arith = env.doubleArith && Seq("+", "-", "*", "/").contains(op)
       val (ax, bx) = if (arith) (dbl(l, a), dbl(r, b)) else (a, b)
+      // inside a try body the error⇔null MARKER must reach the catch
+      // coalesce, so the strict kernels (which RAISE, uncatchably)
+      // stand down and the plain null-propagating ops carry it — for
+      // null operands that null IS jq's error, which the catch then
+      // handles, exactly jq's semantics (operands stay double-space
+      // coerced either way: the bytes contract holds inside try too)
+      val strict = arith && !env.inTry
       // jq's `%` TRUNCATES both operands to integers (7.9 % 3 is 1),
       // where Spark's % over fractional types is fmod (1.9) — a
       // statically-fractional operand therefore rejects toward the
@@ -901,6 +928,14 @@ object Jq {
             "jq % truncates its operands to integers, which a fractional " +
               "Spark % (fmod) cannot express — use the JqEscapeHatch")
       }
+      // a LITERAL zero divisor is a jq COMPILE error ("Division by
+      // zero?") — fail at compile like the binary would
+      if (op == "/" && (r match {
+            case NumLit(v) => v == 0; case _ => false
+          }))
+        throw new IllegalArgumentException(
+          "jq compile error: Division by zero? — jq rejects this " +
+            "program at compile time")
       op match {
         case "==" => a <=> b
         case "!=" => !(a <=> b)
@@ -920,10 +955,24 @@ object Jq {
         case ">=" => coalesce(a >= b, b.isNull)
         case "and" => a && b
         case "or" => a || b
-        case "+" => ax + bx
-        case "-" => ax - bx
-        case "*" => ax * bx
-        case "/" => ax / bx
+        // jq's `+` treats null as the IDENTITY (`null + 1` is 1,
+        // `"a" + null` is "a") where SQL `+` null-propagates —
+        // coalesce expresses it with lazy single-evaluation on the
+        // common path (round-18 null-operand hunt; value-level, so it
+        // applies in structural positions too, type-preserving)
+        case "+" => coalesce(ax + bx, ax, bx)
+        // `- * /` ERROR on a null operand in jq (and `/` on a zero
+        // divisor) where SQL null-propagates — a record jq errors out
+        // of the stream must not silently render "null" bytes. In
+        // render positions (doubleArith) the strict kernel raises,
+        // single-reference; STRUCTURAL positions keep SQL nulls — the
+        // typed DataFrame is the output contract there, documented
+        case "-" =>
+          if (strict) call_function("graft_jq_sub", ax, bx) else ax - bx
+        case "*" =>
+          if (strict) call_function("graft_jq_mul", ax, bx) else ax * bx
+        case "/" =>
+          if (strict) call_function("graft_jq_div", ax, bx) else ax / bx
         case "%" => a % b
         case "//" => coalesce(a, b)
       }

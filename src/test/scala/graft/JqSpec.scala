@@ -184,9 +184,24 @@ class JqSpec extends SparkSuite {
       Jq.compile("try ((.s | tonumber) // 9)")(df)
     }
     assert(e2.getMessage.contains("EscapeHatch"))
-    // a strict-operator body still compiles
-    assert(Jq.compile("{n: (try ((.s | tonumber) + 1) catch -1)}")(df)
+    // `+` joined the absorb class in round 18 (its compile is jq's
+    // null-identity coalesce, which would turn the error marker into
+    // the other operand's value) — rejected with tonumber beneath it
+    val e3 = intercept[IllegalArgumentException] {
+      Jq.compile("{n: (try ((.s | tonumber) + 1) catch -1)}")(df)
+    }
+    assert(e3.getMessage.contains("EscapeHatch"))
+    // a strict-operator body still compiles: `-` propagates the
+    // marker to the catch (and real jq errors tonumber("abc") before
+    // the `-` runs — same handler either way)
+    assert(Jq.compile("{n: (try ((.s | tonumber) - 1) catch -1)}")(df)
       .select($"n".cast("double")).as[Double].head() == -1.0)
+    // division inside a try rejects: jq's zero-divisor error carries
+    // no null marker the compiled catch could see
+    val e4 = intercept[IllegalArgumentException] {
+      Jq.compile("{n: (try (10 / (.s | length)) catch -1)}")(df)
+    }
+    assert(e4.getMessage.contains("EscapeHatch"))
   }
 
   test(".. descends into map columns like jq descends into objects") {
@@ -1568,6 +1583,80 @@ class JqSpec extends SparkSuite {
     val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
     val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
     assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+  }
+
+  test("null-operand arithmetic follows jq: + identity, - * / error, /0 errors") {
+    import graft.transform.JqEscapeHatch
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // `+` treats null as the identity in jq (null + 1 → 1) where SQL
+    // `+` null-propagated — the record rendered "null" bytes jq never
+    // prints. Value-level, so structural positions match too.
+    val df = Seq((1L, Some(10L), Some(4L)), (2L, None, Some(4L)),
+      (3L, Some(10L), None), (4L, None, None)).toDF("id", "a", "b")
+    val prog = "{id, s: \"v=\\(.a + .b)\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.exists(_.contains("\"s\":\"v=4\"")), c)   // null + 4
+    assert(c.exists(_.contains("\"s\":\"v=10\"")), c)  // 10 + null
+    assert(c.exists(_.contains("\"s\":\"v=null\"")), c) // null + null
+    // structural `+` carries the same identity VALUES (toJSON's
+    // null-field omission makes byte parity a harness artifact here,
+    // so the structural check is by value)
+    val sx = Jq.compile("{id, x: (.a + .b)}")(df)
+      .orderBy("id").collect()
+    assert(sx(1).getLong(1) == 4L && sx(2).getLong(1) == 10L &&
+      sx(3).isNullAt(1), sx.mkString(","))
+    // `- * /` ERROR on a null operand in jq; a rendered position must
+    // raise rather than silently print "null" for a record jq errors
+    // out of the stream (the reject-rather-than-guess convention)
+    for (op <- Seq("-", "*", "/")) {
+      val bad = Seq((1L, Option.empty[java.lang.Long], Some(4L)))
+        .toDF("id", "a", "b")
+      val e = intercept[Exception] {
+        Jq.compile(s"{id, s: \"v=\\(.a $op .b)\"}")(bad).collect()
+      }
+      assert(msgs(e).exists(_.contains("null operand")),
+        s"op $op: ${msgs(e)}")
+    }
+    // runtime zero divisor errors in jq; the render raises
+    val dz = Seq((1L, 10L, 0L)).toDF("id", "a", "b")
+    val ez = intercept[Exception] {
+      Jq.compile("{id, s: \"v=\\(.a / .b)\"}")(dz).collect()
+    }
+    assert(msgs(ez).exists(_.contains("division by zero")), msgs(ez))
+    // a LITERAL zero divisor is a jq COMPILE error ("Division by
+    // zero?") — fail at compile like the binary
+    val ec = intercept[IllegalArgumentException] {
+      Jq.compile("{id, s: \"v=\\(.a / 0)\"}")(dz)
+    }
+    assert(ec.getMessage.contains("Division by zero"), ec.getMessage)
+    // non-null division still renders jq's bytes
+    val ok = Seq((1L, 10L, 4L)).toDF("id", "a", "b")
+    val cOk = Jq.compile("{id, s: \"v=\\(.a / .b)\"}")(ok)
+      .toJSON.collect().toSeq
+    val rOk = JqEscapeHatch.rawApply(ok.toJSON,
+      "{id, s: \"v=\\(.a / .b)\"}").collect().toSeq
+    assert(cOk == rOk && cOk.head.contains("v=2.5"), s"$cOk vs $rOk")
+    // STRUCTURAL `- * /` keeps SQL null-propagation BY DESIGN (the
+    // typed DataFrame is the output contract there; jq would error
+    // the record) — the documented structural/render line
+    val sNull = Jq.compile("{id, x: (.a * .b)}")(
+      Seq((1L, Option.empty[java.lang.Long], Some(4L))).toDF("id", "a", "b"))
+      .collect()
+    assert(sNull.head.isNullAt(1), "structural * over null stays SQL null")
+    // inside try the null IS the error marker and the catch handles
+    // it — a null operand of `-`/`*` fires the handler exactly like
+    // jq's error does (byte-matched vs the real binary), and the
+    // strict kernel stands down so the raise can't preempt the catch
+    val tdf = Seq((1L, Some(10L)), (2L, Option.empty[Long])).toDF("id", "a")
+    val progT = "{id, s: \"v=\\(try (.a * 2) catch -1)\"}"
+    val cT = Jq.compile(progT)(tdf).toJSON.collect().sorted.toSeq
+    val rT = JqEscapeHatch.rawApply(tdf.toJSON, progT).collect().sorted.toSeq
+    assert(cT == rT, s"\ncompiled: $cT\nreal jq:  $rT")
+    assert(cT.exists(_.contains("v=20")) && cT.exists(_.contains("v=-1")), cT)
   }
 
   test("jq % over fractional operands rejects toward the hatch") {
