@@ -77,8 +77,8 @@ fi
 
 if [ "${1:-}" = "--adjudicate" ]; then
   RECORD="${2:?usage: tools/bench_quiet.sh --adjudicate <record.json> <to_commit> <q1,q2,..>}"
-  TO_COMMIT="${3:?to_commit required}"
-  AFFECTED="${4:?comma-separated affected query list required}"
+  TO_COMMIT="$(git -C "$(cd "$(dirname "$0")/.." && pwd)" rev-parse "${3:?to_commit required}")"
+  AFFECTED="${4:?comma-separated affected query list, or \"none\" for a coverage-only stamp}"
   SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
   CPUS="${SPARK_GRAFT_CPUS:-32}"
   if [ -n "$(git -C "$REPO_EARLY" status --porcelain -- src/main build.sbt)" ]; then
