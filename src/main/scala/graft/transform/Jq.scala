@@ -936,6 +936,29 @@ object Jq {
         throw new IllegalArgumentException(
           "jq compile error: Division by zero? — jq rejects this " +
             "program at compile time")
+      // arithmetic over statically NON-NUMERIC operands rejects toward
+      // the hatch at COMPILE time: jq's `+` concatenates strings and
+      // arrays and merges objects (and `*` repeats strings) — programs
+      // that WORK in jq — while the compiled SQL operator died with a
+      // runtime ANSI cast error mid-job (an availability divergence:
+      // the reject lets applyTemplated route the program through the
+      // subprocess, where it works). `- * /` over non-numerics error
+      // in jq; the hatch reproduces that error per record.
+      if (Seq("+", "-", "*", "/", "%").contains(op)) {
+        def nonNumeric(x: Expr): Boolean =
+          inferKind(x, env)
+            .exists(k => k == KString || k == KBool || k == KJson) ||
+            staticType(x, env).exists {
+              case _: org.apache.spark.sql.types.NumericType => false
+              case org.apache.spark.sql.types.NullType => false
+              case _ => true
+            }
+        if (nonNumeric(l) || nonNumeric(r))
+          throw new IllegalArgumentException(
+            s"jq '$op' over non-numeric operands (string/array/object " +
+              "concat-merge semantics, or a jq runtime error) is outside " +
+              "the compiled subset — use the JqEscapeHatch")
+      }
       op match {
         case "==" => a <=> b
         case "!=" => !(a <=> b)

@@ -1659,6 +1659,26 @@ class JqSpec extends SparkSuite {
     assert(cT.exists(_.contains("v=20")) && cT.exists(_.contains("v=-1")), cT)
   }
 
+  test("arithmetic over non-numeric operands rejects at compile toward the hatch") {
+    // jq's + concatenates strings/arrays and merges objects — programs
+    // that WORK in jq — while the compiled SQL + died with a runtime
+    // ANSI cast error mid-job. The compile-time reject routes them
+    // through applyTemplated's hatch fallback, where they work.
+    val df = Seq((1L, "a", "b", Seq(1L), Seq(2L),
+      java.sql.Date.valueOf("2024-01-01"))).toDF("id", "s", "t", "xs", "ys", "d")
+    for (prog <- Seq(
+        "{id, c: (.s + .t)}",           // string concat
+        "{id, c: (.xs + .ys)}",         // array concat
+        "{id, c: (.d + 1)}",            // date + number: jq errors
+        "{id, c: ((.s | ascii_downcase) + .t)}")) { // computed string kind
+      val e = intercept[IllegalArgumentException](Jq.compile(prog)(df))
+      assert(e.getMessage.contains("EscapeHatch"), s"$prog: ${e.getMessage}")
+    }
+    // ...and applyTemplated serves the same program via the subprocess
+    val served = Jq.applyTemplated(df.select("id", "s", "t"), "{id, c: (.s + .t)}")
+    assert(served.select("c").collect().head.getString(0) == "ab")
+  }
+
   test("jq % over fractional operands rejects toward the hatch") {
     // jq's % truncates both operands to integers (7.9 % 3 is 1);
     // Spark's % over fractional types is fmod (1.9) — silent wrong
