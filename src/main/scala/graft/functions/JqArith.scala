@@ -35,8 +35,10 @@ object JqArith {
   val SUB = 0
   val MUL = 1
   val DIV = 2
+  val MOD = 3
 
-  private val verbs = Array("subtracted", "multiplied", "divided")
+  private val verbs = Array("subtracted", "multiplied", "divided",
+    "divided (remainder)")
 
   def compute(op: Int, lNull: Boolean, l: Double,
       rNull: Boolean, r: Double): Double = {
@@ -53,6 +55,19 @@ object JqArith {
             "graft jq: division by zero (jq errors this record) — " +
               "use the JqEscapeHatch")
         l / r
+      case MOD =>
+        // jq's % truncates BOTH operands to integers — of the DOUBLE
+        // values it parsed (5.7 % 2.9 is 5 % 2 = 1, and
+        // 9007199254740993 % 10 is 2, the mod of the rounded …992,
+        // where long-space arithmetic says 3); a zero truncated
+        // modulus errors
+        val li = l.toLong
+        val ri = r.toLong
+        if (ri == 0L)
+          throw new ArithmeticException(
+            "graft jq: modulus by zero (jq errors this record) — " +
+              "use the JqEscapeHatch")
+        (li % ri).toDouble
     }
   }
 
@@ -63,6 +78,8 @@ object JqArith {
       "graft_jq_mul" -> (es => JqStrictArith(MUL,
         Cast(es(0), DoubleType), Cast(es(1), DoubleType))),
       "graft_jq_div" -> (es => JqStrictArith(DIV,
+        Cast(es(0), DoubleType), Cast(es(1), DoubleType))),
+      "graft_jq_mod" -> (es => JqStrictArith(MOD,
         Cast(es(0), DoubleType), Cast(es(1), DoubleType))))
 
   def register(spark: SparkSession): Unit =
@@ -77,7 +94,7 @@ case class JqStrictArith(op: Int, left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
   override def prettyName: String =
-    Seq("graft_jq_sub", "graft_jq_mul", "graft_jq_div")(op)
+    Seq("graft_jq_sub", "graft_jq_mul", "graft_jq_div", "graft_jq_mod")(op)
 
   override def eval(input: InternalRow): Any = {
     val l = left.eval(input)

@@ -553,7 +553,7 @@ object Jq {
     // (zero divisor) has no null marker — absorbsErrorNull rejects
     // divisions inside try bodies outright. `+` never errors on null
     // (null is its identity), so it stays out.
-    case BinOp("-" | "*" | "/", _, _) => true
+    case BinOp("-" | "*" | "/" | "%", _, _) => true
     case BinOp(_, l, r) => errorProne(l) || errorProne(r)
     case Not(x) => errorProne(x)
     case Pipe(ss) => ss.exists(errorProne)
@@ -591,10 +591,11 @@ object Jq {
     // the `+` sees anything
     case BinOp("+", l, r) =>
       errorProne(l) || errorProne(r) || absorbsErrorNull(l) || absorbsErrorNull(r)
-    // division inside a try body: jq's zero-divisor error carries NO
-    // null marker (the compiled double division yields Infinity), so
-    // the catch can never fire on it — reject toward the hatch
-    case BinOp("/", _, _) => true
+    // division/modulo inside a try body: jq's zero-divisor error
+    // carries NO null marker (the compiled double division yields
+    // Infinity; ANSI long % 0 throws uncatchably), so the catch can
+    // never fire on it — reject toward the hatch
+    case BinOp("/" | "%", _, _) => true
     case BinOp(_, l, r) => absorbsErrorNull(l) || absorbsErrorNull(r)
     case Not(x) => absorbsErrorNull(x)
     case Call(_, args) => args.exists(absorbsErrorNull)
@@ -899,21 +900,26 @@ object Jq {
         case None =>
           if (inferKind(x, env).contains(KNumeric)) c.cast("double") else c
       }
-      val arith = env.doubleArith && Seq("+", "-", "*", "/").contains(op)
+      val arith = env.doubleArith &&
+        Seq("+", "-", "*", "/", "%").contains(op)
       val (ax, bx) = if (arith) (dbl(l, a), dbl(r, b)) else (a, b)
       // inside a try body the error⇔null MARKER must reach the catch
       // coalesce, so the strict kernels (which RAISE, uncatchably)
       // stand down and the plain null-propagating ops carry it — for
       // null operands that null IS jq's error, which the catch then
       // handles, exactly jq's semantics (operands stay double-space
-      // coerced either way: the bytes contract holds inside try too)
+      // coerced either way: the bytes contract holds inside try too —
+      // plain fmod over whole double values equals jq's truncated %)
       val strict = arith && !env.inTry
       // jq's `%` TRUNCATES both operands to integers (7.9 % 3 is 1),
       // where Spark's % over fractional types is fmod (1.9) — a
-      // statically-fractional operand therefore rejects toward the
-      // hatch; integral long % long matches jq exactly (truncated
-      // division, -7 % 3 = -1 on both sides)
-      if (op == "%") {
+      // statically-fractional operand rejects toward the hatch EXCEPT
+      // in strict render positions, where the MOD kernel truncates
+      // exactly like jq; integral long % long matches jq's truncated
+      // division (-7 % 3 = -1) below 2^53, and the kernel's
+      // double-space intval handles the beyond (9007199254740993 % 10
+      // is 2 in jq — the mod of the rounded …992 — not long-space 3)
+      if (op == "%" && !strict) {
         def fractional(x: Expr): Boolean = x match {
           case NumLit(v) => v != math.floor(v)
           case _ => staticType(x, env).exists {
@@ -996,7 +1002,8 @@ object Jq {
           if (strict) call_function("graft_jq_mul", ax, bx) else ax * bx
         case "/" =>
           if (strict) call_function("graft_jq_div", ax, bx) else ax / bx
-        case "%" => a % b
+        case "%" =>
+          if (strict) call_function("graft_jq_mod", ax, bx) else ax % bx
         case "//" => coalesce(a, b)
       }
     // a pipe FEEDING a render call (tojson/tostring/join) computes

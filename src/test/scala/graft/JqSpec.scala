@@ -1679,19 +1679,53 @@ class JqSpec extends SparkSuite {
     assert(served.select("c").collect().head.getString(0) == "ab")
   }
 
-  test("jq % over fractional operands rejects toward the hatch") {
+  test("jq % truncates like jq in renders, rejects fractional elsewhere") {
+    import graft.transform.JqEscapeHatch
     // jq's % truncates both operands to integers (7.9 % 3 is 1);
     // Spark's % over fractional types is fmod (1.9) — silent wrong
-    // bytes, so statically-fractional operands reject
+    // bytes, so statically-fractional operands reject in STRUCTURAL
+    // positions, while strict render positions route through the MOD
+    // kernel, which truncates exactly like jq
     val df = Seq((1L, 7.9)).toDF("id", "d")
     val e = intercept[IllegalArgumentException] {
       Jq.compile("{id, m: (.d % 3)}")(df)
     }
     assert(e.getMessage.contains("truncates"), e.getMessage)
-    // integral % stays compiled (q34's .cust % 10 shape)
+    // integral structural % stays compiled (q34's .cust % 10 shape)
     val ok = Jq.compile("{id, m: (.id % 3)}")(
       Seq((7L, 0)).toDF("id", "z").drop("z")).collect()
     assert(ok.head.getLong(1) == 1L)
+    // render position: the kernel truncates fractional operands
+    // (7.9 % 3 → 1) and computes the mod of the DOUBLE jq holds past
+    // 2^53 (9007199254740993 % 10 → 2, the mod of the rounded …992,
+    // where long-space says 3) — both byte-matched vs the binary
+    val big = Seq((1L, 7.9, 9007199254740993L)).toDF("id", "d", "n")
+    val prog = "{id, a: \"\\(.d % 3)\", b: \"\\(.n % 10)\"}"
+    val c = Jq.compile(prog)(big).toJSON.collect().toSeq
+    val r = JqEscapeHatch.rawApply(big.toJSON, prog).collect().toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+    assert(c.head.contains("\"a\":\"1\"") && c.head.contains("\"b\":\"2\""), c)
+    // null % and % 0 error in jq — the render raises
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val eN = intercept[Exception] {
+      Jq.compile("{id, s: \"v=\\(.a % 3)\"}")(
+        Seq((1L, Option.empty[java.lang.Long])).toDF("id", "a")).collect()
+    }
+    assert(msgs(eN).exists(_.contains("null operand")), msgs(eN))
+    val eZ = intercept[Exception] {
+      Jq.compile("{id, s: \"v=\\(.id % .z)\"}")(
+        Seq((7L, 0L)).toDF("id", "z")).collect()
+    }
+    assert(msgs(eZ).exists(_.contains("modulus by zero")), msgs(eZ))
+    // % inside a try rejects: the zero-modulus error carries no null
+    // marker the compiled catch could see
+    val eT = intercept[IllegalArgumentException] {
+      Jq.compile("{id, s: \"v=\\(try (.id % 3) catch -1)\"}")(
+        Seq((7L, 0)).toDF("id", "z").drop("z"))
+    }
+    assert(eT.getMessage.contains("EscapeHatch"), eT.getMessage)
   }
 
   test("numeric length declares and computes the double jq holds") {
