@@ -1659,6 +1659,24 @@ class JqSpec extends SparkSuite {
     assert(cT.exists(_.contains("v=20")) && cT.exists(_.contains("v=-1")), cT)
   }
 
+  test("randomized null-mix + chains byte-match real jq") {
+    import graft.transform.JqEscapeHatch
+    // the null-identity compile under chained `+` with nulls anywhere:
+    // jq folds left treating null as identity at every step — 30
+    // random rows × three nullable operands, rendered and compared
+    val rnd = new scala.util.Random(1812)
+    val rows = (0 until 30).map { i =>
+      def v(): Option[Long] =
+        if (rnd.nextInt(3) == 0) None else Some(rnd.nextInt(1000).toLong)
+      (i.toLong, v(), v(), v())
+    }
+    val df = rows.toDF("id", "a", "b", "c")
+    val prog = "{id, s: \"v=\\(.a + .b + .c)\"}"
+    val c = Jq.compile(prog)(df).toJSON.collect().sorted.toSeq
+    val r = JqEscapeHatch.rawApply(df.toJSON, prog).collect().sorted.toSeq
+    assert(c == r, s"\ncompiled: $c\nreal jq:  $r")
+  }
+
   test("arithmetic over non-numeric operands rejects at compile toward the hatch") {
     // jq's + concatenates strings/arrays and merges objects — programs
     // that WORK in jq — while the compiled SQL + died with a runtime
