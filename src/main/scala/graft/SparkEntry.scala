@@ -1455,7 +1455,13 @@ object SparkEntry {
         .select(col("n_name"),
           dec(col("o_totalprice")).cast("double").as("__p"))
       graft.ops.Percentiles
-        .exact(joined, Seq("n_name"), "__p", Seq(0.25, 0.5, 0.75),
+        .exact(
+          // r18: the device reads its base 3× and here the base is a
+          // 3-table join — localCheckpoint materializes it once
+          // (measured 3.04 s → ~1.7 s) and keeps the device plan flat
+          // (an InMemoryRelation would nest a second adaptive plan)
+          joined.localCheckpoint(),
+          Seq("n_name"), "__p", Seq(0.25, 0.5, 0.75),
           accuracy = 1000)
         .select(col("n_name"), col("n").as("n_orders"),
           round(element_at(col("pcts"), 1), 6).as("p25"),
@@ -3667,11 +3673,16 @@ object SparkEntry {
       val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + 10000000L).as("dst"))
-      val core = Graph.kCore(edges, "src", "dst", k = 4)
+      // r18: canonicalize the undirected edge set ONCE and share it
+      // between the peel (assumeUndirected) and the recount below —
+      // previously the lineitem⋈orders join + distinct ran twice
+      // (localCheckpoint doubles as the peel loop's lineage base)
       val und = edges
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
+      val core = Graph.kCore(und, "a", "b", k = 4, assumeUndirected = true)
       val kept = core.select(col("id"))
       val keptEdges = und
         .join(kept.select(col("id").as("a")), "a", "left_semi")

@@ -189,8 +189,13 @@ object Dedup {
     * Documents shorter than n tokens collapse to one whole-text gram.
     */
   def gramRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("__id"),
-      explode(shingles(col(textCol), n)).as("gram"))
+    // widen: the shingle explode is O(L) kernel work per doc and every
+    // gram-table consumer sits downstream of this one projection —
+    // over a single-row-group scan it ran as one task (guide §2;
+    // no-op at real scale)
+    graft.ops.Scale.widen(
+      df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"), explode(shingles(col("__t"), n)).as("gram"))
 
   /** EXACT set-similarity self-join by PREFIX FILTERING (the
     * PPJoin/AllPairs family — Chaudhuri et al. 2006, Xiao et al.
@@ -386,33 +391,33 @@ object Dedup {
       k: Int = 20,
       window: Int = 8,
       minShared: Long = 3L,
-      maxBucket: Int = 20,
-      persistFingerprints: Boolean = true): DataFrame = {
-    // the (id, fp) relation feeds THREE independent subtrees (the
-    // occupancy gate and both self-join sides) and AQE leaves no
-    // ReusedExchange across them (measured: 4 kernel scans, 0 reuse)
-    // — persist the slim pair relation once instead of re-running
-    // the fingerprint kernel per subtree. The candidate-pair OUTPUT
-    // is unbounded (cannot eagerly collect like bm25Batch), so the
-    // persist follows the madOutliers contract: gated behind
-    // `persistFingerprints` (default ON — the re-scan costs dominate
-    // at every measured scale), released by the caller via
-    // Robust.unpersistPersisted(); long-lived sessions that cannot
-    // drain the queue pass `persistFingerprints = false`.
-    val fps0 =
-      TextOps.winnowFingerprints(df, idCol, textCol, k, window)
-        .select(col(idCol).as("__id"), col("fp")).distinct()
-    val fps =
-      if (persistFingerprints) graft.ops.Robust.registerPersisted(fps0)
-      else fps0
-    val keep = fps.groupBy("fp")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
-      .select("fp")
-    val pruned = fps.join(keep, "fp")
-    pruned.as("a").join(pruned.as("b"), "fp")
-      .filter(col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      maxBucket: Int = 20): DataFrame = {
+    // Pair generation via fingerprint buckets — the ngramJaccardPairs
+    // shape: one groupBy(fp) replaces the previous [occupancy
+    // aggregate + prune join + fp self-join], and because the (id, fp)
+    // relation now has exactly ONE consumer, the fingerprint kernel
+    // runs once with no persist at all (the old shape fed three
+    // subtrees and had to cache; r18 optimization — plan went
+    // 4 kernel/cache scans + 3 shuffles to 1 scan + 2 shuffles, and
+    // the queue contract disappears with the cache). The occupancy
+    // prune folds into the bucket-size filter: a fingerprint shared by
+    // 2..maxBucket docs yields exactly the pairs the keep-join
+    // admitted, so results are identical. Bucket pair expansion is the
+    // same skew-guarded shape as the LSH and gram-bucket paths. The
+    // kernel input is widened first (guide §2): over a single-row-group
+    // scan the O(L)-per-doc winnow kernel otherwise runs on one task.
+    val fps = TextOps.winnowFingerprints(
+      graft.ops.Scale.widen(df.select(col(idCol), col(textCol))),
+      idCol, textCol, k, window)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+    val buckets = fps.groupBy("fp")
+      .agg(sort_array(collect_list(col("__id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
@@ -432,7 +437,8 @@ object Dedup {
     // band hashes derive from the 64-long signature array (tiny HOF on
     // a fixed-size array). Only (id, band, band_hash) reaches the
     // shuffle — the first shuffle of the whole operator.
-    val banded = df
+    val banded = graft.ops.Scale
+      .widen(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("__id"),
         minhashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
       .select(col("__id"),
@@ -552,7 +558,9 @@ object Dedup {
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .filter(col("src").isNotNull.and(col("dst").isNotNull))
       .distinct()
-      .localCheckpoint(true)
+      // r18: lazy checkpoint + count fusion — the count materializes
+      // the checkpoint blocks in the same job
+      .localCheckpoint(false)
     val nEdges = edges0.count()
     // The dup-pair graph is post-verify and TINY relative to the corpus
     // (a few hundred edges at sf0.01; even pathological corpora stay in
@@ -594,7 +602,8 @@ object Dedup {
       val next = labels.join(neighbourMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        // r18: lazy — the convergence count below materializes it
+        .localCheckpoint(false)
       val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
         .filter(col("comp") =!= col("old")).count()
       labels = next

@@ -169,7 +169,10 @@ object Graph {
         .select(col("a.node").as("node"),
           coalesce(col("b.anc"), col("a.anc")).as("anc"),
           (col("a.d") + coalesce(col("b.d"), lit(0L))).as("d"))
-        .localCheckpoint(true) // cut the self-composed lineage per round
+        // EAGER on purpose: the round references this relation TWICE
+        // (self-join) — a lazy checkpoint would let both subtree scans
+        // race to materialize it, compounding per round (r18 audit)
+        .localCheckpoint(true)
     }
     // terminal ancestor classes: true root (parent NULL) and dangling
     // (not in the node set) are closed; an in-set non-root ancestor
@@ -233,7 +236,10 @@ object Graph {
       labels = neigh.withColumn("__rn", row_number().over(top))
         .filter(col("__rn") === 1)
         .select("node", "label")
-        .localCheckpoint()
+        // EAGER on purpose: the returned frame is lazy and `sym` is
+        // unpersisted right after the loop — lazy rounds would execute
+        // only at the caller's action, AFTER the unpersist (r18 audit)
+        .localCheckpoint(true)
     }
     sym.unpersist()
     labels
@@ -287,7 +293,10 @@ object Graph {
       // 2^(2·iters) analysis blowup, measured hanging at iters = 5)
       // and the per-round lineage is truncated (the labelPropagation
       // discipline).
-      val raw = raw0.localCheckpoint()
+      // EAGER on purpose: raw is referenced twice (join side +
+      // normalizer) — lazy would race both scans into recomputing it,
+      // compounding across half-steps (r18 audit)
+      val raw = raw0.localCheckpoint(true)
       val tot = raw.agg(sum(col("__raw")).cast("decimal(38,6)").as("__tot"))
       ids.join(raw, Seq("__id"), "left").crossJoin(broadcast(tot))
         .select(col("__id"),
@@ -343,14 +352,25 @@ object Graph {
       srcCol: String,
       dstCol: String,
       k: Int,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50,
+      assumeUndirected: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    var cur = und.select(col("a"), col("b")).localCheckpoint()
+    // `assumeUndirected`: the caller already canonicalized to distinct
+    // (a, b) pairs with a < b (and typically materialized them for its
+    // own reuse — q253 recounts inside-core degrees over the SAME
+    // relation); skip the redundant normalize+distinct shuffle.
+    val und =
+      if (assumeUndirected) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else edges
+        .select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    // r18: LAZY localCheckpoint + count fusion — the convergence count
+    // is the materializing action, so each round runs ONE job instead
+    // of [eager checkpoint job + count job] (guide §1/§2: per-round
+    // fixed cost is what iterative ops pay at every scale)
+    var cur = und.select(col("a"), col("b")).localCheckpoint(false)
     var prevEdges = -1L
     var curEdges = cur.count()
     var round = 0
@@ -363,7 +383,7 @@ object Graph {
         .join(keep.select(col("id").as("a")), "a", "left_semi")
         .join(keep.select(col("id").as("b")), "b", "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       prevEdges = curEdges
       curEdges = cur.count()
       round += 1

@@ -78,7 +78,11 @@ object KMeans {
     val xe =
       if (exact) transform(col(vecCol), x => round(x.cast("double"), 6))
       else col(vecCol).cast("array<double>")
-    val withXe0 = df.select(col(idCol), xe.as("__xe"))
+    // widen: each assignment pass evaluates k per-centroid distance
+    // trees per row (exact mode: a decimal zip_with fold per centroid)
+    // — over a single-row-group scan that ran as ONE task (guide §2;
+    // no-op at real scale)
+    val withXe0 = Scale.widen(df.select(col(idCol), xe.as("__xe")))
     val withXe =
       if (persistVectors) graft.ops.Robust.registerPersisted(withXe0)
       else withXe0

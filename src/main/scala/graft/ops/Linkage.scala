@@ -122,10 +122,17 @@ object Linkage {
       .select(explode(col("recs")).as("a"), col("recs"))
       .select(col("a"), explode(col("recs")).as("b"))
       .filter(col("a.id") < col("b.id"))
+      // r18: the THRESHOLD levenshtein (banded DP, O(len·maxDistance)
+      // instead of O(len²); returns -1 past the bound — exact below
+      // it, so kept rows are byte-identical) behind the EvalOnce
+      // fence: without the fence the pushed filter re-evaluated the
+      // full distance per pair (2× Levenshtein per candidate — the
+      // q150 plan showed the expression in Filter AND Project)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"),
-        levenshtein(col("a.name"), col("b.name")).cast("long").as("distance"))
-      .filter(col("distance") <= maxDistance)
+        graft.ops.TextOps.once(levenshtein(col("a.name"), col("b.name"),
+          maxDistance).cast("long")).as("distance"))
+      .filter(col("distance").between(0L, maxDistance.toLong))
       // the same (a, b) can share several block keys (compound
       // blocking) — report each pair once with its one distance
       .distinct()
@@ -171,9 +178,12 @@ object Linkage {
         col("id").as("id_a"), col("name").as("name_a"), col("rk").as("rk_a"))
     left.join(right, "__b")
       .filter((col("rk_b") - col("rk_a")).between(1, window))
+      // r18: threshold levenshtein behind the EvalOnce fence — same
+      // double-evaluation + banded-DP reasoning as [[blockedPairs]]
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("distance"))
-      .filter(col("distance") <= maxDistance)
+        graft.ops.TextOps.once(levenshtein(col("name_a"), col("name_b"),
+          maxDistance).cast("long")).as("distance"))
+      .filter(col("distance").between(0L, maxDistance.toLong))
   }
 
   /** [[blockedPairs]] with Jaro–Winkler scoring instead of edit

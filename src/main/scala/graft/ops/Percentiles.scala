@@ -67,8 +67,10 @@ object Percentiles {
       groupCols: Seq[String],
       valueCol: String,
       fractions: Seq[Double],
-      accuracy: Int = 100000): DataFrame =
-    exactImpl(df, groupCols, valueCol, fractions, accuracy, tenths = false)
+      accuracy: Int = 100000,
+      persistBase: Boolean = false): DataFrame =
+    exactImpl(df, groupCols, valueCol, fractions, accuracy,
+      tenths = false, persistBase = persistBase)
 
   /** [[exact]] restricted to INTEGER-valued columns and fractions that
     * are multiples of 0.1 — and in exchange ENGINE-BUILD-PROOF: the
@@ -90,11 +92,13 @@ object Percentiles {
       groupCols: Seq[String],
       valueCol: String,
       fractions: Seq[Double],
-      accuracy: Int = 100000): DataFrame = {
+      accuracy: Int = 100000,
+      persistBase: Boolean = false): DataFrame = {
     require(fractions.forall(p =>
       math.abs(p * 10 - math.round(p * 10)) < 1e-9),
       s"graft: exactTenths needs multiples of 0.1, got $fractions")
-    exactImpl(df, groupCols, valueCol, fractions, accuracy, tenths = true)
+    exactImpl(df, groupCols, valueCol, fractions, accuracy,
+      tenths = true, persistBase = persistBase)
   }
 
   private def exactImpl(
@@ -103,7 +107,8 @@ object Percentiles {
       valueCol: String,
       fractions: Seq[Double],
       accuracy: Int,
-      tenths: Boolean): DataFrame = {
+      tenths: Boolean,
+      persistBase: Boolean): DataFrame = {
     require(fractions.nonEmpty, "graft: at least one fraction")
     require(fractions.forall(p => p >= 0.0 && p <= 1.0),
       s"graft: fractions must be in [0,1]: $fractions")
@@ -113,9 +118,21 @@ object Percentiles {
     // the empty-group case still needs a groupBy key for the window
     // partitioning; a constant key keeps one code path
     val gkeys = if (groupCols.nonEmpty) groupCols else Seq("__g")
-    val base0 = df.select(gs :+ col(valueCol).cast("double").as("__v"): _*)
-      .filter(col("__v").isNotNull)
-    val base = if (groupCols.nonEmpty) base0 else base0.withColumn("__g", lit(0))
+    // r18: `persistBase = true` materializes the slim projection once
+    // for the device's three selection passes, via the
+    // registerPersisted queue (spearman/gram-table contract). Measured
+    // rule for the default: over a CHEAP narrow scan the persist is a
+    // small loss (cache write + read-back ≥ three re-scans — q158
+    // 3.92 s base vs 4.05 s persisted, q175 1.53 vs 2.22, min-of-3
+    // interleaved), so it stays OFF; callers whose upstream is
+    // expensive to recompute (a multi-table join, another device's
+    // output) opt in — q106's 3-table join went 3.04 s → 1.68 s.
+    val base0 =
+      df.select(gs :+ col(valueCol).cast("double").as("__v"): _*)
+        .filter(col("__v").isNotNull)
+    val base1 =
+      if (persistBase) graft.ops.Robust.registerPersisted(base0) else base0
+    val base = if (groupCols.nonEmpty) base1 else base1.withColumn("__g", lit(0))
 
     val eps = 1.0 / accuracy
     val margin = 4 * eps
@@ -263,7 +280,8 @@ object Percentiles {
 
   /** Convenience: one fraction → columns (`group…`, `n`, `pct`). */
   def exactOne(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      fraction: Double, accuracy: Int = 100000): DataFrame =
-    exact(df, groupCols, valueCol, Seq(fraction), accuracy)
+      fraction: Double, accuracy: Int = 100000,
+      persistBase: Boolean = false): DataFrame =
+    exact(df, groupCols, valueCol, Seq(fraction), accuracy, persistBase)
       .withColumn("pct", element_at(col("pcts"), 1)).drop("pcts")
 }

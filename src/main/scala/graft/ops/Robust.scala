@@ -104,22 +104,23 @@ object Robust {
       groupCols: Seq[String],
       valueCol: String,
       k: Double = 3.0,
-      accuracy: Int = 100000,
-      persistProjection: Boolean = false): DataFrame = {
+      accuracy: Int = 100000): DataFrame = {
     require(k > 0.0, s"graft: k must be positive, got $k")
-    // opt-in: both selection passes (and each pass's internal
-    // re-reads) hit one cached projection instead of re-scanning the
-    // base — a loss on cheap narrow scans (see scaladoc measurement),
-    // a win when the upstream is expensive to recompute
-    val proj0 = df.select(groupCols.map(col) :+
+    // r18: each selection device persists ITS OWN slim base (the
+    // exactImpl persistBase default) — the MAD device's persisted base
+    // materializes the deviation join once, so the median subtree also
+    // evaluates once instead of once per pass
+    val proj = df.select(groupCols.map(col) :+
       col(valueCol).cast("double").as("__v"): _*)
-    val proj =
-      if (persistProjection) registerPersisted(proj0) else proj0
     val meds = Percentiles.exactOne(proj, groupCols, "__v", 0.5, accuracy)
       .select(groupCols.map(col) :+ col("pct").as("med"): _*)
     val devs = proj.join(broadcast(meds), groupCols)
       .withColumn("__dev", abs(col("__v") - col("med")))
-    val mads = Percentiles.exactOne(devs, groupCols, "__dev", 0.5, accuracy)
+    // persistBase = true on the MAD device only: its base CONTAINS the
+    // whole median device (the deviation join), so the persist both
+    // saves that join per pass and evaluates `meds` once
+    val mads = Percentiles.exactOne(devs, groupCols, "__dev", 0.5, accuracy,
+      persistBase = true)
       .select(groupCols.map(col) :+ col("pct").as("mad"): _*)
     df.join(broadcast(meds), groupCols)
       .join(broadcast(mads), groupCols)
@@ -238,11 +239,11 @@ object Robust {
     // under eviction now — bucket boundaries are frozen literals, so
     // a recomputed block reproduces identical buckets (the round-11
     // pid hazard no longer exists).
-    val base0 = df
+    val base0 = Scale.widen(df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
         col(groupCol).isNotNull)
       .select(col(groupCol).as("__g"), col(xCol).as("__x"),
-        col(yCol).as("__y"))
+        col(yCol).as("__y")))
     val base =
       if (persistProjection) registerPersisted(base0) else base0
     def doubledRanks(vcol: String, out: String): DataFrame = {
@@ -385,8 +386,9 @@ object Robust {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val xc = (col(xCol).cast("decimal(18,2)") * 100).cast("long")
     val yc = (col(yCol).cast("decimal(18,2)") * 100).cast("long")
-    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select(col(idCol).as("id"), xc.as("__x"), yc.as("__y"))
+    val base = Scale.widen(
+      df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+        .select(col(idCol).as("id"), xc.as("__x"), yc.as("__y")))
     val d19 = "decimal(19,0)"
     val mom = base.agg(count(lit(1)).as("__n"),
       sum(col("__x")).cast("long").as("__sx"),
@@ -463,9 +465,11 @@ object Robust {
       zCol: String): DataFrame = {
     val d19 = "decimal(19,0)"
     def cents(c: String) = (col(c).cast("decimal(18,2)") * 100).cast("long")
-    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+    val base = Scale.widen(
+      df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
         col(zCol).isNotNull)
-      .select(cents(xCol).as("__x"), cents(yCol).as("__y"), cents(zCol).as("__z"))
+      .select(cents(xCol).as("__x"), cents(yCol).as("__y"),
+        cents(zCol).as("__z")))
     def s2(a: String, b: String) =
       sum((col(a).cast(d19) * col(b).cast(d19)).cast("decimal(38,0)"))
     val mom = base.agg(count(lit(1)).as("__n"),
@@ -521,8 +525,9 @@ object Robust {
   def jackknifeRatio(df: DataFrame, yCol: String, xCol: String): DataFrame = {
     val yc = (col(yCol).cast("decimal(18,2)") * 100).cast("long")
     val xc = (col(xCol).cast("decimal(18,2)") * 100).cast("long")
-    val base = df.filter(col(yCol).isNotNull && col(xCol).isNotNull)
-      .select(yc.as("__y"), xc.as("__x"))
+    val base = Scale.widen(
+      df.filter(col(yCol).isNotNull && col(xCol).isNotNull)
+        .select(yc.as("__y"), xc.as("__x")))
     val tot = base.agg(sum(col("__y")).cast("long").as("__sy"),
       sum(col("__x")).cast("long").as("__sx"), count(lit(1)).as("__n"))
     // DEGENERATE-REPLICATE CONVENTION: a leave-one-out set with zero

@@ -255,7 +255,11 @@ object TextOps {
       topK: Int = 20,
       maxLangs: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tri = df.select(col(langCol).as("__lang"),
+    // widen once for BOTH passes (profile explode + kernel scoring):
+    // over a single-row-group scan each ran as one task (guide §2;
+    // no-op at real scale)
+    val src = graft.ops.Scale.widen(df)
+    val tri = src.select(col(langCol).as("__lang"),
       explode(array_distinct(charNgrams(col(textCol), n))).as("__tg"))
     val profiles = tri.groupBy("__lang", "__tg").agg(count(lit(1)).as("__n"))
       .withColumn("__rk", row_number().over(
@@ -284,7 +288,7 @@ object TextOps {
       graft.functions.LangOverlap(
         org.apache.spark.sql.graft.ColumnBridge.expression(
           coalesce(col(textCol).cast("string"), lit(""))), bc))
-    df.select(col(idCol), col(langCol), once(scored).as("__lo"))
+    src.select(col(idCol), col(langCol), once(scored).as("__lo"))
       .select(col(idCol), col(langCol),
         col("__lo").getField("lang").as("lang_pred_ngram"),
         col("__lo").getField("score").as("ngram_score"))

@@ -71,7 +71,9 @@ class CacheContractSpec extends SparkSuite {
     assert((cachedIds -- before).isEmpty)
   }
 
-  test("winnowCandidates: persistFingerprints=false leaves no cached blocks") {
+  test("winnowCandidates leaves no cached blocks (r18 bucket shape)") {
+    // the single-consumer bucket shape needs no fingerprint persist at
+    // all — the strongest cache contract: nothing cached, nothing owed
     drained()
     val before = cachedIds
     val docs = Seq(
@@ -80,11 +82,10 @@ class CacheContractSpec extends SparkSuite {
       (3L, "a completely different document about spark catalyst plans"))
       .toDF("doc_id", "text")
     val r = graft.ops.Dedup.winnowCandidates(docs, "doc_id", "text",
-      k = 12, window = 4, minShared = 1L, maxBucket = 100,
-      persistFingerprints = false)
+      k = 12, window = 4, minShared = 1L, maxBucket = 100)
     assert(r.count() >= 1)
     assert((cachedIds -- before).isEmpty,
-      s"cached RDDs leaked with persistFingerprints=false: ${cachedIds -- before}")
+      s"cached RDDs leaked from winnowCandidates: ${cachedIds -- before}")
     assert(graft.ops.Robust.unpersistPersisted() == 0)
   }
 
@@ -124,23 +125,29 @@ class CacheContractSpec extends SparkSuite {
     // output parameter-bounded? → use withPersisted instead) fails
     // here by design.
     //
-    //   Dedup.scala ×4 — gram/fingerprint tables; outputs are
-    //     candidate PAIRS or per-doc stats (corpus-sized)
+    //   Dedup.scala ×3 — gram tables; outputs are candidate PAIRS or
+    //     per-doc stats (corpus-sized). r18 removed winnowCandidates'
+    //     fingerprint persist: the bucket shape has ONE consumer.
     //   Events.scala ×1 — RFM stage persists; output is per-user
     //   Graph.scala ×1 — pagerank edge relation; output is per-node
     //   KMeans.scala ×1 — projected vectors across Lloyd passes;
     //     output is the per-point assignment (corpus-sized)
-    //   Robust.scala ×3 — madOutliers projection (output: outlier
-    //     ROWS) + spearman base/value tables (output: per-GROUP rho,
-    //     group cardinality is data-dependent, not a parameter)
+    //   Robust.scala ×2 — spearman base/value tables (output:
+    //     per-GROUP rho, group cardinality is data-dependent, not a
+    //     parameter); r18 removed madOutliers' projection persist
+    //     (measured loss on cheap scans) — the MAD device persists
+    //     its base through Percentiles' persistBase instead
+    //   Percentiles.scala ×1 — exactImpl's opt-in base persist
+    //     (persistBase; output is per-group percentiles — group
+    //     cardinality data-dependent, so the queue, not withPersisted)
     //
     // (MMR's pool persist and labelPropagation/HITS edge persists use
     // inline persist/unpersist scopes — already structural.)
     import java.nio.file._
     import scala.jdk.CollectionConverters._
     val expected = Map(
-      "Dedup.scala" -> 4, "Events.scala" -> 1, "Graph.scala" -> 1,
-      "KMeans.scala" -> 1, "Robust.scala" -> 3)
+      "Dedup.scala" -> 3, "Events.scala" -> 1, "Graph.scala" -> 1,
+      "KMeans.scala" -> 1, "Robust.scala" -> 2, "Percentiles.scala" -> 1)
     val root = Paths.get("src/main/scala/graft")
     val found = Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
@@ -182,7 +189,7 @@ class CacheContractSpec extends SparkSuite {
         s"Robust.registerPersisted or unpersist in scope): $offenders")
   }
 
-  test("winnowCandidates default still follows the queue contract") {
+  test("winnowCandidates default queues no persist (r18 bucket shape)") {
     drained()
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
@@ -191,7 +198,7 @@ class CacheContractSpec extends SparkSuite {
     val r = graft.ops.Dedup.winnowCandidates(docs, "doc_id", "text",
       k = 12, window = 4, minShared = 1L, maxBucket = 100)
     r.count()
-    assert(graft.ops.Robust.unpersistPersisted() == 1,
-      "default winnow run should have exactly one queued persist")
+    assert(graft.ops.Robust.unpersistPersisted() == 0,
+      "the bucket-shape winnow reads fingerprints once; nothing may persist")
   }
 }

@@ -310,12 +310,18 @@ class PlanSpec extends SparkSuite {
   test("q85 k-means assignment is map-only against compiled centroid literals") {
     // update-step shuffles happen eagerly inside lloyd() (k × dims ×
     // partitions partial rows); the RETURNED assignment plan touches
-    // the corpus exactly once — no join, no hash exchange
+    // the corpus exactly once — no join, no hash exchange. r18 adds
+    // ONE round-robin exchange below the assignment: Scale.widen
+    // spreads the single-row-group scan so the per-centroid decimal
+    // distance trees run at session parallelism (no-op at real scale).
     val p = finalPlan(SparkEntry.queries("q85_kmeans_lloyd")(spark, sfDir))
     assert(!p.contains("Join"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
     val ex = "(?m)\\+\\- Exchange".r.findAllIn(p).size
-    assert(ex <= 1, s"expected only the presentation sort exchange:\n$p")
+    assert(ex <= 2, s"expected only the presentation sort + widen exchanges:\n$p")
+    val rr = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+    assert(ex <= 1 + rr,
+      s"every exchange beyond the presentation sort must be the widen:\n$p")
   }
 
   test("q86 temperature mixture: one corpus count aggregate broadcast back, no corpus re-shuffle") {

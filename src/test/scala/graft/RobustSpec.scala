@@ -100,33 +100,30 @@ class RobustSpec extends SparkSuite {
     assert(r._4.isEmpty, s"eta_sq must be NULL on zero variance, got $r")
   }
 
-  test("madOutliers: opt-in persistProjection shares one cached scan") {
+  test("madOutliers: the MAD device's base persists once") {
+    // r18: the MAD selection device opts into persistBase — its base
+    // contains the whole median device via the deviation join, so the
+    // persist evaluates `meds` once instead of once per pass; the
+    // persist rides the release queue
+    Robust.unpersistPersisted() // earlier tests may not have drained
     val df = ((1 to 40).map(i => ("a", i.toDouble)) :+ (("a", 1000.0)))
       .toDF("g", "v")
-    val out = Robust.madOutliers(df, Seq("g"), "v",
-      persistProjection = true)
+    val out = Robust.madOutliers(df, Seq("g"), "v")
     // the planted spike still flags (behavior unchanged by the persist)
     assert(out.select("v").as[Double].collect().toSeq == Seq(1000.0))
-    // plan pin: with the opt-in, the med and MAD passes read the
-    // InMemoryRelation of the slim projection (checked on the
-    // optimized logical plan — a LocalRelation fixture's cached scan
-    // prints as LocalTableScan physically)
+    // plan pin: the med and MAD passes read the InMemoryRelation of
+    // the slim projection (checked on the optimized logical plan — a
+    // LocalRelation fixture's cached scan prints as LocalTableScan
+    // physically)
     val plan = out.queryExecution.optimizedPlan.toString
     assert(plan.contains("InMemoryRelation"),
       s"selection passes must read the persisted projection:\n$plan")
-    // default path: identical flags, no cache node (clear the session
-    // cache first — the cache manager would otherwise substitute the
-    // opt-in run's still-cached identical projection fragment)
-    spark.catalog.clearCache()
-    val plain = Robust.madOutliers(df, Seq("g"), "v")
-    assert(plain.select("v").as[Double].collect().toSeq == Seq(1000.0))
-    assert(!plain.queryExecution.optimizedPlan.toString
-      .contains("InMemoryRelation"), "default must not persist")
-    // the opt-in projection registered for caller-side release (the
-    // returned DF is lazy so the operator can't unpersist itself);
-    // unpersistPersisted drains the queue exactly once
-    assert(Robust.unpersistPersisted(blocking = true) >= 1)
+    // both persists registered for caller-side release (the returned
+    // DF is lazy so the operator can't unpersist itself);
+    // unpersistPersisted drains the queue
+    assert(Robust.unpersistPersisted(blocking = true) == 1)
     assert(Robust.unpersistPersisted() == 0, "queue must drain")
+    spark.catalog.clearCache()
   }
 
   test("robustShape: uniform 1..8 is Bowley-symmetric with Moors 1.0") {
