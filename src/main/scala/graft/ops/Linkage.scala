@@ -68,6 +68,18 @@ object Linkage {
       case None => blocks0
     }
     observed.filter(size(col("recs")).between(2, maxBlock))
+      // r18: pin the pair-expansion stage's parallelism. The block
+      // relation is tiny in BYTES, so AQE's size-based coalescing runs
+      // the downstream |block|²-row explode + comparator on ~1 task —
+      // the explode multiplies AFTER the exchange, which size
+      // estimates cannot see. Round-robin at the session's shuffle
+      // setting (env-parameterized, not a local constant): a keyed
+      // repartition on __blk would be elided (same partitioning as the
+      // aggregate exchange) and then coalesced; the explicit
+      // round-robin spreads whole blocks (comparisons stay
+      // block-local, `maxBlock`-bounded) and survives both.
+      .repartition(
+        keyed.sparkSession.sessionState.conf.numShufflePartitions)
   }
 
   /** The audit counters of [[blockedPairs]]'s skew guard as a 1-row
@@ -223,8 +235,11 @@ object Linkage {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"),
-        call_function("graft_jaro_winkler",
-          col("a.name"), col("b.name")).as("similarity"))
+        // r18: EvalOnce fence — the pushed filter otherwise
+        // re-evaluates the kernel per pair (the q150 levenshtein
+        // finding, same mechanism)
+        graft.ops.TextOps.once(call_function("graft_jaro_winkler",
+          col("a.name"), col("b.name"))).as("similarity"))
       .filter(col("similarity") >= minSimilarity)
       .distinct()
   }

@@ -90,12 +90,33 @@ object StreamPipeline {
   private def runToMemory(
       spark: SparkSession, stream: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // LOCAL-GATE state-partition bound (r18, generalizing the q105
+    // note): with tiny state, per-(partition × batch) state-store
+    // commit overhead dominates an AvailableNow gate run — each
+    // stateful operator commits one store per shuffle partition per
+    // micro-batch regardless of rows. Bound the partition count for
+    // the duration of the stream (the plan captures it at START;
+    // restored right after, so later batch queries on the session are
+    // unaffected). Parameterized via `spark.graft.stream.gatePartitions`
+    // (default 8), never raised above the session's own setting — on a
+    // real cluster the right lever is NOT fewer partitions but the
+    // RocksDB provider + changelog checkpointing (scaladoc above);
+    // results are partition-count-independent (exact aggregates /
+    // keyed state), re-proven by the oracle gate at both SFs.
+    val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val gate = math.min(sessParts.toInt,
+      spark.conf.getOption("spark.graft.stream.gatePartitions")
+        .map(_.toInt).getOrElse(8))
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", gate.toString)
+        stream.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", sessParts)
     q.awaitTermination()
     spark.table(name)
   }
