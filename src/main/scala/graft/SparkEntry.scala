@@ -563,7 +563,7 @@ object SparkEntry {
     "q49_char_trigrams" -> ((s, dir) =>
       // char-n-gram extraction (language-ID profile raw material):
       // corpus-wide top trigrams, deterministic tie-break
-      t(s, dir, "documents")
+      graft.ops.Scale.widen(t(s, dir, "documents").select(col("text")))
         .select(explode(TextOps.charNgrams(col("text"), 3)).as("trigram"))
         .groupBy("trigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("trigram"))
@@ -2843,7 +2843,9 @@ object SparkEntry {
       val scored = docs.select(col("source"),
         length(col("text")).cast("long").as("len"),
         TextOps.charEntropy(col("text")).as("ent"))
-      Robust.spearman(scored, "source", "len", "ent")
+      Robust.spearman(scored, "source", "len", "ent",
+        widenBase = false) // 5k-doc base: the widen exchange is pure
+                           // overhead here (r18 A/B)
         .orderBy("source")
     }),
 
@@ -2899,6 +2901,10 @@ object SparkEntry {
         .groupBy("user_id", "session_id")
         .agg((max(col("ts").cast("long")) - min(col("ts").cast("long")))
           .as("dur"), count(lit(1)).as("ne"))
+        // r18: the sessionize window + aggregate feeds the percentile
+        // device (three passes) AND the final totals — materialize the
+        // session-sized relation once
+        .localCheckpoint()
       val pct = graft.ops.Percentiles
         .exact(sess.select(col("dur").cast("double").as("dur")),
           Seq.empty, "dur", Seq(0.5, 0.9))
@@ -3106,6 +3112,11 @@ object SparkEntry {
         .withColumn("__gap",
           col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w))
         .filter(col("__gap").isNotNull)
+        .select(col("event_type"), col("__gap"))
+        // r18: the lag window feeds the stats aggregate AND the
+        // three-pass percentile device — materialize the slim gap
+        // relation once instead of re-running the window per pass
+        .localCheckpoint()
       val stats = gaps.groupBy("event_type")
         .agg(count(lit(1)).as("n_gaps"),
           sum(col("__gap")).cast("decimal(28,0)").as("__s"))

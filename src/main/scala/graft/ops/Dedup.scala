@@ -806,7 +806,11 @@ object Dedup {
       w: Int = 15): DataFrame = {
     require(w >= 2, s"substringDedup: window must be >= 2 tokens, got $w")
     val ws = col("__ws")
-    val docsT = df.select(col(idCol), TextOps.once(TextOps.tokens(col(textCol))).as("__ws"))
+    // r18: widen before the token/window/md5 kernels — over a
+    // single-row-group scan the whole digest pass ran on one task
+    // (guide §2; no-op at real scale)
+    val docsT = graft.ops.Scale.widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextOps.once(TextOps.tokens(col(textCol))).as("__ws"))
     val winArr = when(size(ws) >= w,
       transform(sequence(lit(1), size(ws) - (w - 1)),
         i => md5(concat_ws(" ", slice(ws, i, lit(w))))))

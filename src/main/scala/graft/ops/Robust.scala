@@ -225,7 +225,8 @@ object Robust {
       xCol: String,
       yCol: String,
       numPartitions: Int = 0,
-      persistProjection: Boolean = false): DataFrame = {
+      persistProjection: Boolean = false,
+      widenBase: Boolean = true): DataFrame = {
     val d19 = "decimal(19,0)"
     val d38 = "decimal(38,0)"
     // opt-in (same queue/release contract as madOutliers): the
@@ -239,11 +240,16 @@ object Robust {
     // under eviction now — bucket boundaries are frozen literals, so
     // a recomputed block reproduces identical buckets (the round-11
     // pid hazard no longer exists).
-    val base0 = Scale.widen(df
+    // widenBase: over a large single-row-group base the rank joins and
+    // moment fold win from session parallelism (q195, 600k rows);
+    // over a tiny base the extra exchange is pure overhead (q204,
+    // 5k docs, measured +0.5 s) — caller's knob, no-op at real scale
+    val proj0 = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
         col(groupCol).isNotNull)
       .select(col(groupCol).as("__g"), col(xCol).as("__x"),
-        col(yCol).as("__y")))
+        col(yCol).as("__y"))
+    val base0 = if (widenBase) Scale.widen(proj0) else proj0
     val base =
       if (persistProjection) registerPersisted(base0) else base0
     def doubledRanks(vcol: String, out: String): DataFrame = {
