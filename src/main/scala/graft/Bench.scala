@@ -387,21 +387,46 @@ object Bench {
     val total = results.filter(_._4).map(_._2).sum
     val failed = results.collect { case (n, _, _, false) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    // The driver keeps only the LAST ~3000 chars of stdout: with both
-    // the median and cold maps on one line the head (metric/total) was
-    // truncated away two rounds running (BENCH_r04/r05 parsed:null).
-    // stdout carries the parseable essentials; the full artifact
-    // including the cold map goes to target/bench.json.
-    // transfer goes LAST on the line: the driver keeps the stdout TAIL,
-    // so the baseline figure must sit at the end to survive truncation
-    val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"sf":"$sfDir"$groupedJson$archiveJson$renderJson$hatchJson$httpsinkJson$xlsxJson$multisinkJson$transferJson}"""
-    println(json)
+    // The driver stores only the LAST 2,000 chars of stdout and parses
+    // the JSON line out of that tail: the ~9 kB full-map line has had
+    // its head (metric/total) truncated away EVERY round since r10
+    // (BENCH_r10..r18 parsed:null — the per-query perf contract has
+    // been dead for nine rounds). r19 measurement-bug fix (declared in
+    // OPTIMIZATION_r19.md): stdout's last line is a COMPACT (<1,800
+    // chars incl. sbt's trailing "[success]" line) JSON with the same
+    // field names — total, runs, failed, sf, the pipeline-blob
+    // entries, and the SLOWEST per-query entries that fit the budget
+    // (deterministic: seconds desc, name tie-break), plus
+    // n_queries/queries_omitted so truncation is explicit. The FULL
+    // per-query + cold maps — the unchanged methodology and the
+    // numbers of record — still go to target/bench.json, and the
+    // quiet-record tooling keeps consuming that file.
     val full =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"queries":${jmap(_._2)},"cold":${jmap(_._3)},"sf":"$sfDir"$groupedJson$archiveJson$renderJson$hatchJson$httpsinkJson$xlsxJson$multisinkJson$transferJson}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+    val blobs =
+      s"""$groupedJson$archiveJson$renderJson$hatchJson$httpsinkJson$xlsxJson$multisinkJson$transferJson"""
+    val head =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"failed":$failed,"n_queries":${results.length},"full":"target/bench.json","sf":"$sfDir""""
+    val lineBudget = 1800
+    val fixedLen = head.length + blobs.length +
+      s""","queries":{},"queries_omitted":999}""".length + 2
+    val bySlowest = results.sortBy(r => (-r._2, r._1))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = fixedLen
+    bySlowest.foreach { r =>
+      val entry = "\"" + r._1 + "\":" + f"${r._2}%.3f"
+      if (used + entry.length + 1 <= lineBudget) {
+        picked += entry; used += entry.length + 1
+      }
+    }
+    val json = head +
+      s""","queries":${picked.mkString("{", ",", "}")}""" +
+      s""","queries_omitted":${results.length - picked.size}""" +
+      blobs + "}"
+    println(json)
     spark.stop()
   }
 }
