@@ -21,6 +21,39 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** `collect_list` bounded at `cap + 1` buffer elements
+    * ([[graft.functions.BoundedCollectList]]) — every bucket path
+    * below groups ids by a fingerprint/band/gram key and then DROPS
+    * (LSH/winnow/gram buckets) or RAISES on (prefix-filter) buckets
+    * larger than its cap, so collecting a hot key's full id list
+    * first was a single-buffer OOM surface at corpus scale (one
+    * boilerplate fingerprint shared by 10⁶ docs = one 10⁶-element
+    * aggregation buffer, discarded right after). The bound caps the
+    * buffer at O(cap) while the `cap + 1` sentinel keeps the
+    * existing size guards firing identically — under-cap buckets
+    * collect every element, so results are bit-identical. A cap ≥
+    * 2^31−2 degenerates to plain collect_list semantics (JVM arrays
+    * cannot exceed that anyway).
+    */
+  private def boundedCollectList(c: Column, cap: Long): Column = {
+    val capI = math.min(math.max(cap, 1L), (Int.MaxValue - 2).toLong).toInt
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BoundedCollectList(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), capI)
+        .toAggregateExpression())
+  }
+
+  /** `collect_set` under the same bound, for the set-valued bucket
+    * path ([[crossGroupOverlap]]).
+    */
+  private def boundedCollectSet(c: Column, cap: Long): Column = {
+    val capI = math.min(math.max(cap, 1L), (Int.MaxValue - 2).toLong).toInt
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BoundedCollectSet(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), capI)
+        .toAggregateExpression())
+  }
+
   /** Exact dedup: keep the row with the smallest `tieBreak` per distinct
     * value of `keyCols` (hash of content, not content itself, travels
     * through the shuffle at scale — we group on md5 of the concatenated
@@ -99,8 +132,12 @@ object Dedup {
     require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
     val ds = df.select(contentDigest(keyCols).as("digest"),
       col(groupCol).as("__g")).distinct()
+    // r19: bounded collect_set — the maxGroups guard RAISES on an
+    // over-cap digest, so cap the set buffer at maxGroups + 1 distinct
+    // groups (the sentinel size trips the same raise_error) instead of
+    // materializing the everywhere-boilerplate digest's full group set
     val sets = ds.groupBy("digest")
-      .agg(collect_set(col("__g")).as("__gs"))
+      .agg(boundedCollectSet(col("__g"), maxGroups).as("__gs"))
       .withColumn("__gs", when(size(col("__gs")) <= maxGroups, col("__gs"))
         .otherwise(raise_error(concat(
           lit(s"crossGroupOverlap: digest shared by more than $maxGroups "
@@ -188,14 +225,22 @@ object Dedup {
     * inside the kernel, so no global `distinct()` shuffle is needed.
     * Documents shorter than n tokens collapse to one whole-text gram.
     */
-  def gramRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  def gramRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+      widen: Boolean = true): DataFrame = {
     // widen: the shingle explode is O(L) kernel work per doc and every
     // gram-table consumer sits downstream of this one projection —
     // over a single-row-group scan it ran as one task (guide §2;
-    // no-op at real scale)
-    graft.ops.Scale.widen(
-      df.select(col(idCol).as("__id"), col(textCol).as("__t")))
-      .select(col("__id"), explode(shingles(col("__t"), n)).as("gram"))
+    // no-op at real scale). `widen = false` is the caller opt-out for
+    // paths where the exchange is pure overhead (r18 regression: the
+    // decontaminate family widened BOTH of its gram streams and ran
+    // 1.7–2.8× slower at 32 cores than at 8 — eval sets are
+    // benchmark-sized and the decontaminate plan is broadcast-join +
+    // one aggregate, so there is no downstream per-row work heavy
+    // enough to amortize the round-robin exchange).
+    val proj = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val src = if (widen) graft.ops.Scale.widen(proj) else proj
+    src.select(col("__id"), explode(shingles(col("__t"), n)).as("gram"))
+  }
 
   /** EXACT set-similarity self-join by PREFIX FILTERING (the
     * PPJoin/AllPairs family — Chaudhuri et al. 2006, Xiao et al.
@@ -261,8 +306,13 @@ object Dedup {
       .select(col("__id"), col("__n"),
         explode(slice(col("__gs"), lit(1), prefixLen)).as("__g"))
       .select(col("__id"), col("__n"), col("__g.gram").as("gram"))
+    // r19: bounded collect — the completeness contract RAISES on an
+    // over-cap prefix bucket, so its contents are never read: cap the
+    // buffer at maxBucket + 1 (the sentinel size trips the same
+    // raise_error) instead of materializing the full bucket first
     val buckets = prefixRows.groupBy("gram")
-      .agg(sort_array(collect_list(struct(col("__id"), col("__n"))))
+      .agg(sort_array(
+        boundedCollectList(struct(col("__id"), col("__n")), maxBucket))
         .as("rs"))
       .withColumn("rs", when(size(col("rs")) <= maxBucket, col("rs"))
         .otherwise(raise_error(concat(
@@ -410,8 +460,11 @@ object Dedup {
       graft.ops.Scale.widen(df.select(col(idCol), col(textCol))),
       idCol, textCol, k, window)
       .select(col(idCol).as("__id"), col("fp")).distinct()
+    // r19: bounded collect — an over-cap (boilerplate) fingerprint
+    // caps its buffer at maxBucket + 1 ids instead of materializing
+    // the full list before the size filter discards it (guide §2.5/§5)
     val buckets = fps.groupBy("fp")
-      .agg(sort_array(collect_list(col("__id"))).as("ids"))
+      .agg(sort_array(boundedCollectList(col("__id"), maxBucket)).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
@@ -448,9 +501,12 @@ object Dedup {
               slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))
                 .cast("array<string>")))))
           .as(Seq("band", "band_hash")))
+    // r19: bounded collect — same O(maxBucket) buffer bound as the
+    // winnow path; over-cap buckets were always dropped, now they
+    // never materialize either
     val buckets = banded
       .groupBy("band", "band_hash")
-      .agg(collect_list("__id").as("ids"))
+      .agg(boundedCollectList(col("__id"), maxBucket).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     // pairs within bucket: explode twice with a < b guard
     buckets
@@ -513,9 +569,12 @@ object Dedup {
         b => call_function("shiftright", col("__sig"), b * chunkBits)
           .bitwiseAND(lit(chunkMask))))
         .as(Seq("band", "chunk")))
+    // r19: bounded collect (see boundedCollectList) — a hot 16-bit
+    // chunk caps at maxBucket + 1 members instead of the full list
     val buckets = banded
       .groupBy("band", "chunk")
-      .agg(collect_list(struct(col("__id"), col("__sig"))).as("members"))
+      .agg(boundedCollectList(struct(col("__id"), col("__sig")), maxBucket)
+        .as("members"))
       .filter(size(col("members")).between(2, maxBucket))
     buckets
       .select(explode(col("members")).as("a"), col("members"))
@@ -674,12 +733,19 @@ object Dedup {
       textCol: String,
       n: Int = 13,
       broadcastEval: Boolean = true): DataFrame = {
-    val evalGrams = gramRows(evalSet, idCol, textCol, n)
+    // widen = false on both gram streams (r18 lesson): the eval side
+    // is benchmark-sized and the train side feeds only a broadcast
+    // join + one doc-keyed aggregate — the widen exchange was pure
+    // overhead (q61/q62/q67 ran 1.7–2.8× slower at 32 cores, 2×
+    // FASTER at 8: the classic parallelism-overhead signature). At
+    // production partition counts widen is a no-op anyway, so opting
+    // out here costs nothing at scale.
+    val evalGrams = gramRows(evalSet, idCol, textCol, n, widen = false)
       .select(col("gram")).distinct()
     // an eval set too big to broadcast (rare — benchmarks are small)
     // falls back to a shuffle join rather than OOMing the driver
     val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
-    gramRows(train, idCol, textCol, n)
+    gramRows(train, idCol, textCol, n, widen = false)
       .join(ev, Seq("gram"))
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).cast("long").as("n_shared"))
@@ -710,8 +776,10 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     // checkpoint: the gram explode + distinct over the eval corpus
     // feeds TWO consumers (the bloomFilter action here and the verify
-    // join below) — without it the eval side computes twice per call
-    val evalGrams = gramRows(evalSet, idCol, textCol, n)
+    // join below) — without it the eval side computes twice per call.
+    // widen = false: same rationale as [[decontaminate]] (r18
+    // regression cohort q61/q62/q67).
+    val evalGrams = gramRows(evalSet, idCol, textCol, n, widen = false)
       .select(col("gram")).distinct().localCheckpoint(true)
     val bloom = evalGrams.stat.bloomFilter("gram", expectedGrams, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(bloom)
@@ -722,7 +790,7 @@ object Dedup {
     val probe = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.BloomMightContain(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("gram")), bc))
-    gramRows(train, idCol, textCol, n)
+    gramRows(train, idCol, textCol, n, widen = false)
       .filter(col("gram").isNotNull && probe)
       .join(evalGrams, Seq("gram")) // exact verify — kills false positives
       .groupBy(col("__id").as(idCol))
@@ -922,8 +990,12 @@ object Dedup {
     // The doc-frequency prune folds into the bucket-size filter (a
     // shared gram always has df ≥ 2, so results are identical). Bucket
     // pair expansion is the same skew-guarded shape as the LSH path.
+    // r19: bounded collect — a stop-shingle's bucket caps at
+    // maxDocFreq + 1 ids instead of materializing every holder before
+    // the prune (callers that disable the prune pass Long.MaxValue,
+    // which degenerates to plain collect_list semantics)
     val buckets = sh.groupBy("gram")
-      .agg(sort_array(collect_list(col("__id"))).as("ids"))
+      .agg(sort_array(boundedCollectList(col("__id"), maxDocFreq)).as("ids"))
       .filter(size(col("ids")).between(2, maxDocFreq))
     // Pair expansion as two codegen'd generators instead of nested
     // array HOFs (interpreted per element): ids are sorted, so the

@@ -418,6 +418,60 @@ class DedupSpec extends SparkSuite {
       e.getMessage)
   }
 
+  test("bounded collect: hot key caps its buffer at cap+1; under-cap groups " +
+    "are bit-identical to collect_list/collect_set (r19 skew hazard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    def bList(c: org.apache.spark.sql.Column, cap: Int) =
+      ColumnBridge.column(graft.functions
+        .BoundedCollectList(ColumnBridge.expression(c), cap)
+        .toAggregateExpression())
+    def bSet(c: org.apache.spark.sql.Column, cap: Int) =
+      ColumnBridge.column(graft.functions
+        .BoundedCollectSet(ColumnBridge.expression(c), cap)
+        .toAggregateExpression())
+    // one fp shared by 100k ids (the 100 TB boilerplate-fingerprint
+    // shape): the aggregation buffer must cap at cap+1 elements —
+    // detectable as over-cap by the callers' size guards — instead of
+    // materializing the 100k-element list it is about to discard
+    val hot = spark.range(100000L)
+      .select(lit("fp0").as("fp"), col("id"))
+    val capped = hot.groupBy("fp")
+      .agg(bList(col("id"), 20).as("ids"), bSet(col("id"), 20).as("set"))
+      .select(size(col("ids")), size(col("set"))).as[(Int, Int)].head()
+    assert(capped == ((21, 21)), s"hot-key buffers must cap at cap+1: $capped")
+    // under-cap groups: results identical to the unbounded builtins
+    val mixed = spark.range(300L)
+      .select((col("id") % 37).as("k"), (col("id") % 100).as("v"))
+    val both = mixed.groupBy("k").agg(
+      sort_array(bList(col("v"), 1000)).as("b"),
+      sort_array(collect_list(col("v"))).as("u"),
+      sort_array(bSet(col("v"), 1000)).as("bs"),
+      sort_array(collect_set(col("v"))).as("us"))
+    assert(both.filter(col("b") =!= col("u") || col("bs") =!= col("us"))
+      .isEmpty, "under-cap bounded collect must equal the builtin")
+    // nulls skip exactly like collect_list
+    val withNulls = Seq((1L, Some(5L)), (1L, None), (1L, Some(3L)))
+      .toDF("k", "v")
+    val arr = withNulls.groupBy("k")
+      .agg(sort_array(bList(col("v"), 10)).as("ids"))
+      .select("ids").as[Seq[Long]].head()
+    assert(arr == Seq(3L, 5L), s"nulls must skip: $arr")
+  }
+
+  test("winnowCandidates/minhashCandidates plans carry the bounded collect " +
+    "(the pre-prune is plan-visible, r19)") {
+    val w = Dedup.winnowCandidates(docs, "doc_id", "text",
+      k = 12, window = 8, minShared = 1L, maxBucket = 100)
+    assert(w.queryExecution.executedPlan.toString
+      .contains("graft_bounded_collect_list"),
+      "winnow bucket aggregate must be the bounded collect")
+    val m = Dedup.minhashCandidates(docs, "doc_id", "text")
+    assert(m.queryExecution.executedPlan.toString
+      .contains("graft_bounded_collect_list"),
+      "minhash bucket aggregate must be the bounded collect")
+  }
+
   test("crossDocNovelty: duplicated docs score 0, unique docs 1, mixed between") {
     import spark.implicits._
     val docs = Seq(
