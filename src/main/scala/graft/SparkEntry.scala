@@ -824,20 +824,30 @@ object SparkEntry {
       // the composed training-data flow in one plan: language gate
       // (pushed to the scan) → quality/token gate (kernels behind the
       // EvalOnce fence) → PII scrub → exact dedup keeping the smallest
-      // doc_id per scrubbed digest
-      val gated = t(s, dir, "documents")
-        .filter(col("lang").isin("en", "de", "fr"))
+      // doc_id per scrubbed digest.
+      // r19: exact dedup as the Dedup.exact window (row_number = 1 per
+      // digest ordered by doc_id) instead of [min-agg + join back on
+      // doc_id] — doc_id is the table key, so both keep exactly the
+      // smallest-id row per digest, but the window evaluates the
+      // quality/token/scrub kernels ONCE (the old `gated` fed two
+      // subtrees and the whole kernel chain ran twice) and at scale
+      // shuffles the corpus once by digest instead of once by doc_id
+      // for the join PLUS a second corpus scan. Kernel input widened
+      // (guide §2): the per-row text kernels are the heavy part and a
+      // single-row-group scan runs them on one task (no-op at scale).
+      val gated = graft.ops.Scale.widen(
+        t(s, dir, "documents").filter(col("lang").isin("en", "de", "fr")))
         .select(col("doc_id"), col("lang"),
           TextOps.once(TextOps.qualityScore(col("text"))).as("quality"),
           TextOps.once(TextOps.tokenCountArith(col("text"))).as("n_tokens"),
           col("text"))
         .filter(col("quality") >= 0.5 && col("n_tokens") >= 10)
         .withColumn("clean_text", TextOps.scrubPii(col("text")))
-      val keep = gated
-        .groupBy(md5(col("clean_text")).as("__digest"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      gated.join(keep.select("doc_id"), "doc_id")
         .select("doc_id", "lang", "quality", "n_tokens", "clean_text")
+      val w = Window.partitionBy(md5(col("clean_text")))
+        .orderBy(col("doc_id"))
+      gated.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
         .orderBy("doc_id")
     }),
 
@@ -1417,20 +1427,21 @@ object SparkEntry {
         streamT(s, dir, "events").filter(col("event_type") === "purchase"),
         "ts", 300L)
       // LOCAL-MODE cost note: with tiny state, per-(partition × batch)
-      // state-store commit overhead dominates, so the gate run bounds
-      // the state partition count (conf captured at query START;
-      // restoring after the run is safe). On a real cluster the right
-      // lever is NOT fewer partitions — it is the RocksDB provider +
-      // changelog checkpointing
+      // state-store commit overhead dominates; runToMemory bounds the
+      // gate run's state partitions itself since r18
+      // (spark.graft.stream.gatePartitions, default 8 — the value this
+      // query used to set by hand; the redundant session-conf juggling
+      // here raced other planners, r18 ADVICE). On a real cluster the
+      // right lever is NOT fewer partitions — it is the RocksDB
+      // provider + changelog checkpointing
       // (StreamPipeline.withRocksDbStateStore), which makes the commit
       // cost O(changed keys); StreamingSpec pins provider-equal rows.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val matchedRows =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          graft.streaming.StreamPipeline
-            .runToResultAppend(s, pairs, "graft_q105")
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // noDataBatches = false: an INNER stream-stream join emits on
+      // match, so the trailing watermark-advance micro-batch is a pure
+      // offset/commit/state-commit cycle here (see runToMemory's
+      // scaladoc; append-mode aggregations must NOT do this)
+      val matchedRows = graft.streaming.StreamPipeline
+        .runToResultAppend(s, pairs, "graft_q105", noDataBatches = false)
       val matched = matchedRows
         .groupBy(col("__lid")).agg(count(lit(1)).as("__n"))
       events(s, dir).filter(col("event_type") === "error")
@@ -1535,6 +1546,11 @@ object SparkEntry {
         .join(su, li("l_suppkey") === su("s_suppkey"))
         .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
+        // r19: weightedPageRank references its edge relation twice
+        // (out-weight aggregate + the per-iteration join side) —
+        // materialize the nations²-bounded aggregate once instead of
+        // running the 4-way lineitem join under both references
+        .localCheckpoint()
       val ranks = Graph.weightedPageRank(edges, "src", "dst", "w",
         nat.select("n_nationkey"), "n_nationkey", iters = 5)
       nat.join(ranks, "n_nationkey")
@@ -1737,6 +1753,10 @@ object SparkEntry {
         .join(su, li("l_suppkey") === su("s_suppkey"))
         .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
+        // r19: e0 feeds BOTH the threshold aggregate and the gated
+        // edge set — materialize the nations²-bounded aggregate once
+        // instead of pasting the 4-way lineitem join under both
+        .localCheckpoint()
       val thr = e0.agg(
         (sum(col("w")).cast("double") / count(lit(1)) * lit(0.5)).as("__thr"))
       val edges = e0.crossJoin(broadcast(thr))
@@ -2688,6 +2708,11 @@ object SparkEntry {
         .join(su, li("l_suppkey") === su("s_suppkey"))
         .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
+        // r19: labelPropagation mirrors its edge relation (unionAll of
+        // both directions) — materialize the nations²-bounded
+        // aggregate once instead of relying on exchange reuse to
+        // dedupe the 4-way lineitem join under both union branches
+        .localCheckpoint()
       Graph.labelPropagation(edges, "src", "dst", "w", rounds = 2)
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("label"))
@@ -3485,7 +3510,16 @@ object SparkEntry {
         queries, k = 10, nprobe = 2)
         .select(col("query_id"), col("corpus_id"), col("cos_sim"),
           col("rank").cast("long").as("rank"))
-      val assigned = idx.assign(e, "embedding")
+        // r19: each side of the symmetric difference below is
+        // referenced TWICE (both exceptAll directions) — an eager
+        // checkpoint computes batch and loop ONCE instead of twice
+        // each (guide §1/§5: materialize a twice-read intermediate)
+        .localCheckpoint(true)
+      // r19: assignForProbing (eager, plan-truncated) instead of the
+      // lazy assign — the 5-query loop otherwise re-analyzed and
+      // re-ran the cells×dim argmin tree per probe (the documented
+      // repeated-probe contract of IvfIndex; cell values identical)
+      val assigned = idx.assignForProbing(e, "embedding")
       val loop = queries.select(col("vec_id"),
           col("embedding").cast("array<double>").as("__q")).collect()
         .map { r =>
@@ -3495,7 +3529,7 @@ object SparkEntry {
               col("vec_id").as("corpus_id"), col("cos_sim"),
               row_number().over(Window.orderBy(col("cos_sim").desc,
                 col("vec_id"))).cast("long").as("rank"))
-        }.reduce(_.union(_))
+        }.reduce(_.union(_)).localCheckpoint(true)
       batch.exceptAll(loop).withColumn("side", lit("batch_only"))
         .union(loop.exceptAll(batch).withColumn("side", lit("loop_only")))
         .orderBy("side", "query_id", "rank")

@@ -95,11 +95,20 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
+    // r19: the canonical edge set is referenced THREE times (ab, bc,
+    // ac) — without materialization the caller's whole edge-build
+    // subtree is pasted into the plan three times (q126's plan held
+    // 50 parquet scans of a 4-join pipeline) and re-planned/re-run
+    // wherever exchange reuse does not fire. One eager localCheckpoint
+    // runs the build + canonicalization once; E is exactly the
+    // relation the op's scale shape already assumes is affordable to
+    // shuffle twice, so materializing it once is strictly cheaper.
     val e = edges
       .filter(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
+      .localCheckpoint(true)
     val ab = e.select(col("u").as("a"), col("v").as("b"))
     val bc = e.select(col("u").as("b2"), col("v").as("c"))
     val ac = e.select(col("u").as("a2"), col("v").as("c2"))

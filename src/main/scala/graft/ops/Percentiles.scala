@@ -158,6 +158,17 @@ object Percentiles {
           when(small, lit(Double.PositiveInfinity))
             .otherwise(element_at(col("__br"), 2 * i + 2)).as(s"__hi$i"))
       }: _*)
+      // r19: DISTINCT brackets per group — in the small-group regime
+      // every boundary's bracket is the same full range, so the old
+      // per-boundary explode duplicated EVERY group row k times into
+      // the pass-3 shuffle (q205: 7 octiles over sub-accuracy groups
+      // shuffled 31 MB for a 4.4 MB base; guide §2.3 "shuffle fewer
+      // bytes"). Ranking once per distinct bracket and letting the
+      // (broadcast) targets join fan the ≤2 picked rows back out per
+      // boundary leaves large-regime plans unchanged (distinct
+      // brackets) and makes the small regime shuffle each row once.
+      .withColumn("__brs", array_distinct(array((0 until k).map(i =>
+        struct(col(s"__lo$i").as("__bl"), col(s"__hi$i").as("__bh"))): _*)))
 
     // pass 2: exact counts strictly below each bracket's lower bound
     val withBr = base.join(broadcast(pass1), gkeys)
@@ -183,12 +194,17 @@ object Percentiles {
           (lit(fractions(i)) * (col("__n") - 1).cast("double")).as("__pos"),
           posP.cast("long").as("__posP"),
           col(s"__lo$i").as("__lo"), col(s"__hi$i").as("__hi"),
-          col(s"__clo$i").as("__clo"))
+          col(s"__clo$i").as("__clo"),
+          // which DISTINCT bracket this boundary ranks within (r19)
+          array_position(col("__brs"),
+            struct(col(s"__lo$i").as("__bl"), col(s"__hi$i").as("__bh")))
+            .as("__bpos"))
           .as(s"__t$i")
       }: _*)
       .select(gkeys.map(col) ++ Seq(col("__n"),
         explode(array((0 until k).map(i => col(s"__t$i")): _*)).as("__t")): _*)
       .select(gkeys.map(col) ++ Seq(col("__n"), col("__t.__i").as("__i"),
+        col("__t.__bpos").as("__b"),
         col("__t.__pos").as("__pos"),
         (if (tenths)
           ((col("__t.__posP") - pmod(col("__t.__posP"), lit(10L))) / 10)
@@ -204,24 +220,39 @@ object Percentiles {
         col("__t.__lo").as("__lo"), col("__t.__hi").as("__hi"),
         col("__t.__clo").as("__clo")): _*)
 
-    // pass 3: bracket rows only → distinct (group, boundary, value)
-    // counts → cumulative ranks → the two interpolation values
+    // pass 3: bracket rows only → distinct (group, BRACKET, value)
+    // counts → cumulative ranks → the two interpolation values.
+    // r19: rows explode into the DISTINCT brackets (__brs) instead of
+    // one copy per boundary — in the small-group regime all k
+    // boundaries share the full-range bracket, so this shuffles each
+    // row once instead of k times; the (broadcast) targets join below
+    // fans each bracket's ranked values back out to its boundaries and
+    // the pick filter keeps ≤ 2 rows per boundary, so nothing
+    // boundary-multiplied ever hits a shuffle.
     val bracketRows = withBr
       .select(gkeys.map(col) ++ Seq(col("__v"),
-        explode(filter(array((0 until k).map(i =>
-          when(col("__v") >= col(s"__lo$i") && col("__v") <= col(s"__hi$i"),
-            lit(i))): _*), x => x.isNotNull)).as("__i")): _*)
+        explode(filter(
+          transform(col("__brs"), (bs, i) =>
+            when(col("__v") >= bs.getField("__bl") &&
+              col("__v") <= bs.getField("__bh"), (i + 1).cast("long"))),
+          x => x.isNotNull)).as("__b")): _*)
     val distincts = bracketRows
-      .groupBy(gkeys.map(col) :+ col("__i") :+ col("__v"): _*)
+      .groupBy(gkeys.map(col) :+ col("__b") :+ col("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    val wCum = Window.partitionBy(gkeys.map(col) :+ col("__i"): _*)
+    val wCum = Window.partitionBy(gkeys.map(col) :+ col("__b"): _*)
       .orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = distincts
       .withColumn("__cumEnd", sum(col("__c")).over(wCum))
-      .join(broadcast(targets), gkeys :+ "__i")
+      .join(broadcast(targets), gkeys :+ "__b")
       .withColumn("__start", col("__clo") + col("__cumEnd") - col("__c"))
       .withColumn("__end", col("__clo") + col("__cumEnd"))
+      // keep only the two interpolation picks per boundary — the
+      // boundary fan-out from the bracket join never materializes
+      .filter((col("__start") <= col("__lower") &&
+          col("__lower") < col("__end")) ||
+        (col("__start") <= col("__higher") &&
+          col("__higher") < col("__end")))
 
     val picked = ranked.groupBy(gkeys.map(col) :+ col("__i"): _*)
       .agg(first(col("__n")).as("__n"), first(col("__pos")).as("__pos"),
@@ -274,6 +305,14 @@ object Percentiles {
       .agg(first(col("__n")).as("n"),
         array_sort(collect_list(struct(col("__i"), col("__res"))))
           .getField("__res").as("pcts"))
+      // r19: with the pick filter applied BEFORE the boundary groupBy,
+      // a total bracket miss would surface as a MISSING array entry
+      // instead of the null-pick raise above — keep the failure loud
+      .withColumn("pcts",
+        when(size(col("pcts")) === k, col("pcts"))
+          .otherwise(raise_error(lit(
+            "graft: percentile bracket miss — increase accuracy"))
+            .cast("array<double>")))
 
     if (groupCols.nonEmpty) out else out.drop("__g")
   }

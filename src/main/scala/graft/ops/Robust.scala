@@ -104,23 +104,31 @@ object Robust {
       groupCols: Seq[String],
       valueCol: String,
       k: Double = 3.0,
-      accuracy: Int = 100000): DataFrame = {
+      accuracy: Int = 100000,
+      persistBase: Boolean = true): DataFrame = {
     require(k > 0.0, s"graft: k must be positive, got $k")
     // r18: each selection device persists ITS OWN slim base (the
     // exactImpl persistBase default) — the MAD device's persisted base
     // materializes the deviation join once, so the median subtree also
-    // evaluates once instead of once per pass
+    // evaluates once instead of once per pass.
+    // persistBase registers the cached relation on the release queue:
+    // Bench/Verify drain it per query, but a LIBRARY caller in a
+    // long-lived session must call [[unpersistPersisted]] after
+    // materializing, or pass `persistBase = false` (the r18 ADVICE
+    // leak surface: one cached relation accumulated per call) — the
+    // opt-out trades the measured win (q158 3.92 → 3.62 s) for a
+    // drain-free call.
     val proj = df.select(groupCols.map(col) :+
       col(valueCol).cast("double").as("__v"): _*)
     val meds = Percentiles.exactOne(proj, groupCols, "__v", 0.5, accuracy)
       .select(groupCols.map(col) :+ col("pct").as("med"): _*)
     val devs = proj.join(broadcast(meds), groupCols)
       .withColumn("__dev", abs(col("__v") - col("med")))
-    // persistBase = true on the MAD device only: its base CONTAINS the
+    // persistBase on the MAD device only: its base CONTAINS the
     // whole median device (the deviation join), so the persist both
     // saves that join per pass and evaluates `meds` once
     val mads = Percentiles.exactOne(devs, groupCols, "__dev", 0.5, accuracy,
-      persistBase = true)
+      persistBase = persistBase)
       .select(groupCols.map(col) :+ col("pct").as("mad"): _*)
     df.join(broadcast(meds), groupCols)
       .join(broadcast(mads), groupCols)

@@ -75,8 +75,12 @@ object StreamPipeline {
     * every appended micro-batch, so the returned table is the full
     * emitted set over the AvailableNow run.
     */
-  def runToResultAppend(spark: SparkSession, stream: DataFrame, name: String): DataFrame =
-    runToMemory(spark, stream, name, OutputMode.Append)
+  def runToResultAppend(
+      spark: SparkSession,
+      stream: DataFrame,
+      name: String,
+      noDataBatches: Boolean = true): DataFrame =
+    runToMemory(spark, stream, name, OutputMode.Append, noDataBatches)
 
   /** Update-mode twin: for stateful operators that re-emit a key's
     * CURRENT value as it changes (latest-state materialization). The
@@ -87,9 +91,22 @@ object StreamPipeline {
   def runToResultUpdate(spark: SparkSession, stream: DataFrame, name: String): DataFrame =
     runToMemory(spark, stream, name, OutputMode.Update)
 
+  /** `noDataBatches = false` skips the watermark-advance micro-batch
+    * after the data batch (`spark.sql.streaming.noDataMicroBatches
+    * .enabled`, captured at query START like the gate bound). ONLY
+    * sound for operators whose emission does not wait on the
+    * watermark — stream-stream INNER joins emit on match, so the
+    * no-data batch contributes nothing but a full offset-log/commit/
+    * state-store-commit cycle to an AvailableNow gate run (q105:
+    * 3.65 → 2.58 s scoped median-of-5). Append-mode AGGREGATIONS
+    * (windowed counts, session windows, dedup-with-expiry readouts)
+    * MUST keep the default: their finalized rows only emit when the
+    * watermark passes, which for a file source happens in exactly
+    * that trailing batch.
+    */
   private def runToMemory(
       spark: SparkSession, stream: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode, noDataBatches: Boolean = true): DataFrame = {
     // LOCAL-GATE state-partition bound (r18, generalizing the q105
     // note): with tiny state, per-(partition × batch) state-store
     // commit overhead dominates an AvailableNow gate run — each
@@ -103,23 +120,45 @@ object StreamPipeline {
     // RocksDB provider + changelog checkpointing (scaladoc above);
     // results are partition-count-independent (exact aggregates /
     // keyed state), re-proven by the oracle gate at both SFs.
-    val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val gate = math.min(sessParts.toInt,
-      spark.conf.getOption("spark.graft.stream.gatePartitions")
-        .map(_.toInt).getOrElse(8))
-    val q =
+    // The set → start() → restore window mutates a SESSION-global
+    // conf, so it is serialized under a lock (r18 ADVICE): without it,
+    // two concurrent runToMemory calls could restore each other's
+    // values, and a batch query planned on the shared session inside
+    // the window would silently pick up the gated partition count.
+    // The lock bounds only query START (planning captures the conf);
+    // awaitTermination stays outside, so gate runs still overlap.
+    // A concurrent UNRELATED writer of spark.sql.shuffle.partitions on
+    // the same session remains unscoped — that is the documented
+    // single-writer contract of this helper.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val q = gateLock.synchronized {
+      val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevNd = spark.conf.getOption(ndKey)
+      val gate = math.min(sessParts.toInt,
+        spark.conf.getOption("spark.graft.stream.gatePartitions")
+          .map(_.toInt).getOrElse(8))
       try {
         spark.conf.set("spark.sql.shuffle.partitions", gate.toString)
+        if (!noDataBatches) spark.conf.set(ndKey, "false")
         stream.writeStream
           .format("memory")
           .queryName(name)
           .outputMode(mode)
           .trigger(Trigger.AvailableNow())
           .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", sessParts)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", sessParts)
+        prevNd match {
+          case Some(v) => spark.conf.set(ndKey, v)
+          case None => spark.conf.unset(ndKey)
+        }
+      }
+    }
     q.awaitTermination()
     spark.table(name)
   }
+
+  private val gateLock = new Object
 
   /** The production state-store configuration for stateful streaming
     * at scale: RocksDB provider + changelog checkpointing. The default
